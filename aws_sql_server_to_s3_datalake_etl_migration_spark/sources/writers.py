@@ -1,0 +1,102 @@
+"""Sinks — SURVEY.md §2.1 S9–S12 + catalog registration (O9).
+
+The reference wrote unpartitioned parquet and re-cataloged via a Glue
+crawler (``utils.py:200-209``). Here the write itself registers the
+schema (``saveAsTable`` / ``spark.catalog``), which deletes the whole
+crawler subsystem, and writers accept ``partition_by`` — at 100 TB an
+unpartitioned table is unprunable, so the big-table path should always
+partition on its dominant filter key (e.g. date).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Parquet sink (S9 overwrite / S12 append), ``utils.py:200-209``.
+
+    ``max_records_per_file`` bounds file size so downstream scans get
+    even splits; partitioning enables partition pruning.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
+def append_parquet(df: DataFrame, path: str) -> None:
+    """Append-mode parquet (S12; operational metadata sink,
+    ``utils.py:474-477``)."""
+    write_parquet(df, path, mode="append")
+
+
+def write_delta_append(df: DataFrame, path: str) -> None:
+    """Delta append sink (S10, ``utils.py:76-80``); parquet-append
+    fallback when delta-spark is absent (semantics preserved: appended
+    rows become part of the table; no txn log)."""
+    try:
+        df.write.format("delta").mode("append").save(path)
+    except Exception:
+        df.write.mode("append").parquet(path)
+
+
+def write_jdbc_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """JDBC append sink (S11, ``utils.py:481-490``)."""
+    writer = (
+        df.write.mode("append")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+    )
+    if user is not None:
+        writer = writer.option("user", user)
+    if password is not None:
+        writer = writer.option("password", password)
+    if driver is not None:
+        writer = writer.option("driver", driver)
+    writer.save()
+
+
+def save_as_table(
+    df: DataFrame,
+    name: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Write + catalog registration in one step — replaces the
+    reference's write-then-crawl dance (``utils.py:206`` → ``319-328``):
+    Spark already knows the schema at write time."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
+
+
+def register_path_as_table(
+    spark: SparkSession, name: str, path: str, fmt: str = "parquet"
+) -> None:
+    """Register an existing lake path in the catalog (crawler
+    replacement for already-written data, O9 ``utils.py:250-328``)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.catalog.createTable(name, path=path, source=fmt)

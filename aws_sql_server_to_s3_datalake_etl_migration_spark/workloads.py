@@ -1,0 +1,539 @@
+"""Query catalog: the driver-checked capability surface.
+
+Each entry pairs a Spark implementation ``(spark, sf_dir) -> DataFrame``
+with an equivalent DuckDB oracle SQL string over the same parquet tables
+(SURVEY.md §5 oracle-differential strategy). Registered by
+``__spark_entry__.py``.
+
+Cross-engine determinism rules (so order-insensitive value hashes match):
+
+- Column names are aliased identically on both sides.
+- SUM/AVG over doubles is order-dependent in the last bits, so monetary
+  aggregates go through exact DECIMAL(18,4) accumulation and are cast
+  back to DOUBLE afterwards — bit-identical across engines.
+- AVG is expressed as exact-decimal SUM divided by COUNT (DuckDB's
+  native AVG on decimals falls back to float accumulation).
+- Any top-k / window ordering carries a unique tiebreak column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .sources.readers import read_table_dir
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# One registry: name -> (spark_fn, oracle_sql | None).
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None
+    }
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table_dir(spark, sf_dir, name)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table carries TIMESTAMP(NANOS) parquet values, which
+    Spark's micros-precision TimestampType refuses outright. Read the
+    raw int64 nanos (``nanosAsLong``) and expose:
+
+    - ``ts``      micros-truncated TimestampType (floor to µs)
+    - ``ts_ns``   the exact int64 epoch-nanos for lossless logic
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = read_table_dir(spark, sf_dir, "events")
+    return df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def _dec(col, scale: int = 4):
+    """Exact-accumulation helper: double -> DECIMAL(18,scale)."""
+    return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's canonical ingestion query
+# (table_jobs/nis_policies.py:21-35 — fact JOIN dim JOIN parent-dim with an
+# IN-list filter, star-projection of the fact side). TPC-H mapping per
+# FIXTURES.md F1/F2: orders -> policies, customer -> organisations,
+# nation -> parent organisations.
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_NATION_KEYS = [0, 3, 5, 7, 8, 11, 14, 17, 19, 22, 24]
+
+
+@register(
+    "flagship_policies_ingest",
+    f"""
+    SELECT o.*
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE n.n_nationkey IN ({', '.join(map(str, FLAGSHIP_NATION_KEYS))})
+    """,
+)
+def flagship_policies_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nis_policies-shaped ingest (J1+J2+P1+P5).
+
+    Spark-first plan: both dim hops only *restrict* the fact side (only
+    ``o.*`` is projected, and customer/nation keys are unique), so the
+    dims collapse into one broadcast semi-join — no fact-side shuffle at
+    all, which is the plan that survives 100 TB of orders.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").where(
+        F.col("n_nationkey").isin(FLAGSHIP_NATION_KEYS)
+    )
+    eligible_custs = customer.join(
+        F.broadcast(nation),
+        customer.c_nationkey == nation.n_nationkey,
+        "inner",
+    ).select("c_custkey")
+    return orders.join(
+        F.broadcast(eligible_custs),
+        orders.o_custkey == eligible_custs.c_custkey,
+        "left_semi",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (§2.4 + §7 step 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation (A1/A2 generalized to GROUP
+    BY). Partial aggregation (map-side combine) happens automatically;
+    the shuffle carries only |groups| x |aggs| rows."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp")
+    )
+    disc_price = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (
+                F.sum(_dec("l_quantity")).cast("double")
+                / F.count("l_quantity")
+            ).alias("avg_qty"),
+            (
+                F.sum(_dec("l_discount")).cast("double")
+                / F.count("l_discount")
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "global_watermark_max",
+    "SELECT MAX(o_orderkey) AS max_pk, COUNT(*) AS n_rows FROM orders",
+)
+def global_watermark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2: global MAX (the incremental-load watermark,
+    utils.py:219) and COUNT (recon, reporting_utils.py:68-69)."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.max("o_orderkey").alias("max_pk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "group_distinct_counts",
+    """
+    SELECT
+      o_orderpriority,
+      COUNT(DISTINCT o_custkey) AS n_custs,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def group_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + COUNT(DISTINCT) (§7 step 8 operator surface)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins beyond the flagship (§2.3 + full join matrix, §7 step 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_active_customers",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — the idiomatic rewrite of the reference's
+    project-one-side inner join (SURVEY.md §2.3 J2)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "anti_join_idle_customers",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (customers with no high-value orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "outer_join_nation_order_stats",
+    """
+    SELECT
+      n.n_name,
+      COUNT(o.o_orderkey) AS n_orders,
+      CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_spend
+    FROM nation n
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    """,
+)
+def outer_join_nation_order_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER join chain preserving empty nations, then grouped agg.
+    Dim side broadcast; the big side (orders) never shuffles for the
+    join — only the (tiny) post-aggregation exchange."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    enriched = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "inner"
+    ).select("c_nationkey", "o_orderkey", "o_totalprice")
+    per_nation = enriched.groupBy("c_nationkey").agg(
+        F.count("o_orderkey").alias("_cnt"),
+        F.sum(_dec("o_totalprice")).alias("_spend"),
+    )
+    return (
+        n.join(
+            F.broadcast(per_nation),
+            n.n_nationkey == per_nation.c_nationkey,
+            "left",
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.coalesce(F.col("_cnt"), F.lit(0))).alias("n_orders"),
+            F.coalesce(F.sum("_spend"), F.lit(0).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / window / set ops (§2.5 — absent in the reference,
+# required by the operator-surface contract)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT — Spark plans TakeOrderedAndProject (per-
+    partition top-k then a k-row merge on the driver; no global sort).
+    Unique tiebreak (o_orderkey) makes the row set deterministic."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "window_top_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT
+        c.c_mktsegment,
+        o.o_orderkey,
+        o.o_totalprice,
+        ROW_NUMBER() OVER (
+          PARTITION BY c.c_mktsegment
+          ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+        ) AS rn
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    WHERE rn <= 5
+    """,
+)
+def window_top_orders_per_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Window function: ROW_NUMBER per group with deterministic
+    ordering, then rank filter (top-5 orders per market segment)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "set_ops_customer_cohorts",
+    """
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT o_custkey, 'both' AS cohort FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+    UNION ALL
+    SELECT o_custkey, 'f_only' AS cohort FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    """,
+)
+def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: INTERSECT / EXCEPT / UNION ALL composed."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = a.intersect(b).withColumn("cohort", F.lit("both"))
+    f_only = a.subtract(b).withColumn("cohort", F.lit("f_only"))
+    return both.unionByName(f_only)
+
+
+@register(
+    "rollup_order_counts",
+    """
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status -> priority -> grand total)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "cube_lineitem_flags",
+    """
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the two lineitem flags."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-load semantics (§2.7 M1), SQL-checkable formulation
+# ---------------------------------------------------------------------------
+
+WATERMARK_CUTOFF = "1997-01-01 00:00:00"
+
+
+@register(
+    "incremental_new_rows",
+    f"""
+    SELECT * FROM orders
+    WHERE o_orderkey > (
+      SELECT MAX(o_orderkey) FROM orders
+      WHERE o_orderdate < TIMESTAMP '{WATERMARK_CUTOFF}'
+    )
+    """,
+)
+def incremental_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 high-watermark filter: rows of the incoming table whose pk
+    exceeds the lake table's max pk (utils.py:219-220). The "lake" here
+    is the orders slice before the cutoff date."""
+    from .operators.incremental import new_rows_above_watermark
+
+    orders = _t(spark, sf_dir, "orders")
+    lake = orders.where(
+        F.col("o_orderdate") < F.lit(WATERMARK_CUTOFF).cast("timestamp")
+    )
+    return new_rows_above_watermark(orders, lake, "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Scalar string/date functions over events (§2.6 surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_scalar_functions",
+    """
+    SELECT
+      event_id,
+      UPPER(event_type) AS event_type_u,
+      YEAR(ts) AS y,
+      MONTH(ts) AS m,
+      DAY(ts) AS d,
+      LENGTH(props) AS props_len,
+      SUBSTRING(event_type, 1, 3) AS type_prefix,
+      REPLACE(event_type, '_', '.') AS type_dotted,
+      CAST(value * 100 AS DOUBLE) AS value_cents
+    FROM events
+    WHERE event_id % 7 = 0
+    """,
+)
+def events_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date scalar surface (F1-F5 analogs as column expressions,
+    all JVM-side built-ins — no UDFs)."""
+    e = _events(spark, sf_dir).where(F.col("event_id") % 7 == 0)
+    return e.select(
+        "event_id",
+        F.upper("event_type").alias("event_type_u"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.length("props").alias("props_len"),
+        F.substring("event_type", 1, 3).alias("type_prefix"),
+        F.regexp_replace("event_type", "_", ".").alias("type_dotted"),
+        (F.col("value") * 100).cast("double").alias("value_cents"),
+    )
+
+
+@register(
+    "events_in_list_filter",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+    """,
+)
+def events_in_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 IN-list membership predicate + projection (pushed to the
+    parquet scan by Catalyst)."""
+    return (
+        _events(spark, sf_dir)
+        .where(F.col("event_type").isin("click", "view", "purchase"))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reconciliation (§2.9) as a checkable query
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recon_row_counts",
+    """
+    SELECT 'orders' AS table_name, COUNT(*) AS row_count FROM orders
+    UNION ALL SELECT 'customer', COUNT(*) FROM customer
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'nation', COUNT(*) FROM nation
+    """,
+)
+def recon_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 count reconciliation across tables, in-engine (one row per
+    table) instead of driver-side counts."""
+    parts = []
+    for t in ("orders", "customer", "lineitem", "nation"):
+        parts.append(
+            _t(spark, sf_dir, t).agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).alias("row_count"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,116 @@
+"""Unit tests for sources/sinks, sanitization, and incremental/merge
+operators (SURVEY.md §2.1, §2.2 P4, §2.7)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from aws_sql_server_to_s3_datalake_etl_migration_spark.functions.names import (
+    lake_name_to_source_name,
+    normalize_job_name,
+    sanitize_identifier,
+    table_name_from_path,
+)
+from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.clean import (
+    sanitize_columns,
+)
+from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.incremental import (
+    high_watermark,
+    merge_upsert,
+    new_rows_above_watermark,
+    write_incremental,
+)
+from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+    read_csv,
+    read_parquet,
+)
+from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.writers import (
+    write_parquet,
+)
+
+
+def test_sanitize_identifier_char_class():
+    # exact char class from reference utils.py:59: ,;{}()\n\t= plus
+    # strip + space->underscore
+    assert sanitize_identifier("  First Name  ") == "First_Name"
+    assert sanitize_identifier("a,b;c{d}e(f)g\nh\ti=j") == "abcdefghij"
+
+
+def test_name_helpers():
+    assert table_name_from_path("s3://b/datalake/nis_policies/") == "nis_policies"
+    assert lake_name_to_source_name("nis_policies") == "nis.policies"
+    assert normalize_job_name(" Policies ", prefix="nis_") == "nis_policies"
+
+
+def test_sanitize_columns_collision_safe(spark):
+    df = spark.createDataFrame([(1, 2, 3)], ["a b", "a;b", "ok"])
+    out = sanitize_columns(df)
+    assert out.columns == ["a_b", "ab", "ok"]
+    df2 = spark.createDataFrame([(1, 2)], ["x=", "x("])
+    assert sanitize_columns(df2).columns == ["x", "x_2"]
+
+
+def test_csv_roundtrip_inferred_and_ddl(spark, tmp_path):
+    p = tmp_path / "cal.csv"
+    p.write_text("Cal Date,Day Name,num\n2024-01-01,Mon,1\n2024-01-02,Tue,2\n")
+    inferred = read_csv(spark, str(p))
+    assert inferred.count() == 2
+    ddl = "CREATE TABLE lookup_calendar (`Cal Date` DATE, `Day Name` STRING, num INT)"
+    typed = read_csv(spark, str(p), ddl=ddl)
+    assert [f.dataType.simpleString() for f in typed.schema.fields] == [
+        "date",
+        "string",
+        "int",
+    ]
+    assert typed.count() == 2
+
+
+def test_parquet_write_read_with_query(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    write_parquet(df, path)
+    back = read_parquet(spark, path, query="SELECT v FROM tbl WHERE v > 10",
+                        view_name="tbl")
+    assert back.columns == ["v"]
+    assert back.count() == 4
+
+
+def test_watermark_and_incremental_append(spark, tmp_path):
+    path = str(tmp_path / "inc")
+    first = spark.range(0, 5).withColumn("payload", F.lit("a"))
+    n = write_incremental(spark, first, path, "id")
+    assert n == 5  # bootstrap
+    lake = spark.read.parquet(path)
+    assert high_watermark(lake, "id") == 4
+    second = spark.range(0, 8).withColumn("payload", F.lit("b"))
+    fresh = new_rows_above_watermark(second, lake, "id")
+    assert sorted(r.id for r in fresh.collect()) == [5, 6, 7]
+    n2 = write_incremental(spark, second, path, "id")
+    assert n2 == 3
+    final = spark.read.parquet(path)
+    assert final.count() == 8
+    # rows 0-4 kept their original payload (append, not update)
+    assert final.where("id < 5").where("payload = 'a'").count() == 5
+
+
+def test_merge_upsert_scd0(spark, tmp_path):
+    path = str(tmp_path / "merge")
+    base = spark.createDataFrame(
+        [(1, "old"), (2, "old"), (3, "old")], ["pk", "val"]
+    )
+    write_parquet(base, path)
+    incoming = spark.createDataFrame([(2, "new"), (9, "new")], ["pk", "val"])
+    merge_upsert(spark, incoming, path, "pk")
+    out = {r.pk: r.val for r in spark.read.parquet(path).collect()}
+    assert out == {1: "old", 2: "new", 3: "old", 9: "new"}
+
+
+def test_write_incremental_updates_mode(spark, tmp_path):
+    path = str(tmp_path / "upd")
+    base = spark.createDataFrame([(1, "a"), (2, "a")], ["pk", "val"])
+    write_incremental(spark, base, path, "pk")
+    incoming = spark.createDataFrame([(2, "b"), (3, "b")], ["pk", "val"])
+    write_incremental(spark, incoming, path, "pk", updates=True)
+    out = {r.pk: r.val for r in spark.read.parquet(path).collect()}
+    assert out == {1: "a", 2: "b", 3: "b"}
