@@ -1,0 +1,406 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each expressed as shuffles Spark can execute at 100 TB —
+no cross joins, no driver-side state:
+
+- ``exact_dedup``            hash-groupBy on content
+- ``minhash_signatures`` / ``minhash_lsh_pairs``
+                             MinHash + banded LSH: shingle -> minhash ->
+                             band -> bucket-join -> verified Jaccard
+- ``simhash_fingerprints`` / ``simhash_pairs``
+                             64-bit SimHash + banded Hamming candidates
+- ``ngram_jaccard_pairs``    exact n-gram Jaccard via token-postings join
+- ``embedding_neardup_pairs``  cosine near-dups via hyperplane-LSH buckets
+
+Design notes (scale):
+- Every candidate-generation step is an equi-join on a bucket key, so
+  the shuffle volume is O(data + candidate pairs), never O(n^2).
+- Hashing uses ``xxhash64`` (JVM built-in, whole-stage codegen).
+- Pair outputs are canonicalized (id_a < id_b) and deduplicated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import tokens
+
+
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one survivor (min id) per distinct content tuple.
+    Returns (keep_id, n_copies) — a plain hash aggregation."""
+    return df.groupBy(*content_cols).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keep_id", "n_copies")
+
+
+# ---------------------------------------------------------------------------
+# Shingles
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text_col: str, k: int = 3):
+    """Distinct k-word shingles of the document (array<string>)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: sig[i] = min over shingles of
+    xxhash64(i, shingle). Pure expressions — one narrow pass."""
+    sh = word_shingles(text_col, shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH near-duplicate pairs with MinHash-estimated Jaccard.
+
+    rows-per-band r = num_hashes/bands; two docs collide when any band
+    of their signatures is identical (p = 1-(1-j^r)^b). Candidates come
+    from an equi-join on (band_idx, band_hash); the estimate is the
+    fraction of matching signature positions; pairs below ``threshold``
+    are dropped.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        id_col,
+        "minhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[F.col("minhash")[b * r + j] for j in range(r)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "minhash", "band.band_idx", "band.band_hash")
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("minhash").alias("mh_a"),
+        "band_idx",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("minhash").alias("mh_b"),
+        "band_idx",
+        "band_hash",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "mh_a", "mh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("mh_a", "mh_b", lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.withColumn("jaccard_est", est)
+        .where(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash: per token hash, each bit votes +1/-1; the
+    fingerprint takes the sign of each bit's vote sum.
+
+    Implemented as one explode + one groupBy(doc) with 64 conditional
+    sums — shuffle volume is O(docs x 64 ints)."""
+    toked = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toked.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded for scale:
+    a 64-bit fingerprint is split into 4 x 16-bit bands; pairs within
+    Hamming distance 3 share at least one exact band (pigeonhole), so
+    candidates come from 4 equi-joins, then exact popcount verifies."""
+    fps = simhash_fingerprints(df, id_col, text_col)
+    banded = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("simhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        "band_idx",
+        "band_val",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram (word) Jaccard similarity for all pairs sharing at
+    least one n-gram: postings join on the n-gram, count common grams
+    per pair, then |A∩B| / (|A|+|B|-|A∩B|).
+
+    The postings join is the classic scalable formulation — shuffle is
+    bounded by posting-list sizes, not n^2. Skew guard: extremely
+    common n-grams (df > 1000) are dropped before the self-join, which
+    bounds the largest posting list (standard prefix-filtering trick).
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
+    )
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_docs"))
+    pruned = grams.join(
+        gram_df.where(F.col("gram_docs") <= 1000).select("gram"), "gram"
+    )
+    a = pruned.select(F.col(id_col).alias("id_a"), "gram")
+    b = pruned.select(F.col(id_col).alias("id_b"), "gram")
+    common = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_grams").alias("na")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine) via hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Cosine near-duplicates via banded random-hyperplane LSH, then
+    exact cosine inside buckets.
+
+    Sign-LSH collision probability per plane is 1 - angle/pi, so one
+    wide sign vector only finds cosines near 1. Banding (OR over
+    ``bands`` groups of ``planes_per_band`` planes, exactly like
+    MinHash banding) trades candidate volume for recall at moderate
+    thresholds: p_collide = 1 - (1 - p^r)^b. Hyperplanes derive
+    deterministically from ``seed`` (reproducible, no driver state).
+    Exact cosine verification inside buckets keeps precision exact;
+    recall is the LSH approximation knob.
+    """
+    import numpy as np
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    hp = rng.standard_normal((bands * planes_per_band, dim))
+
+    def dot_plane(p):
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(v)) for v in p]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "",
+                    *[
+                        F.when(
+                            dot_plane(hp[b * planes_per_band + j]) >= 0,
+                            F.lit("1"),
+                        ).otherwise(F.lit("0"))
+                        for j in range(planes_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            norm.alias("_norm"),
+            F.explode(band_keys).alias("band"),
+        )
+        .select(id_col, vec_col, "_norm", "band.band_idx", "band.band_key")
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        F.col("_norm").alias("norm_a"),
+        "band_idx",
+        "band_key",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        F.col("_norm").alias("norm_b"),
+        "band_idx",
+        "band_key",
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", dot / (F.col("norm_a") * F.col("norm_b")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

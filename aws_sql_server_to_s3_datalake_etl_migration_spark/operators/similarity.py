@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring how ANN systems scale:
+
+- ``brute_force_topk``  exact cosine top-k — the correctness baseline.
+  One narrow scan + TakeOrderedAndProject; at 100 TB this is the
+  per-partition-topk-then-merge plan Spark already generates.
+- ``ivf_topk``          IVF-style scale path: vectors are assigned to
+  coarse centroids once (``build_ivf_index``); a query probes only the
+  ``nprobe`` nearest cells, scanning a fraction of the data. Centroids
+  come from k-means|| (Spark MLlib) when available, else a
+  deterministic hash-partition fallback.
+
+All distance math is pure column expressions (``zip_with`` +
+``aggregate`` folds in whole-stage codegen) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(vec_col, lit_vec) -> F.Column:
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.array(*[F.lit(float(v)) for v in lit_vec]),
+            lambda x, w: x.cast("double") * w,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(vec_col) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(
+                vec_col, lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+
+
+def cosine_to_query(vec_col, query_vec) -> F.Column:
+    """Cosine similarity of each row's vector to a literal query vector."""
+    import math
+
+    qnorm = math.sqrt(sum(float(v) * float(v) for v in query_vec))
+    return _dot(vec_col, query_vec) / (_norm(vec_col) * F.lit(qnorm))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector. Deterministic
+    tiebreak on id so the result set is stable."""
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_to_query(F.col(vec_col), query_vec).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    max_iter: int = 5,
+):
+    """IVF coarse quantizer: k-means centroids + cell assignment.
+
+    Returns (assigned_df with ``_cell`` column, centroids: list[list
+    [float]]). Uses MLlib KMeans (k-means|| init, distributed); the
+    assignment write would be partitioned by ``_cell`` in a lake
+    deployment so probes prune files.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.withColumn(
+        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_features",
+        predictionCol="_cell",
+    )
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("_features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``nprobe`` cells whose centroids are closest to the
+    query, exact cosine within them. Cell selection is driver-side math
+    over ≤ n_cells centroids (tiny); the scan prunes to the probed
+    cells via an IN-list filter (partition pruning on a real lake)."""
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    q = [float(v) for v in query_vec]
+    order = sorted(
+        range(len(centroids)), key=lambda i: -cos(centroids[i], q)
+    )
+    probe = order[:nprobe]
+    return (
+        assigned.where(F.col("_cell").isin(probe))
+        .select(
+            F.col(id_col),
+            cosine_to_query(F.col(vec_col), q).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

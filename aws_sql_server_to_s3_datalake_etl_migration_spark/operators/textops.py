@@ -1,0 +1,167 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure column expressions (JVM-side, whole-stage codegen) — no Python
+UDFs anywhere, so these run at full scan speed on 100 TB of documents:
+
+- ``with_tokens``            whitespace tokenization
+- ``with_token_count``       token counting (whitespace + BPE-ish regex)
+- ``with_lang_id``           n-gram/stopword-ratio language heuristic
+- ``with_quality_score``     length/punctuation/stopword quality signals
+- ``with_fingerprint``       document fingerprint (normalized-prefix MD5
+                             + a 64-bit polynomial rolling hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists: enough signal for a heuristic
+# language ID over whitespace tokens, cheap enough to inline in codegen.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "los", "por"],
+    "de": ["der", "die", "das", "und", "zu", "ein", "mit", "von", "auf", "ist"],
+    "fr": ["le", "la", "de", "et", "un", "une", "les", "des", "en", "est"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "人", "这"],
+}
+
+# BPE-ish unit: word pieces of up to 4 chars — approximates subword
+# token counts without a vocab file.
+BPE_PIECE_LEN = 4
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of non-empty text; empty text -> empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", tokens(text_col))
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword estimate
+    (ceil(len/4) per word — the fixed-width-piece approximation)."""
+    toks = tokens(text_col)
+    bpe = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.ceil(F.length(w) / BPE_PIECE_LEN).cast("bigint"),
+    )
+    return df.withColumn("n_tokens", F.size(toks).cast("bigint")).withColumn(
+        "n_bpe_tokens", bpe
+    )
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    toks = tokens(col)
+    words = STOPWORDS[lang]
+    hits = F.size(F.filter(F.transform(toks, F.lower), lambda w: w.isin(*words)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: highest stopword-hit ratio wins; ties
+    break lexicographically (deterministic); 'und' when no hits."""
+    scores = [
+        F.struct(
+            stopword_ratio(text_col, lang).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in sorted(STOPWORDS)
+    ]
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+    ).withColumn("lang_score", best["score"])
+
+
+PUNCT_CHARS = ".,!?;:'\"()-"
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality signals: char length, token count, mean word length,
+    punctuation ratio, stopword ratio, and a composite [0,1] score
+    (the usual pre-training heuristics: enough-but-not-degenerate
+    length, sane punctuation density, natural-language stopword mass).
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(c).cast("double")
+    n_toks = F.size(toks).cast("double")
+    punct = (
+        n_chars
+        - F.length(F.translate(c, PUNCT_CHARS, "")).cast("double")
+    )
+    punct_ratio = F.when(n_chars == 0, 0.0).otherwise(punct / n_chars)
+    sw_ratio = stopword_ratio(text_col, "en")
+    mean_wlen = F.when(n_toks == 0, 0.0).otherwise(
+        F.aggregate(
+            toks, F.lit(0).cast("double"), lambda a, w: a + F.length(w)
+        )
+        / n_toks
+    )
+    len_score = F.least(n_toks / 100.0, F.lit(1.0))
+    punct_score = F.when(punct_ratio <= 0.2, 1.0).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - (punct_ratio - 0.2) * 5.0)
+    )
+    sw_score = F.least(sw_ratio * 5.0, F.lit(1.0))
+    return (
+        df.withColumn("n_tokens", n_toks.cast("bigint"))
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", sw_ratio)
+        .withColumn("mean_word_len", mean_wlen)
+        .withColumn(
+            "quality_score",
+            (0.4 * len_score + 0.3 * punct_score + 0.3 * sw_score),
+        )
+    )
+
+
+# Polynomial rolling hash constants (classic scheme: h = (h*B + c) mod M
+# with prime modulus; modular form keeps the fold inside long range
+# under Spark's default ANSI overflow checking).
+_POLY_BASE = 31
+_POLY_MOD = 1_000_000_007
+
+
+def rolling_hash(col: Column | str, prefix_len: int = 256) -> Column:
+    """Order-sensitive polynomial rolling hash of the first
+    ``prefix_len`` normalized characters, computed as a fold over the
+    character array — pure codegen, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.substring(
+        F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), 1, prefix_len
+    )
+    chars = F.split(norm, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(
+            acc * _POLY_BASE
+            + F.coalesce(F.ascii(ch).cast("long"), F.lit(0)),
+            F.lit(_POLY_MOD),
+        ),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two fingerprints per document: an MD5 of the normalized 256-char
+    prefix (exact-prefix dedup key, portable across engines) and the
+    64-bit rolling hash (cheap locality-free fingerprint)."""
+    c = F.col(text_col)
+    norm = F.substring(
+        F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), 1, 256
+    )
+    return df.withColumn("fp_md5", F.md5(norm)).withColumn(
+        "fp_roll", rolling_hash(text_col)
+    )

@@ -18,36 +18,13 @@ Cross-engine determinism rules (so order-insensitive value hashes match):
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .sources.readers import read_table_dir
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-# One registry: name -> (spark_fn, oracle_sql | None).
-_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-
-
-def register(name: str, oracle: str | None):
-    def deco(fn: QueryFn) -> QueryFn:
-        _REGISTRY[name] = (fn, oracle)
-        return fn
-
-    return deco
-
-
-def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
-
-
-def oracles() -> dict[str, str]:
-    return {
-        name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None
-    }
+from .registry import QueryFn, oracles, queries, register  # noqa: F401
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -537,3 +514,8 @@ def recon_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# Register the text/dedup/similarity/multimodal workloads (import for
+# side effect: they add themselves to the same registry).
+from . import workloads_llm  # noqa: E402,F401

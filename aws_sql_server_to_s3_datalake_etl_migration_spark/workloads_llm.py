@@ -1,0 +1,349 @@
+"""Training-data-pipeline workloads: dedup, similarity search, text
+analysis, multimodal plumbing — registered alongside the relational
+catalog (same oracle-differential rules; see workloads.py docstring).
+
+Oracle notes:
+- DuckDB regexp_replace needs the explicit 'g' flag (Spark replaces all
+  matches by default).
+- Integer/integer division is double in DuckDB; Spark sides cast
+  explicitly so both engines emit identical doubles.
+- MinHash/SimHash/LSH/IVF entries have no SQL equivalent -> rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, similarity, textops
+from .registry import register
+from .sources.readers import read_table_dir
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table_dir(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table_dir(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_exact_dedup",
+    """
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: survivor id + copy count per distinct text."""
+    return dedup.exact_dedup(_docs(spark, sf_dir), ["text"], "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      len(w)::BIGINT AS n_tokens,
+      list_sum(list_transform(w, x -> ceil(length(x) / 4.0)::BIGINT))::BIGINT
+        AS n_bpe_tokens
+    FROM toks
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document (pure codegen)."""
+    return textops.with_token_count(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_bpe_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword-ratio heuristic)
+# ---------------------------------------------------------------------------
+
+def _lang_ratio_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textops.STOPWORDS[lang])
+    return (
+        f"len(list_filter(lw, x -> x IN ({words}))) / len(lw)"
+    )
+
+
+_LANGS_DESC = sorted(textops.STOPWORDS, reverse=True)  # tie -> lex-largest
+
+_LANG_CASE = " ".join(
+    f"WHEN s_{lang} >= GREATEST({', '.join('s_' + o for o in _LANGS_DESC if o != lang)}) THEN '{lang}'"
+    for lang in _LANGS_DESC
+)
+
+
+@register(
+    "doc_lang_id",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> lower(x)) AS lw
+      FROM documents
+      WHERE trim(text) <> ''
+    ),
+    scored AS (
+      SELECT doc_id,
+             {', '.join(f"{_lang_ratio_sql(lang)} AS s_{lang}" for lang in _LANGS_DESC)}
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN GREATEST({', '.join('s_' + lang for lang in _LANGS_DESC)}) = 0
+                THEN 'und' {_LANG_CASE} END AS lang_pred,
+           GREATEST({', '.join('s_' + lang for lang in _LANGS_DESC)}) AS lang_score
+    FROM scored
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID via per-language stopword-hit ratios."""
+    return textops.with_lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "lang_pred", "lang_score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+_EN_WORDS = ", ".join(f"'{w}'" for w in textops.STOPWORDS["en"])
+
+
+@register(
+    "doc_quality_score",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             length(text)::DOUBLE AS n_chars,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w,
+             (length(text) - length(translate(text, '.,!?;:''"()-', '')))::DOUBLE
+               AS n_punct
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             len(w)::DOUBLE AS n_toks,
+             CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END
+               AS punct_ratio,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE len(list_filter(list_transform(w, x -> lower(x)),
+                                       x -> x IN ({_EN_WORDS})))::DOUBLE
+                       / len(w)::DOUBLE END AS stopword_ratio,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                       / len(w)::DOUBLE END AS mean_word_len
+      FROM base
+    )
+    SELECT doc_id,
+           n_toks::BIGINT AS n_tokens,
+           punct_ratio,
+           stopword_ratio,
+           mean_word_len,
+           0.4 * LEAST(n_toks / 100.0, 1.0)
+           + 0.3 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0
+                         ELSE GREATEST(0.0, 1.0 - (punct_ratio - 0.2) * 5.0) END)
+           + 0.3 * LEAST(stopword_ratio * 5.0, 1.0) AS quality_score
+    FROM sig
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword quality signals + composite."""
+    return textops.with_quality_score(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_word_len",
+        "quality_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                         1, 256)) AS fp_md5
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-prefix MD5 fingerprint (the rolling-hash variant is
+    covered by unit tests; 64-bit wraparound arithmetic isn't portable
+    to the oracle)."""
+    return textops.with_fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "fp_md5"
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs (exact, SQL-checkable)
+# ---------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.1
+
+
+@register(
+    "doc_ngram_jaccard_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 1),
+                                        i -> array_to_string(w[i:i+2], ' '))
+               END) AS gs
+      FROM toks
+    ),
+    posts AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+    sizes AS (SELECT doc_id, len(gs) AS n FROM grams),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM posts a JOIN posts b USING (gram)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE
+          >= {_JACCARD_THRESHOLD}
+    """,
+)
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs via postings join (no n^2 scan)."""
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3,
+        threshold=_JACCARD_THRESHOLD,
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH / SimHash near-dup (rows-only: hash functions aren't
+# portable to DuckDB)
+# ---------------------------------------------------------------------------
+
+
+@register("doc_minhash_lsh_pairs", None)
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 8-band LSH candidate pairs, est. Jaccard >= 0.3."""
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        num_hashes=32, bands=8, threshold=0.3,
+    )
+
+
+@register("doc_simhash_pairs", None)
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash banded Hamming pairs (distance <= 8)."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register("emb_neardup_pairs", None)
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dups via banded hyperplane-LSH buckets."""
+    return dedup.embedding_neardup_pairs(
+        _embs(spark, sf_dir), threshold=0.45, bands=8, planes_per_band=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+# Deterministic query vector: embedding of vec_id = 0 (looked up at
+# runtime so the workload stays self-contained per sf_dir).
+
+
+def _query_vec(spark: SparkSession, sf_dir: str):
+    row = (
+        _embs(spark, sf_dir).where(F.col("vec_id") == 0).select("embedding")
+        .first()
+    )
+    return [float(v) for v in row[0]]
+
+
+@register(
+    "emb_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))
+             AS cosine
+    FROM embeddings e, q
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 to the vec_id=0 embedding — the exact
+    ANN baseline (TakeOrderedAndProject; no global sort)."""
+    return similarity.brute_force_topk(
+        _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10
+    )
+
+
+@register("emb_ivf_topk", None)
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path: k-means cells, probe top-4 of 8 — rows-only
+    (iterative k-means isn't SQL-expressible)."""
+    assigned, centroids = similarity.build_ivf_index(
+        _embs(spark, sf_dir), n_cells=8
+    )
+    return similarity.ivf_topk(
+        assigned, centroids, _query_vec(spark, sf_dir), k=10, nprobe=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only; decode is stubbed per the environment)
+# ---------------------------------------------------------------------------
+
+
+@register("mm_extract_features", None)
+def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via mapInPandas (fake decode)."""
+    return multimodal.extract_features(multimodal.synthetic_assets(spark))
+
+
+@register("mm_sample_video_frames", None)
+def mm_sample_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-index sampling over video assets (row-explosion plumbing)."""
+    return multimodal.sample_video_frames(
+        multimodal.synthetic_assets(spark), every_n=30
+    )

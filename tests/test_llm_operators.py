@@ -1,0 +1,171 @@
+"""Unit tests for the training-data-pipeline operators: dedup families,
+similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textops,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (3, "completely different words about spark engines"),
+        (4, "el gato y el perro en la casa de la abuela"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs, ["text"], "doc_id").collect()
+    by_keep = {r.keep_id: r.n_copies for r in out}
+    assert by_keep[0] == 2  # docs 0 and 2 identical
+    assert by_keep[1] == 1
+    assert len(out) == 5  # 5 distinct texts
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs.where("text <> ''"), "doc_id", "text",
+        num_hashes=32, bands=16, threshold=0.3,
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 2) in got  # exact dup: jaccard_est = 1.0
+    est = {(r.id_a, r.id_b): r.jaccard_est for r in pairs}
+    assert est[(0, 2)] == 1.0
+    # near-dup 0-1 shares most shingles; unrelated 0-3 must not appear
+    assert (0, 3) not in got
+
+
+def test_simhash_exact_dup_distance_zero(spark, docs):
+    fps = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_fingerprints(
+            docs.where("text <> ''"), "doc_id", "text"
+        ).collect()
+    }
+    assert fps[0] == fps[2]
+    pairs = dedup.simhash_pairs(
+        docs.where("text <> ''"), "doc_id", "text", max_hamming=10
+    ).collect()
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert ham[(0, 2)] == 0
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(
+        docs.where("text <> ''"), "doc_id", "text", n=3, threshold=0.1
+    ).collect()
+    jac = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert jac[(0, 2)] == 1.0
+    # 0 vs 1: 7 shared 3-grams of 7 each => 6 common... compute: tokens 9,
+    # grams 7 distinct each, 6 shared -> 6/(7+7-6)=0.75
+    assert jac[(0, 1)] == pytest.approx(0.75)
+
+
+def test_embedding_neardup_and_topk(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16)
+    near = base + rng.standard_normal(16) * 0.05  # cosine ~ 0.999
+    far = rng.standard_normal(16)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in near]),
+        (2, [float(x) for x in far]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = dedup.embedding_neardup_pairs(
+        df, threshold=0.9, bands=4, planes_per_band=2
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got
+    assert all(p != (0, 2) for p in got)
+
+    topk = similarity.brute_force_topk(df, rows[0][1], k=2).collect()
+    assert [r.vec_id for r in topk] == [0, 1]
+    assert topk[0].cosine == pytest.approx(1.0)
+
+
+def test_ivf_topk_matches_brute_force(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(v) for v in embs.where("vec_id = 0").first()["embedding"]]
+    brute = [r.vec_id for r in similarity.brute_force_topk(embs, q, k=5).collect()]
+    assigned, centroids = similarity.build_ivf_index(embs, n_cells=4)
+    ivf = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            assigned, centroids, q, k=5, nprobe=4
+        ).collect()
+    ]
+    # probing ALL cells must reproduce brute force exactly
+    assert ivf == brute
+
+
+def test_token_count_and_empty(spark, docs):
+    out = {
+        r.doc_id: (r.n_tokens, r.n_bpe_tokens)
+        for r in textops.with_token_count(docs).collect()
+    }
+    assert out[0][0] == 9
+    assert out[5] == (0, 0)
+    # 'the'(1) 'quick'(2) 'brown'(2) 'fox'(1) 'jumps'(2) 'over'(1)
+    # 'the'(1) 'lazy'(1) 'dog'(1) = 12
+    assert out[0][1] == 12
+
+
+def test_lang_id(spark, docs):
+    out = {
+        r.doc_id: r.lang_pred
+        for r in textops.with_lang_id(docs).collect()
+    }
+    assert out[0] == "en"
+    assert out[4] == "es"
+    assert out[5] == "und"
+
+
+def test_quality_score_bounds(spark, docs):
+    for r in textops.with_quality_score(docs).collect():
+        assert 0.0 <= r.quality_score <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+
+
+def test_fingerprint_deterministic(spark, docs):
+    a = {r.doc_id: (r.fp_md5, r.fp_roll)
+         for r in textops.with_fingerprint(docs).collect()}
+    b = {r.doc_id: (r.fp_md5, r.fp_roll)
+         for r in textops.with_fingerprint(docs).collect()}
+    assert a == b
+    assert a[0] == a[2]          # exact dups share fingerprints
+    assert a[0][0] != a[3][0]    # different docs differ
+
+
+def test_multimodal_features_and_frames(spark):
+    assets = multimodal.synthetic_assets(spark, n=12)
+    feats = multimodal.extract_features(assets)
+    assert feats.count() == 12
+    row = feats.where("asset_id = 0").first()
+    assert len(row.content_sha256) == 64 and row.n_bytes > 0
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(assets, decode_fn="real")
+    frames = multimodal.sample_video_frames(assets, every_n=10)
+    vids = assets.where("modality = 'video'").count()
+    assert frames.count() >= vids  # at least frame 0 per video
+    assert frames.select("frame_idx").where("frame_idx % 10 != 0").count() == 0
+    resized = multimodal.resize_images(assets, 224, 224)
+    metas = resized.select("meta.width", "meta.height").distinct().collect()
+    assert metas == [(224, 224)] or [
+        (m.width, m.height) for m in metas
+    ] == [(224, 224)]
