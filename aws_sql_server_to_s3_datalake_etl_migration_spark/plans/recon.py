@@ -1,0 +1,120 @@
+"""Reconciliation report (R1–R5, reference ``reporting_utils.py``).
+
+Per lake table: source row count vs lake row count, bytes on disk, and
+last ingestion duration, joined into one queryable ``recon_report``.
+Fixes from SURVEY.md §2.11: table discovery looks under the actual lake
+prefix, and the three metrics are FULL-outer-joined so a table missing
+one metric still appears (the reference's inner joins dropped it).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .metastore import OperationalMetastore
+
+
+def discover_tables(lake_root: str) -> list[str]:
+    """R1: table list = first-level directories under the lake root."""
+    if not os.path.isdir(lake_root):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(lake_root)
+        if os.path.isdir(os.path.join(lake_root, d))
+    )
+
+
+def table_sizes(spark: SparkSession, lake_root: str) -> DataFrame:
+    """R2: recursive byte size per table directory."""
+    rows = []
+    for t in discover_tables(lake_root):
+        total = 0
+        for root, _, files in os.walk(os.path.join(lake_root, t)):
+            total += sum(
+                os.path.getsize(os.path.join(root, f)) for f in files
+            )
+        rows.append((t, total))
+    schema = StructType(
+        [
+            StructField("TableName", StringType(), False),
+            StructField("TableSize", LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def count_reconciliation(
+    spark: SparkSession,
+    lake_root: str,
+    source_reader,
+    name_map=None,
+) -> DataFrame:
+    """R4 (reporting_utils.py:63-74): per table, source count vs lake
+    count. ``source_reader(table_name) -> DataFrame | None`` abstracts
+    the JDBC source (tests pass a parquet-backed reader). Unreadable
+    sources are skipped, as in the reference (:71-72)."""
+    rows = []
+    for t in discover_tables(lake_root):
+        src_name = name_map(t) if name_map else t.replace("_", ".", 1)
+        try:
+            src = source_reader(t)
+            src_count = src.count() if src is not None else None
+        except Exception:
+            continue  # skip-on-error preserved
+        lake_count = spark.read.parquet(os.path.join(lake_root, t)).count()
+        rows.append((t, src_name, src_count, lake_count))
+    schema = StructType(
+        [
+            StructField("TableName", StringType(), False),
+            StructField("OnpremTableName", StringType(), True),
+            StructField("OnpremRowCounts", LongType(), True),
+            StructField("TableRowCounts", LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def recon_report(
+    spark: SparkSession,
+    lake_root: str,
+    source_reader,
+    metastore: OperationalMetastore | None = None,
+    output_path: str | None = None,
+) -> DataFrame:
+    """R5 (reporting_utils.py:77-89): counts ⋈ durations ⋈ sizes on
+    TableName — full-outer so partial metrics survive — optionally
+    persisted as the ``recon_report`` lake table."""
+    counts = count_reconciliation(spark, lake_root, source_reader)
+    sizes = table_sizes(spark, lake_root)
+    report = counts.join(sizes, ["TableName"], "full_outer")
+    if metastore is not None:
+        times = metastore.last_success_durations()
+        report = report.join(times, ["TableName"], "full_outer")
+    else:
+        report = report.withColumn(
+            "IngestionTime", F.lit(None).cast("int")
+        )
+    if output_path:
+        report.write.mode("overwrite").parquet(output_path)
+    return report
+
+
+def assert_reconciled(report: DataFrame) -> None:
+    """Recon-as-test (SURVEY.md §5): every table's source and lake
+    counts must match."""
+    bad = report.where(
+        F.col("OnpremRowCounts").isNotNull()
+        & (F.col("OnpremRowCounts") != F.col("TableRowCounts"))
+    ).collect()
+    if bad:
+        raise AssertionError(f"unreconciled tables: {bad}")

@@ -1,0 +1,13 @@
+"""Structured Streaming operators: the streaming analog of the
+reference's batch incremental loads (SURVEY.md §2.7/§2.10) plus the
+windowed/stateful operators a training-data pipeline needs."""
+
+from .ingest import stream_ingest_files, stream_append_to_lake
+from .windows import windowed_event_counts, sessionize
+
+__all__ = [
+    "stream_ingest_files",
+    "stream_append_to_lake",
+    "windowed_event_counts",
+    "sessionize",
+]

@@ -1,0 +1,57 @@
+"""Streaming ingestion: the reference's high-watermark incremental load
+(utils.py:212-246) re-expressed as Structured Streaming.
+
+A batch watermark (``max(pk)`` then ``pk > max``) is exactly what a
+file-source stream's checkpoint does continuously: each new file is
+processed once, exactly-once into the sink. ``maxFilesPerTrigger``
+bounds per-micro-batch volume (the knob that keeps a 100 TB backfill
+from becoming one giant batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def stream_ingest_files(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a landing directory (the streaming
+    analog of repeated incremental reads)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.load(source_dir)
+
+
+def stream_append_to_lake(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    partition_by: list[str] | None = None,
+) -> StreamingQuery:
+    """Exactly-once append into a parquet lake table. ``available_now``
+    drains everything currently in the source then stops — the batch
+    job shape; pass False for a continuously running ingest."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
