@@ -516,6 +516,8 @@ def recon_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# Register the text/dedup/similarity/multimodal workloads (import for
-# side effect: they add themselves to the same registry).
+# Register the analytics (multi-way join / window / grouping-set) and
+# text/dedup/similarity/multimodal workloads (import for side effect:
+# they add themselves to the same registry).
+from . import workloads_analytics  # noqa: E402,F401
 from . import workloads_llm  # noqa: E402,F401

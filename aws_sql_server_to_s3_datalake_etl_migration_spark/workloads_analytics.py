@@ -1,0 +1,588 @@
+"""Analytics query catalog: multi-way joins, correlated subqueries,
+analytic windows, grouping sets — the wider relational surface
+(SURVEY.md §2.3–§2.5 generalizations, §7 step 8).
+
+The reference only ever runs 2-join + IN-list SQL
+(``table_jobs/nis_policies.py:21-35``); a user migrating off it onto a
+lake engine immediately needs the standard warehouse query shapes, so
+they are first-class here, each paired with a DuckDB oracle.
+
+Scale posture (applies to every query below):
+- Dim tables (region/nation/customer/supplier/part at <=1% of fact
+  size) are broadcast explicitly, so the fact table (lineitem/orders)
+  never shuffles for a join — only for its final aggregation, which is
+  map-side combined first.
+- Monetary aggregates accumulate in DECIMAL(18,4) then cast to DOUBLE
+  (bit-identical across engines AND across partition orderings — float
+  SUM is order-dependent, which breaks both the oracle hash and
+  re-run determinism at 1000 executors).
+- Every top-k / window ordering carries a unique tiebreak key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import register
+from .sources.readers import read_table_dir
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table_dir(spark, sf_dir, name)
+
+
+def _dec(col, scale: int = 4):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+_REVENUE_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+
+
+# ---------------------------------------------------------------------------
+# Multi-way joins (TPC-H Q3/Q5/Q10 shapes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority",
+    f"""
+    SELECT l_orderkey, o_orderdate, revenue
+    FROM (
+      SELECT
+        l.l_orderkey,
+        o.o_orderdate,
+        CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      GROUP BY l.l_orderkey, o.o_orderdate
+    )
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, grouped revenue, top-10.
+
+    Plan: customer is filtered then broadcast into orders; the
+    (orders ⋈ customer) side is again small relative to lineitem, so it
+    broadcasts into the lineitem scan — zero fact-table shuffles before
+    the grouped aggregation, and the top-10 is TakeOrderedAndProject
+    (per-partition k-row heaps, no global sort)."""
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(
+            F.broadcast(
+                o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+                .select("o_orderkey", "o_orderdate")
+            ),
+            l.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume",
+    f"""
+    SELECT
+      n.n_name,
+      CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s
+      ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a same-nation co-location
+    predicate between customer and supplier.
+
+    Plan: region→nation→customer collapse into one small broadcast
+    frame keyed by custkey; supplier broadcasts independently. lineitem
+    joins orders on its natural key. At 100 TB the only big-big join is
+    lineitem ⋈ orders — both sides shuffle-partitioned on the order
+    key once, everything else rides broadcasts."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    cust = (
+        c.join(
+            F.broadcast(
+                n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            c.c_nationkey == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "returned_item_losses",
+    f"""
+    SELECT c_custkey, c_name, revenue, n_name
+    FROM (
+      SELECT
+        c.c_custkey,
+        c.c_name,
+        CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue,
+        n.n_name
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    )
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue. 4-way join,
+    grouped agg keyed by customer, top-20."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    cust = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).select("c_custkey", "c_name", "n_name")
+    return (
+        l.join(
+            F.broadcast(o.select("o_orderkey", "o_custkey")),
+            l.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery shapes (decorrelated by hand the way Catalyst would)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "small_quantity_part_revenue",
+    """
+    SELECT
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT
+        l_partkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+          / COUNT(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    ) a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND l.l_quantity < 0.5 * a.avg_qty
+    """,
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated AVG-per-part subquery, decorrelated
+    into a grouped aggregate re-joined to the fact table.
+
+    Plan: per-part averages are |part|-sized (small) → broadcast back
+    into lineitem, so the fact table is scanned twice but never
+    shuffled. The alternative single-scan window formulation shuffles
+    all of lineitem by partkey — worse at 100 TB than the extra
+    (column-pruned) scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    avg_qty = (
+        l.groupBy("l_partkey")
+        .agg(
+            (
+                F.sum(_dec("l_quantity")).cast("double")
+                / F.count("l_quantity")
+            ).alias("avg_qty")
+        )
+        .withColumnRenamed("l_partkey", "a_partkey")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(avg_qty), l.l_partkey == F.col("a_partkey"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "rich_idle_customers",
+    """
+    SELECT
+      c_nationkey,
+      COUNT(*) AS n_custs,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(c_acctbal)
+        FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average) + NOT EXISTS
+    anti-join (no *recent* orders) + grouped aggregate.
+
+    The scalar average is a one-row broadcast (cross-join) rather than a
+    driver collect, so the whole plan stays lazy and cluster-side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double") / F.count("c_acctbal")
+        ).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "late_shipment_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a cross-table predicate (shipment
+    more than 90 days after order) → left-semi join, then a tiny
+    grouped count."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > F.date_add(o.o_orderdate, 90)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic windows (running totals, lag deltas)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "running_customer_spend",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC, o_orderkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS spend_to_date,
+      ROW_NUMBER() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC, o_orderkey ASC
+      ) AS order_seq
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    """,
+)
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-customer running total + sequence number
+    (ROWS BETWEEN frame). One shuffle on the partition key; the frame
+    is computed within sorted partitions — no global sort."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("spend_to_date"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "monthly_order_momentum",
+    """
+    SELECT
+      month_start,
+      n_orders,
+      CAST(total_price AS DOUBLE) AS total_price,
+      n_orders - LAG(n_orders) OVER (ORDER BY month_start ASC)
+        AS order_delta
+    FROM (
+      SELECT
+        DATE_TRUNC('month', o_orderdate) AS month_start,
+        COUNT(*) AS n_orders,
+        SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total_price
+      FROM orders
+      GROUP BY DATE_TRUNC('month', o_orderdate)
+    )
+    """,
+)
+def monthly_order_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup + LAG month-over-month delta. The grouped
+    agg shrinks the data to |months| rows first, so the single-partition
+    global window that follows is trivially cheap — the safe pattern for
+    unpartitioned windows at scale (never window the raw fact table
+    globally)."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("total_price_dec"),
+    )
+    w = Window.orderBy(F.col("month_start").asc())
+    return monthly.select(
+        "month_start",
+        "n_orders",
+        F.col("total_price_dec").cast("double").alias("total_price"),
+        (F.col("n_orders") - F.lag("n_orders").over(w)).alias("order_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets (distinct aggregation granularities in one pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_order_stats",
+    """
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with disjoint granularities (by status, by
+    priority) in a single pass — Spark expands then aggregates with
+    map-side partials, one shuffle total."""
+    o = _t(spark, sf_dir, "orders")
+    view = "orders_gs_src"
+    o.createOrReplaceTempView(view)
+    try:
+        out = spark.sql(
+            f"""
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+            FROM {view}
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+            """
+        )
+        out.schema  # analyze now so the view can be dropped
+        return out
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+# ---------------------------------------------------------------------------
+# Merge-upsert preview (M2 semantics as a checkable dataflow)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert_preview",
+    """
+    SELECT * FROM (
+      SELECT t.* FROM (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      ) t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM (
+          SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+        ) i WHERE i.o_orderkey = t.o_orderkey
+      )
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+    )
+    """,
+)
+def merge_upsert_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 MERGE (whenMatchedUpdateAll / whenNotMatchedInsertAll,
+    reference utils.py:222-230) as a pure dataflow: target rows not in
+    the incoming batch survive, matched rows are replaced by the
+    incoming version, unmatched incoming rows are inserted. This is
+    exactly what ``operators.incremental.merge_upsert`` executes
+    against parquet when delta-spark is absent."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    o = _t(spark, sf_dir, "orders")
+    target = o.where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select(*cols)
+    incoming = o.where(
+        F.col("o_orderdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    kept = target.join(
+        incoming.select("o_orderkey"), on="o_orderkey", how="left_anti"
+    )
+    return kept.unionByName(incoming)
+
+
+# ---------------------------------------------------------------------------
+# Dim-table enrichment over part/supplier (previously uncovered tables)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_type_margins",
+    f"""
+    SELECT
+      p.p_type,
+      COUNT(*) AS n_lineitems,
+      CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue,
+      CAST(SUM(CAST(l.l_quantity * p.p_retailprice AS DECIMAL(18,4)))
+        AS DOUBLE) AS retail_value
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_type
+    """,
+)
+def part_type_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim enrichment with computed measures per part type.
+    part broadcasts; lineitem shuffles once on p_type for the final agg
+    (map-side combined to |types| rows first)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    retail = _dec(F.col("l_quantity") * F.col("p_retailprice"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.sum(retail).cast("double").alias("retail_value"),
+        )
+    )
+
+
+@register(
+    "supplier_balance_rank",
+    """
+    SELECT s_suppkey, s_name, n_name, s_acctbal, bal_rank
+    FROM (
+      SELECT
+        s.s_suppkey, s.s_name, n.n_name, s.s_acctbal,
+        DENSE_RANK() OVER (
+          PARTITION BY n.n_name ORDER BY s.s_acctbal DESC, s.s_suppkey ASC
+        ) AS bal_rank
+      FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    )
+    WHERE bal_rank <= 3
+    """,
+)
+def supplier_balance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSE_RANK top-3 suppliers by account balance per nation."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+        .withColumn("bal_rank", F.dense_rank().over(w))
+        .where(F.col("bal_rank") <= 3)
+    )

@@ -25,11 +25,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "flagship_policies_ingest",
     "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "returned_item_losses",
+    "small_quantity_part_revenue",
     "outer_join_nation_order_stats",
     "window_top_orders_per_segment",
+    "running_customer_spend",
     "topk_orders",
     "set_ops_customer_cohorts",
     "group_distinct_counts",
+    "part_type_margins",
+    "merge_upsert_preview",
     "incremental_new_rows",
     "events_scalar_functions",
     "recon_row_counts",
