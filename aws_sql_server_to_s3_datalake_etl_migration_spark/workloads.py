@@ -485,6 +485,42 @@ def events_in_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_hourly_counts",
+    """
+    SELECT
+      DATE_TRUNC('hour', ts) AS hour_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY DATE_TRUNC('hour', ts), event_type
+    """,
+)
+def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the event stream table —
+    the batch twin of ``streaming.windowed_event_counts`` (same
+    expression tree Structured Streaming runs incrementally with a
+    watermark). ``F.window`` buckets rows without a pre-sort; the agg is
+    map-side combined, so the shuffle carries |windows × types| rows."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reconciliation (§2.9) as a checkable query
 # ---------------------------------------------------------------------------

