@@ -1,0 +1,71 @@
+"""Composed ingestion pipelines — the reference's "table job" templates
+as library functions.
+
+The reference ships each pipeline as a standalone Glue script:
+
+- CSV → sanitize → parquet (``ingest_csv_datalake``, utils.py:194-197;
+  jobs ``table_jobs/lookup_calendar.py``, ``table_jobs/360_view.py``)
+- JDBC sources → temp views → SQL → parquet + count recon
+  (``table_jobs/nis_policies.py``, the canonical template at
+  README.md:67-107)
+
+Here they are callables registered with the in-process ``JobRunner``
+(plans/runner.py) instead of Glue jobs; each returns the row count it
+wrote so the recon layer (plans/recon.py) is fed without re-scanning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.clean import sanitize_columns
+from .sources.readers import read_csv
+from .sources.writers import write_parquet
+
+
+def ingest_csv_to_lake(
+    spark: SparkSession,
+    csv_path: str,
+    lake_path: str,
+    ddl: str = "",
+    partition_by: list[str] | None = None,
+) -> int:
+    """S14 composed ingest (utils.py:194-197): CSV scan (inferred or
+    DDL-typed, S6/S7) → header sanitization (P4) → parquet overwrite
+    (S9). Returns rows written.
+
+    The count reuses the written parquet, not the CSV plan: one extra
+    cheap scan beats re-running schema inference twice over raw CSV.
+    """
+    df = sanitize_columns(read_csv(spark, csv_path, ddl=ddl))
+    write_parquet(df, lake_path, mode="overwrite", partition_by=partition_by)
+    return spark.read.parquet(lake_path).count()
+
+
+def ingest_query_to_lake(
+    spark: SparkSession,
+    sources: Mapping[str, DataFrame],
+    query: str,
+    lake_path: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """The nis_policies template (table_jobs/nis_policies.py:13-42):
+    register each source DataFrame as a temp view, run the SQL, write
+    parquet, drop the views, return rows written.
+
+    ``sources`` maps view name → DataFrame (the reference hard-wired two
+    JDBC reads; any reader output works here).
+    """
+    for view, df in sources.items():
+        df.createOrReplaceTempView(view)
+    try:
+        out = spark.sql(query)
+        write_parquet(
+            out, lake_path, mode="overwrite", partition_by=partition_by
+        )
+    finally:
+        for view in sources:
+            spark.catalog.dropTempView(view)
+    return spark.read.parquet(lake_path).count()

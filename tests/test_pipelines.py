@@ -1,0 +1,68 @@
+"""Composed ingestion pipelines: CSV→clean→parquet and the
+sources→SQL→parquet table-job template."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_sql_server_to_s3_datalake_etl_migration_spark.pipelines import (
+    ingest_csv_to_lake,
+    ingest_query_to_lake,
+)
+
+
+def test_ingest_csv_inferred_with_messy_headers(spark, tmp_path):
+    csv = tmp_path / "in.csv"
+    csv.write_text(
+        '"Policy Id","Start; Date","Amount (USD)"\n'
+        "1,2020-01-01,10.5\n"
+        "2,2020-02-01,20.25\n"
+    )
+    lake = str(tmp_path / "lake_tbl")
+    n = ingest_csv_to_lake(spark, str(csv), lake)
+    assert n == 2
+    out = spark.read.parquet(lake)
+    assert out.columns == ["Policy_Id", "Start_Date", "Amount_USD"]
+    assert out.where(F.col("Policy_Id") == 2).first()["Amount_USD"] == 20.25
+
+
+def test_ingest_csv_with_ddl_schema(spark, tmp_path):
+    csv = tmp_path / "cal.csv"
+    csv.write_text("d,label,n\n2020-01-01,new year,1\n2020-12-25,xmas,2\n")
+    lake = str(tmp_path / "cal_tbl")
+    ddl = "CREATE TABLE lookup_calendar (d DATE, label STRING, n INT)"
+    n = ingest_csv_to_lake(spark, str(csv), lake, ddl=ddl)
+    assert n == 2
+    out = spark.read.parquet(lake)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "date",
+        "string",
+        "int",
+    ]
+
+
+def test_ingest_query_to_lake_template(spark, tmp_path, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lake = str(tmp_path / "policies_out")
+    n = ingest_query_to_lake(
+        spark,
+        {"pol": orders, "org": customer},
+        """
+        SELECT pol.* FROM pol
+        JOIN org ON org.c_custkey = pol.o_custkey
+        WHERE org.c_nationkey IN (1, 3, 5)
+        """,
+        lake,
+    )
+    expected = (
+        orders.join(
+            customer.where(F.col("c_nationkey").isin(1, 3, 5)),
+            orders.o_custkey == customer.c_custkey,
+            "left_semi",
+        ).count()
+    )
+    assert n == expected > 0
+    # views are dropped afterwards
+    assert not spark.catalog.tableExists("pol")
+    assert not spark.catalog.tableExists("org")
