@@ -486,6 +486,59 @@ def events_in_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_json_props",
+    """
+    SELECT
+      event_id,
+      CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+      CAST(json_extract_string(props, '$.k') AS INT) % 10 AS prop_k_bucket
+    FROM events
+    WHERE event_id % 11 = 0
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the semi-structured ``props`` column
+    (JVM-side ``get_json_object`` — no Python in the hot path)."""
+    e = _events(spark, sf_dir).where(F.col("event_id") % 11 == 0)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        k.alias("prop_k"),
+        (k % 10).alias("prop_k_bucket"),
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+    SELECT
+      o_orderpriority,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS st_f,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS st_o,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS st_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order-status columns per priority row. The value list is
+    given explicitly, so Spark skips the extra distinct-values job —
+    required practice on a 100 TB input."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("st_f"),
+            F.coalesce("O", F.lit(0)).alias("st_o"),
+            F.coalesce("P", F.lit(0)).alias("st_p"),
+        )
+    )
+
+
+@register(
     "events_hourly_counts",
     """
     SELECT
@@ -521,6 +574,36 @@ def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_vector_inspect",
+    """
+    SELECT
+      vec_id,
+      label,
+      len(embedding) AS dim,
+      CAST(embedding[1] AS DOUBLE) AS first_component,
+      CAST(embedding[64] AS DOUBLE) AS last_component
+    FROM embeddings
+    WHERE vec_id % 13 = 0
+    """,
+)
+def emb_vector_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed column surface: size + element access on the
+    ``array<float>`` embedding column (nested types the reference never
+    had; Spark-native). Element casts are exact float32→float64, so the
+    oracle hash is bit-stable."""
+    e = read_table_dir(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 13 == 0
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.col("embedding")[0].cast("double").alias("first_component"),
+        F.col("embedding")[63].cast("double").alias("last_component"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reconciliation (§2.9) as a checkable query
 # ---------------------------------------------------------------------------
@@ -550,6 +633,52 @@ def recon_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sketch aggregates (approximate; rows-only checks — the estimates are
+# engine-specific, so no cross-engine hash. Accuracy is pinned by
+# tests/test_sketches.py against exact answers.)
+# ---------------------------------------------------------------------------
+
+
+@register("approx_distinct_users", None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per event type
+    (``approx_count_distinct``, rsd=2%). At 100 TB the exact
+    COUNT(DISTINCT) shuffles every distinct value; the sketch ships a
+    fixed few-KB register set per group instead."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias(
+                "approx_users"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register("order_value_percentiles", None)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of order value per priority
+    (``percentile_approx``, accuracy 10k) — the bounded-memory
+    quantile sketch (KLL-style) that replaces a full sort at scale."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000)
+            .alias("p50_p90_p99")
+        )
+        .select(
+            "o_orderpriority",
+            F.col("p50_p90_p99")[0].alias("p50"),
+            F.col("p50_p90_p99")[1].alias("p90"),
+            F.col("p50_p90_p99")[2].alias("p99"),
+        )
+    )
 
 
 # Register the analytics (multi-way join / window / grouping-set) and
