@@ -41,8 +41,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = read_table_dir(spark, sf_dir, "events")
+    # Integer `div`, NOT floor(ts/1000): float division of int64 nanos
+    # (~1.7e18) exceeds double's 2^53 mantissa and lands a micro off.
     return df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 
@@ -633,6 +635,57 @@ def recon_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "event_session_stats",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+        CASE
+          WHEN LAG(ts) OVER w IS NULL THEN 1
+          WHEN ts - LAG(ts) OVER w >= INTERVAL 6 HOUR THEN 1
+          ELSE 0
+        END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+        SUM(new_sess) OVER (
+          PARTITION BY user_id ORDER BY ts ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS sid
+      FROM marked
+    )
+    SELECT
+      user_id,
+      MIN(ts) AS session_start,
+      MAX(ts) + INTERVAL 6 HOUR AS session_end,
+      COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def event_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization in batch via ``session_window`` —
+    the batch twin of ``streaming.sessionize`` (applyInPandasWithState)
+    and the one-liner Spark answer to SQL's gaps-and-islands dance (the
+    oracle spells it out with LAG + running SUM). One shuffle on
+    user_id; sessions assemble inside sorted partitions."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            "user_id", F.session_window(F.col("ts"), "6 hours").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
