@@ -3,6 +3,7 @@ layering, batched parallel/serial execution, operational metastore,
 reconciliation."""
 
 from .dependencies import layered_jobs, layers_from_edges
+from .infra import bootstrap, database_exists
 from .runner import JobResult, JobRunner
 from .metastore import OperationalMetastore, METADATA_SCHEMA
 from .recon import recon_report
@@ -10,6 +11,8 @@ from .recon import recon_report
 __all__ = [
     "layered_jobs",
     "layers_from_edges",
+    "bootstrap",
+    "database_exists",
     "JobResult",
     "JobRunner",
     "OperationalMetastore",

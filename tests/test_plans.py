@@ -150,6 +150,22 @@ def test_recon_report_and_assert(spark, tmp_path, sf_dir):
     assert spark.read.parquet(str(tmp_path / "recon_out")).count() == 2
 
 
+def test_bootstrap_idempotent(spark, tmp_path):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.plans import (
+        bootstrap,
+        database_exists,
+    )
+
+    lake = tmp_path / "lake_root"
+    bootstrap(spark, str(lake), databases=("db_a", "db_b"))
+    bootstrap(spark, str(lake), databases=("db_a", "db_b"))  # idempotent
+    assert lake.is_dir()
+    assert database_exists(spark, "db_a")
+    assert database_exists(spark, "db_b")
+    spark.sql("DROP DATABASE db_a")
+    spark.sql("DROP DATABASE db_b")
+
+
 def test_assert_reconciled_raises(spark):
     bad = spark.createDataFrame(
         [("t", "s.t", 10, 9)],
