@@ -2,12 +2,17 @@
 reference's batch incremental loads (SURVEY.md §2.7/§2.10) plus the
 windowed/stateful operators a training-data pipeline needs."""
 
-from .ingest import stream_ingest_files, stream_append_to_lake
+from .ingest import (
+    stream_ingest_files,
+    stream_append_to_lake,
+    stream_merge_to_lake,
+)
 from .windows import windowed_event_counts, sessionize
 
 __all__ = [
     "stream_ingest_files",
     "stream_append_to_lake",
+    "stream_merge_to_lake",
     "windowed_event_counts",
     "sessionize",
 ]

@@ -55,3 +55,39 @@ def stream_append_to_lake(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_merge_to_lake(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    primary_key: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming MERGE upsert: each micro-batch is merge-upserted into
+    the lake table on ``primary_key`` via ``foreachBatch`` — the
+    streaming form of the reference's incremental-updates mode
+    (``utils.py:222-230``). Exactly-once per batch id under the
+    checkpoint; late re-deliveries of the same key overwrite (SCD-0),
+    so the sink is idempotent where plain append would duplicate.
+    """
+    from ..operators.incremental import merge_upsert
+    from ..sources.writers import write_parquet
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            spark.read.parquet(path).schema  # does the table exist yet?
+        except Exception:
+            write_parquet(batch_df, path, mode="overwrite")
+            return
+        merge_upsert(spark, batch_df, path, primary_key)
+
+    writer = (
+        df.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

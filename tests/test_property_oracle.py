@@ -1,0 +1,89 @@
+"""Property-based differential tests (SURVEY.md §5 stretch): random
+IN-lists, watermarks, and range predicates must agree with DuckDB on
+the same parquet, and header sanitization must always emit
+parquet-legal identifiers."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from aws_sql_server_to_s3_datalake_etl_migration_spark.functions.names import (
+    sanitize_identifier,
+)
+
+from conftest import SF_SMOKE
+
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'"
+    )
+    return con
+
+
+@given(keys=st.lists(st.integers(0, 24), min_size=1, max_size=60))
+@settings(**_SETTINGS)
+def test_in_list_filter_matches_duckdb(spark, duck, keys):
+    n_spark = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .where((F.col("o_custkey") % 25).isin(keys))
+        .count()
+    )
+    in_list = ", ".join(map(str, keys))
+    n_duck = duck.sql(
+        f"SELECT COUNT(*) FROM orders WHERE o_custkey % 25 IN ({in_list})"
+    ).fetchone()[0]
+    assert n_spark == n_duck
+
+
+@given(wm=st.integers(-10, 2_000))
+@settings(**_SETTINGS)
+def test_watermark_filter_matches_duckdb(spark, duck, wm):
+    n_spark = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .where(F.col("o_orderkey") > wm)
+        .count()
+    )
+    n_duck = duck.sql(
+        f"SELECT COUNT(*) FROM orders WHERE o_orderkey > {wm}"
+    ).fetchone()[0]
+    assert n_spark == n_duck
+
+
+@given(
+    lo=st.floats(0, 500_000, allow_nan=False),
+    hi=st.floats(0, 500_000, allow_nan=False),
+)
+@settings(**_SETTINGS)
+def test_range_predicate_matches_duckdb(spark, duck, lo, hi):
+    lo, hi = min(lo, hi), max(lo, hi)
+    n_spark = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .where(F.col("o_totalprice").between(lo, hi))
+        .count()
+    )
+    n_duck = duck.sql(
+        "SELECT COUNT(*) FROM orders WHERE o_totalprice "
+        f"BETWEEN {lo!r} AND {hi!r}"
+    ).fetchone()[0]
+    assert n_spark == n_duck
+
+
+@given(name=st.text(min_size=0, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_sanitize_identifier_always_parquet_legal(name):
+    out = sanitize_identifier(name)
+    assert not set(out) & set(" ,;{}()\n\t=")
+    assert out == out.strip()

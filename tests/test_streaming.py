@@ -10,8 +10,38 @@ from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
     sessionize,
     stream_append_to_lake,
     stream_ingest_files,
+    stream_merge_to_lake,
     windowed_event_counts,
 )
+
+
+def test_stream_merge_upserts_per_batch(spark, tmp_path):
+    src = tmp_path / "merge_landing"
+    src.mkdir()
+    lake = str(tmp_path / "merge_lake")
+    ckpt = str(tmp_path / "merge_ckpt")
+    schema = "pk BIGINT, v STRING"
+
+    def drain():
+        q = stream_merge_to_lake(
+            stream_ingest_files(spark, str(src / "*"), schema),
+            lake,
+            ckpt,
+            primary_key="pk",
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], schema
+    ).write.parquet(str(src / "b1"))
+    drain()
+    # batch 2 updates pk=2 and inserts pk=3
+    spark.createDataFrame(
+        [(2, "B2"), (3, "c")], schema
+    ).write.parquet(str(src / "b2"))
+    drain()
+    got = {r.pk: r.v for r in spark.read.parquet(lake).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c"}
 
 
 def test_stream_ingest_exactly_once(spark, tmp_path):
