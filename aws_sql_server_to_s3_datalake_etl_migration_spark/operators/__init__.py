@@ -7,6 +7,11 @@ from .incremental import (  # noqa: F401
     new_rows_above_watermark,
     write_incremental,
 )
+from .maintenance import (  # noqa: F401
+    compact,
+    optimize_layout,
+    table_stats,
+)
 from .skew import (  # noqa: F401
     salted_join,
     two_stage_agg,

@@ -1,0 +1,93 @@
+"""Lake-table maintenance: compaction and sort-ordered layout.
+
+The reference rewrites whole tables per run (``utils.py:203-205``) and
+never revisits layout. Real lakes accumulate damage the reference never
+faced: incremental appends (M1) leave thousands of small files, and
+unsorted data defeats parquet min/max row-group skipping. Both are
+standing maintenance jobs at 100 TB:
+
+- ``compact``: rewrite a table into ~``target_file_mb`` files. Small
+  files are a *read*-side tax (one scheduler task + one footer fetch
+  each); compaction pays one write to fix every future scan.
+- ``optimize_layout``: range-repartition + sort within partitions on
+  the dominant filter columns, so each parquet row group covers a
+  narrow value range and selective scans skip most of the table via
+  min/max stats (the poor man's Z-order; exact for 1-column
+  predicates, good for leading-column predicates).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def data_file_count(path: str) -> int:
+    """Number of data files under a lake path (metadata files ignored)."""
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(not f.startswith(("_", ".")) for f in files)
+    return n
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 512,
+) -> int:
+    """Rewrite ``path`` into ⌈bytes / target⌉ files; returns the new
+    file count. Stage-and-swap through a localCheckpoint because parquet
+    cannot overwrite a path that is being read.
+
+    512 MB default: big enough that scan tasks amortize scheduling,
+    small enough that one task's partition fits executor memory with
+    room for the decode. (On object stores, run against a temp prefix
+    + atomic rename instead of in-place.)
+    """
+    n_files = max(1, round(_dir_bytes(path) / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    staged = df.repartition(n_files).localCheckpoint(eager=True)
+    staged.write.mode("overwrite").parquet(path)
+    return data_file_count(path)
+
+
+def optimize_layout(
+    spark: SparkSession,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Rewrite ``path`` range-partitioned + sorted on ``sort_cols`` so
+    min/max row-group stats make predicates on those columns skip files.
+    ``repartitionByRange`` samples the data to build balanced ranges —
+    one extra pass, paid once, saved on every subsequent selective scan.
+    """
+    df = spark.read.parquet(path)
+    parts = n_files or df.rdd.getNumPartitions()
+    staged = (
+        df.repartitionByRange(parts, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .localCheckpoint(eager=True)
+    )
+    staged.write.mode("overwrite").parquet(path)
+
+
+def table_stats(spark: SparkSession, path: str) -> DataFrame:
+    """One-row layout report: files, bytes, rows — the R2 size metric
+    (``reporting_utils.py:31-42``) widened for maintenance decisions."""
+    rows = spark.read.parquet(path).count()
+    return spark.createDataFrame(
+        [(path, data_file_count(path), _dir_bytes(path), rows)],
+        "path STRING, n_files INT, total_bytes BIGINT, n_rows BIGINT",
+    )

@@ -44,10 +44,12 @@ class JobRunner:
         spark: SparkSession,
         metastore: OperationalMetastore | None = None,
         max_parallel: int = 25,  # reference max_batch_size
+        max_retries: int = 0,  # reference MaxRetries=0, infra_utils.py:110
     ):
         self.spark = spark
         self.metastore = metastore
         self.max_parallel = max_parallel
+        self.max_retries = max_retries
         self._jobs: dict[str, Job] = {}
 
     def register(self, name: str, fn: Job) -> None:
@@ -67,10 +69,14 @@ class JobRunner:
             "spark.scheduler.pool", f"job_{name}"
         )
         try:
-            res.value = self._jobs[name](*args)
-            res.status = "SUCCEEDED"
-        except Exception as e:  # job isolation: record, don't propagate
-            res.error = f"{e}\n{traceback.format_exc(limit=5)}"
+            for attempt in range(self.max_retries + 1):
+                try:
+                    res.value = self._jobs[name](*args)
+                    res.status = "SUCCEEDED"
+                    res.error = None
+                    break
+                except Exception as e:  # isolate: record, don't propagate
+                    res.error = f"{e}\n{traceback.format_exc(limit=5)}"
         finally:
             res.end = datetime.now(timezone.utc)
             self.spark.sparkContext.setLocalProperty(

@@ -106,6 +106,29 @@ def test_run_series_suspends_downstream(spark, tmp_path):
     }
 
 
+def test_runner_retries_flaky_job(spark):
+    runner = JobRunner(spark, max_retries=2)
+    attempts = {"n": 0}
+
+    def flaky():
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise ValueError("transient")
+        return "ok"
+
+    runner.register("flaky", flaky)
+    (res,) = runner.run_parallel(["flaky"])
+    assert res.status == "SUCCEEDED" and res.value == "ok"
+    assert attempts["n"] == 3
+
+    # default stays at the reference's MaxRetries=0
+    runner0 = JobRunner(spark)
+    attempts["n"] = 0
+    runner0.register("flaky", flaky)
+    (res0,) = runner0.run_parallel(["flaky"])
+    assert res0.status == "FAILED" and attempts["n"] == 1
+
+
 def test_run_layers_end_to_end(spark):
     runner = JobRunner(spark)
     order = []

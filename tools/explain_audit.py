@@ -47,6 +47,12 @@ EXPECT: dict[str, dict[str, bool]] = {
     # lineitem ⋈ orders); everything else must broadcast.
     "local_supplier_volume": {"pushed": True, "no_smj": False},
     "merge_upsert_preview": {"pushed": True, "no_smj": True},
+    "pivot_status_by_priority": {"pushed": False, "no_smj": True},
+    "events_json_props": {"pushed": False, "no_smj": True},
+    "event_session_stats": {"pushed": False, "no_smj": True},
+    "supplier_balance_rank": {"pushed": False, "no_smj": True},
+    "running_customer_spend": {"pushed": True, "no_smj": True},
+    "monthly_order_momentum": {"pushed": False, "no_smj": True},
 }
 
 
