@@ -559,6 +559,138 @@ def part_type_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_string_functions",
+    """
+    SELECT
+      c_custkey,
+      UPPER(c_name) AS name_u,
+      LOWER(c_mktsegment) AS seg_l,
+      LENGTH(c_name) AS name_len,
+      SUBSTRING(c_name, 1, 8) AS name_prefix,
+      CONCAT(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_tag,
+      LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+      REPLACE(c_name, 'Customer', 'Cust') AS short_name,
+      REVERSE(c_mktsegment) AS seg_rev
+    FROM customer
+    WHERE c_custkey % 9 = 0
+    """,
+)
+def customer_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface (F1-F4 generalized): case, length,
+    substring, concat, pad, replace, reverse — all JVM built-ins inside
+    one codegen stage."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 9 == 0)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_u"),
+        F.lower("c_mktsegment").alias("seg_l"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(
+            F.col("c_mktsegment"),
+            F.lit("#"),
+            F.col("c_nationkey").cast("string"),
+        ).alias("seg_tag"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias(
+            "padded_key"
+        ),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("short_name"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+    )
+
+
+@register(
+    "order_date_functions",
+    """
+    SELECT
+      o_orderkey,
+      YEAR(o_orderdate) AS y,
+      QUARTER(o_orderdate) AS q,
+      MONTH(o_orderdate) AS m,
+      DAYOFYEAR(o_orderdate) AS doy,
+      ISODOW(o_orderdate) - 1 AS wd,
+      LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+      CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+      DATEDIFF('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00')
+        AS days_to_cutoff
+    FROM orders
+    WHERE o_orderkey % 17 = 0
+    """,
+)
+def order_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface (F5 generalized): calendar parts,
+    weekday (Monday=0 on both engines: Spark ``weekday`` vs DuckDB
+    ``isodow-1``), month end, date arithmetic, day delta against a
+    fixed cutoff."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 17 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.weekday("o_orderdate").alias("wd"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
+        F.datediff(
+            F.lit("2002-01-01 00:00:00").cast("timestamp"),
+            F.col("o_orderdate"),
+        ).alias("days_to_cutoff"),
+    )
+
+
+@register(
+    "segment_spend_quartiles",
+    """
+    WITH spend AS (
+      SELECT
+        c.c_mktsegment,
+        o.o_custkey,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          AS total_spend
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_custkey % 20 = 0
+      GROUP BY c.c_mktsegment, o.o_custkey
+    )
+    SELECT
+      c_mktsegment,
+      o_custkey,
+      total_spend,
+      NTILE(4) OVER w AS quartile,
+      CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank,
+      LEAD(o_custkey) OVER w AS next_cust
+    FROM spend
+    WINDOW w AS (
+      PARTITION BY c_mktsegment
+      ORDER BY total_spend DESC, o_custkey ASC
+    )
+    """,
+)
+def segment_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth: NTILE, PERCENT_RANK, LEAD over
+    per-customer spend — aggregate first (shrinks the windowed input to
+    |customers| rows), window second; never window the raw fact table."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 20 == 0)
+    c = _t(spark, sf_dir, "customer")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("total_spend").desc(), F.col("o_custkey").asc()
+    )
+    return spend.select(
+        "c_mktsegment",
+        "o_custkey",
+        "total_spend",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.lead("o_custkey").over(w).alias("next_cust"),
+    )
+
+
+@register(
     "supplier_balance_rank",
     """
     SELECT s_suppkey, s_name, n_name, s_acctbal, bal_rank
