@@ -29,10 +29,20 @@ def duck():
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import datetime
+
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            sample = df[c].dropna()
+            if len(sample) and isinstance(
+                sample.iloc[0], datetime.date
+            ) and not isinstance(sample.iloc[0], datetime.datetime):
+                # Spark DATE -> python date objects; DuckDB DATE ->
+                # datetime64. Coerce both to datetime64[us].
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            else:
+                df[c] = df[c].astype(str)
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
