@@ -99,15 +99,27 @@ def read_catalog_table(
 
 
 def read_parquet(
-    spark: SparkSession, path: str, query: str = "", view_name: str = ""
+    spark: SparkSession,
+    path: str,
+    query: str = "",
+    view_name: str = "",
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Parquet lake scan + optional SQL-over-view (S4).
 
     Reference ``utils.py:121-138``: derive the view name from the last
     path segment unless given; if ``query`` is supplied it must reference
     that view name.
+
+    ``merge_schema=True`` unions the schemas of all files (columns added
+    by later incremental appends surface as nulls on old files) — off by
+    default because it reads every footer, which is a real cost on a
+    100 TB table; flip it per-read when evolution is expected.
     """
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
     if not query:
         return df
     view = view_name or _table_name_from_path(path)

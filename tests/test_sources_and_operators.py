@@ -76,6 +76,23 @@ def test_parquet_write_read_with_query(spark, tmp_path):
     assert back.count() == 4
 
 
+def test_read_parquet_merge_schema_evolution(spark, tmp_path):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        read_parquet,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.range(3).write.mode("append").parquet(path)
+    spark.range(3, 5).withColumn("added", F.lit("new")).write.mode(
+        "append"
+    ).parquet(path)
+    merged = read_parquet(spark, path, merge_schema=True)
+    assert set(merged.columns) == {"id", "added"}
+    assert merged.count() == 5
+    assert merged.where(F.col("added").isNull()).count() == 3
+
+
 def test_watermark_and_incremental_append(spark, tmp_path):
     path = str(tmp_path / "inc")
     first = spark.range(0, 5).withColumn("payload", F.lit("a"))
