@@ -559,6 +559,122 @@ def part_type_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nation_market_share",
+    f"""
+    SELECT
+      o_year,
+      CAST(SUM(CASE WHEN n_name = 'NATION_7' THEN rev_dec ELSE 0 END)
+           AS DOUBLE)
+        / CAST(SUM(rev_dec) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT
+        YEAR(o.o_orderdate) AS o_year,
+        {_REVENUE_DEC} AS rev_dec,
+        n.n_name
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    GROUP BY o_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share inside its region per
+    year — conditional aggregation and an exact-decimal ratio.
+
+    Plan: supplier→nation→region collapse to one broadcast keyed by
+    suppkey; orders broadcasts its (orderkey, year) projection into the
+    lineitem scan at this scale. The division happens on decimal sums,
+    cast once — both engines compute bit-identical shares."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        l.join(
+            F.broadcast(o.select("o_orderkey", "o_orderdate")),
+            l.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp), l.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("rev_dec"),
+            "n_name",
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("n_name") == "NATION_7", F.col("rev_dec"))
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum("rev_dec").cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "disjunctive_filter_revenue",
+    f"""
+    SELECT
+      COUNT(*) AS n_items,
+      CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE
+      (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+        AND p.p_size BETWEEN 1 AND 5)
+      OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+        AND p.p_size BETWEEN 1 AND 10)
+      OR (p.p_brand = 'Brand#15' AND l.l_quantity BETWEEN 20 AND 30
+        AND p.p_size BETWEEN 1 AND 15)
+    """,
+)
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions across both join sides.
+    Catalyst extracts the common-denominator predicates (brand IN,
+    quantity <= max bound) below the join, so the scans stay selective
+    even though the full disjunction can only be evaluated after it."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return joined.where(cond).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+@register(
     "customer_string_functions",
     """
     SELECT
