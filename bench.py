@@ -29,6 +29,8 @@ HEADLINE = [
     "local_supplier_volume",
     "returned_item_losses",
     "small_quantity_part_revenue",
+    "nation_market_share",
+    "disjunctive_filter_revenue",
     "outer_join_nation_order_stats",
     "window_top_orders_per_segment",
     "running_customer_spend",
