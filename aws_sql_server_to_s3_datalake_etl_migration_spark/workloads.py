@@ -638,6 +638,78 @@ def recon_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_hof_surface",
+    """
+    SELECT
+      o_orderkey,
+      array_to_string(
+        list_transform(range(1, CAST(o_orderkey % 10 + 2 AS INT)),
+                       x -> x * x),
+        ',') AS squares_csv,
+      len(list_filter(range(1, CAST(o_orderkey % 10 + 2 AS INT)),
+                      x -> x % 2 = 0)) AS n_even,
+      CAST(list_sum(range(1, CAST(o_orderkey % 10 + 2 AS INT)))
+           AS BIGINT) AS arr_sum,
+      CAST(o_orderkey % 10 + 1 AS BIGINT) AS last_elem
+    FROM orders
+    WHERE o_orderkey % 23 = 0
+    """,
+)
+def array_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform / filter / aggregate /
+    element_at over a generated sequence) — lambda expressions executed
+    inside codegen, zero Python. Integer-exact, so the oracle (DuckDB
+    list comprehension functions) hashes identically."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 23 == 0)
+    arr = F.sequence(
+        F.lit(1).cast("long"), (F.col("o_orderkey") % 10 + 1)
+    )
+    return o.select(
+        "o_orderkey",
+        F.concat_ws(
+            ",",
+            F.transform(arr, lambda x: (x * x).cast("string")),
+        ).alias("squares_csv"),
+        F.size(F.filter(arr, lambda x: x % 2 == 0)).alias("n_even"),
+        F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("arr_sum"),
+        F.element_at(arr, -1).alias("last_elem"),
+    )
+
+
+@register(
+    "nation_customer_rosters",
+    """
+    SELECT
+      c_nationkey,
+      COUNT(*) AS n_custs,
+      array_to_string(list(c_custkey ORDER BY c_custkey), ',')
+        AS custkeys_csv
+    FROM customer
+    WHERE c_custkey % 100 = 0
+    GROUP BY c_nationkey
+    """,
+)
+def nation_customer_rosters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list aggregation with an explicit sort for determinism —
+    collection order is partition-order-dependent, so any list built at
+    scale MUST be sorted (or treated as a set) before use; emitted as a
+    CSV string for cross-engine comparison."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 100 == 0)
+    return c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("c_custkey")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("custkeys_csv"),
+    )
+
+
+@register(
     "event_session_stats",
     """
     WITH marked AS (
