@@ -280,6 +280,66 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_exact_neardup_pairs",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT
+      a.vec_id AS id_a,
+      b.vec_id AS id_b,
+      list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+    """,
+)
+def emb_exact_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine near-dups — the oracle-checked baseline
+    the LSH variant (``emb_neardup_pairs``) approximates (LSH trades
+    recall for O(candidates) instead of O(n²); compare the two outputs
+    to measure that recall).
+
+    The O(n²) self-join is the *small-scale verifier only* — at 100 TB
+    use the LSH path. Dot products accumulate left-to-right in doubles
+    on both engines, so the hash matches exactly."""
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    # Norms once per vector (n values), not once per pair (n² values).
+    e = _embs(spark, sf_dir).select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("norm_b"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cosine = dot(F.col("va"), F.col("vb")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    return (
+        pairs.withColumn("cosine", cosine)
+        .where(F.col("cosine") >= 0.45)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
