@@ -33,6 +33,30 @@ def write_parquet(
     writer.parquet(path)
 
 
+def replace_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Partition-selective overwrite: only the partitions present in
+    ``df`` are replaced; all other partitions survive untouched.
+
+    This is the idiomatic incremental refresh for date-partitioned
+    tables — reload yesterday without rewriting (or even reading) the
+    other N years. The reference could only full-overwrite or
+    row-append (``utils.py:203-205, 233-236``); at 100 TB a full
+    overwrite for a one-day correction is three orders of magnitude of
+    wasted IO. Uses Spark's dynamic partitionOverwriteMode, scoped to
+    this write and restored afterwards.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def append_parquet(df: DataFrame, path: str) -> None:
     """Append-mode parquet (S12; operational metadata sink,
     ``utils.py:474-477``)."""

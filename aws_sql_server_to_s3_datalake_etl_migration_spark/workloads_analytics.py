@@ -559,6 +559,85 @@ def part_type_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "forecast_revenue_change",
+    """
+    SELECT
+      CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+           AS DOUBLE) AS revenue_delta,
+      COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan microbenchmark — conjunctive
+    range predicates all pushed to the parquet reader, one global
+    aggregate, no joins, no shuffle beyond the single-row combine."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.05)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
+        .cast("double")
+        .alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "large_volume_customers",
+    """
+    SELECT
+      c.c_custkey,
+      c.c_name,
+      o.o_orderkey,
+      o.o_orderdate,
+      big.total_qty
+    FROM (
+      SELECT
+        l_orderkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+          AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 210
+    ) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: grouped HAVING filter (orders whose total
+    quantity clears a threshold) joined back to its dimensions. The
+    HAVING output is tiny, so it broadcasts into orders/customer —
+    the post-aggregation side drives the join, never the fact table."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .where(F.col("qty_dec") > 210)
+        .select(
+            "l_orderkey", F.col("qty_dec").cast("double").alias("total_qty")
+        )
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == F.col("l_orderkey"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty"
+        )
+    )
+
+
+@register(
     "nation_market_share",
     f"""
     SELECT

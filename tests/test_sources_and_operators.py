@@ -76,6 +76,41 @@ def test_parquet_write_read_with_query(spark, tmp_path):
     assert back.count() == 4
 
 
+def test_replace_partitions_only_touches_incoming(spark, tmp_path):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.writers import (
+        replace_partitions,
+        write_parquet,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "parts")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, "old"), ("2024-01-02", 2, "old")],
+        ["d", "k", "v"],
+    )
+    write_parquet(base, path, partition_by=["d"])
+    # refresh only 2024-01-02 (corrected) and add 2024-01-03
+    fresh = spark.createDataFrame(
+        [("2024-01-02", 2, "new"), ("2024-01-03", 3, "new")],
+        ["d", "k", "v"],
+    )
+    replace_partitions(fresh, path, ["d"])
+    # partition values are type-inferred on read ("2024-01-01" -> date)
+    got = {
+        (str(r.d), r.v) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2024-01-01", "old"),  # untouched partition survives
+        ("2024-01-02", "new"),  # replaced, not duplicated
+        ("2024-01-03", "new"),  # added
+    }
+    # conf restored to its prior value after the scoped write
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        != "dynamic"
+    )
+
+
 def test_read_parquet_merge_schema_evolution(spark, tmp_path):
     from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
         read_parquet,
