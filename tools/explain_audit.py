@@ -53,6 +53,12 @@ EXPECT: dict[str, dict[str, bool]] = {
     "supplier_balance_rank": {"pushed": False, "no_smj": True},
     "running_customer_spend": {"pushed": True, "no_smj": True},
     "monthly_order_momentum": {"pushed": False, "no_smj": True},
+    "forecast_revenue_change": {"pushed": True, "no_smj": True},
+    "large_volume_customers": {"pushed": False, "no_smj": True},
+    "nation_market_share": {"pushed": True, "no_smj": True},
+    "disjunctive_filter_revenue": {"pushed": True, "no_smj": True},
+    "array_hof_surface": {"pushed": False, "no_smj": True},
+    "nation_customer_rosters": {"pushed": False, "no_smj": True},
 }
 
 
