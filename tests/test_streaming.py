@@ -91,6 +91,70 @@ def test_windowed_counts_batch_semantics(spark):
     assert got[("2024-01-01 00:01:00", "view")] == (1, 3.0)
 
 
+def test_watermark_drops_late_rows_in_stream(spark, tmp_path):
+    """True streaming semantics: a row older than the watermark is
+    dropped, so the finalized window excludes it."""
+    import os
+    import time as _time
+
+    src = tmp_path / "wm_landing"
+    src.mkdir()
+    out = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "wm_ckpt")
+
+    def write_batch(name, rows, mtime):
+        (
+            spark.createDataFrame(rows, ["ts_s", "event_type", "value"])
+            .select(
+                F.col("ts_s").cast("timestamp").alias("ts"),
+                "event_type",
+                "value",
+            )
+            .coalesce(1)  # ONE data file: a micro-batch per logical batch
+            .write.parquet(str(src / name))
+        )
+        for root, _dirs, files in os.walk(src / name):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(src / name, (mtime, mtime))
+
+    t0 = _time.time() - 1000
+    # batch 1: one row in window [10:00,10:01)
+    write_batch("b1", [("2024-01-01 10:00:10", "click", 1.0)], t0)
+    # batch 2: advances the watermark past that window (10:10-2m=10:08)
+    write_batch("b2", [("2024-01-01 10:10:00", "click", 1.0)], t0 + 10)
+    # batch 3: carrier batch — the late-row filter applies the watermark
+    # with one batch of lag, so give the 10:08 watermark a batch to land
+    write_batch("b3", [("2024-01-01 10:11:00", "click", 1.0)], t0 + 20)
+    # batch 4: a LATE row for the long-passed window -> dropped
+    write_batch("b4", [("2024-01-01 10:00:30", "click", 5.0)], t0 + 30)
+    # batch 5: far-future row to flush remaining windows
+    write_batch("b5", [("2024-01-01 11:00:00", "click", 1.0)], t0 + 40)
+
+    stream = stream_ingest_files(
+        spark,
+        str(src / "*"),
+        "ts TIMESTAMP, event_type STRING, value DOUBLE",
+        max_files_per_trigger=1,  # one file per micro-batch, in order
+    )
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        str(r.window_start): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    # the late 10:00:30 row (value 5.0) must NOT be in the 10:00 window
+    assert got.get("2024-01-01 10:00:00") == (1, 1.0), got
+
+
 def test_sessionize_stateful_stream(spark, tmp_path):
     src = tmp_path / "sessions_in"
     src.mkdir()
