@@ -5,6 +5,7 @@ windowed/stateful operators a training-data pipeline needs."""
 from .ingest import (
     stream_ingest_files,
     stream_append_to_lake,
+    stream_dedup,
     stream_merge_to_lake,
 )
 from .windows import windowed_event_counts, sessionize
@@ -12,6 +13,7 @@ from .windows import windowed_event_counts, sessionize
 __all__ = [
     "stream_ingest_files",
     "stream_append_to_lake",
+    "stream_dedup",
     "stream_merge_to_lake",
     "windowed_event_counts",
     "sessionize",

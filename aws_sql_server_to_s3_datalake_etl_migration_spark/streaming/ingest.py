@@ -57,6 +57,23 @@ def stream_append_to_lake(
     return writer.start()
 
 
+def stream_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within
+    the watermark horizon (``dropDuplicatesWithinWatermark``). The
+    watermark bounds the dedup state — without it, key state grows
+    forever on an unbounded stream. Use for at-least-once sources
+    (Kafka replays, re-uploaded files) ahead of an append sink;
+    duplicates farther apart than the horizon need the merge sink
+    (``stream_merge_to_lake``) instead."""
+    return df.withWatermark(ts_col, watermark_delay)\
+        .dropDuplicatesWithinWatermark(key_cols)
+
+
 def stream_merge_to_lake(
     df: DataFrame,
     path: str,

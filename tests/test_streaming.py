@@ -9,10 +9,53 @@ from pyspark.sql import functions as F
 from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
     sessionize,
     stream_append_to_lake,
+    stream_dedup,
     stream_ingest_files,
     stream_merge_to_lake,
     windowed_event_counts,
 )
+
+
+def test_stream_dedup_drops_redelivered_keys(spark, tmp_path):
+    src = tmp_path / "dd_landing"
+    src.mkdir()
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    rows = [
+        (1, "2024-01-01 00:00:01", "a"),
+        (2, "2024-01-01 00:00:02", "b"),
+        (1, "2024-01-01 00:00:03", "a-dup"),  # re-delivery of key 1
+    ]
+    (
+        spark.createDataFrame(rows, ["event_id", "ts_s", "payload"])
+        .select(
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "payload",
+        )
+        .coalesce(1)
+        .write.parquet(str(src / "b1"))
+    )
+    deduped = stream_dedup(
+        stream_ingest_files(
+            spark,
+            str(src / "*"),
+            "event_id BIGINT, ts TIMESTAMP, payload STRING",
+        ),
+        ["event_id"],
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert {r.event_id for r in got.collect()} == {1, 2}
 
 
 def test_stream_merge_upserts_per_batch(spark, tmp_path):
