@@ -17,7 +17,10 @@ def sanitize_identifier(name: str) -> str:
     parquet-invalid character class. Data-plane analog: ``F.translate`` /
     ``F.regexp_replace``."""
     out = name.strip().replace(" ", "_")
-    return out.translate({ord(c): None for c in PARQUET_INVALID_CHARS})
+    out = out.translate({ord(c): None for c in PARQUET_INVALID_CHARS})
+    # Removing invalid chars can expose leading/trailing control
+    # whitespace (e.g. "0\x1f{" -> "0\x1f"); strip once more.
+    return out.strip()
 
 
 def table_name_from_path(path: str) -> str:
