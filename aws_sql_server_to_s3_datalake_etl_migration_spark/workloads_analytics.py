@@ -8,10 +8,17 @@ lake engine immediately needs the standard warehouse query shapes, so
 they are first-class here, each paired with a DuckDB oracle.
 
 Scale posture (applies to every query below):
-- Dim tables (region/nation/customer/supplier/part at <=1% of fact
-  size) are broadcast explicitly, so the fact table (lineitem/orders)
-  never shuffles for a join — only for its final aggregation, which is
-  map-side combined first.
+- _BROADCAST_RULE: an explicit ``F.broadcast`` hint is allowed ONLY on
+  true dimension tables (region/nation/supplier/part) or selectively
+  filtered inputs whose size is bounded regardless of scale factor.
+  Any join side derived from orders/lineitem (or the full customer
+  roster) grows linearly with the data and is left UN-hinted: AQE
+  broadcasts it while it measures small and falls back to a shuffle
+  join at 100× — a hard-coded hint would OOM the build side and
+  *prevents* AQE from saving the query.
+- With dims broadcast, the fact table (lineitem/orders) never shuffles
+  for a join — only for its final aggregation, which is map-side
+  combined first.
 - Monetary aggregates accumulate in DECIMAL(18,4) then cast to DOUBLE
   (bit-identical across engines AND across partition orderings — float
   SUM is order-dependent, which breaks both the oracle hash and
@@ -71,10 +78,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join, grouped revenue, top-10.
 
     Plan: customer is filtered then broadcast into orders; the
-    (orders ⋈ customer) side is again small relative to lineitem, so it
-    broadcasts into the lineitem scan — zero fact-table shuffles before
-    the grouped aggregation, and the top-10 is TakeOrderedAndProject
-    (per-partition k-row heaps, no global sort)."""
+    (orders ⋈ customer) side is fact-derived so it carries no hint —
+    AQE broadcasts it while small and shuffle-joins at scale. The
+    top-10 is TakeOrderedAndProject (per-partition k-row heaps, no
+    global sort)."""
     cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
     c = _t(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
@@ -84,10 +91,11 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         l.join(
-            F.broadcast(
-                o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-                .select("o_orderkey", "o_orderdate")
-            ),
+            # No hint on the (orders ⋈ customer) side: it grows with the
+            # fact table, so AQE must pick the strategy (broadcast at
+            # small SF, shuffle join at 100×). See _BROADCAST_RULE.
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .select("o_orderkey", "o_orderdate"),
             l.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -197,11 +205,15 @@ def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     ).select("c_custkey", "c_name", "n_name")
     return (
+        # Both join sides here scale with the data (a year of orders;
+        # the full customer roster), so neither carries a broadcast
+        # hint — AQE broadcasts at small SF and falls back to shuffle
+        # joins at 100×. See _BROADCAST_RULE.
         l.join(
-            F.broadcast(o.select("o_orderkey", "o_custkey")),
+            o.select("o_orderkey", "o_custkey"),
             l.l_orderkey == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
@@ -615,8 +627,9 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: grouped HAVING filter (orders whose total
     quantity clears a threshold) joined back to its dimensions. The
-    HAVING output is tiny, so it broadcasts into orders/customer —
-    the post-aggregation side drives the join, never the fact table."""
+    HAVING output shrinks with the threshold but still grows with
+    |orders|, so it is un-hinted — AQE broadcasts it while it measures
+    small and shuffle-joins it at scale."""
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -629,8 +642,11 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == F.col("l_orderkey"))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # `big` (the HAVING output) and `c` both grow with the data —
+        # no hints; AQE picks broadcast only when they measure small.
+        # See _BROADCAST_RULE.
+        o.join(big, o.o_orderkey == F.col("l_orderkey"))
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty"
         )
@@ -665,9 +681,10 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     year — conditional aggregation and an exact-decimal ratio.
 
     Plan: supplier→nation→region collapse to one broadcast keyed by
-    suppkey; orders broadcasts its (orderkey, year) projection into the
-    lineitem scan at this scale. The division happens on decimal sums,
-    cast once — both engines compute bit-identical shares."""
+    suppkey; the (orderkey, orderdate) projection of orders is
+    fact-sized and un-hinted — AQE decides per run. The division
+    happens on decimal sums, cast once — both engines compute
+    bit-identical shares."""
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
@@ -682,7 +699,10 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(18,4)")
     return (
         l.join(
-            F.broadcast(o.select("o_orderkey", "o_orderdate")),
+            # orders grows with the fact table — never hinted; AQE
+            # decides (see _BROADCAST_RULE). supp is a true dim chain
+            # (supplier⋈nation⋈region), safe to broadcast at any SF.
+            o.select("o_orderkey", "o_orderdate"),
             l.l_orderkey == F.col("o_orderkey"),
         )
         .join(F.broadcast(supp), l.l_suppkey == F.col("s_suppkey"))

@@ -30,12 +30,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 # query -> expectations. no_smj: every join below the agg must be
 # broadcast (fact side never shuffles for a join). pushed: at least one
-# scan shows a non-empty PushedFilters.
-EXPECT: dict[str, dict[str, bool]] = {
+# scan shows a non-empty PushedFilters. hints: exact number of explicit
+# broadcast hints allowed in the analyzed plan (the dim-only broadcast
+# rule — fact-derived sides must stay un-hinted; AQE converts them to
+# broadcast at this SF, which no_smj verifies). aqe_bhj: the final
+# adaptive plan must contain a BroadcastHashJoin chosen at runtime.
+EXPECT: dict[str, dict] = {
     "flagship_policies_ingest": {"pushed": True, "no_smj": True},
     "pricing_summary": {"pushed": True, "no_smj": True},
-    "shipping_priority": {"pushed": True, "no_smj": True},
-    "returned_item_losses": {"pushed": True, "no_smj": True},
+    "shipping_priority": {
+        "pushed": True, "no_smj": True, "hints": 1, "aqe_bhj": True,
+    },
+    "returned_item_losses": {
+        "pushed": True, "no_smj": True, "hints": 1, "aqe_bhj": True,
+    },
     "small_quantity_part_revenue": {"pushed": True, "no_smj": True},
     "outer_join_nation_order_stats": {"pushed": False, "no_smj": True},
     "window_top_orders_per_segment": {"pushed": False, "no_smj": True},
@@ -54,8 +62,12 @@ EXPECT: dict[str, dict[str, bool]] = {
     "running_customer_spend": {"pushed": True, "no_smj": True},
     "monthly_order_momentum": {"pushed": False, "no_smj": True},
     "forecast_revenue_change": {"pushed": True, "no_smj": True},
-    "large_volume_customers": {"pushed": False, "no_smj": True},
-    "nation_market_share": {"pushed": True, "no_smj": True},
+    "large_volume_customers": {
+        "pushed": False, "no_smj": True, "hints": 0, "aqe_bhj": True,
+    },
+    "nation_market_share": {
+        "pushed": True, "no_smj": True, "hints": 3, "aqe_bhj": True,
+    },
     "disjunctive_filter_revenue": {"pushed": True, "no_smj": True},
     "array_hof_surface": {"pushed": False, "no_smj": True},
     "nation_customer_rosters": {"pushed": False, "no_smj": True},
@@ -71,6 +83,10 @@ def audit(name: str, show: bool = False) -> list[str]:
     df.collect()  # materialize THIS plan so AQE finalizes it (count()
     # would build a different query execution and leave this one open)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan.toString() appends the pre-AQE "Initial Plan";
+    # judge only the runtime-final plan (the initial one legitimately
+    # contains the SortMergeJoins AQE later converts to broadcast).
+    plan = plan.split("== Initial Plan ==")[0]
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
@@ -79,7 +95,9 @@ def audit(name: str, show: bool = False) -> list[str]:
         print(f"===== {name} =====\n{formatted}")
     problems: list[str] = []
     exp = EXPECT.get(name, {})
-    if exp.get("pushed") and "PushedFilters: [" in formatted:
+    if exp.get("pushed"):
+        # Must FAIL when no PushedFilters line exists at all (a renamed
+        # scan node or non-parquet source would otherwise silently pass).
         pushed_nonempty = any(
             "PushedFilters: [" in ln and "[]" not in ln
             for ln in formatted.splitlines()
@@ -88,6 +106,22 @@ def audit(name: str, show: bool = False) -> list[str]:
             problems.append("no non-empty PushedFilters on any scan")
     if exp.get("no_smj") and "SortMergeJoin" in plan:
         problems.append("unexpected SortMergeJoin (dim join not broadcast?)")
+    if "hints" in exp:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        n_hints = analyzed.count("ResolvedHint")
+        if n_hints != exp["hints"]:
+            problems.append(
+                f"{n_hints} broadcast hints in analyzed plan, expected "
+                f"{exp['hints']} (fact-derived side re-hinted?)"
+            )
+    if exp.get("aqe_bhj"):
+        if "AdaptiveSparkPlan" not in plan:
+            problems.append("no AdaptiveSparkPlan (AQE off?)")
+        if "BroadcastHashJoin" not in plan:
+            problems.append(
+                "AQE did not convert the un-hinted join to broadcast at "
+                "this SF"
+            )
     if "WholeStageCodegen" not in plan and "codegen id" not in formatted:
         problems.append("no WholeStageCodegen span")
     if "BroadcastNestedLoopJoin" in plan and name != "rich_idle_customers":
