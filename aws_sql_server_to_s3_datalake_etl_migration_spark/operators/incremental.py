@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import read_delta
-from ..sources.writers import write_delta_append, write_parquet
+from ..sources.writers import swap_overwrite, write_delta_append, write_parquet
 
 
 def high_watermark(lake_df: DataFrame, primary_key: str):
@@ -77,9 +77,11 @@ def merge_upsert(
         incoming.select(primary_key), on=primary_key, how="left_anti"
     )
     merged = kept.unionByName(incoming.select(*target_df.columns))
-    # Parquet can't overwrite a path while reading it: stage then swap.
-    staged = merged.localCheckpoint(eager=True)
-    write_parquet(staged, path, mode="overwrite")
+    # Parquet can't overwrite a path while reading it: write the merge
+    # result to a staging dir, then atomically swap it into place
+    # (fault-tolerant tasks + recoverable ._old, vs localCheckpoint
+    # which pins the table in executor memory and dies with it).
+    swap_overwrite(merged, path)
 
 
 def write_incremental(

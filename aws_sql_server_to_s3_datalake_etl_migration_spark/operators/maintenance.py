@@ -23,6 +23,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.writers import swap_overwrite
+
 
 def _dir_bytes(path: str) -> int:
     total = 0
@@ -47,18 +49,18 @@ def compact(
     target_file_mb: int = 512,
 ) -> int:
     """Rewrite ``path`` into ⌈bytes / target⌉ files; returns the new
-    file count. Stage-and-swap through a localCheckpoint because parquet
-    cannot overwrite a path that is being read.
+    file count. The rewrite goes through ``swap_overwrite`` (staging
+    dir + atomic rename) because parquet cannot overwrite a path that
+    is being read — and a compaction must never be able to destroy the
+    table it is maintaining.
 
     512 MB default: big enough that scan tasks amortize scheduling,
     small enough that one task's partition fits executor memory with
-    room for the decode. (On object stores, run against a temp prefix
-    + atomic rename instead of in-place.)
+    room for the decode.
     """
     n_files = max(1, round(_dir_bytes(path) / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    staged = df.repartition(n_files).localCheckpoint(eager=True)
-    staged.write.mode("overwrite").parquet(path)
+    swap_overwrite(df.repartition(n_files), path)
     return data_file_count(path)
 
 
@@ -75,12 +77,11 @@ def optimize_layout(
     """
     df = spark.read.parquet(path)
     parts = n_files or df.rdd.getNumPartitions()
-    staged = (
+    swap_overwrite(
         df.repartitionByRange(parts, *[F.col(c) for c in sort_cols])
-        .sortWithinPartitions(*sort_cols)
-        .localCheckpoint(eager=True)
+        .sortWithinPartitions(*sort_cols),
+        path,
     )
-    staged.write.mode("overwrite").parquet(path)
 
 
 def table_stats(spark: SparkSession, path: str) -> DataFrame:

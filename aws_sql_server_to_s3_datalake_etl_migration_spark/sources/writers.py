@@ -57,6 +57,50 @@ def replace_partitions(
         spark.conf.set(key, prev)
 
 
+def swap_overwrite(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Overwrite ``path`` with ``df`` even when ``df`` *reads from*
+    ``path`` (merge/compaction rewrites), without materializing the
+    table in executor storage.
+
+    Parquet cannot overwrite a path it is scanning, so the result is
+    written to ``path + "._staging"`` first — normal fault-tolerant
+    Spark tasks (unlike ``localCheckpoint`` blocks, which pin the whole
+    table in block-manager memory and are lost on executor failure) —
+    then the directories are swapped: target → ``._old``, staging →
+    target, drop ``._old``. On local/HDFS filesystems both renames are
+    O(1) metadata ops, and a crash between them leaves the original
+    data recoverable in ``._old`` instead of a half-deleted table. On
+    S3-like object stores rename is copy+delete; the real answer there
+    is a table format with a pointer swap (Delta/Iceberg) — this
+    helper is the safest plain-directory protocol.
+    """
+    spark = df.sparkSession
+    base = path.rstrip("/")
+    staging, old = base + "._staging", base + "._old"
+    write_parquet(df, staging, mode="overwrite", partition_by=partition_by)
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    p_target, p_staging, p_old = (
+        hadoop_path(base), hadoop_path(staging), hadoop_path(old)
+    )
+    fs = p_target.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p_old):
+        fs.delete(p_old, True)
+    had_target = fs.exists(p_target)
+    if had_target and not fs.rename(p_target, p_old):
+        raise IOError(f"could not stage-out current table at {base}")
+    if not fs.rename(p_staging, p_target):
+        if had_target:
+            fs.rename(p_old, p_target)  # roll back — table intact
+        raise IOError(f"could not swap staging dir into {base}")
+    if had_target:
+        fs.delete(p_old, True)
+
+
 def append_parquet(df: DataFrame, path: str) -> None:
     """Append-mode parquet (S12; operational metadata sink,
     ``utils.py:474-477``)."""
