@@ -17,10 +17,12 @@ Scale notes:
 
 from __future__ import annotations
 
+import json
 import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _run_sql_over_view(df: DataFrame, query: str, view_name: str) -> DataFrame:
@@ -126,19 +128,100 @@ def read_parquet(
     return _run_sql_over_view(df, query, view)
 
 
+def _delta_live_files(spark: SparkSession, path: str) -> list[str] | None:
+    """Replay ``path/_delta_log`` and return the table's live data
+    files, or ``None`` when no transaction log exists (plain parquet
+    dir).
+
+    This is the same driver-side protocol Delta itself runs: start from
+    the newest parquet checkpoint if any, then apply the JSON commits
+    above it in version order — each ``add`` action inserts a file,
+    each ``remove`` tombstones it. The log is metadata (KBs per commit),
+    so a driver pass is the scale-correct move; the *data* files are
+    never touched here.
+    """
+    base = path.rstrip("/")
+    log_dir = base + "/_delta_log"
+    jvm = spark._jvm
+    hlog = jvm.org.apache.hadoop.fs.Path(log_dir)
+    fs = hlog.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hlog):
+        return None
+    names = [st.getPath().getName() for st in fs.listStatus(hlog)]
+    commits = sorted(
+        int(m.group(1))
+        for n in names
+        if (m := re.fullmatch(r"(\d{20})\.json", n))
+    )
+    checkpoints = sorted(
+        {
+            int(m.group(1))
+            for n in names
+            if (m := re.match(r"(\d{20})\.checkpoint", n))
+            and n.endswith(".parquet")
+        }
+    )
+    if not commits and not checkpoints:
+        return None  # bare _delta_log dir — not a committed table
+    live: dict[str, bool] = {}
+    start = -1
+    if checkpoints:
+        v = checkpoints[-1]
+        adds = (
+            spark.read.parquet(f"{log_dir}/{v:020d}.checkpoint*.parquet")
+            .where(F.col("add").isNotNull())
+            .select("add.path")
+            .collect()
+        )
+        live = {r["path"]: True for r in adds}
+        start = v
+    todo = [v for v in commits if v > start]
+    if todo:
+        texts = dict(
+            spark.sparkContext.wholeTextFiles(
+                ",".join(f"{log_dir}/{v:020d}.json" for v in todo)
+            ).collect()
+        )
+        for v in todo:
+            suffix = f"{v:020d}.json"
+            content = next(t for k, t in texts.items() if k.endswith(suffix))
+            for line in content.splitlines():
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    live[action["add"]["path"]] = True
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+    return [f"{base}/{p}" for p in live]
+
+
 def read_delta(
     spark: SparkSession, path: str, query: str = "", view_name: str = ""
 ) -> DataFrame:
     """Delta lake scan + optional SQL-over-view (S5, ``utils.py:177-192``).
 
-    Falls back to reading the parquet files under ``path`` when the
-    delta-spark package isn't on the classpath (this container), reading
-    only files recorded live in the transaction log when one exists.
+    Without delta-spark on the classpath (this container), the fallback
+    replays ``_delta_log`` itself (``_delta_live_files``) and scans only
+    the files the log records as live — a table that has seen
+    MERGE/DELETE/compaction keeps its semantics instead of resurrecting
+    tombstoned rows. A path with no transaction log at all is read as a
+    plain parquet directory. An empty live set (fully deleted table)
+    raises rather than silently scanning dead files.
     """
     try:
         df = spark.read.format("delta").load(path)
     except Exception:
-        df = spark.read.parquet(path)
+        files = _delta_live_files(spark, path)
+        if files is None:
+            df = spark.read.parquet(path)
+        elif not files:
+            raise ValueError(
+                f"Delta table at {path} has no live files (all removed); "
+                "refusing to scan dead data files"
+            )
+        else:
+            df = spark.read.parquet(*files)
     if not query:
         return df
     view = view_name or _table_name_from_path(path)

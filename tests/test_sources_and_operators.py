@@ -166,3 +166,93 @@ def test_write_incremental_updates_mode(spark, tmp_path):
     write_incremental(spark, incoming, path, "pk", updates=True)
     out = {r.pk: r.val for r in spark.read.parquet(path).collect()}
     assert out == {1: "a", 2: "b", 3: "b"}
+
+
+def test_read_delta_fallback_replays_transaction_log(spark, tmp_path):
+    """Without delta-spark, read_delta must honor _delta_log: only
+    files the log records as live are scanned, so rows tombstoned by a
+    MERGE/DELETE never resurrect (reference semantics utils.py:180-182)."""
+    import json as _json
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import read_delta
+
+    path = tmp_path / "dl_table"
+    path.mkdir()
+    log = path / "_delta_log"
+    log.mkdir()
+
+    def _write_file(name, lo, hi, version):
+        spark.range(lo, hi).withColumn(
+            "v", F.lit(version)
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "one"))
+        import glob as _glob
+        import shutil
+
+        src = _glob.glob(str(tmp_path / "one" / "part-*.parquet"))[0]
+        shutil.copy(src, str(path / name))
+
+    # commit 0: initial load = f0 (ids 0-9, v=1) + f1 (ids 10-19, v=1)
+    _write_file("f0.parquet", 0, 10, 1)
+    _write_file("f1.parquet", 10, 20, 1)
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(
+            _json.dumps(a)
+            for a in [
+                {"commitInfo": {"operation": "WRITE"}},
+                {"add": {"path": "f0.parquet", "dataChange": True}},
+                {"add": {"path": "f1.parquet", "dataChange": True}},
+            ]
+        )
+    )
+    # commit 1: MERGE rewrites f0 -> f2 (ids 0-9 updated to v=2)
+    _write_file("f2.parquet", 0, 10, 2)
+    (log / f"{1:020d}.json").write_text(
+        "\n".join(
+            _json.dumps(a)
+            for a in [
+                {"remove": {"path": "f0.parquet", "dataChange": True}},
+                {"add": {"path": "f2.parquet", "dataChange": True}},
+            ]
+        )
+    )
+
+    out = read_delta(spark, str(path))
+    rows = {r["id"]: r["v"] for r in out.collect()}
+    assert len(rows) == 20, "tombstoned f0 rows resurrected"
+    assert all(rows[i] == 2 for i in range(10)), "MERGE update lost"
+    assert all(rows[i] == 1 for i in range(10, 20))
+
+    # a checkpoint at version 1 + a commit above it must compose
+    cp = spark.createDataFrame(
+        [("f1.parquet",), ("f2.parquet",)], "path string"
+    ).select(F.struct("path").alias("add"))
+    cp.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "cp"))
+    import glob as _glob
+    import shutil
+
+    shutil.copy(
+        _glob.glob(str(tmp_path / "cp" / "part-*.parquet"))[0],
+        str(log / f"{1:020d}.checkpoint.parquet"),
+    )
+    _write_file("f3.parquet", 20, 25, 3)
+    (log / f"{2:020d}.json").write_text(
+        _json.dumps({"add": {"path": "f3.parquet", "dataChange": True}})
+    )
+    out2 = read_delta(spark, str(path))
+    assert out2.count() == 25
+    assert out2.where(F.col("v") == 3).count() == 5
+
+    # no _delta_log at all -> plain parquet dir semantics
+    plain = tmp_path / "plain"
+    spark.range(5).write.parquet(str(plain))
+    assert read_delta(spark, str(plain)).count() == 5
+
+    # fully-deleted table -> loud refusal, not a scan of dead files
+    (log / f"{3:020d}.json").write_text(
+        "\n".join(
+            _json.dumps({"remove": {"path": p, "dataChange": True}})
+            for p in ["f1.parquet", "f2.parquet", "f3.parquet"]
+        )
+    )
+    with pytest.raises(ValueError, match="no live files"):
+        read_delta(spark, str(path))
