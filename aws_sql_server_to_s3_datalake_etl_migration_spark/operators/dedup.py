@@ -191,17 +191,42 @@ def simhash_fingerprints(
     return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
+def simhash_bands(max_hamming: int, bits: int = 64) -> list[tuple[int, int]]:
+    """(offset, width) spans splitting ``bits`` into ``max_hamming + 1``
+    contiguous bands. Pigeonhole: two fingerprints within Hamming
+    distance ``max_hamming`` differ in at most ``max_hamming`` bands,
+    so with ``max_hamming + 1`` bands at least one band is bit-identical
+    — banding therefore finds EVERY pair at distance <= max_hamming,
+    not a probabilistic subset."""
+    n_bands = max_hamming + 1
+    if n_bands > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs >{bits} bands")
+    base, extra = divmod(bits, n_bands)
+    spans, off = [], 0
+    for b in range(n_bands):
+        width = base + (1 if b < extra else 0)
+        spans.append((off, width))
+        off += width
+    return spans
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, banded for scale:
-    a 64-bit fingerprint is split into 4 x 16-bit bands; pairs within
-    Hamming distance 3 share at least one exact band (pigeonhole), so
-    candidates come from 4 equi-joins, then exact popcount verifies."""
+    """Near-dup pairs by SimHash Hamming distance, banded for scale.
+
+    The 64-bit fingerprint is split into ``max_hamming + 1`` bands
+    (``simhash_bands``), which by pigeonhole guarantees every pair
+    within the distance budget shares at least one exact band — the
+    candidate equi-join on (band_idx, band_val) has *perfect recall*
+    for the advertised filter, and the exact popcount afterwards gives
+    perfect precision. Cost scales with band-bucket collisions
+    (O(data + candidates)), never all-pairs."""
     fps = simhash_fingerprints(df, id_col, text_col)
+    spans = simhash_bands(max_hamming)
     banded = fps.select(
         id_col,
         "simhash",
@@ -210,11 +235,13 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.shiftright("simhash", b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        # mask AFTER the (arithmetic) shift so the band
+                        # holding bit 63 doesn't sign-extend
+                        F.shiftright("simhash", off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("band_val"),
                     )
-                    for b in range(4)
+                    for b, (off, width) in enumerate(spans)
                 ]
             )
         ).alias("band"),

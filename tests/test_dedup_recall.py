@@ -39,3 +39,42 @@ def test_minhash_lsh_finds_exact_jaccard_dups(spark):
         return
     recall = len(mh & exact) / len(exact)
     assert recall >= 0.5, f"MinHash recall collapsed: {recall:.2f}"
+
+
+def test_simhash_banding_is_exact_for_advertised_distance(spark):
+    """bands = max_hamming + 1 makes banding EXACT by pigeonhole: the
+    banded candidate join must find every pair at Hamming distance
+    <= max_hamming, verified against a brute-force all-pairs popcount
+    on the same fingerprints."""
+    from pyspark.sql import functions as F
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for max_hamming in (3, 8):
+        banded = _pairs(
+            dedup.simhash_pairs(docs, "doc_id", "text", max_hamming)
+        )
+        fps = dedup.simhash_fingerprints(docs, "doc_id", "text")
+        a = fps.select(
+            F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a")
+        )
+        b = fps.select(
+            F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b")
+        )
+        exact = _pairs(
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .where(
+                F.bit_count(
+                    F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+                ) <= max_hamming
+            )
+        )
+        assert banded == exact, (
+            f"banding lost pairs at max_hamming={max_hamming}: "
+            f"missed {len(exact - banded)}, extra {len(banded - exact)}"
+        )
+    assert dedup.simhash_bands(8) == [
+        (0, 8), (8, 7), (15, 7), (22, 7), (29, 7), (36, 7), (43, 7),
+        (50, 7), (57, 7),
+    ]
