@@ -41,6 +41,32 @@ def _run_sql_over_view(df: DataFrame, query: str, view_name: str) -> DataFrame:
         spark.catalog.dropTempView(view_name)
 
 
+def _sql_over_source(
+    df: DataFrame, query: str, source: str, view_name: str = ""
+) -> DataFrame:
+    """Run ``query`` over ``df`` registered as a temp view, with a
+    per-call unique registration so concurrent reads never collide.
+
+    Temp views are session-global, so two ``JobRunner.run_parallel``
+    threads reading same-named paths would otherwise race on
+    ``createOrReplaceTempView`` and one job could silently read the
+    other's data. The df is always registered under
+    ``<derived>_<uuid8>``; the caller's SQL may reference either the
+    stable path-derived name (rewritten here on identifier boundaries)
+    or a literal ``{table}`` placeholder. An explicit ``view_name`` is
+    used verbatim — callers who pass one own its uniqueness.
+    """
+    if view_name:
+        return _run_sql_over_view(df, query, view_name)
+    base = _table_name_from_path(source)
+    unique = f"{base}_{uuid.uuid4().hex[:8]}"
+    if "{table}" in query:
+        rewritten = query.format(table=unique)
+    else:
+        rewritten = re.sub(rf"\b{re.escape(base)}\b", unique, query)
+    return _run_sql_over_view(df, rewritten, unique)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
@@ -95,7 +121,11 @@ def read_catalog_table(
     ``utils.py:107-117``)."""
     df = spark.table(table)
     if query:
-        view = f"src_{re.sub(r'[^A-Za-z0-9_]', '_', table)}"
+        view = (
+            f"src_{re.sub(r'[^A-Za-z0-9_]', '_', table)}"
+            f"_{uuid.uuid4().hex[:8]}"  # unique per call: no cross-thread
+            # collisions on the session-global view namespace
+        )
         return _run_sql_over_view(df, query.format(table=view), view)
     return df
 
@@ -124,8 +154,7 @@ def read_parquet(
     df = reader.parquet(path)
     if not query:
         return df
-    view = view_name or _table_name_from_path(path)
-    return _run_sql_over_view(df, query, view)
+    return _sql_over_source(df, query, path, view_name)
 
 
 def _delta_live_files(spark: SparkSession, path: str) -> list[str] | None:
@@ -224,8 +253,7 @@ def read_delta(
             df = spark.read.parquet(*files)
     if not query:
         return df
-    view = view_name or _table_name_from_path(path)
-    return _run_sql_over_view(df, query, view)
+    return _sql_over_source(df, query, path, view_name)
 
 
 def read_csv(
@@ -284,12 +312,12 @@ def register_sf_views(spark: SparkSession, sf_dir: str) -> None:
 
 def _table_name_from_path(path: str) -> str:
     """Last path segment, sanitized to a SQL identifier (F2,
-    ``utils.py:123``) — plus a uniquifying suffix so concurrent reads of
-    same-named paths don't collide on the session-global view namespace."""
+    ``utils.py:123``). Deterministic — this is the name user SQL
+    references; ``_sql_over_source`` appends the per-call uniquifier."""
     base = path.rstrip("/").rsplit("/", 1)[-1]
     base = re.sub(r"\.(parquet|csv|delta)$", "", base)
     base = re.sub(r"[^A-Za-z0-9_]", "_", base) or "src"
-    return f"{base}_{uuid.uuid4().hex[:8]}" if base[0].isdigit() else base
+    return f"t_{base}" if base[0].isdigit() else base
 
 
 _CREATE_TABLE_RE = re.compile(

@@ -256,3 +256,44 @@ def test_read_delta_fallback_replays_transaction_log(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no live files"):
         read_delta(spark, str(path))
+
+
+def test_sql_over_view_concurrent_same_named_paths(spark, tmp_path):
+    """Two parallel jobs doing SQL-over-view on paths with the same
+    basename must never read each other's data: each call registers a
+    per-call unique view and rewrites the query onto it."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    p1, p2 = tmp_path / "a" / "data.parquet", tmp_path / "b" / "data.parquet"
+    spark.range(0, 100).withColumn("src", F.lit(1)).write.parquet(str(p1))
+    spark.range(100, 200).withColumn("src", F.lit(2)).write.parquet(str(p2))
+
+    def go(path, expect):
+        df = read_parquet(
+            spark, str(path), query="SELECT DISTINCT src FROM data"
+        )
+        return {r[0] for r in df.collect()} == {expect}
+
+    with ThreadPoolExecutor(8) as ex:
+        futs = [
+            ex.submit(go, p, e)
+            for _ in range(8)
+            for p, e in ((p1, 1), (p2, 2))
+        ]
+        assert all(f.result() for f in futs)
+
+    # {table} placeholder and digit-leading basenames also resolve
+    p3 = tmp_path / "2024_snapshot.parquet"
+    spark.range(5).write.parquet(str(p3))
+    assert (
+        read_parquet(
+            spark, str(p3), query="SELECT COUNT(*) AS n FROM {table}"
+        ).first()["n"]
+        == 5
+    )
+    assert (
+        read_parquet(
+            spark, str(p3), query="SELECT COUNT(*) AS n FROM t_2024_snapshot"
+        ).first()["n"]
+        == 5
+    )
