@@ -767,41 +767,95 @@ def event_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("approx_distinct_users", None)
+@register(
+    "approx_distinct_users",
+    """
+    SELECT
+      event_type,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS exact_users,
+      1 AS estimate_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch per event type
     (``approx_count_distinct``, rsd=2%). At 100 TB the exact
     COUNT(DISTINCT) shuffles every distinct value; the sketch ships a
-    fixed few-KB register set per group instead."""
+    fixed few-KB register set per group instead.
+
+    Oracle-checkable form: the sketch estimate itself is
+    engine-specific, so the output carries the *exact* distinct count
+    plus ``estimate_ok`` — 1 iff the HLL estimate lands within 3×rsd
+    of exact (a real accuracy assertion, evaluated inside Spark; the
+    DuckDB twin emits the exact count and a literal 1)."""
+    est = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.count_distinct("user_id")
     return (
         _events(spark, sf_dir)
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias(
-                "approx_users"
-            ),
             F.count(F.lit(1)).alias("n_events"),
+            exact.alias("exact_users"),
+            (
+                (F.abs(est - exact) / exact) <= 0.06
+            ).cast("int").alias("estimate_ok"),
         )
     )
 
 
-@register("order_value_percentiles", None)
+@register(
+    "order_value_percentiles",
+    """
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      1 AS p50_ok, 1 AS p90_ok, 1 AS p99_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p90/p99 of order value per priority
     (``percentile_approx``, accuracy 10k) — the bounded-memory
-    quantile sketch (KLL-style) that replaces a full sort at scale."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
+    quantile sketch (KLL-style) that replaces a full sort at scale.
+
+    Oracle-checkable form: the sketch values are engine-specific, so
+    each is verified *by rank inside Spark*: pNN_ok is 1 iff the
+    fraction of rows <= the sketch value brackets the target quantile
+    within ±0.5% (the sketch's rank-error contract at accuracy 10k,
+    plus tie slack). The DuckDB twin emits exact group counts and
+    literal 1s — a wrong sketch fails the hash, not just a row count."""
+    o = _t(spark, sf_dir, "orders")
+    ap = (
+        o.groupBy("o_orderpriority")
         .agg(
             F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000)
-            .alias("p50_p90_p99")
+            .alias("p")
         )
         .select(
             "o_orderpriority",
-            F.col("p50_p90_p99")[0].alias("p50"),
-            F.col("p50_p90_p99")[1].alias("p90"),
-            F.col("p50_p90_p99")[2].alias("p99"),
+            F.col("p")[0].alias("p50"),
+            F.col("p")[1].alias("p90"),
+            F.col("p")[2].alias("p99"),
+        )
+    )
+    eps = 0.005
+
+    def rank_ok(value_col: str, q: float):
+        le = F.avg((F.col("o_totalprice") <= F.col(value_col)).cast("int"))
+        lt = F.avg((F.col("o_totalprice") < F.col(value_col)).cast("int"))
+        return ((le >= q - eps) & (lt <= q + eps)).cast("int")
+
+    return (
+        o.join(ap, "o_orderpriority")  # ap is bounded (one row/priority)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rank_ok("p50", 0.5).alias("p50_ok"),
+            rank_ok("p90", 0.9).alias("p90_ok"),
+            rank_ok("p99", 0.99).alias("p99_ok"),
         )
     )
 
