@@ -66,3 +66,34 @@ def test_ingest_query_to_lake_template(spark, tmp_path, sf_dir):
     # views are dropped afterwards
     assert not spark.catalog.tableExists("pol")
     assert not spark.catalog.tableExists("org")
+
+
+def test_partitioned_ingest_prunes_at_listing_time(spark, sf_dir, tmp_path):
+    """Date-partitioned write + selective read: the pruned scan's input
+    files must all come from the matching partition directory — proof
+    the filter was applied at listing time, not per-row."""
+    from pyspark.sql import functions as F
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.writers import write_parquet
+
+    path = str(tmp_path / "orders_by_year")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    write_parquet(o, path, mode="overwrite", partition_by=["o_year"])
+    pruned = spark.read.parquet(path).where(F.col("o_year") == 1997)
+    # inputFiles() reflects the pre-pruning logical relation; the
+    # pruning decision lives in the physical scan's PartitionFilters.
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    formatted = buf.getvalue()
+    assert any(
+        "PartitionFilters: [" in ln and "1997" in ln
+        for ln in formatted.splitlines()
+    ), f"partition filter not pushed to listing:\n{formatted}"
+    expected = o.where(F.year("o_orderdate") == 1997).count()
+    assert pruned.count() == expected

@@ -71,6 +71,11 @@ EXPECT: dict[str, dict] = {
     "disjunctive_filter_revenue": {"pushed": True, "no_smj": True},
     "array_hof_surface": {"pushed": False, "no_smj": True},
     "nation_customer_rosters": {"pushed": False, "no_smj": True},
+    # part_pruned: the scan must carry a non-empty PartitionFilters —
+    # directory-level pruning, the partitioned-ingest posture's payoff.
+    "partitioned_orders_pruned_scan": {
+        "pushed": False, "no_smj": True, "part_pruned": True,
+    },
 }
 
 
@@ -114,6 +119,13 @@ def audit(name: str, show: bool = False) -> list[str]:
                 f"{n_hints} broadcast hints in analyzed plan, expected "
                 f"{exp['hints']} (fact-derived side re-hinted?)"
             )
+    if exp.get("part_pruned"):
+        pruned = any(
+            "PartitionFilters: [" in ln and "[]" not in ln
+            for ln in formatted.splitlines()
+        )
+        if not pruned:
+            problems.append("no non-empty PartitionFilters on any scan")
     if exp.get("aqe_bhj"):
         if "AdaptiveSparkPlan" not in plan:
             problems.append("no AdaptiveSparkPlan (AQE off?)")
