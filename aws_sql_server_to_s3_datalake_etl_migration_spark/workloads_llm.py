@@ -299,14 +299,24 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_exact_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs cosine near-dups — the oracle-checked baseline
-    the LSH variant (``emb_neardup_pairs``) approximates (LSH trades
-    recall for O(candidates) instead of O(n²); compare the two outputs
-    to measure that recall).
+    """VERIFIER, not a production operator: exact all-pairs cosine
+    near-dups — the oracle-checked baseline the LSH variant
+    (``emb_neardup_pairs``) approximates; compare the two outputs to
+    measure LSH recall.
 
-    The O(n²) self-join is the *small-scale verifier only* — at 100 TB
-    use the LSH path. Dot products accumulate left-to-right in doubles
-    on both engines, so the hash matches exactly."""
+    The O(n²) theta self-join is guarded: it refuses inputs beyond
+    100k vectors (10^10 pairs) so a catalog user cannot point it at a
+    100 TB table by accident — that job is ``emb_neardup_pairs``
+    (bucketed LSH, O(data + candidates)). Dot products accumulate
+    left-to-right in doubles on both engines, so the hash matches
+    exactly."""
+    n = _embs(spark, sf_dir).count()  # parquet metadata count — cheap
+    if n > 100_000:
+        raise ValueError(
+            f"emb_exact_neardup_pairs is an O(n²) small-scale verifier; "
+            f"got {n} vectors (max 100000). Use emb_neardup_pairs "
+            "(banded LSH) at scale."
+        )
     def dot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p * q),
