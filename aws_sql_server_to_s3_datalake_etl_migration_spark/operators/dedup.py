@@ -431,3 +431,80 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Assign every node the smallest id reachable through ``pairs`` —
+    the canonical dup-cluster id, so "keep one doc per cluster" is a
+    single ``WHERE id = cluster_id`` afterwards. Returns
+    ``(id_col, cluster_id)``; singletons keep their own id.
+
+    Smallest-label propagation: each round, every node takes the min of
+    its own label and its neighbors' labels; converged when a round
+    changes nothing. Rounds needed = component diameter, which for dup
+    clusters is tiny (dups of a doc are dups of each other), so the
+    loop is a handful of shuffle-join + min-agg rounds, each
+    partitioned on the node id — no driver-side graph, no all-pairs.
+    The per-round ``count()`` is the convergence test (one scalar
+    action), and labels are re-persisted per round to keep lineage
+    flat. Raises if ``max_iter`` rounds don't converge (pathological
+    chain — raise the budget explicitly rather than silently returning
+    half-merged clusters).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        nodes.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("lbl").alias("nbr_lbl"))
+            )
+            new_labels = (
+                labels.join(nbr_min, labels.id == nbr_min.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("lbl"), F.coalesce("nbr_lbl", "lbl")
+                    ).alias("lbl"),
+                    (F.coalesce("nbr_lbl", "lbl") < F.col("lbl")).alias(
+                        "chg"
+                    ),
+                )
+            ).persist()
+            changed = new_labels.where(F.col("chg")).count()
+            labels.unpersist()
+            labels = new_labels.select("id", "lbl")
+            if changed == 0:
+                return labels.select(
+                    F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
+                )
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter for high-diameter graphs"
+        )
+    finally:
+        edges.unpersist()

@@ -933,3 +933,191 @@ def supplier_balance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bal_rank", F.dense_rank().over(w))
         .where(F.col("bal_rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-nation trade + conditional-ratio + correlated-EXISTS shapes
+# (TPC-H Q7 / Q14 / Q21 adapted to the slimmed test schema)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "volume_shipping",
+    f"""
+    SELECT
+      supp_nation, cust_nation, l_year,
+      CAST(SUM(rev_dec) AS DOUBLE) AS revenue
+    FROM (
+      SELECT
+        n1.n_name AS supp_nation,
+        n2.n_name AS cust_nation,
+        YEAR(l.l_shipdate) AS l_year,
+        {_REVENUE_DEC} AS rev_dec
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between a nation pair, by direction
+    and year. The cross-side pair predicate ((n1,n2) or (n2,n1)) can't
+    collapse into either dim alone, so it lands post-join — on rows
+    already cut by the per-side nation joins.
+
+    Plan: supplier⋈nation is a broadcast dim chain filtered to the two
+    nations (cuts lineitem to ~2/25 before anything shuffles);
+    customer⋈nation likewise filters the orders side. orders and the
+    filtered customer roster grow with the data — un-hinted per
+    _BROADCAST_RULE."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    pair = ("NATION_1", "NATION_2")
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(F.broadcast(supp), l.l_suppkey == supp.s_suppkey)
+        .join(o.select("o_orderkey", "o_custkey"),
+              l.l_orderkey == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            rev.alias("rev_dec"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_dec").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "promo_revenue_pct",
+    f"""
+    SELECT
+      (100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                             THEN {_REVENUE_DEC} ELSE 0 END) AS DOUBLE))
+      / CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo share of one month's revenue — a
+    conditional-sum ratio over a broadcast dim join (part is a true
+    dim). Decimal sums, one double division: bit-identical across
+    engines and partition orderings."""
+    lo = F.lit("1997-09-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-10-01 00:00:00").cast("timestamp")
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                (F.lit(100.0) * F.sum(promo).cast("double"))
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "waiting_suppliers",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1
+      ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+    JOIN orders o
+      ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 10
+    """,
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape on the slimmed schema: suppliers solely to blame
+    on failed orders — their item came back ('R') on an 'F' order that
+    had other suppliers (EXISTS self-join) but no *other* supplier's
+    return (NOT EXISTS self-join).
+
+    Plan: both correlated subqueries become lineitem self semi/anti
+    joins keyed on l_orderkey — the same shuffle key back to back, so
+    the exchange is reused; supplier broadcasts as a true dim; orders
+    stays un-hinted (_BROADCAST_RULE). Top-10 is
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = li.where(F.col("l_returnflag") == "R")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sk")
+    )
+    l3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sk"))
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    had_others = l1.join(
+        l2,
+        (l1.l_orderkey == l2.k) & (l1.l_suppkey != l2.sk),
+        "left_semi",
+    )
+    sole_blame = had_others.join(
+        l3,
+        (had_others.l_orderkey == l3.k) & (had_others.l_suppkey != l3.sk),
+        "left_anti",
+    )
+    return (
+        sole_blame.join(o, sole_blame.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), sole_blame.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )

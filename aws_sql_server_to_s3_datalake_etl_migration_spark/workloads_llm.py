@@ -251,6 +251,81 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JACCARD_EDGES_CTE = f"""
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 1),
+                                        i -> array_to_string(w[i:i+2], ' '))
+               END) AS gs
+      FROM toks
+    ),
+    posts AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+    sizes AS (SELECT doc_id, len(gs) AS n FROM grams),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM posts a JOIN posts b USING (gram)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE
+            >= {_JACCARD_THRESHOLD}
+    )
+"""
+
+
+@register(
+    "doc_dup_clusters",
+    f"""
+    WITH RECURSIVE
+    {_JACCARD_EDGES_CTE},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION
+      SELECT id_b, id_a FROM dup_pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT
+      d.doc_id,
+      LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+    FROM documents d
+    LEFT JOIN reach r ON r.src = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the exact n-gram
+    Jaccard pairs — every doc labeled with the smallest doc_id reachable
+    through near-dup edges (its cluster id; singletons label themselves).
+    The "keep one per cluster" step of a dedup pipeline is then
+    ``WHERE doc_id = cluster_id``.
+
+    Spark side: iterative smallest-label propagation (shuffle join +
+    min-agg per round, rounds = component diameter — see
+    ``dedup.connected_components``). Oracle side: DuckDB recursive-CTE
+    transitive closure over the same edges — an iterative graph
+    algorithm with a full value-level oracle, not a rows-only check."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD
+    )
+    return dedup.connected_components(pairs, docs, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # MinHash-LSH / SimHash near-dup (rows-only: hash functions aren't
 # portable to DuckDB)

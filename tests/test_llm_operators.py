@@ -169,3 +169,28 @@ def test_multimodal_features_and_frames(spark):
     assert metas == [(224, 224)] or [
         (m.width, m.height) for m in metas
     ] == [(224, 224)]
+
+
+def test_connected_components_clusters_and_convergence(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 13)], ["doc_id"])
+    out = dedup.connected_components(pairs, nodes, "doc_id")
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    for single in (4, 5, 6, 7, 8, 9, 12):
+        assert got[single] == single
+
+    # a 5-node chain needs diameter-many rounds — exercises iteration
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["id_a", "id_b"]
+    )
+    cnodes = spark.createDataFrame([(i,) for i in range(1, 6)], ["doc_id"])
+    out2 = dedup.connected_components(chain, cnodes, "doc_id")
+    assert {r["cluster_id"] for r in out2.collect()} == {1}
+
+    # refusal to return half-merged clusters
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, cnodes, "doc_id", max_iter=1)

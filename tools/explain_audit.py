@@ -76,6 +76,9 @@ EXPECT: dict[str, dict] = {
     "partitioned_orders_pruned_scan": {
         "pushed": False, "no_smj": True, "part_pruned": True,
     },
+    "volume_shipping": {"pushed": True, "no_smj": True, "aqe_bhj": True},
+    "promo_revenue_pct": {"pushed": True, "no_smj": True},
+    "waiting_suppliers": {"pushed": True, "no_smj": True, "aqe_bhj": True},
 }
 
 
