@@ -1,0 +1,126 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range
+(interval) join, in shuffle-safe formulations.
+
+A naive inequality join (``l.user = r.user AND r.ts <= l.ts``) plans as
+a broadcast-nested-loop or cartesian — O(n·m) and a scale killer. Both
+operators here reduce to equi-shuffles:
+
+- ``asof_join``: union-tag + per-key ordered window. One shuffle on the
+  join key, one sort within partitions; ``last(payload, ignorenulls)``
+  carries the most recent right-side row forward onto each left row.
+  O((n+m) log(n+m)) per key group, no pair blowup — the standard
+  time-series formulation (kdb's aj, pandas merge_asof) expressed in
+  Spark windows.
+- ``range_join``: bucket both sides into window-sized bins, equi-join
+  on (key, bin) with the left side expanded to the two bins its
+  interval can touch, then filter to the exact range. Shuffle volume is
+  O(n + m + true matches) — the bin join only pairs rows within one
+  window of each other.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_ts_out: str = "matched_ts",
+) -> DataFrame:
+    """For every left row, attach the greatest right-side ``ts_col`` of
+    the same ``on`` key with ``right.ts <= left.ts`` (backward as-of,
+    inclusive); left rows with no prior right row keep NULL.
+
+    The right side is first reduced to distinct (key, ts) — the as-of
+    answer is a timestamp, so duplicates at the same instant are one
+    match and tie semantics stay engine-independent. Returns all left
+    columns plus ``right_ts_out``.
+    """
+    r = (
+        right.select(F.col(on), F.col(ts_col))
+        .distinct()
+        .withColumn("_side", F.lit(0))
+        .withColumn("_r_ts", F.col(ts_col))
+    )
+    l = left.withColumn("_side", F.lit(1)).withColumn(
+        "_r_ts", F.lit(None).cast(right.schema[ts_col].dataType)
+    )
+    cols = [on, ts_col, "_side", "_r_ts"]
+    extra = [c for c in left.columns if c not in (on, ts_col)]
+    unioned = l.select(*cols, *extra).unionByName(
+        r.select(*cols, *[F.lit(None).alias(c) for c in extra]),
+        allowMissingColumns=False,
+    )
+    # Right rows sort BEFORE left rows at equal ts (side 0 < 1), making
+    # the match inclusive; the running last() then carries the newest
+    # right ts forward within each key.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn(
+            right_ts_out, F.last("_r_ts", ignorenulls=True).over(w)
+        )
+        .where(F.col("_side") == 1)
+        .select(*left.columns, right_ts_out)
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    window_us: int = 300_000_000,
+    count_out: str = "n_in_range",
+) -> DataFrame:
+    """Count, per left row, the right rows of the same key inside the
+    half-open interval ``[left.ts - window, left.ts)``.
+
+    Binning: both sides land in window-sized bins; a right row matching
+    a left row can only sit in the left row's bin or the one before it,
+    so the left side explodes to those two bins and the join is a plain
+    equi-join on (key, bin) — never an inequality theta join. Left rows
+    with no matches keep count 0 via the final left join.
+    """
+    bin_of = lambda c: F.floor(F.unix_micros(c) / F.lit(window_us))  # noqa: E731
+    lk = left.select(
+        F.col(on).alias("_k"),
+        F.col(ts_col).alias("_lts"),
+        F.unix_micros(ts_col).alias("_lus"),
+        F.explode(
+            F.array(bin_of(F.col(ts_col)) - 1, bin_of(F.col(ts_col)))
+        ).alias("_bin"),
+    )
+    rk = right.select(
+        F.col(on).alias("_k"),
+        F.unix_micros(ts_col).alias("_rus"),
+        bin_of(F.col(ts_col)).alias("_bin"),
+    )
+    counts = (
+        lk.join(rk, ["_k", "_bin"])
+        .where(
+            (F.col("_rus") >= F.col("_lus") - F.lit(window_us))
+            & (F.col("_rus") < F.col("_lus"))
+        )
+        .groupBy("_k", "_lts")
+        .agg(F.count(F.lit(1)).alias(count_out))
+    )
+    return (
+        left.join(
+            counts,
+            (F.col(on) == F.col("_k")) & (F.col(ts_col) == F.col("_lts")),
+            "left",
+        )
+        .select(
+            *left.columns,
+            F.coalesce(count_out, F.lit(0)).cast("long").alias(count_out),
+        )
+    )

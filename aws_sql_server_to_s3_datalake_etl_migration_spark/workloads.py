@@ -861,6 +861,84 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temporal joins (as-of, range) — operators/temporal.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_purchase_attribution",
+    """
+    SELECT
+      p.event_id, p.user_id, p.ts,
+      v.ts AS last_view_ts,
+      date_diff('microsecond', v.ts, p.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+      SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'view'
+    ) v ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def event_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's most recent
+    prior (or simultaneous) view. Spark has no ASOF JOIN; the operator
+    (``temporal.asof_join``) is the union-tag + ordered-window
+    formulation — one shuffle on user_id, no inequality join — checked
+    value-for-value against DuckDB's *native* ASOF JOIN."""
+    from .operators.temporal import asof_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select("user_id", "ts")
+    out = asof_join(purchases, views, on="user_id", ts_col="ts",
+                    right_ts_out="last_view_ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "last_view_ts",
+        (F.unix_micros("ts") - F.unix_micros("last_view_ts")).alias("gap_us"),
+    )
+
+
+@register(
+    "event_error_burst",
+    """
+    SELECT
+      l.event_id, l.user_id,
+      (SELECT COUNT(*) FROM events r
+       WHERE r.user_id = l.user_id
+         AND r.ts >= l.ts - INTERVAL '5 minutes' AND r.ts < l.ts
+      ) AS n_in_range
+    FROM events l
+    WHERE l.event_type = 'error'
+    """,
+)
+def event_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: per error event, how many same-user
+    events landed in the 5 minutes before it. ``temporal.range_join``
+    bins both sides into window-sized buckets and equi-joins on
+    (user, bin) — shuffle O(n + m + matches), never the
+    broadcast-nested-loop a naive inequality join plans to. Oracle is
+    the plain correlated inequality count in DuckDB."""
+    from .operators.temporal import range_join
+
+    e = _events(spark, sf_dir)
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    return range_join(
+        errors,
+        e.select("user_id", "ts"),
+        on="user_id",
+        ts_col="ts",
+        window_us=300_000_000,
+        count_out="n_in_range",
+    ).select("event_id", "user_id", "n_in_range")
+
+
+# ---------------------------------------------------------------------------
 # Partitioned-ingest posture: date-partitioned write + pruned read
 # ---------------------------------------------------------------------------
 

@@ -194,3 +194,57 @@ def test_connected_components_clusters_and_convergence(spark):
     # refusal to return half-merged clusters
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(chain, cnodes, "doc_id", max_iter=1)
+
+
+def test_asof_join_boundaries(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 20), (3, 1, 25), (4, 2, 50)],
+        ["event_id", "user_id", "us"],
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 10), (1, 20), (3, 7)], ["user_id", "us"]
+    ).select("user_id", F.timestamp_micros("us").alias("ts"))
+    out = {
+        r["event_id"]: r["matched_ts"]
+        for r in asof_join(left, right, on="user_id").collect()
+    }
+    from datetime import datetime, timezone
+
+    def dt(us):
+        return datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    assert out[1] is None          # no view before t=5
+    assert out[2] == dt(20)        # inclusive at equal ts
+    assert out[3] == dt(20)        # carries most recent, not first
+    assert out[4] is None          # user with no right rows at all
+
+
+def test_range_join_bin_boundaries(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.temporal import range_join
+
+    W = 10  # microsecond window for exact boundary checks
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 19), (3, 2, 100)], ["event_id", "user_id", "us"]
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 90), (1, 99), (1, 100), (1, 89), (1, 15), (2, 95)],
+        ["user_id", "us"],
+    ).select("user_id", F.timestamp_micros("us").alias("ts"))
+    out = {
+        r["event_id"]: r["n_in_range"]
+        for r in range_join(
+            left, right, on="user_id", ts_col="ts", window_us=W
+        ).collect()
+    }
+    # [90, 100): 90 and 99 count; 100 (not strictly before) and 89
+    # (outside) don't — and 90 sits in the PREVIOUS bin, proving the
+    # two-bin expansion works.
+    assert out[1] == 2
+    # [9, 19): right 15 counts (cross-bin again)
+    assert out[2] == 1
+    # user 2: right 95 in [90, 100) counts
+    assert out[3] == 1
