@@ -1004,3 +1004,61 @@ def partitioned_orders_pruned_scan(
 # they add themselves to the same registry).
 from . import workloads_analytics  # noqa: E402,F401
 from . import workloads_llm  # noqa: E402,F401
+
+
+# appended after module registrations: time-hierarchy rollup on events
+# (the hypertable continuous-aggregate shape, one pass)
+
+
+@register(
+    "events_time_rollup",
+    """
+    SELECT
+      CASE WHEN GROUPING(d) = 1 THEN 'total'
+           WHEN GROUPING(h) = 1 THEN 'day' ELSE 'hour' END AS grain,
+      CASE WHEN GROUPING(d) = 1 THEN NULL ELSE d END AS day_bucket,
+      CASE WHEN GROUPING(h) = 1 THEN NULL ELSE h END AS hour_bucket,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM (
+      SELECT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h,
+             user_id
+      FROM events
+    )
+    GROUP BY ROLLUP(d, h)
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (hour → day → total) in one pass — the
+    hypertable continuous-aggregate shape: partial aggregates combine
+    map-side per grain, so the fact stream shuffles once for the whole
+    hierarchy instead of once per granularity."""
+    e = _events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+        "user_id",
+    )
+    return (
+        e.rollup("d", "h")
+        .agg(
+            # grouping() is only legal inside the rollup's agg list
+            F.grouping("d").alias("g_d"),
+            F.grouping("h").alias("g_h"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.when(F.col("g_d") == 1, "total")
+            .when(F.col("g_h") == 1, "day")
+            .otherwise("hour")
+            .alias("grain"),
+            F.when(F.col("g_d") == 1, F.lit(None).cast("timestamp"))
+            .otherwise(F.col("d"))
+            .alias("day_bucket"),
+            F.when(F.col("g_h") == 1, F.lit(None).cast("timestamp"))
+            .otherwise(F.col("h"))
+            .alias("hour_bucket"),
+            "n_events",
+            "n_users",
+        )
+    )

@@ -492,3 +492,41 @@ def mm_sample_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_video_frames(
         multimodal.synthetic_assets(spark), every_n=30
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary heavy hitters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_vocab_topk",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+      WHERE trim(text) <> ''
+    )
+    SELECT tok, COUNT(*) AS n
+    FROM toks
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 50
+    """,
+)
+def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-50 whitespace tokens by
+    frequency — the tokenizer-vocab / stopword-discovery pass of a
+    training pipeline. Explode → hash-agg (map-side combined) →
+    TakeOrderedAndProject: the shuffle carries one row per distinct
+    token per partition, never the token stream itself."""
+    from .operators.textops import tokens
+
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(50)
+    )
