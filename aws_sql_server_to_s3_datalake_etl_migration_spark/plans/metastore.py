@@ -8,6 +8,7 @@ job_duration), persisted as parquet (or JDBC via the generic sink).
 from __future__ import annotations
 
 import math
+import threading
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +39,14 @@ class OperationalMetastore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # Concurrent appends to one parquet path race on the Hadoop
+        # committer's shared ``_temporary/0`` staging dir (job A's
+        # commit-cleanup deletes job B's in-flight task files), so
+        # record() serializes. Fine here: records are single control-
+        # plane rows from one driver. Multi-driver deployments should
+        # point the metastore at the JDBC sink (utils.py:481-490
+        # analog), where the database serializes writers instead.
+        self._append_lock = threading.Lock()
 
     def record(
         self,
@@ -62,7 +71,8 @@ class OperationalMetastore:
             ],
             METADATA_SCHEMA,
         )
-        df.write.mode("append").parquet(self.path)
+        with self._append_lock:
+            df.write.mode("append").parquet(self.path)
 
     def read(self) -> DataFrame:
         return self.spark.read.schema(METADATA_SCHEMA).parquet(self.path)

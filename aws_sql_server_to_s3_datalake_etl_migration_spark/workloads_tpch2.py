@@ -1,0 +1,464 @@
+"""TPC-H gap-fill query shapes: Q2/Q9/Q11/Q12/Q13/Q15/Q16/Q20 adapted
+to the slimmed test schema (no partsupp; lineitem stands in for the
+offer/stock tables).
+
+Together with workloads.py (Q1) and workloads_analytics.py
+(Q3/Q4/Q5/Q6/Q7/Q8/Q10/Q14/Q17/Q18/Q19/Q21/Q22) this completes the
+full 22-query TPC-H shape surface — the standard warehouse query
+vocabulary a user migrating off the reference
+(``table_jobs/nis_policies.py:21-35`` is its most complex query)
+expects from a lake engine.
+
+Scale posture follows workloads_analytics._BROADCAST_RULE: explicit
+``F.broadcast`` only on true dims (region/nation/supplier/part) or
+selectively filtered bounded inputs; fact-derived sides stay un-hinted
+so AQE picks the strategy. Monetary aggregates accumulate in
+DECIMAL(18,4) then cast to DOUBLE for bit-identical cross-engine and
+cross-partition-order results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import register
+from .workloads_analytics import _REVENUE_DEC, _dec, _t
+
+
+@register(
+    "cheapest_part_offers",
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS offer_dec
+      FROM lineitem GROUP BY 1, 2
+    ), eligible AS (
+      SELECT o.l_partkey, p.p_name, o.offer_dec,
+             s.s_acctbal, s.s_name, n.n_name
+      FROM offers o
+      JOIN supplier s ON s.s_suppkey = o.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+                   AND r.r_name = 'EUROPE'
+      JOIN part p ON p.p_partkey = o.l_partkey
+      WHERE p.p_type = 'LARGE' AND p.p_size BETWEEN 10 AND 20
+    )
+    SELECT s_acctbal, s_name, n_name,
+           l_partkey AS p_partkey, p_name,
+           CAST(offer_dec AS DOUBLE) AS offer
+    FROM (
+      SELECT e.*, MIN(offer_dec) OVER (PARTITION BY l_partkey) AS mo
+      FROM eligible e
+    )
+    WHERE offer_dec = mo
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+    """,
+)
+def cheapest_part_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per qualifying part, the EUROPE supplier with the
+    minimum observed offer (min unit sale price stands in for partsupp
+    supplycost — the schema has no partsupp). Correlated-min subquery,
+    decorrelated as a window-min over the part key.
+
+    Plan: one shuffle builds per-(part,supplier) offers with map-side
+    combine; supplier⋈nation⋈region and the filtered part are true-dim
+    broadcasts onto that aggregate, so the window's partkey re-shuffle
+    moves only eligible offer rows (region- and part-filtered, ~1/5 ×
+    selectivity of the data). Top-100 is TakeOrderedAndProject; the
+    ordering carries a unique (s_name, p_partkey) tiebreak.
+    Reference parity: the min-per-group join-back generalizes
+    ``utils.py:219-220``'s global-max watermark to per-key watermarks."""
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_dec("l_extendedprice")).alias("offer_dec"))
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_name")
+    eligible = (
+        offers.join(F.broadcast(s), offers.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), offers.l_partkey == p.p_partkey)
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        eligible.withColumn("mo", F.min("offer_dec").over(w))
+        .where(F.col("offer_dec") == F.col("mo"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            F.col("offer_dec").cast("double").alias("offer"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "product_type_profit",
+    f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             YEAR(o.o_orderdate) AS o_year,
+             {_REVENUE_DEC}
+             - CAST(l.l_quantity * p.p_retailprice * 0.8 AS DECIMAL(18,4))
+               AS amount
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+                 AND p.p_name LIKE '%gear%'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'gear' parts by supplier nation and
+    order year. Unit cost is surrogated as 0.8 × p_retailprice (no
+    partsupp supplycost in the schema); per-row arithmetic is done in
+    DOUBLE then snapped to DECIMAL so the *accumulation* is exact.
+
+    Plan: the part LIKE-filter broadcasts and cuts lineitem to the
+    matching ~1/5 before any shuffle; supplier and nation broadcast as
+    true dims. The one unavoidable big-big join (filtered lineitem ⋈
+    orders for the order year) stays un-hinted — AQE broadcasts it at
+    bench SF and shuffle-joins at 100×."""
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey", "p_retailprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    cost = _dec(F.col("l_quantity") * F.col("p_retailprice") * F.lit(0.8))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (rev - cost).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "important_part_value",
+    """
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS value_dec
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+      GROUP BY 1
+    )
+    SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM v
+    WHERE CAST(value_dec AS DOUBLE)
+          > (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM v) * 0.001
+    """,
+)
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's traded value — a grouped aggregate HAVING-compared against
+    a scalar subquery over the *same* aggregate.
+
+    Plan: the nation-filtered supplier roster broadcasts (bounded:
+    1/25 of a dim); lineitem shuffles once on l_partkey with map-side
+    combine. The per-part aggregate is computed once and reused for
+    both the scalar total (one-row cross-join broadcast) and the
+    filter — Spark caches nothing, but the reused exchange makes the
+    second pass scan-free. Threshold compare happens in DOUBLE on both
+    engines after exact DECIMAL accumulation."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    roster = s.join(
+        F.broadcast(n), F.col("s_nationkey") == n.n_nationkey
+    ).select("s_suppkey")
+    v = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(roster), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("value_dec"))
+    )
+    total = v.agg(
+        F.sum("value_dec").cast("double").alias("total_value")
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .where(
+            F.col("value_dec").cast("double")
+            > F.col("total_value") * F.lit(0.001)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "priority_shipment_classes",
+    """
+    SELECT l_returnflag AS ship_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def priority_shipment_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: urgent-vs-other order counts per shipment class
+    (l_returnflag stands in for the schema's missing l_shipmode) — a
+    big-big join feeding conditional integer aggregation.
+
+    Plan: the year filter is pushed into the lineitem scan; the
+    lineitem⋈orders join is the canonical un-hinted big-big join (SMJ
+    at scale, AQE-broadcast at bench SF). Counts are integers — exact
+    under any partitioning."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).select("l_orderkey", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of customers by order count, with the
+    filter folded into the OUTER join condition (so zero-order
+    customers still count at c_count=0 — a plain WHERE would drop
+    them).
+
+    Plan: orders pre-filters then aggregates by o_custkey *before* the
+    outer join, so the join's right side is one row per active
+    customer, not one per order; the second aggregate over c_count is
+    tiny. The customer⋈counts join stays un-hinted (both sides scale
+    with the data)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        c.join(per_cust, c.c_custkey == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "top_revenue_suppliers",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, SUM({_REVENUE_DEC}) AS rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal,
+           CAST(r.rev_dec AS DOUBLE) AS total_revenue
+    FROM rev r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rev_dec = (SELECT MAX(rev_dec) FROM rev)
+    """,
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals
+    the maximum — the classic view + scalar-max-subquery query.
+
+    Plan: one shuffle builds per-supplier revenue (date filter pushed
+    to the scan, map-side combine); the scalar max is a one-row
+    cross-join broadcast back onto the same aggregate; supplier
+    broadcasts as a true dim. Equality on exact DECIMAL sums — safe
+    where a DOUBLE == would not be."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-04-01 00:00:00").cast("timestamp")
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("rev_dec")
+        )
+    )
+    mx = rev.agg(F.max("rev_dec").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_dec") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "part_supplier_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each
+    (brand, type, size) bucket, excluding blacklisted suppliers
+    (negative balance stands in for the comment-pattern complaint
+    filter) — NOT IN over a non-null key rewritten as an anti-join.
+
+    Plan: the part filter broadcasts (IN-list + inequality pushed into
+    the dim scan); the blacklist is a tiny broadcast anti-join; the
+    distinct-count shuffles lineitem once on the group keys with
+    partial distinct aggregation."""
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "promotable_part_suppliers",
+    """
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+                 AND n.n_name IN ('NATION_1', 'NATION_2', 'NATION_16',
+                                  'NATION_24', 'NATION_7')
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 50
+    )
+    """,
+)
+def promotable_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in the listed nations who moved more
+    than a threshold quantity of 'red' parts in 1996 — a HAVING-filtered
+    grouped subquery feeding an IN (semi-join), under a dim filter.
+
+    Plan: part LIKE-filter broadcasts and prunes lineitem before its
+    one shuffle on (l_suppkey, l_partkey); the qualifying-supplier set
+    is bounded by |supplier| so it broadcasts as the semi-join build
+    side; nation IN-list broadcasts. The supplier scan never
+    shuffles. Quantity accumulates in DECIMAL (exact under
+    reordering)."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    qualifying = (
+        _t(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .where(F.col("qty") > F.lit(50).cast("decimal(18,4)"))
+        .select("l_suppkey")
+    )
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(
+            "NATION_1", "NATION_2", "NATION_16", "NATION_24", "NATION_7"
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(qualifying),
+            s.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+    )
