@@ -476,22 +476,90 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (rows-only; decode is stubbed per the environment)
+# Multimodal plumbing (decode is stubbed per the environment, but the
+# mapInPandas path is oracle-checked end-to-end: assets derive from the
+# documents table with text bytes standing in for encoded media, so
+# DuckDB can recompute every feature from the same parquet)
 # ---------------------------------------------------------------------------
 
 
-@register("mm_extract_features", None)
-def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature extraction via mapInPandas (fake decode)."""
-    return multimodal.extract_features(multimodal.synthetic_assets(spark))
-
-
-@register("mm_sample_video_frames", None)
-def mm_sample_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-index sampling over video assets (row-explosion plumbing)."""
-    return multimodal.sample_video_frames(
-        multimodal.synthetic_assets(spark), every_n=30
+def _doc_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal asset table derived deterministically from documents:
+    UTF-8 text bytes as the opaque ``content`` column, modality round-
+    robined on doc_id, video frame counts from doc_id. Lets the driver
+    oracle-check the binary-column pipeline against DuckDB while the
+    real lake would hold actual encoded media here."""
+    d = _docs(spark, sf_dir)
+    is_video = F.col("doc_id") % 3 == 2
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.when(is_video, (F.col("doc_id") % 300 + 1).cast("int"))
+            .alias("n_frames"),
+            F.when(is_video, F.lit("mp4")).alias("format"),
+        ).alias("meta"),
     )
+
+
+@register(
+    "mm_extract_features",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             coalesce(text, '') AS t,
+             hex(encode(coalesce(text, ''))) AS h,
+             octet_length(encode(coalesce(text, ''))) AS n
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           n AS n_bytes,
+           sha256(t) AS content_sha256,
+           CASE WHEN n = 0 THEN 0 ELSE
+             list_aggregate(
+               list_transform(range(n), i ->
+                 16 * (strpos('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1)
+                    + (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1)),
+               'sum') // n
+           END AS feat_mean
+    FROM b
+    """,
+)
+def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via mapInPandas: per-asset byte
+    count, SHA-256, and mean byte value from the (fake-)decoded content.
+    The Arrow-batched UDF is the tested scale path; the oracle
+    recomputes each feature from the raw bytes in SQL (the hex-nibble
+    fold reproduces the byte sum exactly, ASCII or not)."""
+    return multimodal.extract_features(_doc_assets(spark, sf_dir))
+
+
+@register(
+    "mm_sample_video_frames",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(unnest(range(0, doc_id % 300 + 1, 30)) AS BIGINT)
+             AS frame_idx
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+)
+def mm_sample_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-index sampling over video assets: one row per sampled frame
+    (every 30th of meta.n_frames) — the row-explosion plumbing a real
+    frame decoder plugs into, oracle-checked via generate-series."""
+    return multimodal.sample_video_frames(
+        _doc_assets(spark, sf_dir), every_n=30
+    ).select("asset_id", F.col("frame_idx").cast("long").alias("frame_idx"))
 
 
 # ---------------------------------------------------------------------------
