@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .textops import tokens
 
@@ -36,6 +37,21 @@ def exact_dedup(
         F.min(id_col).alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
     ).select("keep_id", "n_copies")
+
+
+def keep_min_survivors(
+    df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup that keeps the survivors' full rows: the min-id row
+    per distinct content tuple, all original columns preserved. One
+    shuffle on the content key (at corpus scale, pass a fingerprint
+    column instead of raw text so the shuffle key is fixed-width)."""
+    w = Window.partitionBy(*content_cols)
+    return (
+        df.withColumn("_keep_id", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("_keep_id"))
+        .drop("_keep_id")
+    )
 
 
 # ---------------------------------------------------------------------------

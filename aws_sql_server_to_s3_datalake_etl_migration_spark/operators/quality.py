@@ -1,0 +1,85 @@
+"""Data-quality expectation checks, in-engine.
+
+Lifts the reference's operational data-validation posture — the recon
+report's row-count comparison (``reporting_utils.py:63-74``, README
+"data quality assurance and data validation") — into declarative,
+per-rule expectations evaluated inside Spark and returned as a small
+queryable report (one row per rule: violation count + pass flag), the
+shape dbt tests / Deequ checks produce.
+
+Scale posture: all row-level rules for one table are folded into a
+SINGLE aggregation pass (conditional sums over one scan — adding a rule
+costs an expression, not a scan); uniqueness rules ride the same pass
+as ``count - countDistinct``. Referential rules are each one
+broadcast-capable left-anti join aggregated to a single row. Every
+output is a 1-row aggregate, so the final union is driver-cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def expectation_report(
+    df: DataFrame,
+    row_rules: dict[str, Column] | None = None,
+    unique_rules: dict[str, list[str]] | None = None,
+    ref_rules: dict[str, tuple[list[str], DataFrame, list[str]]] | None = None,
+) -> DataFrame:
+    """Evaluate expectations against ``df``.
+
+    - ``row_rules``: rule name -> *violation predicate* (true == row
+      violates the expectation).
+    - ``unique_rules``: rule name -> column list that must be unique;
+      violations = total rows - distinct combinations.
+    - ``ref_rules``: rule name -> (child cols, parent df, parent cols);
+      violations = child rows whose key has no match in the parent
+      (left-anti join), null child keys counting as violations.
+
+    Returns columns ``rule STRING, violations BIGINT, passed BOOLEAN``.
+    """
+    row_rules = row_rules or {}
+    unique_rules = unique_rules or {}
+    ref_rules = ref_rules or {}
+    if not (row_rules or unique_rules or ref_rules):
+        raise ValueError("no expectations given")
+
+    parts: list[DataFrame] = []
+
+    aggs = [
+        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(name)
+        for name, pred in row_rules.items()
+    ]
+    aggs += [
+        (F.count(F.lit(1)) - F.countDistinct(*cols)).cast("bigint").alias(name)
+        for name, cols in unique_rules.items()
+    ]
+    if aggs:
+        one = df.agg(*aggs)
+        for name in list(row_rules) + list(unique_rules):
+            parts.append(
+                one.select(
+                    F.lit(name).alias("rule"),
+                    F.col(name).alias("violations"),
+                )
+            )
+
+    for name, (child_cols, parent, parent_cols) in ref_rules.items():
+        cond = None
+        child = df.select(*child_cols).alias("c")
+        par = parent.select(*parent_cols).alias("p")
+        for cc, pc in zip(child_cols, parent_cols):
+            clause = F.col(f"c.{cc}") == F.col(f"p.{pc}")
+            cond = clause if cond is None else (cond & clause)
+        parts.append(
+            child.join(par, cond, "left_anti").agg(
+                F.lit(name).alias("rule"),
+                F.count(F.lit(1)).cast("bigint").alias("violations"),
+            )
+        )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("passed", F.col("violations") == 0)

@@ -598,3 +598,140 @@ def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("tok").asc())
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (exact cross-engine)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_label_centroids",
+    """
+    WITH comp AS (
+      SELECT label,
+             unnest(range(len(embedding))) AS dim,
+             unnest(embedding) AS x
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           COUNT(*) AS n_vectors,
+           SUM(CAST(x AS DOUBLE)) / COUNT(*) AS centroid
+    FROM comp
+    GROUP BY label, dim
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column: posexplode to
+    (label, dim, component) then one hash-agg with map-side combine —
+    the class-prototype / cluster-seed computation of an embedding
+    pipeline, never collecting a vector to the driver.
+
+    Exactness: components are float32 with |x| >= 1e-6, so every
+    double-precision addition of partial sums is exact (the 53-bit
+    mantissa spans the full magnitude range) — the sum is
+    order-independent and hash-identical to DuckDB's."""
+    return (
+        _embs(spark, sf_dir)
+        .select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.sum(F.col("x").cast("double")) / F.count(F.lit(1))).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed LLM-data-prep pipeline (dedup -> lang -> quality -> stats)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_prep_pipeline",
+    f"""
+    WITH surv AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               MIN(doc_id) OVER (PARTITION BY text) AS keep_id
+        FROM documents
+      ) WHERE doc_id = keep_id
+    ),
+    toks AS (
+      SELECT doc_id, source, text,
+             regexp_split_to_array(trim(text), '\\s+') AS w,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> lower(x)) AS lw,
+             length(text)::DOUBLE AS n_chars,
+             (length(text)
+              - length(translate(text, '.,!?;:''"()-', '')))::DOUBLE
+               AS n_punct
+      FROM surv WHERE trim(text) <> ''
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             len(w)::BIGINT AS n_toks,
+             {', '.join(f"{_lang_ratio_sql(lang)} AS s_{lang}"
+                        for lang in _LANGS_DESC)},
+             0.4 * LEAST(len(w) / 100.0, 1.0)
+             + 0.3 * (CASE WHEN n_punct / n_chars <= 0.2 THEN 1.0
+                           ELSE GREATEST(0.0,
+                                1.0 - (n_punct / n_chars - 0.2) * 5.0) END)
+             + 0.3 * LEAST(
+                 len(list_filter(lw, x -> x IN ({_EN_WORDS}))) / len(w) * 5.0,
+                 1.0) AS q
+      FROM toks
+    ),
+    kept AS (
+      SELECT source, n_toks, q
+      FROM scored
+      WHERE GREATEST({', '.join('s_' + lang for lang in _LANGS_DESC)}) > 0
+        AND (CASE {_LANG_CASE} END) = 'en'
+        AND q >= 0.5
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(q AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+             AS avg_quality
+    FROM kept
+    GROUP BY source
+    """,
+)
+def doc_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data-prep flow, end to end in one plan:
+    exact dedup (min-id survivor per text) -> language ID -> quality
+    scoring -> corpus stats per source for the retained ('en', quality
+    >= 0.5) slice.
+
+    Order matters at scale: dedup runs FIRST (one shuffle on the text
+    key) so the scoring expressions — pure codegen column work — only
+    touch survivors; the final per-source rollup is a second small
+    shuffle. On a 100 TB corpus the text-key shuffle would ride the
+    fingerprint column instead of raw text (same groups, fixed-width
+    key); the mean quality accumulates in DECIMAL so the report is
+    bit-stable under any partitioning."""
+    from .operators import textops
+
+    surv = dedup.keep_min_survivors(_docs(spark, sf_dir), ["text"], "doc_id")
+    scored = textops.with_quality_score(
+        textops.with_lang_id(surv.where(F.trim("text") != ""))
+    )
+    return (
+        scored.where(
+            (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.5)
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            (
+                F.sum(F.col("quality_score").cast("decimal(18,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
+        )
+    )

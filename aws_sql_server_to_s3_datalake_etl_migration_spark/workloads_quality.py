@@ -1,0 +1,173 @@
+"""Warehouse-maintenance workloads: SCD Type-2 dimension versioning and
+declarative data-quality expectations — the history-keeping and
+validation layers a user of the reference's MERGE + recon-report stack
+(``utils.py:222-230``, ``reporting_utils.py:63-89``) graduates to.
+
+Oracle notes: the SCD2 batch is derived deterministically from the
+customer table (modulus-selected updates) so DuckDB can replay the
+close/reopen/insert classification from the same parquet; timestamps
+are literal batch dates; double arithmetic (acctbal + 100) is IEEE-
+deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.quality import expectation_report
+from .operators.scd import scd2_apply, scd2_bootstrap
+from .registry import register
+from .workloads_analytics import _t
+
+_T0 = "1995-01-01 00:00:00"
+_T1 = "1998-01-01 00:00:00"
+
+
+@register(
+    "scd2_customer_history",
+    f"""
+    WITH cur AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             TIMESTAMP '{_T0}' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to,
+             TRUE AS is_current
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+                  ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 15 = 0 THEN 'MACHINERY'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             'Customer#NEW' || CAST(c_custkey AS VARCHAR),
+             c_nationkey, 0.0, 'BUILDING'
+      FROM customer WHERE c_custkey % 500 = 0
+    ),
+    chg AS (
+      SELECT u.c_custkey FROM upd u JOIN cur c USING (c_custkey)
+      WHERE u.c_name IS DISTINCT FROM c.c_name
+         OR u.c_nationkey IS DISTINCT FROM c.c_nationkey
+         OR u.c_acctbal IS DISTINCT FROM c.c_acctbal
+         OR u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           valid_from, valid_to, is_current
+    FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           valid_from, TIMESTAMP '{_T1}', FALSE
+    FROM cur WHERE c_custkey IN (SELECT c_custkey FROM chg)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           TIMESTAMP '{_T1}', CAST(NULL AS TIMESTAMP), TRUE
+    FROM upd WHERE c_custkey IN (SELECT c_custkey FROM chg)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           TIMESTAMP '{_T1}', CAST(NULL AS TIMESTAMP), TRUE
+    FROM upd WHERE c_custkey NOT IN (SELECT c_custkey FROM cur)
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 apply over the customer dimension: a deterministic update
+    snapshot (balance bump for custkey%10, segment move for custkey%15,
+    brand-new keys for custkey%500, no-op rows otherwise) hits the
+    bootstrapped history; changed keys close + reopen, fresh keys
+    insert, no-ops pass through untouched."""
+    c = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    upd = c.where(key % 5 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.when(key % 10 == 0, F.col("c_acctbal") + 100)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(key % 15 == 0, F.lit("MACHINERY"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    fresh = c.where(key % 500 == 0).select(
+        (key + 1000000).alias("c_custkey"),
+        F.concat(F.lit("Customer#NEW"), key.cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+    )
+    current = scd2_bootstrap(c, F.lit(_T0).cast("timestamp"))
+    return scd2_apply(
+        current,
+        upd.unionByName(fresh),
+        keys=["c_custkey"],
+        batch_ts=F.lit(_T1).cast("timestamp"),
+    )
+
+
+_DQ_STATUS = ("F", "O", "P")
+
+
+@register(
+    "dq_orders_report",
+    f"""
+    SELECT 'o_orderkey_not_null' AS rule,
+           COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS violations,
+           COUNT(*) FILTER (WHERE o_orderkey IS NULL) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus_in_set',
+           COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+                            OR o_orderstatus NOT IN {_DQ_STATUS!r}),
+           COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+                            OR o_orderstatus NOT IN {_DQ_STATUS!r}) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_positive',
+           COUNT(*) FILTER (WHERE o_totalprice IS NULL
+                            OR NOT (o_totalprice > 0)),
+           COUNT(*) FILTER (WHERE o_totalprice IS NULL
+                            OR NOT (o_totalprice > 0)) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_unique',
+           COUNT(*) - COUNT(DISTINCT o_orderkey),
+           COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey_references_customer',
+           COUNT(*) FILTER (WHERE o_custkey IS NULL
+                            OR o_custkey NOT IN
+                               (SELECT c_custkey FROM customer)),
+           COUNT(*) FILTER (WHERE o_custkey IS NULL
+                            OR o_custkey NOT IN
+                               (SELECT c_custkey FROM customer)) = 0
+    FROM orders
+    """,
+)
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations over orders: not-null, accepted values,
+    positivity, key uniqueness, and referential integrity against
+    customer — all row-level rules in one scan, the FK check as one
+    anti-join."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return expectation_report(
+        orders,
+        row_rules={
+            "o_orderkey_not_null": F.col("o_orderkey").isNull(),
+            "o_orderstatus_in_set": F.col("o_orderstatus").isNull()
+            | ~F.col("o_orderstatus").isin(*_DQ_STATUS),
+            "o_totalprice_positive": F.col("o_totalprice").isNull()
+            | ~(F.col("o_totalprice") > 0),
+        },
+        unique_rules={"o_orderkey_unique": ["o_orderkey"]},
+        ref_rules={
+            "o_custkey_references_customer": (
+                ["o_custkey"],
+                customer,
+                ["c_custkey"],
+            )
+        },
+    )

@@ -1,0 +1,126 @@
+"""Unit tests for SCD2 dimension versioning and data-quality
+expectations — the edge semantics the oracle query can't see:
+multi-batch history accumulation, closed-row passthrough, null-safe
+change detection, and per-rule violation counting.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.quality import (
+    expectation_report,
+)
+from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.scd import (
+    scd2_apply,
+    scd2_bootstrap,
+)
+
+
+def _ts(s):
+    return F.lit(s).cast("timestamp")
+
+
+@pytest.fixture()
+def dim(spark):
+    return spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", None)],
+        "id bigint, name string, bal double",
+    )
+
+
+def test_scd2_two_batches_accumulate_history(spark, dim):
+    hist = scd2_bootstrap(dim, _ts("2020-01-01"))
+    # batch 1: change id=1, no-op id=2, insert id=4
+    b1 = spark.createDataFrame(
+        [(1, "alice", 11.0), (2, "bob", 20.0), (4, "dan", 40.0)],
+        "id bigint, name string, bal double",
+    )
+    h1 = scd2_apply(hist, b1, ["id"], _ts("2020-02-01"))
+    rows = {(r.id, r.is_current): r for r in h1.collect()}
+    assert len(rows) == 5  # 3 original + 1 closed->reopened + 1 fresh
+    closed = rows[(1, False)]
+    assert closed.bal == 10.0
+    assert str(closed.valid_to).startswith("2020-02-01")
+    reopened = rows[(1, True)]
+    assert reopened.bal == 11.0 and reopened.valid_to is None
+    assert rows[(2, True)].valid_from.year == 2020
+    assert str(rows[(2, True)].valid_from).startswith("2020-01-01")
+    assert str(rows[(4, True)].valid_from).startswith("2020-02-01")
+
+    # batch 2: change id=1 again -> two closed versions, one open
+    b2 = spark.createDataFrame(
+        [(1, "alice", 12.0)], "id bigint, name string, bal double"
+    )
+    h2 = scd2_apply(h1, b2, ["id"], _ts("2020-03-01"))
+    v1 = sorted(
+        h2.where("id = 1").collect(), key=lambda r: str(r.valid_from)
+    )
+    assert [r.bal for r in v1] == [10.0, 11.0, 12.0]
+    assert [r.is_current for r in v1] == [False, False, True]
+    assert [
+        str(r.valid_to)[:10] if r.valid_to else None for r in v1
+    ] == ["2020-02-01", "2020-03-01", None]
+    # everything else untouched
+    assert h2.where("id <> 1").count() == h1.where("id <> 1").count()
+
+
+def test_scd2_null_safe_change_detection(spark, dim):
+    hist = scd2_bootstrap(dim, _ts("2020-01-01"))
+    # id=3 keeps bal NULL -> no-op; id=2 moves 20.0 -> NULL -> change
+    upd = spark.createDataFrame(
+        [(3, "carol", None), (2, "bob", None)],
+        "id bigint, name string, bal double",
+    )
+    out = scd2_apply(hist, upd, ["id"], _ts("2021-01-01"))
+    assert out.where("id = 3").count() == 1  # NULL == NULL: untouched
+    two = out.where("id = 2").collect()
+    assert {r.is_current for r in two} == {True, False}
+    assert [r.bal for r in two if r.is_current] == [None]
+
+
+def test_scd2_missing_business_column_raises(spark, dim):
+    hist = scd2_bootstrap(dim, _ts("2020-01-01"))
+    bad = spark.createDataFrame([(1, "x")], "id bigint, name string")
+    with pytest.raises(ValueError, match="missing business columns"):
+        scd2_apply(hist, bad, ["id"], _ts("2020-02-01"))
+
+
+def test_expectation_report_counts_violations(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, None), (None, 5), (3, -1)],
+        "k bigint, v bigint",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk bigint")
+    rep = expectation_report(
+        child,
+        row_rules={
+            "k_not_null": F.col("k").isNull(),
+            "v_positive": F.col("v").isNull() | ~(F.col("v") > 0),
+        },
+        unique_rules={"k_unique": ["k"]},
+        ref_rules={"k_in_parent": (["k"], parent, ["pk"])},
+    )
+    got = {r.rule: (r.violations, r.passed) for r in rep.collect()}
+    assert got["k_not_null"] == (1, False)
+    assert got["v_positive"] == (2, False)  # NULL v and -1
+    # 5 rows, distinct non-null k = {1,2,3} -> countDistinct=3 -> 2 dups
+    assert got["k_unique"] == (2, False)
+    # anti-join: k=None and k=3 have no parent -> 2 violations
+    assert got["k_in_parent"] == (2, False)
+
+
+def test_expectation_report_all_pass(spark):
+    df = spark.createDataFrame([(1,), (2,)], "k bigint")
+    rep = expectation_report(
+        df, row_rules={"k_not_null": F.col("k").isNull()}
+    )
+    r = rep.collect()[0]
+    assert (r.violations, bool(r.passed)) == (0, True)
+
+
+def test_expectation_report_requires_rules(spark):
+    df = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError):
+        expectation_report(df)
