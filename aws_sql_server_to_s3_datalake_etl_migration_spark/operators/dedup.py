@@ -301,27 +301,39 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
 ) -> DataFrame:
     """Exact n-gram (word) Jaccard similarity for all pairs sharing at
-    least one n-gram: postings join on the n-gram, count common grams
-    per pair, then |A∩B| / (|A|+|B|-|A∩B|).
+    least one n-gram: build each n-gram's posting list in ONE shuffle,
+    emit the per-gram doc pairs in place, count shared grams per pair
+    in a second shuffle, then |A∩B| / (|A|+|B|-|A∩B|).
 
-    The postings join is the classic scalable formulation — shuffle is
-    bounded by posting-list sizes, not n^2. Skew guard: extremely
-    common n-grams (df > 1000) are dropped before the self-join, which
-    bounds the largest posting list (standard prefix-filtering trick).
-    """
+    This is the postings formulation with the self-join fused away:
+    ``collect_list`` per gram (memory bounded by the df cap — ≤1000
+    ids ≈ 8 KB per group), pairs generated by a codegen nested
+    transform over the sorted list instead of a postings⋈postings
+    equi-join, so the gram expression is evaluated once per branch
+    rather than re-derived under both join sides. Skew guard:
+    extremely common n-grams (df > 1000) are dropped, which bounds
+    both posting-list memory and per-gram pair fan-out (standard
+    prefix-filtering trick)."""
     grams = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
     )
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_docs"))
-    pruned = grams.join(
-        gram_df.where(F.col("gram_docs") <= 1000).select("gram"), "gram"
+    ids = F.array_sort(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
-    a = pruned.select(F.col(id_col).alias("id_a"), "gram")
-    b = pruned.select(F.col(id_col).alias("id_b"), "gram")
     common = (
-        a.join(b, "gram")
-        .where(F.col("id_a") < F.col("id_b"))
+        grams.groupBy("gram")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= 1000))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -99,6 +99,15 @@ EXPECT: dict[str, dict] = {
     "promotable_part_suppliers": {
         "pushed": True, "no_smj": True, "hints": 3,
     },
+    # Warehouse-maintenance + LLM-prep additions
+    # scd2 keeps its SMJ by design: a full-outer join null-fills both
+    # sides, so neither can be the broadcast build side.
+    "scd2_customer_history": {"pushed": True, "no_smj": False, "hints": 0},
+    "dq_orders_report": {
+        "pushed": True, "no_smj": True, "hints": 0, "aqe_bhj": True,
+    },
+    "doc_prep_pipeline": {"pushed": False, "no_smj": True, "hints": 0},
+    "emb_label_centroids": {"pushed": True, "no_smj": True, "hints": 0},
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
