@@ -735,3 +735,125 @@ def doc_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus splitting, packing, and normalization
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_NUMRUN_RE = "\\d{6,}"
+
+
+@register(
+    "doc_split_assign",
+    """
+    SELECT doc_id,
+           ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket,
+           CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90
+                  THEN 'train'
+                WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 95
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by CONTENT
+    hash, not row id: md5(text)-bucketing keeps a document in the same
+    split across re-ingestions and replicas, and co-assigns exact
+    duplicates so train never leaks a copy of a test doc. Pure codegen
+    column work — no shuffle, no RNG state."""
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 100
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "doc_pack_offsets",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER w, 0) AS BIGINT) AS start_offset,
+           CAST(COALESCE(SUM(n_tokens) OVER w, 0) // 512 AS BIGINT) AS bin
+    FROM t
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """,
+)
+def doc_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing layout for a 512-token context window: each
+    document's start offset in its source's token stream (docs in
+    doc_id order) and the context bin that offset falls in — the
+    streaming-friendly chunked approximation of first-fit packing
+    (exact first-fit is inherently sequential). Partitioned BY SOURCE
+    so the running sum parallelizes across sources instead of a single
+    global ordered window — the 100 TB form packs within shards."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(textops.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start.alias("start_offset"),
+    ).withColumn("bin", F.expr("CAST(start_offset DIV 512 AS BIGINT)"))
+
+
+@register(
+    "doc_normalize_scrub",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(lower(trim(text)),
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_NUMRUN_RE}', '<NUM>', 'g'),
+             '\\s+', ' ', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}'))
+                + len(regexp_extract_all(text, '{_NUMRUN_RE}'))
+             AS BIGINT) AS n_redactions
+    FROM documents
+    """,
+)
+def doc_normalize_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization + PII scrub in one codegen pass: lowercase,
+    redact emails and long digit runs, collapse whitespace; redaction
+    count per doc for audit. The regex dialects (Java on Spark, RE2 on
+    the oracle) agree on these patterns — part of the contract this
+    query pins."""
+    c = F.lower(F.trim(F.col("text")))
+    c = F.regexp_replace(c, _EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, _NUMRUN_RE, "<NUM>")
+    c = F.regexp_replace(c, r"\s+", " ")
+    n_red = (
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all("text", F.lit(_NUMRUN_RE), F.lit(0)))
+    ).cast("bigint")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        c.alias("clean_text"),
+        n_red.alias("n_redactions"),
+    )
