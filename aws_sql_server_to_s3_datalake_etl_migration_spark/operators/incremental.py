@@ -46,37 +46,60 @@ def merge_upsert(
     incoming: DataFrame,
     path: str,
     primary_key: str,
+    delete_col: str | None = None,
 ) -> None:
     """M2 MERGE (whenMatchedUpdateAll / whenNotMatchedInsertAll,
-    utils.py:222-230).
+    utils.py:222-230), extended with CDC delete semantics the
+    reference's Delta stack supports but never used.
+
+    ``delete_col`` names a boolean column in ``incoming``: matched
+    target rows whose incoming row has it true are DELETED
+    (whenMatchedDelete); unmatched delete rows are ignored; the flag
+    column itself is never written to the target.
 
     Uses DeltaTable when available; otherwise an equivalent
     parquet-level merge: target rows whose pk appears in ``incoming``
-    are replaced by the incoming version, new pks are inserted.
-    SCD-0 full-row semantics, matching the reference.
+    are replaced by the incoming version (or dropped, for deletes),
+    new pks are inserted. SCD-0 full-row semantics, matching the
+    reference.
     """
     try:
         from delta.tables import DeltaTable  # type: ignore
 
         target = DeltaTable.forPath(spark, path)
-        (
-            target.alias("t")
-            .merge(
-                incoming.alias("i"),
-                f"t.{primary_key} = i.{primary_key}",
-            )
-            .whenMatchedUpdateAll()
-            .whenNotMatchedInsertAll()
-            .execute()
+        m = target.alias("t").merge(
+            incoming.alias("i"),
+            f"t.{primary_key} = i.{primary_key}",
         )
+        if delete_col is not None:
+            upsert_cols = [c for c in incoming.columns if c != delete_col]
+            m = (
+                m.whenMatchedDelete(condition=f"i.{delete_col}")
+                .whenMatchedUpdate(
+                    set={c: f"i.{c}" for c in upsert_cols}
+                )
+                .whenNotMatchedInsert(
+                    condition=f"NOT i.{delete_col}",
+                    values={c: f"i.{c}" for c in upsert_cols},
+                )
+            )
+        else:
+            m = m.whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        m.execute()
         return
     except Exception:
         pass
     target_df = spark.read.parquet(path)
+    if delete_col is not None:
+        # Deletes are realized by the anti-join below removing every
+        # incoming key from the target; only non-delete rows come back.
+        upserts = incoming.where(~F.col(delete_col)).drop(delete_col)
+    else:
+        upserts = incoming
     kept = target_df.join(
         incoming.select(primary_key), on=primary_key, how="left_anti"
     )
-    merged = kept.unionByName(incoming.select(*target_df.columns))
+    merged = kept.unionByName(upserts.select(*target_df.columns))
     # Parquet can't overwrite a path while reading it: write the merge
     # result to a staging dir, then atomically swap it into place
     # (fault-tolerant tasks + recoverable ._old, vs localCheckpoint

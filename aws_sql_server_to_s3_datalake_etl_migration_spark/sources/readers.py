@@ -157,17 +157,20 @@ def read_parquet(
     return _sql_over_source(df, query, path, view_name)
 
 
-def _delta_live_files(spark: SparkSession, path: str) -> list[str] | None:
+def _delta_live_files(
+    spark: SparkSession, path: str, version: int | None = None
+) -> list[str] | None:
     """Replay ``path/_delta_log`` and return the table's live data
     files, or ``None`` when no transaction log exists (plain parquet
-    dir).
+    dir). With ``version``, replay only up to that commit — time
+    travel (``versionAsOf``).
 
     This is the same driver-side protocol Delta itself runs: start from
-    the newest parquet checkpoint if any, then apply the JSON commits
-    above it in version order — each ``add`` action inserts a file,
-    each ``remove`` tombstones it. The log is metadata (KBs per commit),
-    so a driver pass is the scale-correct move; the *data* files are
-    never touched here.
+    the newest parquet checkpoint at-or-below the target version if
+    any, then apply the JSON commits above it in version order — each
+    ``add`` action inserts a file, each ``remove`` tombstones it. The
+    log is metadata (KBs per commit), so a driver pass is the
+    scale-correct move; the *data* files are never touched here.
     """
     base = path.rstrip("/")
     log_dir = base + "/_delta_log"
@@ -192,6 +195,15 @@ def _delta_live_files(spark: SparkSession, path: str) -> list[str] | None:
     )
     if not commits and not checkpoints:
         return None  # bare _delta_log dir — not a committed table
+    latest = max(commits + checkpoints)
+    if version is not None:
+        if version < 0 or version > latest:
+            raise ValueError(
+                f"version {version} does not exist for Delta table at "
+                f"{path} (latest is {latest})"
+            )
+        commits = [v for v in commits if v <= version]
+        checkpoints = [v for v in checkpoints if v <= version]
     live: dict[str, bool] = {}
     start = -1
     if checkpoints:
@@ -226,7 +238,11 @@ def _delta_live_files(spark: SparkSession, path: str) -> list[str] | None:
 
 
 def read_delta(
-    spark: SparkSession, path: str, query: str = "", view_name: str = ""
+    spark: SparkSession,
+    path: str,
+    query: str = "",
+    view_name: str = "",
+    version: int | None = None,
 ) -> DataFrame:
     """Delta lake scan + optional SQL-over-view (S5, ``utils.py:177-192``).
 
@@ -237,12 +253,24 @@ def read_delta(
     tombstoned rows. A path with no transaction log at all is read as a
     plain parquet directory. An empty live set (fully deleted table)
     raises rather than silently scanning dead files.
+
+    ``version`` requests time travel (``versionAsOf``): the state as of
+    that commit. The fallback replays the log up to ``version``; a
+    plain parquet dir (no log) cannot time-travel and raises.
     """
     try:
-        df = spark.read.format("delta").load(path)
+        reader = spark.read.format("delta")
+        if version is not None:
+            reader = reader.option("versionAsOf", str(version))
+        df = reader.load(path)
     except Exception:
-        files = _delta_live_files(spark, path)
+        files = _delta_live_files(spark, path, version=version)
         if files is None:
+            if version is not None:
+                raise ValueError(
+                    f"{path} has no _delta_log; cannot time-travel a "
+                    "plain parquet directory"
+                )
             df = spark.read.parquet(path)
         elif not files:
             raise ValueError(

@@ -6,7 +6,10 @@ change detection, and per-rule violation counting.
 
 from __future__ import annotations
 
+from collections import Counter
+
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.quality import (
@@ -124,3 +127,47 @@ def test_expectation_report_requires_rules(spark):
     df = spark.createDataFrame([(1,)], "k bigint")
     with pytest.raises(ValueError):
         expectation_report(df)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.dictionaries(
+            st.integers(1, 6), st.integers(0, 3), min_size=1, max_size=4
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_scd2_invariants_random_batches(spark, batches):
+    """Against a Python reference model, any batch sequence must keep
+    the SCD2 invariants: current rows mirror the latest values, version
+    count per key = 1 + effective changes, and valid_to is set exactly
+    on non-current rows."""
+    hist = scd2_bootstrap(
+        spark.createDataFrame(
+            [(k, 0) for k in range(1, 5)], "id bigint, v bigint"
+        ),
+        _ts("2020-01-01"),
+    )
+    expected = {k: 0 for k in range(1, 5)}
+    versions = dict.fromkeys(expected, 1)
+    for i, b in enumerate(batches):
+        upd = spark.createDataFrame(
+            [(k, v) for k, v in b.items()], "id bigint, v bigint"
+        )
+        hist = scd2_apply(hist, upd, ["id"], _ts(f"2020-02-{i + 1:02d}"))
+        for k, v in b.items():
+            if k not in expected or expected[k] != v:
+                versions[k] = versions.get(k, 0) + 1
+                expected[k] = v
+    rows = hist.collect()
+    assert {r.id: r.v for r in rows if r.is_current} == expected
+    counts = Counter(r.id for r in rows)
+    assert dict(counts) == versions
+    for r in rows:
+        assert (r.valid_to is None) == bool(r.is_current)

@@ -158,6 +158,31 @@ def test_merge_upsert_scd0(spark, tmp_path):
     assert out == {1: "old", 2: "new", 3: "old", 9: "new"}
 
 
+def test_merge_upsert_cdc_deletes(spark, tmp_path):
+    """A CDC feed mixes upserts and tombstones: matched deletes drop
+    the target row, unmatched deletes are no-ops, the flag column never
+    lands in the target."""
+    path = str(tmp_path / "cdc")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a")], ["pk", "val"]
+    )
+    write_parquet(base, path)
+    feed = spark.createDataFrame(
+        [
+            (2, "b", False),   # update
+            (3, "x", True),    # delete existing
+            (4, "c", False),   # insert
+            (5, "x", True),    # delete of a missing key: no-op
+        ],
+        ["pk", "val", "is_deleted"],
+    )
+    merge_upsert(spark, feed, path, "pk", delete_col="is_deleted")
+    result = spark.read.parquet(path)
+    assert result.columns == ["pk", "val"]
+    out = {r.pk: r.val for r in result.collect()}
+    assert out == {1: "a", 2: "b", 4: "c"}
+
+
 def test_write_incremental_updates_mode(spark, tmp_path):
     path = str(tmp_path / "upd")
     base = spark.createDataFrame([(1, "a"), (2, "a")], ["pk", "val"])
@@ -247,6 +272,23 @@ def test_read_delta_fallback_replays_transaction_log(spark, tmp_path):
     spark.range(5).write.parquet(str(plain))
     assert read_delta(spark, str(plain)).count() == 5
 
+    # time travel: version 0 predates the checkpoint, so the replay
+    # must ignore it and reconstruct from commit 0 alone
+    v0 = read_delta(spark, str(path), version=0)
+    rows0 = {r["id"]: r["v"] for r in v0.collect()}
+    assert len(rows0) == 20 and set(rows0.values()) == {1}
+    # version 1 sees the MERGE but not commit 2's append
+    v1 = read_delta(spark, str(path), version=1)
+    rows1 = {r["id"]: r["v"] for r in v1.collect()}
+    assert len(rows1) == 20
+    assert all(rows1[i] == 2 for i in range(10))
+    # nonexistent version -> loud error naming the latest
+    with pytest.raises(ValueError, match="latest is 2"):
+        read_delta(spark, str(path), version=7)
+    # plain parquet dirs cannot time-travel
+    with pytest.raises(ValueError, match="cannot time-travel"):
+        read_delta(spark, str(plain), version=0)
+
     # fully-deleted table -> loud refusal, not a scan of dead files
     (log / f"{3:020d}.json").write_text(
         "\n".join(
@@ -256,6 +298,8 @@ def test_read_delta_fallback_replays_transaction_log(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no live files"):
         read_delta(spark, str(path))
+    # ...but time travel to a pre-delete version still reads it
+    assert read_delta(spark, str(path), version=2).count() == 25
 
 
 def test_sql_over_view_concurrent_same_named_paths(spark, tmp_path):
