@@ -6,6 +6,7 @@ from .ingest import (
     stream_ingest_files,
     stream_append_to_lake,
     stream_dedup,
+    stream_enrich,
     stream_merge_to_lake,
 )
 from .windows import windowed_event_counts, sessionize
@@ -14,6 +15,7 @@ __all__ = [
     "stream_ingest_files",
     "stream_append_to_lake",
     "stream_dedup",
+    "stream_enrich",
     "stream_merge_to_lake",
     "windowed_event_counts",
     "sessionize",

@@ -108,3 +108,22 @@ def stream_merge_to_lake(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream (the streaming analog of the flagship job's fact-to-dim
+    joins, ``table_jobs/nis_policies.py:24-25``).
+
+    The static side is re-read per micro-batch, so dimension updates
+    between batches are picked up without restarting the query. Spark
+    plans this as a broadcast of the static side into each batch —
+    no state store, no watermark needed (unlike stream-stream joins).
+    Inner and left-outer are the supported shapes for stream-static;
+    the stream side can't be the null-filled side."""
+    return stream.join(dim, on=on, how=how)

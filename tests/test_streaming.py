@@ -249,3 +249,51 @@ def test_sessionize_stateful_stream(spark, tmp_path):
     }
     assert got.get(1) == 2
     assert got.get(2) == 1
+
+
+def test_stream_enrich_picks_up_dim_updates(spark, tmp_path):
+    """Stream-static join: facts are enriched per micro-batch, and a
+    dimension change between drains is visible without restarting —
+    the static side is re-read each batch."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
+        stream_enrich,
+    )
+
+    src = tmp_path / "enrich_landing"
+    dim_path = str(tmp_path / "dim")
+    lake = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "enrich_ckpt")
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "bronze"), (2, "gold")], ["cust_id", "tier"]
+    ).write.parquet(dim_path)
+    spark.createDataFrame(
+        [(100, 1), (101, 2), (102, 3)], ["order_id", "cust_id"]
+    ).write.parquet(str(src / "b1"))
+
+    def drain():
+        stream = stream_ingest_files(
+            spark, str(src / "*"), "order_id BIGINT, cust_id BIGINT"
+        )
+        dim = spark.read.parquet(dim_path)
+        q = stream_append_to_lake(
+            stream_enrich(stream, dim, on="cust_id"), lake, ckpt
+        )
+        q.awaitTermination(120)
+
+    drain()
+    out = {r.order_id: r.tier for r in spark.read.parquet(lake).collect()}
+    # left join: unknown cust 3 still lands, null tier
+    assert out == {100: "bronze", 101: "gold", 102: None}
+
+    # dim update + new facts: the next drain joins against the NEW dim
+    spark.createDataFrame(
+        [(1, "silver"), (2, "gold"), (3, "bronze")], ["cust_id", "tier"]
+    ).write.mode("overwrite").parquet(dim_path)
+    spark.createDataFrame(
+        [(103, 1), (104, 3)], ["order_id", "cust_id"]
+    ).write.parquet(str(src / "b2"))
+    drain()
+    out2 = {r.order_id: r.tier for r in spark.read.parquet(lake).collect()}
+    assert out2[103] == "silver" and out2[104] == "bronze"
+    assert out2[100] == "bronze"  # batch-1 results immutable in the lake
