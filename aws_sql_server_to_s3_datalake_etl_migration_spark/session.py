@@ -40,6 +40,11 @@ _SCALE_CONFS = {
     # Arrow for pandas interchange (createDataFrame(pd), toPandas, UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # The events table carries TIMESTAMP(NANOS) parquet, which Spark's
+    # micros-precision TimestampType refuses outright; read raw int64
+    # nanos instead (workloads._events re-derives a micros `ts`). An
+    # engine-wide session default — never mutated inside query bodies.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -208,13 +208,24 @@ def _delta_live_files(
     start = -1
     if checkpoints:
         v = checkpoints[-1]
+        cp = spark.read.parquet(f"{log_dir}/{v:020d}.checkpoint*.parquet")
         adds = (
-            spark.read.parquet(f"{log_dir}/{v:020d}.checkpoint*.parquet")
-            .where(F.col("add").isNotNull())
-            .select("add.path")
-            .collect()
+            cp.where(F.col("add").isNotNull()).select("add.path").collect()
         )
         live = {r["path"]: True for r in adds}
+        # A checkpoint is reconciled state, but the Delta protocol keeps
+        # `remove` tombstones in it until vacuum retention expires; a
+        # checkpoint written after log truncation can therefore carry a
+        # tombstone for a file an earlier (now-truncated) commit added.
+        # Honor them — otherwise replay resurrects removed files.
+        if "remove" in cp.columns:
+            removes = (
+                cp.where(F.col("remove").isNotNull())
+                .select("remove.path")
+                .collect()
+            )
+            for r in removes:
+                live.pop(r["path"], None)
         start = v
     todo = [v for v in commits if v > start]
     if todo:

@@ -38,8 +38,17 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - ``ts``      micros-truncated TimestampType (floor to µs)
     - ``ts_ns``   the exact int64 epoch-nanos for lossless logic
+
+    ``nanosAsLong`` is a session default (session.py ``_SCALE_CONFS``,
+    applied to driver-owned sessions by ``registry._ensure_engine_confs``)
+    — query bodies never mutate session config; this only verifies it.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        raise RuntimeError(
+            "events requires spark.sql.legacy.parquet.nanosAsLong=true; "
+            "build the session via session.get_spark or run queries "
+            "through the registry (which applies engine confs)"
+        )
     df = read_table_dir(spark, sf_dir, "events")
     # Integer `div`, NOT floor(ts/1000): float division of int64 nanos
     # (~1.7e18) exceeds double's 2^53 mantissa and lands a micro off.
@@ -79,8 +88,13 @@ def flagship_policies_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first plan: both dim hops only *restrict* the fact side (only
     ``o.*`` is projected, and customer/nation keys are unique), so the
-    dims collapse into one broadcast semi-join — no fact-side shuffle at
-    all, which is the plan that survives 100 TB of orders.
+    dims collapse into one semi-join on customer keys. Only the genuinely
+    bounded side (nation, ≤25 rows) carries a broadcast hint; the
+    customer-derived side grows linearly with SF (~44% of all custkeys
+    under the 11-nation IN-list), so it is left un-hinted — AQE
+    broadcasts it at small SF and falls back to a shuffled semi-join at
+    corpus scale instead of OOMing a forced build side. That adaptive
+    plan is the one that survives 100 TB of orders.
     """
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
@@ -93,7 +107,7 @@ def flagship_policies_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("c_custkey")
     return orders.join(
-        F.broadcast(eligible_custs),
+        eligible_custs,
         orders.o_custkey == eligible_custs.c_custkey,
         "left_semi",
     )

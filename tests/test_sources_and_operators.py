@@ -302,6 +302,76 @@ def test_read_delta_fallback_replays_transaction_log(spark, tmp_path):
     assert read_delta(spark, str(path), version=2).count() == 25
 
 
+def test_read_delta_checkpoint_honors_remove_tombstones(spark, tmp_path):
+    """A checkpoint that carries live `remove` tombstones (Delta keeps
+    them until vacuum retention expires; an unreconciled writer can even
+    pair them with an `add` for the same path) must not resurrect the
+    removed file: replay reads checkpoint adds MINUS checkpoint removes
+    (reference Delta semantics utils.py:180-182)."""
+    import json as _json
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import read_delta
+
+    path = tmp_path / "dl_cp"
+    path.mkdir()
+    log = path / "_delta_log"
+    log.mkdir()
+
+    def _write_file(name, lo, hi, version):
+        import glob as _glob
+        import shutil
+
+        spark.range(lo, hi).withColumn(
+            "v", F.lit(version)
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "one"))
+        src = _glob.glob(str(tmp_path / "one" / "part-*.parquet"))[0]
+        shutil.copy(src, str(path / name))
+
+    # f0 was added then removed (not yet vacuumed: still on disk);
+    # f1/f2 are live. The checkpoint at v1 carries all three facts.
+    _write_file("f0.parquet", 0, 10, 1)
+    _write_file("f1.parquet", 10, 20, 1)
+    _write_file("f2.parquet", 0, 10, 2)
+    cp = spark.createDataFrame(
+        [
+            ("f0.parquet", None),   # unreconciled add...
+            ("f1.parquet", None),
+            ("f2.parquet", None),
+            (None, "f0.parquet"),   # ...tombstoned in the same checkpoint
+        ],
+        "add_path string, remove_path string",
+    ).select(
+        F.when(
+            F.col("add_path").isNotNull(), F.struct(F.col("add_path").alias("path"))
+        ).alias("add"),
+        F.when(
+            F.col("remove_path").isNotNull(),
+            F.struct(F.col("remove_path").alias("path")),
+        ).alias("remove"),
+    )
+    import glob as _glob
+    import shutil
+
+    cp.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "cp2"))
+    shutil.copy(
+        _glob.glob(str(tmp_path / "cp2" / "part-*.parquet"))[0],
+        str(log / f"{1:020d}.checkpoint.parquet"),
+    )
+    # commits 0/1 were truncated away; only a commit above the
+    # checkpoint remains.
+    _write_file("f3.parquet", 20, 25, 3)
+    (log / f"{2:020d}.json").write_text(
+        _json.dumps({"add": {"path": "f3.parquet", "dataChange": True}})
+    )
+
+    out = read_delta(spark, str(path))
+    rows = {r["id"]: r["v"] for r in out.collect()}
+    assert len(rows) == 25, "checkpoint remove tombstone ignored"
+    assert all(rows[i] == 2 for i in range(10)), "removed f0 resurrected"
+    assert all(rows[i] == 1 for i in range(10, 20))
+    assert all(rows[i] == 3 for i in range(20, 25))
+
+
 def test_sql_over_view_concurrent_same_named_paths(spark, tmp_path):
     """Two parallel jobs doing SQL-over-view on paths with the same
     basename must never read each other's data: each call registers a

@@ -36,7 +36,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # broadcast at this SF, which no_smj verifies). aqe_bhj: the final
 # adaptive plan must contain a BroadcastHashJoin chosen at runtime.
 EXPECT: dict[str, dict] = {
-    "flagship_policies_ingest": {"pushed": True, "no_smj": True},
+    # flagship: nation (bounded dim) is the ONLY allowed hint; the
+    # customer-derived semi-join side must stay un-hinted (it grows with
+    # SF) and AQE must pick the broadcast at this SF.
+    "flagship_policies_ingest": {
+        "pushed": True, "no_smj": True, "hints": 1, "aqe_bhj": True,
+    },
     "pricing_summary": {"pushed": True, "no_smj": True},
     "shipping_priority": {
         "pushed": True, "no_smj": True, "hints": 1, "aqe_bhj": True,
