@@ -777,41 +777,57 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_SHARDS = 8
+
+
 @register(
     "doc_pack_offsets",
-    """
+    f"""
     WITH t AS (
       SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_PACK_SHARDS} AS shard,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
                AS n_tokens
       FROM documents
     )
-    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+    SELECT doc_id, source, CAST(shard AS BIGINT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(COALESCE(SUM(n_tokens) OVER w, 0) AS BIGINT) AS start_offset,
            CAST(COALESCE(SUM(n_tokens) OVER w, 0) // 512 AS BIGINT) AS bin
     FROM t
-    WINDOW w AS (PARTITION BY source ORDER BY doc_id
+    WINDOW w AS (PARTITION BY source, shard ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     """,
 )
 def doc_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing layout for a 512-token context window: each
-    document's start offset in its source's token stream (docs in
-    doc_id order) and the context bin that offset falls in — the
+    document's start offset in its (source, shard) token stream (docs
+    in doc_id order) and the context bin that offset falls in — the
     streaming-friendly chunked approximation of first-fit packing
-    (exact first-fit is inherently sequential). Partitioned BY SOURCE
-    so the running sum parallelizes across sources instead of a single
-    global ordered window — the 100 TB form packs within shards."""
+    (exact first-fit is inherently sequential). The window partitions
+    by (source, shard) where shard is a deterministic content-hash of
+    doc_id over ``_PACK_SHARDS`` buckets, so no single source — however
+    large — serializes one task's running sum: a 100 TB corpus with a
+    handful of sources still packs in source×shard parallel streams.
+    The md5-prefix shard matches the oracle bit-for-bit (same dialect
+    contract as doc_split_assign)."""
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _PACK_SHARDS
+    )
     t = _docs(spark, sf_dir).select(
         "doc_id",
         "source",
+        shard.alias("shard"),
         F.size(textops.tokens("text")).cast("bigint").alias("n_tokens"),
     )
     from pyspark.sql.window import Window
 
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -819,6 +835,7 @@ def doc_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "doc_id",
         "source",
+        "shard",
         "n_tokens",
         start.alias("start_offset"),
     ).withColumn("bin", F.expr("CAST(start_offset DIV 512 AS BIGINT)"))
