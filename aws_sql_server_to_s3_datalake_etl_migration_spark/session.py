@@ -40,10 +40,10 @@ _SCALE_CONFS = {
     # Arrow for pandas interchange (createDataFrame(pd), toPandas, UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
-    # The events table carries TIMESTAMP(NANOS) parquet, which Spark's
-    # micros-precision TimestampType refuses outright; read raw int64
-    # nanos instead (workloads._events re-derives a micros `ts`). An
-    # engine-wide session default — never mutated inside query bodies.
+    # Compat only: on old runtimes that honor it, parquet TIMESTAMP(NANOS)
+    # columns surface as raw int64 nanos instead of erroring. Spark >= 4.x
+    # ignores this conf entirely; workloads._events branches on the
+    # *observed* dtype, so the engine works either way.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

@@ -32,29 +32,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table carries TIMESTAMP(NANOS) parquet values, which
-    Spark's micros-precision TimestampType refuses outright. Read the
-    raw int64 nanos (``nanosAsLong``) and expose:
+    """Load the events table and expose two normalized time columns,
+    whatever physical type the runtime hands back for ``ts``:
 
-    - ``ts``      micros-truncated TimestampType (floor to µs)
-    - ``ts_ns``   the exact int64 epoch-nanos for lossless logic
+    - ``ts``      TimestampType (session TZ is UTC, session.py)
+    - ``ts_ns``   int64 epoch-nanos for lossless integer time logic
 
-    ``nanosAsLong`` is a session default (session.py ``_SCALE_CONFS``,
-    applied to driver-owned sessions by ``registry._ensure_engine_confs``)
-    — query bodies never mutate session config; this only verifies it.
+    Runtimes differ: older Sparks honoring
+    ``spark.sql.legacy.parquet.nanosAsLong`` surface parquet timestamps
+    as raw int64 nanos (``bigint``); Spark >= 4.x reads the testdata's
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) footer as ``timestamp_ntz``
+    and ignores that conf. Branch on the *observed* dtype, not on conf
+    values — confs can be set yet dead.
     """
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        raise RuntimeError(
-            "events requires spark.sql.legacy.parquet.nanosAsLong=true; "
-            "build the session via session.get_spark or run queries "
-            "through the registry (which applies engine confs)"
-        )
     df = read_table_dir(spark, sf_dir, "events")
-    # Integer `div`, NOT floor(ts/1000): float division of int64 nanos
-    # (~1.7e18) exceeds double's 2^53 mantissa and lands a micro off.
-    return df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_dtype = dict(df.dtypes)["ts"]
+    if ts_dtype == "bigint":
+        # nanosAsLong path: ts is raw epoch-nanos. Integer `div`, NOT
+        # floor(ts/1000): float division of int64 nanos (~1.7e18)
+        # exceeds double's 2^53 mantissa and lands a micro off.
+        return df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    # timestamp / timestamp_ntz path: micros precision end-to-end, so
+    # unix_micros * 1000 is the exact epoch-nanos (matches DuckDB's
+    # epoch_ns(ts) bit-for-bit with a UTC session TZ).
+    ts = F.col("ts").cast("timestamp")
+    return df.withColumn(
+        "ts_ns", F.unix_micros(ts) * F.lit(1000).cast("long")
+    ).withColumn("ts", ts)
 
 
 def _dec(col, scale: int = 4):

@@ -104,15 +104,13 @@ def prepare_bench_lake(spark, sf_dir: str) -> tuple[str, float]:
         src = f"{sf_dir}/{t}.parquet"
         out = f"{dst}/{t}.parquet"
         if t in RESPLIT:
-            if t == "events":
-                # TIMESTAMP(NANOS) source: read nanos as long (the same
-                # thing workloads._events does; `ts div 1000` math is
-                # unchanged on the re-split copy).
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # events: whatever physical ts type this runtime reads
+            # (bigint nanos on old Sparks honoring nanosAsLong,
+            # timestamp_ntz on Spark >= 4.x) round-trips through the
+            # re-split copy unchanged; workloads._events branches on
+            # the observed dtype either way.
             df = spark.read.parquet(src)
             df.repartition(n_files).write.mode("overwrite").parquet(out)
-            if t == "events":
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         elif os.path.isdir(src):
             shutil.copytree(src, out, dirs_exist_ok=True)
         else:
@@ -136,19 +134,32 @@ def main() -> None:
         print(f"# lake prep: {prep_sec}s (one-time)", file=sys.stderr)
 
     # Warm up the JVM + parquet footers once, untimed.
-    qs["global_watermark_max"](spark, bench_dir).collect()
+    try:
+        qs["global_watermark_max"](spark, bench_dir).collect()
+    except Exception as e:
+        print(f"# warm-up failed ({e}); continuing", file=sys.stderr)
+
+    errors: dict[str, str] = {}
 
     def time_set(names: list[str]) -> dict[str, float]:
+        # Per-query fault isolation: one broken query records an error
+        # entry and the run keeps timing the rest — a bench that loses
+        # all signal to a single failure masks every other regression.
         out: dict[str, float] = {}
         for name in names:
             if name not in qs:
                 continue
             best, rows = None, 0
-            for _ in range(max(1, ITERATIONS)):
-                t0 = time.time()
-                rows = qs[name](spark, bench_dir).count()
-                elapsed = time.time() - t0
-                best = elapsed if best is None else min(best, elapsed)
+            try:
+                for _ in range(max(1, ITERATIONS)):
+                    t0 = time.time()
+                    rows = qs[name](spark, bench_dir).count()
+                    elapsed = time.time() - t0
+                    best = elapsed if best is None else min(best, elapsed)
+            except Exception as e:
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+                continue
             out[name] = round(best, 3)
             print(f"# {name}: {out[name]}s ({rows} rows)", file=sys.stderr)
         return out
@@ -170,6 +181,8 @@ def main() -> None:
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
 
 
