@@ -368,9 +368,14 @@ def embedding_neardup_pairs(
     bands: int = 8,
     planes_per_band: int = 4,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicates via banded random-hyperplane LSH, then
     exact cosine inside buckets.
+
+    Pass ``dim`` (the embedding dimensionality) when known — otherwise
+    it is inferred with a 1-row action on ``df``, an extra Spark job
+    per call.
 
     Sign-LSH collision probability per plane is 1 - angle/pi, so one
     wide sign vector only finds cosines near 1. Banding (OR over
@@ -383,7 +388,8 @@ def embedding_neardup_pairs(
     """
     import numpy as np
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     hp = rng.standard_normal((bands * planes_per_band, dim))
 

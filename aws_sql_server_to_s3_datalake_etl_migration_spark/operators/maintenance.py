@@ -18,29 +18,12 @@ standing maintenance jobs at 100 TB:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources import fs
+from ..sources.fs import data_file_count  # noqa: F401  (re-export)
 from ..sources.writers import swap_overwrite
-
-
-def _dir_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
-    return total
-
-
-def data_file_count(path: str) -> int:
-    """Number of data files under a lake path (metadata files ignored)."""
-    n = 0
-    for _root, _dirs, files in os.walk(path):
-        n += sum(not f.startswith(("_", ".")) for f in files)
-    return n
 
 
 def compact(
@@ -58,10 +41,12 @@ def compact(
     small enough that one task's partition fits executor memory with
     room for the decode.
     """
-    n_files = max(1, round(_dir_bytes(path) / (target_file_mb * 1024 * 1024)))
+    n_files = max(
+        1, round(fs.dir_bytes(spark, path) / (target_file_mb * 1024 * 1024))
+    )
     df = spark.read.parquet(path)
     swap_overwrite(df.repartition(n_files), path)
-    return data_file_count(path)
+    return data_file_count(spark, path)
 
 
 def optimize_layout(
@@ -89,6 +74,6 @@ def table_stats(spark: SparkSession, path: str) -> DataFrame:
     (``reporting_utils.py:31-42``) widened for maintenance decisions."""
     rows = spark.read.parquet(path).count()
     return spark.createDataFrame(
-        [(path, data_file_count(path), _dir_bytes(path), rows)],
+        [(path, data_file_count(spark, path), fs.dir_bytes(spark, path), rows)],
         "path STRING, n_files INT, total_bytes BIGINT, n_rows BIGINT",
     )

@@ -103,6 +103,40 @@ def build_ivf_index(
     return assigned, centroids
 
 
+def write_ivf_index(
+    assigned: DataFrame,
+    centroids,
+    path: str,
+) -> None:
+    """Persist the IVF index to the lake: the assignment table is
+    written ``partitionBy("_cell")`` so a probe's ``_cell IN (...)``
+    filter prunes whole directories at *listing* time — at 100 TB a
+    probe touches nprobe/n_cells of the files instead of scanning
+    everything. Centroids (≤ n_cells tiny rows) go to a sidecar table.
+    """
+    assigned.write.mode("overwrite").partitionBy("_cell").parquet(
+        f"{path}/assigned"
+    )
+    spark = assigned.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def read_ivf_index(spark, path: str):
+    """Load an index written by ``write_ivf_index``. Returns
+    (assigned_df, centroids) — probe with ``ivf_topk`` as usual; the
+    IN-list on ``_cell`` becomes a PartitionFilter on this table."""
+    assigned = spark.read.parquet(f"{path}/assigned")
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = [
+        list(r["centroid"]) for r in sorted(rows, key=lambda r: r["cell"])
+    ]
+    return assigned, centroids
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids,

@@ -9,8 +9,6 @@ one metric still appears (the reference's inner joins dropped it).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -20,30 +18,23 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..sources import fs
 from .metastore import OperationalMetastore
 
 
-def discover_tables(lake_root: str) -> list[str]:
-    """R1: table list = first-level directories under the lake root."""
-    if not os.path.isdir(lake_root):
-        return []
-    return sorted(
-        d
-        for d in os.listdir(lake_root)
-        if os.path.isdir(os.path.join(lake_root, d))
-    )
+def discover_tables(spark: SparkSession, lake_root: str) -> list[str]:
+    """R1: table list = first-level directories under the lake root.
+    Hadoop FS listing, so any store the session can read (``file:``,
+    ``s3a:``, ...) works — the reference's boto3 prefix listing
+    (``reporting_utils.py:20-28``) pinned this to S3."""
+    return fs.list_subdirs(spark, lake_root)
 
 
 def table_sizes(spark: SparkSession, lake_root: str) -> DataFrame:
     """R2: recursive byte size per table directory."""
     rows = []
-    for t in discover_tables(lake_root):
-        total = 0
-        for root, _, files in os.walk(os.path.join(lake_root, t)):
-            total += sum(
-                os.path.getsize(os.path.join(root, f)) for f in files
-            )
-        rows.append((t, total))
+    for t in discover_tables(spark, lake_root):
+        rows.append((t, fs.dir_bytes(spark, f"{lake_root.rstrip('/')}/{t}")))
     schema = StructType(
         [
             StructField("TableName", StringType(), False),
@@ -64,14 +55,16 @@ def count_reconciliation(
     the JDBC source (tests pass a parquet-backed reader). Unreadable
     sources are skipped, as in the reference (:71-72)."""
     rows = []
-    for t in discover_tables(lake_root):
+    for t in discover_tables(spark, lake_root):
         src_name = name_map(t) if name_map else t.replace("_", ".", 1)
         try:
             src = source_reader(t)
             src_count = src.count() if src is not None else None
         except Exception:
             continue  # skip-on-error preserved
-        lake_count = spark.read.parquet(os.path.join(lake_root, t)).count()
+        lake_count = spark.read.parquet(
+            f"{lake_root.rstrip('/')}/{t}"
+        ).count()
         rows.append((t, src_name, src_count, lake_count))
     schema = StructType(
         [

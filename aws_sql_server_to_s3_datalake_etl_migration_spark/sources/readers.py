@@ -300,7 +300,7 @@ def read_csv(
     path: str,
     ddl: str = "",
     header: bool = True,
-    multi_line: bool = True,
+    multi_line: bool = False,
 ) -> DataFrame:
     """CSV scan — inferred schema (S6) or declared-schema (S7).
 
@@ -310,6 +310,13 @@ def read_csv(
     avoids the fragile string surgery and keeps the scan pruneable.
     ``ddl`` accepts either a bare column list (``"a INT, b STRING"``) or
     a full ``CREATE TABLE t (...)`` statement, whose body is extracted.
+
+    ``multi_line`` defaults to **False**: multiLine CSV parsing makes
+    each file unsplittable (the whole file parses on ONE task), which
+    serializes big-file scans at scale. The reference always reads
+    multiLine (``utils.py:170-174``) — pass ``multi_line=True`` to get
+    that behavior for quoted-newline data; prefer splitting such feeds
+    into many files.
     """
     reader = (
         spark.read.option("header", str(header).lower())

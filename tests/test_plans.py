@@ -155,9 +155,11 @@ def test_recon_report_and_assert(spark, tmp_path, sf_dir):
 
     t0 = datetime.now(timezone.utc)
     meta.record("nis_nation", "[]", "SUCCEEDED", t0, t0 + timedelta(seconds=3))
+    # lake root addressed by URI: the Hadoop FS port means any scheme
+    # the session can read (file:, s3a:, ...) works, not just local paths
     report = recon_report(
         spark,
-        str(lake),
+        f"file://{lake}",
         source_reader,
         metastore=meta,
         output_path=str(tmp_path / "recon_out"),

@@ -66,6 +66,27 @@ def test_csv_roundtrip_inferred_and_ddl(spark, tmp_path):
     assert typed.count() == 2
 
 
+def test_csv_default_is_splittable_multiline_opt_in(spark, tmp_path):
+    # Default (multi_line=False): a multi-file CSV scan parallelizes —
+    # multiLine parsing would glue each file to one task and, worse,
+    # make single big files unsplittable at scale.
+    d = tmp_path / "feed"
+    d.mkdir()
+    for i in range(4):
+        (d / f"part{i}.csv").write_text(
+            "a,b\n" + "".join(f"{j},{i}\n" for j in range(200))
+        )
+    df = read_csv(spark, str(d))
+    assert df.count() == 800
+    assert df.rdd.getNumPartitions() > 1
+    # Opt-in multi_line=True: quoted embedded newlines still parse
+    # (the reference's always-multiLine behavior stays reachable).
+    q = tmp_path / "quoted.csv"
+    q.write_text('a,b\n1,"line one\nline two"\n2,plain\n')
+    rows = read_csv(spark, str(q), multi_line=True).count()
+    assert rows == 2
+
+
 def test_parquet_write_read_with_query(spark, tmp_path):
     path = str(tmp_path / "tbl")
     df = spark.range(10).withColumn("v", F.col("id") * 2)

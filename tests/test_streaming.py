@@ -198,6 +198,42 @@ def test_watermark_drops_late_rows_in_stream(spark, tmp_path):
     assert got.get("2024-01-01 10:00:00") == (1, 1.0), got
 
 
+def _run_sessions_until(
+    spark, sessions_df, out_dir, ckpt, n_expected, timeout_s=240
+):
+    """Start the sessionize sink, poll the parquet output until
+    ``n_expected`` session rows landed, then stop the query. Stateful
+    processing-time timeouts keep an availableNow query alive on this
+    runtime (timeout-flush micro-batches are scheduled after the data
+    drains), so termination never happens — observed-output is the
+    correct completion signal, and stopping only after the expected
+    rows appear never aborts a flush batch mid-write."""
+    import time
+
+    q = (
+        sessions_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        t0 = time.time()
+        while time.time() - t0 < timeout_s:
+            if q.awaitTermination(3):
+                break
+            try:
+                if spark.read.parquet(out_dir).count() >= n_expected:
+                    break
+            except Exception:
+                pass  # sink not committed yet
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(out_dir)
+
+
 def test_sessionize_stateful_stream(spark, tmp_path):
     src = tmp_path / "sessions_in"
     src.mkdir()
@@ -213,42 +249,24 @@ def test_sessionize_stateful_stream(spark, tmp_path):
     )
     out_dir = str(tmp_path / "sessions_out")
     ckpt = str(tmp_path / "sess_ckpt")
-
-    def drain():
-        q = (
-            sessionize(
-                stream_ingest_files(
-                    spark, str(src / "*"), "user_id BIGINT, ts TIMESTAMP"
-                ),
-                gap_ms=2_000,
-            )
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(180)
-
-    drain()
-    # availableNow drains input; sessions close on the processing-time
-    # timeout, so state exists but output may be empty — run one more
-    # micro-batch after the timeout to flush closed sessions.
-    import time
-
-    time.sleep(3)
-    (
-        spark.createDataFrame([(99, "2024-01-01 01:00:00")], ["user_id", "ts_s"])
-        .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
-        .write.parquet(str(src / "b2"))
+    sessions = sessionize(
+        stream_ingest_files(
+            spark, str(src / "*"), "user_id BIGINT, ts TIMESTAMP"
+        ),
+        gap_ms=2_000,
     )
-    drain()
-    got = {
-        r.user_id: r.n_events for r in spark.read.parquet(out_dir).collect()
-    }
-    assert got.get(1) == 2
-    assert got.get(2) == 1
+    # 3 sessions total: user 1's events are 5 s apart (> 2 s gap) so the
+    # event-time split yields two single-event sessions + user 2's one;
+    # the open trailing sessions flush via the processing-time timeout.
+    out = _run_sessions_until(spark, sessions, out_dir, ckpt, n_expected=3)
+    by_user: dict = {}
+    for r in out.collect():
+        by_user.setdefault(r.user_id, []).append(r)
+    assert sorted(r.n_events for r in by_user[1]) == [1, 1]
+    assert [r.n_events for r in by_user[2]] == [1]
+    s = min(by_user[1], key=lambda r: r.session_start)
+    # session_window parity: end = last event + gap
+    assert (s.session_end - s.session_start).total_seconds() == 2.0
 
 
 def test_stream_enrich_picks_up_dim_updates(spark, tmp_path):
@@ -297,3 +315,45 @@ def test_stream_enrich_picks_up_dim_updates(spark, tmp_path):
     out2 = {r.order_id: r.tier for r in spark.read.parquet(lake).collect()}
     assert out2[103] == "silver" and out2[104] == "bronze"
     assert out2[100] == "bronze"  # batch-1 results immutable in the lake
+
+
+def test_sessionize_stream_matches_batch_session_window(spark, tmp_path, sf_dir):
+    """Differential: replay the real events table through the stateful
+    streaming sessionizer and through batch F.session_window (the
+    event_session_stats query) — the session sets must be identical."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.workloads import (
+        event_session_stats,
+        _events,
+    )
+
+    gap_ms = 6 * 3600 * 1000  # event_session_stats' 6-hour gap
+
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in event_session_stats(spark, sf_dir).collect()
+    }
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    (
+        _events(spark, sf_dir)
+        .select("user_id", "ts")
+        .write.parquet(str(src / "b1"))
+    )
+    out_dir = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    sessions = sessionize(
+        stream_ingest_files(
+            spark, str(src / "*"), "user_id BIGINT, ts TIMESTAMP"
+        ),
+        gap_ms=gap_ms,
+        flush_after_ms=1_000,  # wall-clock flush, not 6 h
+    )
+    out = _run_sessions_until(
+        spark, sessions, out_dir, ckpt, n_expected=len(batch)
+    )
+    stream = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in out.collect()
+    }
+    assert stream == batch
