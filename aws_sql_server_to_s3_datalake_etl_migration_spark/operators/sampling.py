@@ -1,0 +1,71 @@
+"""Deterministic corpus sampling.
+
+``df.sample()`` draws from a seeded RNG *per partition*, so results
+change with partitioning/cluster size — useless for reproducible corpus
+construction or cross-run diffs. Hash-threshold sampling decides
+per-ROW from a content hash: the same row is kept or dropped no matter
+how the data is partitioned, how many executors run, or which engine
+evaluates it (md5 is engine-portable, so a DuckDB/Trino twin selects
+the identical row set). This is the standard trick for train/eval
+splits and per-source downsampling in training-data pipelines.
+
+Scale shape: a single codegen'd filter on the scan — no shuffle, no
+RNG state, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 8 hex chars = 32 bits of the md5: plenty of resolution for rates
+# down to ~2e-10, and a short lexicographic compare.
+_HEX_DIGITS = 8
+_SPACE = 16**_HEX_DIGITS
+
+
+def rate_threshold(rate: float) -> str:
+    """Hex threshold t such that P[substr(md5(key),1,8) < t] == rate
+    for a uniform hash. rate >= 1 returns 'g', which every hex string
+    sorts below (hex digits are 0-9a-f)."""
+    if rate >= 1.0:
+        return "g"
+    return format(max(int(rate * _SPACE), 0), f"0{_HEX_DIGITS}x")
+
+
+def hash_bucket(key: Column | str) -> Column:
+    """The 8-hex-char md5 prefix used for thresholding (lowercase in
+    every engine that implements md5)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(c.cast("string")), 1, _HEX_DIGITS)
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_col: str
+) -> DataFrame:
+    """Keep ~``rate`` of rows, decided per row by hash of ``key_col``."""
+    return df.where(hash_bucket(key_col) < F.lit(rate_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum ``s`` keeps
+    ~``rates[s]`` of its rows (``default_rate`` otherwise). The usual
+    corpus-mixing move — e.g. downweight a crawl source to 10% while
+    keeping curated sources whole — expressed as one filter.
+    """
+    threshold = reduce(
+        lambda acc, kv: F.when(
+            F.col(strata_col) == kv[0], F.lit(rate_threshold(kv[1]))
+        ).otherwise(acc),
+        sorted(rates.items()),
+        F.lit(rate_threshold(default_rate)),
+    )
+    return df.where(hash_bucket(key_col) < threshold)

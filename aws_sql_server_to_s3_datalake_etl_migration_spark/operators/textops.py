@@ -165,3 +165,79 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(norm)).withColumn(
         "fp_roll", rolling_hash(text_col)
     )
+
+
+def _bigrams(toks: Column) -> Column:
+    """Adjacent token pairs joined with one space; [] for < 2 tokens.
+    Both sides are sliced to length n-1 so zip_with never pads."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher-rules family of
+    quality filters: heavily self-repeating documents are boilerplate
+    or spam and get cut from training corpora):
+
+    - ``n_lines``          non-empty trimmed lines
+    - ``dup_line_frac``    1 - distinct_lines/lines (0 for no lines)
+    - ``top_bigram_frac``  occurrences of the most frequent token
+                           bigram / total bigrams (0 for < 2 tokens)
+
+    All three are pure column expressions. The bigram mode is a
+    run-length fold over the *sorted* bigram array (max run in sorted
+    order == max multiplicity) — no explode/groupBy/join, zero extra
+    shuffles, stays in whole-stage codegen.
+    """
+    c = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")
+    )
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    bgs = _bigrams(tokens(c))
+    zero = F.lit(0).cast("bigint")
+    best_run = F.aggregate(
+        F.array_sort(bgs),
+        F.struct(
+            F.lit("").alias("prev"),
+            zero.alias("run"),
+            zero.alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("bigint")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_bigram_frac = F.when(
+        F.size(bgs) > 0, best_run / F.size(bgs)
+    ).otherwise(F.lit(0.0))
+
+    return (
+        df.withColumn("n_lines", n_lines.cast("bigint"))
+        .withColumn("dup_line_frac", dup_line_frac)
+        .withColumn("top_bigram_frac", top_bigram_frac)
+    )

@@ -875,3 +875,96 @@ def doc_normalize_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.alias("clean_text"),
         n_red.alias("n_redactions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_repetition_stats",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(string_split(coalesce(text, ''), chr(10)),
+                              s -> trim(s)),
+               s -> s <> '') AS lines,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(coalesce(text, '')), '\s+')
+             END AS w
+      FROM documents
+    ), b AS (
+      SELECT doc_id, lines,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i + 1])
+                  ELSE []::VARCHAR[] END AS bgs
+      FROM base
+    ), c AS (
+      SELECT doc_id, bg, COUNT(*)::BIGINT AS n
+      FROM (SELECT doc_id, unnest(bgs) AS bg FROM b)
+      GROUP BY doc_id, bg
+    ), topx AS (
+      SELECT doc_id, MAX(n) AS top, SUM(n) AS tot FROM c GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           len(b.lines)::BIGINT AS n_lines,
+           CASE WHEN len(b.lines) > 0
+                THEN 1.0 - len(list_distinct(b.lines)) / len(b.lines)
+                ELSE 0.0 END AS dup_line_frac,
+           COALESCE(topx.top / topx.tot, 0.0) AS top_bigram_frac
+    FROM b LEFT JOIN topx USING (doc_id)
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals per document. The Spark side is pure
+    column expressions (the bigram mode is a run-length fold over the
+    sorted bigram array — no explode/groupBy/join); the oracle spells
+    the mode out with unnest + two GROUP BYs."""
+    return textops.with_repetition_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_lines", "dup_line_frac", "top_bigram_frac"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (corpus mixing)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+_SAMPLE_DEFAULT = 0.1
+
+
+def _sample_case_sql() -> str:
+    from .operators.sampling import rate_threshold
+
+    whens = " ".join(
+        f"WHEN '{s}' THEN '{rate_threshold(r)}'"
+        for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"CASE lang {whens} ELSE '{rate_threshold(_SAMPLE_DEFAULT)}' END"
+
+
+@register(
+    "doc_stratified_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5(doc_id::VARCHAR), 1, 8) < {_sample_case_sql()}
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (en 50%, de 25%, rest
+    10%) keyed on md5(doc_id) — the same rows survive on any engine,
+    any partitioning, any cluster size. One codegen'd filter on the
+    scan; no shuffle, no RNG state."""
+    from .operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        strata_col="lang",
+        key_col="doc_id",
+        rates=_SAMPLE_RATES,
+        default_rate=_SAMPLE_DEFAULT,
+    ).select("doc_id", "lang")

@@ -274,3 +274,52 @@ def test_range_join_bin_boundaries(spark):
     assert out[2] == 1
     # user 2: right 95 in [90, 100) counts
     assert out[3] == 1
+
+
+def test_repetition_stats_known_values(spark):
+    rows = [
+        (1, "a b a b"),          # bigrams: "a b","b a","a b" -> top 2/3
+        (2, "x\nx\ny"),          # dup line x -> 1 - 2/3; bigrams 1/2
+        (3, ""),                 # empty -> all zeros
+        (4, "one"),              # single token -> no bigrams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_lines, r.dup_line_frac, r.top_bigram_frac)
+        for r in textops.with_repetition_stats(df).collect()
+    }
+    assert got[1] == (1, 0.0, pytest.approx(2 / 3))
+    assert got[2] == (3, pytest.approx(1 - 2 / 3), pytest.approx(1 / 2))
+    assert got[3] == (0, 0.0, 0.0)
+    assert got[4] == (1, 0.0, 0.0)
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        sampling,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("s"),
+    )
+    half = sampling.deterministic_sample(df, 0.5, "k")
+    n_half = half.count()
+    assert abs(n_half - 1000) < 150  # uniform hash, not RNG luck
+    # repartitioning must not change the selected set (the whole point)
+    ids = {r.k for r in half.collect()}
+    assert {r.k for r in df.repartition(7).where(
+        sampling.hash_bucket("k") < sampling.rate_threshold(0.5)
+    ).collect()} == ids
+    # thresholds nest: the 25% sample is a subset of the 50% sample
+    quarter = {r.k for r in sampling.deterministic_sample(df, 0.25, "k").collect()}
+    assert quarter <= ids
+    # degenerate rates
+    assert sampling.deterministic_sample(df, 1.0, "k").count() == 2000
+    assert sampling.deterministic_sample(df, 0.0, "k").count() == 0
+    # stratified: per-stratum rates hold independently
+    strat = sampling.stratified_sample(
+        df, strata_col="s", key_col="k", rates={"a": 1.0}, default_rate=0.0
+    )
+    got = {r.s for r in strat.collect()}
+    assert got == {"a"} and strat.count() == 1000
