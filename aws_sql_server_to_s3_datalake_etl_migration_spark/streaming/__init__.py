@@ -9,9 +9,10 @@ from .ingest import (
     stream_enrich,
     stream_merge_to_lake,
 )
-from .windows import windowed_event_counts, sessionize
+from .windows import windowed_event_counts, sessionize, stream_stream_join
 
 __all__ = [
+    "stream_stream_join",
     "stream_ingest_files",
     "stream_append_to_lake",
     "stream_dedup",

@@ -148,3 +148,40 @@ def sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "5 minutes",
+    watermark_delay: str = "2 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a bounded time-range
+    condition (right event within ``within`` AFTER the left event).
+
+    Both inputs carry a watermark and the join predicate bounds the
+    event-time distance, so Spark can evict buffered state once the
+    watermark passes — the requirement for an unbounded-stream join to
+    run with bounded memory. Without the range condition the state
+    grows forever; this wrapper makes the bounded form the only way to
+    express the join.
+
+    Column collisions are avoided by prefixing the right side (``r_``)
+    except the join key.
+    """
+    lw = left.withWatermark(left_ts, watermark_delay)
+    rw = right.withWatermark(right_ts, watermark_delay)
+    for c in rw.columns:
+        if c != on:
+            rw = rw.withColumnRenamed(c, f"r_{c}")
+    r_ts = f"r_{right_ts}" if right_ts != on else right_ts
+    cond = (
+        (lw[on] == rw[on])
+        & (F.col(r_ts) >= F.col(left_ts))
+        & (F.col(r_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how).drop(rw[on])

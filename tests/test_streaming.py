@@ -357,3 +357,66 @@ def test_sessionize_stream_matches_batch_session_window(spark, tmp_path, sf_dir)
         for r in out.collect()
     }
     assert stream == batch
+
+
+def test_stream_stream_join_bounded_state(spark, tmp_path):
+    """Watermarked stream-stream join: a purchase joins the views of
+    the same user that happened in the 5 minutes before it; an older
+    view falls outside the range condition and is excluded."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
+        stream_stream_join,
+    )
+
+    views = tmp_path / "views_in"
+    buys = tmp_path / "buys_in"
+    views.mkdir()
+    buys.mkdir()
+    (
+        spark.createDataFrame(
+            [
+                (1, "2024-01-01 10:00:00"),  # inside the 5-min window
+                (1, "2024-01-01 09:50:00"),  # too old -> excluded
+                (2, "2024-01-01 10:03:00"),  # inside for user 2
+                (3, "2024-01-01 10:00:00"),  # user never purchases
+            ],
+            ["user_id", "ts_s"],
+        )
+        .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+        .write.parquet(str(views / "b1"))
+    )
+    (
+        spark.createDataFrame(
+            [(1, "2024-01-01 10:04:00"), (2, "2024-01-01 10:04:30")],
+            ["user_id", "ts_s"],
+        )
+        .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+        .write.parquet(str(buys / "b1"))
+    )
+    joined = stream_stream_join(
+        stream_ingest_files(
+            spark, str(views / "*"), "user_id BIGINT, ts TIMESTAMP"
+        ),
+        stream_ingest_files(
+            spark, str(buys / "*"), "user_id BIGINT, ts TIMESTAMP"
+        ),
+        on="user_id",
+        within="5 minutes",
+    )
+    out = str(tmp_path / "ssj_out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    got = {(r.user_id, str(r.ts), str(r.r_ts)) for r in rows}
+    assert got == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:04:00"),
+        (2, "2024-01-01 10:03:00", "2024-01-01 10:04:30"),
+    }
