@@ -31,16 +31,24 @@ def asof_join(
     on: str,
     ts_col: str = "ts",
     right_ts_out: str = "matched_ts",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """For every left row, attach the greatest right-side ``ts_col`` of
-    the same ``on`` key with ``right.ts <= left.ts`` (backward as-of,
-    inclusive); left rows with no prior right row keep NULL.
+    """For every left row, attach the nearest right-side ``ts_col`` of
+    the same ``on`` key — the greatest ``right.ts <= left.ts``
+    (``direction="backward"``, inclusive) or the smallest
+    ``right.ts >= left.ts`` (``"forward"``). Left rows with no match
+    keep NULL; ``tolerance`` (an SQL interval string, e.g.
+    ``"1 hour"``) additionally nulls matches farther than that from
+    the left timestamp — pandas ``merge_asof`` semantics.
 
     The right side is first reduced to distinct (key, ts) — the as-of
     answer is a timestamp, so duplicates at the same instant are one
     match and tie semantics stay engine-independent. Returns all left
     columns plus ``right_ts_out``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     r = (
         right.select(F.col(on), F.col(ts_col))
         .distinct()
@@ -58,19 +66,35 @@ def asof_join(
     )
     # Right rows sort BEFORE left rows at equal ts (side 0 < 1), making
     # the match inclusive; the running last() then carries the newest
-    # right ts forward within each key.
+    # right ts forward within each key. Forward as-of is the same scan
+    # in reverse time order.
+    ts_order = (
+        F.col(ts_col).asc() if direction == "backward"
+        else F.col(ts_col).desc()
+    )
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         unioned.withColumn(
             right_ts_out, F.last("_r_ts", ignorenulls=True).over(w)
         )
         .where(F.col("_side") == 1)
         .select(*left.columns, right_ts_out)
     )
+    if tolerance is not None:
+        bound = F.expr(f"INTERVAL {tolerance}")
+        in_tol = (
+            F.col(right_ts_out) >= F.col(ts_col) - bound
+            if direction == "backward"
+            else F.col(right_ts_out) <= F.col(ts_col) + bound
+        )
+        out = out.withColumn(
+            right_ts_out, F.when(in_tol, F.col(right_ts_out))
+        )
+    return out
 
 
 def range_join(

@@ -82,6 +82,8 @@ EXTENDED = [
     "doc_prep_pipeline",
     "doc_exact_dedup",
     "doc_ngram_jaccard_pairs",
+    "doc_repetition_stats",
+    "doc_stratified_sample",
     "emb_label_centroids",
     "emb_cosine_topk",
 ]

@@ -248,6 +248,36 @@ def test_asof_join_boundaries(spark):
     assert out[3] == dt(20)        # carries most recent, not first
     assert out[4] is None          # user with no right rows at all
 
+    fwd = {
+        r["event_id"]: r["matched_ts"]
+        for r in asof_join(
+            left, right, on="user_id", direction="forward"
+        ).collect()
+    }
+    assert fwd[1] == dt(10)        # next right row at/after t=5
+    assert fwd[2] == dt(20)        # inclusive at equal ts
+    assert fwd[3] is None          # nothing after t=25
+    assert fwd[4] is None
+
+    tol = {
+        r["event_id"]: r["matched_ts"]
+        for r in asof_join(
+            left, right, on="user_id",
+            tolerance="5 microseconds",
+        ).collect()
+    }
+    assert tol[2] == dt(20)        # distance 0 within tolerance
+    assert tol[3] == dt(20)        # distance 5us == bound: inclusive
+    tight = {
+        r["event_id"]: r["matched_ts"]
+        for r in asof_join(
+            left, right, on="user_id",
+            tolerance="4 microseconds",
+        ).collect()
+    }
+    assert tight[2] == dt(20)      # distance 0 still in
+    assert tight[3] is None        # 5us > 4us tolerance -> nulled
+
 
 def test_range_join_bin_boundaries(spark):
     from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.temporal import range_join
