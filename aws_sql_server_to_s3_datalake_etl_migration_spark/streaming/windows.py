@@ -88,13 +88,18 @@ def _session_fn(
     state: GroupState,
     gap_ms: int = 30_000,
     flush_after_ms: int | None = None,
+    event_time: bool = False,
 ):
     """Event-time gap sessionization per user. Sessions split on
     *event-time* gaps > ``gap_ms`` (same boundaries as batch
-    ``F.session_window``); the *processing-time* timeout only flushes
-    the still-open trailing session once the group goes quiet. Late
-    cross-batch events merge into the open session (best-effort without
-    a watermark buffer)."""
+    ``F.session_window``); the timeout only flushes the still-open
+    trailing session. With ``event_time`` the flush is watermark-driven
+    (deterministic: once the watermark passes last_event + gap no
+    earlier event can arrive, so the session is definitively closed);
+    otherwise a processing-time inactivity timer flushes it. Late
+    cross-batch events merge into the open session (best-effort in
+    processing-time mode; impossible by construction in event-time mode
+    once flushed)."""
     gap_us = gap_ms * 1000
     if state.hasTimedOut:
         sessions = [tuple(state.get)] if state.exists else []
@@ -120,9 +125,16 @@ def _session_fn(
             start, last, n = min(start, t), max(last, t), n + 1
     if start is not None:
         state.update((int(start), int(last), int(n)))
-        # inactivity flush; override for test/replay scenarios where the
-        # event-time gap is far longer than tolerable wall-clock wait
-        state.setTimeoutDuration(int(flush_after_ms or gap_ms))
+        if event_time:
+            # flush when the watermark passes session end; Spark
+            # requires the timeout timestamp to be beyond the current
+            # watermark, so clamp for sessions already closable
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last // 1000 + gap_ms, wm + 1))
+        else:
+            # inactivity flush; override for replay scenarios where the
+            # event-time gap far exceeds tolerable wall-clock wait
+            state.setTimeoutDuration(int(flush_after_ms or gap_ms))
     yield _sessions_df(key, closed, gap_us)
 
 
@@ -130,23 +142,44 @@ def sessionize(
     events: DataFrame,
     gap_ms: int = 30_000,
     flush_after_ms: int | None = None,
+    event_time: bool = False,
+    watermark_delay: str = "10 seconds",
 ) -> DataFrame:
     """Inactivity-gap sessionization (custom stateful streaming op).
     Input needs ``user_id`` and micros-precision ``ts`` columns.
     Session boundaries are event-time gaps > ``gap_ms`` — identical to
     batch ``F.session_window(ts, gap)`` (see workloads.
-    event_session_stats); ``flush_after_ms`` controls only how long an
-    idle open session waits (wall-clock) before being emitted."""
+    event_session_stats).
+
+    Flush modes for the open trailing session:
+
+    - ``event_time=True`` (production): a watermark (``watermark_delay``
+      behind max event time) drives an event-time timeout — sessions
+      emit deterministically as data arrives, independent of wall
+      clock, and state is bounded by the watermark.
+    - default: a processing-time inactivity timer (``flush_after_ms``
+      or the gap) — useful for replay/testing where event time is far
+      from wall time.
+    """
     import functools
 
+    if event_time:
+        events = events.withWatermark("ts", watermark_delay)
     return events.groupBy("user_id").applyInPandasWithState(
         functools.partial(
-            _session_fn, gap_ms=gap_ms, flush_after_ms=flush_after_ms
+            _session_fn,
+            gap_ms=gap_ms,
+            flush_after_ms=flush_after_ms,
+            event_time=event_time,
         ),
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if event_time
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

@@ -420,3 +420,57 @@ def test_stream_stream_join_bounded_state(spark, tmp_path):
         (1, "2024-01-01 10:00:00", "2024-01-01 10:04:00"),
         (2, "2024-01-01 10:03:00", "2024-01-01 10:04:30"),
     }
+
+
+def test_sessionize_event_time_flush_deterministic(spark, tmp_path):
+    """Event-time mode: the watermark, not wall clock, flushes closed
+    sessions — replaying historical data emits them immediately."""
+    src = tmp_path / "et_in"
+    src.mkdir()
+    (
+        spark.createDataFrame(
+            [
+                (1, "2024-01-01 10:00:00"),
+                (1, "2024-01-01 10:00:05"),
+                (2, "2024-01-01 10:00:01"),
+            ],
+            ["user_id", "ts_s"],
+        )
+        .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+        .coalesce(1)
+        .write.parquet(str(src / "b1"))
+    )
+    # a much later event advances the watermark far past every open
+    # session's (last + gap), firing their event-time timeouts
+    (
+        spark.createDataFrame([(1, "2024-01-01 12:00:00")], ["user_id", "ts_s"])
+        .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+        .coalesce(1)
+        .write.parquet(str(src / "b2"))
+    )
+    sessions = sessionize(
+        stream_ingest_files(
+            spark,
+            str(src / "*"),
+            "user_id BIGINT, ts TIMESTAMP",
+            max_files_per_trigger=1,
+        ),
+        gap_ms=60_000,
+        event_time=True,
+        watermark_delay="1 second",
+    )
+    out = _run_sessions_until(
+        spark,
+        sessions,
+        str(tmp_path / "et_out"),
+        str(tmp_path / "et_ckpt"),
+        n_expected=2,
+        timeout_s=180,
+    )
+    got = {(r.user_id, str(r.session_start), r.n_events) for r in out.collect()}
+    # user 1's 10:00 session (2 events, 5s apart < 60s gap) and user
+    # 2's single-event session flushed by the watermark; user 1's
+    # 12:00 session is still open (watermark never passed its end)
+    assert (1, "2024-01-01 10:00:00", 2) in got
+    assert (2, "2024-01-01 10:00:01", 1) in got
+    assert all(not (u == 1 and s.startswith("2024-01-01 12")) for u, s, _ in got)
