@@ -77,3 +77,68 @@ def table_stats(spark: SparkSession, path: str) -> DataFrame:
         [(path, data_file_count(spark, path), fs.dir_bytes(spark, path), rows)],
         "path STRING, n_files INT, total_bytes BIGINT, n_rows BIGINT",
     )
+
+
+def _zvalue(bucket_cols: list, bits: int) -> "F.Column":
+    """Interleave the low ``bits`` bits of each bucketed column into one
+    Morton (Z-order) value — pure bitwise column expressions, codegen'd."""
+    z = F.lit(0).cast("long")
+    width = len(bucket_cols)
+    for b in range(bits):
+        for i, c in enumerate(bucket_cols):
+            bit = F.shiftright(c, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * width + i))
+    return z
+
+
+def zorder_layout(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    n_files: int | None = None,
+    bits: int = 8,
+) -> None:
+    """Rewrite ``path`` in Z-order on ``cols`` so min/max row-group
+    stats skip files for selective predicates on ANY of the columns —
+    where ``optimize_layout`` (linear sort) only serves its leading
+    column. This is the Delta/Iceberg OPTIMIZE ZORDER technique
+    expressed with plain Spark ops:
+
+    1. bucket each column to ``2**bits`` uniform buckets between its
+       min and max (one tiny agg pass for the bounds);
+    2. interleave bucket bits into a Morton value (bitwise exprs);
+    3. ``repartitionByRange`` + sort on the Morton value, atomic swap.
+
+    Uniform bucketing trades skew-robustness for zero extra passes;
+    heavily skewed layout keys should pre-transform (e.g. log) or use
+    the linear ``optimize_layout`` on the dominant column.
+    """
+    df = spark.read.parquet(path)
+    n_buckets = 2**bits
+    # one scan for all bounds
+    bounds = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).first()
+    bucketed = []
+    for c in cols:
+        lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+        col = F.col(c).cast("double")
+        lo_c, hi_c = F.lit(lo).cast("double"), F.lit(hi).cast("double")
+        frac = F.when(
+            hi_c > lo_c, (col - lo_c) / (hi_c - lo_c)
+        ).otherwise(F.lit(0.0))
+        bucketed.append(
+            F.least(
+                F.floor(frac * n_buckets).cast("long"),
+                F.lit(n_buckets - 1),
+            )
+        )
+    parts = n_files or df.rdd.getNumPartitions()
+    staged = (
+        df.withColumn("_z", _zvalue(bucketed, bits))
+        .repartitionByRange(parts, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    swap_overwrite(staged, path)

@@ -106,3 +106,48 @@ def test_table_stats_report(spark, tmp_path):
     assert row.n_rows == 100
     assert row.n_files >= 1
     assert row.total_bytes > 0
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path, sf_dir):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.maintenance import (
+        zorder_layout,
+    )
+
+    path = str(tmp_path / "orders_z")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n = orders.count()
+    orders.write.parquet(path)
+
+    def mean_coverage(col):
+        """Average fraction of the column's global range each file's
+        [min,max] spans — 1.0 means no file can ever be skipped."""
+        files = sorted(glob.glob(f"{path}/part-*.parquet"))
+        stats = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            i = next(
+                j
+                for j in range(md.num_columns)
+                if md.row_group(0).column(j).path_in_schema == col
+            )
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(i).statistics
+                los.append(s.min)
+                his.append(s.max)
+            stats.append((min(los), max(his)))
+        glo = min(s[0] for s in stats)
+        ghi = max(s[1] for s in stats)
+        span = float(ghi - glo) or 1.0
+        return sum((hi - lo) / span for lo, hi in stats) / len(stats)
+
+    zorder_layout(spark, path, ["o_custkey", "o_totalprice"], n_files=16)
+    cov_cust = mean_coverage("o_custkey")
+    cov_price = mean_coverage("o_totalprice")
+    # a linear sort gives ~1/16 coverage on its column and ~1.0 on the
+    # other; z-order must narrow BOTH dimensions simultaneously
+    assert cov_cust < 0.6, cov_cust
+    assert cov_price < 0.6, cov_price
+    assert spark.read.parquet(path).count() == n
