@@ -113,6 +113,12 @@ EXPECT: dict[str, dict] = {
     },
     "doc_prep_pipeline": {"pushed": False, "no_smj": True, "hints": 0},
     "emb_label_centroids": {"pushed": True, "no_smj": True, "hints": 0},
+    # Repetition signals: pure column expressions — the bigram-mode
+    # run-length fold must stay inside codegen with no join/exchange.
+    "doc_repetition_stats": {"pushed": False, "no_smj": True, "hints": 0},
+    # Hash-threshold sampling: one codegen'd filter; only the two
+    # projected columns may be read.
+    "doc_stratified_sample": {"pushed": False, "no_smj": True, "hints": 0},
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
