@@ -1084,3 +1084,43 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "events_rollup_incremental",
+    """
+    SELECT date_trunc('hour', ts) AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance proven against the one-pass
+    oracle: the events table is split in two batches, each partially
+    rolled up, and the partials additively merged
+    (``operators/rollup.py``) — the merged result must equal a direct
+    GROUP BY over all events. Refresh cost at scale is O(batch +
+    |rollup|), independent of history size."""
+    from .operators.rollup import rollup_events
+
+    e = _events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    parts = [
+        rollup_events(e.where(F.col("event_id") % 2 == i)) for i in (0, 1)
+    ]
+    merged = (
+        parts[0].unionByName(parts[1])
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("decimal(38,4)").alias("sum_value"),
+        )
+    )
+    return merged.select(
+        "bucket",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )

@@ -151,3 +151,27 @@ def test_zorder_layout_skips_on_both_columns(spark, tmp_path, sf_dir):
     assert cov_cust < 0.6, cov_cust
     assert cov_price < 0.6, cov_price
     assert spark.read.parquet(path).count() == n
+
+
+def test_incremental_rollup_refresh_equals_full_recompute(spark, tmp_path, sf_dir):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.rollup import (
+        incremental_rollup_refresh,
+        rollup_events,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.workloads import _events
+
+    events = _events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    half1 = events.where(F.col("event_id") % 2 == 0)
+    half2 = events.where(F.col("event_id") % 2 == 1)
+    path = str(tmp_path / "rollup")
+
+    incremental_rollup_refresh(spark, half1, path)      # bootstrap
+    out = incremental_rollup_refresh(spark, half2, path)  # fold in rest
+
+    full = rollup_events(events)
+    key = lambda r: (r["bucket"], r["event_type"])
+    got = {key(r): (r["n_events"], r["sum_value"]) for r in out.collect()}
+    want = {key(r): (r["n_events"], r["sum_value"]) for r in full.collect()}
+    assert got == want
+    # schema stays fixed across refreshes (decimal precision pinned)
+    assert dict(out.dtypes)["sum_value"] == "decimal(38,4)"

@@ -87,3 +87,46 @@ def test_sanitize_identifier_always_parquet_legal(name):
     out = sanitize_identifier(name)
     assert not set(out) & set(" ,;{}()\n\t=")
     assert out == out.strip()
+
+
+_TOKEN_ALPHABET = st.sampled_from(["a", "b", "ab", "xy", "z9"])
+_SEP = st.sampled_from([" ", "  ", "\n", " \n "])
+
+
+@st.composite
+def _texts(draw):
+    parts = draw(st.lists(_TOKEN_ALPHABET, min_size=0, max_size=12))
+    seps = [draw(_SEP) for _ in parts]
+    return "".join(t + s for t, s in zip(parts, seps)).rstrip()
+
+
+@given(texts=st.lists(_texts(), min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_repetition_stats_match_python_reference(spark, texts):
+    """with_repetition_stats (codegen fold) vs a direct Python
+    reimplementation on random whitespace/newline-shaped text."""
+    import re
+    from collections import Counter
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        textops,
+    )
+
+    def ref(text):
+        lines = [s.strip() for s in text.split("\n")]
+        lines = [s for s in lines if s]
+        dup = 1.0 - len(set(lines)) / len(lines) if lines else 0.0
+        toks = re.split(r"\s+", text.strip()) if text.strip() else []
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        top = max(Counter(bgs).values()) / len(bgs) if bgs else 0.0
+        return (len(lines), pytest.approx(dup), pytest.approx(top))
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.dup_line_frac, r.top_bigram_frac)
+        for r in textops.with_repetition_stats(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), f"text={t!r}"
