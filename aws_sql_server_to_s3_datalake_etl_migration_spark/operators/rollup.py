@@ -26,23 +26,28 @@ def rollup_events(
     ts_col: str = "ts",
     key_cols: tuple[str, ...] = ("event_type",),
     value_col: str = "value",
+    distinct_col: str | None = None,
 ) -> DataFrame:
     """One time-bucketed aggregate pass: (bucket, keys) ->
-    n_events + exact DECIMAL sum of ``value_col``."""
-    return (
-        events.groupBy(
-            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
-            *[F.col(c) for c in key_cols],
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            # fixed decimal(38,4) so the schema is stable across
-            # refreshes (SUM widens precision otherwise)
-            F.sum(F.col(value_col).cast("decimal(18,4)"))
-            .cast("decimal(38,4)")
-            .alias("sum_value"),
-        )
-    )
+    n_events + exact DECIMAL sum of ``value_col``. With
+    ``distinct_col``, also an HLL sketch of its distinct values —
+    sketches are *mergeable*, which is what makes approximate
+    COUNT DISTINCT maintainable incrementally (exact distinct is not
+    additive and would need the raw history every refresh)."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        # fixed decimal(38,4) so the schema is stable across
+        # refreshes (SUM widens precision otherwise)
+        F.sum(F.col(value_col).cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .alias("sum_value"),
+    ]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("distinct_sketch"))
+    return events.groupBy(
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+        *[F.col(c) for c in key_cols],
+    ).agg(*aggs)
 
 
 def incremental_rollup_refresh(
@@ -53,6 +58,7 @@ def incremental_rollup_refresh(
     ts_col: str = "ts",
     key_cols: tuple[str, ...] = ("event_type",),
     value_col: str = "value",
+    distinct_col: str | None = None,
 ) -> DataFrame:
     """Fold ``new_events`` into the rollup table at ``rollup_path``
     (bootstrap if absent) and atomically swap it. Returns the refreshed
@@ -60,18 +66,34 @@ def incremental_rollup_refresh(
     exactly once (pair with the high-watermark reader,
     operators/incremental.py, which yields exactly the unseen rows).
     """
-    partial = rollup_events(new_events, bucket, ts_col, key_cols, value_col)
+    partial = rollup_events(
+        new_events, bucket, ts_col, key_cols, value_col, distinct_col
+    )
     if fs.path_exists(spark, rollup_path):
         existing = spark.read.parquet(rollup_path)
+        aggs = [
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("decimal(38,4)").alias("sum_value"),
+        ]
+        if distinct_col is not None:
+            aggs.append(
+                F.hll_union_agg("distinct_sketch").alias("distinct_sketch")
+            )
         combined = (
             existing.unionByName(partial)
             .groupBy("bucket", *key_cols)
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("sum_value").cast("decimal(38,4)").alias("sum_value"),
-            )
+            .agg(*aggs)
         )
     else:
         combined = partial
     swap_overwrite(combined, rollup_path)
     return spark.read.parquet(rollup_path)
+
+
+def with_distinct_estimate(
+    rollup: DataFrame, out_col: str = "n_distinct_est"
+) -> DataFrame:
+    """Materialize the HLL estimate from a rollup's sketch column."""
+    return rollup.withColumn(
+        out_col, F.hll_sketch_estimate("distinct_sketch")
+    )

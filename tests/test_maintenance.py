@@ -175,3 +175,51 @@ def test_incremental_rollup_refresh_equals_full_recompute(spark, tmp_path, sf_di
     assert got == want
     # schema stays fixed across refreshes (decimal precision pinned)
     assert dict(out.dtypes)["sum_value"] == "decimal(38,4)"
+
+
+def test_incremental_rollup_hll_sketches_merge_exactly(spark, tmp_path, sf_dir):
+    """HLL sketches are mergeable: incrementally-merged sketches must
+    give the SAME estimate as a one-pass sketch over all data, and land
+    within tolerance of the exact distinct count."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.rollup import (
+        incremental_rollup_refresh,
+        rollup_events,
+        with_distinct_estimate,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.workloads import _events
+
+    events = _events(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value", "user_id"
+    )
+    path = str(tmp_path / "rollup_hll")
+    for i in (0, 1):
+        incremental_rollup_refresh(
+            spark,
+            events.where(F.col("event_id") % 2 == i),
+            path,
+            bucket="day",
+            distinct_col="user_id",
+        )
+    merged = {
+        (r["bucket"], r["event_type"]): r["n_distinct_est"]
+        for r in with_distinct_estimate(
+            spark.read.parquet(path)
+        ).collect()
+    }
+    onepass = {
+        (r["bucket"], r["event_type"]): r["n_distinct_est"]
+        for r in with_distinct_estimate(
+            rollup_events(events, bucket="day", distinct_col="user_id")
+        ).collect()
+    }
+    assert merged == onepass  # union of sketches == sketch of union
+    exact = {
+        (r["bucket"], r["event_type"]): r["n"]
+        for r in events.groupBy(
+            F.date_trunc("day", "ts").alias("bucket"), "event_type"
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, est in merged.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
