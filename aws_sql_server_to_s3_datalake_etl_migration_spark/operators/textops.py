@@ -241,3 +241,51 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("dup_line_frac", dup_line_frac)
         .withColumn("top_bigram_frac", top_bigram_frac)
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf·(N/df) — the
+    tf-idf family with a rational idf instead of the logarithmic one:
+    ranking by tf·N/df orders terms identically to tf·(N/df) under any
+    monotone transform, and the score stays a single integer-ratio
+    division (bit-exact across engines, no libm log variance).
+
+    Shape: explode to (doc, term) pairs, two hash aggregations (term
+    frequency per doc, document frequency per term), one broadcast-able
+    join on term, then a per-doc top-k window. Skew note: df is
+    bounded by N, and the DF table has one row per distinct term —
+    small relative to the corpus; the join side is the aggregated DF
+    table, not raw postings.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = df.select(id_col).distinct().count()
+    docfreq = (
+        toks.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    from pyspark.sql.window import Window
+
+    scored = tf.join(docfreq, "term").withColumn(
+        "score",
+        (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

@@ -968,3 +968,50 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rates=_SAMPLE_RATES,
         default_rate=_SAMPLE_DEFAULT,
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF characteristic terms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_tfidf_topterms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+      WHERE trim(text) <> ''
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    docfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df
+      FROM toks GROUP BY term
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / docfreq.df AS score
+      FROM tf
+      JOIN docfreq USING (term)
+      CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC
+      ) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by the rational tf-idf
+    (tf·N/df — same ordering as log idf, but the score is one exact
+    integer-ratio division, engine-portable)."""
+    out = textops.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

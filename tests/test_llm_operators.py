@@ -353,3 +353,24 @@ def test_stratified_sample_deterministic_and_nested(spark):
     )
     got = {r.s for r in strat.collect()}
     assert got == {"a"} and strat.count() == 1000
+
+
+def test_tfidf_top_terms_ranking(spark):
+    rows = [
+        (1, "apple apple banana"),   # apple tf=2, rare -> top
+        (2, "banana cherry"),
+        (3, "banana dates"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textops.tfidf_top_terms(df, k=2).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.score))
+    top1 = sorted(by_doc[1])[0]
+    # apple: tf=2, df=1, N=3 -> score 6; banana: tf=1, df=3 -> score 1
+    assert top1[1] == "apple" and top1[2] == 6.0
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # rare terms outrank common ones: cherry (df=1, score 3) before
+    # banana (df=3, score 1)
+    assert [t for _, t, _ in sorted(by_doc[2])] == ["cherry", "banana"]
+    assert [t for _, t, _ in sorted(by_doc[3])] == ["dates", "banana"]
