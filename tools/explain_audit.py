@@ -119,6 +119,10 @@ EXPECT: dict[str, dict] = {
     # Hash-threshold sampling: one codegen'd filter; only the two
     # projected columns may be read.
     "doc_stratified_sample": {"pushed": False, "no_smj": True, "hints": 0},
+    # tf-idf: the DF side is aggregated (one row per distinct term), so
+    # the term join must broadcast, not sort-merge; no explicit hints —
+    # AQE decides from runtime stats.
+    "doc_tfidf_topterms": {"pushed": False, "no_smj": True, "hints": 0},
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
