@@ -69,3 +69,23 @@ def stratified_sample(
         F.lit(rate_threshold(default_rate)),
     )
     return df.where(hash_bucket(key_col) < threshold)
+
+
+def content_split(
+    key: Column | str,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    out_names: tuple[str, str, str] = ("train", "val", "test"),
+) -> Column:
+    """Deterministic train/val/test assignment from a CONTENT hash:
+    md5-bucket the key into 100 buckets and carve them
+    train/val/test. Content-keyed (not row-id-keyed) so a document
+    keeps its split across re-ingestions, and exact duplicates land in
+    the same split — train never leaks a copy of a test doc."""
+    c = F.col(key) if isinstance(key, str) else key
+    bucket = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % 100
+    return (
+        F.when(bucket < train_pct, out_names[0])
+        .when(bucket < train_pct + val_pct, out_names[1])
+        .otherwise(out_names[2])
+    )

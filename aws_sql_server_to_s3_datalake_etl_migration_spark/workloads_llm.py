@@ -765,16 +765,15 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     split across re-ingestions and replicas, and co-assigns exact
     duplicates so train never leaks a copy of a test doc. Pure codegen
     column work — no shuffle, no RNG state."""
+    from .operators.sampling import content_split
+
     bucket = (
         F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 100
     )
     return _docs(spark, sf_dir).select(
         "doc_id",
         bucket.alias("bucket"),
-        F.when(bucket < 90, "train")
-        .when(bucket < 95, "val")
-        .otherwise("test")
-        .alias("split"),
+        content_split("text").alias("split"),
     )
 
 
