@@ -84,6 +84,8 @@ EXTENDED = [
     "doc_ngram_jaccard_pairs",
     "doc_repetition_stats",
     "doc_stratified_sample",
+    "doc_tfidf_topterms",
+    "events_rollup_incremental",
     "emb_label_centroids",
     "emb_cosine_topk",
 ]
