@@ -269,12 +269,10 @@ def tfidf_top_terms(
         F.count(F.lit(1)).alias("tf")
     )
     n_docs = df.select(id_col).distinct().count()
-    docfreq = (
-        toks.select(id_col, "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # df falls out of tf for free: tf has exactly one row per
+    # (doc, term), so counting tf rows per term IS the document
+    # frequency — no second explode over the corpus.
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql.window import Window
 
     scored = tf.join(docfreq, "term").withColumn(
