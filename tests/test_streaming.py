@@ -474,3 +474,56 @@ def test_sessionize_event_time_flush_deterministic(spark, tmp_path):
     assert (1, "2024-01-01 10:00:00", 2) in got
     assert (2, "2024-01-01 10:00:01", 1) in got
     assert all(not (u == 1 and s.startswith("2024-01-01 12")) for u, s, _ in got)
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Differential: the real events table streamed through the
+    watermarked tumbling-window agg must produce exactly the batch
+    groupBy(window) result once the watermark closes every window."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.workloads import _events
+
+    events = _events(spark, sf_dir).select("ts", "event_type", "value")
+    batch = {
+        (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_event_counts(events).collect()
+    }
+
+    src = tmp_path / "wde_in"
+    src.mkdir()
+    events.coalesce(1).write.parquet(str(src / "b1"))
+    # far-future row pushes the watermark past every real window's end;
+    # its own window never finalizes, so it cannot appear in the output
+    (
+        spark.createDataFrame(
+            [("2030-01-01 00:00:00", "flush", 0.0)],
+            ["ts_s", "event_type", "value"],
+        )
+        .select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+        .coalesce(1)
+        .write.parquet(str(src / "b2"))
+    )
+    out = str(tmp_path / "wde_out")
+    q = (
+        windowed_event_counts(
+            stream_ingest_files(
+                spark,
+                str(src / "*"),
+                "ts TIMESTAMP, event_type STRING, value DOUBLE",
+                max_files_per_trigger=1,
+            )
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "wde_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    stream = {
+        (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert stream == batch
