@@ -525,13 +525,13 @@ def _doc_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
            n AS n_bytes,
            sha256(t) AS content_sha256,
-           CASE WHEN n = 0 THEN 0 ELSE
+           CAST(CASE WHEN n = 0 THEN 0 ELSE
              list_aggregate(
                list_transform(range(n), i ->
                  16 * (strpos('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1)
                     + (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1)),
                'sum') // n
-           END AS feat_mean
+           END AS BIGINT) AS feat_mean
     FROM b
     """,
 )
