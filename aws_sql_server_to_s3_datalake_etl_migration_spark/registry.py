@@ -73,13 +73,18 @@ def oracles() -> dict[str, str]:
 # entries, so dict order is the official-signal window. This curated
 # prefix packs one representative of every SURVEY §2 component plus the
 # full LLM-pipeline suite (dedup / text analysis / similarity /
-# multimodal / SCD2 / DQ) into that window; near-duplicate analytics
-# aggregates fall after it (they stay registered, tested in pytest, and
-# judge-checkable). Rows-only entries (minhash/simhash/ivf) are also
-# kept out — their accuracy pytests are a stronger signal than a
-# row-count-only driver row.
+# multimodal / SCD2 / DQ) into that window. Round-5 rotation: the 12
+# entries that had never produced an official driver row (the 8 TPC-H
+# gap-fill shapes, tf-idf, repetition stats, stratified sample,
+# incremental rollup) moved in; 12 rows green in BOTH r3 and r4 (scalar
+# trio, grouping/sort/set-op family, one window, one join) rotated out
+# — they stay registered, bench-exercised, and pytest/local-checked.
+# Rows-only entries (minhash/simhash/ivf) are also kept out — their
+# accuracy pytests are a stronger signal than a row-count-only driver
+# row.
 _PRIORITY: tuple[str, ...] = (
     # §2 core: flagship ingest, scans, incremental/merge, recon
+    # (permanently pinned)
     "flagship_policies_ingest",
     "pricing_summary",
     "global_watermark_max",
@@ -87,26 +92,20 @@ _PRIORITY: tuple[str, ...] = (
     "merge_upsert_preview",
     "recon_row_counts",
     "partitioned_orders_pruned_scan",
-    # joins
+    # joins / windows representatives
     "semi_join_active_customers",
-    "anti_join_idle_customers",
     "outer_join_nation_order_stats",
-    # aggregation / grouping variety
-    "group_distinct_counts",
-    "cube_lineitem_flags",
-    "grouping_sets_order_stats",
-    "pivot_status_by_priority",
-    "order_value_percentiles",
-    # sort / set ops / windows
-    "topk_orders",
-    "set_ops_customer_cohorts",
     "window_top_orders_per_segment",
-    "running_customer_spend",
-    # scalar function surface
-    "customer_string_functions",
-    "order_date_functions",
-    "array_hof_surface",
-    # events (time-series) family
+    # TPC-H gap-fill shapes (first driver window r5)
+    "cheapest_part_offers",
+    "product_type_profit",
+    "important_part_value",
+    "priority_shipment_classes",
+    "customer_order_distribution",
+    "top_revenue_suppliers",
+    "part_supplier_variety",
+    "promotable_part_suppliers",
+    # events (time-series) family (first green r4 — keep one more round)
     "events_scalar_functions",
     "events_in_list_filter",
     "events_json_props",
@@ -116,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "event_purchase_attribution",
     "event_error_burst",
     "events_time_rollup",
+    "events_rollup_incremental",
     # LLM pipeline: text analysis + dedup
     "doc_token_stats",
     "doc_lang_id",
@@ -125,8 +125,11 @@ _PRIORITY: tuple[str, ...] = (
     "doc_exact_dedup",
     "doc_ngram_jaccard_pairs",
     "doc_dup_clusters",
-    # LLM pipeline: corpus prep
+    "doc_tfidf_topterms",
+    "doc_repetition_stats",
+    # LLM pipeline: corpus prep + sampling
     "doc_split_assign",
+    "doc_stratified_sample",
     "doc_pack_offsets",
     "doc_normalize_scrub",
     "doc_prep_pipeline",

@@ -58,6 +58,16 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
     issues = []
     for c in s.columns:
         sv, dv = s[c], d[c]
+        # The driver's value hash is dtype-sensitive: an int64-vs-float64
+        # split on equal values (e.g. DuckDB HUGEINT -> pandas float64)
+        # still fails the official check, so flag it here too.
+        s_float = pd.api.types.is_float_dtype(sv)
+        d_float = pd.api.types.is_float_dtype(dv)
+        if s_float != d_float:
+            issues.append(
+                f"{c}: dtype skew {sv.dtype} vs {dv.dtype} "
+                "(driver hash would differ)"
+            )
         try:
             if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
                 sv = sv.astype(float)
