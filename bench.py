@@ -14,7 +14,10 @@ Methodology (disclosed in the JSON):
 - Steady-state timing: each query runs ``ITERATIONS`` times and the
   minimum is reported (first runs pay JVM JIT + whole-stage-codegen
   compilation, which a long-lived cluster session pays once, not per
-  query). ``value`` is the sum of per-query minimums.
+  query). ``value`` is the sum of per-query minimums. The default is 5
+  iterations: round-4 analysis showed min-of-3 admits ~15% run-to-run
+  noise on a shared machine (the same code measured 13.4s and 10.7s an
+  hour apart at 3 vs 6 iters), which swamps real plan regressions.
 """
 
 from __future__ import annotations
@@ -34,7 +37,7 @@ from aws_sql_server_to_s3_datalake_etl_migration_spark.session import (
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 
 # Tables big enough that one-task scans dominate; everything else is
