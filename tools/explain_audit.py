@@ -111,18 +111,34 @@ EXPECT: dict[str, dict] = {
     "dq_orders_report": {
         "pushed": True, "no_smj": True, "hints": 0, "aqe_bhj": True,
     },
-    "doc_prep_pipeline": {"pushed": False, "no_smj": True, "hints": 0},
+    "doc_prep_pipeline": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # n-gram Jaccard: the postings self-join is an equi-join on the
+    # shingle key — SMJ is the sanctioned big-big strategy at scale, but
+    # a nested-loop/cartesian (non-equi condition) or any Python eval
+    # node in the hot path is a regression. The default BNLJ check plus
+    # pure_jvm pin both.
+    "doc_ngram_jaccard_pairs": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
     "emb_label_centroids": {"pushed": True, "no_smj": True, "hints": 0},
     # Repetition signals: pure column expressions — the bigram-mode
     # run-length fold must stay inside codegen with no join/exchange.
-    "doc_repetition_stats": {"pushed": False, "no_smj": True, "hints": 0},
+    "doc_repetition_stats": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
     # Hash-threshold sampling: one codegen'd filter; only the two
     # projected columns may be read.
-    "doc_stratified_sample": {"pushed": False, "no_smj": True, "hints": 0},
+    "doc_stratified_sample": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
     # tf-idf: the DF side is aggregated (one row per distinct term), so
     # the term join must broadcast, not sort-merge; no explicit hints —
     # AQE decides from runtime stats.
-    "doc_tfidf_topterms": {"pushed": False, "no_smj": True, "hints": 0},
+    "doc_tfidf_topterms": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
@@ -190,10 +206,22 @@ def audit(name: str, show: bool = False) -> list[str]:
                 "AQE did not convert the un-hinted join to broadcast at "
                 "this SF"
             )
+    if exp.get("pure_jvm"):
+        # No Python evaluation of any kind in the hot path: every
+        # expression must stay inside codegen/Tungsten.
+        for node in ("ArrowEvalPython", "MapInPandas",
+                     "FlatMapGroupsInPandas"):
+            if node in plan:
+                problems.append(f"{node} in a pure-JVM query")
     if "WholeStageCodegen" not in plan and "codegen id" not in formatted:
         problems.append("no WholeStageCodegen span")
     if "BroadcastNestedLoopJoin" in plan and name not in SCALAR_SUBQUERY_OK:
         problems.append("BroadcastNestedLoopJoin (accidental cross join?)")
+    # Row-at-a-time Python UDFs are never sanctioned anywhere in this
+    # engine — Arrow-batched nodes are allowed only where pure_jvm is
+    # not pinned (multimodal, streaming sessionize).
+    if "BatchEvalPython" in plan:
+        problems.append("BatchEvalPython (row-at-a-time Python UDF)")
     return problems
 
 
