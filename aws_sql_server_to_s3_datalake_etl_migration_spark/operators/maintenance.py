@@ -113,17 +113,44 @@ def zorder_layout(
     heavily skewed layout keys should pre-transform (e.g. log) or use
     the linear ``optimize_layout`` on the dominant column.
     """
+    from pyspark.sql import types as T
+
     df = spark.read.parquet(path)
     n_buckets = 2**bits
-    # one scan for all bounds
+    # Z-ordering a column whose values can't be bucketed (non-numeric,
+    # all null, or constant) would silently send every row to bucket 0
+    # — the caller gets a rewrite that claims Z-order with zero skipping
+    # effect on that column. Validate up front instead.
+    orderable = (T.NumericType, T.DateType, T.TimestampType,
+                 T.TimestampNTZType)
+    norm: dict[str, "F.Column"] = {}
+    for c in cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, orderable):
+            raise ValueError(
+                f"zorder_layout: column {c!r} has non-orderable type "
+                f"{dt.simpleString()}; cast or pre-transform it first"
+            )
+        # dates can't cast straight to double — go through timestamp
+        col = F.col(c).cast("timestamp") if isinstance(dt, T.DateType) \
+            else F.col(c)
+        norm[c] = col.cast("double")
+    # one scan for all bounds (normalized so date/timestamp mins come
+    # back as doubles we can compare)
     bounds = df.agg(
-        *[F.min(c).alias(f"lo_{c}") for c in cols],
-        *[F.max(c).alias(f"hi_{c}") for c in cols],
+        *[F.min(norm[c]).alias(f"lo_{c}") for c in cols],
+        *[F.max(norm[c]).alias(f"hi_{c}") for c in cols],
     ).first()
     bucketed = []
     for c in cols:
         lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
-        col = F.col(c).cast("double")
+        if lo is None or hi is None or not hi > lo:
+            raise ValueError(
+                f"zorder_layout: column {c!r} has degenerate bounds "
+                f"[{lo}, {hi}] (all-null or constant); it cannot "
+                "contribute to the Z-order — drop it from cols"
+            )
+        col = norm[c]
         lo_c, hi_c = F.lit(lo).cast("double"), F.lit(hi).cast("double")
         frac = F.when(
             hi_c > lo_c, (col - lo_c) / (hi_c - lo_c)

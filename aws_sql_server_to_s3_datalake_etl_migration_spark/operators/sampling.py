@@ -83,7 +83,13 @@ def content_split(
     keeps its split across re-ingestions, and exact duplicates land in
     the same split — train never leaks a copy of a test doc."""
     c = F.col(key) if isinstance(key, str) else key
-    bucket = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % 100
+    # Same string normalization as hash_bucket: md5 over a raw non-string
+    # column would hash an engine-specific binary representation (or fail
+    # analysis), breaking the "same split on any engine" guarantee.
+    bucket = (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
     return (
         F.when(bucket < train_pct, out_names[0])
         .when(bucket < train_pct + val_pct, out_names[1])

@@ -20,9 +20,19 @@ operators here reduce to equi-shuffles:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# "<n> <unit>" — the only tolerance shape asof_join splices into
+# F.expr(f"INTERVAL ...").
+_TOLERANCE_RE = re.compile(
+    r"\s*\d+\s+"
+    r"(microsecond|millisecond|second|minute|hour|day|week)s?\s*",
+    re.IGNORECASE,
+)
 
 
 def asof_join(
@@ -49,6 +59,15 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
+    if tolerance is not None and not _TOLERANCE_RE.fullmatch(tolerance):
+        # tolerance is spliced into F.expr(f"INTERVAL {tolerance}") below;
+        # reject anything but "<n> <unit>" here so a malformed value (or
+        # an arbitrary expression) fails loudly at the call site instead
+        # of as a cryptic parse error inside Catalyst.
+        raise ValueError(
+            f"tolerance must look like '<n> <unit>' (e.g. '1 hour', "
+            f"'90 seconds'): {tolerance!r}"
+        )
     r = (
         right.select(F.col(on), F.col(ts_col))
         .distinct()

@@ -152,6 +152,12 @@ def _catalog_order() -> list[str]:
     a bug — fail loudly rather than silently shrinking the window."""
     missing = [n for n in _PRIORITY if n not in _REGISTRY]
     if missing:
-        raise KeyError(f"priority list names unregistered queries: {missing}")
+        raise KeyError(
+            f"priority list names unregistered queries: {missing} — "
+            "queries register at module import time, so import the "
+            "workloads aggregator (aws_sql_server_to_s3_datalake_etl_"
+            "migration_spark.workloads pulls in every workload module) "
+            "before calling queries()/oracles()"
+        )
     rest = [n for n in _REGISTRY if n not in set(_PRIORITY)]
     return list(_PRIORITY) + rest

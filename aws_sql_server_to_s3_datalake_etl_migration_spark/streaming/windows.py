@@ -110,19 +110,25 @@ def _session_fn(
     for pdf in pdfs:
         ts = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
         ts_us.extend(int(t) for t in ts.tolist())
-    ts_us.sort()
-    start = last = n = None
+    # Fold the stored open session in as an *interval* item, ordered by
+    # its start. A cross-batch event earlier than the stored start then
+    # sessionizes on its own timeline: if it sits more than gap before
+    # the stored session it closes as a separate session rather than
+    # folding in via min(start, t) and silently spanning a gap > gap_ms.
+    items: list[tuple[int, int, int]] = [(t, t, 1) for t in ts_us]
     if state.exists:
-        start, last, n = state.get
+        items.append(tuple(state.get))
+    items.sort()
+    start = last = n = None
     closed: list[tuple[int, int, int]] = []
-    for t in ts_us:
+    for lo, hi, cnt in items:
         if start is None:
-            start, last, n = t, t, 1
-        elif t - last > gap_us:
+            start, last, n = lo, hi, cnt
+        elif lo - last > gap_us:
             closed.append((start, last, n))
-            start, last, n = t, t, 1
+            start, last, n = lo, hi, cnt
         else:
-            start, last, n = min(start, t), max(last, t), n + 1
+            last, n = max(last, hi), n + cnt
     if start is not None:
         state.update((int(start), int(last), int(n)))
         if event_time:

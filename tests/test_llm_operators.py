@@ -374,3 +374,19 @@ def test_tfidf_top_terms_ranking(spark):
     # banana (df=3, score 1)
     assert [t for _, t, _ in sorted(by_doc[2])] == ["cherry", "banana"]
     assert [t for _, t, _ in sorted(by_doc[3])] == ["dates", "banana"]
+
+
+def test_asof_join_rejects_malformed_tolerance(spark):
+    """tolerance is spliced into F.expr(f"INTERVAL ...") — anything but
+    '<n> <unit>' must fail loudly at the call site (round-4 advisory)."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.temporal import asof_join
+
+    df = spark.createDataFrame([(1, 10)], ["user_id", "us"]).select(
+        "user_id", F.timestamp_micros("us").alias("ts")
+    )
+    for bad in ("1 fortnight", "'; drop", "hour", "1hour", "1 hour + 2"):
+        with pytest.raises(ValueError, match="tolerance"):
+            asof_join(df, df, on="user_id", tolerance=bad)
+    # the documented shapes still pass validation
+    asof_join(df, df, on="user_id", tolerance="90 seconds")
+    asof_join(df, df, on="user_id", tolerance="1 HOUR")

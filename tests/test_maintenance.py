@@ -223,3 +223,30 @@ def test_incremental_rollup_hll_sketches_merge_exactly(spark, tmp_path, sf_dir):
     }
     for k, est in merged.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_zorder_layout_rejects_degenerate_columns(spark, tmp_path):
+    """Z-ordering a constant, all-null, or non-numeric column would
+    silently bucket every row to 0 (zero skipping effect) — the rewrite
+    must refuse instead (round-4 advisory)."""
+    import pytest
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.maintenance import (
+        zorder_layout,
+    )
+
+    path = str(tmp_path / "zt")
+    spark.createDataFrame(
+        [(i, 7, None, f"s{i}") for i in range(100)],
+        "a INT, const INT, nul INT, s STRING",
+    ).write.parquet(path)
+
+    with pytest.raises(ValueError, match="non-orderable"):
+        zorder_layout(spark, path, ["a", "s"])
+    with pytest.raises(ValueError, match="degenerate bounds"):
+        zorder_layout(spark, path, ["a", "const"])
+    with pytest.raises(ValueError, match="degenerate bounds"):
+        zorder_layout(spark, path, ["a", "nul"])
+    # valid columns still rewrite fine
+    zorder_layout(spark, path, ["a"], n_files=2)
+    assert spark.read.parquet(path).count() == 100

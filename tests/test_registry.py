@@ -52,7 +52,10 @@ def test_catalog_window_is_curated_and_oracled():
         "merge_upsert_preview",
         "recon_row_counts",
         "window_top_orders_per_segment",
-        "set_ops_customer_cohorts",
+        "cheapest_part_offers",
+        "doc_tfidf_topterms",
+        "doc_stratified_sample",
+        "events_rollup_incremental",
         "events_scalar_functions",
         "events_time_rollup",
         "doc_exact_dedup",

@@ -527,3 +527,71 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path, sf_dir):
         for r in spark.read.parquet(out).collect()
     }
     assert stream == batch
+
+
+def test_session_fn_pre_session_early_event_splits():
+    """Processing-time mode, cross-batch out-of-order arrival: an event
+    more than gap BEFORE the stored open session's start must close as
+    its own session, not fold in via min(start, t) and produce a
+    session spanning a gap larger than gap_ms (round-4 advisory)."""
+    import pandas as pd
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming.windows import (
+        _session_fn,
+    )
+
+    class FakeState:
+        hasTimedOut = False
+
+        def __init__(self, value):
+            self._v = value
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    gap_ms = 2_000
+    gap_us = gap_ms * 1000
+    # stored open session: [100s, 101s], 3 events
+    state = FakeState((100_000_000, 101_000_000, 3))
+    # new batch: one event 10s (5 gaps) BEFORE the stored start
+    early_us = 100_000_000 - 5 * gap_us
+    batch = pd.DataFrame(
+        {"ts": [pd.Timestamp(early_us, unit="us")]}
+    )
+    out = pd.concat(
+        _session_fn((7,), [batch], state, gap_ms=gap_ms)
+    )
+    # the early event closed as a standalone session...
+    assert len(out) == 1
+    assert out.iloc[0]["n_events"] == 1
+    assert out.iloc[0]["session_start"] == pd.Timestamp(early_us, unit="us")
+    # ...and the stored session is still open, gap invariant intact
+    assert state.get == (100_000_000, 101_000_000, 3)
+
+    # sanity: an in-gap event still merges (no over-splitting)
+    state2 = FakeState((100_000_000, 101_000_000, 3))
+    near_us = 100_000_000 - gap_us // 2
+    out2 = pd.concat(
+        _session_fn(
+            (7,),
+            [pd.DataFrame({"ts": [pd.Timestamp(near_us, unit="us")]})],
+            state2,
+            gap_ms=gap_ms,
+        )
+    )
+    assert len(out2) == 0
+    assert state2.get == (near_us, 101_000_000, 4)
