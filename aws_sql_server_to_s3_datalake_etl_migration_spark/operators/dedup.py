@@ -107,14 +107,27 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Banded-LSH near-duplicate pairs with MinHash-estimated Jaccard.
 
     rows-per-band r = num_hashes/bands; two docs collide when any band
-    of their signatures is identical (p = 1-(1-j^r)^b). Candidates come
-    from an equi-join on (band_idx, band_hash); the estimate is the
-    fraction of matching signature positions; pairs below ``threshold``
-    are dropped.
+    of their signatures is identical (p = 1-(1-j^r)^b). Candidates are
+    generated inside each (band_idx, band_hash) bucket with the fused
+    postings formulation (``collect_list`` + a codegen nested
+    transform over the sorted member list) rather than a self-join, so
+    a bucket of k docs costs one group of k rows plus its
+    C(k,2) output pairs and nothing else.
+
+    Skew guard: buckets with more than ``max_bucket_size`` members are
+    dropped before pair generation. A hot bucket is quadratic by
+    nature — 10⁶ boilerplate docs sharing a band hash would emit
+    5·10¹¹ candidates and sink the stage. The recall cost is explicit:
+    all pairs whose ONLY collision is a hot bucket are lost, which in
+    practice means template/boilerplate families past the cap —
+    exact-dedup first (the composed pipeline does) and they never get
+    that big. Memory stays bounded too: a capped group holds at most
+    ``max_bucket_size`` × (id + num_hashes·8 B) ≈ 264 KB at defaults.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -136,22 +149,36 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select(id_col, "minhash", "band.band_idx", "band.band_hash")
-    left = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col("minhash").alias("mh_a"),
-        "band_idx",
-        "band_hash",
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col("minhash").alias("mh_b"),
-        "band_idx",
-        "band_hash",
+    members = F.array_sort(F.col("members"))  # struct sort: id first
+    pair_structs = F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + F.lit(2), F.size(members)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["mh"].alias("mh_a"),
+                    y["mh"].alias("mh_b"),
+                ),
+            ),
+        )
     )
     cand = (
-        left.join(right, ["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "mh_a", "mh_b")
+        banded.groupBy("band_idx", "band_hash")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"), F.col("minhash").alias("mh")
+                )
+            ).alias("members")
+        )
+        .where(
+            (F.size("members") >= 2)
+            & (F.size("members") <= max_bucket_size)
+        )
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.mh_a", "p.mh_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     est = (
