@@ -12,6 +12,9 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from aws_sql_server_to_s3_datalake_etl_migration_spark.functions.names import (
     sanitize_identifier,
 )
+from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.temporal import (
+    asof_join,
+)
 
 from conftest import SF_SMOKE
 
@@ -130,3 +133,83 @@ def test_repetition_stats_match_python_reference(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == ref(t), f"text={t!r}"
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 30)),
+        min_size=1, max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 30)),
+        min_size=0, max_size=25,
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join == pandas merge_asof across backward/forward ×
+    tolerance × duplicate right timestamps × keys with no right rows
+    (the advertised semantics, operators/temporal.py)."""
+    import pandas as pd
+
+    ldf = (
+        spark.createDataFrame(
+            [(i, k, t * 1_000_000) for i, (k, t) in enumerate(left)],
+            ["event_id", "user_id", "us"],
+        ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+    )
+    rdf_rows = [(k, t * 1_000_000) for k, t in right]
+    rdf = spark.createDataFrame(
+        rdf_rows or [(None, None)], "user_id BIGINT, us BIGINT"
+    ).where(F.col("us").isNotNull()).select(
+        "user_id", F.timestamp_micros("us").alias("ts")
+    )
+
+    lpd = pd.DataFrame(
+        {
+            "event_id": range(len(left)),
+            "user_id": [k for k, _ in left],
+            "ts": pd.to_datetime([t for _, t in left], unit="s"),
+        }
+    ).sort_values("ts", kind="mergesort")
+    rpd = (
+        pd.DataFrame(
+            {
+                "user_id": pd.Series(
+                    [k for k, _ in right], dtype="int64"
+                ),
+                "ts": pd.to_datetime([t for _, t in right], unit="s"),
+            }
+        )
+        .drop_duplicates()
+        .sort_values("ts", kind="mergesort")
+    )
+
+    for direction in ("backward", "forward"):
+        for tolerance in (None, "5 seconds"):
+            got = {
+                r["event_id"]: r["matched_ts"]
+                for r in asof_join(
+                    ldf, rdf, on="user_id",
+                    direction=direction, tolerance=tolerance,
+                ).collect()
+            }
+            expected = pd.merge_asof(
+                lpd,
+                rpd.rename(columns={"ts": "matched_ts"}),
+                left_on="ts",
+                right_on="matched_ts",
+                by="user_id",
+                direction=direction,
+                tolerance=None if tolerance is None
+                else pd.Timedelta(seconds=5),
+            )
+            for _, row in expected.iterrows():
+                want = (
+                    None if pd.isna(row["matched_ts"])
+                    else row["matched_ts"].to_pydatetime()
+                )
+                assert got[row["event_id"]] == want, (
+                    direction, tolerance, row["event_id"],
+                    got[row["event_id"]], want,
+                )
