@@ -229,6 +229,19 @@ def _delta_live_files(
         start = v
     todo = [v for v in commits if v > start]
     if todo:
+        # The Delta protocol commits versions contiguously; a gap means
+        # the log was partially synced/truncated without a covering
+        # checkpoint. Replaying across it would silently skip a commit's
+        # adds/removes — refuse instead of returning half a table.
+        # without a checkpoint the replay must start at version 0
+        first = start + 1 if checkpoints else 0
+        expected = list(range(first, first + len(todo)))
+        if todo != expected:
+            raise ValueError(
+                f"Delta log at {path} is not contiguous above version "
+                f"{start} (found commits {todo}); refusing to replay a "
+                "torn log — restore the missing commit or a checkpoint"
+            )
         texts = dict(
             spark.sparkContext.wholeTextFiles(
                 ",".join(f"{log_dir}/{v:020d}.json" for v in todo)
@@ -237,10 +250,20 @@ def _delta_live_files(
         for v in todo:
             suffix = f"{v:020d}.json"
             content = next(t for k, t in texts.items() if k.endswith(suffix))
-            for line in content.splitlines():
+            for i, line in enumerate(content.splitlines(), start=1):
                 if not line.strip():
                     continue
-                action = json.loads(line)
+                try:
+                    action = json.loads(line)
+                except json.JSONDecodeError as e:
+                    # A torn write (crashed single writer, partial copy)
+                    # truncates the last line. Applying the commit's
+                    # earlier lines but not the torn one would expose a
+                    # state no writer ever committed — reject the table.
+                    raise ValueError(
+                        f"torn or corrupt Delta commit {suffix} at "
+                        f"line {i} of table {path}: {e}"
+                    ) from e
                 if "add" in action:
                     live[action["add"]["path"]] = True
                 elif "remove" in action:

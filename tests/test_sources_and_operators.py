@@ -432,3 +432,47 @@ def test_sql_over_view_concurrent_same_named_paths(spark, tmp_path):
         ).first()["n"]
         == 5
     )
+
+
+def test_read_delta_fallback_rejects_torn_log(spark, tmp_path):
+    """A torn commit line or a version gap must fail the read loudly —
+    half-applying a commit (or silently skipping one) would expose a
+    table state no writer ever committed (round-4 advisory)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import read_delta
+
+    path = tmp_path / "torn_table"
+    path.mkdir()
+    log = path / "_delta_log"
+    log.mkdir()
+    spark.range(0, 10).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "one")
+    )
+    import glob as _glob
+    import shutil
+
+    src = _glob.glob(str(tmp_path / "one" / "part-*.parquet"))[0]
+    shutil.copy(src, str(path / "f0.parquet"))
+    (log / f"{0:020d}.json").write_text(
+        _json.dumps({"add": {"path": "f0.parquet", "dataChange": True}})
+    )
+    assert read_delta(spark, str(path)).count() == 10
+
+    # torn write: commit 1's second line truncated mid-JSON
+    (log / f"{1:020d}.json").write_text(
+        _json.dumps({"remove": {"path": "f0.parquet", "dataChange": True}})
+        + '\n{"add": {"path": "f1.parq'
+    )
+    with _pytest.raises(ValueError, match="torn or corrupt"):
+        read_delta(spark, str(path)).count()
+
+    # version gap: commit 1 missing entirely, commit 2 present
+    (log / f"{1:020d}.json").unlink()
+    (log / f"{2:020d}.json").write_text(
+        _json.dumps({"add": {"path": "f0.parquet", "dataChange": True}})
+    )
+    with _pytest.raises(ValueError, match="not contiguous"):
+        read_delta(spark, str(path)).count()
