@@ -1,0 +1,149 @@
+"""Superlinearity probe for the text/dedup/events family.
+
+Builds a K×-scaled copy of the sf0.1 documents / events / embeddings
+tables (ids remapped per copy; document text perturbed with a
+copy-specific token so the scaled corpus doesn't degenerate into
+artificial exact-duplicate triples), runs the doc/event/emb extended
+queries at 1× and K×, and prints per-query scaling ratios. A
+linear-work query should land near K; candidate-pair generators may
+run hotter (pair count grows with genuine near-dup density) but must
+stay far from K² — that's the superlinear surprise this probe exists
+to catch before a real cluster does.
+
+Usage: python tools/bench_scaling.py [K]   (default 3)
+Output: one JSON line {"scale": K, "queries": {name: {"t1": s,
+"tk": s, "ratio": r}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from aws_sql_server_to_s3_datalake_etl_migration_spark import workloads
+from aws_sql_server_to_s3_datalake_etl_migration_spark.session import (
+    default_parallelism,
+    get_spark,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+
+SCALED = ("documents", "events", "embeddings")
+COPIED = (
+    "region nation customer supplier part orders lineitem"
+).split()
+
+QUERIES = [
+    "doc_token_stats",
+    "doc_exact_dedup",
+    "doc_ngram_jaccard_pairs",
+    "doc_repetition_stats",
+    "doc_stratified_sample",
+    "doc_tfidf_topterms",
+    "doc_prep_pipeline",
+    "events_rollup_incremental",
+    "events_hourly_counts",
+    "emb_label_centroids",
+    "emb_cosine_topk",
+]
+
+
+def build_scaled_dir(spark, k: int) -> str:
+    dst = os.path.join(REPO_ROOT, ".lake_cache", f"scale_x{k}")
+    marker = os.path.join(dst, "_PREPPED")
+    if os.path.exists(marker):
+        return dst
+    os.makedirs(dst, exist_ok=True)
+    n_files = default_parallelism()
+    for t in COPIED:
+        src = f"{SF_DIR}/{t}.parquet"
+        out = f"{dst}/{t}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, out, dirs_exist_ok=True)
+        else:
+            os.makedirs(out, exist_ok=True)
+            shutil.copy(src, os.path.join(out, "part-00000.parquet"))
+    for t in SCALED:
+        df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        copies = []
+        for c in range(k):
+            off = 10_000_000 * c
+            cp = df
+            if t == "documents":
+                cp = cp.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(off)
+                )
+                if c > 0:  # perturb so copies aren't exact dupes
+                    cp = cp.withColumn(
+                        "text",
+                        F.concat(F.col("text"), F.lit(f" copytoken{c}")),
+                    )
+            elif t == "events":
+                cp = cp.withColumn(
+                    "event_id", F.col("event_id") + F.lit(off)
+                ).withColumn("user_id", F.col("user_id") + F.lit(off))
+            else:
+                cp = cp.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(off)
+                )
+            copies.append(cp)
+        out = copies[0]
+        for cp in copies[1:]:
+            out = out.unionByName(cp)
+        out.repartition(n_files).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return dst
+
+
+def time_queries(spark, qs, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name in QUERIES:
+        best = None
+        for _ in range(max(1, ITERATIONS)):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        out[name] = round(best, 3)
+        print(f"# {os.path.basename(sf_dir)} {name}: {out[name]}s",
+              file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    spark = get_spark(app_name="bench-scaling")
+    qs = workloads.queries()
+    scaled_dir = build_scaled_dir(spark, k)
+    # 1x baseline re-split the same way so file layout isn't a variable
+    base_dir = build_scaled_dir(spark, 1)
+    t1 = time_queries(spark, qs, base_dir)
+    tk = time_queries(spark, qs, scaled_dir)
+    result = {
+        "scale": k,
+        "queries": {
+            n: {
+                "t1": t1[n],
+                "tk": tk[n],
+                "ratio": round(tk[n] / t1[n], 2) if t1[n] else None,
+            }
+            for n in QUERIES
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
