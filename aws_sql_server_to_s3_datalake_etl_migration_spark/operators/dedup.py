@@ -569,3 +569,63 @@ def connected_components(
         )
     finally:
         edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Train/eval decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_flags(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Per-training-doc n-gram overlap with an evaluation set — the
+    standard pre-training decontamination check (flag and drop train
+    docs that contain verbatim eval n-grams, so benchmark answers
+    don't leak into the corpus).
+
+    Scale shape: the eval side collapses to DISTINCT grams (one row
+    per gram, no doc ids — eval corpora are small, and even a big one
+    dedupes hard), then a single equi-join against the train posting
+    list and a count per train doc: O(train grams + eval grams +
+    matches), never pairwise. The join key is the gram itself and the
+    per-doc gram lists are already distinct (``word_shingles``), so a
+    stop-gram can contribute at most one match per train doc — no
+    quadratic bucket to cap.
+
+    Returns one row per train doc: ``n_grams``,
+    ``n_contaminated_grams`` (distinct grams shared with the eval
+    set), and ``contaminated`` (>= ``min_overlap`` shared grams).
+    """
+    sh = word_shingles(text_col, n)
+    t_grams = train.select(
+        F.col(id_col), F.explode(sh).alias("gram")
+    )
+    e_grams = eval_df.select(F.explode(sh).alias("gram")).distinct()
+    overlap = (
+        t_grams.join(e_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    sizes = train.select(
+        F.col(id_col), F.size(sh).cast("long").alias("n_grams")
+    )
+    return (
+        sizes.join(overlap, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_contaminated_grams", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_grams"),
+            (
+                F.coalesce("n_contaminated_grams", F.lit(0))
+                >= F.lit(min_overlap)
+            ).alias("contaminated"),
+        )
+    )

@@ -95,3 +95,43 @@ def content_split(
         .when(bucket < train_pct + val_pct, out_names[1])
         .otherwise(out_names[2])
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 256,
+) -> DataFrame:
+    """Deterministic global shuffle for training order, materialized
+    the way a 100 TB corpus actually ships: a content-hashed shard
+    assignment plus a within-shard position. Consuming shards in
+    order of (shard, shard_pos) IS the shuffled order — equivalent to
+    ``ORDER BY md5(key), key`` — but no single-partition global
+    window is involved: the rank partitions by shard
+    (parallelism = ``n_shards``), so the op scales as an ordinary
+    shuffle instead of funneling the corpus through one task.
+
+    md5 (not xxhash64) so the order is engine-portable and stable
+    across re-runs; ties on the full hash break by the key itself.
+    Adds ``shard`` and ``shard_pos`` columns.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(
+        (F.col(key_col) if not isinstance(key_col, str)
+         else F.col(key_col)).cast("string")
+    )
+    out = df.withColumn("_h", h).withColumn(
+        "shard",
+        (
+            F.conv(F.substring("_h", 1, 8), 16, 10).cast("long")
+            % n_shards
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_h"), F.col(key_col)
+    )
+    return (
+        out.withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )

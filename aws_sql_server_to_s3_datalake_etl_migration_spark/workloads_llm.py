@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, similarity, textops
+from .operators import dedup, multimodal, sampling, similarity, textops
 from .registry import register
 from .sources.readers import read_table_dir
 
@@ -1014,3 +1014,82 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-ratio division, engine-portable)."""
     out = textops.tfidf_top_terms(_docs(spark, sf_dir), k=3)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Decontamination and deterministic shuffle (round 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_decontamination",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 1),
+                                        i -> array_to_string(w[i:i+2], ' '))
+               END) AS gs
+      FROM toks
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 41 = 0
+    ),
+    train AS (SELECT doc_id, gs FROM grams WHERE doc_id % 41 <> 0),
+    posts AS (SELECT doc_id, unnest(gs) AS gram FROM train),
+    ov AS (
+      SELECT doc_id, COUNT(*) AS n_hit
+      FROM posts JOIN eval_grams USING (gram)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.gs) AS BIGINT) AS n_grams,
+           CAST(COALESCE(ov.n_hit, 0) AS BIGINT) AS n_contaminated_grams,
+           COALESCE(ov.n_hit, 0) >= 5 AS contaminated
+    FROM train t LEFT JOIN ov USING (doc_id)
+    """,
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: every 41st doc plays the eval set;
+    each remaining (training) doc is scored by how many distinct
+    3-grams it shares with ANY eval doc and flagged at >= 5 shared
+    grams — the standard verbatim-overlap check run before
+    pre-training (conceptually the GPT-3 13-gram rule, shrunk to the
+    synthetic corpus's doc length). Eval grams collapse to one row per
+    distinct gram, then a single equi-join against the train posting
+    list: O(train + eval + matches), never pairwise."""
+    d = _docs(spark, sf_dir)
+    train = d.where(F.col("doc_id") % 41 != 0)
+    ev = d.where(F.col("doc_id") % 41 == 0)
+    return dedup.contamination_flags(
+        train, ev, "doc_id", "text", n=3, min_overlap=5
+    )
+
+
+@register(
+    "doc_shuffle_shards",
+    """
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 16 AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8))::BIGINT % 16
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS shard_pos
+    FROM documents
+    """,
+)
+def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: md5-sharded corpus with a
+    within-shard position (consuming (shard, shard_pos) in order is
+    the shuffled order). Rank partitions by shard — no global
+    single-task window at any scale."""
+    return sampling.shuffle_shards(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", n_shards=16
+    ).select("doc_id", "shard", "shard_pos")

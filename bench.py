@@ -88,6 +88,8 @@ EXTENDED = [
     "doc_repetition_stats",
     "doc_stratified_sample",
     "doc_tfidf_topterms",
+    "doc_decontamination",
+    "doc_shuffle_shards",
     "events_rollup_incremental",
     "emb_label_centroids",
     "emb_cosine_topk",

@@ -390,3 +390,75 @@ def test_asof_join_rejects_malformed_tolerance(spark):
     # the documented shapes still pass validation
     asof_join(df, df, on="user_id", tolerance="90 seconds")
     asof_join(df, df, on="user_id", tolerance="1 HOUR")
+
+
+def test_contamination_flags_semantics(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        contamination_flags,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # contains a verbatim eval 3-gram run
+            (1, "paragraph quoting the secret benchmark answer is here"),
+            # clean: no 3-gram overlap with the eval doc
+            (2, "totally unrelated clean training content body text"),
+            # shares tokens but no full 3-gram
+            (3, "the answer benchmark secret is unrelated order"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_flags(
+            train, ev, n=3, min_overlap=1
+        ).collect()
+    }
+    assert out[1]["contaminated"] is True
+    # "the secret benchmark", "secret benchmark answer",
+    # "benchmark answer is" — 3 shared distinct grams
+    assert out[1]["n_contaminated_grams"] == 3
+    assert out[2]["contaminated"] is False
+    assert out[2]["n_contaminated_grams"] == 0
+    assert out[3]["contaminated"] is False
+    # n_grams: len(tokens) - 2
+    assert out[1]["n_grams"] == 6
+
+
+def test_shuffle_shards_is_deterministic_total_order(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = shuffle_shards(df, "doc_id", n_shards=8).collect()
+    # repartitioning the input must not change the assignment
+    b = shuffle_shards(df.repartition(13), "doc_id", n_shards=8).collect()
+    key = lambda rows: sorted((r.doc_id, r.shard, r.shard_pos) for r in rows)
+    assert key(a) == key(b)
+    # every row kept; (shard, shard_pos) is a total order
+    assert len(a) == 500
+    assert len({(r.shard, r.shard_pos) for r in a}) == 500
+    # positions within a shard are 1..k dense
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in a:
+        by_shard[r.shard].append(r.shard_pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # within-shard order matches md5 order (engine-portable)
+    import hashlib
+
+    for shard, _ in by_shard.items():
+        rows = sorted(
+            (r for r in a if r.shard == shard), key=lambda r: r.shard_pos
+        )
+        hashes = [
+            hashlib.md5(str(r.doc_id).encode()).hexdigest() for r in rows
+        ]
+        assert hashes == sorted(hashes), shard

@@ -139,6 +139,18 @@ EXPECT: dict[str, dict] = {
     "doc_tfidf_topterms": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # decontamination: eval side collapses to distinct grams (small) —
+    # the gram join must broadcast at this SF; the filter doc_id % 41
+    # reaches the scan.
+    "doc_decontamination": {
+        "pushed": True, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "aqe_bhj": True,
+    },
+    # shuffle shards: one hash shuffle on shard + in-partition sort for
+    # the rank; no joins at all.
+    "doc_shuffle_shards": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
