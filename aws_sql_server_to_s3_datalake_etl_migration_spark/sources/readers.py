@@ -352,6 +352,47 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    ddl: str = "",
+    multi_line: bool = False,
+) -> DataFrame:
+    """JSON-lines scan — declared schema (preferred) or inferred.
+
+    Schema inference over JSON costs a FULL extra pass of the data
+    before the real scan; at lake scale always pass ``ddl`` (same
+    column-list or CREATE TABLE form as ``read_csv``). With a declared
+    schema the reader prunes to the referenced fields (ReadSchema) and
+    corrupt records surface in ``_corrupt_record`` instead of failing
+    the scan. ``multi_line`` (whole-file JSON documents) makes files
+    unsplittable — same caveat as CSV; keep it off for JSONL lakes.
+    """
+    reader = spark.read.option("multiLine", str(multi_line).lower())
+    if ddl:
+        reader = reader.schema(_ddl_columns(ddl))
+    return reader.json(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    query: str = "",
+    view_name: str = "",
+) -> DataFrame:
+    """ORC scan + optional SQL-over-view — same surface as
+    ``read_parquet``. ORC is the other splittable columnar format with
+    predicate pushdown and column pruning built into the Spark reader;
+    lakes migrating from Hive/Hadoop commonly hold ORC history next to
+    new parquet writes, and both sides of that migration get the same
+    pushdown posture here.
+    """
+    df = spark.read.orc(path)
+    if not query:
+        return df
+    return _sql_over_source(df, query, path, view_name)
+
+
 def read_table_dir(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Convenience: read one synthetic test table
     (``{sf_dir}/{table}.parquet``)."""

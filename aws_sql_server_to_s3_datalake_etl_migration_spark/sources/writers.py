@@ -168,3 +168,29 @@ def register_path_as_table(
     replacement for already-written data, O9 ``utils.py:250-328``)."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     spark.catalog.createTable(name, path=path, source=fmt)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — same overwrite/append/partitionBy surface as the
+    parquet writer, for lakes keeping Hive-era ORC layouts warm."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """JSON-lines export sink. Row-oriented text — an interchange
+    format, not a lake format: no column pruning or predicate pushdown
+    on re-read, ~3-5x the bytes of parquet. Use for handoffs to
+    systems that ingest JSONL, never as the analytic store."""
+    df.write.mode(mode).json(path)

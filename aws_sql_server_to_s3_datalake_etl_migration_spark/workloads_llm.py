@@ -129,6 +129,43 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EN_WORDS = ", ".join(f"'{w}'" for w in textops.STOPWORDS["en"])
 
+# CTE body shared by doc_quality_score and doc_quality_prune oracles.
+_QUALITY_CTE = f"""
+    base AS (
+      SELECT doc_id, source,
+             length(text)::DOUBLE AS n_chars,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w,
+             (length(text) - length(translate(text, '.,!?;:''"()-', '')))::DOUBLE
+               AS n_punct
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, source,
+             len(w)::DOUBLE AS n_toks,
+             CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END
+               AS punct_ratio,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE len(list_filter(list_transform(w, x -> lower(x)),
+                                       x -> x IN ({_EN_WORDS})))::DOUBLE
+                       / len(w)::DOUBLE END AS stopword_ratio,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                       / len(w)::DOUBLE END AS mean_word_len
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id, source, n_toks, punct_ratio, stopword_ratio,
+             mean_word_len,
+             0.4 * LEAST(n_toks / 100.0, 1.0)
+             + 0.3 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0
+                           ELSE GREATEST(0.0, 1.0 - (punct_ratio - 0.2) * 5.0)
+                      END)
+             + 0.3 * LEAST(stopword_ratio * 5.0, 1.0) AS quality_score
+      FROM sig
+    )
+"""
+
 
 @register(
     "doc_quality_score",
@@ -1093,3 +1130,38 @@ def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.shuffle_shards(
         _docs(spark, sf_dir).select("doc_id"), "doc_id", n_shards=16
     ).select("doc_id", "shard", "shard_pos")
+
+
+@register(
+    "doc_quality_prune",
+    f"""
+    WITH {_QUALITY_CTE},
+    ranked AS (
+      SELECT doc_id, source, quality_score,
+             percent_rank() OVER (
+               PARTITION BY source ORDER BY quality_score, doc_id
+             ) AS q_rank
+      FROM scored
+    )
+    SELECT doc_id, source, quality_score, q_rank
+    FROM ranked WHERE q_rank >= 0.2
+    """,
+)
+def doc_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based corpus pruning: drop the bottom 20% of each
+    source by composite quality score (per-source percent_rank, ties
+    broken by doc_id so the cut is deterministic on any engine). The
+    window partitions by source — per-source parallelism, no global
+    sort. This is the classifier-less 'perplexity-style' pruning move
+    corpus pipelines run between scoring and packing."""
+    from pyspark.sql.window import Window
+
+    scored = textops.with_quality_score(_docs(spark, sf_dir))
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("q_rank", F.percent_rank().over(w))
+        .where(F.col("q_rank") >= 0.2)
+        .select("doc_id", "source", "quality_score", "q_rank")
+    )

@@ -476,3 +476,52 @@ def test_read_delta_fallback_rejects_torn_log(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="not contiguous"):
         read_delta(spark, str(path)).count()
+
+
+def test_json_and_orc_roundtrip(spark, tmp_path, sf_dir):
+    """S-surface extension: JSONL + ORC readers/writers round-trip, the
+    declared-schema JSON read prunes/parses without an inference pass,
+    and the ORC scan carries predicate pushdown like parquet."""
+    import contextlib
+    import io
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        read_json,
+        read_orc,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.writers import (
+        write_json,
+        write_orc,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    jpath = str(tmp_path / "nation_json")
+    write_json(src, jpath)
+    back = read_json(
+        spark, jpath,
+        ddl="n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, "
+            "n_comment STRING",
+    )
+    assert back.count() == src.count()
+    assert {r.n_name for r in back.collect()} == {
+        r.n_name for r in src.collect()
+    }
+
+    opath = str(tmp_path / "nation_orc")
+    write_orc(src, opath)
+    odf = read_orc(spark, opath).where(F.col("n_regionkey") == 2)
+    assert odf.count() == src.where("n_regionkey = 2").count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        odf.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan
+
+    # SQL-over-view hook works on ORC like parquet
+    agg = read_orc(
+        spark, opath,
+        query="SELECT n_regionkey, COUNT(*) AS n FROM {table} "
+              "GROUP BY n_regionkey",
+    )
+    assert agg.count() == 5
