@@ -172,3 +172,82 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pairwise_cosine(a_col, b_col) -> F.Column:
+    """Cosine similarity between two array columns (codegen fold)."""
+    dot = F.aggregate(
+        F.zip_with(
+            a_col, b_col, lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (_norm(a_col) * _norm(b_col))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.97,
+    n_cells: int = 16,
+    max_cell_size: int = 1000,
+    seed: int = 11,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Semantic deduplication over an embedding column — the SemDeDup
+    recipe (cluster, then pairwise cosine WITHIN clusters only):
+
+    1. k-means the embeddings into ``n_cells`` coarse clusters
+       (``build_ivf_index`` — k-means|| in MLlib, distributed);
+    2. equi-join on the cell id and keep pairs with cosine >=
+       ``threshold`` — candidate volume is per-cell quadratic, never
+       corpus-quadratic, and cells past ``max_cell_size`` are dropped
+       (same skew guard + documented recall trade as the LSH caps:
+       a pathological cell is boilerplate that exact/near dedup
+       upstream should have collapsed);
+    3. connected components over the pair graph, min-id canonical
+       label per group.
+
+    At corpus scale, ``n_cells`` should grow with n (cells of a few
+    thousand docs each): candidate work is sum of cell^2, so more,
+    smaller cells = less work, at some recall cost for pairs straddling
+    a cell boundary — the knob SemDeDup itself exposes.
+
+    Returns all original columns plus ``semantic_cluster`` (the min
+    reachable id) and ``keep`` (true for the one survivor per group;
+    singletons keep themselves).
+    """
+    from .dedup import connected_components
+
+    assigned, _ = build_ivf_index(
+        df, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    slim = assigned.select(id_col, vec_col, "_cell")
+    counts = slim.groupBy("_cell").agg(F.count(F.lit(1)).alias("_n"))
+    bounded = slim.join(
+        counts.where(F.col("_n") <= max_cell_size).select("_cell"), "_cell"
+    )
+    a = bounded.select(
+        "_cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = bounded.select(
+        "_cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    pairs = (
+        a.join(b, "_cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", pairwise_cosine(F.col("_va"), F.col("_vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(
+        pairs, df.select(F.col(id_col)), id_col=id_col, max_iter=max_iter
+    )
+    lbl = labels.select(
+        F.col(id_col), F.col("cluster_id").alias("semantic_cluster")
+    )
+    return df.join(lbl, id_col).withColumn(
+        "keep", F.col(id_col) == F.col("semantic_cluster")
+    )

@@ -1165,3 +1165,15 @@ def doc_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("q_rank") >= 0.2)
         .select("doc_id", "source", "quality_score", "q_rank")
     )
+
+
+@register("emb_semantic_dedup", None)  # k-means: no SQL oracle, rows-only
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: k-means cells, within-cell
+    cosine >= 0.93 pairs, connected components, min-id survivor per
+    semantic group. Semantics are pytest-verified
+    (test_llm_operators.test_semantic_dedup_keeps_one_per_near_identical_group);
+    this entry exercises the full distributed path on real vectors."""
+    return similarity.semantic_dedup(
+        _embs(spark, sf_dir), threshold=0.93, n_cells=8
+    ).select("vec_id", "semantic_cluster", "keep")

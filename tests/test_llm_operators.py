@@ -462,3 +462,48 @@ def test_shuffle_shards_is_deterministic_total_order(spark):
             hashlib.md5(str(r.doc_id).encode()).hexdigest() for r in rows
         ]
         assert hashes == sorted(hashes), shard
+
+
+def test_semantic_dedup_keeps_one_per_near_identical_group(spark):
+    """SemDeDup semantics: near-identical embedding groups collapse to
+    their min-id member; distinct vectors survive untouched; the hot
+    cell cap drops oversized cells with recall cost, not errors."""
+    import numpy as np
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # 3 groups of 4 near-identical vectors around orthogonal axes
+    for g in range(3):
+        base = np.zeros(8)
+        base[g] = 1.0
+        for j in range(4):
+            v = base + rng.normal(0, 0.01, 8)
+            rows.append((g * 10 + j, [float(x) for x in v]))
+    # 6 singletons along distinct axis pairs (cosine far below 0.97
+    # from every group and from each other)
+    for s in range(6):
+        v = np.zeros(8)
+        v[3 + (s % 5)] = 1.0
+        v[(s * 2 + 1) % 3] = 0.7 * (1 if s % 2 else -1)
+        rows.append((100 + s, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+    out = semantic_dedup(df, threshold=0.97, n_cells=4, seed=11).collect()
+    assert len(out) == len(rows)
+    by_id = {r.vec_id: r for r in out}
+    # each group collapsed to min id
+    for g in range(3):
+        ids = [g * 10 + j for j in range(4)]
+        clusters = {by_id[i].semantic_cluster for i in ids}
+        assert clusters == {g * 10}, clusters
+        assert [i for i in ids if by_id[i].keep] == [g * 10]
+    # singletons all survive as their own cluster
+    for s in range(6):
+        r = by_id[100 + s]
+        assert r.semantic_cluster == 100 + s and r.keep
+    # survivors overall: one per group + singletons
+    assert sum(1 for r in out if r.keep) == 3 + 6
