@@ -9,6 +9,8 @@ one metric still appears (the reference's inner joins dropped it).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -111,3 +113,56 @@ def assert_reconciled(report: DataFrame) -> None:
     ).collect()
     if bad:
         raise AssertionError(f"unreconciled tables: {bad}")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """R6 (extension): row-level change set between two snapshots of a
+    keyed table — the CDC you derive when the source can't emit one.
+    Returns one row per key present in either snapshot with
+    ``change_type`` in (``inserted``, ``deleted``, ``updated``,
+    ``unchanged``), ready to feed the MERGE writer or an audit sink.
+
+    One full-outer join on the key — the canonical two-sided shuffle;
+    change detection is a null-safe comparison over ``compare_cols``
+    (default: all shared non-key columns), so schema drift in either
+    snapshot fails analysis loudly rather than mis-classifying.
+    """
+    shared = [c for c in old.columns if c in set(new.columns)]
+    cmp_cols = compare_cols or [c for c in shared if c not in set(keys)]
+    o = old.select(*keys, *cmp_cols)
+    n = new.select(*keys, *cmp_cols)
+    o_alias, n_alias = o.alias("_o"), n.alias("_n")
+    cond = [
+        F.col(f"_o.{k}").eqNullSafe(F.col(f"_n.{k}")) for k in keys
+    ]
+    in_old = F.col(f"_o.{keys[0]}").isNotNull()
+    in_new = F.col(f"_n.{keys[0]}").isNotNull()
+    same = (
+        F.lit(True)
+        if not cmp_cols
+        else reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"_o.{c}").eqNullSafe(F.col(f"_n.{c}"))
+                for c in cmp_cols
+            ],
+        )
+    )
+    change = (
+        F.when(~in_old, F.lit("inserted"))
+        .when(~in_new, F.lit("deleted"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+    )
+    return o_alias.join(n_alias, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"_n.{k}"), F.col(f"_o.{k}")).alias(k)
+            for k in keys
+        ],
+        change.alias("change_type"),
+    )

@@ -171,3 +171,47 @@ def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         },
     )
+
+
+@register(
+    "recon_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer WHERE c_custkey % 10 <> 0
+    ),
+    new AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 7 <> 0
+    )
+    SELECT COALESCE(new.c_custkey, old.c_custkey) AS c_custkey,
+           CASE WHEN old.c_custkey IS NULL THEN 'inserted'
+                WHEN new.c_custkey IS NULL THEN 'deleted'
+                WHEN old.c_name = new.c_name
+                     AND old.c_acctbal = new.c_acctbal THEN 'unchanged'
+                ELSE 'updated' END AS change_type
+    FROM old FULL OUTER JOIN new USING (c_custkey)
+    """,
+)
+def recon_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 extension: row-level change set between two deterministic
+    snapshots of the customer table (modulus-selected deletes, inserts,
+    and balance updates) — the derived-CDC recon a lake runs when the
+    source emits no changefeed. One full-outer join; null-safe change
+    detection (plans/recon.py snapshot_diff)."""
+    from .plans.recon import snapshot_diff
+
+    c = _t(spark, sf_dir, "customer")
+    old = c.where(F.col("c_custkey") % 10 != 0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    new = c.where(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+    )
+    return snapshot_diff(old, new, keys=["c_custkey"])

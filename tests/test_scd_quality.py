@@ -171,3 +171,29 @@ def test_scd2_invariants_random_batches(spark, batches):
     assert dict(counts) == versions
     for r in rows:
         assert (r.valid_to is None) == bool(r.is_current)
+
+
+def test_snapshot_diff_null_safety(spark):
+    """Null compare values must not mis-classify: null == null is
+    'unchanged' (eqNullSafe), null -> value is 'updated'."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.plans.recon import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, "c"), (4, None)],
+        "k INT, v STRING",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "B"), (4, "now-set"), (5, "e")],
+        "k INT, v STRING",
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, keys=["k"]).collect()
+    }
+    assert got == {
+        1: "unchanged",   # null == null
+        2: "updated",
+        3: "deleted",
+        4: "updated",     # null -> value
+        5: "inserted",
+    }
