@@ -1124,3 +1124,83 @@ def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "event_funnel_conversion",
+    """
+    WITH w1 AS (
+      SELECT user_id, event_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS fv
+      FROM events
+    ),
+    w2 AS (
+      SELECT *,
+             MIN(CASE WHEN event_type = 'click' AND fv IS NOT NULL
+                      THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS fc
+      FROM w1
+    ),
+    per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' AND fv IS NOT NULL
+                      THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' AND fc IS NOT NULL
+                      THEN ts END) AS t_purchase
+      FROM w2 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(t_view) AS BIGINT) AS n_view,
+           CAST(COUNT(t_click) AS BIGINT) AS n_view_click,
+           CAST(COUNT(t_purchase) AS BIGINT) AS n_view_click_purchase
+    FROM per_user
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): users who clicked at
+    or after their first view, then purchased at or after their first
+    qualifying click. Sequence logic via two running-min windows over
+    ONE user_id partitioning — Spark plans a single shuffle, reused by
+    both windows and the per-user aggregate; ties break on event_id so
+    both engines see the same order. No self-joins, no exploding
+    event-sequence arrays — the shape that survives a 100 TB event
+    log."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.col("event_type") == "view"
+    is_click = F.col("event_type") == "click"
+    is_purchase = F.col("event_type") == "purchase"
+    d1 = e.withColumn("fv", F.min(F.when(is_view, F.col("ts"))).over(w))
+    d2 = d1.withColumn(
+        "fc",
+        F.min(
+            F.when(is_click & F.col("fv").isNotNull(), F.col("ts"))
+        ).over(w),
+    )
+    per_user = d2.groupBy("user_id").agg(
+        F.min(F.when(is_view, F.col("ts"))).alias("t_view"),
+        F.min(
+            F.when(is_click & F.col("fv").isNotNull(), F.col("ts"))
+        ).alias("t_click"),
+        F.min(
+            F.when(is_purchase & F.col("fc").isNotNull(), F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_view_click_purchase"),
+    )

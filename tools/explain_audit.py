@@ -151,6 +151,11 @@ EXPECT: dict[str, dict] = {
     "doc_shuffle_shards": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # funnel: both running-min windows and the per-user agg share ONE
+    # user_id exchange; no joins anywhere.
+    "event_funnel_conversion": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
