@@ -1204,3 +1204,42 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("n_view_click"),
         F.count("t_purchase").alias("n_view_click_purchase"),
     )
+
+
+@register(
+    "event_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_d
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT cohort_d,
+           date_diff('day', cohort_d, d) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM active JOIN first_seen USING (user_id)
+    GROUP BY cohort_d, day_offset
+    """,
+)
+def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention: users grouped by first-seen date (cohort), one
+    row per (cohort, day offset) with the distinct users active that
+    day. Both join inputs are aggregates of the same scan (first-seen
+    per user, distinct user-days), so the join carries one row per
+    user/user-day — never raw events — and the final rollup is a plain
+    hash agg. The per-user shapes shuffle once each on user_id."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    active = e.distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_d",
+            F.datediff("d", "cohort_d").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
