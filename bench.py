@@ -90,6 +90,10 @@ EXTENDED = [
     "doc_tfidf_topterms",
     "doc_decontamination",
     "doc_shuffle_shards",
+    "doc_quality_prune",
+    "event_funnel_conversion",
+    "event_retention_cohorts",
+    "recon_snapshot_diff",
     "events_rollup_incremental",
     "emb_label_centroids",
     "emb_cosine_topk",

@@ -9,6 +9,7 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from aws_sql_server_to_s3_datalake_etl_migration_spark import workloads
 
@@ -68,3 +69,49 @@ def test_rows_only_queries_run(spark):
         if name not in oracle_names:
             df = fn(spark, SF_SMOKE)
             assert df.count() >= 0, name
+
+
+def test_funnel_ordering_ties_and_stages(spark, tmp_path):
+    """Funnel sequence semantics on a handcrafted log: a click BEFORE
+    the first view never counts; a click at the SAME timestamp counts
+    only if it sorts after the view on the event_id tiebreak; purchase
+    requires a qualifying click first."""
+    import aws_sql_server_to_s3_datalake_etl_migration_spark.workloads as wl
+
+    rows = [
+        # u1: clean view(t1) -> click(t2) -> purchase(t3)
+        (10, "2024-01-01 00:00:01", 1, "view"),
+        (11, "2024-01-01 00:00:02", 1, "click"),
+        (12, "2024-01-01 00:00:03", 1, "purchase"),
+        # u2: click before view -> stage 2 never reached
+        (20, "2024-01-01 00:00:01", 2, "click"),
+        (21, "2024-01-01 00:00:02", 2, "view"),
+        (22, "2024-01-01 00:00:03", 2, "purchase"),
+        # u3: same-ts view/click, view has SMALLER event_id -> click
+        # sorts after the view and counts
+        (30, "2024-01-01 00:00:01", 3, "view"),
+        (31, "2024-01-01 00:00:01", 3, "click"),
+        # u4: same-ts view/click, click sorts FIRST -> doesn't count
+        (41, "2024-01-01 00:00:01", 4, "click"),
+        (42, "2024-01-01 00:00:01", 4, "view"),
+    ]
+    src = str(tmp_path / "funnel_events")
+    (
+        spark.createDataFrame(
+            rows, ["event_id", "ts_s", "user_id", "event_type"]
+        )
+        .select(
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{src}/events.parquet")
+    )
+    out = wl.queries()["event_funnel_conversion"](spark, src).collect()[0]
+    assert out.n_view == 4
+    assert out.n_view_click == 2       # u1 and u3
+    assert out.n_view_click_purchase == 1  # u1 only
