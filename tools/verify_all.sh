@@ -1,0 +1,13 @@
+#!/bin/sh
+# One-command release gate: unit/differential tests, the DuckDB oracle
+# catalog at sf0.01, and the physical-plan audit. Exits non-zero on the
+# first failing stage.
+set -e
+cd "$(dirname "$0")/.."
+echo "== pytest =="
+python -m pytest tests/ -q
+echo "== oracle catalog (sf0.01) =="
+python tools/check_correctness.py
+echo "== plan audit =="
+python tools/explain_audit.py
+echo "ALL GATES GREEN"
