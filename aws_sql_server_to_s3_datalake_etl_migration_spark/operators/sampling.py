@@ -135,3 +135,38 @@ def shuffle_shards(
         out.withColumn("shard_pos", F.row_number().over(w).cast("long"))
         .drop("_h")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    scale: float,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic Poisson sampling with per-row inclusion
+    probability ``min(1, scale * weight)`` — the corpus-mixing move
+    when the mix knob is a per-document score (quality, freshness)
+    rather than a per-stratum rate.
+
+    Decided per row from the md5 of ``key_col`` exactly like
+    ``deterministic_sample``: include iff
+    ``uniform_u32 < scale * weight * 2^32``. The comparison uses only
+    IEEE-exact operations (double multiply + compare — deliberately no
+    log/exp, whose last-ulp behavior differs across libm
+    implementations), so the selected set is bit-identical on any
+    engine and invariant to partitioning. Zero shuffles: one codegen'd
+    filter.
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .cast("double")
+    )
+    thresh = (
+        F.lit(float(scale))
+        * F.col(weight_col).cast("double")
+        * F.lit(4294967296.0)
+    )
+    return df.where(u < thresh)

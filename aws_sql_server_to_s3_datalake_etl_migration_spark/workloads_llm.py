@@ -1177,3 +1177,26 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(
         _embs(spark, sf_dir), threshold=0.93, n_cells=8
     ).select("vec_id", "semantic_cluster", "keep")
+
+
+@register(
+    "doc_weighted_sample",
+    f"""
+    WITH {_QUALITY_CTE}
+    SELECT doc_id, source, quality_score
+    FROM scored
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            ::DOUBLE
+          < 0.5 * quality_score * 4294967296.0
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: each doc kept with
+    probability min(1, 0.5 * quality_score), decided by its id hash —
+    higher-quality docs oversampled smoothly instead of via hard
+    stratum rates. IEEE-exact multiply/compare only, so DuckDB selects
+    the identical set (operators/sampling.py weighted_sample)."""
+    scored = textops.with_quality_score(_docs(spark, sf_dir))
+    return sampling.weighted_sample(
+        scored, "quality_score", 0.5, "doc_id"
+    ).select("doc_id", "source", "quality_score")

@@ -507,3 +507,37 @@ def test_semantic_dedup_keeps_one_per_near_identical_group(spark):
         assert r.semantic_cluster == 100 + s and r.keep
     # survivors overall: one per group + singletons
     assert sum(1 for r in out if r.keep) == 3 + 6
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    """Inclusion frequency must track the weight: w=1.0 rows at ~50%
+    under scale=0.5, w=0.1 rows at ~5%, w>=2 rows always included;
+    selection is partitioning-invariant."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, 1.0)
+        .when(F.col("id") % 3 == 1, 0.1)
+        .otherwise(2.5)
+        .alias("w"),
+    )
+    kept = weighted_sample(df, "w", 0.5, "k").collect()
+    by_w = {}
+    for r in kept:
+        by_w.setdefault(r.w, 0)
+        by_w[r.w] += 1
+    sizes = {
+        1.0: len([i for i in range(n) if i % 3 == 0]),
+        0.1: len([i for i in range(n) if i % 3 == 1]),
+        2.5: len([i for i in range(n) if i % 3 == 2]),
+    }
+    assert abs(by_w[1.0] / sizes[1.0] - 0.5) < 0.05
+    assert abs(by_w[0.1] / sizes[0.1] - 0.05) < 0.02
+    assert by_w[2.5] == sizes[2.5]  # p = min(1, 1.25) -> all kept
+    # partitioning-invariant
+    again = weighted_sample(df.repartition(17), "w", 0.5, "k").collect()
+    assert {r.k for r in again} == {r.k for r in kept}
