@@ -47,6 +47,15 @@ _SCALE_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
+# Evaluated and deliberately NOT set:
+# - spark.sql.parquet.aggregatePushdown: only fires on DSv2 parquet
+#   scans; parquet sits in the default useV1SourceList, and moving it
+#   to V2 reshapes every audited plan for a micro-win on one watermark
+#   probe. Revisit if the deployment standardizes on DSv2.
+# - spark.sql.optimizer.runtime.bloomFilter.enabled: already true by
+#   default on this runtime (verified) — big-big joins get runtime
+#   row-level bloom pruning without extra conf.
+
 
 def default_parallelism() -> int:
     """CPU budget: $SPARK_GRAFT_CPUS, else all local cores."""
