@@ -1,0 +1,148 @@
+"""Time-series regularization operators: gap-filling and rolling
+anomaly detection over irregular event streams.
+
+The reference pipeline lands raw event extracts and leaves downstream
+consumers to densify them; these operators make the dense, analysis-
+ready series a first-class engine output (hypertable-style rollup
+post-processing, re-expressed as pure DataFrame plans).
+
+Scale posture (100 TB):
+
+- ``gapfill_locf`` aggregates the raw stream once (map-side combined
+  hash agg), derives per-key bounds from the *aggregated* table (one
+  row per key), and generates the dense grid executor-side with
+  ``sequence``/``explode`` — the raw stream is never re-scanned and the
+  only shuffles are the bucket agg and the (key, bucket) equi-join.
+- The LOCF window partitions by series key. That is inherent to
+  last-observation-carried-forward (a sequential scan per series); it
+  is safe when key cardinality ≥ cluster parallelism. For few-key /
+  giant-series corpora, pre-chunk each series into bounded segments and
+  run a two-pass carry (segment-local LOCF + one row per segment
+  carried across), as documented in SCALING.md.
+- ``rolling_zscore`` computes window statistics from exact integer sums
+  (``sum``/``sum of squares`` in int64) and derives mean/variance in a
+  fixed arithmetic expression, so results are bit-identical across
+  engines (IEEE ops on identical expression trees) — no reliance on an
+  engine's stddev accumulation order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_ALLOWED_STEPS = {"1 hour", "1 day", "1 minute", "15 minutes", "1 week"}
+
+
+def _trunc_unit(step: str) -> str:
+    return {"1 hour": "hour", "1 day": "day", "1 minute": "minute",
+            "15 minutes": "minute", "1 week": "week"}[step]
+
+
+def gapfill_locf(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    agg_exprs: dict[str, Column],
+    locf_cols: Sequence[str],
+    zero_cols: Sequence[str],
+    step: str = "1 hour",
+) -> DataFrame:
+    """Bucket ``df`` to ``step``, then densify each key's series from
+    its own min to max bucket: missing buckets appear with
+    ``zero_cols`` coalesced to 0, ``locf_cols`` carried forward from
+    the last observed bucket, and ``is_filled`` marking synthesized
+    rows.
+
+    ``agg_exprs`` maps output column name -> aggregate expression over
+    the raw rows of one bucket (e.g. ``{"n": F.count(F.lit(1))}``).
+    ``step`` is validated against a fixed grammar before reaching
+    ``INTERVAL`` (per the round-4 advisory on splicing raw strings
+    into SQL expressions).
+    """
+    if step not in _ALLOWED_STEPS:
+        raise ValueError(
+            f"step {step!r} not in supported grid steps {sorted(_ALLOWED_STEPS)}"
+        )
+    keys = list(key_cols)
+    bucket = F.date_trunc(_trunc_unit(step), F.col(ts_col))
+    if step == "15 minutes":
+        # sub-unit grid: snap minutes down to the quarter hour
+        bucket = F.timestamp_seconds(
+            (F.unix_timestamp(F.col(ts_col)) / 900).cast("long") * 900
+        )
+    observed = (
+        df.groupBy(*keys, bucket.alias("bucket_start"))
+        .agg(*[e.alias(n) for n, e in agg_exprs.items()])
+    )
+    bounds = observed.groupBy(*keys).agg(
+        F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"interval {step}"))
+        ).alias("bucket_start"),
+    )
+    dense = grid.join(observed, [*keys, "bucket_start"], "left")
+    marker = next(iter(agg_exprs))
+    out = dense.withColumn("is_filled", F.col(marker).isNull())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in locf_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    for c in zero_cols:
+        out = out.withColumn(
+            c, F.coalesce(F.col(c), F.lit(0).cast(dict(dense.dtypes)[c]))
+        )
+    return out
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str],
+    order_col: str,
+    lookback: int = 24,
+    min_periods: int = 12,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Flag points whose value deviates > ``threshold`` standard
+    deviations from the trailing ``lookback``-row window (current row
+    excluded, so a spike can't dilute its own baseline).
+
+    ``value_col`` must be integral (counts): window statistics are
+    exact int64 sums of x and x**2, and mean/variance derive from one
+    fixed double expression — deterministic to the last bit on any
+    engine evaluating the same tree. Rows with fewer than
+    ``min_periods`` trailing points or zero variance get a null score.
+    """
+    keys = list(key_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-lookback, -1)
+    )
+    x = F.col(value_col).cast("long")
+    sum_n = F.sum(x).over(w)
+    sum_n2 = F.sum(x * x).over(w)
+    cnt = F.count(x).over(w)
+    mean = sum_n.cast("double") / cnt
+    var_num = sum_n2.cast("double") - sum_n.cast("double") * sum_n / cnt
+    z = F.when(
+        (cnt >= F.lit(min_periods)) & (var_num > F.lit(0.0)),
+        (x.cast("double") - mean)
+        / F.sqrt(var_num / (cnt - F.lit(1))),
+    )
+    return df.withColumn("zscore", z).withColumn(
+        "is_anomaly",
+        F.when(z.isNotNull(), F.abs(z) > F.lit(threshold)).otherwise(
+            F.lit(False)
+        ),
+    )

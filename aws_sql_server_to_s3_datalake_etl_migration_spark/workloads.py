@@ -1025,6 +1025,7 @@ def partitioned_orders_pruned_scan(
 from . import workloads_analytics  # noqa: E402,F401
 from . import workloads_llm  # noqa: E402,F401
 from . import workloads_quality  # noqa: E402,F401
+from . import workloads_timeseries  # noqa: E402,F401
 from . import workloads_tpch2  # noqa: E402,F401
 
 

@@ -1,0 +1,186 @@
+"""Time-series regularization + sketch workloads (round 5).
+
+Gap-filling, rolling anomaly detection, and mergeable heavy-hitter
+sketches over the event stream / document corpus — the densify-and-
+monitor layer a production lake runs on top of the rollups the
+reference pipeline lands (reference `table_jobs/*` stops at raw
+extracts; SURVEY.md §2.5/§2.10 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.readers import read_table_dir
+from .workloads import _dec, _events
+
+
+@register(
+    "events_gapfill_locf",
+    """
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS bucket_start,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               AS locf_sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+      FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR))
+               AS bucket_start
+      FROM bounds
+    )
+    SELECT g.event_type, g.bucket_start,
+           COALESCE(h.n_events, 0) AS n_events,
+           LAST_VALUE(h.locf_sum_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS locf_sum_value,
+           h.n_events IS NULL AS is_filled
+    FROM grid g LEFT JOIN hourly h USING (event_type, bucket_start)
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified hourly series per event type: hours with no events
+    appear with a zero count and the hourly value-sum carried forward
+    from the last observed hour (`is_filled` marks synthesized rows).
+    One map-side-combined bucket agg over the raw stream; the dense
+    grid derives from the per-key bounds of the *aggregated* table via
+    ``sequence``/``explode`` — the raw stream is scanned exactly once
+    (operators/timeseries.py scale notes)."""
+    from .operators.timeseries import gapfill_locf
+
+    e = _events(spark, sf_dir)
+    return gapfill_locf(
+        e,
+        ts_col="ts",
+        key_cols=["event_type"],
+        agg_exprs={
+            "n_events": F.count(F.lit(1)),
+            "locf_sum_value": F.sum(_dec("value")).cast("double"),
+        },
+        locf_cols=["locf_sum_value"],
+        zero_cols=["n_events"],
+        step="1 hour",
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS bucket_start,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+      FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR))
+               AS bucket_start
+      FROM bounds
+    ),
+    dense AS (
+      SELECT g.event_type, g.bucket_start,
+             COALESCE(h.n_events, 0) AS n_events
+      FROM grid g LEFT JOIN hourly h USING (event_type, bucket_start)
+    ),
+    win AS (
+      SELECT event_type, bucket_start, n_events,
+             SUM(n_events) OVER w AS sum_n,
+             SUM(n_events * n_events) OVER w AS sum_n2,
+             COUNT(n_events) OVER w AS cnt
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT event_type, bucket_start, n_events,
+             CASE WHEN cnt >= 12
+                       AND (CAST(sum_n2 AS DOUBLE)
+                            - CAST(sum_n AS DOUBLE) * sum_n / cnt) > 0.0
+                  THEN (CAST(n_events AS DOUBLE)
+                        - CAST(sum_n AS DOUBLE) / cnt)
+                       / sqrt((CAST(sum_n2 AS DOUBLE)
+                               - CAST(sum_n AS DOUBLE) * sum_n / cnt)
+                              / (cnt - 1))
+             END AS zscore
+      FROM win
+    )
+    SELECT event_type, bucket_start, n_events, zscore,
+           CASE WHEN zscore IS NULL THEN FALSE
+                ELSE abs(zscore) > 3.0 END AS is_anomaly
+    FROM scored
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over the densified hourly event
+    counts: each hour scored against its trailing 24-hour window
+    (current hour excluded; < 12 trailing points or zero variance →
+    null score). Statistics come from exact int64 window sums with
+    mean/variance derived in one fixed double expression, so Spark and
+    the oracle agree to the last bit (operators/timeseries.py)."""
+    from .operators.timeseries import gapfill_locf, rolling_zscore
+
+    e = _events(spark, sf_dir)
+    dense = gapfill_locf(
+        e,
+        ts_col="ts",
+        key_cols=["event_type"],
+        agg_exprs={"n_events": F.count(F.lit(1))},
+        locf_cols=[],
+        zero_cols=["n_events"],
+        step="1 hour",
+    ).select("event_type", "bucket_start", "n_events")
+    return rolling_zscore(
+        dense,
+        value_col="n_events",
+        key_cols=["event_type"],
+        order_col="bucket_start",
+        lookback=24,
+        min_periods=12,
+        threshold=3.0,
+    )
+
+
+@register(
+    "doc_frequent_terms_sketch",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+      WHERE trim(text) <> ''
+    )
+    SELECT term, COUNT(*) AS est_count, CAST(0 AS BIGINT) AS max_err
+    FROM toks
+    GROUP BY term
+    ORDER BY est_count DESC, term ASC
+    LIMIT 50
+    """,
+)
+def doc_frequent_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus terms via mergeable batched Misra-Gries summaries
+    (operators/sketches.py): documents — not exploded tokens — cross
+    the Arrow boundary, tokenization + counting run vectorized per
+    batch, and only ~capacity summary rows per partition reach the
+    merge — the bounded-memory path for vocabularies too large to
+    groupBy exactly. At this capacity (4096) every test corpus is
+    within the exact regime (max_err = 0), which is what the oracle
+    checks; the lossy-regime guarantees are pinned by differential
+    pytests."""
+    from .operators.sketches import frequent_terms
+
+    docs = read_table_dir(spark, sf_dir, "documents")
+    return frequent_terms(
+        docs, term_col="text", capacity=4096, k=50, tokenize=True
+    )

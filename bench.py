@@ -94,6 +94,9 @@ EXTENDED = [
     "doc_weighted_sample",
     "event_funnel_conversion",
     "event_retention_cohorts",
+    "events_gapfill_locf",
+    "events_anomaly_zscore",
+    "doc_frequent_terms_sketch",
     "recon_snapshot_diff",
     "events_rollup_incremental",
     "emb_label_centroids",

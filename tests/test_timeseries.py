@@ -1,0 +1,179 @@
+"""Unit + differential tests for time-series regularization
+(operators/timeseries.py) and the Misra-Gries frequency sketch
+(operators/sketches.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(h: int, m: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+# ---------------------------------------------------------------------------
+# gapfill_locf
+# ---------------------------------------------------------------------------
+
+
+def _series(spark):
+    # key "a": hours 0, 1, 4 observed (2,3 missing); key "b": hour 2 only
+    rows = [
+        ("a", _ts(0, 5), 1.0),
+        ("a", _ts(0, 40), 3.0),
+        ("a", _ts(1, 10), 5.0),
+        ("a", _ts(4, 59), 7.0),
+        ("b", _ts(2, 30), 9.0),
+    ]
+    return spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+
+def test_gapfill_densifies_and_carries_forward(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.timeseries import (
+        gapfill_locf,
+    )
+
+    out = gapfill_locf(
+        _series(spark),
+        ts_col="ts",
+        key_cols=["k"],
+        agg_exprs={
+            "n": F.count(F.lit(1)),
+            "sv": F.sum("v"),
+        },
+        locf_cols=["sv"],
+        zero_cols=["n"],
+    )
+    got = {
+        (r["k"], r["bucket_start"].hour): (r["n"], r["sv"], r["is_filled"])
+        for r in out.collect()
+    }
+    # key a spans hours 0..4 -> 5 rows; key b a single hour
+    assert len(got) == 6
+    assert got[("a", 0)] == (2, 4.0, False)
+    assert got[("a", 1)] == (1, 5.0, False)
+    # synthesized hours: zero count, carried-forward sum, flagged
+    assert got[("a", 2)] == (0, 5.0, True)
+    assert got[("a", 3)] == (0, 5.0, True)
+    assert got[("a", 4)] == (1, 7.0, False)
+    assert got[("b", 2)] == (1, 9.0, False)
+
+
+def test_gapfill_rejects_unknown_step(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.timeseries import (
+        gapfill_locf,
+    )
+
+    with pytest.raises(ValueError, match="grid steps"):
+        gapfill_locf(
+            _series(spark),
+            ts_col="ts",
+            key_cols=["k"],
+            agg_exprs={"n": F.count(F.lit(1))},
+            locf_cols=[],
+            zero_cols=["n"],
+            step="7 fortnights'); DROP TABLE x; --",
+        )
+
+
+# ---------------------------------------------------------------------------
+# rolling_zscore vs a straightforward Python recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_zscore_matches_reference_impl(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    rng = random.Random(7)
+    vals = [rng.randrange(0, 20) for _ in range(40)]
+    vals[30] = 500  # an unmistakable spike
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, i long, n long")
+    out = {
+        r["i"]: (r["zscore"], r["is_anomaly"])
+        for r in rolling_zscore(
+            df, "n", ["k"], "i", lookback=10, min_periods=5, threshold=3.0
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        window = vals[max(0, i - 10) : i]
+        z_exp = None
+        if len(window) >= 5:
+            s, s2, c = sum(window), sum(x * x for x in window), len(window)
+            var_num = s2 - s * s / c
+            if var_num > 0:
+                z_exp = (v - s / c) / math.sqrt(var_num / (c - 1))
+        z_got, flag = out[i]
+        if z_exp is None:
+            assert z_got is None and flag is False
+        else:
+            assert z_got == pytest.approx(z_exp, rel=1e-12)
+            assert flag == (abs(z_exp) > 3.0)
+    assert out[30][1] is True  # the spike is flagged
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries sketch: exact regime + lossy-regime guarantees
+# ---------------------------------------------------------------------------
+
+
+def _token_df(spark, tokens, n_partitions=4):
+    return spark.createDataFrame(
+        [(t,) for t in tokens], "tok string"
+    ).repartition(n_partitions)
+
+
+def test_mg_exact_when_capacity_exceeds_vocab(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.sketches import (
+        frequent_terms,
+    )
+
+    tokens = ["x"] * 10 + ["y"] * 6 + ["z"] * 3 + ["w"]
+    out = frequent_terms(_token_df(spark, tokens), capacity=64, k=10).collect()
+    assert [(r["term"], r["est_count"]) for r in out] == [
+        ("x", 10),
+        ("y", 6),
+        ("z", 3),
+        ("w", 1),
+    ]
+    assert all(r["max_err"] == 0 for r in out)
+
+
+def test_mg_lossy_regime_bounds_and_heavy_hitter_survival(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.sketches import (
+        frequent_terms,
+    )
+
+    rng = random.Random(11)
+    # zipf-ish: a few heavy terms over a long tail of singletons
+    tokens = (
+        ["hot1"] * 400
+        + ["hot2"] * 250
+        + ["hot3"] * 120
+        + [f"tail{i}" for i in range(300)]
+    )
+    rng.shuffle(tokens)
+    true = {"hot1": 400, "hot2": 250, "hot3": 120}
+    out = frequent_terms(
+        _token_df(spark, tokens), capacity=8, k=20
+    ).collect()
+    got = {r["term"]: r["est_count"] for r in out}
+    max_err = out[0]["max_err"]
+    assert 0 < max_err <= len(tokens) // (8 + 1) + 8  # per-partition bound sum
+    for term, n in true.items():
+        # heavy items survive and their estimate is a valid lower bound
+        assert term in got, f"heavy hitter {term} lost"
+        assert got[term] <= n
+        assert n - got[term] <= max_err
+    # every estimate is a lower bound on its true count
+    from collections import Counter
+
+    exact = Counter(tokens)
+    assert all(got[t] <= exact[t] for t in got)
