@@ -8,11 +8,13 @@ from .ingest import (
     stream_dedup,
     stream_enrich,
     stream_merge_to_lake,
+    stream_rollup_refresh,
 )
 from .windows import windowed_event_counts, sessionize, stream_stream_join
 
 __all__ = [
     "stream_stream_join",
+    "stream_rollup_refresh",
     "stream_ingest_files",
     "stream_append_to_lake",
     "stream_dedup",

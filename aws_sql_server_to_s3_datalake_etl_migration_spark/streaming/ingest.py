@@ -110,6 +110,50 @@ def stream_merge_to_lake(
     return writer.start()
 
 
+def stream_rollup_refresh(
+    df: DataFrame,
+    rollup_path: str,
+    checkpoint: str,
+    bucket: str = "hour",
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    distinct_col: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming continuous-aggregate maintenance: each micro-batch is
+    folded into the time-bucketed rollup table via
+    ``incremental_rollup_refresh`` (operators/rollup.py) inside
+    ``foreachBatch`` — COUNT/SUM add, HLL sketches union, so the
+    refresh touches O(|batch| + |rollup|) aggregated rows regardless of
+    stream history. The checkpoint gives exactly-once folding per batch
+    id; the result is the streaming twin of the batch rollup over the
+    union of all batches (pinned by the stream-vs-batch differential in
+    tests/test_streaming.py)."""
+    from ..operators.rollup import incremental_rollup_refresh
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_rollup_refresh(
+            batch_df.sparkSession,
+            batch_df,
+            rollup_path,
+            bucket=bucket,
+            ts_col=ts_col,
+            key_cols=key_cols,
+            value_col=value_col,
+            distinct_col=distinct_col,
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_enrich(
     stream: DataFrame,
     dim: DataFrame,

@@ -595,3 +595,64 @@ def test_session_fn_pre_session_early_event_splits():
     )
     assert len(out2) == 0
     assert state2.get == (near_us, 101_000_000, 4)
+
+
+def test_stream_rollup_refresh_matches_batch(spark, tmp_path, sf_dir):
+    """Differential: streaming continuous-aggregate maintenance (each
+    micro-batch folded via incremental_rollup_refresh inside
+    foreachBatch) must converge to the one-pass batch rollup — counts
+    and exact-decimal sums equal, HLL distinct estimates equal (sketch
+    unions are order-insensitive)."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.rollup import (
+        rollup_events,
+        with_distinct_estimate,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
+        stream_rollup_refresh,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.workloads import _events
+
+    events = _events(spark, sf_dir).select("ts", "event_type", "value", "user_id")
+    batch = {
+        (str(r.bucket), r.event_type): (r.n_events, r.sum_value, r.n_distinct_est)
+        for r in with_distinct_estimate(
+            rollup_events(events, distinct_col="user_id")
+        ).collect()
+    }
+
+    # three uneven source files -> three micro-batches
+    src = tmp_path / "srr_in"
+    src.mkdir()
+    for i, cond in enumerate(
+        ["event_id % 3 = 0", "event_id % 3 = 1", "event_id % 3 = 2"]
+    ):
+        events.where(F.expr(cond)).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    # re-read split files so each stream batch carries the same rows
+    split = spark.read.parquet(str(src / "*"))
+    assert split.count() == events.count()
+
+    rollup_path = str(tmp_path / "srr_rollup")
+    q = stream_rollup_refresh(
+        stream_ingest_files(
+            spark,
+            str(src / "*"),
+            "ts TIMESTAMP, event_type STRING, value DOUBLE, user_id LONG",
+            max_files_per_trigger=1,
+        ),
+        rollup_path,
+        checkpoint=str(tmp_path / "srr_ckpt"),
+        distinct_col="user_id",
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+
+    streamed = {
+        (str(r.bucket), r.event_type): (r.n_events, r.sum_value, r.n_distinct_est)
+        for r in with_distinct_estimate(
+            spark.read.parquet(rollup_path)
+        ).collect()
+    }
+    assert streamed == batch

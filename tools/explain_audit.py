@@ -156,6 +156,23 @@ EXPECT: dict[str, dict] = {
     "event_funnel_conversion": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # gapfill: the grid joins the *aggregated* hourly table (both sides
+    # one row per key×bucket) — raw events never re-scanned, the join
+    # broadcasts at this SF, and nothing leaves the JVM.
+    "events_gapfill_locf": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # anomaly scoring: gapfill plan + one ROWS-frame window; still no
+    # Python and no sort-merge join.
+    "events_anomaly_zscore": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # MG sketch: MapInPandas is the operator's design (bounded-memory
+    # summaries), so pure_jvm is NOT pinned — but the merge must stay a
+    # plain hash agg + bounded window: no join of any kind.
+    "doc_frequent_terms_sketch": {
+        "pushed": False, "no_smj": True, "hints": 0,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
