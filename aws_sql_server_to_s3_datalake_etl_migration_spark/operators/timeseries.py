@@ -104,6 +104,53 @@ def gapfill_locf(
     return out
 
 
+def interpolate_linear(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str],
+    order_col: str = "bucket_start",
+) -> DataFrame:
+    """Fill null ``value_col`` rows of a (dense) series by linear
+    interpolation between the nearest observed neighbors; leading and
+    trailing nulls stay null (no extrapolation).
+
+    The position axis is the epoch-second of ``order_col``, so uneven
+    grids interpolate proportionally to the real time delta. All
+    arithmetic is one fixed double expression over exact int64
+    positions — bit-identical across engines. Two windows (trailing
+    ``last ignorenulls`` + leading ``first ignorenulls``) share the
+    same key partitioning/ordering, so Spark plans a single sort per
+    direction with no extra shuffle; the same few-key caveat as LOCF
+    applies (operator docstring above).
+    """
+    keys = list(key_cols)
+    pos = F.unix_timestamp(F.col(order_col)).cast("long")
+    v = F.col(value_col)
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(wb)
+    prev_p = F.last(F.when(v.isNotNull(), pos), ignorenulls=True).over(wb)
+    next_v = F.first(v, ignorenulls=True).over(wf)
+    next_p = F.first(F.when(v.isNotNull(), pos), ignorenulls=True).over(wf)
+    lerp = prev_v + (next_v - prev_v) * (
+        (pos - prev_p).cast("double") / (next_p - prev_p)
+    )
+    return df.withColumn(
+        value_col,
+        F.when(v.isNotNull(), v).otherwise(
+            F.when(prev_v.isNotNull() & next_v.isNotNull(), lerp)
+        ),
+    )
+
+
 def rolling_zscore(
     df: DataFrame,
     value_col: str,

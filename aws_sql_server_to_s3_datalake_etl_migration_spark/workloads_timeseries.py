@@ -73,6 +73,89 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_gapfill_interpolate",
+    """
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS bucket_start,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+               AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+      FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR))
+               AS bucket_start
+      FROM bounds
+    ),
+    dense AS (
+      SELECT g.event_type, g.bucket_start,
+             COALESCE(h.n_events, 0) AS n_events,
+             h.avg_value,
+             h.n_events IS NULL AS is_filled
+      FROM grid g LEFT JOIN hourly h USING (event_type, bucket_start)
+    ),
+    nbrs AS (
+      SELECT *, CAST(epoch(bucket_start) AS BIGINT) AS pos,
+        LAST_VALUE(avg_value IGNORE NULLS) OVER wb AS prev_v,
+        LAST_VALUE(CASE WHEN avg_value IS NOT NULL
+                        THEN CAST(epoch(bucket_start) AS BIGINT) END
+                   IGNORE NULLS) OVER wb AS prev_p,
+        FIRST_VALUE(avg_value IGNORE NULLS) OVER wf AS next_v,
+        FIRST_VALUE(CASE WHEN avg_value IS NOT NULL
+                         THEN CAST(epoch(bucket_start) AS BIGINT) END
+                    IGNORE NULLS) OVER wf AS next_p
+      FROM dense
+      WINDOW
+        wb AS (PARTITION BY event_type ORDER BY bucket_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY event_type ORDER BY bucket_start
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket_start, n_events,
+           CASE WHEN avg_value IS NOT NULL THEN avg_value
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                THEN prev_v + (next_v - prev_v)
+                     * (CAST(pos - prev_p AS DOUBLE) / (next_p - prev_p))
+           END AS avg_value,
+           is_filled
+    FROM nbrs
+    """,
+)
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified hourly series with *linear interpolation*: missing
+    hours get the value lerped between the nearest observed neighbors
+    (proportional to real time delta; leading/trailing gaps stay null
+    — no extrapolation). Same single-scan grid plan as
+    ``events_gapfill_locf``; the two neighbor windows share one sort
+    per direction (operators/timeseries.py interpolate_linear)."""
+    from .operators.timeseries import gapfill_locf, interpolate_linear
+
+    e = _events(spark, sf_dir)
+    dense = gapfill_locf(
+        e,
+        ts_col="ts",
+        key_cols=["event_type"],
+        agg_exprs={
+            "n_events": F.count(F.lit(1)),
+            "avg_value": F.sum(_dec("value")).cast("double")
+            / F.count(F.lit(1)),
+        },
+        locf_cols=[],
+        zero_cols=["n_events"],
+        step="1 hour",
+    ).select("event_type", "bucket_start", "n_events", "avg_value",
+             "is_filled")
+    return interpolate_linear(
+        dense, "avg_value", ["event_type"], "bucket_start"
+    )
+
+
+@register(
     "events_anomaly_zscore",
     """
     WITH hourly AS (

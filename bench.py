@@ -95,6 +95,7 @@ EXTENDED = [
     "event_funnel_conversion",
     "event_retention_cohorts",
     "events_gapfill_locf",
+    "events_gapfill_interpolate",
     "events_anomaly_zscore",
     "doc_frequent_terms_sketch",
     "recon_snapshot_diff",

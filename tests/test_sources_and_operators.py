@@ -525,3 +525,43 @@ def test_json_and_orc_roundtrip(spark, tmp_path, sf_dir):
               "GROUP BY n_regionkey",
     )
     assert agg.count() == 5
+
+
+def test_read_binary_dir_feeds_multimodal_pipeline(spark, tmp_path):
+    """binaryFile ingest: glob filters sidecars, max_bytes skips
+    oversized assets, and the (path, length, content) rows wire
+    straight into the multimodal feature extractor."""
+    import hashlib
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.multimodal import (
+        extract_features,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        read_binary_dir,
+    )
+
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {"a.png": b"\x89PNG-a" * 10, "b.png": b"\x89PNG-b" * 20}
+    for name, blob in payloads.items():
+        (media / name).write_bytes(blob)
+    (media / "big.png").write_bytes(b"x" * 10_000)   # over max_bytes
+    (media / "notes.txt").write_bytes(b"sidecar")    # filtered by glob
+
+    df = read_binary_dir(spark, str(media), glob="*.png", max_bytes=1_000)
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.png", "b.png"}
+    assert rows["a.png"]["length"] == len(payloads["a.png"])
+    assert bytes(rows["b.png"]["content"]) == payloads["b.png"]
+
+    assets = df.select(
+        F.abs(F.hash("path")).cast("long").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.col("content"),
+    )
+    feats = {
+        r["content_sha256"] for r in extract_features(assets).collect()
+    }
+    assert feats == {
+        hashlib.sha256(b).hexdigest() for b in payloads.values()
+    }

@@ -177,3 +177,74 @@ def test_mg_lossy_regime_bounds_and_heavy_hitter_survival(spark):
 
     exact = Counter(tokens)
     assert all(got[t] <= exact[t] for t in got)
+
+
+# ---------------------------------------------------------------------------
+# Property: gapfill + interpolation vs a plain-Python reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_series_strategy = st.dictionaries(
+    keys=st.sampled_from(["k1", "k2"]),
+    values=st.dictionaries(
+        keys=st.integers(0, 20),          # hour offsets
+        values=st.integers(-50, 50),      # integral values: exact lerp
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=2,
+)
+
+
+@given(series=_series_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_gapfill_interpolate_property(spark, series):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.timeseries import (
+        gapfill_locf,
+        interpolate_linear,
+    )
+
+    rows = [
+        (k, _ts(h), float(v))
+        for k, obs in series.items()
+        for h, v in obs.items()
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    dense = gapfill_locf(
+        df,
+        ts_col="ts",
+        key_cols=["k"],
+        agg_exprs={"n": F.count(F.lit(1)), "av": F.max("v")},
+        locf_cols=[],
+        zero_cols=["n"],
+    )
+    out = interpolate_linear(dense, "av", ["k"], "bucket_start")
+    got = {
+        (r["k"], r["bucket_start"].hour): (r["n"], r["av"], r["is_filled"])
+        for r in out.collect()
+    }
+    for k, obs in series.items():
+        lo, hi = min(obs), max(obs)
+        # exactly the min..max grid, nothing beyond
+        hours = {h for kk, h in got if kk == k}
+        assert hours == set(range(lo, hi + 1))
+        observed = sorted(obs)
+        for h in range(lo, hi + 1):
+            n, av, filled = got[(k, h)]
+            if h in obs:
+                assert (n, av, filled) == (1, float(obs[h]), False)
+            else:
+                prev = max(x for x in observed if x < h)
+                nxt = min(x for x in observed if x > h)
+                exp = obs[prev] + (obs[nxt] - obs[prev]) * (
+                    (h - prev) / (nxt - prev)
+                )
+                assert filled is True and n == 0
+                assert av == pytest.approx(exp, abs=1e-9)

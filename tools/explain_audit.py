@@ -162,6 +162,11 @@ EXPECT: dict[str, dict] = {
     "events_gapfill_locf": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # interpolation: gapfill plan + two neighbor windows sharing one
+    # sort per direction; still no Python and no sort-merge join.
+    "events_gapfill_interpolate": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
     # anomaly scoring: gapfill plan + one ROWS-frame window; still no
     # Python and no sort-merge join.
     "events_anomaly_zscore": {
