@@ -137,6 +137,74 @@ def shuffle_shards(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+) -> DataFrame:
+    """Temperature-based corpus rebalancing: sample stratum ``s`` at a
+    rate ∝ share_s^(alpha-1), so rare sources/languages are upweighted
+    (alpha < 1 flattens the mix; alpha = 1 keeps natural proportions —
+    the multilingual-mixing knob). ``target_fraction`` sets the overall
+    corpus share kept when no per-stratum rate caps at 1 (capped
+    strata undershoot instead of redistributing — deterministic, no
+    fixed-point iteration).
+
+    Adds a ``mix_rate`` column and keeps a row iff its ``key_col``
+    hash clears the stratum's rate (same IEEE multiply/compare as
+    ``weighted_sample`` — engine-identical selection).
+
+    Determinism across engines: alpha is restricted to {0.5, 1.0}
+    because ``sqrt`` is IEEE-correctly-rounded while ``pow`` is not —
+    a last-ulp pow difference could flip a hash-threshold comparison.
+    The normalizer sums stratum weights through DECIMAL(18,12), so it
+    is accumulation-order-free.
+
+    Scale shape: one groupBy to |strata| rows, single-partition window
+    math over that tiny table (bounded by stratum cardinality), then a
+    broadcast join back + codegen'd filter — the corpus itself is
+    scanned twice (counts + filter) and never shuffled.
+    """
+    from pyspark.sql.window import Window
+
+    if alpha not in (0.5, 1.0):
+        raise ValueError(
+            "alpha must be 0.5 or 1.0: non-sqrt exponents go through "
+            "pow(), which is not correctly rounded and can flip "
+            "hash-threshold selections across engines"
+        )
+    w_all = Window.partitionBy()
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    c = counts.withColumn("_tot", F.sum("_n").over(w_all))
+    share = F.col("_n").cast("double") / F.col("_tot")
+    c = c.withColumn("_w", F.sqrt(share) if alpha == 0.5 else share)
+    c = c.withColumn(
+        "_z",
+        F.sum(F.col("_w").cast("decimal(18,12)")).over(w_all)
+        .cast("double"),
+    )
+    rates = c.withColumn(
+        "mix_rate",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_fraction)) * F.col("_tot") * F.col("_w")
+            / (F.col("_n").cast("double") * F.col("_z")),
+        ),
+    ).select(strata_col, "mix_rate")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .cast("double")
+    )
+    return df.join(F.broadcast(rates), strata_col).where(
+        u < F.col("mix_rate") * F.lit(4294967296.0)
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

@@ -1180,6 +1180,49 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_temperature_mix",
+    """
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    c AS (
+      SELECT source, n,
+             SUM(n) OVER () AS tot,
+             sqrt(CAST(n AS DOUBLE) / SUM(n) OVER ()) AS w
+      FROM counts
+    ),
+    r AS (
+      SELECT source,
+             LEAST(1.0, 0.5 * tot * w
+                   / (CAST(n AS DOUBLE)
+                      * CAST(SUM(CAST(w AS DECIMAL(18,12))) OVER ()
+                             AS DOUBLE)))
+               AS mix_rate
+      FROM c
+    )
+    SELECT d.doc_id, d.source, r.mix_rate
+    FROM documents d JOIN r USING (source)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+            ::BIGINT::DOUBLE
+          < r.mix_rate * 4294967296.0
+    """,
+)
+def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) corpus rebalancing across sources at an
+    overall 50% target: rare sources keep a larger share, hot sources
+    are downsampled, rates derived in-engine from the stratum counts
+    (sqrt-only math + decimal-summed normalizer keep the selection
+    engine-identical; operators/sampling.py temperature_mix)."""
+    return sampling.temperature_mix(
+        _docs(spark, sf_dir),
+        strata_col="source",
+        key_col="doc_id",
+        alpha=0.5,
+        target_fraction=0.5,
+    ).select("doc_id", "source", "mix_rate")
+
+
+@register(
     "doc_weighted_sample",
     f"""
     WITH {_QUALITY_CTE}

@@ -92,6 +92,7 @@ EXTENDED = [
     "doc_shuffle_shards",
     "doc_quality_prune",
     "doc_weighted_sample",
+    "doc_temperature_mix",
     "event_funnel_conversion",
     "event_retention_cohorts",
     "events_gapfill_locf",

@@ -541,3 +541,44 @@ def test_weighted_sample_rate_tracks_weight(spark):
     # partitioning-invariant
     again = weighted_sample(df.repartition(17), "w", 0.5, "k").collect()
     assert {r.k for r in again} == {r.k for r in kept}
+
+
+def test_temperature_mix_flattens_skewed_sources(spark):
+    """alpha=0.5 mixing: keep-rate per stratum ∝ share^(-1/2), so the
+    rare stratum keeps a ~sqrt(ratio) larger fraction of its rows than
+    the hot one, the realized total tracks target_fraction, and the
+    selection is invariant to partitioning."""
+    import math
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, "hot" if i < 3200 else "rare") for i in range(3600)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = temperature_mix(
+        df, strata_col="src", key_col="doc_id",
+        alpha=0.5, target_fraction=0.3,
+    )
+    rates = {
+        r["src"]: r["mix_rate"]
+        for r in out.select("src", "mix_rate").distinct().collect()
+    }
+    # rate ratio = sqrt(n_hot / n_rare), while raw shares differ 8x
+    assert rates["rare"] / rates["hot"] == pytest.approx(
+        math.sqrt(3200 / 400), rel=1e-12
+    )
+    kept = out.count()
+    assert abs(kept - 1080) < 120  # hash noise around the 30% target
+    # partitioning-invariant: same rows regardless of layout
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in temperature_mix(
+            df.repartition(13), "src", "doc_id", 0.5, 0.3
+        ).collect()
+    }
+    assert a == b
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, "src", "doc_id", alpha=0.7)
