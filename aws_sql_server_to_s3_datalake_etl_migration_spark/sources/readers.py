@@ -393,6 +393,44 @@ def read_orc(
     return _sql_over_source(df, query, path, view_name)
 
 
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    ddl: str,
+    fmt: str = "json",
+    corrupt_col: str = "_raw_record",
+) -> DataFrame:
+    """Declared-schema JSON/CSV scan that *keeps* malformed records
+    instead of nulling them silently or failing the scan: PERMISSIVE
+    mode with the raw text of each unparseable record captured in
+    ``corrupt_col`` (null for clean rows), plus an ``_is_bad`` flag.
+
+    Pair with ``write_quarantined`` (writers.py) to land both streams
+    in one pass: clean rows become the lake table, bad rows keep their
+    raw bytes for replay after the producer is fixed — the dead-letter
+    pattern the reference's control-file loads had no answer for
+    (a malformed CSV row either crashed the Glue job or silently
+    became nulls; SURVEY.md §2.11).
+
+    Spark caveat encoded here: a query referencing ONLY the corrupt
+    column is disallowed by the parser-pushdown rule, so ``_is_bad``
+    derives from it immediately and downstream code filters on the
+    flag, never on the raw column alone.
+    """
+    if fmt not in ("json", "csv"):
+        raise ValueError(f"quarantine ingest supports json/csv, got {fmt!r}")
+    schema = _ddl_columns(ddl) + f", {corrupt_col} STRING"
+    reader = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    df = reader.format(fmt).load(path)
+    return df.withColumn("_is_bad", F.col(corrupt_col).isNotNull())
+
+
 def read_binary_dir(
     spark: SparkSession,
     path: str,

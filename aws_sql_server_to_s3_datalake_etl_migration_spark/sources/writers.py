@@ -194,3 +194,74 @@ def write_json(
     on re-read, ~3-5x the bytes of parquet. Use for handoffs to
     systems that ingest JSONL, never as the analytic store."""
     df.write.mode(mode).json(path)
+
+
+def write_quarantined(
+    df: DataFrame,
+    path: str,
+    corrupt_col: str = "_raw_record",
+) -> None:
+    """Dead-letter landing in ONE pass: the quarantine-tagged frame
+    from ``read_with_quarantine`` is written partitioned by
+    ``_is_bad``, so clean rows and malformed raws land under
+    ``_is_bad=false/`` and ``_is_bad=true/`` of the same table without
+    caching the input or scanning the source twice. Partition pruning
+    makes the clean-side read free (``read_clean``); the bad side
+    keeps the raw record text for replay."""
+    write_parquet(df, path, mode="overwrite", partition_by=["_is_bad"])
+
+
+def read_clean(spark: SparkSession, path: str) -> DataFrame:
+    """The clean side of a quarantined table: partition-pruned scan of
+    ``_is_bad=false``, raw-record plumbing columns dropped."""
+    return (
+        spark.read.parquet(path)
+        .where("_is_bad = false")
+        .drop("_is_bad", "_raw_record")
+    )
+
+
+def read_quarantine(spark: SparkSession, path: str) -> DataFrame:
+    """The dead-letter side: raw text of every malformed record, for
+    replay once the producer is fixed."""
+    return (
+        spark.read.parquet(path)
+        .where("_is_bad = true")
+        .select("_raw_record")
+    )
+
+
+def align_to_schema(
+    df: DataFrame,
+    target: "list[tuple[str, str]] | DataFrame",
+    allow_extra: bool = False,
+) -> DataFrame:
+    """Schema-evolution guard for appends: reorder ``df`` to the
+    target column order, fill columns the batch lacks with typed
+    nulls, cast matching columns to the target type, and — unless
+    ``allow_extra`` — fail loudly on columns the target doesn't know
+    (an upstream schema change should be an explicit decision, not a
+    silently dropped column).
+
+    ``target`` is the existing table DataFrame or a
+    ``[(name, dtype), ...]`` list. Append-mode parquet requires
+    positionally identical schemas; this makes any conforming batch
+    appendable regardless of producer column order."""
+    from pyspark.sql import functions as F
+
+    spec = (
+        target.dtypes if isinstance(target, DataFrame) else list(target)
+    )
+    have = dict(df.dtypes)
+    extra = [c for c in have if c not in {n for n, _ in spec}]
+    if extra and not allow_extra:
+        raise ValueError(
+            f"batch has columns unknown to the target table: {extra} — "
+            "evolve the table schema explicitly or pass allow_extra=True "
+            "to drop them"
+        )
+    cols = [
+        (F.col(n).cast(t) if n in have else F.lit(None).cast(t)).alias(n)
+        for n, t in spec
+    ]
+    return df.select(*cols)
