@@ -237,6 +237,40 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_variant_props",
+    """
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10
+                AS BIGINT) AS k_decile,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    ``parse_json`` decodes each record once into the binary variant
+    encoding and ``variant_get`` extracts typed fields from it — the
+    scale path when many fields are pulled from the same JSON blob
+    (repeated ``get_json_object`` re-parses the string per field;
+    variant parses once). Aggregates by the extracted key's decile.
+    All JVM-side; the oracle reads the same field with DuckDB's JSON
+    functions."""
+    e = _events(spark, sf_dir).where(F.col("props").isNotNull())
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.groupBy(
+            F.floor(k / 10).cast("bigint").alias("k_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
     "doc_frequent_terms_sketch",
     """
     WITH toks AS (

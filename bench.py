@@ -95,6 +95,7 @@ EXTENDED = [
     "doc_temperature_mix",
     "event_funnel_conversion",
     "event_retention_cohorts",
+    "events_variant_props",
     "events_gapfill_locf",
     "events_gapfill_interpolate",
     "events_anomaly_zscore",

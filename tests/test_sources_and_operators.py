@@ -640,3 +640,38 @@ def test_align_to_schema_guards_appends(spark, tmp_path):
     assert align_to_schema(rogue, target, allow_extra=True).columns == [
         "id", "name", "score",
     ]
+
+
+def test_synthetic_corpus_datasource(spark):
+    """Custom Python DataSource: partition-parallel generation, rows
+    invariant to partition count, deterministic across reads."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.synthetic import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+
+    def load(parts):
+        return (
+            spark.read.format("synthetic_corpus")
+            .option("rows", 300)
+            .option("partitions", parts)
+            .option("seed", 7)
+            .load()
+        )
+
+    a = load(4)
+    assert a.rdd.getNumPartitions() == 4
+    rows_a = {r["doc_id"]: (r["text"], r["source"], r["n_chars"]) for r in a.collect()}
+    assert len(rows_a) == 300
+    # content invariant to parallelism and re-reads
+    rows_b = {r["doc_id"]: (r["text"], r["source"], r["n_chars"]) for r in load(7).collect()}
+    assert rows_a == rows_b
+    # schema contract holds (n_chars really is the text length)
+    assert all(v[2] == len(v[0]) for v in rows_a.values())
+    assert {v[1] for v in rows_a.values()} <= {"crawl", "curated", "forum", "code"}
+    # the generated corpus feeds the normal operator surface
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import textops
+
+    scored = textops.with_quality_score(load(4))
+    assert scored.count() == 300
