@@ -83,3 +83,41 @@ def expectation_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def observed_write(
+    df: DataFrame,
+    writer_fn,
+    metrics: dict[str, Column] | None = None,
+    row_rules: dict[str, Column] | None = None,
+) -> dict:
+    """In-flight data-quality metrics via ``df.observe``: aggregate
+    expressions are accumulated WHILE the write action scans the data,
+    so quality numbers cost zero extra passes — at lake scale a
+    separate ``expectation_report`` scan doubles ingest I/O, this
+    doesn't.
+
+    - ``metrics``: name -> aggregate Column (e.g. ``F.count(F.lit(1))``,
+      ``F.sum("v")``).
+    - ``row_rules``: name -> violation predicate (true == violating
+      row); each becomes a conditional count named ``<name>_violations``.
+
+    ``writer_fn(df)`` must run exactly one action over the observed
+    frame (typically the sink write). Returns the observed metric dict.
+    Use for ingest pipelines where the report should describe exactly
+    the rows written, not a re-scan that may race a concurrent update.
+    """
+    from pyspark.sql import Observation
+
+    aggs = dict(metrics or {})
+    for name, pred in (row_rules or {}).items():
+        aggs[f"{name}_violations"] = F.sum(
+            F.when(pred, 1).otherwise(0)
+        ).cast("long")
+    if not aggs:
+        raise ValueError("observed_write needs at least one metric or rule")
+    obs = Observation()
+    names = list(aggs)
+    observed = df.observe(obs, *[aggs[n].alias(n) for n in names])
+    writer_fn(observed)
+    return obs.get

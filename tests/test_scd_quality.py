@@ -197,3 +197,40 @@ def test_snapshot_diff_null_safety(spark):
         4: "updated",     # null -> value
         5: "inserted",
     }
+
+
+def test_observed_write_collects_metrics_in_flight(spark, tmp_path):
+    """df.observe: quality metrics ride the write action itself — the
+    reported numbers describe exactly the written rows, with no second
+    scan of the source."""
+    from pyspark.sql import functions as F
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.quality import (
+        observed_write,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, 5.5), (4, None)],
+        "id bigint, v double",
+    )
+    out = str(tmp_path / "observed")
+    got = observed_write(
+        df,
+        writer_fn=lambda d: d.write.mode("overwrite").parquet(out),
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "v_total": F.sum("v"),
+        },
+        row_rules={
+            "v_nonnegative": F.col("v") < 0,
+            "v_present": F.col("v").isNull(),
+        },
+    )
+    assert got["n_rows"] == 4
+    assert got["v_total"] == pytest.approx(12.5)
+    assert got["v_nonnegative_violations"] == 1
+    assert got["v_present_violations"] == 1
+    assert spark.read.parquet(out).count() == 4
+
+    with pytest.raises(ValueError, match="at least one"):
+        observed_write(df, writer_fn=lambda d: None)
