@@ -878,6 +878,32 @@ def doc_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("bin", F.expr("CAST(start_offset DIV 512 AS BIGINT)"))
 
 
+@register("doc_pack_sequences", None)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact greedy next-fit packing into 512-token sequences, folded
+    sequentially per (source, content-hash shard) inside applyInPandas
+    and parallel across shards (operators/packing.py) — rows-only by
+    design: the reset-on-overflow fold isn't window-expressible, and
+    its semantics are pinned by a differential pytest against a pure-
+    Python reference."""
+    from .operators.packing import pack_sequences
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long") % _PACK_SHARDS
+    )
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        shard.alias("shard"),
+        F.size(textops.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    return pack_sequences(
+        t, token_col="n_tokens", order_col="doc_id", capacity=512,
+        group_cols=["source", "shard"],
+    )
+
+
 @register(
     "doc_normalize_scrub",
     f"""

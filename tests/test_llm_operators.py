@@ -582,3 +582,60 @@ def test_temperature_mix_flattens_skewed_sources(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         temperature_mix(df, "src", "doc_id", alpha=0.7)
+
+
+def test_pack_sequences_exact_greedy_next_fit(spark):
+    """Exact packing: matches a pure-Python greedy next-fit fold per
+    group, never splits a document, flags oversized docs, and a full
+    sequence closes immediately."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    rows = [
+        # group g1: 60+30 | 80 | 120(overflow) | 50+50 | 10
+        ("g1", 0, 60), ("g1", 1, 30), ("g1", 2, 80), ("g1", 3, 120),
+        ("g1", 4, 50), ("g1", 5, 50), ("g1", 6, 10),
+        # group g2: exact fits close the bin: 100 | 1
+        ("g2", 0, 100), ("g2", 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, n long")
+    out = pack_sequences(
+        df, token_col="n", order_col="i", capacity=100, group_cols=["g"]
+    )
+    got = {
+        (r["g"], r["i"]): (r["seq_id"], r["seq_offset"], r["overflow"])
+        for r in out.collect()
+    }
+
+    def reference(items, cap):
+        res, seq, used = {}, 0, 0
+        for i, n in items:
+            if used > 0 and used + n > cap:
+                seq, used = seq + 1, 0
+            res[i] = (seq, used, n > cap)
+            used += n
+            if used >= cap:
+                seq, used = seq + 1, 0
+        return res
+
+    for g, items in (
+        ("g1", [(i, n) for gg, i, n in rows if gg == "g1"]),
+        ("g2", [(i, n) for gg, i, n in rows if gg == "g2"]),
+    ):
+        exp = reference(items, 100)
+        for i, t in exp.items():
+            assert got[(g, i)] == t, (g, i, got[(g, i)], t)
+
+    stats = {r["g"]: r for r in packing_stats(
+        out, "n", 100, group_cols=["g"]
+    ).collect()}
+    assert stats["g1"]["n_sequences"] == 5
+    assert stats["g1"]["n_overflow"] == 1
+    assert stats["g2"]["n_sequences"] == 2
+    # fill fraction caps at 1.0 even for the overflow sequence
+    assert 0 < stats["g1"]["mean_fill"] <= 1.0
+
+    with pytest.raises(ValueError, match="capacity"):
+        pack_sequences(df, "n", "i", 0, ["g"])
