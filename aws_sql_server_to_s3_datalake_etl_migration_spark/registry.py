@@ -82,6 +82,16 @@ def oracles() -> dict[str, str]:
 # Rows-only entries (minhash/simhash/ivf) are also kept out — their
 # accuracy pytests are a stronger signal than a row-count-only driver
 # row.
+#
+# Round-6 rotation candidates (oracle-backed queries added mid-round-5
+# that have not yet had an official driver row; all local-check green):
+# doc_decontamination, doc_shuffle_shards, doc_quality_prune,
+# doc_weighted_sample, doc_temperature_mix, recon_snapshot_diff,
+# event_funnel_conversion, event_retention_cohorts,
+# events_gapfill_locf, events_gapfill_interpolate,
+# events_anomaly_zscore, events_variant_props,
+# doc_frequent_terms_sketch. Swap them in for the TPC-H gap-fill
+# shapes + events rows that will by then be two-round stable.
 _PRIORITY: tuple[str, ...] = (
     # §2 core: flagship ingest, scans, incremental/merge, recon
     # (permanently pinned)
