@@ -237,6 +237,50 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rolling_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    spread AS (
+      SELECT ud.d + CAST(off AS INT) AS wd, ud.user_id
+      FROM ud, UNNEST(generate_series(0, 6)) AS t(off)
+    )
+    SELECT days.d AS day, COUNT(DISTINCT spread.user_id) AS users_7d
+    FROM spread JOIN days ON spread.wd = days.d
+    GROUP BY days.d
+    """,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per observed day (the WAU curve):
+    each distinct (user, day) pair is spread onto the 7 window-end
+    days it contributes to, then an exact distinct count per day. The
+    spread works on the *deduplicated* user-day table (one shuffle to
+    |user-days|, never raw events × 7), the day-restriction join is a
+    broadcast of the tiny distinct-days list, and the final
+    count-distinct is the standard two-phase hash agg. Exact — no
+    sketch — because WAU/MAU is usually a reported business metric;
+    the HLL path (`events_rollup_incremental`) covers the approximate
+    regime."""
+    e = _events(spark, sf_dir)
+    ud = e.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = ud.select("d").distinct()
+    spread = ud.withColumn(
+        "off", F.explode(F.sequence(F.lit(0), F.lit(6)))
+    ).select(F.date_add("d", F.col("off")).alias("wd"), "user_id")
+    return (
+        spread.join(
+            F.broadcast(days), spread.wd == days.d
+        )
+        .groupBy(F.col("d").alias("day"))
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+    )
+
+
+@register(
     "events_variant_props",
     """
     SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10
