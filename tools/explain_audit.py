@@ -178,6 +178,22 @@ EXPECT: dict[str, dict] = {
     "doc_frequent_terms_sketch": {
         "pushed": False, "no_smj": True, "hints": 0,
     },
+    # variant extraction: props IS NOT NULL reaches the scan; variant
+    # decode + agg stay JVM-side.
+    "events_variant_props": {
+        "pushed": True, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # rolling WAU: the day-restriction join is the one explicit
+    # broadcast (tiny distinct-days list); user-day spread + distinct
+    # agg never sort-merge.
+    "events_rolling_active_users": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
+    # temperature mix: the rates join is the one explicit broadcast
+    # (|strata| rows); the corpus side never shuffles for it.
+    "doc_temperature_mix": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
