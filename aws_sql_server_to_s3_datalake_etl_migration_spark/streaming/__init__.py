@@ -7,6 +7,7 @@ from .ingest import (
     stream_append_to_lake,
     stream_dedup,
     stream_enrich,
+    stream_enrich_scd2,
     stream_merge_to_lake,
     stream_rollup_refresh,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "stream_append_to_lake",
     "stream_dedup",
     "stream_enrich",
+    "stream_enrich_scd2",
     "stream_merge_to_lake",
     "windowed_event_counts",
     "sessionize",

@@ -171,3 +171,36 @@ def stream_enrich(
     Inner and left-outer are the supported shapes for stream-static;
     the stream side can't be the null-filled side."""
     return stream.join(dim, on=on, how=how)
+
+
+def stream_enrich_scd2(
+    stream: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """As-of enrichment against an SCD2 dimension history
+    (operators/scd.py): each event joins the version whose validity
+    interval covers its event time — late-arriving events pick up the
+    attributes that were true WHEN THEY HAPPENED, not today's row,
+    which is the correctness property plain ``stream_enrich`` against
+    a current-only dimension cannot give.
+
+    Still a stream-static join (re-read + broadcast per micro-batch,
+    no state store): the interval predicate rides the same broadcast
+    hash join on the business keys, and validity intervals are
+    non-overlapping per key by SCD2 construction, so each event
+    matches at most one version."""
+    key_cond = [stream[k] == history[k] for k in keys]
+    interval = (stream[ts_col] >= history[from_col]) & (
+        history[to_col].isNull() | (stream[ts_col] < history[to_col])
+    )
+    cond = key_cond[0]
+    for c in key_cond[1:]:
+        cond = cond & c
+    joined = stream.join(history, cond & interval, how)
+    drop = [history[k] for k in keys]
+    return joined.drop(*drop)

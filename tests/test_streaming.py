@@ -656,3 +656,63 @@ def test_stream_rollup_refresh_matches_batch(spark, tmp_path, sf_dir):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_stream_enrich_scd2_as_of_event_time(spark, tmp_path):
+    """SCD2 as-of enrichment: events pick up the dimension version
+    valid at their event time — an event before the attribute change
+    sees the old value even when processed after it."""
+    import datetime as dt
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
+        stream_enrich_scd2,
+        stream_ingest_files,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    t_change = dt.datetime(2024, 1, 10)
+    history = spark.createDataFrame(
+        [
+            (1, "bronze", t0, t_change, False),
+            (1, "gold", t_change, None, True),
+            (2, "silver", t0, None, True),
+        ],
+        "cust_id long, tier string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean",
+    )
+    src = tmp_path / "scd_in"
+    src.mkdir()
+    events = spark.createDataFrame(
+        [
+            (10, 1, dt.datetime(2024, 1, 5)),    # before change -> bronze
+            (11, 1, dt.datetime(2024, 1, 15)),   # after change  -> gold
+            (12, 2, dt.datetime(2024, 1, 20)),   # single-version -> silver
+            (13, 9, dt.datetime(2024, 1, 2)),    # unknown key   -> null
+        ],
+        "event_id long, cust_id long, ts timestamp",
+    )
+    events.coalesce(1).write.parquet(str(src / "b1"))
+
+    out = str(tmp_path / "scd_out")
+    q = (
+        stream_enrich_scd2(
+            stream_ingest_files(
+                spark, str(src / "*"),
+                "event_id LONG, cust_id LONG, ts TIMESTAMP",
+            ),
+            history,
+            keys=["cust_id"],
+        )
+        .select("event_id", "tier")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "scd_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    got = {r["event_id"]: r["tier"] for r in spark.read.parquet(out).collect()}
+    assert got == {10: "bronze", 11: "gold", 12: "silver", 13: None}
