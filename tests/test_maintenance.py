@@ -250,3 +250,76 @@ def test_zorder_layout_rejects_degenerate_columns(spark, tmp_path):
     # valid columns still rewrite fine
     zorder_layout(spark, path, ["a"], n_files=2)
     assert spark.read.parquet(path).count() == 100
+
+
+def test_histogram_rollup_split_merge_equals_one_pass(spark, tmp_path):
+    """Mergeable fixed-bin histogram: two incremental refreshes over
+    split halves produce exactly the one-pass histogram, and the
+    histogram-derived quantile brackets the true percentile within one
+    bin width."""
+    import numpy as np
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.rollup import (
+        histogram_quantile,
+        incremental_rollup_refresh,
+        rollup_events,
+    )
+
+    rng = np.random.default_rng(5)
+    vals = rng.uniform(0, 160, size=2000)
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, int(i % 4), int(i % 60)),
+         ("a", "b")[i % 2], float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, v double")
+    hist_spec = (10.0, 16)  # bins [0,10) .. [150,inf)
+
+    one_pass = {
+        (str(r["bucket"]), r["event_type"]): r["value_hist"]
+        for r in rollup_events(
+            df, value_col="v", histogram=hist_spec
+        ).collect()
+    }
+
+    path = str(tmp_path / "hist_rollup")
+    for cond in ("ts < '2024-01-01 02:00:00'", "ts >= '2024-01-01 02:00:00'"):
+        incremental_rollup_refresh(
+            spark, df.where(cond), path, value_col="v",
+            histogram=hist_spec,
+        )
+    merged_df = spark.read.parquet(path)
+    merged = {
+        (str(r["bucket"]), r["event_type"]): r["value_hist"]
+        for r in merged_df.collect()
+    }
+    assert merged == one_pass
+    # every histogram counts its bucket's rows
+    n_by_key = {
+        (str(r["bucket"]), r["event_type"]): r["n_events"]
+        for r in merged_df.collect()
+    }
+    assert all(sum(h) == n_by_key[k] for k, h in merged.items())
+
+    # quantile estimate within one bin of the exact per-group p50
+    q = {
+        (str(r["bucket"]), r["event_type"]): r["value_q"]
+        for r in histogram_quantile(
+            merged_df, 0.5, bin_width=10.0
+        ).collect()
+    }
+    import collections
+
+    groups = collections.defaultdict(list)
+    for (ts, et, v) in rows:
+        groups[(str(ts.replace(minute=0, second=0)), et)].append(v)
+    for k, est in q.items():
+        exact = float(np.quantile(groups[k], 0.5))
+        assert exact - 10.0 <= est <= exact + 10.0, (k, est, exact)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="q must"):
+        histogram_quantile(merged_df, 0.0, 10.0)
