@@ -237,6 +237,53 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_unpivot_metrics",
+    """
+    WITH m AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price,
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, metric, value FROM (
+      SELECT o_orderpriority, 'n_orders' AS metric,
+             CAST(n_orders AS DOUBLE) AS value FROM m
+      UNION ALL
+      SELECT o_orderpriority, 'total_price', total_price FROM m
+      UNION ALL
+      SELECT o_orderpriority, 'n_customers', n_customers FROM m
+    )
+    """,
+)
+def orders_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via the DataFrame ``unpivot`` (melt) API:
+    per-priority metrics pivoted into (metric, value) rows — the shape
+    BI exports and metric stores ingest. The unpivot is a zero-shuffle
+    projection (each input row expands to |metrics| rows in place);
+    only the upstream agg shuffles."""
+    m = (
+        read_table_dir(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+            F.count_distinct("o_custkey").cast("double")
+            .alias("n_customers"),
+        )
+    )
+    return m.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "total_price", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
     "events_rolling_active_users",
     """
     WITH ud AS (
