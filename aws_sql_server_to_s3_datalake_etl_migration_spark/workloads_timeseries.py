@@ -237,6 +237,56 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_lateness_profile",
+    """
+    WITH r AS (
+      SELECT epoch_ns(ts) AS e,
+             MAX(epoch_ns(ts)) OVER (ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm
+      FROM events
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN pm - e > 60000000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_late_gt_1_minute,
+        CAST(SUM(CASE WHEN pm - e > 300000000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_late_gt_5_minutes,
+        CAST(SUM(CASE WHEN pm - e > 900000000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_late_gt_15_minutes,
+        CAST(SUM(CASE WHEN pm - e > 3600000000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_late_gt_1_hour,
+        CAST(MAX(pm - e) // 1000000000 AS BIGINT) AS max_lateness_sec
+      FROM r
+    )
+    SELECT *,
+      CASE
+        WHEN CAST(n_late_gt_1_minute AS DOUBLE) / n_events <= 0.001
+          THEN '1 minute'
+        WHEN CAST(n_late_gt_5_minutes AS DOUBLE) / n_events <= 0.001
+          THEN '5 minutes'
+        WHEN CAST(n_late_gt_15_minutes AS DOUBLE) / n_events <= 0.001
+          THEN '15 minutes'
+        WHEN CAST(n_late_gt_1_hour AS DOUBLE) / n_events <= 0.001
+          THEN '1 hour'
+      END AS suggested_delay
+    FROM agg
+    """,
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay advisor over the event stream: per-record
+    lateness against the arrival-order prefix max (computed with the
+    two-pass chunk-carry pattern — parallel within-chunk windows plus
+    one tiny carry window over |chunks| rows, never a global
+    single-task window over the corpus), reduced to threshold
+    exceedance counts and the smallest delay losing ≤0.1% of records
+    (operators/watermarking.py)."""
+    from .operators.watermarking import lateness_profile
+
+    e = _events(spark, sf_dir)
+    return lateness_profile(e, ts_ns_col="ts_ns", arrival_col="event_id")
+
+
+@register(
     "orders_unpivot_metrics",
     """
     WITH m AS (

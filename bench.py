@@ -96,6 +96,7 @@ EXTENDED = [
     "event_funnel_conversion",
     "event_retention_cohorts",
     "events_variant_props",
+    "events_lateness_profile",
     "events_rolling_active_users",
     "events_gapfill_locf",
     "events_gapfill_interpolate",

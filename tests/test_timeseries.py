@@ -248,3 +248,60 @@ def test_gapfill_interpolate_property(spark, series):
                 )
                 assert filled is True and n == 0
                 assert av == pytest.approx(exp, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Lateness profile (watermark advisor)
+# ---------------------------------------------------------------------------
+
+
+def test_lateness_chunk_carry_equals_global_prefix_max(spark):
+    """The two-pass chunk-carry prefix max must equal the naive global
+    computation for every row, across chunk boundaries."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.watermarking import (
+        with_lateness,
+    )
+
+    rng = random.Random(3)
+    ts = []
+    t = 0
+    for _ in range(500):
+        t += rng.randrange(0, 50)
+        # occasional deep out-of-order dip
+        ts.append(t - (rng.randrange(0, 400) if rng.random() < 0.2 else 0))
+    rows = [(i, v) for i, v in enumerate(ts)]
+    df = spark.createDataFrame(rows, "arrival long, ts_ns long")
+    got = {
+        r["arrival"]: r["lateness_ns"]
+        for r in with_lateness(df, "ts_ns", "arrival", chunk=64).collect()
+    }
+    prefix = 0
+    for i, v in enumerate(ts):
+        prefix = max(prefix, v) if i else v
+        assert got[i] == prefix - v, (i, got[i], prefix - v)
+
+
+def test_lateness_profile_suggests_smallest_safe_delay(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.watermarking import (
+        lateness_profile,
+    )
+
+    m = 10**9 * 60  # one minute in ns
+    base = [(i, i * m) for i in range(2000)]
+    # 1 record ~10 min late (0.05% > 0.001? 1/2000 = 0.0005 <= 0.001)
+    base[1000] = (1000, base[1000][1] - 10 * m)
+    df = spark.createDataFrame(base, "arrival long, ts_ns long")
+    row = lateness_profile(df, "ts_ns", "arrival", chunk=128).collect()[0]
+    assert row["n_events"] == 2000
+    assert row["n_late_gt_1_minute"] == 1
+    assert row["n_late_gt_15_minutes"] == 0
+    # the 10-min outlier is within the 0.1% loss budget at 1 minute
+    assert row["suggested_delay"] == "1 minute"
+
+    # now 1% of records 10 min late: 1m/5m budgets blow, 15m holds
+    many = [(i, i * m - (10 * m if i % 100 == 0 else 0)) for i in range(2000)]
+    df2 = spark.createDataFrame(many, "arrival long, ts_ns long")
+    row2 = lateness_profile(df2, "ts_ns", "arrival", chunk=128).collect()[0]
+    # i=0 is "late" but has no predecessor, so 19 of the 20 count
+    assert row2["n_late_gt_1_minute"] == 19
+    assert row2["suggested_delay"] == "15 minutes"
