@@ -104,6 +104,63 @@ def gapfill_locf(
     return out
 
 
+def locf_chunked(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str],
+    order_col: str,
+    chunk: int = 8192,
+) -> DataFrame:
+    """Last-observation-carried-forward for FEW-KEY GIANT series — the
+    two-pass segment carry SCALING.md prescribes when a per-key
+    ``last(..., ignorenulls)`` window would funnel one enormous series
+    through a single task:
+
+    1. rows bucket into fixed-size chunks by a dense per-key row
+       number; within-chunk LOCF is an ordinary (key, chunk) window —
+       parallel across chunks;
+    2. each chunk's last non-null value (one row per chunk) gets a
+       cross-chunk carry in a tiny per-key window over |chunks| rows;
+    3. the carry joins back (broadcast) and fills rows before their
+       chunk's first observation.
+
+    Result is exactly equal to the single-window LOCF (pinned by a
+    differential pytest). The dense row number itself is one window
+    over the key — cheap because it carries no state — so use this
+    when the VALUE windows dominate, or feed a precomputed
+    ``order_col`` that is already dense per key.
+    """
+    keys = list(key_cols)
+    w_rn = Window.partitionBy(*keys).orderBy(order_col)
+    d = df.withColumn(
+        "_cid", ((F.row_number().over(w_rn) - 1) / chunk).cast("long")
+    )
+    w_in = (
+        Window.partitionBy(*keys, "_cid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn(
+        "_fill_in", F.last(value_col, ignorenulls=True).over(w_in)
+    )
+    chunk_last = d.groupBy(*keys, "_cid").agg(
+        F.max_by(value_col, F.when(F.col(value_col).isNotNull(),
+                                   F.col(order_col))).alias("_clast")
+    )
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy("_cid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = chunk_last.withColumn(
+        "_carry", F.last("_clast", ignorenulls=True).over(w_carry)
+    ).select(*keys, "_cid", "_carry")
+    d = d.join(F.broadcast(carry), [*keys, "_cid"])
+    return d.withColumn(
+        value_col, F.coalesce("_fill_in", "_carry")
+    ).drop("_cid", "_fill_in", "_carry")
+
+
 def interpolate_linear(
     df: DataFrame,
     value_col: str,

@@ -305,3 +305,39 @@ def test_lateness_profile_suggests_smallest_safe_delay(spark):
     # i=0 is "late" but has no predecessor, so 19 of the 20 count
     assert row2["n_late_gt_1_minute"] == 19
     assert row2["suggested_delay"] == "15 minutes"
+
+
+def test_locf_chunked_equals_single_window(spark):
+    """Chunked LOCF (two-pass segment carry) must equal the plain
+    single-window last(ignorenulls) for every row, including nulls
+    spanning multiple whole chunks and all-null leading chunks."""
+    from pyspark.sql.window import Window
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.timeseries import (
+        locf_chunked,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for k in ("a", "b"):
+        for i in range(300):
+            # long null runs: ~80% nulls, so gaps straddle chunk bounds
+            v = float(rng.randrange(100)) if rng.random() < 0.2 else None
+            rows.append((k, i, v))
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+
+    w = (
+        Window.partitionBy("k")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expected = {
+        (r["k"], r["i"]): r["exp"]
+        for r in df.withColumn(
+            "exp", F.last("v", ignorenulls=True).over(w)
+        ).collect()
+    }
+    got = {
+        (r["k"], r["i"]): r["v"]
+        for r in locf_chunked(df, "v", ["k"], "i", chunk=32).collect()
+    }
+    assert got == expected
