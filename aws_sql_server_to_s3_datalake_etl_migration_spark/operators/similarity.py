@@ -251,3 +251,74 @@ def semantic_dedup(
     return df.join(lbl, id_col).withColumn(
         "keep", F.col(id_col) == F.col("semantic_cluster")
     )
+
+
+def ivf_topk_batch(
+    assigned: DataFrame,
+    centroids,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch ANN join: per-query cosine top-``k`` for a whole
+    DataFrame of queries in one distributed plan (the production shape
+    — single-query ``ivf_topk`` picks cells on the driver, which can't
+    scale to millions of queries).
+
+    1. every query scores the ≤ n_cells centroids (broadcast; the
+       cross product is |Q| × n_cells narrow rows) and keeps its
+       ``nprobe`` closest cells — a per-query window over n_cells rows;
+    2. (query, cell) pairs equi-join the assignment table on the cell
+       key, so each query scans ~nprobe/n_cells of the corpus and the
+       join never goes all-pairs;
+    3. exact cosine against the carried query vector, then a
+       per-query top-k window (rank ≤ k, deterministic id tiebreak).
+
+    Recall equals single-query ``ivf_topk`` by construction (same
+    probed cells); ``nprobe = n_cells`` degenerates to exact
+    brute-force ranking.
+    """
+    spark = assigned.sparkSession
+    cent_rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    cent = spark.createDataFrame(
+        cent_rows, f"_cell int, _centroid array<double>"
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(query_vec_col).alias("_qvec"),
+    )
+    from pyspark.sql.window import Window
+
+    w_cell = Window.partitionBy("_qid").orderBy(
+        F.col("_ccos").desc(), F.col("_cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_ccos", pairwise_cosine(F.col("_qvec"), F.col("_centroid")))
+        .withColumn("_crank", F.row_number().over(w_cell))
+        .where(F.col("_crank") <= nprobe)
+        .select("_qid", "_qvec", "_cell")
+    )
+    w_k = Window.partitionBy("_qid").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        probes.join(assigned, "_cell")
+        .withColumn(
+            "cosine", pairwise_cosine(F.col("_qvec"), F.col(vec_col))
+        )
+        .withColumn("_rank", F.row_number().over(w_k))
+        .where(F.col("_rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            "cosine",
+            F.col("_rank").alias("rank"),
+        )
+    )

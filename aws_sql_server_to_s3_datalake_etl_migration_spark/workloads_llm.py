@@ -501,6 +501,24 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_ivf_topk_batch", None)
+def emb_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN join: per-query IVF top-5 for every 37th embedding as
+    a query set, in one distributed plan (cell scoring via broadcast
+    centroids, cell-key equi-join, per-query top-k window) — rows-only
+    (iterative k-means isn't SQL-expressible); exactness at full probe
+    and recall at partial probe are pinned by pytest."""
+    embs = _embs(spark, sf_dir)
+    assigned, centroids = similarity.build_ivf_index(embs, n_cells=8)
+    queries = embs.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return similarity.ivf_topk_batch(
+        assigned, centroids, queries, k=5, nprobe=4
+    )
+
+
 @register("emb_ivf_topk", None)
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF scale path: k-means cells, probe top-4 of 8 — rows-only

@@ -639,3 +639,60 @@ def test_pack_sequences_exact_greedy_next_fit(spark):
 
     with pytest.raises(ValueError, match="capacity"):
         pack_sequences(df, "n", "i", 0, ["g"])
+
+
+def test_ivf_topk_batch_matches_brute_force_at_full_probe(spark, sf_dir):
+    """Batch ANN join: probing every cell is exact — per-query results
+    must equal independent brute-force top-k; partial probe keeps
+    recall high and never exceeds the probed-cell candidate set."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk_batch,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        read_table_dir,
+    )
+
+    embs = read_table_dir(spark, sf_dir, "embeddings")
+    assigned, centroids = build_ivf_index(embs, n_cells=8)
+    assigned = assigned.persist()
+    queries = (
+        embs.where(F.col("vec_id") % 37 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    exact_probe = ivf_topk_batch(
+        assigned, centroids, queries, k=5, nprobe=8
+    )
+    got = {}
+    for r in exact_probe.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    q_rows = queries.collect()
+    assert set(got) == {r["query_id"] for r in q_rows}
+    for qr in q_rows:
+        bf = [
+            r["vec_id"]
+            for r in brute_force_topk(
+                embs, qr["query_vec"], k=5
+            ).collect()
+        ]
+        batch = [v for _, v in sorted(got[qr["query_id"]])]
+        assert batch == bf, (qr["query_id"], batch, bf)
+
+    # partial probe: recall@5 of at least 3/5 averaged over queries
+    part = ivf_topk_batch(assigned, centroids, queries, k=5, nprobe=3)
+    pg = {}
+    for r in part.collect():
+        pg.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = []
+    for qr in q_rows:
+        bf = {
+            r["vec_id"]
+            for r in brute_force_topk(embs, qr["query_vec"], k=5).collect()
+        }
+        recalls.append(len(pg[qr["query_id"]] & bf) / 5)
+    assert sum(recalls) / len(recalls) >= 0.6
+    assigned.unpersist()
