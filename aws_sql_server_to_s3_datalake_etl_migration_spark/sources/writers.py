@@ -19,17 +19,24 @@ def write_parquet(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     max_records_per_file: int | None = None,
+    compression: str | None = None,
 ) -> None:
     """Parquet sink (S9 overwrite / S12 append), ``utils.py:200-209``.
 
     ``max_records_per_file`` bounds file size so downstream scans get
     even splits; partitioning enables partition pruning.
+    ``compression`` overrides the session codec per write — ``zstd``
+    is the usual cold-lake choice (~25-30% smaller than the snappy
+    default at similar scan speed; at 100 TB that is tens of TB of
+    storage and scan I/O).
     """
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if compression:
+        writer = writer.option("compression", compression)
     writer.parquet(path)
 
 

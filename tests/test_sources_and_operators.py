@@ -675,3 +675,17 @@ def test_synthetic_corpus_datasource(spark):
 
     scored = textops.with_quality_score(load(4))
     assert scored.count() == 300
+
+
+def test_write_parquet_compression_codec(spark, tmp_path):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.writers import (
+        write_parquet,
+    )
+    import glob as _glob
+
+    df = spark.range(1000).withColumn("s", F.concat(F.lit("x" * 50), "id"))
+    p = str(tmp_path / "zstd_tbl")
+    write_parquet(df, p, compression="zstd")
+    files = _glob.glob(p + "/*.zstd.parquet")
+    assert files, "zstd codec not applied to data files"
+    assert spark.read.parquet(p).count() == 1000
