@@ -689,3 +689,28 @@ def test_write_parquet_compression_codec(spark, tmp_path):
     files = _glob.glob(p + "/*.zstd.parquet")
     assert files, "zstd codec not applied to data files"
     assert spark.read.parquet(p).count() == 1000
+
+
+def test_quarantine_ingest_csv(spark, tmp_path):
+    """CSV flavor of the dead-letter ingest: a row with an untypeable
+    cell quarantines with its raw text; clean rows parse."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        read_with_quarantine,
+    )
+
+    src = tmp_path / "csvfeed"
+    src.mkdir()
+    (src / "a.csv").write_text("id,v\n1,10.5\n2,oops\n3,7.25\n")
+    tagged = read_with_quarantine(
+        spark, str(src), "id BIGINT, v DOUBLE", fmt="csv"
+    )
+    clean = {tuple(r) for r in tagged.where("NOT _is_bad")
+             .select("id", "v").collect()}
+    assert clean == {(1, 10.5), (3, 7.25)}
+    bad = [r["_raw_record"] for r in tagged.where("_is_bad").collect()]
+    assert bad == ["2,oops"]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="json/csv"):
+        read_with_quarantine(spark, str(src), "id BIGINT", fmt="avro")

@@ -341,3 +341,26 @@ def test_locf_chunked_equals_single_window(spark):
         for r in locf_chunked(df, "v", ["k"], "i", chunk=32).collect()
     }
     assert got == expected
+
+
+def test_gapfill_quarter_hour_grid(spark):
+    """The 15-minute step snaps buckets to the quarter hour and fills
+    the sub-hour grid."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.timeseries import (
+        gapfill_locf,
+    )
+
+    rows = [("k", _ts(0, 3), 1.0), ("k", _ts(1, 16), 9.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = gapfill_locf(
+        df, ts_col="ts", key_cols=["k"],
+        agg_exprs={"n": F.count(F.lit(1))},
+        locf_cols=[], zero_cols=["n"], step="15 minutes",
+    )
+    got = {
+        (r["bucket_start"].hour, r["bucket_start"].minute): r["n"]
+        for r in out.collect()
+    }
+    # 00:00 .. 01:15 inclusive = 6 quarter-hour buckets
+    assert got == {(0, 0): 1, (0, 15): 0, (0, 30): 0, (0, 45): 0,
+                   (1, 0): 0, (1, 15): 1}
