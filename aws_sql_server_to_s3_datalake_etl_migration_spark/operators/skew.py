@@ -134,3 +134,67 @@ def write_bucketed(
         )
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def detect_skew(
+    df: DataFrame,
+    key_cols: str | list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Key-frequency skew report: the ``top_n`` heaviest keys with
+    their share of all rows and ratio to the mean key load — the
+    numbers that decide between AQE-only, salting, and hot-key
+    isolation. One hash agg over the scan plus two single-row
+    aggregates of the (small) per-key table; the per-key table is
+    never collected."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = per_key.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "share", F.col("n_rows").cast("double") / F.col("_total")
+        )
+        .withColumn(
+            "x_mean",
+            F.col("n_rows").cast("double")
+            / (F.col("_total").cast("double") / F.col("_n_keys")),
+        )
+        .drop("_total", "_n_keys")
+        .orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
+        .limit(top_n)
+    )
+
+
+def split_skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    hot_keys: list,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key isolation join: rows with a known-hot key join via a
+    BROADCAST of the right side's hot slice (hot keys never shuffle at
+    all), everything else takes the normal equi-join path; the union
+    of both branches is exactly the plain join (differential-tested).
+
+    Use when ``detect_skew`` shows a few keys dominating: unlike
+    salting, the hot path costs no replication factor, and unlike AQE
+    splitting it also avoids shuffling the hot LEFT rows. ``hot_keys``
+    must be small enough that the right side's hot slice broadcasts.
+    Inner and left joins are supported (the split is not valid for
+    right/full outer: an unmatched right hot row must surface exactly
+    once, which the two-branch union can't guarantee)."""
+    if how not in ("inner", "left"):
+        raise ValueError("split_skew_join supports inner/left only")
+    is_hot = F.col(on).isin(hot_keys)
+    hot = left.where(is_hot).join(
+        F.broadcast(right.where(is_hot)), on, how
+    )
+    cold = left.where(~is_hot | F.col(on).isNull()).join(
+        right.where(~is_hot), on, how
+    )
+    return hot.unionByName(cold)

@@ -4,6 +4,7 @@ plan must contain no Exchange (the shuffle was paid at write time)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.skew import (
@@ -112,3 +113,51 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_detect_skew_ranks_hot_keys(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.skew import (
+        detect_skew,
+    )
+
+    rows = [("hot",)] * 900 + [(f"k{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string")
+    top = detect_skew(df, "k", top_n=3).collect()
+    assert top[0]["k"] == "hot" and top[0]["n_rows"] == 900
+    assert top[0]["share"] == pytest.approx(0.9)
+    # mean key load = 1000/101 rows; hot is ~90x the mean
+    assert top[0]["x_mean"] == pytest.approx(900 / (1000 / 101))
+    assert all(r["n_rows"] == 1 for r in top[1:])
+
+
+def test_split_skew_join_equals_plain_join(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.skew import (
+        split_skew_join,
+    )
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(500)]
+        + [(f"k{i}", i) for i in range(50)]
+        + [(None, -1), ("orphan", -2)],
+        "k string, lv long",
+    )
+    right = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"R{i}") for i in range(40)],
+        "k string, rv string",
+    )
+    for how in ("inner", "left"):
+        plain = {(r["k"], r["lv"], r["rv"])
+                 for r in left.join(right, "k", how).collect()}
+        split = {(r["k"], r["lv"], r["rv"])
+                 for r in split_skew_join(left, right, "k",
+                                          ["hot"], how).collect()}
+        assert split == plain, how
+    # hot branch really is a broadcast join
+    plan = split_skew_join(left, right, "k", ["hot"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="inner/left"):
+        split_skew_join(left, right, "k", ["hot"], "full")
