@@ -54,6 +54,14 @@ QUERIES = [
     "events_hourly_counts",
     "emb_label_centroids",
     "emb_cosine_topk",
+    # round-5 additions: the Arrow-batched sketch (Python-side cost
+    # must scale linearly with the corpus), the dense-grid family
+    # (grid size is time-range-bound, not corpus-bound), and the
+    # chunk-carry lateness profile
+    "doc_frequent_terms_sketch",
+    "events_gapfill_locf",
+    "events_lateness_profile",
+    "events_rolling_active_users",
 ]
 
 
