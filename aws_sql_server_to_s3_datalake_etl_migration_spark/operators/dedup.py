@@ -629,3 +629,53 @@ def contamination_flags(
             ).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted fingerprint index
+# ---------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    content_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    fp_col: str = "content_fp",
+) -> DataFrame:
+    """Dedup a NEW batch against all history without rescanning it:
+    the lake keeps a fingerprint index (one sha256 per ever-admitted
+    content), the batch dedups within itself, anti-joins the index,
+    and the survivors' fingerprints append back. Per-batch cost is
+    O(batch + matching index partitions) — at 100 TB of history the
+    index is ~corpus-distinct-count x 32 bytes and the anti-join
+    shuffles the fixed-width fingerprint, never document text.
+
+    Returns the admitted rows (batch-unique AND history-unique), with
+    the index updated as a side effect. Pair with the high-watermark
+    reader so each batch is seen exactly once; a replayed batch is
+    harmlessly rejected by the index (idempotent admission).
+    """
+    from ..sources import fs
+    from ..sources.writers import write_parquet
+
+    cols = content_cols or ["text"]
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols
+    ]
+    batch = new_docs.withColumn(fp_col, F.sha2(F.concat_ws("", *parts), 256))
+    batch_unique = keep_min_survivors(batch, [fp_col], id_col)
+    if fs.path_exists(spark, index_path):
+        index = spark.read.parquet(index_path)
+        admitted = batch_unique.join(index, fp_col, "left_anti")
+    else:
+        admitted = batch_unique
+    # materialize and TRUNCATE LINEAGE before appending to the index:
+    # a plain persist() is not enough — appending to index_path makes
+    # Spark's cache manager re-execute cached plans that scan that
+    # path (recacheByPath), so the anti-join would suddenly see the
+    # fingerprints this very batch is adding and admit nothing
+    admitted = admitted.localCheckpoint(eager=True)
+    write_parquet(admitted.select(fp_col), index_path, mode="append")
+    return admitted

@@ -78,3 +78,30 @@ def test_simhash_banding_is_exact_for_advertised_distance(spark):
         (0, 8), (8, 7), (15, 7), (22, 7), (29, 7), (36, 7), (43, 7),
         (50, 7), (57, 7),
     ]
+
+
+def test_incremental_exact_dedup_across_batches(spark, tmp_path):
+    """Cross-batch dedup without rescanning history: batch-internal
+    dupes collapse, content already admitted by an earlier batch is
+    rejected, replaying a whole batch admits nothing."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    idx = str(tmp_path / "fp_index")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    a1 = incremental_exact_dedup(spark, b1, idx)
+    got1 = {(r["doc_id"], r["text"]) for r in a1.select("doc_id", "text").collect()}
+    assert got1 == {(1, "alpha"), (2, "beta")}
+    b2 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma")],
+        "doc_id long, text string",
+    )
+    a2 = incremental_exact_dedup(spark, b2, idx)
+    assert {r["doc_id"] for r in a2.collect()} == {11}
+    # replay of batch 2: fully rejected, index unchanged
+    a3 = incremental_exact_dedup(spark, b2, idx)
+    assert a3.count() == 0
+    assert spark.read.parquet(idx).count() == 3
