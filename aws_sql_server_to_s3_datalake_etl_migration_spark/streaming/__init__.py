@@ -6,6 +6,7 @@ from .ingest import (
     stream_ingest_files,
     stream_append_to_lake,
     stream_dedup,
+    stream_dedup_to_lake,
     stream_enrich,
     stream_enrich_scd2,
     stream_merge_to_lake,
@@ -19,6 +20,7 @@ __all__ = [
     "stream_ingest_files",
     "stream_append_to_lake",
     "stream_dedup",
+    "stream_dedup_to_lake",
     "stream_enrich",
     "stream_enrich_scd2",
     "stream_merge_to_lake",

@@ -110,6 +110,51 @@ def stream_merge_to_lake(
     return writer.start()
 
 
+def stream_dedup_to_lake(
+    df: DataFrame,
+    lake_path: str,
+    index_path: str,
+    checkpoint: str,
+    content_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact-content dedup with UNBOUNDED horizon: each
+    micro-batch runs ``incremental_exact_dedup`` (operators/dedup.py)
+    against the persisted fingerprint index inside ``foreachBatch``,
+    and only never-before-seen content appends to the lake.
+
+    Complements ``stream_dedup``: the watermark version bounds state
+    but forgets duplicates older than the horizon; this one remembers
+    every fingerprint ever admitted (index grows with DISTINCT
+    content, not stream length) at the cost of an index anti-join per
+    batch. Replayed batches are rejected by the index, so the sink is
+    idempotent under at-least-once delivery."""
+    from ..operators.dedup import incremental_exact_dedup
+    from ..sources.writers import write_parquet
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        admitted = incremental_exact_dedup(
+            batch_df.sparkSession,
+            batch_df,
+            index_path,
+            content_cols=content_cols,
+            id_col=id_col,
+        )
+        write_parquet(
+            admitted.drop("content_fp"), lake_path, mode="append"
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_rollup_refresh(
     df: DataFrame,
     rollup_path: str,

@@ -716,3 +716,43 @@ def test_stream_enrich_scd2_as_of_event_time(spark, tmp_path):
         q.stop()
     got = {r["event_id"]: r["tier"] for r in spark.read.parquet(out).collect()}
     assert got == {10: "bronze", 11: "gold", 12: "silver", 13: None}
+
+
+def test_stream_dedup_to_lake_unbounded_horizon(spark, tmp_path):
+    """foreachBatch fingerprint-index dedup: duplicate content
+    arriving many batches apart (beyond any watermark horizon) is
+    still rejected; unique content lands exactly once."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
+        stream_dedup_to_lake,
+        stream_ingest_files,
+    )
+
+    src = tmp_path / "sd_in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(10, "beta"), (11, "gamma")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    spark.createDataFrame(
+        [(20, "alpha"), (21, "gamma"), (22, "delta")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b3"))
+
+    lake = str(tmp_path / "sd_lake")
+    q = stream_dedup_to_lake(
+        stream_ingest_files(
+            spark, str(src / "*"), "doc_id LONG, text STRING",
+            max_files_per_trigger=1,
+        ),
+        lake_path=lake,
+        index_path=str(tmp_path / "sd_idx"),
+        checkpoint=str(tmp_path / "sd_ckpt"),
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    got = {(r["doc_id"], r["text"])
+           for r in spark.read.parquet(lake).collect()}
+    assert got == {(1, "alpha"), (2, "beta"), (11, "gamma"), (22, "delta")}
