@@ -107,3 +107,64 @@ def corpus_prep_to_lake(
         r["split"]: r["n"]
         for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+
+
+def robust_ingest_to_lake(
+    spark: SparkSession,
+    source_path: str,
+    ddl: str,
+    lake_path: str,
+    quarantine_path: str,
+    fingerprint_index_path: str,
+    fmt: str = "json",
+    content_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> dict[str, int]:
+    """The hardened ingest path, composed from the round-5 pieces:
+
+    1. PERMISSIVE scan with dead-letter capture
+       (``read_with_quarantine``) — malformed records keep their raw
+       text instead of crashing the job or becoming silent nulls;
+    2. bad rows land under ``quarantine_path`` for replay;
+    3. clean rows dedup against ALL prior ingests via the persisted
+       fingerprint index (``incremental_exact_dedup`` — idempotent
+       under batch replay);
+    4. admitted rows append to the lake with quality metrics observed
+       DURING the write (``observed_write`` — zero extra scans).
+
+    Returns ``{"clean": n, "quarantined": n, "admitted": n}`` — the
+    recon numbers, all from work the pipeline already did.
+    """
+    from .operators.dedup import incremental_exact_dedup
+    from .operators.quality import observed_write
+    from .sources.readers import read_with_quarantine
+
+    tagged = read_with_quarantine(spark, source_path, ddl, fmt=fmt)
+    # keep the typed columns alongside the raw record: a plan touching
+    # ONLY the corrupt column over a raw JSON/CSV scan is disallowed
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and counting from the
+    # written table avoids re-scanning the source anyway
+    bad = tagged.where(F.col("_is_bad")).drop("_is_bad")
+    write_parquet(bad, quarantine_path, mode="append")
+    n_total = tagged.count()
+    clean = tagged.where(~F.col("_is_bad")).drop("_raw_record", "_is_bad")
+    admitted = incremental_exact_dedup(
+        spark, clean, fingerprint_index_path,
+        content_cols=content_cols, id_col=id_col,
+    )
+    metrics = observed_write(
+        admitted.drop("content_fp"),
+        writer_fn=lambda d: write_parquet(d, lake_path, mode="append"),
+        metrics={"n_rows": F.count(F.lit(1))},
+    )
+    # count(*) would prune the projection down to the corrupt-only
+    # filter plan (disallowed); aggregating a typed column alongside
+    # keeps the scan legal
+    n_clean = clean.agg(
+        F.count(F.lit(1)).alias("n"), F.count(id_col).alias("_touch")
+    ).collect()[0]["n"]
+    return {
+        "clean": n_clean,
+        "quarantined": n_total - n_clean,
+        "admitted": int(metrics["n_rows"]),
+    }

@@ -122,3 +122,48 @@ def test_corpus_prep_to_lake_end_to_end(spark, tmp_path, sf_dir):
     # deterministic: a second run lands identical per-split counts
     lake2 = str(tmp_path / "corpus2")
     assert corpus_prep_to_lake(spark, docs, lake2, min_quality=0.2) == counts
+
+
+def test_robust_ingest_pipeline_end_to_end(spark, tmp_path):
+    """Quarantine -> cross-batch dedup -> observed append, composed:
+    malformed rows dead-letter, replayed content is rejected by the
+    fingerprint index, and the observed metric equals the rows
+    actually admitted."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.pipelines import (
+        robust_ingest_to_lake,
+    )
+
+    feed1 = tmp_path / "f1"
+    feed1.mkdir()
+    (feed1 / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "garbage line\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+    )
+    paths = dict(
+        lake_path=str(tmp_path / "lake"),
+        quarantine_path=str(tmp_path / "quarantine"),
+        fingerprint_index_path=str(tmp_path / "fp_idx"),
+    )
+    r1 = robust_ingest_to_lake(
+        spark, str(feed1), "doc_id BIGINT, text STRING", **paths
+    )
+    assert r1 == {"clean": 2, "quarantined": 1, "admitted": 2}
+
+    feed2 = tmp_path / "f2"
+    feed2.mkdir()
+    (feed2 / "b.jsonl").write_text(
+        '{"doc_id": 10, "text": "beta"}\n'      # cross-batch dupe
+        '{"doc_id": 11, "text": "gamma"}\n'
+    )
+    r2 = robust_ingest_to_lake(
+        spark, str(feed2), "doc_id BIGINT, text STRING", **paths
+    )
+    assert r2 == {"clean": 2, "quarantined": 0, "admitted": 1}
+
+    lake = spark.read.parquet(paths["lake_path"])
+    assert {(r["doc_id"], r["text"]) for r in lake.collect()} == {
+        (1, "alpha"), (2, "beta"), (11, "gamma"),
+    }
+    quarantined = spark.read.parquet(paths["quarantine_path"])
+    assert [r["_raw_record"] for r in quarantined.collect()] == ["garbage line"]
