@@ -666,16 +666,18 @@ def incremental_exact_dedup(
     ]
     batch = new_docs.withColumn(fp_col, F.sha2(F.concat_ws("", *parts), 256))
     batch_unique = keep_min_survivors(batch, [fp_col], id_col)
-    if fs.path_exists(spark, index_path):
-        index = spark.read.parquet(index_path)
+    # pin the index read to the PRE-APPEND file list: the anti-join
+    # must not see the fingerprints this very batch is about to add,
+    # including on re-execution (a directory-path read re-lists files,
+    # and persist() doesn't help — the cache manager re-executes
+    # cached plans whose scanned path is appended to). A file-list
+    # read is immutable, so the plan stays deterministic with no
+    # materialization or executor-storage pinning.
+    index_files = fs.list_data_files(spark, index_path)
+    if index_files:
+        index = spark.read.parquet(*index_files).select(fp_col)
         admitted = batch_unique.join(index, fp_col, "left_anti")
     else:
         admitted = batch_unique
-    # materialize and TRUNCATE LINEAGE before appending to the index:
-    # a plain persist() is not enough — appending to index_path makes
-    # Spark's cache manager re-execute cached plans that scan that
-    # path (recacheByPath), so the anti-join would suddenly see the
-    # fingerprints this very batch is adding and admit nothing
-    admitted = admitted.localCheckpoint(eager=True)
     write_parquet(admitted.select(fp_col), index_path, mode="append")
     return admitted

@@ -66,3 +66,13 @@ def dir_bytes(spark: SparkSession, path: str) -> int:
 def data_file_count(spark: SparkSession, path: str) -> int:
     """Number of data files under ``path`` (metadata files ignored)."""
     return sum(1 for _ in _iter_data_files(spark, path))
+
+
+def list_data_files(spark: SparkSession, path: str) -> list[str]:
+    """All data-file paths under ``path`` (recursive), as strings —
+    for pinning a reader to a point-in-time file set so later appends
+    to the same directory cannot change a plan's input on
+    re-execution."""
+    return sorted(
+        str(st.getPath()) for st in _iter_data_files(spark, path)
+    )
