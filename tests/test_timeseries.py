@@ -364,3 +364,43 @@ def test_gapfill_quarter_hour_grid(spark):
     # 00:00 .. 01:15 inclusive = 6 quarter-hour buckets
     assert got == {(0, 0): 1, (0, 15): 0, (0, 30): 0, (0, 45): 0,
                    (1, 0): 0, (1, 15): 1}
+
+
+@given(
+    weights=st.lists(st.integers(1, 60), min_size=3, max_size=10),
+    capacity=st.integers(2, 12),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mg_guarantees_property(spark, weights, capacity):
+    """MG invariants on arbitrary frequency profiles and capacities:
+    every estimate is a lower bound, the global error bound holds
+    (true - est <= max_err for every reported term), and any term with
+    true count > max_err is reported."""
+    from collections import Counter
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.sketches import (
+        frequent_terms,
+    )
+
+    tokens = [f"t{i}" for i, w in enumerate(weights) for _ in range(w)]
+    rng = random.Random(sum(weights))
+    rng.shuffle(tokens)
+    exact = Counter(tokens)
+    out = frequent_terms(
+        _token_df(spark, tokens, n_partitions=3),
+        capacity=capacity,
+        k=len(weights),
+    ).collect()
+    got = {r["term"]: r["est_count"] for r in out}
+    max_err = out[0]["max_err"] if out else 0
+    assert 0 <= max_err <= len(tokens) // (capacity + 1) + capacity
+    for term, est in got.items():
+        assert est <= exact[term]
+        assert exact[term] - est <= max_err
+    for term, n in exact.items():
+        if n > max_err:
+            assert term in got, (term, n, max_err)

@@ -10,4 +10,6 @@ echo "== oracle catalog (sf0.01) =="
 python tools/check_correctness.py
 echo "== plan audit =="
 python tools/explain_audit.py
+echo "== catalog inventory freshness =="
+python tools/catalog_report.py | diff - CATALOG.md
 echo "ALL GATES GREEN"
