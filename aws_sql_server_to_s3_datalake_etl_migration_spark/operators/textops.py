@@ -287,3 +287,61 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score", "rank")
     )
+
+
+def source_term_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Vocabulary drift per source: the L1 (total-variation) distance
+    between each source's term-frequency distribution and the
+    corpus-wide distribution — the monitor that catches a crawl split
+    going off-distribution before it poisons a training mix.
+
+    L1 rather than KL/JS: no logarithms, so every per-term contribution
+    is a ratio-difference of exact integer counts computed identically
+    on any engine, and the final sum accumulates through
+    DECIMAL(18,12) to be order-insensitive. Shape: one explode ->
+    two hash aggs (term x source, term) -> join on term (the
+    aggregated vocab table, never the token stream) -> one agg per
+    source. Terms absent from a source contribute their full corpus
+    mass, accounted via the closing-term identity
+    sum_absent p_c = 1 - sum_present p_c (no outer join needed).
+    """
+    toks = df.select(
+        F.col(source_col).alias("src"), F.explode(tokens(text_col)).alias("term")
+    )
+    per_src = toks.groupBy("src", "term").agg(
+        F.count(F.lit(1)).alias("n_st")
+    )
+    src_tot = per_src.groupBy("src").agg(F.sum("n_st").alias("tot_s"))
+    corpus = per_src.groupBy("term").agg(F.sum("n_st").alias("n_t"))
+    corpus_tot = corpus.agg(F.sum("n_t").alias("tot_c"))
+    joined = (
+        per_src.join(src_tot, "src")
+        .join(F.broadcast(corpus), "term")
+        .crossJoin(F.broadcast(corpus_tot))
+    )
+    p_s = F.col("n_st").cast("double") / F.col("tot_s")
+    p_c = F.col("n_t").cast("double") / F.col("tot_c")
+    term_l1 = F.abs(p_s - p_c).cast("decimal(18,12)")
+    present_mass = p_c.cast("decimal(18,12)")
+    return (
+        joined.groupBy("src")
+        .agg(
+            F.sum(term_l1).alias("_l1_present"),
+            F.sum(present_mass).alias("_mass_present"),
+        )
+        .select(
+            F.col("src").alias(source_col),
+            # absent terms contribute |0 - p_c| = p_c each; their total
+            # is 1 - (corpus mass of the present terms)
+            (
+                F.col("_l1_present")
+                + (F.lit(1).cast("decimal(18,12)") - F.col("_mass_present"))
+            )
+            .cast("double")
+            .alias("l1_drift"),
+        )
+    )

@@ -412,6 +412,50 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_source_drift",
+    """
+    WITH toks AS (
+      SELECT source AS src,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ),
+    per_src AS (
+      SELECT src, term, COUNT(*) AS n_st FROM toks GROUP BY 1, 2
+    ),
+    src_tot AS (SELECT src, SUM(n_st) AS tot_s FROM per_src GROUP BY 1),
+    corpus AS (SELECT term, SUM(n_st) AS n_t FROM per_src GROUP BY 1),
+    corpus_tot AS (SELECT SUM(n_t) AS tot_c FROM corpus),
+    j AS (
+      SELECT p.src, p.n_st, s.tot_s, c.n_t, t.tot_c
+      FROM per_src p
+      JOIN src_tot s USING (src)
+      JOIN corpus c USING (term), corpus_tot t
+    )
+    SELECT src AS source,
+           CAST(SUM(CAST(abs(CAST(n_st AS DOUBLE) / tot_s
+                             - CAST(n_t AS DOUBLE) / tot_c)
+                         AS DECIMAL(18,12)))
+                + (CAST(1 AS DECIMAL(18,12))
+                   - SUM(CAST(CAST(n_t AS DOUBLE) / tot_c
+                              AS DECIMAL(18,12))))
+                AS DOUBLE) AS l1_drift
+    FROM j GROUP BY src
+    """,
+)
+def doc_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary drift: L1 distance between each source's
+    term distribution and the corpus-wide one — the off-distribution
+    monitor for training mixes. Log-free (engine-exact ratio math,
+    decimal-accumulated sums) and joins only aggregated vocab tables
+    (operators/textops.py source_term_drift)."""
+    from .operators.textops import source_term_drift
+
+    return source_term_drift(
+        read_table_dir(spark, sf_dir, "documents"), "text", "source"
+    )
+
+
+@register(
     "doc_frequent_terms_sketch",
     """
     WITH toks AS (

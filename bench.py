@@ -93,6 +93,7 @@ EXTENDED = [
     "doc_quality_prune",
     "doc_weighted_sample",
     "doc_temperature_mix",
+    "doc_source_drift",
     "event_funnel_conversion",
     "event_retention_cohorts",
     "events_variant_props",

@@ -696,3 +696,37 @@ def test_ivf_topk_batch_matches_brute_force_at_full_probe(spark, sf_dir):
         recalls.append(len(pg[qr["query_id"]] & bf) / 5)
     assert sum(recalls) / len(recalls) >= 0.6
     assigned.unpersist()
+
+
+def test_source_term_drift_l1_semantics(spark):
+    """L1 drift on a hand-computed corpus, including the absent-term
+    mass closing identity: a source missing corpus terms picks up
+    their full corpus probability."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.textops import (
+        source_term_drift,
+    )
+
+    rows = [
+        # source A: 'x x y' ; source B: 'y z'
+        (1, "A", "x x y"),
+        (2, "B", "y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["source"]: r["l1_drift"]
+        for r in source_term_drift(df, "text", "source").collect()
+    }
+    # corpus: x=2/5, y=2/5, z=1/5
+    # A (x=2/3, y=1/3): |2/3-2/5| + |1/3-2/5| + z-mass 1/5
+    exp_a = abs(2 / 3 - 2 / 5) + abs(1 / 3 - 2 / 5) + 1 / 5
+    # B (y=1/2, z=1/2): |1/2-2/5| + |1/2-1/5| + x-mass 2/5
+    exp_b = abs(1 / 2 - 2 / 5) + abs(1 / 2 - 1 / 5) + 2 / 5
+    assert got["A"] == pytest.approx(exp_a, abs=1e-9)
+    assert got["B"] == pytest.approx(exp_b, abs=1e-9)
+    # identical distributions -> zero drift
+    same = spark.createDataFrame(
+        [(1, "A", "x y"), (2, "B", "x y")],
+        "doc_id long, source string, text string",
+    )
+    for r in source_term_drift(same, "text", "source").collect():
+        assert r["l1_drift"] == pytest.approx(0.0, abs=1e-9)
