@@ -681,3 +681,99 @@ def incremental_exact_dedup(
         admitted = batch_unique
     write_parquet(admitted.select(fp_col), index_path, mode="append")
     return admitted
+
+
+def _minhash_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows — the LSH bucket keys of each
+    document, shared by the batch and incremental paths."""
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[F.col("minhash")[b * r + j] for j in range(r)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+
+def incremental_near_dedup(
+    spark,
+    new_docs: DataFrame,
+    band_index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """NEAR-duplicate admission against all history, without rescanning
+    it: the lake keeps an LSH band index ((band_idx, band_hash) per
+    ever-admitted doc, bands x 16 bytes each); a new batch first
+    collapses its own near-dup clusters (banded-LSH pairs +
+    connected components, min-id survivor), then rejects any survivor
+    sharing a band bucket with history, and appends the admitted
+    docs' bands. Index reads are pinned to the pre-append file list
+    (same re-execution-safety argument as ``incremental_exact_dedup``).
+
+    Semantics follow the LSH S-curve: with r = num_hashes/bands rows
+    per band, a historical doc at Jaccard j collides with probability
+    1-(1-j^r)^bands — high recall above ~0.5 similarity at the
+    defaults, with a small, quantifiable false-reject rate below it
+    (j = 0.2 -> ~1.3%). Callers needing exact precision verify the
+    rejected set against the lake with ``ngram_jaccard_pairs`` before
+    discarding.
+    """
+    assert num_hashes % bands == 0
+    from ..sources import fs
+    from ..sources.writers import write_parquet
+
+    pairs = minhash_lsh_pairs(
+        new_docs, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        threshold=0.0,
+    )
+    clusters = connected_components(pairs, new_docs, id_col)
+    batch_survivors = new_docs.join(
+        clusters.where(F.col(id_col) == F.col("cluster_id")).select(id_col),
+        id_col,
+    )
+    new_bands = _minhash_band_table(
+        batch_survivors, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    index_files = fs.list_data_files(spark, band_index_path)
+    if index_files:
+        hist = spark.read.parquet(*index_files).select(
+            "band_idx", "band_hash"
+        )
+        hit_ids = (
+            new_bands.join(hist, ["band_idx", "band_hash"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        admitted = batch_survivors.join(hit_ids, id_col, "left_anti")
+    else:
+        admitted = batch_survivors
+    admitted_bands = new_bands.join(
+        admitted.select(id_col), id_col, "left_semi"
+    )
+    write_parquet(
+        admitted_bands, band_index_path, mode="append"
+    )
+    return admitted

@@ -105,3 +105,37 @@ def test_incremental_exact_dedup_across_batches(spark, tmp_path):
     a3 = incremental_exact_dedup(spark, b2, idx)
     assert a3.count() == 0
     assert spark.read.parquet(idx).count() == 3
+
+
+def test_incremental_near_dedup_across_batches(spark, tmp_path):
+    """Near-dup admission against the band index: batch-internal
+    near-dup clusters collapse to one survivor, a later batch's
+    near-copy of admitted history is rejected, dissimilar docs pass,
+    and a replayed batch admits nothing."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        incremental_near_dedup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on the quiet green meadow near the river")
+    near = base.replace("quiet", "calm")          # high-jaccard variant
+    other = ("completely different subject matter entirely about "
+             "spark physical plans shuffles and broadcast joins at "
+             "massive scale with adaptive execution everywhere")
+    idx = str(tmp_path / "band_idx")
+
+    b1 = spark.createDataFrame(
+        [(1, base), (2, near)], "doc_id long, text string"
+    )
+    a1 = incremental_near_dedup(spark, b1, idx)
+    assert [r["doc_id"] for r in a1.collect()] == [1]   # cluster -> min id
+
+    b2 = spark.createDataFrame(
+        [(10, base.replace("softly", "gently")), (11, other)],
+        "doc_id long, text string",
+    )
+    a2 = incremental_near_dedup(spark, b2, idx)
+    assert {r["doc_id"] for r in a2.collect()} == {11}
+
+    a3 = incremental_near_dedup(spark, b2, idx)          # replay
+    assert a3.count() == 0
