@@ -90,8 +90,10 @@ def oracles() -> dict[str, str]:
 # event_funnel_conversion, event_retention_cohorts,
 # events_gapfill_locf, events_gapfill_interpolate,
 # events_anomaly_zscore, events_variant_props,
-# doc_frequent_terms_sketch. Swap them in for the TPC-H gap-fill
-# shapes + events rows that will by then be two-round stable.
+# doc_frequent_terms_sketch, doc_source_drift, orders_unpivot_metrics,
+# events_lateness_profile, events_rolling_active_users. Swap them in
+# for the TPC-H gap-fill shapes + events rows that will by then be
+# two-round stable.
 _PRIORITY: tuple[str, ...] = (
     # §2 core: flagship ingest, scans, incremental/merge, recon
     # (permanently pinned)

@@ -730,3 +730,22 @@ def test_source_term_drift_l1_semantics(spark):
     )
     for r in source_term_drift(same, "text", "source").collect():
         assert r["l1_drift"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_temperature_mix_alpha_one_keeps_natural_mix(spark):
+    """alpha=1: weights equal raw shares, so every stratum keeps the
+    same target fraction — natural proportions preserved."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, "hot" if i < 1600 else "rare") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    rates = {
+        r["src"]: r["mix_rate"]
+        for r in temperature_mix(df, "src", "doc_id", alpha=1.0,
+                                 target_fraction=0.4)
+        .select("src", "mix_rate").distinct().collect()
+    }
+    assert rates["hot"] == pytest.approx(0.4, rel=1e-12)
+    assert rates["rare"] == pytest.approx(0.4, rel=1e-12)
