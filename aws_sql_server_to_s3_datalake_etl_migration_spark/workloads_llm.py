@@ -896,6 +896,51 @@ def doc_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("bin", F.expr("CAST(start_offset DIV 512 AS BIGINT)"))
 
 
+@register(
+    "doc_incremental_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, coalesce(text, '') AS txt,
+             CAST(doc_id % 2 AS INT) AS b
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, b,
+             ROW_NUMBER() OVER (PARTITION BY txt ORDER BY b, doc_id)
+               AS rn
+      FROM t
+    )
+    SELECT doc_id, b AS batch FROM r WHERE rn = 1
+    """,
+)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch incremental dedup proven against a one-pass oracle:
+    the corpus arrives as two batches (doc_id parity), each admitted
+    through ``incremental_exact_dedup`` against a fresh fingerprint
+    index (operators/dedup.py — within-batch min-id survivors, then a
+    fixed-width anti-join vs every previously admitted fingerprint).
+    The union of admissions must equal first-batch-wins/min-id dedup
+    over the whole corpus, which is exactly the oracle's
+    ROW_NUMBER() OVER (PARTITION BY content ORDER BY batch, id) = 1.
+    History is never rescanned: batch 2 touches the index, not
+    batch 1's documents."""
+    import tempfile
+
+    from .operators.dedup import incremental_exact_dedup
+
+    idx = tempfile.mkdtemp(prefix="fp_idx_")
+    docs = _docs(spark, sf_dir)
+    parts = []
+    for i in (0, 1):
+        admitted = incremental_exact_dedup(
+            spark, docs.where(F.col("doc_id") % 2 == i), f"{idx}/index"
+        )
+        parts.append(
+            admitted.select("doc_id", F.lit(i).alias("batch"))
+        )
+    return parts[0].unionByName(parts[1])
+
+
 @register("doc_pack_sequences", None)
 def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact greedy next-fit packing into 512-token sequences, folded
