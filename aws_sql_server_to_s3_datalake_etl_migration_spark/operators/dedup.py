@@ -636,6 +636,58 @@ def contamination_flags(
 # ---------------------------------------------------------------------------
 
 
+def dedup_against_index(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    content_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    fp_col: str = "content_fp",
+    exclude_subdir: str | None = None,
+) -> DataFrame:
+    """Pure admission compute for incremental exact dedup: fingerprint
+    the batch (sha256 over the content columns), keep one survivor per
+    fingerprint within the batch, and anti-join the persisted index —
+    NO writes. Returns the admitted rows with ``fp_col`` attached so
+    the caller can commit rows and fingerprints in whatever order its
+    delivery guarantee requires (see ``incremental_exact_dedup`` for
+    the watermark-paired batch shape and
+    ``streaming.ingest.stream_dedup_to_lake`` /
+    ``pipelines.robust_ingest_to_lake`` for the replay-safe
+    partition-overwrite protocol).
+
+    ``exclude_subdir`` drops index files under
+    ``<index_path>/<exclude_subdir>/`` from the pinned file list —
+    an at-least-once replay excludes its OWN batch partition so the
+    anti-join sees exactly the pre-batch index state and the admitted
+    set recomputes identically (``keep_min_survivors`` is
+    deterministic: min id per fingerprint).
+    """
+    from ..sources import fs
+
+    cols = content_cols or ["text"]
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols
+    ]
+    batch = new_docs.withColumn(fp_col, F.sha2(F.concat_ws("", *parts), 256))
+    batch_unique = keep_min_survivors(batch, [fp_col], id_col)
+    # pin the index read to the PRE-APPEND file list: the anti-join
+    # must not see the fingerprints this very batch is about to add,
+    # including on re-execution (a directory-path read re-lists files,
+    # and persist() doesn't help — the cache manager re-executes
+    # cached plans whose scanned path is appended to). A file-list
+    # read is immutable, so the plan stays deterministic with no
+    # materialization or executor-storage pinning.
+    index_files = fs.list_data_files(spark, index_path)
+    if exclude_subdir:
+        marker = f"/{exclude_subdir.strip('/')}/"
+        index_files = [f for f in index_files if marker not in f]
+    if not index_files:
+        return batch_unique
+    index = spark.read.parquet(*index_files).select(fp_col)
+    return batch_unique.join(index, fp_col, "left_anti")
+
+
 def incremental_exact_dedup(
     spark,
     new_docs: DataFrame,
@@ -653,32 +705,26 @@ def incremental_exact_dedup(
     shuffles the fixed-width fingerprint, never document text.
 
     Returns the admitted rows (batch-unique AND history-unique), with
-    the index updated as a side effect. Pair with the high-watermark
-    reader so each batch is seen exactly once; a replayed batch is
-    harmlessly rejected by the index (idempotent admission).
+    the index updated as a side effect. ORDERING CONTRACT: the
+    fingerprint append commits HERE, before the caller persists the
+    admitted rows anywhere — so this shape is for flows where
+    admission itself is the outcome (the returned DataFrame is
+    consumed inline) or where each batch is delivered exactly once
+    (high-watermark reader, operators/incremental.py). Under
+    at-least-once delivery a crash between this append and the
+    caller's own sink write would make the replay reject the batch —
+    rows lost; use the replay-safe committers
+    (``streaming.ingest.stream_dedup_to_lake``,
+    ``pipelines.robust_ingest_to_lake``), which compute via
+    ``dedup_against_index`` and commit rows + fingerprints as
+    deterministic per-batch partition overwrites instead.
     """
-    from ..sources import fs
     from ..sources.writers import write_parquet
 
-    cols = content_cols or ["text"]
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols
-    ]
-    batch = new_docs.withColumn(fp_col, F.sha2(F.concat_ws("", *parts), 256))
-    batch_unique = keep_min_survivors(batch, [fp_col], id_col)
-    # pin the index read to the PRE-APPEND file list: the anti-join
-    # must not see the fingerprints this very batch is about to add,
-    # including on re-execution (a directory-path read re-lists files,
-    # and persist() doesn't help — the cache manager re-executes
-    # cached plans whose scanned path is appended to). A file-list
-    # read is immutable, so the plan stays deterministic with no
-    # materialization or executor-storage pinning.
-    index_files = fs.list_data_files(spark, index_path)
-    if index_files:
-        index = spark.read.parquet(*index_files).select(fp_col)
-        admitted = batch_unique.join(index, fp_col, "left_anti")
-    else:
-        admitted = batch_unique
+    admitted = dedup_against_index(
+        spark, new_docs, index_path,
+        content_cols=content_cols, id_col=id_col, fp_col=fp_col,
+    )
     write_parquet(admitted.select(fp_col), index_path, mode="append")
     return admitted
 

@@ -69,13 +69,29 @@ def incremental_rollup_refresh(
     value_col: str = "value",
     distinct_col: str | None = None,
     histogram: tuple[float, int] | None = None,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Fold ``new_events`` into the rollup table at ``rollup_path``
     (bootstrap if absent) and atomically swap it. Returns the refreshed
-    rollup. Idempotence is the caller's contract: feed each event batch
-    exactly once (pair with the high-watermark reader,
-    operators/incremental.py, which yields exactly the unseen rows).
+    rollup.
+
+    Without ``batch_id``, idempotence is the caller's contract: feed
+    each event batch exactly once (pair with the high-watermark
+    reader, operators/incremental.py, which yields exactly the unseen
+    rows). With ``batch_id`` (monotonically increasing — e.g. the
+    foreachBatch id), folds are exactly-once under at-least-once
+    replay: the id rides the atomic swap as a ``_last_folded_batch``
+    sidecar INSIDE the rollup directory, so data and marker commit in
+    the same rename, and a replay of an already-folded id returns the
+    rollup unchanged instead of double-counting. Single writer per
+    rollup path (which a streaming checkpoint already implies).
     """
+    if batch_id is not None:
+        last = fs.read_text_file(
+            spark, f"{rollup_path.rstrip('/')}/_last_folded_batch"
+        )
+        if last is not None and int(last) >= batch_id:
+            return spark.read.parquet(rollup_path)
     partial = rollup_events(
         new_events, bucket, ts_col, key_cols, value_col, distinct_col,
         histogram,
@@ -103,7 +119,12 @@ def incremental_rollup_refresh(
         )
     else:
         combined = partial
-    swap_overwrite(combined, rollup_path)
+    sidecar = (
+        {"_last_folded_batch": str(batch_id)}
+        if batch_id is not None
+        else None
+    )
+    swap_overwrite(combined, rollup_path, sidecar=sidecar)
     return spark.read.parquet(rollup_path)
 
 

@@ -76,7 +76,14 @@ def gapfill_locf(
         )
     observed = (
         df.groupBy(*keys, bucket.alias("bucket_start"))
-        .agg(*[e.alias(n) for n, e in agg_exprs.items()])
+        .agg(
+            *[e.alias(n) for n, e in agg_exprs.items()],
+            # internal observation marker: COUNT(1) is non-null for
+            # every observed bucket even when the caller's aggregates
+            # are all NULL (e.g. max over an all-null column) — the
+            # caller's first aggregate is NOT a safe is_filled signal
+            F.count(F.lit(1)).alias("_observed"),
+        )
     )
     bounds = observed.groupBy(*keys).agg(
         F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
@@ -88,8 +95,9 @@ def gapfill_locf(
         ).alias("bucket_start"),
     )
     dense = grid.join(observed, [*keys, "bucket_start"], "left")
-    marker = next(iter(agg_exprs))
-    out = dense.withColumn("is_filled", F.col(marker).isNull())
+    out = dense.withColumn(
+        "is_filled", F.col("_observed").isNull()
+    ).drop("_observed")
     w = (
         Window.partitionBy(*keys)
         .orderBy("bucket_start")

@@ -119,6 +119,7 @@ def robust_ingest_to_lake(
     fmt: str = "json",
     content_cols: list[str] | None = None,
     id_col: str = "doc_id",
+    run_id: str | None = None,
 ) -> dict[str, int]:
     """The hardened ingest path, composed from the round-5 pieces:
 
@@ -127,17 +128,38 @@ def robust_ingest_to_lake(
        text instead of crashing the job or becoming silent nulls;
     2. bad rows land under ``quarantine_path`` for replay;
     3. clean rows dedup against ALL prior ingests via the persisted
-       fingerprint index (``incremental_exact_dedup`` — idempotent
-       under batch replay);
-    4. admitted rows append to the lake with quality metrics observed
-       DURING the write (``observed_write`` — zero extra scans).
+       fingerprint index (``dedup_against_index``);
+    4. admitted rows land in the lake with quality metrics observed
+       DURING the write (``observed_write`` — zero extra scans);
+    5. the admitted fingerprints commit to the index LAST — after the
+       lake write — so a crash anywhere mid-run can lose fingerprints
+       but never admitted rows.
+
+    With ``run_id`` (a caller-chosen stable id for this batch, e.g.
+    the landing-directory name), the run is EXACTLY-ONCE under
+    re-execution: quarantine, lake, and index writes all become
+    deterministic partition overwrites under
+    ``ingest_batch_id=<run_id>/``, and the dedup anti-join reads the
+    index excluding the run's own partition — a re-run reconstructs
+    the pre-run index state, recomputes the identical admitted set,
+    and replaces its own partitions instead of double-appending.
+    Never reuse a ``run_id`` for different source data (it would
+    overwrite the earlier run's partitions), and don't mix
+    ``run_id`` and plain-append mode on the same lake (the layouts
+    differ).
+
+    Without ``run_id``, writes are plain appends: the
+    lake-before-index ordering above means a failed run re-admits (and
+    re-appends) its rows on retry — at-least-once, duplicates possible
+    after a mid-run crash, but no loss.
 
     Returns ``{"clean": n, "quarantined": n, "admitted": n}`` — the
     recon numbers, all from work the pipeline already did.
     """
-    from .operators.dedup import incremental_exact_dedup
+    from .operators.dedup import dedup_against_index
     from .operators.quality import observed_write
     from .sources.readers import read_with_quarantine
+    from .sources.writers import overwrite_batch_partition
 
     tagged = read_with_quarantine(spark, source_path, ddl, fmt=fmt)
     # keep the typed columns alongside the raw record: a plan touching
@@ -145,17 +167,33 @@ def robust_ingest_to_lake(
     # (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and counting from the
     # written table avoids re-scanning the source anyway
     bad = tagged.where(F.col("_is_bad")).drop("_is_bad")
-    write_parquet(bad, quarantine_path, mode="append")
+    if run_id is not None:
+        write_batch = lambda df, path: overwrite_batch_partition(  # noqa: E731
+            df, path, run_id
+        )
+        exclude = f"ingest_batch_id={run_id}"
+    else:
+        write_batch = lambda df, path: write_parquet(  # noqa: E731
+            df, path, mode="append"
+        )
+        exclude = None
+    write_batch(bad, quarantine_path)
     n_total = tagged.count()
     clean = tagged.where(~F.col("_is_bad")).drop("_raw_record", "_is_bad")
-    admitted = incremental_exact_dedup(
+    admitted = dedup_against_index(
         spark, clean, fingerprint_index_path,
         content_cols=content_cols, id_col=id_col,
+        exclude_subdir=exclude,
     )
     metrics = observed_write(
         admitted.drop("content_fp"),
-        writer_fn=lambda d: write_parquet(d, lake_path, mode="append"),
+        writer_fn=lambda d: write_batch(d, lake_path),
         metrics={"n_rows": F.count(F.lit(1))},
+    )
+    # fingerprints last: rows are on disk before the index can ever
+    # reject a retry of this batch
+    write_batch(
+        admitted.select("content_fp"), fingerprint_index_path
     )
     # count(*) would prune the projection down to the corrupt-only
     # filter plan (disallowed); aggregating a typed column alongside

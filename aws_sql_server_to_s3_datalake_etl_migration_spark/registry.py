@@ -73,27 +73,21 @@ def oracles() -> dict[str, str]:
 # entries, so dict order is the official-signal window. This curated
 # prefix packs one representative of every SURVEY §2 component plus the
 # full LLM-pipeline suite (dedup / text analysis / similarity /
-# multimodal / SCD2 / DQ) into that window. Round-5 rotation: the 12
-# entries that had never produced an official driver row (the 8 TPC-H
-# gap-fill shapes, tf-idf, repetition stats, stratified sample,
-# incremental rollup) moved in; 12 rows green in BOTH r3 and r4 (scalar
-# trio, grouping/sort/set-op family, one window, one join) rotated out
-# — they stay registered, bench-exercised, and pytest/local-checked.
-# Rows-only entries (minhash/simhash/ivf) are also kept out — their
-# accuracy pytests are a stronger signal than a row-count-only driver
-# row.
+# multimodal / SCD2 / DQ) into that window.
 #
-# Round-6 rotation candidates (oracle-backed queries added mid-round-5
-# that have not yet had an official driver row; all local-check green):
-# doc_decontamination, doc_shuffle_shards, doc_quality_prune,
-# doc_weighted_sample, doc_temperature_mix, recon_snapshot_diff,
-# event_funnel_conversion, event_retention_cohorts,
-# events_gapfill_locf, events_gapfill_interpolate,
-# events_anomaly_zscore, events_variant_props,
-# doc_frequent_terms_sketch, doc_source_drift, orders_unpivot_metrics,
-# events_lateness_profile, events_rolling_active_users. Swap them in
-# for the TPC-H gap-fill shapes + events rows that will by then be
-# two-round stable.
+# Round-6 rotation (per the r5 verdict): the 17 oracle-backed queries
+# added mid-round-5 that had no official driver row yet moved in
+# (decontamination, shuffle-shards, quality-prune, weighted/temperature
+# sampling, snapshot-diff, the gapfill trio, lateness, variant, drift,
+# MG sketch, unpivot, rolling-WAU, funnel, retention); the 8 TPC-H
+# gap-fill shapes (green r5) and 9 mature events rows (green r4+r5)
+# rotated out — they stay registered, bench-exercised, and
+# pytest/local-checked. events_rollup_incremental (first green only in
+# r5) keeps its slot one more round. With this window, every one of
+# the 100 oracle-backed catalog queries has had ≥1 official driver row
+# across r3–r6. Rows-only entries (minhash/simhash/ivf) stay out —
+# their accuracy pytests are a stronger signal than a
+# row-count-only driver row.
 _PRIORITY: tuple[str, ...] = (
     # §2 core: flagship ingest, scans, incremental/merge, recon
     # (permanently pinned)
@@ -108,25 +102,25 @@ _PRIORITY: tuple[str, ...] = (
     "semi_join_active_customers",
     "outer_join_nation_order_stats",
     "window_top_orders_per_segment",
-    # TPC-H gap-fill shapes (first driver window r5)
-    "cheapest_part_offers",
-    "product_type_profit",
-    "important_part_value",
-    "priority_shipment_classes",
-    "customer_order_distribution",
-    "top_revenue_suppliers",
-    "part_supplier_variety",
-    "promotable_part_suppliers",
-    # events (time-series) family (first green r4 — keep one more round)
-    "events_scalar_functions",
-    "events_in_list_filter",
-    "events_json_props",
-    "events_hourly_counts",
-    "event_session_stats",
-    "approx_distinct_users",
-    "event_purchase_attribution",
-    "event_error_burst",
-    "events_time_rollup",
+    # round-6 rotation: first official driver rows
+    "doc_decontamination",
+    "doc_shuffle_shards",
+    "doc_quality_prune",
+    "doc_weighted_sample",
+    "doc_temperature_mix",
+    "recon_snapshot_diff",
+    "event_funnel_conversion",
+    "event_retention_cohorts",
+    "events_gapfill_locf",
+    "events_gapfill_interpolate",
+    "events_anomaly_zscore",
+    "events_variant_props",
+    "doc_frequent_terms_sketch",
+    "doc_source_drift",
+    "orders_unpivot_metrics",
+    "events_lateness_profile",
+    "events_rolling_active_users",
+    # one-round-green holdover (first green r5)
     "events_rollup_incremental",
     # LLM pipeline: text analysis + dedup
     "doc_token_stats",

@@ -76,3 +76,35 @@ def list_data_files(spark: SparkSession, path: str) -> list[str]:
     return sorted(
         str(st.getPath()) for st in _iter_data_files(spark, path)
     )
+
+
+def write_text_file(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small driver-side text file (overwrite) through the
+    Hadoop FileSystem API — same store portability as the listings
+    above. For control-plane markers (commit ids, sidecars), never
+    data."""
+    fs, p = _fs_and_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text_file(spark: SparkSession, path: str) -> str | None:
+    """Read a small text file written by ``write_text_file``;
+    ``None`` if absent."""
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return None
+    inp = fs.open(p)
+    try:
+        # py4j copies byte[] by value, so read through IOUtils (on
+        # Spark's classpath) instead of mutating a Python buffer
+        return str(
+            spark._jvm.org.apache.commons.io.IOUtils.toString(
+                inp, "UTF-8"
+            )
+        )
+    finally:
+        inp.close()

@@ -10,6 +10,8 @@ partition on its dominant filter key (e.g. date).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -68,6 +70,7 @@ def swap_overwrite(
     df: DataFrame,
     path: str,
     partition_by: list[str] | None = None,
+    sidecar: dict[str, str] | None = None,
 ) -> None:
     """Overwrite ``path`` with ``df`` even when ``df`` *reads from*
     ``path`` (merge/compaction rewrites), without materializing the
@@ -84,11 +87,26 @@ def swap_overwrite(
     S3-like object stores rename is copy+delete; the real answer there
     is a table format with a pointer swap (Delta/Iceberg) — this
     helper is the safest plain-directory protocol.
+
+    ``sidecar`` entries are written as small ``_``-prefixed text files
+    INTO the staging directory before the swap, so marker and data
+    commit in the same atomic rename (parquet readers ignore
+    ``_``-prefixed names). Used by the rollup refresh to persist the
+    last-folded batch id together with the fold it belongs to.
     """
+    from . import fs as _fsmod
+
     spark = df.sparkSession
     base = path.rstrip("/")
     staging, old = base + "._staging", base + "._old"
     write_parquet(df, staging, mode="overwrite", partition_by=partition_by)
+    for name, content in (sidecar or {}).items():
+        if not name.startswith("_"):
+            raise ValueError(
+                f"sidecar name {name!r} must start with '_' so parquet "
+                "readers skip it"
+            )
+        _fsmod.write_text_file(spark, f"{staging}/{name}", content)
     jvm = spark._jvm
     hadoop_path = jvm.org.apache.hadoop.fs.Path
     p_target, p_staging, p_old = (
@@ -272,3 +290,42 @@ def align_to_schema(
         for n, t in spec
     ]
     return df.select(*cols)
+
+
+_BATCH_ID_OK = re.compile(r"^[A-Za-z0-9_\-.]+$")
+
+
+def overwrite_batch_partition(
+    df: DataFrame,
+    base_path: str,
+    batch_id: int | str,
+    partition_col: str = "ingest_batch_id",
+) -> None:
+    """Idempotent per-batch lake write: overwrite exactly the
+    ``<base_path>/<partition_col>=<batch_id>`` directory with ``df``.
+
+    The deterministic target is what makes replay exactly-once with
+    plain parquet — re-running a batch REPLACES its own partition
+    instead of appending duplicate files, while other batches'
+    partitions are untouched. Readers of ``base_path`` see
+    ``partition_col`` via normal partition discovery (an ingest-lineage
+    column), and a filter on it prunes to one directory. This is the
+    plain-directory analog of a transactional table format's
+    idempotent-writes-per-batch-id; pair every read of the table
+    during a batch's own commit with an exclusion of that batch's
+    partition (see ``operators.dedup.dedup_against_index``) so replay
+    recomputes the identical result.
+    """
+    bid = str(batch_id)
+    if not _BATCH_ID_OK.match(bid):
+        raise ValueError(
+            f"batch_id {batch_id!r} must match [A-Za-z0-9_.-]+ — it "
+            "becomes a partition directory name"
+        )
+    if partition_col.startswith(("_", ".")):
+        raise ValueError(
+            f"partition_col {partition_col!r} must not start with "
+            "'_'/'.': readers skip hidden directory names"
+        )
+    target = f"{base_path.rstrip('/')}/{partition_col}={bid}"
+    write_parquet(df, target, mode="overwrite")

@@ -3,6 +3,7 @@ reference's batch incremental loads (SURVEY.md §2.7/§2.10) plus the
 windowed/stateful operators a training-data pipeline needs."""
 
 from .ingest import (
+    dedup_commit_batch,
     stream_ingest_files,
     stream_append_to_lake,
     stream_dedup,
@@ -15,6 +16,7 @@ from .ingest import (
 from .windows import windowed_event_counts, sessionize, stream_stream_join
 
 __all__ = [
+    "dedup_commit_batch",
     "stream_stream_join",
     "stream_rollup_refresh",
     "stream_ingest_files",

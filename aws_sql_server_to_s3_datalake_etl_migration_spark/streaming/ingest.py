@@ -110,6 +110,56 @@ def stream_merge_to_lake(
     return writer.start()
 
 
+def dedup_commit_batch(
+    batch_df: DataFrame,
+    lake_path: str,
+    index_path: str,
+    batch_id: int,
+    content_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the fingerprint-index dedup sink — the unit
+    ``stream_dedup_to_lake`` runs per foreachBatch invocation, exposed
+    so crash/replay behavior is directly testable.
+
+    Commit protocol (exactly-once under at-least-once replay):
+
+    1. admit = batch deduped within itself, anti-joined against the
+       index EXCLUDING this batch's own partition (so a replay after a
+       partial commit sees exactly the pre-batch index state and
+       recomputes the identical admitted set — the within-batch
+       survivor rule is deterministic min-id);
+    2. overwrite ``<lake>/ingest_batch_id=<id>/`` with the admitted
+       rows;
+    3. overwrite ``<index>/ingest_batch_id=<id>/`` with their
+       fingerprints.
+
+    Both writes target directories determined by the batch id alone,
+    so any replay replaces its own partitions byte-for-byte instead of
+    appending duplicates; a crash between 2 and 3 replays into the
+    same overwrites with no loss (the failure mode the old
+    append-index-first ordering had was a replayed batch anti-joining
+    itself away against its own fingerprints — silent data loss).
+    """
+    from ..operators.dedup import dedup_against_index
+    from ..sources.writers import overwrite_batch_partition
+
+    admitted = dedup_against_index(
+        batch_df.sparkSession,
+        batch_df,
+        index_path,
+        content_cols=content_cols,
+        id_col=id_col,
+        exclude_subdir=f"ingest_batch_id={batch_id}",
+    )
+    overwrite_batch_partition(
+        admitted.drop("content_fp"), lake_path, batch_id
+    )
+    overwrite_batch_partition(
+        admitted.select("content_fp"), index_path, batch_id
+    )
+
+
 def stream_dedup_to_lake(
     df: DataFrame,
     lake_path: str,
@@ -120,29 +170,35 @@ def stream_dedup_to_lake(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Streaming exact-content dedup with UNBOUNDED horizon: each
-    micro-batch runs ``incremental_exact_dedup`` (operators/dedup.py)
-    against the persisted fingerprint index inside ``foreachBatch``,
-    and only never-before-seen content appends to the lake.
+    micro-batch runs ``dedup_commit_batch`` against the persisted
+    fingerprint index inside ``foreachBatch``, and only
+    never-before-seen content lands in the lake.
 
     Complements ``stream_dedup``: the watermark version bounds state
     but forgets duplicates older than the horizon; this one remembers
     every fingerprint ever admitted (index grows with DISTINCT
     content, not stream length) at the cost of an index anti-join per
-    batch. Replayed batches are rejected by the index, so the sink is
-    idempotent under at-least-once delivery."""
-    from ..operators.dedup import incremental_exact_dedup
-    from ..sources.writers import write_parquet
+    batch.
+
+    EXACTLY-ONCE under at-least-once replay: foreachBatch can re-run a
+    batch after a crash, so neither the lake nor the index is plain
+    ``append``-ed — both commit as deterministic partition overwrites
+    keyed by the stream's batch id
+    (``<path>/ingest_batch_id=<batch_id>/``), and the admission
+    anti-join reads the index EXCLUDING the batch's own partition.
+    A replay therefore recomputes the identical admitted set (the
+    pre-batch index state is reconstructed exactly) and overwrites the
+    same two directories instead of double-appending or — the failure
+    the naive append-index-first ordering had — anti-joining its own
+    half-committed fingerprints away and silently dropping the batch.
+    Readers of ``lake_path`` see ``ingest_batch_id`` as an ordinary
+    ingest-lineage partition column. Single writer per lake/index pair
+    (one streaming query), which the checkpoint already implies."""
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
-        admitted = incremental_exact_dedup(
-            batch_df.sparkSession,
-            batch_df,
-            index_path,
-            content_cols=content_cols,
-            id_col=id_col,
-        )
-        write_parquet(
-            admitted.drop("content_fp"), lake_path, mode="append"
+        dedup_commit_batch(
+            batch_df, lake_path, index_path, batch_id,
+            content_cols=content_cols, id_col=id_col,
         )
 
     writer = (
@@ -171,10 +227,15 @@ def stream_rollup_refresh(
     ``incremental_rollup_refresh`` (operators/rollup.py) inside
     ``foreachBatch`` — COUNT/SUM add, HLL sketches union, so the
     refresh touches O(|batch| + |rollup|) aggregated rows regardless of
-    stream history. The checkpoint gives exactly-once folding per batch
-    id; the result is the streaming twin of the batch rollup over the
-    union of all batches (pinned by the stream-vs-batch differential in
-    tests/test_streaming.py)."""
+    stream history. Folding is exactly-once under at-least-once
+    replay: the batch id is passed into ``incremental_rollup_refresh``,
+    which commits it atomically WITH the fold (a sidecar riding the
+    swap rename) and makes a replayed, already-folded id a no-op — the
+    checkpoint alone cannot guarantee this, since foreachBatch may
+    re-run a batch whose fold committed but whose checkpoint offset
+    didn't. The result is the streaming twin of the batch rollup over
+    the union of all batches (pinned by the stream-vs-batch
+    differential in tests/test_streaming.py)."""
     from ..operators.rollup import incremental_rollup_refresh
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -187,6 +248,7 @@ def stream_rollup_refresh(
             key_cols=key_cols,
             value_col=value_col,
             distinct_col=distinct_col,
+            batch_id=batch_id,
         )
 
     writer = (

@@ -167,3 +167,98 @@ def test_robust_ingest_pipeline_end_to_end(spark, tmp_path):
     }
     quarantined = spark.read.parquet(paths["quarantine_path"])
     assert [r["_raw_record"] for r in quarantined.collect()] == ["garbage line"]
+
+
+def test_robust_ingest_run_id_exactly_once_after_crash(spark, tmp_path):
+    """run_id mode: a run that died after its lake write but before
+    its fingerprint write (simulated by deleting the index partition)
+    re-runs into the SAME partitions — no lost rows, no duplicates —
+    and later runs still dedup against it."""
+    import shutil
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.pipelines import (
+        robust_ingest_to_lake,
+    )
+
+    feed1 = tmp_path / "f1"
+    feed1.mkdir()
+    (feed1 / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "garbage line\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+        '{"doc_id": 3, "text": "beta"}\n'
+    )
+    paths = dict(
+        lake_path=str(tmp_path / "lake"),
+        quarantine_path=str(tmp_path / "quarantine"),
+        fingerprint_index_path=str(tmp_path / "fp_idx"),
+    )
+    r1 = robust_ingest_to_lake(
+        spark, str(feed1), "doc_id BIGINT, text STRING",
+        run_id="run-001", **paths
+    )
+    assert r1 == {"clean": 3, "quarantined": 1, "admitted": 2}
+
+    # simulate the crash: the fingerprint partition never landed
+    shutil.rmtree(
+        tmp_path / "fp_idx" / "ingest_batch_id=run-001"
+    )
+    # operator retries the SAME run id → identical, replaced output
+    r1b = robust_ingest_to_lake(
+        spark, str(feed1), "doc_id BIGINT, text STRING",
+        run_id="run-001", **paths
+    )
+    assert r1b == r1
+    lake = spark.read.parquet(paths["lake_path"])
+    assert sorted(
+        (r["doc_id"], r["text"]) for r in lake.collect()
+    ) == [(1, "alpha"), (2, "beta")]
+
+    # next run, new id: cross-run dedup against run-001's index
+    feed2 = tmp_path / "f2"
+    feed2.mkdir()
+    (feed2 / "b.jsonl").write_text(
+        '{"doc_id": 10, "text": "beta"}\n'
+        '{"doc_id": 11, "text": "gamma"}\n'
+    )
+    r2 = robust_ingest_to_lake(
+        spark, str(feed2), "doc_id BIGINT, text STRING",
+        run_id="run-002", **paths
+    )
+    assert r2 == {"clean": 2, "quarantined": 0, "admitted": 1}
+    lake = spark.read.parquet(paths["lake_path"])
+    assert {(r["doc_id"], r["text"]) for r in lake.collect()} == {
+        (1, "alpha"), (2, "beta"), (11, "gamma"),
+    }
+    # lineage partition column visible to readers
+    assert {r["ingest_batch_id"] for r in lake.collect()} == {
+        "run-001", "run-002",
+    }
+
+
+def test_robust_ingest_append_mode_never_loses_rows(spark, tmp_path):
+    """Without run_id the contract is at-least-once: because rows
+    commit BEFORE fingerprints, a crash between the two (simulated by
+    wiping the index) re-admits on retry — duplicates possible, loss
+    not."""
+    import shutil
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.pipelines import (
+        robust_ingest_to_lake,
+    )
+
+    feed = tmp_path / "f1"
+    feed.mkdir()
+    (feed / "a.jsonl").write_text('{"doc_id": 1, "text": "alpha"}\n')
+    paths = dict(
+        lake_path=str(tmp_path / "lake"),
+        quarantine_path=str(tmp_path / "quarantine"),
+        fingerprint_index_path=str(tmp_path / "fp_idx"),
+    )
+    robust_ingest_to_lake(spark, str(feed), "doc_id BIGINT, text STRING", **paths)
+    shutil.rmtree(tmp_path / "fp_idx")  # crash before fingerprint write
+    robust_ingest_to_lake(spark, str(feed), "doc_id BIGINT, text STRING", **paths)
+    texts = [
+        r["text"] for r in spark.read.parquet(paths["lake_path"]).collect()
+    ]
+    assert texts.count("alpha") >= 1  # no loss (dups acceptable here)

@@ -756,3 +756,98 @@ def test_stream_dedup_to_lake_unbounded_horizon(spark, tmp_path):
     got = {(r["doc_id"], r["text"])
            for r in spark.read.parquet(lake).collect()}
     assert got == {(1, "alpha"), (2, "beta"), (11, "gamma"), (22, "delta")}
+
+
+def test_dedup_commit_batch_replay_after_partial_commit(spark, tmp_path):
+    """Crash-injection for the fingerprint-index dedup sink: a batch
+    that committed its LAKE partition but died before the INDEX
+    partition must, on replay, land exactly the same admitted rows —
+    not zero (the loss mode of append-index-first) and not double
+    (the dup mode of plain append)."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        dedup_against_index,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.writers import (
+        overwrite_batch_partition,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
+        dedup_commit_batch,
+    )
+
+    lake, idx = str(tmp_path / "lake"), str(tmp_path / "idx")
+    b0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    dedup_commit_batch(b0, lake, idx, 0)
+
+    # batch 1: "crash" after the lake write, before the index write —
+    # run only the first two steps of the protocol
+    b1 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma")],
+        "doc_id long, text string",
+    )
+    partial = dedup_against_index(
+        spark, b1, idx, exclude_subdir="ingest_batch_id=1"
+    )
+    overwrite_batch_partition(partial.drop("content_fp"), lake, 1)
+    # index partition 1 never written: simulated crash point
+
+    # at-least-once source redelivers batch 1 → full protocol replay
+    dedup_commit_batch(b1, lake, idx, 1)
+    got = [
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(lake).collect()
+    ]
+    assert sorted(got) == [(1, "alpha"), (2, "beta"), (11, "gamma")]
+    # index consistent with the lake: one fingerprint per admitted row
+    assert spark.read.parquet(idx).count() == 3
+
+    # a later batch still dedups against everything admitted so far
+    b2 = spark.createDataFrame(
+        [(20, "gamma"), (21, "delta")], "doc_id long, text string"
+    )
+    dedup_commit_batch(b2, lake, idx, 2)
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(lake).collect()
+    }
+    assert got == {(1, "alpha"), (2, "beta"), (11, "gamma"), (21, "delta")}
+
+
+def test_rollup_refresh_replayed_batch_id_is_noop(spark, tmp_path, sf_dir):
+    """Exactly-once folding: re-folding an already-committed batch id
+    (the foreachBatch replay after a crash between swap and checkpoint
+    commit) must not double-count."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.rollup import (
+        incremental_rollup_refresh,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.workloads import _events
+
+    events = _events(spark, sf_dir).select("ts", "event_type", "value")
+    b0 = events.where(F.expr("event_id % 2 = 0"))
+    b1 = events.where(F.expr("event_id % 2 = 1"))
+    path = str(tmp_path / "rollup")
+
+    incremental_rollup_refresh(spark, b0, path, batch_id=0)
+    incremental_rollup_refresh(spark, b1, path, batch_id=1)
+    snap = {
+        (str(r["bucket"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+    # replay of batch 1 (and a stale replay of batch 0): both no-ops
+    incremental_rollup_refresh(spark, b1, path, batch_id=1)
+    incremental_rollup_refresh(spark, b0, path, batch_id=0)
+    again = {
+        (str(r["bucket"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert again == snap
+
+    # a genuinely new batch id still folds
+    incremental_rollup_refresh(
+        spark, b1.limit(0), path, batch_id=2
+    )  # empty fold: values unchanged, marker advances
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources import fs
+
+    assert fs.read_text_file(spark, path + "/_last_folded_batch") == "2"

@@ -404,3 +404,36 @@ def test_mg_guarantees_property(spark, weights, capacity):
     for term, n in exact.items():
         if n > max_err:
             assert term in got, (term, n, max_err)
+
+
+def test_gapfill_locf_observed_bucket_with_all_null_aggregate(spark):
+    """An OBSERVED bucket whose caller aggregates are all NULL (max
+    over an all-null value column) must not be misclassified as
+    synthesized: is_filled stays False and LOCF does not overwrite the
+    legitimate NULL-observation semantics of zero_cols/locf_cols from
+    a neighboring bucket's perspective."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.timeseries import (
+        gapfill_locf,
+    )
+
+    rows = [
+        ("k", "2024-01-01 00:10:00", 5.0),
+        ("k", "2024-01-01 01:20:00", None),  # observed, all-null value
+        ("k", "2024-01-01 03:40:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts string, v double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = gapfill_locf(
+        df,
+        ts_col="ts",
+        key_cols=["key"],
+        agg_exprs={"v_max": F.max("v")},
+        locf_cols=["v_max"],
+        zero_cols=[],
+    ).orderBy("bucket_start").collect()
+    filled = [r["is_filled"] for r in out]
+    # hour 01 is OBSERVED (all-null aggregate) -> False; hour 02 is the
+    # only synthesized bucket
+    assert filled == [False, False, True, False]
+    # LOCF still carries values forward over the null observation
+    assert [r["v_max"] for r in out] == [5.0, 5.0, 5.0, 7.0]
