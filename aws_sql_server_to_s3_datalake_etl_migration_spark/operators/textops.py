@@ -248,6 +248,7 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Top-``k`` characteristic terms per document by tf·(N/df) — the
     tf-idf family with a rational idf instead of the logarithmic one:
@@ -268,7 +269,11 @@ def tfidf_top_terms(
     tf = toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    n_docs = df.select(id_col).distinct().count()
+    if n_docs is None:
+        # callers that know id_col is unique should pass
+        # n_docs=df.count() (parquet answers it from row-group
+        # metadata) and skip this scan+shuffle job
+        n_docs = df.select(id_col).distinct().count()
     # df falls out of tf for free: tf has exactly one row per
     # (doc, term), so counting tf rows per term IS the document
     # frequency — no second explode over the corpus.

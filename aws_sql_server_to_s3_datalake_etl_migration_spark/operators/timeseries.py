@@ -118,6 +118,8 @@ def locf_chunked(
     key_cols: Sequence[str],
     order_col: str,
     chunk: int = 8192,
+    n_rows: int | None = None,
+    target_carry_rows: int = 65536,
 ) -> DataFrame:
     """Last-observation-carried-forward for FEW-KEY GIANT series — the
     two-pass segment carry SCALING.md prescribes when a per-key
@@ -137,11 +139,21 @@ def locf_chunked(
     over the key — cheap because it carries no state — so use this
     when the VALUE windows dominate, or feed a precomputed
     ``order_col`` that is already dense per key.
+
+    ``chunk`` is a FLOOR: the effective chunk grows with n so the
+    carry table stays under ``target_carry_rows`` per key-set —
+    a fixed chunk would give an n/chunk-row carry whose per-key
+    single-partition window and join-back broadcast both stop
+    fitting at 10^12-row series. Pass ``n_rows`` (the row count, or
+    any upper bound) to skip the sizing count() job.
     """
+    from .watermarking import _self_scaling_chunk
+
+    eff_chunk = _self_scaling_chunk(df, chunk, n_rows, target_carry_rows)
     keys = list(key_cols)
     w_rn = Window.partitionBy(*keys).orderBy(order_col)
     d = df.withColumn(
-        "_cid", ((F.row_number().over(w_rn) - 1) / chunk).cast("long")
+        "_cid", ((F.row_number().over(w_rn) - 1) / eff_chunk).cast("long")
     )
     w_in = (
         Window.partitionBy(*keys, "_cid")
@@ -163,7 +175,9 @@ def locf_chunked(
     carry = chunk_last.withColumn(
         "_carry", F.last("_clast", ignorenulls=True).over(w_carry)
     ).select(*keys, "_cid", "_carry")
-    d = d.join(F.broadcast(carry), [*keys, "_cid"])
+    # no broadcast hint: the carry is bounded by target_carry_rows, so
+    # AQE broadcasts it while small instead of being forced to
+    d = d.join(carry, [*keys, "_cid"])
     return d.withColumn(
         value_col, F.coalesce("_fill_in", "_carry")
     ).drop("_cid", "_fill_in", "_carry")

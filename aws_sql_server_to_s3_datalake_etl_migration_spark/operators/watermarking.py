@@ -14,11 +14,17 @@ through one task. Here the prefix max uses the two-pass segment carry
 1. arrival keys bucket into fixed-size chunks; the running max within
    each chunk is an ordinary partitioned window (parallel across
    chunks);
-2. per-chunk maxima (|chunks| rows, ~corpus/8192) get a running max in
-   one tiny single-partition window;
-3. the carry joins back by chunk id (broadcast) and
-   ``greatest(carry, within-chunk running max)`` is the exact global
-   prefix max.
+2. per-chunk maxima (|chunks| rows) get a running max in one tiny
+   single-partition window;
+3. the carry joins back by chunk id and ``greatest(carry,
+   within-chunk running max)`` is the exact global prefix max.
+
+The chunk size SELF-SCALES: it grows with n so the carry table stays
+under ``target_carry_rows`` (default 64k) — a fixed chunk would make
+the carry n/chunk rows, whose single-partition window and join-back
+broadcast both break at 10^12-row corpora. The join-back carries no
+broadcast hint; AQE broadcasts it while small and falls back to a
+shuffle join otherwise.
 
 Everything downstream is integer sums — engine-exact.
 """
@@ -38,15 +44,38 @@ DEFAULT_THRESHOLDS: tuple[tuple[str, int], ...] = (
 )
 
 
+def _self_scaling_chunk(
+    df: DataFrame,
+    chunk: int,
+    n_rows: int | None,
+    target_carry_rows: int,
+) -> int:
+    """Chunk size that keeps the carry table (≈ n / chunk rows) under
+    ``target_carry_rows`` at any n: max(chunk, ceil(n / target)).
+    ``n_rows=None`` costs one count() job — pass the known row count
+    (or any upper bound; a larger chunk only shrinks the carry) to
+    skip it."""
+    if n_rows is None:
+        n_rows = df.count()
+    return max(chunk, -(-int(n_rows) // target_carry_rows))
+
+
 def with_lateness(
     df: DataFrame,
     ts_ns_col: str,
     arrival_col: str,
     chunk: int = 8192,
+    n_rows: int | None = None,
+    target_carry_rows: int = 65536,
 ) -> DataFrame:
     """Add ``lateness_ns``: prefix-max event time (in arrival order)
-    minus own event time; 0 for in-order records."""
-    cid = (F.col(arrival_col) / chunk).cast("long").alias("_cid")
+    minus own event time; 0 for in-order records. ``chunk`` is a
+    FLOOR — the effective chunk grows so the carry stays under
+    ``target_carry_rows`` (assumes ``arrival_col`` is roughly dense,
+    which balanced chunks already required). Pass ``n_rows`` (or an
+    upper bound on max(arrival)) to avoid the sizing count() job."""
+    eff_chunk = _self_scaling_chunk(df, chunk, n_rows, target_carry_rows)
+    cid = (F.col(arrival_col) / eff_chunk).cast("long").alias("_cid")
     d = df.withColumn("_cid", cid)
     w_in = (
         Window.partitionBy("_cid")
@@ -62,7 +91,11 @@ def with_lateness(
     carry = chunk_max.withColumn(
         "_carry", F.max("_cmax").over(w_carry)
     ).select("_cid", "_carry")
-    d = d.join(F.broadcast(carry), "_cid")
+    # no broadcast hint: the carry is ≤ target_carry_rows by
+    # construction, so AQE broadcasts it; an explicit hint would force
+    # a driver OOM instead of a shuffle join if that bound is ever
+    # defeated
+    d = d.join(carry, "_cid")
     prefix_max = F.greatest(
         F.coalesce(F.col("_carry"), F.col("_run_in")), F.col("_run_in")
     )
@@ -78,13 +111,14 @@ def lateness_profile(
     chunk: int = 8192,
     thresholds: tuple[tuple[str, int], ...] = DEFAULT_THRESHOLDS,
     target_loss: float = 0.001,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """One-row lateness report: total records, exceedance count per
     threshold, max lateness (whole seconds), and the smallest
     threshold whose late fraction is ≤ ``target_loss`` as
     ``suggested_delay`` (null if none qualifies — the stream is too
     disordered for these thresholds)."""
-    lat = with_lateness(df, ts_ns_col, arrival_col, chunk)
+    lat = with_lateness(df, ts_ns_col, arrival_col, chunk, n_rows=n_rows)
     aggs: list[Column] = [F.count(F.lit(1)).alias("n_events")]
     for name, ns in thresholds:
         key = "n_late_gt_" + name.replace(" ", "_")

@@ -1138,7 +1138,10 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by the rational tf-idf
     (tf·N/df — same ordering as log idf, but the score is one exact
     integer-ratio division, engine-portable)."""
-    out = textops.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+    docs = _docs(spark, sf_dir)
+    # doc_id is the documents table's unique key, so N is a plain
+    # count (metadata-only on parquet) — no distinct scan+shuffle job
+    out = textops.tfidf_top_terms(docs, k=3, n_docs=docs.count())
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 

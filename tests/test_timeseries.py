@@ -437,3 +437,75 @@ def test_gapfill_locf_observed_bucket_with_all_null_aggregate(spark):
     assert filled == [False, False, True, False]
     # LOCF still carries values forward over the null observation
     assert [r["v_max"] for r in out] == [5.0, 5.0, 5.0, 7.0]
+
+
+def test_chunk_carry_self_scales_with_target_carry_rows(spark):
+    """The chunk size must GROW with n so the carry table stays under
+    target_carry_rows — results identical to the fixed-chunk (and
+    plain-window) computation at every geometry, including the
+    degenerate single-chunk case a huge n would force."""
+    from pyspark.sql.window import Window
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.timeseries import (
+        locf_chunked,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.watermarking import (
+        _self_scaling_chunk,
+        with_lateness,
+    )
+
+    # sizing math: floor wins while n/target is small; ceil(n/target)
+    # wins beyond it
+    tiny = spark.range(10)
+    assert _self_scaling_chunk(tiny, 8192, None, 65536) == 8192
+    assert _self_scaling_chunk(tiny, 8192, 10**12, 65536) == 15258790
+    assert _self_scaling_chunk(tiny, 4, 100, 8) == 13  # ceil(100/8)
+
+    rng = random.Random(7)
+    rows = []
+    for k in ("a", "b"):
+        for i in range(200):
+            v = float(rng.randrange(50)) if rng.random() < 0.25 else None
+            rows.append((k, i, v))
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expected = {
+        (r["k"], r["i"]): r["exp"]
+        for r in df.withColumn(
+            "exp", F.last("v", ignorenulls=True).over(w)
+        ).collect()
+    }
+    for chunk, target in [(16, 10), (16, 10**6), (1, 1)]:
+        got = {
+            (r["k"], r["i"]): r["v"]
+            for r in locf_chunked(
+                df, "v", ["k"], "i",
+                chunk=chunk, target_carry_rows=target,
+            ).collect()
+        }
+        assert got == expected, (chunk, target)
+
+    # lateness: tiny target forces few big chunks; same answers
+    ts = []
+    t = 0
+    for _ in range(300):
+        t += rng.randrange(0, 40)
+        ts.append(t - (rng.randrange(0, 300) if rng.random() < 0.25 else 0))
+    lat_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(ts)], "arrival long, ts_ns long"
+    )
+    for chunk, target in [(32, 5), (32, 10**6)]:
+        got = {
+            r["arrival"]: r["lateness_ns"]
+            for r in with_lateness(
+                lat_df, "ts_ns", "arrival",
+                chunk=chunk, target_carry_rows=target,
+            ).collect()
+        }
+        prefix = 0
+        for i, v in enumerate(ts):
+            prefix = max(prefix, v) if i else v
+            assert got[i] == prefix - v, (chunk, target, i)
