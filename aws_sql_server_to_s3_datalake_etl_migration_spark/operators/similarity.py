@@ -221,9 +221,15 @@ def semantic_dedup(
     """
     from .dedup import connected_components
 
-    assigned, _ = build_ivf_index(
-        df, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
-    )
+    if n_cells == 1:
+        # degenerate exact configuration (MLlib KMeans requires k>1):
+        # one cell = all-pairs within the corpus — the value-checkable
+        # small-scale verifier shape (emb_semantic_dedup_exact)
+        assigned = df.withColumn("_cell", F.lit(0))
+    else:
+        assigned, _ = build_ivf_index(
+            df, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+        )
     slim = assigned.select(id_col, vec_col, "_cell")
     counts = slim.groupBy("_cell").agg(F.count(F.lit(1)).alias("_n"))
     bounded = slim.join(

@@ -510,13 +510,79 @@ def emb_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     and recall at partial probe are pinned by pytest."""
     embs = _embs(spark, sf_dir)
     assigned, centroids = similarity.build_ivf_index(embs, n_cells=8)
-    queries = embs.where(F.col("vec_id") % 37 == 0).select(
+    # BOUNDED query batch (≤500 ids): ANN serving cost is
+    # |queries| x probed-corpus-fraction — a query set that grew with
+    # the corpus would make total work quadratic in scale by
+    # definition (the 3x probe measured exactly that before this
+    # bound: 4.0x at 3x data; 1.5x after)
+    queries = embs.where(
+        (F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 500 * 37)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
     return similarity.ivf_topk_batch(
         assigned, centroids, queries, k=5, nprobe=4
     )
+
+
+@register(
+    "emb_ivf_topk_batch_fullprobe",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id % 37 = 0 AND vec_id < 18500
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))) AS cosine
+      FROM q CROSS JOIN e
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def emb_ivf_topk_batch_fullprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The batch ANN join at FULL probe (nprobe = n_cells), where IVF
+    degenerates to exact brute-force ranking by construction — which
+    makes the whole distributed plan (broadcast centroid scoring,
+    cell-key equi-join, per-query top-k window) value-checkable
+    against a plain SQL exact top-k oracle. This pins the join/window
+    machinery exactly; the partial-probe entry (``emb_ivf_topk_batch``)
+    keeps its recall pytest for the pruning path. Small-scale verifier:
+    full probe scans |queries| x corpus, so it refuses > 100k vectors
+    — the scale path is the partial-probe entry."""
+    embs = _embs(spark, sf_dir)
+    n = embs.count()  # parquet metadata count — cheap
+    if n > 100_000:
+        raise ValueError(
+            f"emb_ivf_topk_batch_fullprobe is a small-scale verifier; "
+            f"got {n} vectors (max 100000). Use emb_ivf_topk_batch "
+            "(partial probe) at scale."
+        )
+    assigned, centroids = similarity.build_ivf_index(embs, n_cells=8)
+    queries = embs.where(
+        (F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 500 * 37)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = similarity.ivf_topk_batch(
+        assigned, centroids, queries, k=5, nprobe=8
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
 @register("emb_ivf_topk", None)
@@ -941,14 +1007,109 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
-@register("doc_pack_sequences", None)
+@register("doc_incremental_neardup", None)
+def doc_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission against a persisted LSH band
+    index (operators/dedup.py ``incremental_near_dedup``): the corpus
+    arrives as two doc_id-parity batches; batch 2 is admitted against
+    batch 1's band index without rescanning batch 1's text. Rows-only
+    (LSH banding isn't SQL-expressible); recall/S-curve semantics are
+    pinned by the cross-batch + replay pytests. This entry exists so
+    the plan auditor can pin the scale contract: the history side of
+    the admission semi-join reads ONLY (band_idx, band_hash) from the
+    index — never document text."""
+    import tempfile
+
+    from .operators.dedup import incremental_near_dedup
+
+    idx = tempfile.mkdtemp(prefix="band_idx_")
+    docs = _docs(spark, sf_dir)
+    parts = []
+    for i in (0, 1):
+        admitted = incremental_near_dedup(
+            spark, docs.where(F.col("doc_id") % 2 == i), f"{idx}/index"
+        )
+        parts.append(
+            admitted.select("doc_id", F.lit(i).alias("batch"))
+        )
+    return parts[0].unionByName(parts[1])
+
+
+@register(
+    "doc_pack_sequences",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_PACK_SHARDS} AS shard,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT t.*, ROW_NUMBER() OVER (
+        PARTITION BY source, shard ORDER BY doc_id) AS rn
+      FROM t
+    ),
+    -- next-fit fold as a recursive CTE: (st_seq, st_used) is the
+    -- packer state AFTER each row; the emitted (seq_id, seq_offset)
+    -- derive from the prior row's state. CASE branches are fully
+    -- expanded (no lateral aliases: s carries same-named columns)
+    s AS (
+      SELECT source, shard, doc_id, n_tokens, rn,
+             0::BIGINT AS seq_id, 0::BIGINT AS seq_offset,
+             (CASE WHEN n_tokens >= 512 THEN 1 ELSE 0 END)::BIGINT
+               AS st_seq,
+             (CASE WHEN n_tokens >= 512 THEN 0 ELSE n_tokens END)::BIGINT
+               AS st_used
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.source, r.shard, r.doc_id, r.n_tokens, r.rn,
+             s.st_seq + (CASE WHEN s.st_used > 0
+                              AND s.st_used + r.n_tokens > 512
+                         THEN 1 ELSE 0 END) AS seq_id,
+             CASE WHEN s.st_used > 0 AND s.st_used + r.n_tokens > 512
+                  THEN 0 ELSE s.st_used END AS seq_offset,
+             CASE WHEN (CASE WHEN s.st_used > 0
+                             AND s.st_used + r.n_tokens > 512
+                        THEN r.n_tokens
+                        ELSE s.st_used + r.n_tokens END) >= 512
+                  THEN s.st_seq + (CASE WHEN s.st_used > 0
+                                        AND s.st_used + r.n_tokens > 512
+                                   THEN 1 ELSE 0 END) + 1
+                  ELSE s.st_seq + (CASE WHEN s.st_used > 0
+                                        AND s.st_used + r.n_tokens > 512
+                                   THEN 1 ELSE 0 END) END AS st_seq,
+             CASE WHEN (CASE WHEN s.st_used > 0
+                             AND s.st_used + r.n_tokens > 512
+                        THEN r.n_tokens
+                        ELSE s.st_used + r.n_tokens END) >= 512
+                  THEN 0
+                  ELSE (CASE WHEN s.st_used > 0
+                             AND s.st_used + r.n_tokens > 512
+                        THEN r.n_tokens
+                        ELSE s.st_used + r.n_tokens END) END AS st_used
+      FROM s JOIN r ON r.source = s.source AND r.shard = s.shard
+                   AND r.rn = s.rn + 1
+    )
+    SELECT source, CAST(shard AS BIGINT) AS shard, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(seq_offset AS BIGINT) AS seq_offset,
+           n_tokens > 512 AS overflow
+    FROM s
+    """,
+)
 def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact greedy next-fit packing into 512-token sequences, folded
     sequentially per (source, content-hash shard) inside applyInPandas
-    and parallel across shards (operators/packing.py) — rows-only by
-    design: the reset-on-overflow fold isn't window-expressible, and
-    its semantics are pinned by a differential pytest against a pure-
-    Python reference."""
+    and parallel across shards (operators/packing.py). Upgraded from
+    rows-only in round 6: the reset-on-overflow fold isn't
+    WINDOW-expressible, but it IS a recursive CTE — the oracle walks
+    each (source, shard) stream row-by-row carrying the packer state,
+    giving the sequential fold a full value-level differential (on top
+    of the pure-Python-reference pytest)."""
     from .operators.packing import pack_sequences
 
     shard = (
@@ -1268,6 +1429,65 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     this entry exercises the full distributed path on real vectors."""
     return similarity.semantic_dedup(
         _embs(spark, sf_dir), threshold=0.93, n_cells=8
+    ).select("vec_id", "semantic_cluster", "keep")
+
+
+@register(
+    "emb_semantic_dedup_exact",
+    """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.93
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+    ),
+    lbl AS (
+      SELECT em.vec_id,
+             LEAST(em.vec_id, COALESCE(MIN(r.dst), em.vec_id))
+               AS semantic_cluster
+      FROM embeddings em
+      LEFT JOIN reach r ON r.src = em.vec_id
+      GROUP BY em.vec_id
+    )
+    SELECT vec_id, semantic_cluster,
+           vec_id = semantic_cluster AS keep
+    FROM lbl
+    """,
+)
+def emb_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in its exact single-cell configuration (n_cells=1, no
+    cell-size cap): the k-means step degenerates to one cell, so the
+    within-cell pair generation, threshold filter, connected
+    components, and min-id survivor selection — the whole pipeline
+    minus cell pruning — become value-checkable against a DuckDB
+    recursive-CTE transitive closure over exact cosine edges. The
+    production entry (``emb_semantic_dedup``, n_cells=8) keeps its
+    semantics pytest for the pruned path. Small-scale verifier: one
+    cell is all-pairs, so it refuses > 100k vectors."""
+    embs = _embs(spark, sf_dir)
+    n = embs.count()
+    if n > 100_000:
+        raise ValueError(
+            f"emb_semantic_dedup_exact is an O(n²) small-scale "
+            f"verifier; got {n} vectors (max 100000). Use "
+            "emb_semantic_dedup (celled) at scale."
+        )
+    return similarity.semantic_dedup(
+        embs, threshold=0.93, n_cells=1, max_cell_size=200_000
     ).select("vec_id", "semantic_cluster", "keep")
 
 

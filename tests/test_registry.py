@@ -52,18 +52,21 @@ def test_catalog_window_is_curated_and_oracled():
         "merge_upsert_preview",
         "recon_row_counts",
         "window_top_orders_per_segment",
-        "cheapest_part_offers",
         "doc_tfidf_topterms",
         "doc_stratified_sample",
         "events_rollup_incremental",
-        "events_scalar_functions",
-        "events_time_rollup",
         "doc_exact_dedup",
         "doc_ngram_jaccard_pairs",
         "emb_cosine_topk",
         "mm_extract_features",
         "scd2_customer_history",
         "dq_orders_report",
+        # round-6 rotation: first-official-row cohort
+        "doc_decontamination",
+        "doc_quality_prune",
+        "events_gapfill_locf",
+        "doc_frequent_terms_sketch",
+        "events_rolling_active_users",
     }
     assert must_have <= window
     # the official window carries only oracle-paired entries (rows-only

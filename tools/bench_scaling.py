@@ -62,6 +62,14 @@ QUERIES = [
     "events_gapfill_locf",
     "events_lateness_profile",
     "events_rolling_active_users",
+    # round-6 additions (per the r5 verdict): the heavy round-5 ops
+    # that had no 3x ratio yet — cross-batch incremental dedup
+    # (per-batch cost must track batch size, not history), the batch
+    # ANN join (cell-key equi-join, never corpus x queries), and
+    # SemDeDup (within-cell pairs only)
+    "doc_incremental_dedup",
+    "emb_ivf_topk_batch",
+    "emb_semantic_dedup",
 ]
 
 

@@ -194,6 +194,22 @@ EXPECT: dict[str, dict] = {
     "doc_temperature_mix": {
         "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
     },
+    # incremental exact dedup: the fingerprint-index anti-join must
+    # shuffle ONLY the fixed-width fingerprint — every scan of the
+    # index reads exactly content_fp (at 100 TB the index is
+    # distinct-count x 32 bytes; a wider ReadSchema would drag
+    # admitted-row payloads through the join).
+    "doc_incremental_dedup": {
+        "no_smj": True, "hints": 0, "pure_jvm": True,
+        "narrow_scans": [("fp_idx_", ["content_fp"])],
+    },
+    # incremental near-dup: the history side of the admission
+    # semi-join reads ONLY the two band-bucket key columns from the
+    # persisted LSH index — never ids or text.
+    "doc_incremental_neardup": {
+        "no_smj": True, "hints": 0,
+        "narrow_scans": [("band_idx_", ["band_idx", "band_hash"])],
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
@@ -261,6 +277,37 @@ def audit(name: str, show: bool = False) -> list[str]:
                 "AQE did not convert the un-hinted join to broadcast at "
                 "this SF"
             )
+    if "narrow_scans" in exp:
+        # every scan whose Location matches the substring must read
+        # EXACTLY the named columns (ReadSchema pruned to the join
+        # key) — and at least one such scan must exist
+        for loc_substr, cols in exp["narrow_scans"]:
+            want = set(cols)
+            got_schemas: list[set[str]] = []
+            lines = formatted.splitlines()
+            for i, ln in enumerate(lines):
+                if "Location:" in ln and loc_substr in ln:
+                    for follow in lines[i:i + 4]:
+                        if "ReadSchema:" in follow:
+                            schema = follow.split("struct<", 1)[-1]
+                            fields = {
+                                f.split(":")[0].strip()
+                                for f in schema.rstrip(">").split(",")
+                                if f.strip()
+                            }
+                            got_schemas.append(fields)
+                            break
+            if not got_schemas:
+                problems.append(
+                    f"no scan over '{loc_substr}' found for "
+                    "narrow-scan check"
+                )
+            for fields in got_schemas:
+                if fields != want:
+                    problems.append(
+                        f"scan over '{loc_substr}' reads {sorted(fields)}"
+                        f", expected exactly {sorted(want)}"
+                    )
     if exp.get("pure_jvm"):
         # No Python evaluation of any kind in the hot path: every
         # expression must stay inside codegen/Tungsten.
