@@ -644,6 +644,7 @@ def dedup_against_index(
     id_col: str = "doc_id",
     fp_col: str = "content_fp",
     exclude_subdir: str | None = None,
+    prefix_prefilter: bool = False,
 ) -> DataFrame:
     """Pure admission compute for incremental exact dedup: fingerprint
     the batch (sha256 over the content columns), keep one survivor per
@@ -685,6 +686,26 @@ def dedup_against_index(
     if not index_files:
         return batch_unique
     index = spark.read.parquet(*index_files).select(fp_col)
+    if prefix_prefilter:
+        # Bloom-style reduction with exact set membership: broadcast
+        # the batch's DISTINCT 12-hex-char (48-bit) fingerprint
+        # prefixes and semi-join the index on the prefix, so the
+        # index side never shuffles — it shrinks from |index| to
+        # ~|batch ∩ index| (+ vanishingly rare prefix collisions)
+        # BEFORE the anti-join. False positives only pass extra index
+        # rows into the exact anti-join, so admission is unchanged
+        # (pinned by the equality pytest). The broadcast is bounded by
+        # the batch, the unit sized to be small by design; leave OFF
+        # for backfill-scale batches where |batch| ~ |index| and the
+        # plain shuffle anti-join is the right plan.
+        batch_pref = batch_unique.select(
+            F.substring(F.col(fp_col), 1, 12).alias("_pfx")
+        ).distinct()
+        index = index.join(
+            F.broadcast(batch_pref),
+            F.substring(F.col(fp_col), 1, 12) == F.col("_pfx"),
+            "left_semi",
+        )
     return batch_unique.join(index, fp_col, "left_anti")
 
 

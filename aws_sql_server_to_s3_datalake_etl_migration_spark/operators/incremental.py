@@ -143,3 +143,60 @@ def full_refresh(df: DataFrame, path: str, partition_by=None) -> None:
     """M4 overwrite write (utils.py:203-205), with optional
     partitioning (the 100 TB posture the reference lacked)."""
     write_parquet(df, path, mode="overwrite", partition_by=partition_by)
+
+
+def cdc_apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change feed (insert / update / delete events) to a
+    snapshot — the APPLY CHANGES INTO shape that turns a
+    Debezium/DMS-style event stream back into a table.
+
+    ``changes`` carries the snapshot's columns plus ``seq_col`` (a
+    monotonically increasing change sequence: LSN, binlog position,
+    commit timestamp) and ``op_col`` in {'I','U','D'}. Per key, only
+    the HIGHEST-sequence change matters (intermediate states are
+    unobservable in the result): 'D' removes the key, 'I'/'U' both
+    upsert the event's payload — the standard convention, since an
+    out-of-order-tolerant apply cannot distinguish them. Ties on
+    (key, seq) break by op then payload struct, deterministically —
+    but a feed with duplicate sequences per key is malformed upstream.
+
+    Plan shape at 100 TB: one shuffle of the CHANGE FEED for the
+    latest-per-key window (feeds are small relative to snapshots),
+    then a single anti-join of the snapshot against the changed-key
+    set — un-hinted, so AQE broadcasts the typical small feed and the
+    snapshot never shuffles; a backfill-sized feed degrades to a
+    sort-merge join instead of an OOM. The snapshot is read exactly
+    once. Contrast with ``merge_upsert`` (full-row upserts, no
+    deletes, no ordering): this is the operator for replicating a
+    MUTATING source table, the reference's SQL-Server-incremental
+    scenario (utils.py:222-230) extended to hard deletes.
+    """
+    from pyspark.sql.window import Window
+
+    payload = list(snapshot.columns)
+    missing = [c for c in payload if c not in changes.columns]
+    if missing:
+        raise ValueError(
+            f"changes feed lacks snapshot columns: {missing}"
+        )
+    others = [c for c in payload if c != key_col]
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(seq_col).desc(),
+        F.col(op_col).desc(),
+        F.struct(*[F.col(c) for c in others]).desc(),
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    untouched = snapshot.join(
+        latest.select(key_col), key_col, "left_anti"
+    )
+    upserts = latest.where(F.col(op_col) != F.lit("D")).select(*payload)
+    return untouched.unionByName(upserts)

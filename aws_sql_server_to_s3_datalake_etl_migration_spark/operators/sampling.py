@@ -238,3 +238,39 @@ def weighted_sample(
         * F.lit(4294967296.0)
     )
     return df.where(u < thresh)
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    cap: int,
+    rank_by: list[Column],
+    rank_out: str = "stratum_rank",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum, chosen by the
+    deterministic ``rank_by`` ordering — the crawl-curation primitive
+    that stops one domain/source from dominating a training mix
+    ("no more than N docs per domain, best-first"). Complements the
+    RATE-based samplers above: a rate keeps a proportion (stratum
+    share still grows with its size); a cap is an absolute ceiling.
+
+    ``rank_by`` must be a total order (end it with a unique id
+    tiebreak) or survivors become partition-order-dependent.
+
+    Scale shape: one shuffle on the stratum key; Spark's
+    WindowGroupLimit pushes the limit MAP-SIDE, so each input
+    partition forwards at most ``cap`` rows per stratum before the
+    shuffle — a hot domain costs O(cap x partitions) shuffled rows,
+    not its full size. Caps of ~10^6+ per stratum start to look like
+    top-N-heap pressure per task; at that point use a rate sampler
+    and accept proportionality.
+    """
+    from pyspark.sql.window import Window
+
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    w = Window.partitionBy(strata_col).orderBy(*rank_by)
+    return (
+        df.withColumn(rank_out, F.row_number().over(w))
+        .where(F.col(rank_out) <= cap)
+    )

@@ -21,6 +21,7 @@ operators here reduce to equi-shuffles:
 from __future__ import annotations
 
 import re
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -166,4 +167,96 @@ def range_join(
             *left.columns,
             F.coalesce(count_out, F.lit(0)).cast("long").alias(count_out),
         )
+    )
+
+
+def asof_join_payload(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    payload_cols: Sequence[str],
+    ts_col: str = "ts",
+    right_ts_out: str = "matched_ts",
+    out_prefix: str = "r_",
+    direction: str = "backward",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """``asof_join`` that also ATTACHES right-side payload columns —
+    the full pandas ``merge_asof`` / kdb ``aj`` shape (the ts-only
+    variant answers "when was the last observation"; this one answers
+    "what did it say").
+
+    Same shuffle-safe formulation (union-tag + one per-key ordered
+    window, no inequality join): the payload rides as ONE struct
+    column so all attached fields come from the SAME matched right
+    row atomically — per-column ``last(ignorenulls)`` carries would
+    mix rows when a newer right row holds a NULL field. Right rows
+    are first reduced to one per (key, ts) by lexicographic-max
+    payload struct (deterministic, engine-independent tie rule; feed
+    pre-aggregated series to make ties impossible). Attached columns
+    come back as ``<out_prefix><payload_col>``, NULL (together with
+    ``right_ts_out``) for unmatched or out-of-``tolerance`` rows.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    if tolerance is not None and not _TOLERANCE_RE.fullmatch(tolerance):
+        raise ValueError(
+            f"tolerance must look like '<n> <unit>' (e.g. '1 hour', "
+            f"'90 seconds'): {tolerance!r}"
+        )
+    pay = list(payload_cols)
+    missing = [c for c in pay if c not in right.columns]
+    if missing:
+        raise ValueError(f"payload_cols not in right side: {missing}")
+    r = (
+        right.groupBy(F.col(on), F.col(ts_col))
+        .agg(F.max(F.struct(*[F.col(c) for c in pay])).alias("_pay"))
+        .withColumn("_side", F.lit(0))
+        .withColumn("_r_ts", F.col(ts_col))
+    )
+    pay_type = r.schema["_pay"].dataType
+    l = (
+        left.withColumn("_side", F.lit(1))
+        .withColumn("_r_ts", F.lit(None).cast(right.schema[ts_col].dataType))
+        .withColumn("_pay", F.lit(None).cast(pay_type))
+    )
+    cols = [on, ts_col, "_side", "_r_ts", "_pay"]
+    extra = [c for c in left.columns if c not in (on, ts_col)]
+    unioned = l.select(*cols, *extra).unionByName(
+        r.select(*cols, *[F.lit(None).alias(c) for c in extra]),
+        allowMissingColumns=False,
+    )
+    ts_order = (
+        F.col(ts_col).asc() if direction == "backward"
+        else F.col(ts_col).desc()
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_order, F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        unioned.withColumn(
+            right_ts_out, F.last("_r_ts", ignorenulls=True).over(w)
+        )
+        .withColumn("_pay_c", F.last("_pay", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
+    if tolerance is not None:
+        bound = F.expr(f"INTERVAL {tolerance}")
+        in_tol = (
+            F.col(right_ts_out) >= F.col(ts_col) - bound
+            if direction == "backward"
+            else F.col(right_ts_out) <= F.col(ts_col) + bound
+        )
+        carried = carried.withColumn(
+            right_ts_out, F.when(in_tol, F.col(right_ts_out))
+        ).withColumn("_pay_c", F.when(in_tol, F.col("_pay_c")))
+    return carried.select(
+        *left.columns,
+        right_ts_out,
+        *[
+            F.col("_pay_c").getField(c).alias(f"{out_prefix}{c}")
+            for c in pay
+        ],
     )

@@ -923,6 +923,50 @@ def event_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_asof_enrich",
+    """
+    WITH v AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'view'
+    ),
+    vv AS (SELECT user_id, ts, event_id, value FROM v WHERE rn = 1)
+    SELECT p.event_id, p.user_id, p.ts,
+           vv.ts AS last_view_ts,
+           vv.event_id AS r_event_id,
+           vv.value AS r_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN vv ON p.user_id = vv.user_id AND vv.ts <= p.ts
+    """,
+)
+def event_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-carrying as-of join: each purchase attaches WHAT the
+    user's most recent prior view was (its event_id and value), not
+    just when it happened — the full pandas merge_asof / kdb aj shape.
+    ``temporal.asof_join_payload`` carries the payload as one struct
+    through the union-tag + ordered-window formulation (one shuffle on
+    user_id, no inequality join, fields attach atomically from the
+    same matched row); the oracle is DuckDB's native ASOF LEFT JOIN
+    over the identically-reduced right side (one row per (user, ts),
+    max event_id tie rule)."""
+    from .operators.temporal import asof_join_payload
+
+    e = _events(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join_payload(
+        purchases, views, on="user_id",
+        payload_cols=["event_id", "value"],
+        ts_col="ts", right_ts_out="last_view_ts",
+    )
+
+
+@register(
     "event_error_burst",
     """
     SELECT

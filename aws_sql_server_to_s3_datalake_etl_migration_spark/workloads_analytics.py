@@ -532,6 +532,65 @@ def merge_upsert_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.unionByName(incoming)
 
 
+@register(
+    "orders_cdc_apply",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders
+    ),
+    ch AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 1 AS o_totalprice, 1 AS seq, 'U' AS op
+      FROM base WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 2, 2,
+             CASE WHEN o_orderkey % 8 = 0 THEN 'D' ELSE 'U' END
+      FROM base WHERE o_orderkey % 4 = 0
+    ),
+    latest AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      FROM ch
+    )
+    SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice
+    FROM base b
+    WHERE b.o_orderkey % 2 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply-changes (operators/incremental.py
+    ``cdc_apply_changes``): a synthesized Debezium-style feed — every
+    even key updated at seq 1, every 4th re-updated or hard-DELETED at
+    seq 2 — applied onto the orders snapshot. Latest sequence wins per
+    key, deletes remove rows, intermediate states never surface; the
+    oracle replays the same feed with window SQL. The snapshot-side
+    plan is one un-hinted anti-join against the changed-key set (AQE
+    broadcasts a typical feed; the snapshot never re-shuffles)."""
+    from .operators.incremental import cdc_apply_changes
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    base = _t(spark, sf_dir, "orders").select(*cols)
+    c1 = base.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") + 1).alias("o_totalprice"),
+        F.lit(1).alias("seq"), F.lit("U").alias("op"),
+    )
+    c2 = base.where(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") + 2).alias("o_totalprice"),
+        F.lit(2).alias("seq"),
+        F.when(F.col("o_orderkey") % 8 == 0, "D").otherwise("U").alias("op"),
+    )
+    return cdc_apply_changes(
+        base, c1.unionByName(c2), key_col="o_orderkey"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dim-table enrichment over part/supplier (previously uncovered tables)
 # ---------------------------------------------------------------------------

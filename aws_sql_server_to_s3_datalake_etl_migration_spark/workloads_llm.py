@@ -1386,6 +1386,46 @@ def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_source_caps",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY length(text) DESC, doc_id ASC
+             ) AS stratum_rank
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(stratum_rank AS BIGINT) AS stratum_rank
+    FROM ranked WHERE stratum_rank <= 15
+    """,
+)
+def doc_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/sampling.py
+    ``cap_per_stratum``): at most 15 docs per source, longest-first
+    with a doc_id tiebreak — the absolute-ceiling curation rule that
+    rate samplers can't express (a dominant crawl domain is capped,
+    not proportionally thinned). Spark's WindowGroupLimit pushes the
+    limit map-side, so a hot source shuffles O(cap x partitions)
+    rows, never its full size. (15 < the 25-per-source testdata
+    uniform, so the cap demonstrably bites at every SF.)"""
+    capped = sampling.cap_per_stratum(
+        _docs(spark, sf_dir).select(
+            "doc_id", "source",
+            F.length("text").cast("bigint").alias("n_chars"),
+        ),
+        strata_col="source",
+        cap=15,
+        rank_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    return capped.withColumn(
+        "stratum_rank", F.col("stratum_rank").cast("bigint")
+    )
+
+
+@register(
     "doc_quality_prune",
     f"""
     WITH {_QUALITY_CTE},

@@ -106,3 +106,42 @@ def test_minhash_bucket_cap_bounds_candidates(spark):
     # sanity that the cap (not banding) is what bounded the candidates:
     # identical docs estimate jaccard 1.0, all C(300,2) pairs emit
     assert len(uncapped) == n_dup * (n_dup - 1) // 2 + 10
+
+
+def test_prefix_prefilter_admission_identical_and_no_index_shuffle(
+    spark, tmp_path
+):
+    """The broadcast prefix-prefilter must not change admission (it is
+    a superset reduction feeding the same exact anti-join) and must
+    keep the index side shuffle-free (BroadcastHashJoin semi, no
+    exchange between the index scan and the semi-join)."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        dedup_against_index,
+        incremental_exact_dedup,
+    )
+
+    docs = [(i, f"text {i % 37}") for i in range(200)]
+    hist = spark.createDataFrame(docs[:120], "doc_id long, text string")
+    idx = str(tmp_path / "fp_idx")
+    incremental_exact_dedup(spark, hist, idx)  # seeds the index
+
+    batch = spark.createDataFrame(
+        [(1000 + i, f"text {i % 51}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    plain = {
+        r["doc_id"]
+        for r in dedup_against_index(spark, batch, idx).collect()
+    }
+    fast_df = dedup_against_index(
+        spark, batch, idx, prefix_prefilter=True
+    )
+    fast = {r["doc_id"] for r in fast_df.collect()}
+    assert fast == plain and plain  # identical, non-trivial
+
+    plan = fast_df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan  # the prefix semi-join
+    # the index-side scan feeds the broadcast semi-join directly:
+    # no SortMergeJoin anywhere in the prefiltered plan
+    assert "SortMergeJoin" not in plan

@@ -749,3 +749,64 @@ def test_temperature_mix_alpha_one_keeps_natural_mix(spark):
     }
     assert rates["hot"] == pytest.approx(0.4, rel=1e-12)
     assert rates["rare"] == pytest.approx(0.4, rel=1e-12)
+
+
+def test_asof_join_payload_atomic_carry_and_tolerance(spark):
+    """Payload fields must attach ATOMICALLY from the matched right
+    row: a newer right row carrying a NULL field must not let an older
+    row's value bleed through (the bug per-column last(ignorenulls)
+    carries would have). Tolerance nulls ts and payload together."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.temporal import (
+        asof_join_payload,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100, "e1"), (1, 250, "e2"), (2, 50, "e3")],
+        "k long, ts long, tag string",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, 90, "old", 7.0),
+            (1, 200, None, 9.0),   # newer row, NULL name field
+            (3, 10, "other", 1.0),
+        ],
+        "k long, ts long, name string, score double",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+
+    got = {
+        (r["k"], r["tag"]): (r["r_name"], r["r_score"])
+        for r in asof_join_payload(
+            left, right, on="k", payload_cols=["name", "score"]
+        ).collect()
+    }
+    # ts=100 matches the t=90 row; ts=250 matches t=200 whose name is
+    # NULL — and must stay NULL (no bleed from "old")
+    assert got[(1, "e1")] == ("old", 7.0)
+    assert got[(1, "e2")] == (None, 9.0)
+    assert got[(2, "e3")] == (None, None)  # unmatched key
+
+    # tolerance: e2 (250) is 50s after its match (200) — a 30-second
+    # tolerance nulls ts and payload together
+    tol = {
+        (r["k"], r["tag"]): (r["matched_ts"], r["r_name"], r["r_score"])
+        for r in asof_join_payload(
+            left, right, on="k", payload_cols=["name", "score"],
+            tolerance="30 seconds",
+        ).collect()
+    }
+    assert tol[(1, "e1")][0] is not None
+    assert tol[(1, "e2")] == (None, None, None)
+
+    # duplicate (key, ts) right rows: lexicographic-max payload struct
+    # wins deterministically
+    dup = spark.createDataFrame(
+        [(1, 90, "a", 1.0), (1, 90, "b", 0.5)],
+        "k long, ts long, name string, score double",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    got2 = {
+        r["tag"]: (r["r_name"], r["r_score"])
+        for r in asof_join_payload(
+            left, dup, on="k", payload_cols=["name", "score"]
+        ).collect()
+    }
+    assert got2["e1"] == ("b", 0.5)

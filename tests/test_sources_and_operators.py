@@ -714,3 +714,41 @@ def test_quarantine_ingest_csv(spark, tmp_path):
 
     with _pt.raises(ValueError, match="json/csv"):
         read_with_quarantine(spark, str(src), "id BIGINT", fmt="avro")
+
+
+def test_cdc_apply_changes_latest_sequence_wins(spark):
+    """CDC apply: per key only the highest-sequence change is visible —
+    delete-then-reinsert and update-after-delete resolve by sequence,
+    not arrival order; unknown keys insert; untouched rows survive."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.incremental import (
+        cdc_apply_changes,
+    )
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    # deliberately shuffled arrival order
+    ch = spark.createDataFrame(
+        [
+            (2, "b2", 1, "U"),
+            (1, "a3", 3, "U"),   # final state of key 1
+            (2, "ignored", 2, "D"),  # key 2 ends deleted
+            (1, "a1", 1, "U"),
+            (1, "gone", 2, "D"),
+            (4, "d", 1, "I"),    # brand-new key
+        ],
+        "id long, v string, seq long, op string",
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in cdc_apply_changes(snap, ch, key_col="id").collect()
+    }
+    assert got == {1: "a3", 3: "c", 4: "d"}
+
+    # feed missing a snapshot column fails loudly
+    bad = spark.createDataFrame([(1, 1, "U")], "id long, seq long, op string")
+    try:
+        cdc_apply_changes(snap, bad, key_col="id")
+        assert False, "expected ValueError"
+    except ValueError as ex:
+        assert "lacks snapshot columns" in str(ex)

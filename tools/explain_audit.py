@@ -194,6 +194,13 @@ EXPECT: dict[str, dict] = {
     "doc_temperature_mix": {
         "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
     },
+    # payload as-of join: union-tag + window — there must be NO join
+    # operator at all (the inequality-join formulation Spark would
+    # otherwise plan is the scale killer this operator exists to
+    # avoid), and the struct carry stays JVM-side.
+    "event_asof_enrich": {
+        "pushed": True, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
     # incremental exact dedup: the fingerprint-index anti-join must
     # shuffle ONLY the fixed-width fingerprint — every scan of the
     # index reads exactly content_fp (at 100 TB the index is
