@@ -274,3 +274,30 @@ def cap_per_stratum(
         df.withColumn(rank_out, F.row_number().over(w))
         .where(F.col(rank_out) <= cap)
     )
+
+
+def deterministic_take_n(
+    df: DataFrame, n: int, key_col: str
+) -> DataFrame:
+    """Exactly ``n`` rows (fewer only if the input is smaller), chosen
+    pseudo-randomly but DETERMINISTICALLY: order by (md5(key), key)
+    and take the first n. The fixed-size companion to the rate
+    samplers — "give me exactly 10k eval docs, the same ones every
+    run, on any engine, at any partitioning" — where a rate can only
+    promise a proportion and ``df.limit(n)`` picks
+    partition-order-dependent rows.
+
+    Scale shape: Spark plans ORDER BY + LIMIT as
+    TakeOrderedAndProject — each partition keeps a local top-n heap
+    and the driver merges partition winners — so no global sort and
+    no full shuffle ever happens; cost is one scan + O(n) driver
+    merge. Keep n in the ~10^6 ballpark or below (driver holds the
+    merged result); beyond that, a rate sampler is the right tool.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    c = F.col(key_col)
+    return (
+        df.orderBy(F.md5(c.cast("string")).asc(), c.asc())
+        .limit(n)
+    )

@@ -350,3 +350,62 @@ def source_term_drift(
             .alias("l1_drift"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-window prep step for embedding / retrieval / training
+    pipelines ("512-token chunks with 64-token overlap"). Pure
+    codegen column expressions: tokenize once, explode a
+    ``sequence(0, n_chunks-1)`` of chunk indices, and slice the token
+    array per index — no UDFs, no second scan, and the explode's
+    fan-out is exactly the output size (sum of chunk counts), so
+    shuffle-free and linear in output.
+
+    Chunks stride by ``chunk_tokens - overlap``; the final chunk is
+    allowed to be short (no padding, no token dropped: every token
+    appears in ≥1 chunk, boundary tokens in 2 when overlapping).
+    Empty/whitespace-only documents produce no chunks. Output:
+    (id, chunk_idx, start_token, n_chunk_tokens, chunk_text).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.ceil(
+            (n - F.lit(chunk_tokens)).cast("double") / F.lit(stride)
+        ).cast("int").cast("long")
+        * F.when(n > chunk_tokens, F.lit(1)).otherwise(F.lit(0))
+    )
+    d = df.select(
+        F.col(id_col), toks.alias("_toks"), n_chunks.alias("_nc")
+    ).where(F.col("_nc") > 0)
+    exploded = d.select(
+        id_col,
+        "_toks",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("_nc") - 1)
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    piece = F.slice(
+        F.col("_toks"), (start + 1).cast("int"), chunk_tokens
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        start.alias("start_token"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

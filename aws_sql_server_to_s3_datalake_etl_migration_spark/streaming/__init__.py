@@ -3,7 +3,9 @@ reference's batch incremental loads (SURVEY.md §2.7/§2.10) plus the
 windowed/stateful operators a training-data pipeline needs."""
 
 from .ingest import (
+    cdc_fold_batch,
     dedup_commit_batch,
+    stream_cdc_to_lake,
     stream_ingest_files,
     stream_append_to_lake,
     stream_dedup,
@@ -16,6 +18,8 @@ from .ingest import (
 from .windows import windowed_event_counts, sessionize, stream_stream_join
 
 __all__ = [
+    "cdc_fold_batch",
+    "stream_cdc_to_lake",
     "dedup_commit_batch",
     "stream_stream_join",
     "stream_rollup_refresh",

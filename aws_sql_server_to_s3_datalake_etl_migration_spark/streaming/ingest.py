@@ -311,3 +311,85 @@ def stream_enrich_scd2(
     joined = stream.join(history, cond & interval, how)
     drop = [history[k] for k in keys]
     return joined.drop(*drop)
+
+
+def cdc_fold_batch(
+    batch_df: DataFrame,
+    table_path: str,
+    batch_id: int,
+    key_col: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> None:
+    """One micro-batch of the CDC replication sink — exposed (like
+    ``dedup_commit_batch``) so crash/replay behavior is directly
+    testable. Applies the batch's change events onto the snapshot at
+    ``table_path`` via ``cdc_apply_changes`` and atomically swaps the
+    result in, with the batch id riding the swap as a
+    ``_last_applied_batch`` sidecar: a replayed, already-applied id is
+    a no-op, so folds are exactly-once under at-least-once delivery
+    (same marker protocol as the rollup refresh — the checkpoint alone
+    can't give this, since foreachBatch may re-run a batch whose swap
+    committed but whose offset didn't)."""
+    from ..operators.incremental import cdc_apply_changes
+    from ..sources import fs
+    from ..sources.writers import swap_overwrite, write_parquet
+
+    spark = batch_df.sparkSession
+    marker = f"{table_path.rstrip('/')}/_last_applied_batch"
+    last = fs.read_text_file(spark, marker)
+    if last is not None and int(last) >= batch_id:
+        return
+    payload = [c for c in batch_df.columns if c not in (seq_col, op_col)]
+    if not fs.path_exists(spark, table_path):
+        # bootstrap: the first batch's surviving upserts ARE the table
+        empty = batch_df.select(*payload).limit(0)
+        write_parquet(empty, table_path, mode="overwrite")
+    snapshot = spark.read.parquet(table_path).select(*payload)
+    applied = cdc_apply_changes(
+        snapshot, batch_df, key_col, seq_col=seq_col, op_col=op_col
+    )
+    swap_overwrite(
+        applied, table_path,
+        sidecar={"_last_applied_batch": str(batch_id)},
+    )
+
+
+def stream_cdc_to_lake(
+    df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key_col: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming CDC replication: a change-event stream (insert /
+    update / delete rows tagged with a monotonic sequence) continuously
+    folded onto a lake snapshot — the streaming twin of the
+    reference's incremental-updates mode extended to hard deletes.
+    Each micro-batch runs ``cdc_fold_batch``: latest-sequence-wins
+    apply + atomic swap + batch-id sidecar, so the materialized table
+    equals the batch ``cdc_apply_changes`` over the union of all
+    batches (pinned by the stream-vs-batch differential pytest) and
+    replays never double-apply. Sequence numbers order changes ACROSS
+    batches too: a late-arriving lower-sequence change for a key
+    already updated by a later batch... loses, as it must — but only
+    within what each fold can see; feed batches in source commit
+    order (which a CDC transport provides) for full cross-batch
+    ordering. Single writer per table path."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cdc_fold_batch(
+            batch_df, table_path, batch_id,
+            key_col=key_col, seq_col=seq_col, op_col=op_col,
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1386,6 +1386,69 @@ def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_take_n",
+    """
+    SELECT doc_id, source
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+    LIMIT 100
+    """,
+)
+def doc_take_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample (operators/sampling.py
+    ``deterministic_take_n``): exactly 100 docs by (md5(id), id)
+    order — the same 100 on any engine at any partitioning, planned
+    as TakeOrderedAndProject (per-partition top-n heaps, no global
+    sort). The fixed-COUNT companion to the rate samplers."""
+    return sampling.deterministic_take_n(
+        _docs(spark, sf_dir).select("doc_id", "source"), 100, "doc_id"
+    )
+
+
+@register(
+    "doc_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) <= 0 THEN 0
+                  WHEN len(w) <= 64 THEN 1
+                  ELSE 1 + CAST(ceil((len(w) - 64) / 48.0) AS BIGINT)
+             END AS nc
+      FROM t
+    ),
+    idx AS (
+      SELECT doc_id, w, unnest(range(nc)) AS chunk_idx
+      FROM sized WHERE nc > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * 48 AS BIGINT) AS start_token,
+           CAST(len(w[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(w[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ')
+             AS chunk_text
+    FROM idx
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/textops.py
+    ``chunk_documents``): every document split into 64-token chunks
+    with 16-token overlap (stride 48) — tokenize once, explode a
+    chunk-index sequence, slice the token array per index. Pure
+    codegen, no UDF, fan-out exactly the output size; the oracle
+    rebuilds the same windows with DuckDB list slicing."""
+    return textops.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=64, overlap=16
+    )
+
+
+@register(
     "doc_source_caps",
     """
     WITH ranked AS (

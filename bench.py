@@ -107,6 +107,13 @@ EXTENDED = [
     "events_rollup_incremental",
     "emb_label_centroids",
     "emb_cosine_topk",
+    # round-6 additions: temporal joins, CDC, curation, chunking
+    "event_asof_enrich",
+    "orders_cdc_apply",
+    "doc_source_caps",
+    "doc_chunks",
+    "doc_take_n",
+    "doc_pack_sequences",
 ]
 
 

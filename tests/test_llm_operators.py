@@ -810,3 +810,51 @@ def test_asof_join_payload_atomic_carry_and_tolerance(spark):
         ).collect()
     }
     assert got2["e1"] == ("b", 0.5)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token appears in at least one chunk in order; interior
+    chunk boundaries overlap by exactly `overlap` tokens; the final
+    chunk may be short; empty docs produce no chunks."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.textops import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, "   "), (4, "x")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=5, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start_token"], r["n_chunk_tokens"],
+             r["chunk_text"])
+        )
+    # doc 1: 12 tokens, chunk 5, stride 3 -> 1 + ceil(7/3) = 4 chunks
+    # (coverage semantics: generation stops once every token is
+    # covered, so no redundant trailing window)
+    c1 = sorted(by_doc[1])
+    assert [c[1] for c in c1] == [0, 3, 6, 9]
+    assert [c[2] for c in c1] == [5, 5, 5, 3]  # final chunk short
+    assert c1[0][3] == "w0 w1 w2 w3 w4"
+    assert c1[1][3] == "w3 w4 w5 w6 w7"      # 2-token overlap
+    assert c1[3][3] == "w9 w10 w11"
+    # reconstruction: stitching chunks (dropping each next chunk's
+    # overlap) rebuilds the doc exactly
+    stitched = c1[0][3].split()
+    for _, _, _, t in c1[1:]:
+        stitched.extend(t.split()[2:])
+    assert stitched == text.split()
+    assert by_doc[2] == [(0, 0, 2, "a b")]   # short doc: one chunk
+    assert 3 not in by_doc                    # whitespace-only: none
+    assert by_doc[4] == [(0, 0, 1, "x")]
+
+    # validation
+    for bad in [dict(chunk_tokens=0), dict(chunk_tokens=4, overlap=4)]:
+        try:
+            chunk_documents(df, **bad)
+            assert False
+        except ValueError:
+            pass

@@ -323,3 +323,34 @@ def test_histogram_rollup_split_merge_equals_one_pass(spark, tmp_path):
 
     with pytest.raises(ValueError, match="q must"):
         histogram_quantile(merged_df, 0.0, 10.0)
+
+
+def test_expire_batch_partitions_numeric_and_string_order(spark, tmp_path):
+    """Retention drops the OLDEST partitions: numeric order for int
+    batch ids (2 < 10, not '10' < '2'), lexicographic for run-id
+    strings; survivors still read cleanly with partition discovery."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.maintenance import (
+        expire_batch_partitions,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.writers import (
+        overwrite_batch_partition,
+    )
+
+    lake = str(tmp_path / "lake")
+    for b in (2, 10, 1, 7):
+        overwrite_batch_partition(
+            spark.createDataFrame([(b,)], "v long"), lake, b
+        )
+    dropped = expire_batch_partitions(spark, lake, keep_last=2)
+    assert dropped == ["1", "2"]  # numeric: keeps 7 and 10
+    left = spark.read.parquet(lake)
+    assert sorted(r["v"] for r in left.collect()) == [7, 10]
+    assert sorted(set(r["ingest_batch_id"] for r in left.collect())) == [7, 10]
+
+    runs = str(tmp_path / "runs")
+    for r in ("2024-02-01", "2024-01-15", "2024-03-01"):
+        overwrite_batch_partition(
+            spark.createDataFrame([(r,)], "v string"), runs, r
+        )
+    dropped = expire_batch_partitions(spark, runs, keep_last=1)
+    assert dropped == ["2024-01-15", "2024-02-01"]

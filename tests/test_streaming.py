@@ -851,3 +851,81 @@ def test_rollup_refresh_replayed_batch_id_is_noop(spark, tmp_path, sf_dir):
     from aws_sql_server_to_s3_datalake_etl_migration_spark.sources import fs
 
     assert fs.read_text_file(spark, path + "/_last_folded_batch") == "2"
+
+
+def test_stream_cdc_matches_batch_apply_and_replay_noop(spark, tmp_path):
+    """Streaming CDC replication folded batch-by-batch must equal the
+    one-shot batch cdc_apply_changes over the whole feed (batches
+    split in sequence order, as a CDC transport delivers them), and a
+    replayed batch id must be a no-op."""
+    import os
+    import time
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.incremental import (
+        cdc_apply_changes,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources import fs
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming.ingest import (
+        cdc_fold_batch,
+        stream_cdc_to_lake,
+        stream_ingest_files,
+    )
+
+    ddl = "id long, v string, seq long, op string"
+    feed = [
+        # batch 0: initial inserts
+        [(1, "a", 1, "I"), (2, "b", 1, "I"), (3, "c", 1, "I")],
+        # batch 1: update 1, delete 2, insert 4
+        [(1, "a2", 2, "U"), (2, None, 2, "D"), (4, "d", 2, "I")],
+        # batch 2: delete 4, re-insert 2, update 1 again
+        [(4, None, 3, "D"), (2, "b2", 3, "I"), (1, "a3", 3, "U")],
+    ]
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    for i, rows in enumerate(feed):
+        d = str(src / f"b{i}")
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(d)
+        # pin ascending mtimes so the file source delivers in feed order
+        # (CDC folds are order-sensitive across batches)
+        t = time.time() - 100 + i
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    table = str(tmp_path / "cdc_table")
+    q = stream_cdc_to_lake(
+        stream_ingest_files(
+            spark, str(src / "*"), ddl, max_files_per_trigger=1
+        ),
+        table_path=table,
+        checkpoint=str(tmp_path / "cdc_ckpt"),
+        key_col="id",
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+
+    streamed = {
+        (r["id"], r["v"]) for r in spark.read.parquet(table).collect()
+    }
+    all_changes = spark.createDataFrame(sum(feed, []), ddl)
+    empty = spark.createDataFrame([], "id long, v string")
+    batch = {
+        (r["id"], r["v"])
+        for r in cdc_apply_changes(empty, all_changes, "id").collect()
+    }
+    assert streamed == batch == {(1, "a3"), (2, "b2"), (3, "c")}
+
+    # replay of the last committed batch id: marker makes it a no-op
+    last = int(fs.read_text_file(spark, table + "/_last_applied_batch"))
+    replay = spark.createDataFrame([(9, "X", 99, "I")], ddl)
+    cdc_fold_batch(replay, table, last, key_col="id")
+    again = {
+        (r["id"], r["v"]) for r in spark.read.parquet(table).collect()
+    }
+    assert again == streamed  # the stale replay changed nothing
+    # a genuinely new batch id still folds
+    cdc_fold_batch(replay, table, last + 1, key_col="id")
+    assert (9, "X") in {
+        (r["id"], r["v"]) for r in spark.read.parquet(table).collect()
+    }
