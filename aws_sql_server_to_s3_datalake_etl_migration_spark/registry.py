@@ -88,6 +88,14 @@ def oracles() -> dict[str, str]:
 # across r3–r6. Rows-only entries (minhash/simhash/ivf) stay out —
 # their accuracy pytests are a stronger signal than a
 # row-count-only driver row.
+#
+# Round-7 rotation candidates (oracle-backed queries added mid-round-6
+# with no official driver row yet; all local-check green):
+# doc_pack_sequences (upgraded from rows-only via recursive-CTE
+# oracle), emb_ivf_topk_batch_fullprobe, emb_semantic_dedup_exact,
+# event_asof_enrich, orders_cdc_apply, doc_source_caps, doc_chunks,
+# doc_take_n. Swap them in for the by-then two-round-stable gapfill /
+# sampling / funnel rows; keep the §2 core pinned.
 _PRIORITY: tuple[str, ...] = (
     # §2 core: flagship ingest, scans, incremental/merge, recon
     # (permanently pinned)

@@ -13,6 +13,7 @@ from .ingest import (
     stream_enrich,
     stream_enrich_scd2,
     stream_merge_to_lake,
+    stream_robust_ingest,
     stream_rollup_refresh,
 )
 from .windows import windowed_event_counts, sessionize, stream_stream_join
@@ -30,6 +31,7 @@ __all__ = [
     "stream_enrich",
     "stream_enrich_scd2",
     "stream_merge_to_lake",
+    "stream_robust_ingest",
     "windowed_event_counts",
     "sessionize",
 ]

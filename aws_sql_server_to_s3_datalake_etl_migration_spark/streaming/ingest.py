@@ -11,6 +11,7 @@ from becoming one giant batch).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
@@ -387,6 +388,81 @@ def stream_cdc_to_lake(
 
     writer = (
         df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_robust_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    ddl: str,
+    lake_path: str,
+    quarantine_path: str,
+    index_path: str,
+    checkpoint: str,
+    fmt: str = "json",
+    content_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The hardened ingest pipeline as one continuously-running
+    stream — the streaming twin of ``pipelines.robust_ingest_to_lake``
+    with the same per-batch guarantees:
+
+    1. PERMISSIVE scan with dead-letter capture: malformed JSON/CSV
+       records keep their raw text instead of crashing the query or
+       becoming silent nulls;
+    2. bad rows overwrite ``<quarantine>/ingest_batch_id=<id>/``;
+    3. clean rows run the fingerprint-index dedup commit
+       (``dedup_commit_batch``) — batch-unique, history-unique, lake
+       and index committed as partition overwrites.
+
+    Every write is a deterministic partition overwrite keyed by the
+    stream's batch id, so the whole pipeline is exactly-once under
+    at-least-once replay (same argument as ``stream_dedup_to_lake``;
+    quarantine rows re-derive deterministically from the batch).
+    Single writer per lake/index/quarantine triple.
+    """
+    from ..sources.writers import overwrite_batch_partition
+
+    if fmt not in ("json", "csv"):
+        raise ValueError(f"robust ingest supports json/csv, got {fmt!r}")
+    reader = (
+        spark.readStream.schema(ddl + ", _raw_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_raw_record")
+    )
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    stream = reader.format(fmt).load(source_dir)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        # _is_bad derives immediately so filters never reference the
+        # corrupt column alone (the parser-pushdown restriction)
+        tagged = batch_df.withColumn(
+            "_is_bad", F.col("_raw_record").isNotNull()
+        )
+        bad = tagged.where(F.col("_is_bad")).drop("_is_bad")
+        overwrite_batch_partition(bad, quarantine_path, batch_id)
+        clean = tagged.where(~F.col("_is_bad")).drop(
+            "_raw_record", "_is_bad"
+        )
+        dedup_commit_batch(
+            clean, lake_path, index_path, batch_id,
+            content_cols=content_cols, id_col=id_col,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(commit)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )

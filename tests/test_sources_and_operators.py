@@ -752,3 +752,41 @@ def test_cdc_apply_changes_latest_sequence_wins(spark):
         assert False, "expected ValueError"
     except ValueError as ex:
         assert "lacks snapshot columns" in str(ex)
+
+
+def test_overwrite_batch_partition_validation_and_sidecar_guard(
+    spark, tmp_path
+):
+    """Writer guardrails: batch ids must be directory-safe, partition
+    columns must not be hidden names, and swap sidecars must be
+    '_'-prefixed so parquet readers skip them."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.writers import (
+        overwrite_batch_partition,
+        swap_overwrite,
+    )
+
+    df = spark.createDataFrame([(1,)], "v long")
+    base = str(tmp_path / "t")
+    for bad_id in ("a/b", "a b", "x=1", ""):
+        try:
+            overwrite_batch_partition(df, base, bad_id)
+            assert False, bad_id
+        except ValueError:
+            pass
+    try:
+        overwrite_batch_partition(df, base, 1, partition_col="_hidden")
+        assert False
+    except ValueError:
+        pass
+    try:
+        swap_overwrite(df, base, sidecar={"not_hidden": "1"})
+        assert False
+    except ValueError:
+        pass
+    # the valid forms work and read back with lineage
+    overwrite_batch_partition(df, base, "run-1.a")
+    swap_overwrite(df, str(tmp_path / "s"), sidecar={"_m": "7"})
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources import fs
+
+    assert spark.read.parquet(base).collect()[0]["ingest_batch_id"] == "run-1.a"
+    assert fs.read_text_file(spark, str(tmp_path / "s") + "/_m") == "7"

@@ -929,3 +929,65 @@ def test_stream_cdc_matches_batch_apply_and_replay_noop(spark, tmp_path):
     assert (9, "X") in {
         (r["id"], r["v"]) for r in spark.read.parquet(table).collect()
     }
+
+
+def test_stream_robust_ingest_quarantine_and_dedup(spark, tmp_path):
+    """Streaming hardened ingest: malformed records dead-letter per
+    batch, duplicate content arriving batches apart is rejected by the
+    fingerprint index, and everything commits as batch-id partition
+    overwrites (exactly-once layout)."""
+    import os
+    import time
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
+        stream_robust_ingest,
+    )
+
+    src = tmp_path / "rsi_in"
+    src.mkdir()
+    batches = [
+        '{"doc_id": 1, "text": "alpha"}\ngarbage one\n'
+        '{"doc_id": 2, "text": "beta"}\n',
+        '{"doc_id": 10, "text": "beta"}\n'      # cross-batch dupe
+        '{"doc_id": 11, "text": "gamma"}\n',
+        'garbage two\n{"doc_id": 20, "text": "alpha"}\n'  # dupe + bad
+        '{"doc_id": 21, "text": "delta"}\n',
+    ]
+    for i, content in enumerate(batches):
+        f = src / f"b{i}.jsonl"
+        f.write_text(content)
+        t = time.time() - 100 + i
+        os.utime(f, (t, t))
+
+    lake = str(tmp_path / "rsi_lake")
+    quarantine = str(tmp_path / "rsi_q")
+    q = stream_robust_ingest(
+        spark,
+        str(src),
+        "doc_id BIGINT, text STRING",
+        lake_path=lake,
+        quarantine_path=quarantine,
+        index_path=str(tmp_path / "rsi_idx"),
+        checkpoint=str(tmp_path / "rsi_ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(lake).collect()
+    }
+    assert got == {(1, "alpha"), (2, "beta"), (11, "gamma"), (21, "delta")}
+    quarantined = sorted(
+        r["_raw_record"]
+        for r in spark.read.parquet(quarantine).collect()
+        if r["_raw_record"] is not None
+    )
+    assert quarantined == ["garbage one", "garbage two"]
+    # exactly-once layout: one lake partition per batch id
+    lake_parts = sorted(
+        d for d in os.listdir(lake) if d.startswith("ingest_batch_id=")
+    )
+    assert len(lake_parts) == 3
