@@ -344,6 +344,11 @@ def ngram_jaccard_pairs(
     grams = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
     )
+    # sizes on purpose derives from the exploded grams, NOT from
+    # size(word_shingles(...)) over the scan: the shingle expression
+    # (token slice × distinct) dominates cost, and a scan-side sizes
+    # would re-evaluate it once more per join branch — measured
+    # slower at sf0.1 than re-aggregating the already-exploded rows
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     ids = F.array_sort(F.col("ids"))
     pair_structs = F.flatten(

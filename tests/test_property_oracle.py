@@ -213,3 +213,121 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
                     direction, tolerance, row["event_id"],
                     got[row["event_id"]], want,
                 )
+
+
+@given(
+    feed=st.lists(
+        st.tuples(
+            st.integers(0, 6),             # key
+            st.integers(0, 999),           # value payload
+            st.sampled_from("IUD"),        # op
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    snap_keys=st.lists(st.integers(0, 6), max_size=5, unique=True),
+)
+@settings(**_SETTINGS)
+def test_cdc_apply_changes_matches_python_replay(spark, feed, snap_keys):
+    """cdc_apply_changes == a pure-Python dict replay of the feed in
+    sequence order, for arbitrary interleavings of I/U/D per key over
+    an arbitrary starting snapshot (sequence = feed position, so
+    every sequence is unique and ordering is total)."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.incremental import (
+        cdc_apply_changes,
+    )
+
+    snap_rows = [(k, -k) for k in snap_keys]
+    snap = spark.createDataFrame(
+        snap_rows or [(None, None)], "id long, v long"
+    ).where(F.col("id").isNotNull())
+    ch_rows = [
+        (k, v, i, op) for i, (k, v, op) in enumerate(feed)
+    ]
+    ch = spark.createDataFrame(
+        ch_rows or [(None, None, None, None)],
+        "id long, v long, seq long, op string",
+    ).where(F.col("id").isNotNull())
+
+    got = {
+        (r["id"], r["v"])
+        for r in cdc_apply_changes(snap, ch, "id").collect()
+    }
+
+    table = {k: -k for k in snap_keys}
+    for k, v, op in feed:  # feed position == sequence order
+        if op == "D":
+            table.pop(k, None)
+        else:
+            table[k] = v
+    assert got == set(table.items())
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1, max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50),
+                  st.integers(0, 9)),
+        min_size=0, max_size=25,
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_payload_matches_pandas_merge_asof(spark, left, right):
+    """asof_join_payload == pandas merge_asof WITH attached value
+    columns, under duplicate right timestamps (resolved to the
+    lexicographic-max payload on both sides) and unmatched keys."""
+    import pandas as pd
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.temporal import (
+        asof_join_payload,
+    )
+
+    ldf = spark.createDataFrame(
+        [(i, k, t * 1_000_000) for i, (k, t) in enumerate(left)],
+        ["event_id", "user_id", "us"],
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+    rdf = spark.createDataFrame(
+        [(k, t * 1_000_000, p) for k, t, p in right]
+        or [(None, None, None)],
+        "user_id BIGINT, us BIGINT, payload BIGINT",
+    ).where(F.col("us").isNotNull()).select(
+        "user_id", F.timestamp_micros("us").alias("ts"), "payload"
+    )
+
+    got = {
+        r["event_id"]: r["r_payload"]
+        for r in asof_join_payload(
+            ldf, rdf, on="user_id", payload_cols=["payload"]
+        ).collect()
+    }
+
+    # pandas reference: reduce right to max payload per (key, ts) —
+    # the operator's documented tie rule — then merge_asof
+    lpd = pd.DataFrame({
+        "event_id": range(len(left)),
+        "user_id": [k for k, _ in left],
+        "ts": pd.to_datetime([t for _, t in left], unit="s"),
+    }).sort_values("ts", kind="mergesort")
+    rpd = pd.DataFrame({
+        "user_id": pd.Series([k for k, _, _ in right], dtype="int64"),
+        "ts": pd.to_datetime([t for _, t, _ in right], unit="s"),
+        "payload": pd.Series([p for _, _, p in right], dtype="int64"),
+    })
+    if len(rpd):
+        rpd = (
+            rpd.groupby(["user_id", "ts"], as_index=False)["payload"]
+            .max()
+            .sort_values("ts", kind="mergesort")
+        )
+    expected = pd.merge_asof(
+        lpd, rpd.rename(columns={"payload": "r_payload"}),
+        on="ts", by="user_id", direction="backward",
+    )
+    for _, row in expected.iterrows():
+        want = (
+            None if pd.isna(row["r_payload"]) else int(row["r_payload"])
+        )
+        assert got[row["event_id"]] == want, (row["event_id"],)

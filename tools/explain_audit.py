@@ -194,6 +194,30 @@ EXPECT: dict[str, dict] = {
     "doc_temperature_mix": {
         "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
     },
+    # CDC apply: the snapshot side is one anti-join against the
+    # latest-change key set — AQE must broadcast the (small) feed so
+    # the snapshot never shuffles for it; everything stays JVM-side.
+    "orders_cdc_apply": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "aqe_bhj": True,
+    },
+    # chunking: tokenize + explode + slice — no joins, no Python.
+    "doc_chunks": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # per-source caps: the limit must push MAP-SIDE via
+    # WindowGroupLimit (a hot source forwards O(cap) rows per input
+    # partition, not its full size).
+    "doc_source_caps": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "wgl": True,
+    },
+    # fixed-size deterministic sample: ORDER BY + LIMIT must plan as
+    # TakeOrderedAndProject (per-partition heaps), never a global sort.
+    "doc_take_n": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "take_ordered": True,
+    },
     # payload as-of join: union-tag + window — there must be NO join
     # operator at all (the inequality-join formulation Spark would
     # otherwise plan is the scale killer this operator exists to
@@ -284,6 +308,15 @@ def audit(name: str, show: bool = False) -> list[str]:
                 "AQE did not convert the un-hinted join to broadcast at "
                 "this SF"
             )
+    if exp.get("take_ordered") and "TakeOrderedAndProject" not in plan:
+        problems.append(
+            "ORDER BY + LIMIT did not plan as TakeOrderedAndProject "
+            "(global sort instead of per-partition heaps?)"
+        )
+    if exp.get("wgl") and "WindowGroupLimit" not in plan:
+        problems.append(
+            "rank-filter window did not get WindowGroupLimit pushdown"
+        )
     if "narrow_scans" in exp:
         # every scan whose Location matches the substring must read
         # EXACTLY the named columns (ReadSchema pruned to the join
