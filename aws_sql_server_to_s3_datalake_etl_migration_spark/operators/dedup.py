@@ -636,6 +636,80 @@ def contamination_flags(
     )
 
 
+def substring_leak(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 30,
+) -> DataFrame:
+    """CHARACTER-level decontamination: flag training documents that
+    share a VERBATIM substring with any eval document — the stricter
+    sibling of ``contamination_flags`` (word n-grams miss reformatted
+    but verbatim-copied spans; benchmark-leak audits ask for exact
+    substring matches).
+
+    Seed-window formulation with an exact guarantee instead of an
+    all-pairs substring search: the train side emits k-char windows
+    at stride k (O(len/k) per doc), the eval side emits ALL k-char
+    windows (stride 1 — affordable because eval sets are small), and
+    matches are an equi-join on the window string. Any common
+    substring of length >= 2k-1 fully contains one of the train
+    side's strided windows, so it is ALWAYS detected; shorter common
+    spans may be missed (tune k down for a tighter net). No hashing,
+    so no false positives — a matched window IS a verbatim k-char
+    copy.
+
+    Scale shape: one explode per side (train side k-fold smaller than
+    the corpus), one distinct on the eval window set, one left-semi
+    equi-join (no fan-out: each train window matches the eval SET at
+    most once), one count per doc. Returns one row per train doc:
+    ``n_windows``, ``n_leaked_windows`` (distinct matched), and
+    ``leaked``.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 characters")
+    t = F.col(text_col)
+    ln = F.length(t)
+    t_wins = F.transform(
+        F.sequence(F.lit(1), ln - F.lit(k - 1), F.lit(k)),
+        lambda i: t.substr(i, F.lit(k)),
+    )
+    e_wins = F.transform(
+        F.sequence(F.lit(1), ln - F.lit(k - 1)),
+        lambda i: t.substr(i, F.lit(k)),
+    )
+    train_w = train.where(ln >= k).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(t_wins)).alias("w"),
+    )
+    eval_w = (
+        eval_df.where(ln >= k)
+        .select(F.explode(e_wins).alias("w"))
+        .distinct()
+    )
+    hits = (
+        train_w.join(eval_w, "w", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_leaked_windows"))
+    )
+    sizes = train.select(
+        F.col(id_col),
+        F.when(ln >= k, F.size(F.array_distinct(t_wins)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+    )
+    return sizes.join(hits, id_col, "left").select(
+        id_col,
+        "n_windows",
+        F.coalesce("n_leaked_windows", F.lit(0))
+        .cast("long")
+        .alias("n_leaked_windows"),
+        (F.coalesce("n_leaked_windows", F.lit(0)) > 0).alias("leaked"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup against a persisted fingerprint index
 # ---------------------------------------------------------------------------

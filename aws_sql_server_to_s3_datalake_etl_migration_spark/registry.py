@@ -94,8 +94,9 @@ def oracles() -> dict[str, str]:
 # doc_pack_sequences (upgraded from rows-only via recursive-CTE
 # oracle), emb_ivf_topk_batch_fullprobe, emb_semantic_dedup_exact,
 # event_asof_enrich, orders_cdc_apply, doc_source_caps, doc_chunks,
-# doc_take_n. Swap them in for the by-then two-round-stable gapfill /
-# sampling / funnel rows; keep the §2 core pinned.
+# doc_take_n, doc_substring_leak. Swap them in for the by-then
+# two-round-stable gapfill / sampling / funnel rows; keep the §2 core
+# pinned.
 _PRIORITY: tuple[str, ...] = (
     # §2 core: flagship ingest, scans, incremental/merge, recon
     # (permanently pinned)

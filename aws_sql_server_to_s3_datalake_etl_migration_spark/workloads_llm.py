@@ -1386,6 +1386,56 @@ def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_substring_leak",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents),
+    tw AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(text) - 18, 20),
+               i -> substr(text, i, 20))) AS ws
+      FROM d WHERE doc_id % 41 <> 0 AND len(text) >= 20
+    ),
+    ew AS (
+      SELECT DISTINCT unnest(list_transform(
+               range(1, len(text) - 18),
+               i -> substr(text, i, 20))) AS w
+      FROM d WHERE doc_id % 41 = 0 AND len(text) >= 20
+    ),
+    th AS (
+      SELECT t.doc_id, COUNT(*) AS n_leaked
+      FROM (SELECT doc_id, unnest(ws) AS w FROM tw) t
+      JOIN ew USING (w)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(len(tw.ws), 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(th.n_leaked, 0) AS BIGINT) AS n_leaked_windows,
+           COALESCE(th.n_leaked, 0) > 0 AS leaked
+    FROM (SELECT doc_id FROM d WHERE doc_id % 41 <> 0) d
+    LEFT JOIN tw USING (doc_id)
+    LEFT JOIN th USING (doc_id)
+    """,
+)
+def doc_substring_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level decontamination (operators/dedup.py
+    ``substring_leak``): training docs sharing a VERBATIM 20-char
+    window with the eval split (every 41st doc) — the stricter sibling
+    of word-n-gram decontamination for verbatim-copy auditing. Train
+    side emits windows at stride 20 (so any common substring >= 39
+    chars is guaranteed caught), eval side all windows; the match is
+    an exact string equi-join, no hashing, no false positives."""
+    from .operators.dedup import substring_leak
+
+    docs = _docs(spark, sf_dir)
+    return substring_leak(
+        docs.where(F.col("doc_id") % 41 != 0),
+        docs.where(F.col("doc_id") % 41 == 0),
+        k=20,
+    )
+
+
+@register(
     "doc_take_n",
     """
     SELECT doc_id, source

@@ -114,6 +114,7 @@ EXTENDED = [
     "doc_chunks",
     "doc_take_n",
     "doc_pack_sequences",
+    "doc_substring_leak",
 ]
 
 

@@ -858,3 +858,41 @@ def test_chunk_documents_coverage_and_overlap(spark):
             assert False
         except ValueError:
             pass
+
+
+def test_substring_leak_guarantee_and_exactness(spark):
+    """The strided-window guarantee: a verbatim common substring of
+    length >= 2k-1 is ALWAYS detected; disjoint texts never flag (no
+    hashing, no false positives); shorter overlaps may legitimately
+    miss."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        substring_leak,
+    )
+
+    k = 10
+    leaked_span = "ABCDEFGHIJKLMNOPQRS"          # 19 = 2k-1 chars
+    train = spark.createDataFrame(
+        [
+            (1, "xxxxx" + leaked_span + "yyyyy"),   # must flag
+            (2, "completely different content here"),  # must not
+            (3, "short"),                           # < k chars: 0 windows
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "zz" + leaked_span + "qq")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_leaked_windows"], r["leaked"])
+        for r in substring_leak(train, eval_df, k=k).collect()
+    }
+    assert got[1][2] is True and got[1][1] >= 1
+    assert got[2] == (got[2][0], 0, False)
+    assert got[3] == (0, 0, False)
+
+    # k >= 2 validation
+    try:
+        substring_leak(train, eval_df, k=1)
+        assert False
+    except ValueError:
+        pass

@@ -194,6 +194,13 @@ EXPECT: dict[str, dict] = {
     "doc_temperature_mix": {
         "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
     },
+    # substring leak: eval side collapses to a distinct window set
+    # (small), so the window equi-join must broadcast; the % 41 split
+    # filter reaches the scan; everything JVM-side.
+    "doc_substring_leak": {
+        "pushed": True, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "aqe_bhj": True,
+    },
     # CDC apply: the snapshot side is one anti-join against the
     # latest-change key set — AQE must broadcast the (small) feed so
     # the snapshot never shuffles for it; everything stays JVM-side.
