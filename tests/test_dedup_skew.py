@@ -145,3 +145,42 @@ def test_prefix_prefilter_admission_identical_and_no_index_shuffle(
     # the index-side scan feeds the broadcast semi-join directly:
     # no SortMergeJoin anywhere in the prefiltered plan
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_soak_many_batches_matches_set_model(
+    spark, tmp_path
+):
+    """20-batch soak: admission through the persisted fingerprint
+    index must equal a Python first-seen set model under random
+    cross-batch overlap, with the index growing exactly with distinct
+    content (never with stream length)."""
+    import random
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    rng = random.Random(17)
+    idx = str(tmp_path / "soak_idx")
+    seen: set[str] = set()
+    next_id = 0
+    for batch_no in range(20):
+        rows = []
+        for _ in range(rng.randrange(1, 12)):
+            # small content space forces heavy overlap across batches
+            rows.append((next_id, f"content {rng.randrange(40)}"))
+            next_id += 1
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        admitted = {
+            (r["doc_id"], r["text"])
+            for r in incremental_exact_dedup(spark, batch, idx).collect()
+        }
+        # model: first batch occurrence of never-seen content wins
+        expected = {}
+        for i, t in rows:
+            if t not in seen and t not in expected:
+                expected[t] = i
+        assert admitted == {(i, t) for t, i in expected.items()}, batch_no
+        seen.update(t for _, t in rows)
+        # index rows == distinct content ever admitted
+        assert spark.read.parquet(idx).count() == len(seen)
