@@ -526,6 +526,77 @@ def emb_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_oracle_sql(
+    bands: int, r: int, dim: int, seed: int, threshold: float
+) -> str:
+    """DuckDB twin of ``embedding_neardup_pairs``: the hyperplanes are
+    Python-side constants (seeded numpy), so the oracle embeds the
+    IDENTICAL doubles as array literals — both engines compute the
+    same left-to-right sign projections, the same band buckets, and
+    the same exact cosine, making banded hyperplane-LSH fully
+    value-checkable."""
+    import numpy as np
+
+    hp = np.random.default_rng(seed).standard_normal((bands * r, dim))
+
+    def arr(p) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bks = []
+    for b in range(bands):
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(v, {arr(hp[b * r + j])}) >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for j in range(r)
+        )
+        bks.append(f"{{'b': {b}, 'key': ({bits})}}")
+    structs = ",\n               ".join(bks)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    keyed AS (
+      SELECT vec_id, v,
+             unnest([{structs}]) AS bk
+      FROM e
+    ),
+    k2 AS (SELECT vec_id, v, bk.b AS b, bk.key AS key FROM keyed),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM k2 a JOIN k2 b
+        ON a.b = b.b AND a.key = b.key AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v))
+                  * sqrt(list_dot_product(eb.v, eb.v))) AS cosine
+      FROM pairs p
+      JOIN e ea ON ea.vec_id = p.id_a
+      JOIN e eb ON eb.vec_id = p.id_b
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+    """
+
+
+@register(
+    "emb_neardup_pairs_checked",
+    _neardup_oracle_sql(bands=4, r=2, dim=64, seed=7, threshold=0.45),
+)
+def emb_neardup_pairs_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH near-dup pairs in a value-checked
+    configuration (4 bands x 2 planes): the seeded hyperplanes are
+    plan-time constants, so the DuckDB oracle embeds the identical
+    doubles and reproduces buckets and cosines bit-for-bit — the
+    bucketed join machinery gets a full value differential, while the
+    production entry (``emb_neardup_pairs``, 8x4) keeps its recall
+    pytest."""
+    return dedup.embedding_neardup_pairs(
+        _embs(spark, sf_dir), threshold=0.45, bands=4,
+        planes_per_band=2, seed=7, dim=64,
+    )
+
+
 @register(
     "emb_ivf_topk_batch_fullprobe",
     """
