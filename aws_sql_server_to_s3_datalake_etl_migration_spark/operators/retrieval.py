@@ -1,0 +1,120 @@
+"""Keyword retrieval over the document corpus: BM25 top-k.
+
+The reference has no search surface, but a curation pipeline constantly
+asks "which documents best match these terms" (eval-set mining, targeted
+inspection, quality probes). This is the classic Okapi BM25 ranking
+(Robertson & Spärck Jones lineage — public literature), expressed as a
+single declarative Spark plan:
+
+    one scan -> tokenize (codegen) -> explode -> FILTER to query terms
+    -> per-(doc, term) tf -> per-term df -> score -> top-k
+
+Scale posture:
+
+- The explode is filtered to the query's terms *immediately*, so the
+  shuffled postings list is O(matching postings), not O(corpus tokens).
+- Document length and the corpus-wide (N, avgdl) aggregates come from
+  the same tokenized scan; N and avgdl reduce to one broadcastable row.
+- df per query term is a tiny aggregate (≤ |query| rows, broadcast
+  into the scoring join by AQE).
+- Final ranking is ORDER BY + LIMIT → TakeOrderedAndProject; nothing
+  driver-side.
+
+Determinism engineering (oracle-portability, same idea as the rational
+tf-idf in ``textops.tfidf_top_terms``): the usual ``ln`` idf is
+libm-dependent across engines, so scoring uses the *rational* idf
+``(N - df + 0.5) / (df + 0.5)`` (same per-term ordering as the log
+form, one exactly-rounded IEEE division), and per-term scores are
+quantized to fixed-point (floor(score * 2^20)) BIGINTs before the
+cross-term sum — integer addition is order-free, so the aggregate is
+bit-identical regardless of partitioning. The public BM25 term-shape
+``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` is kept verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .textops import tokens
+
+# fixed-point scale for the order-free cross-term sum (2^20 keeps the
+# quantized score exactly representable and leaves ~43 bits of headroom)
+FP_SCALE = 1 << 20
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for ``query_terms`` under rational-idf BM25.
+
+    Returns (id_col, score_fp, rank): ``score_fp`` is the fixed-point
+    score (sum of floor(term_score * 2^20)); rank breaks exact-score
+    ties by ascending id for a deterministic result set.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toked = docs.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.size("_toks").alias("_dl"),
+        F.col("_toks"),
+    )
+    # corpus stats: one broadcastable row (N, avgdl)
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_dl").alias("_sum_dl"),
+    )
+    # postings restricted to the query terms before any shuffle
+    postings = (
+        toked.select(
+            F.col(id_col), F.col("_dl"), F.explode("_toks").alias("term")
+        )
+        .where(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_per_term = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    # score each (doc, term): doubles derived from exact integers with a
+    # fixed expression order -> bit-identical across engines
+    n = F.col("_n_docs").cast("double")
+    avgdl = F.col("_sum_dl").cast("double") / F.col("_n_docs").cast("double")
+    tf = F.col("tf").cast("double")
+    dfq = F.col("df").cast("double")
+    dl = F.col("_dl").cast("double")
+    idf = (n - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))
+    term_score = idf * (
+        (tf * F.lit(k1 + 1.0))
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl))
+    )
+    scored = (
+        postings.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.floor(term_score * F.lit(float(FP_SCALE)))
+            .cast("bigint")
+            .alias("_term_fp"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_term_fp").alias("score_fp"))
+    )
+    # ORDER BY + LIMIT plans as TakeOrderedAndProject; the row_number
+    # window then runs over only the k surviving rows
+    ranked = scored.orderBy(
+        F.col("score_fp").desc(), F.col(id_col)
+    ).limit(k)
+    w = Window.orderBy(F.col("score_fp").desc(), F.col(id_col))
+    return ranked.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )

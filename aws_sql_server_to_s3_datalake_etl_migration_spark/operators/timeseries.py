@@ -272,3 +272,62 @@ def rolling_zscore(
             F.lit(False)
         ),
     )
+
+
+def groupwise_linear_trend(
+    df,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    x_scale: int = 0,
+    y_scale: int = 6,
+):
+    """Per-group ordinary-least-squares line fit (slope + intercept of
+    ``y`` on ``x``) from closed-form sufficient statistics:
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)
+
+    Scale shape: ONE partial-aggregated groupBy — the shuffle carries
+    five numbers per group, never the points. This is the map-side
+    combinable formulation; a window/collect-based fit would move every
+    point.
+
+    Determinism engineering (oracle portability): each sufficient
+    statistic is an EXACT ``DECIMAL`` sum (order-free — see
+    pricing_summary), cast to double only once, and the closed form is
+    a fixed IEEE expression tree, so results are bit-identical across
+    engines. ``x_scale``/``y_scale`` set the decimal quantization of
+    the inputs (x is typically an integer day/bucket index, so 0).
+
+    Returns one row per group: group_cols + (n_obs, slope, intercept);
+    slope/intercept are NULL for degenerate groups (n < 2 or zero x
+    variance).
+    """
+    xd = F.col(x_col).cast(f"decimal({18 - x_scale},{x_scale})")
+    yd = F.col(y_col).cast(f"decimal({18 - y_scale},{y_scale})")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(xd).alias("_sx"),
+        F.sum(yd).alias("_sy"),
+        F.sum(xd * yd).alias("_sxy"),
+        F.sum(xd * xd).alias("_sxx"),
+    )
+    n = F.col("n_obs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    denom = n * sxx - sx * sx
+    slope = F.when(
+        (F.col("n_obs") >= 2) & (denom != F.lit(0.0)),
+        (n * sxy - sx * sy) / denom,
+    )
+    intercept = F.when(
+        slope.isNotNull(), (sy - slope * sx) / n
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )

@@ -1067,6 +1067,7 @@ def partitioned_orders_pruned_scan(
 # text/dedup/similarity/multimodal workloads (import for side effect:
 # they add themselves to the same registry).
 from . import workloads_analytics  # noqa: E402,F401
+from . import workloads_curation  # noqa: E402,F401
 from . import workloads_llm  # noqa: E402,F401
 from . import workloads_quality  # noqa: E402,F401
 from . import workloads_timeseries  # noqa: E402,F401

@@ -1,0 +1,441 @@
+"""Curation & profiling workloads (round 6): fuzzy record linkage,
+BM25 retrieval, event-path transitions, cross-source contamination,
+column profiling, group-wise trend fits, and embedding quantization.
+
+Same oracle-differential rules as workloads.py: every aggregate is
+aliased identically on both sides; floating-point outputs are either
+single exactly-rounded IEEE operations over exact integers/decimals or
+fixed-point-quantized before any order-sensitive sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .operators import linkage, profile, quantize, retrieval, timeseries
+from .operators.dedup import word_shingles
+from .registry import register
+from .sources.readers import read_table_dir
+from .workloads import _events
+from .workloads_llm import _docs, _embs, _query_vec
+
+# ---------------------------------------------------------------------------
+# Fuzzy record linkage: exact Levenshtein<=1 self-join, no cross join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_name_neardup_pairs",
+    """
+    SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a, customer b
+    WHERE a.c_custkey < b.c_custkey
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def customer_name_neardup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """All customer-name pairs within edit distance 1 via the
+    deletion-neighborhood blocking join (operators/linkage.py) — the
+    oracle is the O(n^2) cross join this operator exists to avoid."""
+    cust = read_table_dir(spark, sf_dir, "customer")
+    return linkage.edit_distance_self_join(
+        cust, "c_custkey", "c_name", max_distance=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval (rational idf + fixed-point order-free sum)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "window"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1p1 = repr(_BM25_K1 + 1.0)
+    k1 = repr(_BM25_K1)
+    one_minus_b = repr(1.0 - _BM25_B)
+    b = repr(_BM25_B)
+    scale = repr(float(retrieval.FP_SCALE))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+      FROM documents
+    ),
+    docs AS (SELECT doc_id, len(w) AS dl, w FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM docs),
+    posts AS (
+      SELECT doc_id, dl, t.term, COUNT(*) AS tf
+      FROM docs, unnest(w) AS t(term)
+      WHERE t.term IN ({terms})
+      GROUP BY 1, 2, 3
+    ),
+    dfs AS (SELECT term, COUNT(*) AS df FROM posts GROUP BY 1),
+    scored AS (
+      SELECT p.doc_id,
+        CAST(SUM(CAST(FLOOR(
+          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+            / (CAST(df AS DOUBLE) + 0.5))
+           * ((CAST(tf AS DOUBLE) * {k1p1})
+              / (CAST(tf AS DOUBLE)
+                 + {k1} * ({one_minus_b}
+                           + {b} * CAST(dl AS DOUBLE)
+                             / (CAST(sum_dl AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE))))))
+          * {scale}) AS BIGINT)) AS BIGINT) AS score_fp
+      FROM posts p JOIN dfs USING (term) CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT doc_id, score_fp,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM scored ORDER BY score_fp DESC, doc_id LIMIT 10
+    """
+
+
+@register("doc_bm25_search", _bm25_oracle())
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a 3-term keyword query under rational-idf
+    BM25 (operators/retrieval.py) — postings filtered to the query's
+    terms before any shuffle; ranking is TakeOrderedAndProject."""
+    return retrieval.bm25_topk(
+        _docs(spark, sf_dir),
+        _BM25_TERMS,
+        k=10,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-path transition matrix (Markov next-event counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type AS src_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst_type
+      FROM events
+    ),
+    t AS (
+      SELECT src_type, dst_type, COUNT(*) AS n_transitions
+      FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src_type, dst_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+           / CAST(SUM(n_transitions) OVER (PARTITION BY src_type)
+                  AS DOUBLE) AS p_transition
+    FROM t
+    """,
+)
+def event_transition_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user next-event transition counts + row-normalized Markov
+    probabilities. The lead() window shuffles once on user_id; the
+    normalizing window runs over the |types|^2-row aggregate only.
+    Tie-broken by event_id so the sequence (and thus the matrix) is
+    deterministic under timestamp collisions."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    ).where(F.col("dst_type").isNotNull())
+    t = seq.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    norm = Window.partitionBy("src_type")
+    return t.select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source n-gram overlap matrix (contamination between crawls)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_source_overlap",
+    """
+    WITH toks AS (
+      SELECT source,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT source,
+             unnest(list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 1),
+                                        i -> array_to_string(w[i:i+2], ' '))
+               END)) AS gram
+      FROM toks
+    ),
+    sposts AS (SELECT DISTINCT source, gram FROM grams),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sposts GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_shared
+      FROM sposts a JOIN sposts b USING (gram)
+      WHERE a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           CAST(n_shared AS DOUBLE)
+           / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram Jaccard between SOURCES — which crawls/feeds
+    duplicate each other. The postings self-join fans out at most
+    |sources| per gram (bounded by construction, like the drift
+    monitor); the matrix is |sources|^2 rows of aggregates."""
+    docs = _docs(spark, sf_dir)
+    sposts = (
+        docs.select(
+            "source", F.explode(word_shingles("text", 3)).alias("gram")
+        )
+        .distinct()
+    )
+    sizes = sposts.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sposts.select(
+        F.col("source").alias("source_a"), "gram"
+    )
+    b = sposts.select(
+        F.col("source").alias("source_b"), "gram"
+    )
+    pairs = (
+        a.join(b, "gram")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n").alias("_na")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n").alias("_nb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass column profiler
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    ("o_orderkey", "CAST({m}(o_orderkey) AS VARCHAR)"),
+    ("o_custkey", "CAST({m}(o_custkey) AS VARCHAR)"),
+    ("o_orderstatus", "CAST({m}(o_orderstatus) AS VARCHAR)"),
+    (
+        "o_totalprice",
+        "CAST(CAST({m}(o_totalprice) AS DECIMAL(18,4)) AS VARCHAR)",
+    ),
+    (
+        "o_orderdate",
+        "strftime({m}(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+    ),
+    ("o_orderpriority", "CAST({m}(o_orderpriority) AS VARCHAR)"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, fmt in _PROFILE_COLS:
+        parts.append(
+            f"""
+    SELECT '{name}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct,
+           {fmt.format(m='MIN')} AS min_value,
+           {fmt.format(m='MAX')} AS max_value
+    FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("orders_column_profile", _profile_oracle())
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null/cardinality/range profile of every orders column in ONE
+    scan (operators/profile.py) — the oracle re-scans per column; the
+    engine does not."""
+    return profile.profile_columns(read_table_dir(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Group-wise OLS trend (map-side-combinable sufficient statistics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_trend",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS DECIMAL(18,0)) AS xd,
+             CAST(value AS DECIMAL(12,6)) AS yd
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n_obs,
+             SUM(xd) AS sx, SUM(yd) AS sy,
+             SUM(xd * yd) AS sxy, SUM(xd * xd) AS sxx
+      FROM pts GROUP BY 1
+    ),
+    fitted AS (
+      SELECT event_type, n_obs,
+             CASE WHEN n_obs >= 2
+                   AND (CAST(n_obs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0
+                  THEN (CAST(n_obs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n_obs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             END AS slope,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM agg
+    )
+    SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs, slope,
+           CASE WHEN slope IS NOT NULL
+                THEN (syd - slope * sxd) / CAST(n_obs AS DOUBLE)
+           END AS intercept
+    FROM fitted
+    """,
+)
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS fit of value against the day index — drift
+    detection as one partial-aggregated groupBy (five exact decimal
+    sums per group cross the shuffle, never the points)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("x_day"),
+        "value",
+    )
+    return timeseries.groupwise_linear_trend(
+        ev, ["event_type"], "x_day", "value", x_scale=0, y_scale=6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (SQ8) + quantized search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_quantize_int8",
+    """
+    WITH dims AS (SELECT CAST(i AS INT) AS i FROM range(1, 9) t(i)),
+    vals AS (
+      SELECT vec_id, d.i, CAST(embedding[d.i] AS DOUBLE) AS x
+      FROM embeddings, dims d
+    ),
+    params AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM vals GROUP BY 1)
+    SELECT v.vec_id, CAST(v.i - 1 AS BIGINT) AS dim_idx,
+           CAST(CASE WHEN mx = mn THEN 0
+                ELSE LEAST(255, GREATEST(0,
+                     FLOOR(((x - mn) * 255.0) / (mx - mn)))) END
+                AS BIGINT) AS code
+    FROM vals v JOIN params USING (i)
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-range scalar quantization codes for the first 8 embedding
+    dims (operators/quantize.py), exploded to scalar rows for the
+    value check. Params fit in one pass; encoding is pure codegen."""
+    embs = _embs(spark, sf_dir).select(
+        "vec_id", F.slice("embedding", 1, 8).alias("_v8")
+    )
+    params = quantize.fit_quantizer(embs, "_v8")
+    coded = quantize.quantize(embs, params, vec_col="_v8")
+    return coded.select(
+        "vec_id", F.posexplode("codes").alias("dim_idx", "code")
+    ).select(
+        "vec_id",
+        F.col("dim_idx").cast("bigint"),
+        F.col("code").cast("bigint"),
+    )
+
+
+@register(
+    "emb_quantized_topk",
+    """
+    WITH dims AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+    vals AS (
+      SELECT vec_id, d.i, CAST(embedding[d.i] AS DOUBLE) AS x
+      FROM embeddings, dims d
+    ),
+    params AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM vals GROUP BY 1),
+    deq AS (
+      SELECT vec_id,
+             list(CASE WHEN mx = mn THEN mn
+                  ELSE mn + ((CAST(CAST(LEAST(255, GREATEST(0,
+                         FLOOR(((x - mn) * 255.0) / (mx - mn))))
+                         AS INT) AS DOUBLE) + 0.5) * (mx - mn)) / 255.0
+                  END ORDER BY i) AS dv
+      FROM vals JOIN params USING (i) GROUP BY vec_id
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = 0)
+    SELECT d.vec_id,
+           list_dot_product(dv, qv)
+           / (sqrt(list_dot_product(dv, dv))
+              * sqrt(list_dot_product(qv, qv))) AS cosine_q
+    FROM deq d, q
+    ORDER BY cosine_q DESC, d.vec_id ASC
+    LIMIT 10
+    """,
+)
+def emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 over the int8-quantized corpus — the 4×-narrower
+    scan path, value-checked end to end (quantize → dequantize →
+    rank) against DuckDB's exact replay of the same arithmetic."""
+    embs = _embs(spark, sf_dir)
+    params = quantize.fit_quantizer(embs)
+    coded = quantize.quantize(embs, params).select("vec_id", "codes")
+    return quantize.quantized_topk(
+        coded, params, _query_vec(spark, sf_dir), k=10
+    )

@@ -115,6 +115,15 @@ EXTENDED = [
     "doc_take_n",
     "doc_pack_sequences",
     "doc_substring_leak",
+    # round-6 curation suite: linkage, retrieval, profiling,
+    # transitions, trend, quantized search
+    "customer_name_neardup_pairs",
+    "doc_bm25_search",
+    "event_transition_matrix",
+    "doc_source_overlap",
+    "orders_column_profile",
+    "events_value_trend",
+    "emb_quantized_topk",
 ]
 
 

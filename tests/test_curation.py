@@ -1,0 +1,340 @@
+"""Round-6 curation operators: linkage, retrieval, quantization,
+profiling, transitions, trend fits."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+    linkage,
+    profile,
+    quantize,
+    retrieval,
+    similarity,
+)
+from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.timeseries import (
+    groupwise_linear_trend,
+)
+from aws_sql_server_to_s3_datalake_etl_migration_spark import (
+    workloads_curation as wc,
+)
+
+from conftest import SF_SMOKE
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein (full DP) for differentials."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+# ---------------------------------------------------------------------------
+# Deletion-neighborhood edit-distance join
+# ---------------------------------------------------------------------------
+
+_LINK_STRINGS = [
+    "alpha", "alpah", "alphaa", "alph", "aalpha",  # cluster around alpha
+    "beta", "betta", "bta", "bet", "betaa",
+    "gamma", "gamna", "gamm", "gmma",
+    "delta", "dleta", "delt",
+    "x", "xy", "", "y",  # tiny/empty edge cases
+    "longerstringnoneighbors",
+    "completelydifferent",
+]
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_edit_distance_join_matches_brute_force(spark, d):
+    rows = [(i, s) for i, s in enumerate(_LINK_STRINGS)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r.left_id, r.right_id, r.dist)
+        for r in linkage.edit_distance_self_join(
+            df, "id", "s", max_distance=d
+        ).collect()
+    }
+    want = set()
+    for i, a in rows:
+        for j, b in rows:
+            if i < j and _lev(a, b) <= d:
+                want.add((i, j, _lev(a, b)))
+    assert got == want
+
+
+def test_edit_distance_join_rejects_bad_distance(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    with pytest.raises(ValueError):
+        linkage.edit_distance_self_join(df, "id", "s", max_distance=3)
+
+
+def test_deletion_keys_fanout_bounded(spark):
+    # a length-L string must emit <= 1 + L keys at d=1
+    df = spark.createDataFrame([(1, "abcdefgh")], "id long, s string")
+    n = df.select(
+        F.size(linkage.deletion_keys("s", 1)).alias("n")
+    ).first()["n"]
+    assert n <= 9
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_matching_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join window"),  # all terms, high tf
+            (2, "spark join other words here pad pad pad"),
+            (3, "nothing relevant at all"),
+            (4, "window"),
+        ],
+        "doc_id long, text string",
+    )
+    out = retrieval.bm25_topk(docs, ["spark", "join", "window"], k=10)
+    rows = {r.doc_id: (r.score_fp, r.rank) for r in out.collect()}
+    assert 3 not in rows  # no query terms -> absent
+    assert rows[1][1] == 1  # strongest match ranks first
+    assert all(fp > 0 for fp, _ in rows.values())
+    # more matched terms beats fewer at comparable lengths
+    assert rows[2][0] > rows[4][0]
+
+
+def test_bm25_empty_query_raises(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk(docs, [])
+
+
+# ---------------------------------------------------------------------------
+# SQ8 quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_roundtrip_error_bounded(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    params = quantize.fit_quantizer(emb)
+    coded = quantize.quantize(emb, params)
+    pdf = coded.select("vec_id", "embedding", "codes").toPandas()
+    p = params.toPandas().sort_values("dim_idx")
+    mn = p["mn"].to_numpy()
+    mx = p["mx"].to_numpy()
+    step = np.where(mx > mn, (mx - mn) / 255.0, 0.0)
+    for _, row in pdf.head(50).iterrows():
+        x = np.asarray(row["embedding"], dtype=np.float64)
+        c = np.asarray(row["codes"], dtype=np.float64)
+        xhat = np.where(mx > mn, mn + (c + 0.5) * step, mn)
+        # mid-rise reconstruction error is at most half a step
+        assert np.all(np.abs(x - xhat) <= step / 2 + 1e-9)
+        assert c.min() >= 0 and c.max() <= 255
+
+
+def test_quantize_constant_dim(spark):
+    df = spark.createDataFrame(
+        [(1, [1.5, 2.0]), (2, [1.5, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    params = quantize.fit_quantizer(df)
+    codes = {
+        r.vec_id: r.codes
+        for r in quantize.quantize(df, params).collect()
+    }
+    assert codes[1][0] == 0 and codes[2][0] == 0  # constant dim -> 0
+
+
+def test_quantized_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qv = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    exact = [
+        r.vec_id
+        for r in similarity.brute_force_topk(emb, qv, k=10).collect()
+    ]
+    params = quantize.fit_quantizer(emb)
+    coded = quantize.quantize(emb, params).select("vec_id", "codes")
+    approx = [
+        r.vec_id
+        for r in quantize.quantized_topk(coded, params, qv, k=10).collect()
+    ]
+    # int8 quantization keeps >= 80% of the exact top-10
+    assert len(set(exact) & set(approx)) >= 8
+
+
+# ---------------------------------------------------------------------------
+# Transition matrix
+# ---------------------------------------------------------------------------
+
+
+def test_transition_matrix_invariants(spark):
+    out = wc.event_transition_matrix(spark, SF_SMOKE).toPandas()
+    sums = out.groupby("src_type")["p_transition"].sum()
+    assert np.allclose(sums.to_numpy(), 1.0, atol=1e-9)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert out["n_transitions"].sum() == n_events - n_users
+
+
+# ---------------------------------------------------------------------------
+# Column profiler
+# ---------------------------------------------------------------------------
+
+
+def test_profile_matches_pandas(spark):
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    prof = {
+        r.col_name: r
+        for r in profile.profile_columns(orders).collect()
+    }
+    pdf = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    assert set(prof) == set(pdf.columns)
+    for c in ["o_orderkey", "o_custkey"]:
+        r = prof[c]
+        assert r.n_rows == len(pdf)
+        assert r.n_nulls == int(pdf[c].isna().sum())
+        assert r.n_distinct == pdf[c].nunique()
+        assert r.min_value == str(pdf[c].min())
+        assert r.max_value == str(pdf[c].max())
+    assert prof["o_orderstatus"].min_value == pdf["o_orderstatus"].min()
+    # doubles go through DECIMAL(18,4)
+    assert prof["o_totalprice"].min_value == (
+        f"{pdf['o_totalprice'].min():.4f}"
+    )
+
+
+def test_profile_approx_mode_schema(spark):
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    exact = profile.profile_columns(orders, cols=["o_orderkey"])
+    approx = profile.profile_columns(
+        orders, cols=["o_orderkey"], exact_distinct=False
+    )
+    assert exact.columns == approx.columns
+    got = approx.first()
+    true_n = exact.first().n_distinct
+    assert abs(got.n_distinct - true_n) <= 0.1 * true_n
+
+
+# ---------------------------------------------------------------------------
+# Group-wise OLS trend
+# ---------------------------------------------------------------------------
+
+
+def test_trend_matches_polyfit(spark):
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["x"] = (
+        ev["ts"].dt.normalize() - pd.Timestamp("1970-01-01")
+    ).dt.days
+    out = wc.events_value_trend(spark, SF_SMOKE).toPandas()
+    for _, r in out.iterrows():
+        g = ev[ev["event_type"] == r["event_type"]]
+        slope, intercept = np.polyfit(
+            g["x"].to_numpy(dtype=np.float64),
+            g["value"].to_numpy(dtype=np.float64),
+            1,
+        )
+        assert r["n_obs"] == len(g)
+        # decimal(12,6) quantization of y bounds the divergence
+        assert abs(r["slope"] - slope) < 1e-6
+        assert abs(r["intercept"] - intercept) < 1e-2
+
+
+def test_trend_degenerate_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("b", 2, 1.0), ("b", 2, 3.0)],
+        "g string, x long, y double",
+    )
+    out = {
+        r.g: r
+        for r in groupwise_linear_trend(df, ["g"], "x", "y").collect()
+    }
+    assert out["a"].slope is None  # n < 2
+    assert out["b"].slope is None  # zero x variance
+
+
+# ---------------------------------------------------------------------------
+# Source overlap
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_invariants(spark):
+    out = wc.doc_source_overlap(spark, SF_SMOKE).toPandas()
+    assert (out["jaccard"] > 0).all() and (out["jaccard"] <= 1).all()
+    assert (
+        out[["source_a", "source_b"]].apply(tuple, axis=1).is_unique
+    )
+    assert (out["source_a"] < out["source_b"]).all()
+
+
+# ---------------------------------------------------------------------------
+# Incremental (mergeable) profiling
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_profile_matches_full(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    path = str(tmp_path / "profile")
+    # fold three disjoint batches
+    for i in range(3):
+        batch = orders.where(F.col("o_orderkey") % 3 == i)
+        profile.incremental_profile_refresh(
+            spark, batch, path, cols=cols, batch_id=i
+        )
+    wide = spark.read.parquet(path)
+    inc = {
+        r.col_name: r
+        for r in profile.profile_report(
+            wide, orders.schema, cols
+        ).collect()
+    }
+    full = {
+        r.col_name: r for r in profile.profile_columns(orders, cols).collect()
+    }
+    for c in cols:
+        assert inc[c].n_rows == full[c].n_rows
+        assert inc[c].n_nulls == full[c].n_nulls
+        assert inc[c].min_value == full[c].min_value
+        assert inc[c].max_value == full[c].max_value
+        # HLL estimate vs exact distinct
+        assert (
+            abs(inc[c].n_distinct_est - full[c].n_distinct)
+            <= 0.05 * full[c].n_distinct + 2
+        )
+
+
+def test_incremental_profile_replay_noop(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    cols = ["o_orderkey"]
+    path = str(tmp_path / "profile")
+    profile.incremental_profile_refresh(
+        spark, orders, path, cols=cols, batch_id=7
+    )
+    before = profile.profile_report(
+        spark.read.parquet(path), orders.schema, cols
+    ).first()
+    # replay of the same batch id must not double-count
+    profile.incremental_profile_refresh(
+        spark, orders, path, cols=cols, batch_id=7
+    )
+    after = profile.profile_report(
+        spark.read.parquet(path), orders.schema, cols
+    ).first()
+    assert before.n_rows == after.n_rows == orders.count()

@@ -37,9 +37,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
-SCALED = ("documents", "events", "embeddings")
+SCALED = ("documents", "events", "embeddings", "customer")
 COPIED = (
-    "region nation customer supplier part orders lineitem"
+    "region nation supplier part orders lineitem"
 ).split()
 
 QUERIES = [
@@ -70,11 +70,22 @@ QUERIES = [
     "doc_incremental_dedup",
     "emb_ivf_topk_batch",
     "emb_semantic_dedup",
+    # round-6 curation additions: the deletion-neighborhood linkage
+    # join (candidate count must track true pair density, never n²),
+    # the gram-key postings self-join behind the source-overlap
+    # matrix, query-term-filtered BM25, and the single-window
+    # transition matrix
+    "customer_name_neardup_pairs",
+    "doc_source_overlap",
+    "doc_bm25_search",
+    "event_transition_matrix",
 ]
 
 
 def build_scaled_dir(spark, k: int) -> str:
-    dst = os.path.join(REPO_ROOT, ".lake_cache", f"scale_x{k}")
+    # v2: customer joined the scaled set (linkage probe) — new cache
+    # tag so a v1 cache (customer copied verbatim) is never reused
+    dst = os.path.join(REPO_ROOT, ".lake_cache", f"scale_v2_x{k}")
     marker = os.path.join(dst, "_PREPPED")
     if os.path.exists(marker):
         return dst
@@ -107,6 +118,17 @@ def build_scaled_dir(spark, k: int) -> str:
                 cp = cp.withColumn(
                     "event_id", F.col("event_id") + F.lit(off)
                 ).withColumn("user_id", F.col("user_id") + F.lit(off))
+            elif t == "customer":
+                # remap key AND regenerate the name from it: copies get
+                # genuinely new (unique) names whose near-dup density
+                # to the base copy mirrors the in-copy density — the
+                # honest load profile for the linkage join
+                cp = cp.withColumn(
+                    "c_custkey", F.col("c_custkey") + F.lit(off)
+                ).withColumn(
+                    "c_name",
+                    F.format_string("Customer#%09d", F.col("c_custkey")),
+                )
             else:
                 cp = cp.withColumn(
                     "vec_id", F.col("vec_id") + F.lit(off)

@@ -248,6 +248,53 @@ EXPECT: dict[str, dict] = {
         "no_smj": True, "hints": 0,
         "narrow_scans": [("band_idx_", ["band_idx", "band_hash"])],
     },
+    # Round-6 curation additions
+    # deletion-neighborhood linkage: the candidate generator is an
+    # equi-join on the deletion key (big-big: SMJ sanctioned, AQE may
+    # broadcast at this SF) — but a nested-loop join would mean the
+    # cross join the operator exists to avoid, and the verify must be
+    # codegen levenshtein, not Python.
+    "customer_name_neardup_pairs": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # BM25: postings filtered to query terms pre-shuffle; df (≤|terms|
+    # rows) and the (N, avgdl) row are the two explicit broadcasts;
+    # final ranking must be TakeOrderedAndProject.
+    "doc_bm25_search": {
+        "pushed": False, "no_smj": True, "hints": 2, "pure_jvm": True,
+        "take_ordered": True,
+    },
+    # transition matrix: one user_id exchange for the lead() window;
+    # the normalizing window runs on the |types|^2 aggregate; no joins.
+    "event_transition_matrix": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # source overlap: postings self-join on the gram key (big-big —
+    # SMJ sanctioned at scale); the two size joins broadcast |sources|
+    # rows each.
+    "doc_source_overlap": {
+        "pushed": False, "no_smj": False, "hints": 2, "pure_jvm": True,
+    },
+    # column profiler: ONE scan; the multi-distinct plans as an Expand
+    # + hash aggregates — no joins, no Python, no re-scan per column.
+    "orders_column_profile": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # OLS trend: a single partial-aggregated groupBy of decimal sums.
+    "events_value_trend": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # SQ8 quantization: params collapse to one broadcast row (the
+    # sanctioned single-row nested-loop); encode stays codegen.
+    "emb_quantize_int8": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
+    # quantized search: encode + decode + rank in one plan; ranking
+    # must stay TakeOrderedAndProject over the codes-only scan.
+    "emb_quantized_topk": {
+        "pushed": False, "no_smj": True, "hints": 2, "pure_jvm": True,
+        "take_ordered": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
@@ -257,6 +304,11 @@ SCALAR_SUBQUERY_OK = {
     "rich_idle_customers",
     "important_part_value",
     "top_revenue_suppliers",
+    # single-row broadcast cross joins by design: (N, avgdl) stats row
+    # for BM25; the dim-indexed quantizer-params row for SQ8
+    "doc_bm25_search",
+    "emb_quantize_int8",
+    "emb_quantized_topk",
 }
 
 
