@@ -77,6 +77,7 @@ def edit_distance_self_join(
     id_col: str,
     str_col: str,
     max_distance: int = 1,
+    hot_key_cap: int | None = None,
 ) -> DataFrame:
     """All pairs of rows whose ``str_col`` values are within Levenshtein
     distance ``max_distance`` (EXACT — guaranteed recall via the
@@ -85,12 +86,31 @@ def edit_distance_self_join(
 
     Assumes ``str_col`` is unique per row (dedup identical strings
     first; identical-string groups belong to ``exact_dedup``).
+
+    ``hot_key_cap``: adversarial data (e.g. a constant shared prefix
+    the deletion falls outside of) can make one deletion key cover a
+    large fraction of rows, turning its bucket quadratic — the same
+    failure mode as a hot LSH band bucket. With a cap, keys whose row
+    frequency exceeds it are dropped BEFORE pairing (one aggregated
+    semi-join on the key, same defusal as ``minhash_lsh_pairs``'s
+    bucket cap). This trades exactness for boundedness: a true pair
+    survives iff at least one of its shared deletion keys is cold, so
+    the capped result is a SUBSET of the exact one — prefer leaving it
+    off unless key-frequency skew is demonstrated.
     """
     keyed = df.select(
         F.col(id_col).alias("_id"),
         F.col(str_col).alias("_s"),
         F.explode(deletion_keys(str_col, max_distance)).alias("_key"),
     )
+    if hot_key_cap is not None:
+        cold = (
+            keyed.groupBy("_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= hot_key_cap)
+            .select("_key")
+        )
+        keyed = keyed.join(cold, "_key", "left_semi")
     left = keyed.select(
         F.col("_key"),
         F.col("_id").alias("left_id"),

@@ -118,3 +118,96 @@ def bm25_topk(
     return ranked.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     )
+
+
+def bm25_topk_batch(
+    docs: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BATCH retrieval: per-query BM25 top-k for a whole query SET in
+    one distributed plan — the retrieval twin of the batch ANN join
+    (operators/similarity.py): scoring work is shared across queries
+    instead of one Spark job per query.
+
+    ``queries_df`` is (query_id, terms array<string>), small relative
+    to the corpus (it broadcasts). The plan:
+
+    1. union vocabulary = distinct terms over all queries (tiny);
+    2. postings = tokenize -> explode -> LEFT-SEMI broadcast join on
+       the vocabulary (the corpus token stream is cut to matching
+       postings BEFORE any shuffle — term lists stay dynamic, no
+       literal IN list);
+    3. per-(doc, term) tf and per-term df over the union vocabulary —
+       each term is scored ONCE per doc, even when many queries share
+       it;
+    4. fixed-point per-term scores (same rational-idf arithmetic as
+       ``bm25_topk``) broadcast-join the (query, term) pairs, then an
+       order-free integer sum per (query, doc);
+    5. per-query ranking as a rank-filter window — Catalyst pushes
+       WindowGroupLimit, so each partition forwards O(k) rows per
+       query, never its full candidate set.
+
+    Returns (query_id, doc_id-named id_col, score_fp, rank), rank<=k.
+    """
+    qterms = queries_df.select(
+        F.col(query_id_col), F.explode(terms_col).alias("term")
+    ).distinct()
+    vocab = qterms.select("term").distinct()
+    toked = docs.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(F.col(id_col), F.size("_toks").alias("_dl"), "_toks")
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_dl").alias("_sum_dl"),
+    )
+    postings = (
+        toked.select(
+            F.col(id_col), F.col("_dl"), F.explode("_toks").alias("term")
+        )
+        .join(F.broadcast(vocab), "term", "left_semi")
+        .groupBy(id_col, "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_per_term = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n = F.col("_n_docs").cast("double")
+    avgdl = F.col("_sum_dl").cast("double") / F.col("_n_docs").cast("double")
+    tf = F.col("tf").cast("double")
+    dfq = F.col("df").cast("double")
+    dl = F.col("_dl").cast("double")
+    idf = (n - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))
+    term_score = idf * (
+        (tf * F.lit(k1 + 1.0))
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl))
+    )
+    term_fp = (
+        postings.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.col(id_col),
+            F.floor(term_score * F.lit(float(FP_SCALE)))
+            .cast("bigint")
+            .alias("_term_fp"),
+        )
+    )
+    scored = (
+        term_fp.join(F.broadcast(qterms), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_term_fp").alias("score_fp"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score_fp").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )

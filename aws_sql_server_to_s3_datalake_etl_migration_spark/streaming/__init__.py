@@ -13,6 +13,7 @@ from .ingest import (
     stream_enrich,
     stream_enrich_scd2,
     stream_merge_to_lake,
+    stream_profile_refresh,
     stream_robust_ingest,
     stream_rollup_refresh,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "stream_enrich",
     "stream_enrich_scd2",
     "stream_merge_to_lake",
+    "stream_profile_refresh",
     "stream_robust_ingest",
     "windowed_event_counts",
     "sessionize",

@@ -469,3 +469,43 @@ def stream_robust_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_profile_refresh(
+    df: DataFrame,
+    profile_path: str,
+    checkpoint: str,
+    cols: list[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming column-profile maintenance: each micro-batch folds
+    into the persisted wide-partial profile via
+    ``incremental_profile_refresh`` (operators/profile.py) — counts
+    sum, typed min/max fold, HLL distinct sketches union, so the
+    refresh is O(|batch| + one state row) regardless of stream
+    history. Exactly-once under at-least-once replay by the same
+    contract as ``stream_rollup_refresh``: the batch id commits
+    atomically with the fold (sidecar riding the swap rename), so a
+    replayed, already-folded id is a no-op. Render the result with
+    ``profile_report``; the streaming profile over the union of all
+    batches equals the batch profiler's output (pinned by the
+    differential in tests/test_streaming.py)."""
+    from ..operators.profile import incremental_profile_refresh
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_profile_refresh(
+            batch_df.sparkSession,
+            batch_df,
+            profile_path,
+            cols=cols,
+            batch_id=batch_id,
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -439,3 +439,82 @@ def emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize.quantized_topk(
         coded, params, _query_vec(spark, sf_dir), k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch BM25 (many queries, one plan)
+# ---------------------------------------------------------------------------
+
+_BM25_BATCH = [
+    (1, ["spark", "join", "window"]),
+    (2, ["table", "scan"]),
+    (3, ["customer", "data", "order"]),
+]
+
+
+def _bm25_batch_oracle() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in _BM25_BATCH for t in ts
+    )
+    k1p1 = repr(_BM25_K1 + 1.0)
+    k1 = repr(_BM25_K1)
+    one_minus_b = repr(1.0 - _BM25_B)
+    b = repr(_BM25_B)
+    scale = repr(float(retrieval.FP_SCALE))
+    return f"""
+    WITH queries(query_id, term) AS (VALUES {values}),
+    toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+      FROM documents
+    ),
+    docs AS (SELECT doc_id, len(w) AS dl, w FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM docs),
+    posts AS (
+      SELECT doc_id, dl, t.term, COUNT(*) AS tf
+      FROM docs, unnest(w) AS t(term)
+      WHERE t.term IN (SELECT DISTINCT term FROM queries)
+      GROUP BY 1, 2, 3
+    ),
+    dfs AS (SELECT term, COUNT(*) AS df FROM posts GROUP BY 1),
+    term_fp AS (
+      SELECT p.term, p.doc_id,
+        CAST(FLOOR(
+          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+            / (CAST(df AS DOUBLE) + 0.5))
+           * ((CAST(tf AS DOUBLE) * {k1p1})
+              / (CAST(tf AS DOUBLE)
+                 + {k1} * ({one_minus_b}
+                           + {b} * CAST(dl AS DOUBLE)
+                             / (CAST(sum_dl AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE))))))
+          * {scale}) AS BIGINT) AS fp
+      FROM posts p JOIN dfs USING (term) CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT CAST(q.query_id AS BIGINT) AS query_id, t.doc_id,
+             CAST(SUM(fp) AS BIGINT) AS score_fp
+      FROM term_fp t JOIN queries q USING (term)
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score_fp,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score_fp DESC, doc_id
+           ) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """
+
+
+@register("doc_bm25_batch", _bm25_batch_oracle())
+def doc_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query BM25 top-5 for a 3-query batch in ONE plan
+    (retrieval.bm25_topk_batch): shared term scoring, broadcast query
+    set, WindowGroupLimit per-query ranking."""
+    qdf = spark.createDataFrame(
+        _BM25_BATCH, "query_id long, terms array<string>"
+    )
+    return retrieval.bm25_topk_batch(
+        _docs(spark, sf_dir), qdf, k=5, k1=_BM25_K1, b=_BM25_B
+    )

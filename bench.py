@@ -119,6 +119,7 @@ EXTENDED = [
     # transitions, trend, quantized search
     "customer_name_neardup_pairs",
     "doc_bm25_search",
+    "doc_bm25_batch",
     "event_transition_matrix",
     "doc_source_overlap",
     "orders_column_profile",

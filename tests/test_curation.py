@@ -338,3 +338,84 @@ def test_incremental_profile_replay_noop(spark, tmp_path):
         spark.read.parquet(path), orders.schema, cols
     ).first()
     assert before.n_rows == after.n_rows == orders.count()
+
+
+def test_edit_distance_join_hot_key_cap(spark):
+    rows = [(i, s) for i, s in enumerate(_LINK_STRINGS)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    exact = {
+        (r.left_id, r.right_id)
+        for r in linkage.edit_distance_self_join(df, "id", "s", 1).collect()
+    }
+    # generous cap: identical result
+    high = {
+        (r.left_id, r.right_id)
+        for r in linkage.edit_distance_self_join(
+            df, "id", "s", 1, hot_key_cap=1000
+        ).collect()
+    }
+    assert high == exact
+    # tight cap on adversarial constant-prefix data: bounded AND a
+    # subset of the exact pairs
+    adversarial = spark.createDataFrame(
+        [(i, f"SHAREDPREFIX{i:03d}") for i in range(200)],
+        "id long, s string",
+    )
+    capped = {
+        (r.left_id, r.right_id)
+        for r in linkage.edit_distance_self_join(
+            adversarial, "id", "s", 1, hot_key_cap=10
+        ).collect()
+    }
+    full = {
+        (r.left_id, r.right_id)
+        for r in linkage.edit_distance_self_join(
+            adversarial, "id", "s", 1
+        ).collect()
+    }
+    assert capped <= full
+
+
+def test_bm25_batch_matches_single_query(spark):
+    """A batch of one query must reproduce the single-query ranking
+    exactly (scores AND order) when df is computed over the same
+    vocabulary."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    terms = ["spark", "join", "window"]
+    single = [
+        (r.doc_id, r.score_fp, r.rank)
+        for r in retrieval.bm25_topk(docs, terms, k=5).collect()
+    ]
+    qdf = spark.createDataFrame(
+        [(9, terms)], "query_id long, terms array<string>"
+    )
+    batch = [
+        (r.doc_id, r.score_fp, r.rank)
+        for r in retrieval.bm25_topk_batch(docs, qdf, k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert batch == single
+
+
+def test_bm25_batch_duplicate_terms_counted_once(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark spark join"), (2, "join join join")],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [(1, ["spark", "spark", "join"])],
+        "query_id long, terms array<string>",
+    )
+    dup = {
+        r.doc_id: r.score_fp
+        for r in retrieval.bm25_topk_batch(docs, qdf, k=5).collect()
+    }
+    qdf2 = spark.createDataFrame(
+        [(1, ["spark", "join"])], "query_id long, terms array<string>"
+    )
+    nodup = {
+        r.doc_id: r.score_fp
+        for r in retrieval.bm25_topk_batch(docs, qdf2, k=5).collect()
+    }
+    assert dup == nodup

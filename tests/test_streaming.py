@@ -991,3 +991,61 @@ def test_stream_robust_ingest_quarantine_and_dedup(spark, tmp_path):
         d for d in os.listdir(lake) if d.startswith("ingest_batch_id=")
     )
     assert len(lake_parts) == 3
+
+
+def test_stream_profile_refresh_matches_batch(spark, tmp_path, sf_dir):
+    """Differential: streaming column-profile maintenance (micro-batch
+    folds via incremental_profile_refresh inside foreachBatch) must
+    converge to the one-pass batch profiler — row/null counts and
+    typed min/max exactly equal, HLL distinct estimates within the
+    sketch's error band of the exact counts."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.profile import (
+        profile_columns,
+        profile_report,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
+        stream_ingest_files,
+        stream_profile_refresh,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    batch = {
+        r.col_name: r for r in profile_columns(orders, cols).collect()
+    }
+
+    src = tmp_path / "spr_in"
+    src.mkdir()
+    for i, cond in enumerate(
+        ["o_orderkey % 3 = 0", "o_orderkey % 3 = 1", "o_orderkey % 3 = 2"]
+    ):
+        orders.where(F.expr(cond)).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+
+    profile_path = str(tmp_path / "spr_profile")
+    q = stream_profile_refresh(
+        stream_ingest_files(
+            spark, str(src / "*"), orders.schema, max_files_per_trigger=1
+        ),
+        profile_path,
+        str(tmp_path / "spr_ckpt"),
+        cols=cols,
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.col_name: r
+        for r in profile_report(
+            spark.read.parquet(profile_path), orders.schema, cols
+        ).collect()
+    }
+    assert set(streamed) == set(batch)
+    for c in cols:
+        assert streamed[c].n_rows == batch[c].n_rows
+        assert streamed[c].n_nulls == batch[c].n_nulls
+        assert streamed[c].min_value == batch[c].min_value
+        assert streamed[c].max_value == batch[c].max_value
+        assert (
+            abs(streamed[c].n_distinct_est - batch[c].n_distinct)
+            <= 0.05 * batch[c].n_distinct + 2
+        )

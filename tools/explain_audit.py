@@ -295,6 +295,15 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": True, "hints": 2, "pure_jvm": True,
         "take_ordered": True,
     },
+    # batch BM25: vocabulary semi-join, df, stats, and the
+    # (query, term) pairs are the explicit broadcasts; the vocabulary
+    # hint appears twice in the analyzed plan because the filtered
+    # postings feed both the tf branch and the df branch: 5 total.
+    # Per-query ranking must push WindowGroupLimit.
+    "doc_bm25_batch": {
+        "pushed": False, "no_smj": True, "hints": 5, "pure_jvm": True,
+        "wgl": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
@@ -307,6 +316,7 @@ SCALAR_SUBQUERY_OK = {
     # single-row broadcast cross joins by design: (N, avgdl) stats row
     # for BM25; the dim-indexed quantizer-params row for SQ8
     "doc_bm25_search",
+    "doc_bm25_batch",
     "emb_quantize_int8",
     "emb_quantized_topk",
 }
