@@ -409,3 +409,107 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model fluency scoring
+# ---------------------------------------------------------------------------
+
+# fixed-point scale for per-position probabilities (p <= 1, so each
+# quantized term is <= 2^20; a billion-token document still sums far
+# inside int64)
+LM_FP_SCALE = 1 << 20
+
+
+def lm_fluency(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-self-trained bigram LM fluency score per document — the
+    KenLM-style quality-filter signal (docs whose word transitions are
+    improbable under the corpus's own bigram statistics score low:
+    boilerplate, shuffled text, lorem-ipsum, OCR noise).
+
+    Model: add-one-smoothed bigram probability
+        P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V)
+    averaged over the document's positions. Probabilities are averaged
+    directly (not log-summed): the ordering is a fluency proxy either
+    way, and staying rational keeps every per-position term one
+    exactly-rounded IEEE division — engine-portable, where ln() is
+    libm-dependent (same trade as the rational tf-idf).
+
+    Determinism: each position's probability is quantized to
+    fixed-point (floor(p * 2^20)) BEFORE the per-doc sum, so the
+    aggregate is an order-free integer sum; the final score is one
+    division by the position count.
+
+    Scale shape: O(corpus tokens) end to end — the corpus bigram/
+    unigram tables are aggregates (vocabulary-bounded), the per-
+    position join keys on the bigram (fan-out exactly 1 since the
+    model is self-trained), V reduces to one broadcast row, and the
+    per-doc reduction is an ordinary partial-aggregated groupBy.
+    Documents with < 2 tokens get n_bigrams = 0 and a NULL score.
+
+    Returns (id_col, n_bigrams, lm_score).
+    """
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("_w"))
+    uni = (
+        toks.select(F.explode("_w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("_cu"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("_v"))
+    # CASE guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+    # returning empty, which would fabricate null-padded bigrams for
+    # 0/1-token documents
+    bigram = F.expr(
+        "CASE WHEN size(_w) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(_w) - 1), "
+        "i -> struct(_w[i-1] AS w1, _w[i] AS w2)) END"
+    )
+    doc_bi = toks.select(
+        F.col(id_col), F.explode(bigram).alias("_bg")
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    bi_counts = doc_bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("_cb")
+    )
+    p = (F.col("_cb").cast("double") + F.lit(1.0)) / (
+        F.col("_cu").cast("double") + F.col("_v").cast("double")
+    )
+    # uni is vocabulary-sized: small enough for AQE to broadcast at
+    # test SF, but a 100 TB corpus vocabulary can be 10^7+ rows — left
+    # un-hinted so the optimizer picks from runtime stats
+    scored = (
+        doc_bi.join(bi_counts, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.floor(p * F.lit(float(LM_FP_SCALE)))
+            .cast("bigint")
+            .alias("_p_fp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_p_fp").alias("_sum_fp"),
+        )
+    )
+    base = toks.select(F.col(id_col))
+    return (
+        base.join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0))
+            .cast("bigint")
+            .alias("n_bigrams"),
+            (
+                (
+                    F.col("_sum_fp").cast("double")
+                    / F.col("n_bigrams").cast("double")
+                )
+                / F.lit(float(LM_FP_SCALE))
+            ).alias("lm_score"),
+        )
+    )

@@ -14,7 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .operators import linkage, profile, quantize, retrieval, timeseries
+from .operators import (
+    linkage,
+    profile,
+    quantize,
+    retrieval,
+    textops,
+    timeseries,
+)
 from .operators.dedup import word_shingles
 from .registry import register
 from .sources.readers import read_table_dir
@@ -518,3 +525,63 @@ def doc_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_topk_batch(
         _docs(spark, sf_dir), qdf, k=5, k1=_BM25_K1, b=_BM25_B
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM fluency (self-trained quality filter)
+# ---------------------------------------------------------------------------
+
+
+def _lm_oracle() -> str:
+    scale = repr(float(textops.LM_FP_SCALE))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+      FROM documents
+    ),
+    uni AS (
+      SELECT t.w1, COUNT(*) AS cu
+      FROM (SELECT unnest(w) AS w1 FROM toks) t GROUP BY 1
+    ),
+    vstats AS (SELECT COUNT(*) AS v FROM uni),
+    docbi AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                      i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS bg
+        FROM toks
+      )
+    ),
+    bic AS (SELECT w1, w2, COUNT(*) AS cb FROM docbi GROUP BY 1, 2),
+    pos AS (
+      SELECT d.doc_id,
+             CAST(FLOOR(((CAST(cb AS DOUBLE) + 1.0)
+                  / (CAST(cu AS DOUBLE) + CAST(v AS DOUBLE)))
+                  * {scale}) AS BIGINT) AS p_fp
+      FROM docbi d
+      JOIN bic USING (w1, w2)
+      JOIN uni USING (w1)
+      CROSS JOIN vstats
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(p_fp) AS BIGINT) AS sum_fp
+      FROM pos GROUP BY 1
+    )
+    SELECT t.doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           (CAST(sum_fp AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+             / {scale} AS lm_score
+    FROM toks t LEFT JOIN agg USING (doc_id)
+    """
+
+
+@register("doc_lm_fluency", _lm_oracle())
+def doc_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram-LM fluency score per document
+    (textops.lm_fluency) — the KenLM-style quality-filter signal as
+    one O(corpus tokens) plan with fixed-point order-free sums."""
+    return textops.lm_fluency(_docs(spark, sf_dir))

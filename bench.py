@@ -120,6 +120,7 @@ EXTENDED = [
     "customer_name_neardup_pairs",
     "doc_bm25_search",
     "doc_bm25_batch",
+    "doc_lm_fluency",
     "event_transition_matrix",
     "doc_source_overlap",
     "orders_column_profile",

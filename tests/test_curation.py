@@ -419,3 +419,41 @@ def test_bm25_batch_duplicate_terms_counted_once(spark):
         for r in retrieval.bm25_topk_batch(docs, qdf2, k=5).collect()
     }
     assert dup == nodup
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM fluency
+# ---------------------------------------------------------------------------
+
+
+def test_lm_fluency_orders_by_predictability(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        textops,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat the cat sat the cat sat"),  # repeated bigrams
+            (2, "the cat sat on a warm quiet red mat"),  # each bigram once
+            (3, "zq"),  # single token -> no bigrams
+            (4, ""),  # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.lm_fluency(docs).collect()}
+    assert out[1].lm_score > out[2].lm_score
+    assert out[3].n_bigrams == 0 and out[3].lm_score is None
+    assert out[4].n_bigrams == 0 and out[4].lm_score is None
+    assert out[1].n_bigrams == 8
+
+
+def test_lm_fluency_score_in_unit_interval(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        textops,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    pdf = textops.lm_fluency(docs).toPandas()
+    scored = pdf[pdf["lm_score"].notna()]
+    assert (scored["lm_score"] >= 0).all()
+    assert (scored["lm_score"] <= 1).all()

@@ -304,6 +304,13 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": True, "hints": 5, "pure_jvm": True,
         "wgl": True,
     },
+    # bigram LM fluency: the per-position joins key on aggregated
+    # count tables (AQE broadcasts them at this SF; only the bigram
+    # join may go SMJ at corpus scale) and V is the one explicit
+    # single-row broadcast; everything stays JVM-side.
+    "doc_lm_fluency": {
+        "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
@@ -319,6 +326,8 @@ SCALAR_SUBQUERY_OK = {
     "doc_bm25_batch",
     "emb_quantize_int8",
     "emb_quantized_topk",
+    # single-row broadcast cross join: the vocabulary-size row V
+    "doc_lm_fluency",
 }
 
 
