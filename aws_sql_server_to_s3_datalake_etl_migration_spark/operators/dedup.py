@@ -923,3 +923,147 @@ def incremental_near_dedup(
         admitted_bands, band_index_path, mode="append"
     )
     return admitted
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span removal (C4 / RefinedWeb-style intra-corpus scrub)
+# ---------------------------------------------------------------------------
+
+# Position encoding for the global "first occurrence" ordering:
+# ord = doc_id * 2^20 + span_pos. Bounds each document to 2^20
+# non-overlapping spans (n * 1M tokens) — far beyond any real document
+# — while keeping the canonical-occurrence choice ONE bigint MIN, which
+# every engine aggregates identically (a struct-min would lean on
+# engine-specific struct ordering).
+SPAN_POS_BITS = 20
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Remove all but the first occurrence of any duplicated n-token
+    span across the corpus — the C4 three-sentence-span rule
+    generalized to fixed token windows (C4 drops repeated lorem-ipsum /
+    boilerplate / license blocks that exact and near dedup both miss,
+    because the surrounding document differs).
+
+    Semantics: each document is cut into NON-overlapping spans of
+    ``n`` whitespace tokens (the tail span may be shorter). A span
+    occurrence survives iff its text occurs exactly once in the corpus
+    OR it is the globally-first occurrence (smallest (doc_id, pos)).
+    Surviving spans are reassembled in order, single-spaced. Whitespace
+    is therefore normalized in the output — by design; exact-dedup the
+    corpus first if byte-identical text matters.
+
+    Scale shape: one explode (corpus tokens / n span rows), one
+    hash-agg on the span text (count + min-ord — map-side combinable),
+    one big-vs-aggregated equi-join back, one per-doc reassembly agg.
+    O(corpus) end to end, no pairwise anything; the span-stats table is
+    bounded by the corpus itself and shrinks with duplication. Grouping
+    keys on the exact span STRING, so matches are verbatim (no hash
+    false positives); shuffle width is the corpus text, same as any
+    exact dedup.
+
+    Returns one row per input doc: ``(id_col, n_spans, n_kept,
+    clean_text)``; documents with empty text keep ``clean_text = ''``.
+    """
+    if n < 1:
+        raise ValueError("span length n must be >= 1 token")
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("_w"))
+    n_spans = F.ceil(F.size("_w") / F.lit(n)).cast("bigint")
+    # CASE guard: sequence(0, -1) DESCENDS instead of returning empty,
+    # which would fabricate a phantom span for empty documents
+    chunks = F.when(
+        F.size("_w") == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_spans - F.lit(1)),
+            lambda s: F.array_join(
+                F.slice(F.col("_w"), s * F.lit(n) + F.lit(1), F.lit(n)),
+                " ",
+            ),
+        )
+    )
+    spans = toks.select(
+        F.col(id_col), F.posexplode(chunks).alias("_pos", "_sp")
+    ).withColumn(
+        "_ord",
+        F.col(id_col) * F.lit(1 << SPAN_POS_BITS) + F.col("_pos"),
+    )
+    stats = spans.groupBy("_sp").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.min("_ord").alias("_canon")
+    )
+    kept = (
+        spans.join(stats, "_sp")
+        .where((F.col("_cnt") == 1) | (F.col("_ord") == F.col("_canon")))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_sp"))
+                    ),
+                    lambda x: x["_sp"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    base = toks.select(F.col(id_col), n_spans.alias("n_spans"))
+    return base.join(kept, id_col, "left").select(
+        id_col,
+        "n_spans",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-representative selection (keep the best doc per dup cluster)
+# ---------------------------------------------------------------------------
+
+
+def cluster_representatives(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Pick ONE representative per duplicate cluster — the highest-
+    ``score_col`` member (ties broken by smallest id), with every
+    other member marked for removal. This is the keep-best step that
+    follows near-dup pair generation in a curation pipeline: "keep one
+    per cluster" alone keeps an *arbitrary* member; quality-aware
+    pipelines keep the longest / highest-quality one.
+
+    Composition: ``connected_components`` labels every node with its
+    cluster id (iterative min-label propagation — see its docstring
+    for the scale argument), then a single ``row_number`` window per
+    cluster ranks members by (score DESC, id ASC). Cluster cardinality
+    is dup-group-sized (tiny), so the window never sees a giant
+    partition; singletons rank themselves first and stay
+    representatives.
+
+    Returns ``(id_col, cluster_id, score_col, is_rep)`` — one row per
+    node; filter ``is_rep`` for the deduplicated corpus.
+    """
+    labels = connected_components(
+        pairs, nodes, id_col=id_col, max_iter=max_iter
+    )
+    scored = nodes.select(F.col(id_col), F.col(score_col)).join(
+        labels, id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return scored.select(
+        id_col,
+        "cluster_id",
+        score_col,
+        (F.row_number().over(w) == 1).alias("is_rep"),
+    )

@@ -96,8 +96,8 @@ def oracles() -> dict[str, str]:
 # event_asof_enrich, orders_cdc_apply, doc_source_caps, doc_chunks,
 # doc_take_n, doc_substring_leak, and the curation suite
 # (workloads_curation.py): customer_name_neardup_pairs,
-# doc_bm25_search, doc_bm25_batch, doc_lm_fluency,
-# event_transition_matrix,
+# doc_bm25_search, doc_bm25_batch, doc_lm_fluency, doc_span_dedup,
+# doc_dedup_survivors, event_transition_matrix,
 # doc_source_overlap, orders_column_profile, events_value_trend,
 # emb_quantize_int8, emb_quantized_topk. Swap them in for the by-then
 # two-round-stable gapfill / sampling / funnel rows; keep the §2 core

@@ -1779,3 +1779,101 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_sample(
         scored, "quality_score", 0.5, "doc_id"
     ).select("doc_id", "source", "quality_score")
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span removal (C4-style) and cluster representatives
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8
+_SPAN_ORD = f"(doc_id * {1 << dedup.SPAN_POS_BITS} + pos)"
+
+
+@register(
+    "doc_span_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, s AS pos,
+             array_to_string(
+               list_slice(w, s * {_SPAN_N} + 1, s * {_SPAN_N} + {_SPAN_N}),
+               ' ') AS sp
+      FROM (SELECT doc_id, w,
+                   unnest(range(0, CAST(ceil(len(w) / {_SPAN_N}.0)
+                                        AS BIGINT))) AS s
+            FROM toks)
+    ),
+    stats AS (
+      SELECT sp, COUNT(*) AS cnt, MIN({_SPAN_ORD}) AS canon
+      FROM spans GROUP BY 1
+    ),
+    kept AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(sp, ' ' ORDER BY pos) AS clean_text
+      FROM spans JOIN stats USING (sp)
+      WHERE cnt = 1 OR {_SPAN_ORD} = canon
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(ceil(len(w) / {_SPAN_N}.0) AS BIGINT) AS n_spans,
+           COALESCE(n_kept, 0) AS n_kept,
+           COALESCE(clean_text, '') AS clean_text
+    FROM toks t LEFT JOIN kept USING (doc_id)
+    """,
+)
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-span scrub: every repeated 8-token span
+    keeps only its globally-first occurrence; documents are reassembled
+    from the surviving spans (operators/dedup.py span_dedup — one
+    explode + one span-text hash-agg + one reassembly agg, O(corpus))."""
+    return dedup.span_dedup(_docs(spark, sf_dir), n=_SPAN_N)
+
+
+@register(
+    "doc_dedup_survivors",
+    f"""
+    WITH RECURSIVE
+    {_JACCARD_EDGES_CTE},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION
+      SELECT id_b, id_a FROM dup_pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+      FROM documents d
+      LEFT JOIN reach r ON r.src = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT d.doc_id, c.cluster_id, d.n_chars,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY d.n_chars DESC, d.doc_id ASC) = 1
+             AS is_rep
+    FROM documents d JOIN clusters c USING (doc_id)
+    """,
+)
+def doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep-one-per-cluster: connected components over
+    the exact Jaccard near-dup pairs, then the LONGEST member of each
+    cluster (ties -> smallest id) marked representative
+    (operators/dedup.py cluster_representatives). The full dedup
+    endgame — pairs -> clusters -> survivors — value-checked against a
+    recursive-CTE + window oracle."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD
+    )
+    return dedup.cluster_representatives(
+        docs, pairs, id_col="doc_id", score_col="n_chars"
+    )

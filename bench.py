@@ -121,6 +121,7 @@ EXTENDED = [
     "doc_bm25_search",
     "doc_bm25_batch",
     "doc_lm_fluency",
+    "doc_span_dedup",
     "event_transition_matrix",
     "doc_source_overlap",
     "orders_column_profile",

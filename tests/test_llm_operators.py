@@ -896,3 +896,109 @@ def test_substring_leak_guarantee_and_exactness(spark):
         assert False
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span removal
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_keeps_first_occurrence_only(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    boiler = "a b c d"  # one 4-token span, repeated across docs
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} u1 u2 u3 u4"),
+            (2, f"{boiler} v1 v2 v3 v4"),
+            (3, f"w1 w2 w3 w4 {boiler}"),
+            (4, ""),
+            (5, "x1 x2"),  # short doc -> one sub-n span, unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup(docs, n=4).collect()}
+    # doc 1 owns the canonical occurrence (smallest doc_id, pos 0)
+    assert out[1].clean_text == f"{boiler} u1 u2 u3 u4"
+    assert out[2].clean_text == "v1 v2 v3 v4"
+    assert out[3].clean_text == "w1 w2 w3 w4"
+    assert out[4].n_spans == 0 and out[4].clean_text == ""
+    assert out[5].n_spans == 1 and out[5].clean_text == "x1 x2"
+    assert out[1].n_kept == 2 and out[2].n_kept == 1 and out[3].n_kept == 1
+
+
+def test_span_dedup_within_doc_repeats_collapse(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "p q p q p q")],  # spans: "p q" x3 at pos 0,1,2
+        "doc_id long, text string",
+    )
+    row = span_dedup(docs, n=2).collect()[0]
+    assert row.n_spans == 3 and row.n_kept == 1
+    assert row.clean_text == "p q"
+
+
+def test_span_dedup_identity_when_no_duplicates(spark, sf_dir):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    out = span_dedup(docs, n=1_000_000)  # spans = whole doc
+    joined = (
+        docs.select("doc_id", F.trim("text").alias("t"))
+        .join(out, "doc_id")
+        .where(
+            (F.col("n_kept") == F.col("n_spans"))
+            & (F.col("clean_text") != F.col("t"))
+        )
+    )
+    # fully-kept docs reassemble to their (trimmed, single-spaced) text
+    assert joined.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Cluster representatives
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_representatives_argmax_and_ties(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    nodes = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 99)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r for r in cluster_representatives(nodes, pairs).collect()}
+    # one cluster {1,2,3,4} with max score 30 shared by 2 and 3 -> min id 2
+    assert all(out[i].cluster_id == 1 for i in (1, 2, 3, 4))
+    assert out[2].is_rep and not out[3].is_rep
+    assert not out[1].is_rep and not out[4].is_rep
+    # singleton is its own representative
+    assert out[9].cluster_id == 9 and out[9].is_rep
+
+
+def test_cluster_representatives_one_rep_per_cluster(spark, sf_dir):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                      threshold=0.4)
+    out = dedup.cluster_representatives(docs, pairs)
+    per = out.groupBy("cluster_id").agg(
+        F.sum(F.col("is_rep").cast("int")).alias("n_reps")
+    )
+    assert per.where(F.col("n_reps") != 1).count() == 0
+    assert out.count() == docs.count()

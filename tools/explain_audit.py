@@ -311,6 +311,18 @@ EXPECT: dict[str, dict] = {
     "doc_lm_fluency": {
         "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
     },
+    # duplicated-span removal: one explode + span-text hash-agg +
+    # big-vs-aggregated join back (SMJ sanctioned at corpus scale) +
+    # reassembly agg; no hints, no Python, no window.
+    "doc_span_dedup": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # cluster representatives: postings join for pairs (big-big, SMJ
+    # sanctioned) + per-cluster row_number over dup-group-sized
+    # partitions; label propagation runs outside this lazy plan.
+    "doc_dedup_survivors": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
