@@ -98,10 +98,19 @@ def edit_distance_self_join(
     the capped result is a SUBSET of the exact one — prefer leaving it
     off unless key-frequency skew is demonstrated.
     """
+    # Join on the 64-bit hash of each deletion variant, not the variant
+    # string: the shuffle key drops from O(len) chars to 8 bytes, and a
+    # hash collision can only ADD a candidate pair, which the
+    # levenshtein verify below removes — exactness is unaffected.
     keyed = df.select(
         F.col(id_col).alias("_id"),
         F.col(str_col).alias("_s"),
-        F.explode(deletion_keys(str_col, max_distance)).alias("_key"),
+        F.explode(
+            F.transform(
+                deletion_keys(str_col, max_distance),
+                lambda v: F.xxhash64(v),
+            )
+        ).alias("_key"),
     )
     if hot_key_cap is not None:
         cold = (
