@@ -301,3 +301,45 @@ def deterministic_take_n(
         df.orderBy(F.md5(c.cast("string")).asc(), c.asc())
         .limit(n)
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    rate_col: str,
+    key_col: str,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Materialize per-row repeat factors — the "epochs" step of an
+    LLM data-mixing recipe, where an up-weighted source is physically
+    repeated in the training corpus (rate 3.2 => 3 copies plus a 4th
+    for ~20% of rows) and a down-weighted one is subsampled
+    (rate 0.25 => 1 copy for ~25% of rows, 0 otherwise).
+
+    Each row is emitted ``floor(rate)`` times, plus one extra copy iff
+    its ``key_col`` hash clears the fractional remainder — the same
+    IEEE multiply/compare primitive as ``weighted_sample``, so the
+    materialized multiset is bit-identical on any engine and invariant
+    to partitioning. E[copies] == rate exactly. Rows land with a
+    ``copy_col`` index (0-based) so downstream shuffling/sharding can
+    spread copies apart (``shuffle_shards`` keys on (id, copy_idx)).
+
+    Scale shape: zero shuffles — one codegen'd explode whose fan-out
+    is the rate itself; output volume is exactly the mixed corpus
+    size. Negative rates clamp to 0.
+    """
+    r = F.greatest(F.col(rate_col).cast("double"), F.lit(0.0))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .cast("double")
+    )
+    frac = r - F.floor(r)
+    n = F.floor(r).cast("bigint") + (
+        u < frac * F.lit(4294967296.0)
+    ).cast("bigint")
+    copies = F.when(
+        n == 0, F.array().cast("array<bigint>")
+    ).otherwise(F.sequence(F.lit(0).cast("bigint"), n - F.lit(1)))
+    return df.withColumn(copy_col, F.explode(copies))

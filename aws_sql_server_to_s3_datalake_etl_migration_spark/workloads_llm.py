@@ -1877,3 +1877,48 @@ def doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_representatives(
         docs, pairs, id_col="doc_id", score_col="n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch up-sampling (materialized repeat factors)
+# ---------------------------------------------------------------------------
+
+_EPOCH_SCALE = 2.5
+
+
+@register(
+    "doc_epoch_mix",
+    f"""
+    WITH {_QUALITY_CTE},
+    rated AS (
+      SELECT doc_id, source, quality_score,
+             GREATEST({_EPOCH_SCALE} * quality_score, 0.0) AS rate
+      FROM scored
+    ),
+    counted AS (
+      SELECT doc_id, source, quality_score,
+             CAST(FLOOR(rate) AS BIGINT)
+             + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 8))::BIGINT::DOUBLE
+                         < (rate - FLOOR(rate)) * 4294967296.0
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM rated
+    )
+    SELECT doc_id, source, quality_score,
+           CAST(t.copy_idx AS BIGINT) AS copy_idx
+    FROM counted, unnest(range(0, n_copies)) AS t(copy_idx)
+    """,
+)
+def doc_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized repeat factors: each doc emitted floor(2.5 * its
+    quality score) times plus a hash-decided extra copy for the
+    fractional remainder — the physical up-sampling ('epochs') step of
+    a mixing recipe (operators/sampling.py epoch_upsample; zero
+    shuffles, fan-out = the rate itself)."""
+    scored = textops.with_quality_score(_docs(spark, sf_dir))
+    rated = scored.withColumn(
+        "rate", F.lit(_EPOCH_SCALE) * F.col("quality_score")
+    )
+    return sampling.epoch_upsample(rated, "rate", "doc_id").select(
+        "doc_id", "source", "quality_score", "copy_idx"
+    )

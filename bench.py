@@ -122,6 +122,7 @@ EXTENDED = [
     "doc_bm25_batch",
     "doc_lm_fluency",
     "doc_span_dedup",
+    "doc_epoch_mix",
     "event_transition_matrix",
     "doc_source_overlap",
     "orders_column_profile",

@@ -1002,3 +1002,50 @@ def test_cluster_representatives_one_rep_per_cluster(spark, sf_dir):
     )
     assert per.where(F.col("n_reps") != 1).count() == 0
     assert out.count() == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# Epoch up-sampling
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_upsample_copy_counts(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.sampling import (
+        epoch_upsample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 3.0), (2, 0.0), (3, -2.0), (4, 1.0), (5, 2.4)],
+        "doc_id long, rate double",
+    )
+    out = epoch_upsample(df, "rate", "doc_id")
+    counts = {
+        r.doc_id: r.n for r in
+        out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    # integral rates are exact; negatives clamp to zero copies
+    assert counts[1] == 3 and counts[4] == 1
+    assert 2 not in counts and 3 not in counts
+    assert counts[5] in (2, 3)  # floor(2.4) or +1 by hash
+    # copy indices are dense 0..n-1
+    idx = sorted(r.copy_idx for r in out.where(F.col("doc_id") == 1).collect())
+    assert idx == [0, 1, 2]
+
+
+def test_epoch_upsample_partitioning_invariant(spark, sf_dir):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        sampling, textops,
+    )
+
+    docs = textops.with_quality_score(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).withColumn("rate", F.col("quality_score") * F.lit(2.5))
+    a = sampling.epoch_upsample(docs, "rate", "doc_id")
+    b = sampling.epoch_upsample(docs.repartition(17), "rate", "doc_id")
+    assert a.count() == b.count()
+    assert (
+        a.select("doc_id", "copy_idx")
+        .exceptAll(b.select("doc_id", "copy_idx"))
+        .count()
+        == 0
+    )

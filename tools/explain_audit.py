@@ -323,6 +323,11 @@ EXPECT: dict[str, dict] = {
     "doc_dedup_survivors": {
         "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
     },
+    # epoch up-sampling: one scan + codegen quality score + explode of
+    # the per-row repeat factor — no joins, no window, no shuffle.
+    "doc_epoch_mix": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
