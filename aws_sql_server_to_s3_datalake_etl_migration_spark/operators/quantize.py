@@ -128,3 +128,266 @@ def quantized_topk(
         .orderBy(F.col("cosine_q").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): subvector codebooks + asymmetric-distance
+# top-k (the FAISS IVFPQ building block, re-expressed as joins)
+# ---------------------------------------------------------------------------
+
+# Fixed-point scale for assignment distances and ADC partial dot
+# products. Assignment floors each per-dimension squared difference
+# BEFORE the sum (order-free integer sum -> engine-portable argmin);
+# ADC floors each per-subspace dot product before the cross-subspace
+# sum (same trick). 2^20 keeps a 64-dim double sum far inside int64.
+PQ_FP_SCALE = 1 << 20
+
+
+def _pq_subvectors(vec_col: str, dim: int, m: int):
+    """Array of m subvector arrays (double), sliced from ``vec_col``."""
+    ds = dim // m
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.slice(F.col(vec_col), j * F.lit(ds) + F.lit(1), F.lit(ds)),
+            lambda x: x.cast("double"),
+        ),
+    )
+
+
+def _seq_norm(vec_col: str):
+    """sqrt of the sequential-fold self-dot — same element order as
+    DuckDB's list_dot_product(v, v), so norms are engine-identical."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") ** 2),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+
+
+def sample_pq_codebook(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Deterministic seed codebook: code ``c`` of every subspace is the
+    corresponding subvector of the (c+1)-th smallest-``id_col`` row.
+    SQL-expressible (unlike a k-means fit), so the encode+ADC path can
+    be VALUE-checked end to end against an oracle; also the init for
+    ``fit_pq_codebook``. Returns (sub_idx, code, cent: array<double>).
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {m}")
+    from pyspark.sql.window import Window
+
+    base = df.orderBy(id_col).limit(n_codes)
+    coded = base.withColumn(
+        "code", F.row_number().over(Window.orderBy(id_col)) - 1
+    )
+    return coded.select(
+        F.col("code").cast("int").alias("code"),
+        F.posexplode(_pq_subvectors(vec_col, dim, m)).alias(
+            "sub_idx", "cent"
+        ),
+    ).select("sub_idx", "code", "cent")
+
+
+def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest codeword per (row, subspace): equi-join on sub_idx
+    (fan-out = n_codes), fixed-point squared-L2, argmin with ties to
+    the smallest code. Input subs: (_id, sub_idx, sv)."""
+    dist_fp = F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("cent"),
+            lambda x, c: F.floor((x - c) * (x - c) * F.lit(float(PQ_FP_SCALE)))
+            .cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return (
+        subs.join(F.broadcast(codebook), "sub_idx")
+        .select(
+            "_id",
+            "sub_idx",
+            F.struct(dist_fp.alias("d"), F.col("code").alias("c")).alias(
+                "_dc"
+            ),
+        )
+        .groupBy("_id", "sub_idx")
+        .agg(F.min("_dc").alias("_b"))
+        .select("_id", "sub_idx", F.col("_b.c").alias("code"))
+    )
+
+
+def fit_pq_codebook(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 4,
+) -> DataFrame:
+    """Lloyd-iterated per-subspace codebooks (k-means in each of the m
+    subspaces, run jointly: assignment is ONE equi-join keyed on
+    sub_idx, centroid refresh is ONE aggregation over (sub_idx, code,
+    dim)). The codebook is m x n_codes rows — control-plane-sized — so
+    each round materializes it driver-side (same pattern as the IVF
+    centroids) and lineage stays flat. Codes that lose all members
+    keep their previous centroid. Not SQL-expressible (iterative);
+    accuracy is pinned by the recall pytest instead.
+    """
+    spark = df.sparkSession
+    subs = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_pq_subvectors(vec_col, dim, m)).alias(
+            "sub_idx", "sv"
+        ),
+    ).persist()
+    try:
+        cb_rows = {
+            (r["sub_idx"], r["code"]): list(r["cent"])
+            for r in sample_pq_codebook(
+                df, id_col, vec_col, dim, m, n_codes
+            ).collect()
+        }
+        schema = "sub_idx int, code int, cent array<double>"
+        for _ in range(max(0, iters)):
+            cb = spark.createDataFrame(
+                [(s, c, v) for (s, c), v in cb_rows.items()], schema
+            )
+            new = (
+                subs.join(_pq_assign(subs, cb), ["_id", "sub_idx"])
+                .select(
+                    "sub_idx", "code", F.posexplode("sv").alias("dim", "x")
+                )
+                .groupBy("sub_idx", "code", "dim")
+                .agg(F.avg("x").alias("mu"))
+                .groupBy("sub_idx", "code")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "mu"))
+                    ).alias("_p")
+                )
+                .select(
+                    "sub_idx", "code", F.col("_p.mu").alias("cent")
+                )
+            )
+            for r in new.collect():
+                cb_rows[(r["sub_idx"], r["code"])] = list(r["cent"])
+        return spark.createDataFrame(
+            [(s, c, v) for (s, c), v in cb_rows.items()], schema
+        )
+    finally:
+        subs.unpersist()
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """(id, pq_codes: array<int> of length m, vec_norm) — the
+    m-byte-per-vector corpus representation (64 float32 bytes -> m
+    codes + one stored norm; 8x-32x narrower scans/shuffles for every
+    downstream search). The exact norm rides along so ADC scores can
+    be normalized to cosine without touching the float vectors again.
+    """
+    subs = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_pq_subvectors(vec_col, dim, m)).alias(
+            "sub_idx", "sv"
+        ),
+    )
+    best = _pq_assign(subs, codebook)
+    codes = best.groupBy("_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_idx", "code"))),
+            lambda x: x["code"],
+        ).alias("pq_codes")
+    )
+    norms = df.select(
+        F.col(id_col).alias("_id"), _seq_norm(vec_col).alias("vec_norm")
+    )
+    return codes.join(norms, "_id").select(
+        F.col("_id").alias(id_col), "pq_codes", "vec_norm"
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebook: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    dim: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query stays un-quantized; each
+    (sub_idx, code) gets one fixed-point partial dot product with the
+    query's subvector (an m x n_codes broadcast table computed from the
+    codebook — never from the corpus), and a vector's score is the
+    integer sum of its m lookups, normalized by the stored norms to a
+    cosine approximation. Plan: posexplode(pq_codes) -> broadcast
+    equi-join on (sub_idx, code) -> per-id sum -> TakeOrderedAndProject.
+    The corpus scan reads (id, pq_codes, vec_norm) only.
+    """
+    import math
+
+    ds = dim // m
+    qnorm = math.sqrt(sum(float(v) ** 2 for v in query_vec))
+    q_subs = F.array(
+        *[
+            F.array(
+                *[F.lit(float(v)) for v in query_vec[j * ds:(j + 1) * ds]]
+            )
+            for j in range(m)
+        ]
+    )
+    ip = F.aggregate(
+        F.zip_with(
+            F.col("cent"),
+            F.element_at(q_subs, F.col("sub_idx") + 1),
+            lambda c, q: c * q,
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    adc = codebook.select(
+        "sub_idx",
+        "code",
+        F.floor(ip * F.lit(float(PQ_FP_SCALE))).cast("bigint").alias(
+            "ip_fp"
+        ),
+    )
+    scores = (
+        encoded.select(
+            F.col(id_col),
+            "vec_norm",
+            F.posexplode("pq_codes").alias("sub_idx", "code"),
+        )
+        .join(F.broadcast(adc), ["sub_idx", "code"])
+        .groupBy(id_col, "vec_norm")
+        .agg(F.sum("ip_fp").alias("score_fp"))
+    )
+    return (
+        scores.select(
+            F.col(id_col),
+            (
+                (F.col("score_fp").cast("double") / F.lit(float(PQ_FP_SCALE)))
+                / (F.col("vec_norm") * F.lit(qnorm))
+            ).alias("cosine_pq"),
+        )
+        .orderBy(F.col("cosine_pq").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -585,3 +585,111 @@ def doc_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (textops.lm_fluency) — the KenLM-style quality-filter signal as
     one O(corpus tokens) plan with fixed-point order-free sums."""
     return textops.lm_fluency(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: ADC search (sample codebook = value-checked;
+# k-means codebook = rows-only with a recall pytest)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_DS = 64 // _PQ_M
+_PQ_CODES = 16
+
+
+def _pq_oracle() -> str:
+    scale = repr(float(quantize.PQ_FP_SCALE))
+    return f"""
+    WITH subs AS (
+      SELECT vec_id, CAST(j AS INT) AS sub_idx,
+             list_transform(
+               list_slice(embedding, j * {_PQ_DS} + 1,
+                          j * {_PQ_DS} + {_PQ_DS}),
+               x -> CAST(x AS DOUBLE)) AS sv
+      FROM embeddings, unnest(range(0, {_PQ_M})) t(j)
+    ),
+    seed AS (
+      SELECT vec_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+      FROM embeddings ORDER BY vec_id LIMIT {_PQ_CODES}
+    ),
+    cb AS (
+      SELECT s.sub_idx, seed.code, s.sv AS cent
+      FROM subs s JOIN seed USING (vec_id)
+    ),
+    assign AS (
+      SELECT s.vec_id, s.sub_idx, c.code,
+             CAST(list_sum(list_transform(range(1, {_PQ_DS} + 1),
+               i -> CAST(FLOOR((s.sv[i] - c.cent[i]) * (s.sv[i] - c.cent[i])
+                               * {scale}) AS BIGINT))) AS BIGINT) AS dist_fp
+      FROM subs s JOIN cb c USING (sub_idx)
+    ),
+    best AS (
+      SELECT vec_id, sub_idx, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub_idx
+                                     ORDER BY dist_fp, code) AS rn
+        FROM assign
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    adc AS (
+      SELECT c.sub_idx, c.code,
+             CAST(FLOOR(list_dot_product(c.cent,
+               list_slice(qv, c.sub_idx * {_PQ_DS} + 1,
+                          c.sub_idx * {_PQ_DS} + {_PQ_DS}))
+               * {scale}) AS BIGINT) AS ip_fp
+      FROM cb c, q
+    ),
+    norms AS (
+      SELECT vec_id,
+             sqrt(list_dot_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(embedding, x -> CAST(x AS DOUBLE))))
+               AS vec_norm
+      FROM embeddings
+    ),
+    qn AS (SELECT sqrt(list_dot_product(qv, qv)) AS qnorm FROM q),
+    scores AS (
+      SELECT b.vec_id, CAST(SUM(ip_fp) AS BIGINT) AS score_fp
+      FROM best b JOIN adc USING (sub_idx, code)
+      GROUP BY 1
+    )
+    SELECT s.vec_id,
+           (CAST(score_fp AS DOUBLE) / {scale})
+             / (n.vec_norm * qn.qnorm) AS cosine_pq
+    FROM scores s JOIN norms n USING (vec_id) CROSS JOIN qn
+    ORDER BY cosine_pq DESC, s.vec_id ASC
+    LIMIT 10
+    """
+
+
+@register("emb_pq_topk", _pq_oracle())
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized cosine top-10 with the deterministic sample
+    codebook (operators/quantize.py pq_encode + pq_adc_topk): encode
+    is one sub_idx equi-join with fixed-point argmin, search is an
+    m-lookup broadcast join over the m-byte codes — VALUE-checked
+    against DuckDB replaying the identical fixed-point arithmetic."""
+    embs = _embs(spark, sf_dir)
+    cb = quantize.sample_pq_codebook(
+        embs, m=_PQ_M, n_codes=_PQ_CODES
+    )
+    enc = quantize.pq_encode(embs, cb, m=_PQ_M)
+    return quantize.pq_adc_topk(
+        enc, cb, _query_vec(spark, sf_dir), k=10, m=_PQ_M
+    )
+
+
+@register("emb_pq_kmeans_topk", None)
+def emb_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-10 with a Lloyd-iterated codebook (m=16 4-dim subspaces,
+    64 codes, 2 rounds) — the production-accuracy configuration;
+    rows-only (iterative k-means isn't SQL-expressible), recall vs the
+    exact top-k pinned by pytest."""
+    embs = _embs(spark, sf_dir)
+    cb = quantize.fit_pq_codebook(embs, m=16, n_codes=64, iters=2)
+    enc = quantize.pq_encode(embs, cb, m=16)
+    return quantize.pq_adc_topk(
+        enc, cb, _query_vec(spark, sf_dir), k=10, m=16
+    )

@@ -128,6 +128,7 @@ EXTENDED = [
     "orders_column_profile",
     "events_value_trend",
     "emb_quantized_topk",
+    "emb_pq_topk",
 ]
 
 

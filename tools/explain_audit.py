@@ -328,6 +328,14 @@ EXPECT: dict[str, dict] = {
     "doc_epoch_mix": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # PQ ADC search: the codebook (m x n_codes rows) broadcasts into
+    # both the encode argmin and the ADC lookup; the seed-codebook
+    # limit(16) sort is 16 rows, so no_smj holds; ranking must stay
+    # TakeOrderedAndProject.
+    "emb_pq_topk": {
+        "pushed": False, "no_smj": True, "hints": 2, "pure_jvm": True,
+        "take_ordered": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
