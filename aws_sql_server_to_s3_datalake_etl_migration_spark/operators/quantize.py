@@ -391,3 +391,52 @@ def pq_adc_topk(
         .orderBy(F.col("cosine_pq").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    encoded_with_cell: DataFrame,
+    centroids,
+    codebook: DataFrame,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    dim: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """IVF + PQ — the production ANN shape: the coarse quantizer
+    prunes the corpus to ``nprobe`` cells (an IN-list filter that
+    becomes partition pruning on a ``partitionBy("_cell")`` lake
+    layout), and ADC scores only the survivors' m-byte codes. Total
+    read cost per query ≈ (nprobe / n_cells) x (m bytes + norm) per
+    vector — the two reductions multiply.
+
+    ``encoded_with_cell``: ``pq_encode`` output joined with the IVF
+    ``_cell`` column. Cell selection is driver-side math over
+    ≤ n_cells centroids (same as ``similarity.ivf_topk``). With
+    ``nprobe >= n_cells`` the result equals plain ``pq_adc_topk``
+    (pytest-pinned).
+    """
+    import math
+
+    q = [float(v) for v in query_vec]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    order = sorted(
+        range(len(centroids)), key=lambda i: -cos(centroids[i], q)
+    )
+    probe = order[:nprobe]
+    return pq_adc_topk(
+        encoded_with_cell.where(F.col("_cell").isin(probe)),
+        codebook,
+        q,
+        k=k,
+        id_col=id_col,
+        dim=dim,
+        m=m,
+    )

@@ -693,3 +693,24 @@ def emb_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize.pq_adc_topk(
         enc, cb, _query_vec(spark, sf_dir), k=10, m=16
     )
+
+
+@register("emb_ivfpq_topk", None)
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ top-10: coarse k-means cells prune the corpus to
+    nprobe/n_cells, PQ ADC scores the survivors' m-byte codes
+    (operators/quantize.py ivfpq_topk) — rows-only (two iterative
+    fits); recall and the nprobe=n_cells==plain-PQ identity are
+    pinned by pytest."""
+    from .operators import similarity
+
+    embs = _embs(spark, sf_dir)
+    assigned, centroids = similarity.build_ivf_index(embs, n_cells=8)
+    cb = quantize.fit_pq_codebook(embs, m=16, n_codes=64, iters=2)
+    enc = quantize.pq_encode(embs, cb, m=16).join(
+        assigned.select("vec_id", "_cell"), "vec_id"
+    )
+    return quantize.ivfpq_topk(
+        enc, centroids, cb, _query_vec(spark, sf_dir),
+        k=10, nprobe=4, m=16,
+    )

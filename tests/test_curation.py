@@ -530,3 +530,38 @@ def test_pq_codewords_reproduce_exactly(spark):
     codes = {r.vec_id: list(r.pq_codes) for r in enc.collect()}
     for vid, cs in codes.items():
         assert cs == [vid] * 8, (vid, cs)
+
+
+def test_ivfpq_full_probe_equals_plain_pq(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        quantize, similarity,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = [
+        float(v)
+        for v in embs.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    assigned, centroids = similarity.build_ivf_index(embs, n_cells=8)
+    cb = quantize.fit_pq_codebook(embs, m=16, n_codes=64, iters=1)
+    enc = quantize.pq_encode(embs, cb, m=16)
+    enc_c = enc.join(assigned.select("vec_id", "_cell"), "vec_id")
+    plain = [r.vec_id for r in quantize.pq_adc_topk(enc, cb, q, k=10, m=16).collect()]
+    full = [
+        r.vec_id
+        for r in quantize.ivfpq_topk(
+            enc_c, centroids, cb, q, k=10, nprobe=8, m=16
+        ).collect()
+    ]
+    assert full == plain
+    # partial probe: a real subset of cells is scanned, recall holds
+    part = {
+        r.vec_id
+        for r in quantize.ivfpq_topk(
+            enc_c, centroids, cb, q, k=10, nprobe=4, m=16
+        ).collect()
+    }
+    exact = {
+        r.vec_id for r in similarity.brute_force_topk(embs, q, k=10).collect()
+    }
+    assert len(part & exact) >= 4
