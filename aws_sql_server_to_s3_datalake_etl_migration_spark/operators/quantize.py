@@ -440,3 +440,140 @@ def ivfpq_topk(
         dim=dim,
         m=m,
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index: frozen-codebook appends + refit signal
+# ---------------------------------------------------------------------------
+
+
+def write_pq_index(
+    encoded: DataFrame,
+    codebook: DataFrame,
+    path: str,
+    dim: int,
+    m: int,
+) -> None:
+    """Persist a PQ index: the m-byte codes table and a codebook
+    sidecar that also records the FIT-TIME mean assignment distortion
+    (mean fixed-point squared distance of every subvector to its
+    codeword) — the baseline the drift monitor compares against."""
+    encoded.write.mode("overwrite").parquet(f"{path}/codes")
+    meta = codebook.select(
+        "sub_idx", "code", "cent",
+        F.lit(dim).alias("dim"), F.lit(m).alias("m"),
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def read_pq_index(spark, path: str):
+    """(codes_df, codebook_df, dim, m) from ``write_pq_index``."""
+    codes = spark.read.parquet(f"{path}/codes")
+    cb = spark.read.parquet(f"{path}/codebook")
+    row = cb.select("dim", "m").first()
+    return codes, cb.select("sub_idx", "code", "cent"), row["dim"], row["m"]
+
+
+def append_to_pq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental index maintenance: encode ONLY the new batch with
+    the index's FROZEN codebook and append its codes — history is
+    never re-read, never re-encoded (the same never-rescan contract as
+    the incremental dedup family). Returns the appended batch's codes.
+
+    Freezing the codebook keeps every historical code valid; the cost
+    is quantization drift if the data distribution moves — measure it
+    with ``pq_index_drift`` and refit + rebuild when it crosses the
+    budget (a full rebuild, amortized over the batches it serves).
+    """
+    spark = new_vectors.sparkSession
+    _, cb, dim, m = read_pq_index(spark, path)
+    enc = pq_encode(new_vectors, cb, id_col=id_col, vec_col=vec_col,
+                    dim=dim, m=m)
+    enc.write.mode("append").parquet(f"{path}/codes")
+    return enc
+
+
+def assignment_distortion(
+    df: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """One row: mean fixed-point squared assignment distance over all
+    (row, subspace) assignments — the quantization-quality scalar."""
+    subs = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_pq_subvectors(vec_col, dim, m)).alias(
+            "sub_idx", "sv"
+        ),
+    )
+    dist_fp = F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("cent"),
+            lambda x, c: F.floor(
+                (x - c) * (x - c) * F.lit(float(PQ_FP_SCALE))
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    best = (
+        subs.join(F.broadcast(codebook), "sub_idx")
+        .select(
+            "_id", "sub_idx",
+            F.struct(dist_fp.alias("d"), F.col("code").alias("c")).alias(
+                "_dc"
+            ),
+        )
+        .groupBy("_id", "sub_idx")
+        .agg(F.min("_dc").alias("_b"))
+    )
+    return best.agg(
+        F.avg(F.col("_b.d").cast("double")).alias("mean_dist_fp"),
+        F.count(F.lit(1)).alias("n_assignments"),
+    )
+
+
+def pq_index_drift(
+    new_batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Refit signal: the batch's mean assignment distortion vs the
+    whole indexed corpus's distortion under the same frozen codebook
+    (both computed over aggregates — one scan of the batch; the
+    baseline is recomputed from... the batch caller's corpus is NOT
+    rescanned: the comparison baseline is the batch-vs-batch ratio a
+    deployment tracks over time). Returns one row
+    (mean_dist_fp, n_assignments, drift_ratio vs the first batch's
+    recorded baseline if present at ``{path}/baseline``, else NULL).
+    """
+    spark = new_batch.sparkSession
+    _, cb, dim, m = read_pq_index(spark, path)
+    cur = assignment_distortion(
+        new_batch, cb, id_col=id_col, vec_col=vec_col, dim=dim, m=m
+    )
+    import os as _os
+
+    base_path = f"{path}/baseline"
+    try:
+        base = spark.read.parquet(base_path).first()["mean_dist_fp"]
+    except Exception:
+        cur.coalesce(1).write.mode("overwrite").parquet(base_path)
+        base = None
+    if base is None:
+        return cur.withColumn(
+            "drift_ratio", F.lit(None).cast("double")
+        )
+    return cur.withColumn(
+        "drift_ratio", F.col("mean_dist_fp") / F.lit(float(base))
+    )

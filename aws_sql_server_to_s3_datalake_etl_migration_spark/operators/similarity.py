@@ -328,3 +328,72 @@ def ivf_topk_batch(
             F.col("_rank").alias("rank"),
         )
     )
+
+
+def hard_negative_mining(
+    assigned: DataFrame,
+    centroids,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every query
+    (an anchor with its label), the ``k`` most-cosine-similar corpus
+    vectors whose label DIFFERS — the near-misses that make the best
+    negatives. Same plan skeleton as ``ivf_topk_batch`` (broadcast
+    centroid scoring -> probed-cell equi-join -> per-query top-k
+    window); the label-inequality filter runs BEFORE the cosine so
+    excluded vectors cost a comparison, not a fold. At
+    ``nprobe = n_cells`` this is exact by construction (every cell is
+    probed), which is what makes the catalog entry value-checkable;
+    partial probe is the scale path with IVF recall semantics.
+    """
+    spark = assigned.sparkSession
+    from pyspark.sql.window import Window
+
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "_cell int, _centroid array<double>",
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(query_vec_col).alias("_qvec"),
+        F.col(query_label_col).alias("_qlabel"),
+    )
+    w_cell = Window.partitionBy("_qid").orderBy(
+        F.col("_ccos").desc(), F.col("_cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "_ccos", pairwise_cosine(F.col("_qvec"), F.col("_centroid"))
+        )
+        .withColumn("_crank", F.row_number().over(w_cell))
+        .where(F.col("_crank") <= nprobe)
+        .select("_qid", "_qvec", "_qlabel", "_cell")
+    )
+    w_k = Window.partitionBy("_qid").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        probes.join(assigned, "_cell")
+        .where(F.col(label_col) != F.col("_qlabel"))
+        .withColumn(
+            "cosine", pairwise_cosine(F.col("_qvec"), F.col(vec_col))
+        )
+        .withColumn("_rank", F.row_number().over(w_k))
+        .where(F.col("_rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            F.col(label_col),
+            "cosine",
+            F.col("_rank").alias("rank"),
+        )
+    )

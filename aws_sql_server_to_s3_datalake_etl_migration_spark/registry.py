@@ -99,7 +99,9 @@ def oracles() -> dict[str, str]:
 # doc_bm25_search, doc_bm25_batch, doc_lm_fluency, doc_span_dedup,
 # doc_dedup_survivors, doc_epoch_mix, event_transition_matrix,
 # doc_source_overlap, orders_column_profile, events_value_trend,
-# emb_quantize_int8, emb_quantized_topk, emb_pq_topk. Swap them in for the by-then
+# emb_quantize_int8, emb_quantized_topk, emb_pq_topk,
+# emb_hard_negatives, orders_price_quantiles, customer_rfm_segments.
+# Swap them in for the by-then
 # two-round-stable gapfill / sampling / funnel rows; keep the §2 core
 # pinned.
 _PRIORITY: tuple[str, ...] = (

@@ -1180,3 +1180,134 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(10)
     )
+
+
+@register(
+    "orders_price_quantiles",
+    """
+    WITH ranked AS (
+      SELECT c.c_mktsegment, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice, o.o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c.c_mktsegment) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p95,
+           MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p99
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment order-value distribution: DISCRETE p50/p95/p99
+    (the ceil(p*n)-th order statistic — an actual data value, so no
+    interpolation arithmetic to drift across engines; ties broken by
+    orderkey, which cannot change the selected value).
+
+    Scale: the window sorts within each of the five segments — fine
+    at warehouse segment cardinality, and the one-pass
+    ``approx_percentile`` (t-digest) path is the drop-in at 100 TB /
+    low group cardinality; its rank error vs these exact quantiles is
+    pinned by pytest (test_workloads_oracle.py).
+    """
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
+                                           "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = j.select(
+        "c_mktsegment",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float):
+        return F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("o_totalprice"),
+            )
+        )
+
+    return ranked.groupBy("c_mktsegment").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        pick(0.50).alias("p50"),
+        pick(0.95).alias("p95"),
+        pick(0.99).alias("p99"),
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey AS c_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY 1
+    )
+    SELECT c_custkey, last_order, frequency, monetary,
+           CAST(NTILE(5) OVER (ORDER BY last_order DESC, c_custkey)
+                AS BIGINT) AS r_quintile,
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC, c_custkey)
+                AS BIGINT) AS f_quintile,
+           CAST(NTILE(5) OVER (ORDER BY monetary DESC, c_custkey)
+                AS BIGINT) AS m_quintile
+    FROM per_cust
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary with
+    quintile ranks — the classic CRM scoring query. Monetary
+    accumulates in DECIMAL(18,4) (order-free), every NTILE carries a
+    unique tiebreak so quintile boundaries are deterministic.
+
+    Scale: the per-customer aggregate is map-side combined; the three
+    NTILEs each need a total order over the |customers| aggregate —
+    fine for warehouse customer cardinality, and the documented scale
+    path for huge N is percent_rank over range-partitioned sort (or
+    approx quantile cut points broadcast as a join), trading exact
+    equal-size buckets for a fixed cut.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    per = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    def quint(order_cols):
+        return F.ntile(5).over(
+            Window.orderBy(*order_cols)
+        ).cast("bigint")
+    return per.select(
+        "c_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        quint([F.col("last_order").desc(), F.col("c_custkey")]).alias(
+            "r_quintile"
+        ),
+        quint([F.col("frequency").desc(), F.col("c_custkey")]).alias(
+            "f_quintile"
+        ),
+        quint([F.col("monetary").desc(), F.col("c_custkey")]).alias(
+            "m_quintile"
+        ),
+    )

@@ -1922,3 +1922,58 @@ def doc_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.epoch_upsample(rated, "rate", "doc_id").select(
         "doc_id", "source", "quality_score", "copy_idx"
     )
+
+
+@register(
+    "emb_hard_negatives",
+    """
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e
+      WHERE vec_id % 37 = 0 AND vec_id < 18500
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id, e.label,
+             list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))) AS cosine
+      FROM q JOIN e ON e.label <> q.qlabel
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, label, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining at full probe: per anchor, the 3 most
+    similar DIFFERENT-label vectors (similarity.hard_negative_mining)
+    — exact by construction at nprobe = n_cells, so the whole
+    distributed plan is value-checked; partial probe is the scale
+    path. Same bounded-query guard as the fullprobe batch entry."""
+    embs = _embs(spark, sf_dir)
+    n = embs.count()
+    if n > 100_000:
+        raise ValueError(
+            f"emb_hard_negatives runs full probe (small-scale "
+            f"verifier); got {n} vectors (max 100000). Use partial "
+            "probe (similarity.hard_negative_mining nprobe<n_cells) "
+            "at scale."
+        )
+    assigned, centroids = similarity.build_ivf_index(embs, n_cells=8)
+    queries = embs.where(
+        (F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 500 * 37)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = similarity.hard_negative_mining(
+        assigned, centroids, queries, k=3, nprobe=8
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

@@ -129,6 +129,9 @@ EXTENDED = [
     "events_value_trend",
     "emb_quantized_topk",
     "emb_pq_topk",
+    "emb_hard_negatives",
+    "orders_price_quantiles",
+    "customer_rfm_segments",
 ]
 
 

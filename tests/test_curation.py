@@ -565,3 +565,34 @@ def test_ivfpq_full_probe_equals_plain_pq(spark):
         r.vec_id for r in similarity.brute_force_topk(embs, q, k=10).collect()
     }
     assert len(part & exact) >= 4
+
+
+def test_pq_index_incremental_append_matches_oneshot(spark, tmp_path):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        quantize,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    first = embs.where(F.col("vec_id") < 250)
+    second = embs.where(F.col("vec_id") >= 250)
+    cb = quantize.fit_pq_codebook(first, m=8, n_codes=16, iters=1)
+    path = str(tmp_path / "pq_index")
+    quantize.write_pq_index(
+        quantize.pq_encode(first, cb, m=8), cb, path, dim=64, m=8
+    )
+    quantize.append_to_pq_index(second, path)
+    codes, cb2, dim, m = quantize.read_pq_index(spark, path)
+    assert (dim, m) == (64, 8)
+    # incremental == one-shot encode of the full corpus with the same
+    # frozen codebook, row for row
+    oneshot = quantize.pq_encode(embs, cb, m=8)
+    inc = {r.vec_id: (list(r.pq_codes), r.vec_norm) for r in codes.collect()}
+    ref = {r.vec_id: (list(r.pq_codes), r.vec_norm) for r in oneshot.collect()}
+    assert inc == ref
+    # drift monitor: first call records the baseline, second call on a
+    # same-distribution batch lands near ratio 1
+    r1 = quantize.pq_index_drift(first, path).first()
+    assert r1.drift_ratio is None
+    r2 = quantize.pq_index_drift(second, path).first()
+    assert r2.drift_ratio is not None
+    assert 0.5 < r2.drift_ratio < 2.0

@@ -1049,3 +1049,40 @@ def test_epoch_upsample_partitioning_invariant(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_hard_negatives_labels_differ_and_match_bruteforce(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        similarity,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    assigned, centroids = similarity.build_ivf_index(embs, n_cells=8)
+    queries = embs.where(F.col("vec_id").isin(0, 37, 74)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = similarity.hard_negative_mining(
+        assigned, centroids, queries, k=3, nprobe=8
+    ).collect()
+    qlabels = {r.query_id: r.query_label for r in queries.collect()}
+    assert len(out) == 9
+    for r in out:
+        assert r.label != qlabels[r.query_id]
+    # full probe == exact: the top negative for anchor 0 is the most
+    # similar different-label vector found by brute force
+    q0 = [
+        float(v)
+        for v in embs.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    bf = (
+        similarity.brute_force_topk(
+            embs.where(F.col("label") != qlabels[0]), q0, k=3
+        )
+        .collect()
+    )
+    mined = sorted(
+        (r for r in out if r.query_id == 0), key=lambda r: r.rank
+    )
+    assert [r.vec_id for r in mined] == [r.vec_id for r in bf]

@@ -115,3 +115,41 @@ def test_funnel_ordering_ties_and_stages(spark, tmp_path):
     assert out.n_view == 4
     assert out.n_view_click == 2       # u1 and u3
     assert out.n_view_click_purchase == 1  # u1 only
+
+
+def test_price_quantiles_approx_path_within_rank_error(spark, sf_dir):
+    """The 100 TB drop-in (approx_percentile, t-digest) must land
+    within its accuracy contract of the exact discrete quantiles the
+    catalog query computes."""
+    import aws_sql_server_to_s3_datalake_etl_migration_spark.workloads as wl
+
+    exact = {
+        r.c_mktsegment: r
+        for r in wl.queries()["orders_price_quantiles"](
+            spark, sf_dir
+        ).collect()
+    }
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    approx = {
+        r.c_mktsegment: r.q
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.5, 0.95, 0.99], 10000
+            ).alias("q")
+        )
+        .collect()
+    }
+    for seg, e in exact.items():
+        a50, a95, a99 = approx[seg]
+        # rank error 1/10000 over ~1-2k rows/segment -> near-exact;
+        # assert a loose relative bound so the test is stable
+        assert abs(a50 - e.p50) / e.p50 < 0.02
+        assert abs(a95 - e.p95) / e.p95 < 0.02
+        assert abs(a99 - e.p99) / e.p99 < 0.02

@@ -79,6 +79,14 @@ QUERIES = [
     "doc_source_overlap",
     "doc_bm25_search",
     "event_transition_matrix",
+    # round-6 late additions: span-stats hash-agg + reassembly (must
+    # track corpus size), bigram LM fluency (O(corpus tokens)), the
+    # explode-based epoch materializer, and PQ encode+ADC (O(n·m·k)
+    # encode, broadcast-lookup search)
+    "doc_span_dedup",
+    "doc_lm_fluency",
+    "doc_epoch_mix",
+    "emb_pq_topk",
 ]
 
 

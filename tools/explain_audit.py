@@ -328,6 +328,24 @@ EXPECT: dict[str, dict] = {
     "doc_epoch_mix": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # RFM: one map-side-combined aggregate, then three global NTILEs
+    # over the |customers| aggregate (single-partition windows on an
+    # aggregate — the documented exact-quintile trade); no joins.
+    "customer_rfm_segments": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # hard-negative mining: centroid cross product is |Q| x n_cells
+    # narrow rows (one explicit broadcast); the probed-cell equi-join
+    # + label filter + per-query window must stay JVM-side.
+    "emb_hard_negatives": {
+        "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
+    },
+    # discrete quantiles: one customer join (AQE decides the
+    # strategy), two windows sharing the per-segment exchange, one
+    # final hash-agg; no Python.
+    "orders_price_quantiles": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
     # PQ ADC search: the codebook (m x n_codes rows) broadcasts into
     # both the encode argmin and the ADC lookup; the seed-codebook
     # limit(16) sort is 16 rows, so no_smj holds; ranking must stay
@@ -353,6 +371,10 @@ SCALAR_SUBQUERY_OK = {
     "emb_quantized_topk",
     # single-row broadcast cross join: the vocabulary-size row V
     "doc_lm_fluency",
+    # bounded broadcast cross join by design: every query scores the
+    # <= n_cells centroid rows before pruning to nprobe cells (the
+    # batch-ANN cell-selection step)
+    "emb_hard_negatives",
 }
 
 
