@@ -455,10 +455,14 @@ def write_pq_index(
     m: int,
 ) -> None:
     """Persist a PQ index: the m-byte codes table and a codebook
-    sidecar that also records the FIT-TIME mean assignment distortion
-    (mean fixed-point squared distance of every subvector to its
-    codeword) — the baseline the drift monitor compares against."""
-    encoded.write.mode("overwrite").parquet(f"{path}/codes")
+    sidecar. Codes live under per-batch partitions
+    (``codes/ingest_batch_id=...``) — the bootstrap owns the
+    ``bootstrap`` partition — so every later append (batch or
+    streaming) is an idempotent per-batch-id overwrite and the layout
+    never mixes plain files with partition directories."""
+    from ..sources.writers import overwrite_batch_partition
+
+    overwrite_batch_partition(encoded, f"{path}/codes", "bootstrap")
     meta = codebook.select(
         "sub_idx", "code", "cent",
         F.lit(dim).alias("dim"), F.lit(m).alias("m"),
@@ -467,8 +471,11 @@ def write_pq_index(
 
 
 def read_pq_index(spark, path: str):
-    """(codes_df, codebook_df, dim, m) from ``write_pq_index``."""
-    codes = spark.read.parquet(f"{path}/codes")
+    """(codes_df, codebook_df, dim, m) from ``write_pq_index``. The
+    per-batch ``ingest_batch_id`` lineage partition is dropped from
+    the returned codes (filter on it before the drop to prune to one
+    batch's directory)."""
+    codes = spark.read.parquet(f"{path}/codes").drop("ingest_batch_id")
     cb = spark.read.parquet(f"{path}/codebook")
     row = cb.select("dim", "m").first()
     return codes, cb.select("sub_idx", "code", "cent"), row["dim"], row["m"]
@@ -477,6 +484,7 @@ def read_pq_index(spark, path: str):
 def append_to_pq_index(
     new_vectors: DataFrame,
     path: str,
+    batch_id: int | str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -489,12 +497,20 @@ def append_to_pq_index(
     is quantization drift if the data distribution moves — measure it
     with ``pq_index_drift`` and refit + rebuild when it crosses the
     budget (a full rebuild, amortized over the batches it serves).
+
+    ``batch_id`` names the batch's own partition
+    (``codes/ingest_batch_id=<id>``): a re-run of the same batch
+    overwrites its partition with identical codes (the codebook is
+    frozen), so the append is replay-idempotent rather than
+    duplicate-appending.
     """
+    from ..sources.writers import overwrite_batch_partition
+
     spark = new_vectors.sparkSession
     _, cb, dim, m = read_pq_index(spark, path)
     enc = pq_encode(new_vectors, cb, id_col=id_col, vec_col=vec_col,
                     dim=dim, m=m)
-    enc.write.mode("append").parquet(f"{path}/codes")
+    overwrite_batch_partition(enc, f"{path}/codes", batch_id)
     return enc
 
 

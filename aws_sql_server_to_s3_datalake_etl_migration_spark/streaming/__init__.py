@@ -13,7 +13,9 @@ from .ingest import (
     stream_enrich,
     stream_enrich_scd2,
     stream_merge_to_lake,
+    pq_index_commit_batch,
     stream_profile_refresh,
+    stream_vectors_to_pq_index,
     stream_robust_ingest,
     stream_rollup_refresh,
 )
@@ -32,7 +34,9 @@ __all__ = [
     "stream_enrich",
     "stream_enrich_scd2",
     "stream_merge_to_lake",
+    "pq_index_commit_batch",
     "stream_profile_refresh",
+    "stream_vectors_to_pq_index",
     "stream_robust_ingest",
     "windowed_event_counts",
     "sessionize",

@@ -509,3 +509,61 @@ def stream_profile_refresh(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def pq_index_commit_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of the streaming PQ-index maintainer: encode
+    the batch's vectors with the index's FROZEN codebook
+    (``operators.quantize.read_pq_index`` / ``pq_encode``) and
+    overwrite ``<index>/codes/ingest_batch_id=<id>/``. The
+    deterministic per-batch target makes replay exactly-once (a
+    replayed batch re-encodes to the identical codes — the codebook is
+    frozen — and replaces its own partition byte-for-byte); history is
+    never re-read or re-encoded."""
+    from ..operators.quantize import pq_encode, read_pq_index
+    from ..sources.writers import overwrite_batch_partition
+
+    _, cb, dim, m = read_pq_index(batch_df.sparkSession, index_path)
+    enc = pq_encode(
+        batch_df, cb, id_col=id_col, vec_col=vec_col, dim=dim, m=m
+    )
+    overwrite_batch_partition(enc, f"{index_path}/codes", batch_id)
+
+
+def stream_vectors_to_pq_index(
+    df: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = False,
+):
+    """Maintain a persisted PQ index from a vector stream: per
+    micro-batch frozen-codebook encode + idempotent per-batch-id
+    partition overwrite (``pq_index_commit_batch``). The index must
+    exist (``quantize.write_pq_index``) — bootstrap fit, then stream
+    appends; watch ``pq_index_drift`` on a schedule to decide refits.
+    Streaming union of all batches equals the batch
+    ``append_to_pq_index`` result (differential in
+    tests/test_streaming.py)."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        pq_index_commit_batch(
+            batch_df, index_path, batch_id, id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

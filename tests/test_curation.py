@@ -580,7 +580,7 @@ def test_pq_index_incremental_append_matches_oneshot(spark, tmp_path):
     quantize.write_pq_index(
         quantize.pq_encode(first, cb, m=8), cb, path, dim=64, m=8
     )
-    quantize.append_to_pq_index(second, path)
+    quantize.append_to_pq_index(second, path, batch_id=1)
     codes, cb2, dim, m = quantize.read_pq_index(spark, path)
     assert (dim, m) == (64, 8)
     # incremental == one-shot encode of the full corpus with the same

@@ -1049,3 +1049,67 @@ def test_stream_profile_refresh_matches_batch(spark, tmp_path, sf_dir):
             abs(streamed[c].n_distinct_est - batch[c].n_distinct)
             <= 0.05 * batch[c].n_distinct + 2
         )
+
+
+def test_stream_pq_index_matches_batch_and_replays_safely(
+    spark, tmp_path
+):
+    """Differential: streaming PQ-index maintenance (frozen-codebook
+    encode per micro-batch, per-batch-id partition overwrite) must
+    yield exactly the codes the batch encoder produces for the same
+    vectors — and a replayed batch id must replace, not duplicate."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        quantize,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
+        pq_index_commit_batch,
+        stream_ingest_files,
+        stream_vectors_to_pq_index,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    boot = embs.where(F.col("vec_id") < 200)
+    rest = embs.where(F.col("vec_id") >= 200)
+    cb = quantize.fit_pq_codebook(boot, m=8, n_codes=16, iters=1)
+    index_path = str(tmp_path / "pq_stream_index")
+    quantize.write_pq_index(
+        quantize.pq_encode(boot, cb, m=8), cb, index_path, dim=64, m=8
+    )
+
+    src = tmp_path / "pq_in"
+    src.mkdir()
+    rest.where(F.col("vec_id") < 350).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    rest.where(F.col("vec_id") >= 350).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    q = stream_vectors_to_pq_index(
+        stream_ingest_files(
+            spark, str(src / "*"), embs.schema, max_files_per_trigger=1
+        ),
+        index_path,
+        str(tmp_path / "pq_ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    codes, _, _, _ = quantize.read_pq_index(spark, index_path)
+    streamed = {
+        r.vec_id: list(r.pq_codes) for r in codes.collect()
+    }
+    ref = {
+        r.vec_id: list(r.pq_codes)
+        for r in quantize.pq_encode(embs, cb, m=8).collect()
+    }
+    assert streamed == ref
+    assert len(streamed) == embs.count()
+
+    # replay: committing batch 0's data again under the same id
+    # replaces its partition — same final state, no duplicates
+    pq_index_commit_batch(
+        rest.where(F.col("vec_id") < 350), index_path, 0
+    )
+    codes2, _, _, _ = quantize.read_pq_index(spark, index_path)
+    again = {r.vec_id: list(r.pq_codes) for r in codes2.collect()}
+    assert again == ref
