@@ -129,3 +129,57 @@ def scd2_bootstrap(
         .withColumn(to_col, F.lit(None).cast("timestamp"))
         .withColumn(flag_col, F.lit(True))
     )
+
+
+def scd2_change_feed(
+    history: DataFrame,
+    keys: list[str],
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    flag_col: str = "is_current",
+) -> DataFrame:
+    """Derive the CDC event stream a history table encodes — the
+    inverse of ``scd2_apply`` (downstream consumers often want "what
+    changed, when" as a feed, while the warehouse stores state as
+    SCD2): per key ordered by ``from_col``, the first version is an
+    ``insert`` at its ``valid_from``, every later version an
+    ``update`` at its ``valid_from``, and a closed final version (no
+    successor, not current) a trailing ``delete`` at its ``valid_to``.
+
+    One window partitioned by the business key (version-count-sized
+    partitions), no joins; deterministic because SCD2 versions are
+    totally ordered by ``from_col`` within a key. Returns the business
+    columns + (``change_ts``, ``op``); feed order is (key, change_ts).
+    """
+    from pyspark.sql.window import Window
+
+    business = [
+        c for c in history.columns
+        if c not in {from_col, to_col, flag_col}
+    ]
+    w = Window.partitionBy(*keys).orderBy(from_col)
+    versioned = history.select(
+        *business,
+        F.col(from_col),
+        F.col(to_col),
+        F.col(flag_col),
+        F.row_number().over(w).alias("_vn"),
+        F.lead(from_col).over(w).alias("_next_from"),
+    )
+    changes = versioned.select(
+        *business,
+        F.col(from_col).alias("change_ts"),
+        F.when(F.col("_vn") == 1, F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+    )
+    deletes = versioned.where(
+        F.col("_next_from").isNull()
+        & ~F.col(flag_col)
+        & F.col(to_col).isNotNull()
+    ).select(
+        *business,
+        F.col(to_col).alias("change_ts"),
+        F.lit("delete").alias("op"),
+    )
+    return changes.unionByName(deletes)

@@ -1289,3 +1289,89 @@ def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "event_funnel_windowed",
+    """
+    WITH w1 AS (
+      SELECT user_id, event_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS fv
+      FROM events
+    ),
+    w2 AS (
+      SELECT *,
+             MIN(CASE WHEN event_type = 'click' AND fv IS NOT NULL
+                      AND ts <= fv + INTERVAL 1 HOUR
+                      THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS fc
+      FROM w1
+    ),
+    per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' AND fv IS NOT NULL
+                      AND ts <= fv + INTERVAL 1 HOUR
+                      THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' AND fc IS NOT NULL
+                      AND ts <= fc + INTERVAL 1 HOUR
+                      THEN ts END) AS t_purchase
+      FROM w2 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(t_view) AS BIGINT) AS n_view,
+           CAST(COUNT(t_click) AS BIGINT) AS n_view_click_1h,
+           CAST(COUNT(t_purchase) AS BIGINT) AS n_full_funnel_1h
+    FROM per_user
+    """,
+)
+def event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUND funnel: click within 1 hour of the first view,
+    purchase within 1 hour of the first qualifying click — the
+    conversion-window semantics every product-analytics engine
+    defaults to (an unbounded funnel overcounts users who 'converted'
+    days later). Identical single-shuffle shape as
+    ``event_funnel_conversion`` — the window deadline is one more
+    predicate on the same running-min windows, NOT a range self-join;
+    timestamp + interval arithmetic is exact integer micros on both
+    engines."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    is_view = F.col("event_type") == "view"
+    click_ok = (
+        (F.col("event_type") == "click")
+        & F.col("fv").isNotNull()
+        & (F.col("ts") <= F.col("fv") + hour)
+    )
+    d1 = e.withColumn("fv", F.min(F.when(is_view, F.col("ts"))).over(w))
+    d2 = d1.withColumn(
+        "fc", F.min(F.when(click_ok, F.col("ts"))).over(w)
+    )
+    purchase_ok = (
+        (F.col("event_type") == "purchase")
+        & F.col("fc").isNotNull()
+        & (F.col("ts") <= F.col("fc") + hour)
+    )
+    per_user = d2.groupBy("user_id").agg(
+        F.min(F.when(is_view, F.col("ts"))).alias("t_view"),
+        F.min(F.when(click_ok, F.col("ts"))).alias("t_click"),
+        F.min(F.when(purchase_ok, F.col("ts"))).alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click_1h"),
+        F.count("t_purchase").alias("n_full_funnel_1h"),
+    )

@@ -24,9 +24,7 @@ _T0 = "1995-01-01 00:00:00"
 _T1 = "1998-01-01 00:00:00"
 
 
-@register(
-    "scd2_customer_history",
-    f"""
+_SCD2_HISTORY_SQL = f"""
     WITH cur AS (
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
              TIMESTAMP '{_T0}' AS valid_from,
@@ -69,7 +67,12 @@ _T1 = "1998-01-01 00:00:00"
     SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
            TIMESTAMP '{_T1}', CAST(NULL AS TIMESTAMP), TRUE
     FROM upd WHERE c_custkey NOT IN (SELECT c_custkey FROM cur)
-    """,
+"""
+
+
+@register(
+    "scd2_customer_history",
+    _SCD2_HISTORY_SQL,
 )
 def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 apply over the customer dimension: a deterministic update
@@ -215,3 +218,41 @@ def recon_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
     )
     return snapshot_diff(old, new, keys=["c_custkey"])
+
+
+@register(
+    "scd2_customer_changes",
+    f"""
+    WITH hist AS (
+    {_SCD2_HISTORY_SQL}
+    ),
+    versioned AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY valid_from) AS vn,
+             LEAD(valid_from) OVER (PARTITION BY c_custkey
+                                    ORDER BY valid_from) AS next_from
+      FROM hist
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           valid_from AS change_ts,
+           CASE WHEN vn = 1 THEN 'insert' ELSE 'update' END AS op
+    FROM versioned
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           valid_to AS change_ts, 'delete' AS op
+    FROM versioned
+    WHERE next_from IS NULL AND NOT is_current AND valid_to IS NOT NULL
+    """,
+)
+def scd2_customer_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feed derived FROM the SCD2 history (operators/scd.py
+    scd2_change_feed — the inverse of scd2_apply): first versions as
+    inserts, later versions as updates, closed successorless versions
+    as deletes. One per-key window over the history, no joins;
+    value-checked against a window replay of the same rule."""
+    from .operators.scd import scd2_change_feed
+
+    return scd2_change_feed(
+        scd2_customer_history(spark, sf_dir), keys=["c_custkey"]
+    )

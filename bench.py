@@ -132,6 +132,8 @@ EXTENDED = [
     "emb_hard_negatives",
     "orders_price_quantiles",
     "customer_rfm_segments",
+    "event_funnel_windowed",
+    "scd2_customer_changes",
 ]
 
 

@@ -234,3 +234,48 @@ def test_observed_write_collects_metrics_in_flight(spark, tmp_path):
 
     with pytest.raises(ValueError, match="at least one"):
         observed_write(df, writer_fn=lambda d: None)
+
+
+def test_scd2_change_feed_insert_update_delete(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.scd import (
+        scd2_change_feed,
+    )
+
+    hist = spark.createDataFrame(
+        [
+            # key 1: two versions, still current -> insert + update
+            (1, "a", "2020-01-01 00:00:00", "2021-01-01 00:00:00", False),
+            (1, "b", "2021-01-01 00:00:00", None, True),
+            # key 2: single closed version, no successor -> insert + delete
+            (2, "x", "2020-06-01 00:00:00", "2020-07-01 00:00:00", False),
+            # key 3: single open version -> insert only
+            (3, "y", "2020-02-01 00:00:00", None, True),
+        ],
+        "k long, v string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "v",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    out = scd2_change_feed(hist, keys=["k"]).collect()
+    ops = sorted((r.k, r.op, str(r.change_ts)) for r in out)
+    assert ops == [
+        (1, "insert", "2020-01-01 00:00:00"),
+        (1, "update", "2021-01-01 00:00:00"),
+        (2, "delete", "2020-07-01 00:00:00"),
+        (2, "insert", "2020-06-01 00:00:00"),
+        (3, "insert", "2020-02-01 00:00:00"),
+    ]
+    assert {r.v for r in out if r.op == "delete"} == {"x"}
+
+
+def test_funnel_windowed_never_exceeds_unbounded(spark, sf_dir):
+    import aws_sql_server_to_s3_datalake_etl_migration_spark.workloads as wl
+
+    qs = wl.queries()
+    un = qs["event_funnel_conversion"](spark, sf_dir).first()
+    wi = qs["event_funnel_windowed"](spark, sf_dir).first()
+    assert wi.n_view == un.n_view  # stage 1 has no deadline
+    assert wi.n_view_click_1h <= un.n_view_click
+    assert wi.n_full_funnel_1h <= un.n_view_click_purchase

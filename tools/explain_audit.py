@@ -328,6 +328,18 @@ EXPECT: dict[str, dict] = {
     "doc_epoch_mix": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # time-bound funnel: identical single-shuffle shape as the
+    # unbounded funnel — both running-min windows and the per-user agg
+    # reuse ONE user_id exchange; the deadline is a predicate, not a
+    # range self-join.
+    "event_funnel_windowed": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # SCD2 change feed: the history build (full-outer MERGE shape) +
+    # one per-key window + union; no Python.
+    "scd2_customer_changes": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
     # RFM: one map-side-combined aggregate, then three global NTILEs
     # over the |customers| aggregate (single-partition windows on an
     # aggregate — the documented exact-quintile trade); no joins.
