@@ -486,3 +486,74 @@ def doc_frequent_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_terms(
         docs, term_col="text", capacity=4096, k=50, tokenize=True
     )
+
+
+@register(
+    "events_seasonal_baseline",
+    """
+    WITH hourly AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(date_part('hour', ts) AS BIGINT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    baseline AS (
+      SELECT CAST(dayofweek(d) AS BIGINT) AS dow, hod,
+             CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS baseline_mean,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT h.d, h.hod, h.n_events, b.baseline_mean, b.n_obs,
+           h.n_events > 2.0 * b.baseline_mean AS is_anomalous
+    FROM hourly h
+    JOIN baseline b
+      ON CAST(dayofweek(h.d) AS BIGINT) = b.dow AND h.hod = b.hod
+    """,
+)
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonal baseline: each (date, hour) traffic count
+    scored against the mean for its (day-of-week, hour) slot — the
+    standard seasonality-aware volume monitor (a Monday-9am spike is
+    normal; the same count at Sunday-3am is an incident). Every input
+    to the comparison is an aggregate: hourly buckets (one row per
+    date x hour), the 168-slot baseline (broadcastable forever), one
+    aggregated join — raw events are scanned once and never shuffled
+    beyond the bucket agg. Counts are exact int64; the mean is one
+    bigint/bigint double division, engine-identical.
+
+    DOW convention: Spark's dayofweek() is 1=Sunday, DuckDB's is
+    0=Sunday — the Spark side subtracts 1.
+    """
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    baseline = hourly.groupBy(
+        (F.dayofweek("d") - 1).cast("bigint").alias("dow"),
+        "hod",
+    ).agg(
+        (
+            F.sum("n_events").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("baseline_mean"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    keyed = hourly.withColumn(
+        "dow", (F.dayofweek("d") - 1).cast("bigint")
+    )
+    return (
+        keyed.join(F.broadcast(baseline), ["dow", "hod"])
+        .select(
+            "d",
+            "hod",
+            "n_events",
+            "baseline_mean",
+            "n_obs",
+            (
+                F.col("n_events")
+                > F.lit(2.0) * F.col("baseline_mean")
+            ).alias("is_anomalous"),
+        )
+    )

@@ -134,6 +134,7 @@ EXTENDED = [
     "customer_rfm_segments",
     "event_funnel_windowed",
     "scd2_customer_changes",
+    "events_seasonal_baseline",
 ]
 
 

@@ -328,6 +328,11 @@ EXPECT: dict[str, dict] = {
     "doc_epoch_mix": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # seasonal baseline: two aggregates of one scan; the 168-slot
+    # baseline broadcasts explicitly; no window, no Python.
+    "events_seasonal_baseline": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
     # time-bound funnel: identical single-shuffle shape as the
     # unbounded funnel — both running-min windows and the per-user agg
     # reuse ONE user_id exchange; the deadline is a predicate, not a
