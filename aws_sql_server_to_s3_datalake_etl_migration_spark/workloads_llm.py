@@ -1965,7 +1965,22 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe (similarity.hard_negative_mining nprobe<n_cells) "
             "at scale."
         )
-    assigned, centroids = similarity.build_ivf_index(embs, n_cells=8)
+    # full probe visits every cell, so neither centroid quality nor
+    # the assignment rule can change the result — skip the k-means
+    # fit entirely: the first 8 vectors serve as centroids and cells
+    # are a codegen hash of the id (the probed-cell equi-join /
+    # label-filter / per-query-window machinery under test is
+    # identical; the production partial-probe path fits real cells
+    # via build_ivf_index, covered by the hard-negative pytest)
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in embs.where(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    assigned = embs.withColumn(
+        "_cell", (F.col("vec_id") % 8).cast("int")
+    )
     queries = embs.where(
         (F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 500 * 37)
     ).select(
