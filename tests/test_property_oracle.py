@@ -331,3 +331,98 @@ def test_asof_join_payload_matches_pandas_merge_asof(spark, left, right):
             None if pd.isna(row["r_payload"]) else int(row["r_payload"])
         )
         assert got[row["event_id"]] == want, (row["event_id"],)
+
+
+# ---------------------------------------------------------------------------
+# span_dedup vs a pure-Python reference on random corpora
+# ---------------------------------------------------------------------------
+
+
+def _py_span_dedup(docs: list[tuple[int, str]], n: int):
+    """Reference implementation of the first-global-occurrence rule."""
+    seen: dict[str, tuple[int, int]] = {}
+    spans_of = {}
+    for doc_id, text in docs:
+        w = text.split()
+        spans = [
+            " ".join(w[s * n:(s + 1) * n])
+            for s in range((len(w) + n - 1) // n)
+        ]
+        spans_of[doc_id] = spans
+        for pos, sp in enumerate(spans):
+            if sp not in seen or (doc_id, pos) < seen[sp]:
+                seen[sp] = (doc_id, pos)
+    out = {}
+    for doc_id, spans in spans_of.items():
+        kept = [
+            sp
+            for pos, sp in enumerate(spans)
+            if seen[sp] == (doc_id, pos)
+        ]
+        out[doc_id] = (len(spans), len(kept), " ".join(kept))
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_span_dedup_matches_python_reference(spark, texts, n):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    docs = [(i, " ".join(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_kept, r.clean_text)
+        for r in span_dedup(df, n=n).collect()
+    }
+    assert got == _py_span_dedup(docs, n)
+
+
+# ---------------------------------------------------------------------------
+# epoch_upsample: exact expected copy counts from the hash rule
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rates=st.lists(
+        st.floats(-1.0, 4.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_epoch_upsample_matches_hash_rule(spark, rates):
+    import hashlib
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.sampling import (
+        epoch_upsample,
+    )
+
+    rows = [(i, float(r)) for i, r in enumerate(rates)]
+    df = spark.createDataFrame(rows, "doc_id long, rate double")
+    got = {
+        r.doc_id: r.n
+        for r in epoch_upsample(df, "rate", "doc_id")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    import math
+
+    for i, r in rows:
+        rr = max(r, 0.0)
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        want = int(math.floor(rr)) + (
+            1 if u < (rr - math.floor(rr)) * 4294967296.0 else 0
+        )
+        assert got.get(i, 0) == want, (i, r)
