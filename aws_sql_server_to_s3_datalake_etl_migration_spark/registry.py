@@ -101,7 +101,8 @@ def oracles() -> dict[str, str]:
 # doc_source_overlap, orders_column_profile, events_value_trend,
 # emb_quantize_int8, emb_quantized_topk, emb_pq_topk,
 # emb_hard_negatives, orders_price_quantiles, customer_rfm_segments,
-# event_funnel_windowed, scd2_customer_changes, events_seasonal_baseline.
+# event_funnel_windowed, scd2_customer_changes, events_seasonal_baseline,
+# doc_corpus_card.
 # Swap them in for the by-then
 # two-round-stable gapfill / sampling / funnel rows; keep the §2 core
 # pinned.

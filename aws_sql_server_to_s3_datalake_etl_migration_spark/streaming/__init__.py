@@ -15,6 +15,7 @@ from .ingest import (
     stream_merge_to_lake,
     pq_index_commit_batch,
     stream_profile_refresh,
+    stream_span_scrub_to_lake,
     stream_vectors_to_pq_index,
     stream_robust_ingest,
     stream_rollup_refresh,
@@ -36,6 +37,7 @@ __all__ = [
     "stream_merge_to_lake",
     "pq_index_commit_batch",
     "stream_profile_refresh",
+    "stream_span_scrub_to_lake",
     "stream_vectors_to_pq_index",
     "stream_robust_ingest",
     "windowed_event_counts",

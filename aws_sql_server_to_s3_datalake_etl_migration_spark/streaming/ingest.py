@@ -567,3 +567,51 @@ def stream_vectors_to_pq_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_span_scrub_to_lake(
+    df: DataFrame,
+    lake_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    available_now: bool = False,
+):
+    """Streaming duplicated-span removal: each micro-batch is scrubbed
+    against the persisted span-fingerprint index
+    (``operators.dedup.span_scrub_against_index``), cleaned docs land
+    in ``<lake>/ingest_batch_id=<id>``, the batch's new span
+    fingerprints in ``<index>/ingest_batch_id=<id>`` — both
+    deterministic per-batch targets, and the admission compute
+    excludes the batch's own index partition, so an at-least-once
+    replay rewrites both partitions byte-for-byte (exactly-once
+    semantics with plain parquet, the same protocol as
+    ``stream_dedup_to_lake``). State is the index, not stream state —
+    the dedup horizon is unbounded while the streaming state store
+    stays empty."""
+    from ..operators.dedup import span_scrub_against_index
+    from ..sources.writers import overwrite_batch_partition
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        cleaned, new_fps = span_scrub_against_index(
+            batch_df.sparkSession,
+            batch_df,
+            index_path,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            exclude_subdir=f"ingest_batch_id={batch_id}",
+        )
+        overwrite_batch_partition(cleaned, lake_path, batch_id)
+        overwrite_batch_partition(new_fps, index_path, batch_id)
+
+    writer = (
+        df.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

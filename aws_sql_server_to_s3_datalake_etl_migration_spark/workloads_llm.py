@@ -1992,3 +1992,70 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned, centroids, queries, k=3, nprobe=8
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus card: one-table dataset summary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_corpus_card",
+    f"""
+    WITH {_QUALITY_CTE},
+    toks AS (
+      SELECT d.doc_id, d.source, s.quality_score,
+             CASE WHEN trim(d.text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(d.text), '\\s+') END AS w,
+             md5(d.text) AS fp
+      FROM documents d JOIN scored s USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(w)) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_texts,
+           CAST(SUM(CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quality_ge_half,
+           CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_quality,
+           CAST(MIN(len(w)) AS BIGINT) AS min_tokens,
+           CAST(MAX(len(w)) AS BIGINT) AS max_tokens
+    FROM toks
+    GROUP BY 1
+    """,
+)
+def doc_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus card — the one-table dataset summary a
+    training run's datasheet starts from: volume (docs, tokens),
+    exact-dup pressure (distinct content fingerprints), quality
+    distribution (mean + >=0.5 share), and length bounds. ONE scan +
+    one hash-agg; quality means accumulate in DECIMAL (order-free);
+    the distinct-fingerprint count is the only expansion (Expand for
+    the mixed distinct/plain aggregate — same audited shape as the
+    column profiler)."""
+    scored = textops.with_quality_score(_docs(spark, sf_dir))
+    toks = textops.tokens("text")
+    return (
+        scored.select(
+            "source",
+            "quality_score",
+            F.size(toks).cast("bigint").alias("_nt"),
+            F.md5("text").alias("_fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.countDistinct("_fp").alias("n_unique_texts"),
+            F.sum(
+                F.when(F.col("quality_score") >= 0.5, 1).otherwise(0)
+            ).cast("bigint").alias("n_quality_ge_half"),
+            (
+                F.sum(F.col("quality_score").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_quality"),
+            F.min("_nt").alias("min_tokens"),
+            F.max("_nt").alias("max_tokens"),
+        )
+    )

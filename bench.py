@@ -135,6 +135,7 @@ EXTENDED = [
     "event_funnel_windowed",
     "scd2_customer_changes",
     "events_seasonal_baseline",
+    "doc_corpus_card",
 ]
 
 

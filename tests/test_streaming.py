@@ -1113,3 +1113,48 @@ def test_stream_pq_index_matches_batch_and_replays_safely(
     codes2, _, _, _ = quantize.read_pq_index(spark, index_path)
     again = {r.vec_id: list(r.pq_codes) for r in codes2.collect()}
     assert again == ref
+
+
+def test_stream_span_scrub_matches_oneshot(spark, tmp_path, sf_dir):
+    """Differential: streaming span scrub (index-backed foreachBatch)
+    over ordered micro-batches equals the one-shot span_dedup of the
+    whole corpus."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        span_dedup,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
+        stream_ingest_files,
+        stream_span_scrub_to_lake,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    oneshot = {
+        r.doc_id: (r.n_spans, r.n_kept, r.clean_text)
+        for r in span_dedup(docs, n=4).collect()
+    }
+
+    src = tmp_path / "sss_in"
+    src.mkdir()
+    # ordered landing: batch files named so the file source picks them
+    # up in doc_id order (streaming admission matches global
+    # first-occurrence when batches arrive in corpus order)
+    docs.where("doc_id < 250").coalesce(1).write.parquet(str(src / "b0"))
+    docs.where("doc_id >= 250").coalesce(1).write.parquet(str(src / "b1"))
+    lake = str(tmp_path / "sss_lake")
+    index = str(tmp_path / "sss_index")
+    q = stream_span_scrub_to_lake(
+        stream_ingest_files(
+            spark, str(src / "*"), docs.schema, max_files_per_trigger=1
+        ),
+        lake,
+        index,
+        str(tmp_path / "sss_ckpt"),
+        n=4,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_spans, r.n_kept, r.clean_text)
+        for r in spark.read.parquet(lake).collect()
+    }
+    assert got == oneshot

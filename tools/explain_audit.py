@@ -328,6 +328,11 @@ EXPECT: dict[str, dict] = {
     "doc_epoch_mix": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # corpus card: ONE scan + one hash-agg; the mixed distinct/plain
+    # aggregate plans as an Expand like the column profiler; no joins.
+    "doc_corpus_card": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
     # seasonal baseline: two aggregates of one scan; the 168-slot
     # baseline broadcasts explicitly; no window, no Python.
     "events_seasonal_baseline": {
