@@ -2059,3 +2059,79 @@ def doc_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_nt").alias("max_tokens"),
         )
     )
+
+
+@register(
+    "doc_oov_rate",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+        ORDER BY n DESC, tok ASC LIMIT 50
+      )
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov
+      FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(n_tokens, 0) AS n_tokens,
+           COALESCE(n_oov, 0) AS n_oov,
+           CASE WHEN COALESCE(n_tokens, 0) = 0 THEN NULL
+                ELSE CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           END AS oov_rate
+    FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+    """,
+)
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage filter signal: per-document fraction of
+    tokens outside the corpus's own top-50 vocabulary — high OOV marks
+    gibberish/OCR noise/foreign fragments relative to the corpus core
+    (with a real tokenizer vocab table the same plan applies
+    unchanged). The vocabulary is a bounded aggregate (top-k), so the
+    membership join broadcasts it; one explode + one left-semi-shaped
+    join + per-doc agg, O(corpus tokens)."""
+    from .operators.textops import tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.where(F.trim("text") != "").select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(50)
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_oov"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+        F.when(
+            F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(None)
+        )
+        .otherwise(
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+        )
+        .alias("oov_rate"),
+    )

@@ -136,6 +136,7 @@ EXTENDED = [
     "scd2_customer_changes",
     "events_seasonal_baseline",
     "doc_corpus_card",
+    "doc_oov_rate",
 ]
 
 

@@ -328,6 +328,11 @@ EXPECT: dict[str, dict] = {
     "doc_epoch_mix": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # OOV rate: explode + top-k vocab aggregate broadcast back into
+    # the membership join + per-doc agg; one explicit hint.
+    "doc_oov_rate": {
+        "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
+    },
     # corpus card: ONE scan + one hash-agg; the mixed distinct/plain
     # aggregate plans as an Expand like the column profiler; no joins.
     "doc_corpus_card": {
