@@ -260,3 +260,64 @@ def asof_join_payload(
             for c in pay
         ],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Join rows whose [start, end] intervals (inclusive, epoch-micros
+    int64 columns) overlap — WITHOUT the O(n·m) theta join Spark would
+    otherwise plan for an inequality condition.
+
+    Binning: both sides explode onto fixed-width time bins covering
+    their interval; two overlapping intervals necessarily share the
+    bin containing the overlap's start, so an equi-join on the bin
+    finds every overlapping pair, the exact predicate
+    (``l_start <= r_end AND r_start <= l_end``) removes same-bin
+    non-overlaps, and pairs meeting in several shared bins are
+    deduplicated by keeping only the FIRST shared bin (a predicate —
+    ``bin == max(floor(l_start/bin), floor(r_start/bin))`` — not a
+    distinct, so no extra shuffle).
+
+    Fan-out per row is interval_length/bin_us + 1: size ``bin_us``
+    near the typical interval length (an hour for sessions, a day for
+    campaigns). Cost is O(data x fan-out + true pairs) — the binned
+    range-join strategy, same family as ``range_join``.
+    """
+    lb = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_start) / F.lit(bin_us)),
+                F.floor(F.col(l_end) / F.lit(bin_us)),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_start) / F.lit(bin_us)),
+                F.floor(F.col(r_end) / F.lit(bin_us)),
+            )
+        ),
+    )
+    first_shared = F.greatest(
+        F.floor(F.col(l_start) / F.lit(bin_us)),
+        F.floor(F.col(r_start) / F.lit(bin_us)),
+    )
+    return (
+        lb.join(rb, "_bin")
+        .where(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("_bin") == first_shared)
+        )
+        .drop("_bin")
+    )

@@ -557,3 +557,119 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_anomalous"),
         )
     )
+
+
+@register(
+    "session_incident_overlap",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    marks AS (
+      SELECT user_id, ts_us,
+             CASE WHEN LAG(ts_us) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us) IS NULL
+                  OR ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                              ORDER BY ts_us)
+                     > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+    ),
+    numbered AS (
+      SELECT user_id, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS sidx
+      FROM marks
+    ),
+    sessions AS (
+      SELECT user_id, CAST(sidx AS BIGINT) AS sidx,
+             MIN(ts_us) AS s_us, MAX(ts_us) AS e_us
+      FROM numbered GROUP BY 1, 2
+    ),
+    hourly AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(date_part('hour', ts) AS BIGINT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    baseline AS (
+      SELECT CAST(dayofweek(d) AS BIGINT) AS dow, hod,
+             CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_n
+      FROM hourly GROUP BY 1, 2
+    ),
+    incidents AS (
+      SELECT epoch_us(CAST(h.d AS TIMESTAMP)) + h.hod * 3600000000
+               AS i_s_us,
+             epoch_us(CAST(h.d AS TIMESTAMP)) + h.hod * 3600000000
+               + 3599999999 AS i_e_us
+      FROM hourly h
+      JOIN baseline b
+        ON CAST(dayofweek(h.d) AS BIGINT) = b.dow AND h.hod = b.hod
+      WHERE h.n_events > 1.2 * b.mean_n
+    )
+    SELECT s.user_id, s.sidx, s.s_us, s.e_us, i.i_s_us
+    FROM sessions s JOIN incidents i
+      ON s.s_us <= i.i_e_us AND i.i_s_us <= s.e_us
+    """,
+)
+def session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user sessions were in flight during busier-than-baseline
+    hours (>1.2x the hour-of-week mean) — 30-min-gap sessionization (lag + running-sum windows, one
+    user_id exchange) interval-joined against the seasonal-baseline
+    incident hours via the BINNED overlap join
+    (operators/temporal.py interval_overlap_join): explode onto hour
+    bins, equi-join on the bin, exact predicate + first-shared-bin
+    dedup — never the sessions x incidents theta join the inequality
+    condition would otherwise plan (the oracle IS that theta join,
+    exact over int64 epoch-micros)."""
+    from pyspark.sql.window import Window
+
+    from .operators.temporal import interval_overlap_join
+
+    e = _events(spark, sf_dir).select(
+        "user_id", F.col("ts_ns")
+    ).select("user_id", F.expr("ts_ns div 1000").alias("ts_us"))
+    wo = Window.partitionBy("user_id").orderBy("ts_us")
+    wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts_us") - F.lag("ts_us").over(wo)
+    marks = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    )
+    numbered = marks.withColumn("sidx", F.sum("is_new").over(wr))
+    sessions = numbered.groupBy(
+        "user_id", F.col("sidx").cast("bigint").alias("sidx")
+    ).agg(F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us"))
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    baseline = hourly.groupBy(
+        (F.dayofweek("d") - 1).cast("bigint").alias("dow"), "hod"
+    ).agg(
+        (
+            F.sum("n_events").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_n")
+    )
+    start_us = (
+        F.unix_micros(F.col("d").cast("timestamp"))
+        + F.col("hod") * F.lit(3_600_000_000)
+    )
+    incidents = (
+        hourly.withColumn(
+            "dow", (F.dayofweek("d") - 1).cast("bigint")
+        )
+        .join(F.broadcast(baseline), ["dow", "hod"])
+        .where(F.col("n_events") > F.lit(1.2) * F.col("mean_n"))
+        .select(
+            start_us.alias("i_s_us"),
+            (start_us + F.lit(3_599_999_999)).alias("i_e_us"),
+        )
+    )
+    return interval_overlap_join(
+        sessions, incidents, "s_us", "e_us", "i_s_us", "i_e_us"
+    ).select("user_id", "sidx", "s_us", "e_us", "i_s_us")

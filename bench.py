@@ -137,6 +137,7 @@ EXTENDED = [
     "events_seasonal_baseline",
     "doc_corpus_card",
     "doc_oov_rate",
+    "session_incident_overlap",
 ]
 
 

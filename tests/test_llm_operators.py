@@ -1119,3 +1119,46 @@ def test_incremental_span_scrub_matches_oneshot_and_replays(
         for r in replay.collect()
     }
     assert rep == {k: v for k, v in got.items() if k >= 200}
+
+
+def test_interval_overlap_join_matches_theta_join(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    H = 3_600_000_000
+    left = [
+        (i, s, s + rng.randint(0, 5 * H))
+        for i, s in enumerate(
+            rng.randint(0, 100 * H) for _ in range(120)
+        )
+    ]
+    right = [
+        (j, s, s + rng.randint(0, 3 * H))
+        for j, s in enumerate(
+            rng.randint(0, 100 * H) for _ in range(60)
+        )
+    ]
+    ldf = spark.createDataFrame(left, "lid long, s_us long, e_us long")
+    rdf = spark.createDataFrame(right, "rid long, r_s long, r_e long")
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            ldf, rdf, "s_us", "e_us", "r_s", "r_e"
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, ls, le in left
+        for j, rs, re in right
+        if ls <= re and rs <= le
+    }
+    assert got == want
+    # duplicate-free: multi-bin overlaps appear exactly once
+    rows = interval_overlap_join(
+        ldf, rdf, "s_us", "e_us", "r_s", "r_e"
+    ).groupBy("lid", "rid").count().where("count > 1").count()
+    assert rows == 0

@@ -328,6 +328,13 @@ EXPECT: dict[str, dict] = {
     "doc_epoch_mix": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # session-incident overlap: sessionize windows share one user_id
+    # exchange; the interval join is an EQUI-join on the hour bin
+    # (explode fan-out), never a BroadcastNestedLoopJoin; the 168-slot
+    # baseline is the one explicit broadcast.
+    "session_incident_overlap": {
+        "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
+    },
     # OOV rate: explode + top-k vocab aggregate broadcast back into
     # the membership join + per-doc agg; one explicit hint.
     "doc_oov_rate": {
