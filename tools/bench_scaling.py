@@ -87,6 +87,9 @@ QUERIES = [
     "doc_lm_fluency",
     "doc_epoch_mix",
     "emb_pq_topk",
+    # binned interval join: pair count tracks true overlap density
+    # (sessions x busy hours), never sessions x incidents
+    "session_incident_overlap",
 ]
 
 
