@@ -1162,3 +1162,31 @@ def test_interval_overlap_join_matches_theta_join(spark):
         ldf, rdf, "s_us", "e_us", "r_s", "r_e"
     ).groupBy("lid", "rid").count().where("count > 1").count()
     assert rows == 0
+
+
+def test_interval_overlap_join_hot_bin(spark):
+    """Hot-bin stress: thousands of sessions overlapping ONE incident
+    hour — the pair count is the true overlap count (linear in the
+    overlapping sessions), so a dense bin fans out exactly to its
+    real matches, never bucket-quadratic (incidents per bin stay
+    bounded)."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    H = 3_600_000_000
+    base = 1000 * H
+    sessions = spark.range(2000).select(
+        F.col("id").alias("lid"),
+        (F.lit(base) + F.col("id")).alias("s_us"),
+        (F.lit(base) + F.lit(H // 2) + F.col("id")).alias("e_us"),
+    )
+    incidents = spark.createDataFrame(
+        [(0, base, base + H - 1), (1, base + 100 * H, base + 101 * H - 1)],
+        "rid long, r_s long, r_e long",
+    )
+    out = interval_overlap_join(
+        sessions, incidents, "s_us", "e_us", "r_s", "r_e"
+    )
+    assert out.count() == 2000
+    assert out.where("rid = 1").count() == 0
