@@ -155,6 +155,7 @@ EXPECT: dict[str, dict] = {
     # user_id exchange; no joins anywhere.
     "event_funnel_conversion": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "shuffles": 2,
     },
     # gapfill: the grid joins the *aggregated* hourly table (both sides
     # one row per key×bucket) — raw events never re-scanned, the join
@@ -356,6 +357,9 @@ EXPECT: dict[str, dict] = {
     # range self-join.
     "event_funnel_windowed": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        # ONE user_id exchange shared by both windows + the per-user
+        # agg, plus the final single-partition global agg
+        "shuffles": 2,
     },
     # SCD2 change feed: the history build (full-outer MERGE shape) +
     # one per-key window + union; no Python.
@@ -367,6 +371,9 @@ EXPECT: dict[str, dict] = {
     # aggregate — the documented exact-quintile trade); no joins.
     "customer_rfm_segments": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        # custkey agg exchange + ONE single-partition stage shared by
+        # all three NTILE windows
+        "shuffles": 2,
     },
     # hard-negative mining: centroid cross product is |Q| x n_cells
     # narrow rows (one explicit broadcast); the probed-cell equi-join
@@ -466,6 +473,20 @@ def audit(name: str, show: bool = False) -> list[str]:
             problems.append(
                 "AQE did not convert the un-hinted join to broadcast at "
                 "this SF"
+            )
+    if "shuffles" in exp:
+        # count MATERIALIZED shuffle stages in the AQE-final plan —
+        # distinct ShuffleQueryStage ids. Pins "both windows and the
+        # agg share ONE exchange"-style claims: an accidental second
+        # partitioning (changed orderBy, lost reuse) shows up as an
+        # extra stage.
+        import re as _re
+
+        n_stages = len(set(_re.findall(r"ShuffleQueryStage (\d+)", plan)))
+        if n_stages != exp["shuffles"]:
+            problems.append(
+                f"{n_stages} materialized shuffle stages, expected "
+                f"{exp['shuffles']} (lost exchange reuse?)"
             )
     if exp.get("take_ordered") and "TakeOrderedAndProject" not in plan:
         problems.append(
