@@ -593,3 +593,50 @@ def pq_index_drift(
     return cur.withColumn(
         "drift_ratio", F.col("mean_dist_fp") / F.lit(float(base))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding validation gate
+# ---------------------------------------------------------------------------
+
+
+def embedding_issues(
+    vec_col: str = "embedding", dim: int = 64
+):
+    """Column expr: the row's first validation issue ('' if clean) —
+    wrong_dim / has_null / non_finite / zero_norm. Codegen only."""
+    v = F.col(vec_col)
+    has_null = F.exists(v, lambda x: x.isNull())
+    non_finite = F.exists(
+        v,
+        lambda x: x.cast("double").isNaN()
+        | (F.abs(x.cast("double")) == float("inf")),
+    )
+    sq = F.aggregate(
+        F.transform(v, lambda x: x.cast("double") ** 2),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        F.when(v.isNull() | (F.size(v) != dim), F.lit("wrong_dim"))
+        .when(has_null, F.lit("has_null"))
+        .when(non_finite, F.lit("non_finite"))
+        .when(sq == 0.0, F.lit("zero_norm"))
+        .otherwise(F.lit(""))
+    )
+
+
+def validate_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """(clean, quarantined) split for a vector batch — the schema gate
+    an embedding lake runs before indexing (a single NaN poisons every
+    distance involving its vector; a wrong-dim row breaks subvector
+    slicing). One codegen pass, no shuffle; ``quarantined`` carries an
+    ``issue`` column for the dead-letter write."""
+    tagged = df.withColumn("issue", embedding_issues(vec_col, dim))
+    clean = tagged.where(F.col("issue") == "").drop("issue")
+    quarantined = tagged.where(F.col("issue") != "")
+    return clean, quarantined

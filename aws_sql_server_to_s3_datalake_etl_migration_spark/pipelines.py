@@ -206,3 +206,96 @@ def robust_ingest_to_lake(
         "quarantined": n_total - n_clean,
         "admitted": int(metrics["n_rows"]),
     }
+
+
+def vector_ingest_to_index(
+    spark: SparkSession,
+    batch: "DataFrame",
+    index_path: str,
+    quarantine_path: str,
+    run_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+) -> dict[str, float]:
+    """The vector-lake ingest path — the embedding-side capstone that
+    mirrors ``robust_ingest_to_lake``:
+
+    1. validation gate (``quantize.validate_embeddings``): wrong-dim /
+       null / non-finite / zero-norm vectors go to a per-run
+       quarantine partition instead of poisoning distances;
+    2. bootstrap on first contact: if no index exists at
+       ``index_path``, fit the PQ codebook on this batch and write the
+       index with the batch as its ``bootstrap`` partition;
+    3. otherwise append: encode ONLY the batch with the index's frozen
+       codebook into its own ``ingest_batch_id=<run_id>`` partition
+       (replay-idempotent — a re-run re-encodes identically and
+       replaces its partition);
+    4. drift check: the batch's mean assignment distortion vs the
+       baseline recorded at bootstrap — the refit signal.
+
+    Returns recon numbers: ``{"clean": n, "quarantined": n,
+    "drift_ratio": r}`` (drift NaN on the bootstrap run). Never reuse
+    a ``run_id`` for different data.
+    """
+    import math
+
+    from .operators.quantize import (
+        fit_pq_codebook,
+        pq_encode,
+        pq_index_drift,
+        read_pq_index,
+        validate_embeddings,
+        write_pq_index,
+    )
+    from .sources.writers import overwrite_batch_partition
+
+    clean, quarantined = validate_embeddings(batch, vec_col, dim)
+    n_bad = quarantined.count()
+    if n_bad:
+        overwrite_batch_partition(quarantined, quarantine_path, run_id)
+    n_clean = clean.count()
+
+    try:
+        read_pq_index(spark, index_path)
+        bootstrap = False
+    except Exception:
+        bootstrap = True
+
+    if bootstrap:
+        cb = fit_pq_codebook(
+            clean, id_col, vec_col, dim=dim, m=m, n_codes=n_codes
+        )
+        write_pq_index(
+            pq_encode(clean, cb, id_col, vec_col, dim=dim, m=m),
+            cb, index_path, dim=dim, m=m,
+        )
+        # seed the drift baseline with the bootstrap batch's own
+        # distortion so the FIRST append already gets a real ratio
+        pq_index_drift(clean, index_path, id_col=id_col,
+                       vec_col=vec_col).collect()
+        drift = float("nan")
+    else:
+        _, cb, idim, im = read_pq_index(spark, index_path)
+        if idim != dim or im != m:
+            raise ValueError(
+                f"index at {index_path} is (dim={idim}, m={im}); "
+                f"caller passed (dim={dim}, m={m})"
+            )
+        enc = pq_encode(clean, cb, id_col, vec_col, dim=dim, m=m)
+        overwrite_batch_partition(enc, f"{index_path}/codes", run_id)
+        row = pq_index_drift(
+            clean, index_path, id_col=id_col, vec_col=vec_col
+        ).first()
+        drift = (
+            float(row["drift_ratio"])
+            if row["drift_ratio"] is not None
+            else float("nan")
+        )
+    return {
+        "clean": n_clean,
+        "quarantined": n_bad,
+        "drift_ratio": drift,
+    }

@@ -102,7 +102,8 @@ def oracles() -> dict[str, str]:
 # emb_quantize_int8, emb_quantized_topk, emb_pq_topk,
 # emb_hard_negatives, orders_price_quantiles, customer_rfm_segments,
 # event_funnel_windowed, scd2_customer_changes, events_seasonal_baseline,
-# doc_corpus_card, doc_oov_rate, session_incident_overlap.
+# doc_corpus_card, doc_oov_rate, session_incident_overlap,
+# emb_quality_report.
 # Swap them in for the by-then
 # two-round-stable gapfill / sampling / funnel rows; keep the §2 core
 # pinned.

@@ -714,3 +714,45 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc, centroids, cb, _query_vec(spark, sf_dir),
         k=10, nprobe=4, m=16,
     )
+
+
+@register(
+    "emb_quality_report",
+    """
+    WITH tagged AS (
+      SELECT vec_id,
+             CASE
+               WHEN embedding IS NULL OR len(embedding) <> 64
+                 THEN 'wrong_dim'
+               WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+                 THEN 'has_null'
+               WHEN len(list_filter(embedding,
+                        x -> isnan(CAST(x AS DOUBLE))
+                             OR abs(CAST(x AS DOUBLE)) = 'inf'::DOUBLE))
+                    > 0
+                 THEN 'non_finite'
+               WHEN list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0.0
+                 THEN 'zero_norm'
+               ELSE ''
+             END AS issue
+      FROM embeddings
+    )
+    SELECT issue, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(vec_id) AS BIGINT) AS first_vec_id
+    FROM tagged GROUP BY 1
+    """,
+)
+def emb_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding validation gate report: rows per issue class
+    (wrong_dim / has_null / non_finite / zero_norm / '' = clean) with
+    the first offending id — the pre-index schema gate
+    (operators/quantize.py validate_embeddings); one codegen pass +
+    one hash-agg, value-checked."""
+    tagged = _embs(spark, sf_dir).withColumn(
+        "issue", quantize.embedding_issues("embedding", 64)
+    )
+    return tagged.groupBy("issue").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("vec_id").alias("first_vec_id"),
+    )

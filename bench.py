@@ -138,6 +138,7 @@ EXTENDED = [
     "doc_corpus_card",
     "doc_oov_rate",
     "session_incident_overlap",
+    "emb_quality_report",
 ]
 
 

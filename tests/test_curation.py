@@ -596,3 +596,27 @@ def test_pq_index_incremental_append_matches_oneshot(spark, tmp_path):
     r2 = quantize.pq_index_drift(second, path).first()
     assert r2.drift_ratio is not None
     assert 0.5 < r2.drift_ratio < 2.0
+
+
+def test_validate_embeddings_classifies_and_splits(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        quantize,
+    )
+
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [1.0, 2.0, 3.0]),            # wrong_dim
+        (3, None),                        # wrong_dim
+        (4, [1.0, None, 3.0, 4.0]),       # has_null
+        (5, [1.0, float("nan"), 3.0, 4.0]),   # non_finite
+        (6, [1.0, float("inf"), 3.0, 4.0]),   # non_finite
+        (7, [0.0, 0.0, 0.0, 0.0]),        # zero_norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    clean, quar = quantize.validate_embeddings(df, dim=4)
+    assert [r.vec_id for r in clean.collect()] == [1]
+    issues = {r.vec_id: r.issue for r in quar.collect()}
+    assert issues == {
+        2: "wrong_dim", 3: "wrong_dim", 4: "has_null",
+        5: "non_finite", 6: "non_finite", 7: "zero_norm",
+    }

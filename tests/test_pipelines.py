@@ -262,3 +262,46 @@ def test_robust_ingest_append_mode_never_loses_rows(spark, tmp_path):
         r["text"] for r in spark.read.parquet(paths["lake_path"]).collect()
     ]
     assert texts.count("alpha") >= 1  # no loss (dups acceptable here)
+
+
+def test_vector_ingest_to_index_e2e(spark, tmp_path):
+    """Bootstrap -> validated append -> drift -> serve -> replay."""
+    from pyspark.sql import functions as F
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        quantize,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.pipelines import (
+        vector_ingest_to_index,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    index = str(tmp_path / "vindex")
+    quar = str(tmp_path / "vquar")
+
+    b0 = embs.where(F.col("vec_id") < 250)
+    r0 = vector_ingest_to_index(spark, b0, index, quar, run_id="b0")
+    assert r0["clean"] == 250 and r0["quarantined"] == 0
+
+    # batch 1 carries two poisoned rows that must quarantine
+    bad = spark.createDataFrame(
+        [(90001, [float("nan")] * 64), (90002, [0.25] * 63)],
+        "vec_id long, embedding array<float>",
+    ).withColumn("label", F.lit(0))
+    b1 = embs.where(F.col("vec_id") >= 250).unionByName(bad)
+    r1 = vector_ingest_to_index(spark, b1, index, quar, run_id="b1")
+    assert r1["quarantined"] == 2 and r1["clean"] == 250
+    assert 0.5 < r1["drift_ratio"] < 2.0  # same distribution
+
+    codes, cb, dim, m = quantize.read_pq_index(spark, index)
+    assert codes.count() == 500  # no poisoned rows indexed
+    # serve: ADC top-10 finds the query vector itself first
+    q = [float(v) for v in embs.where(F.col("vec_id") == 0).first()["embedding"]]
+    top = quantize.pq_adc_topk(codes, cb, q, k=10, dim=dim, m=m).collect()
+    assert top[0].vec_id == 0
+
+    # replay of b1: partitions replaced, not duplicated
+    r1b = vector_ingest_to_index(spark, b1, index, quar, run_id="b1")
+    assert r1b["clean"] == 250
+    codes2, _, _, _ = quantize.read_pq_index(spark, index)
+    assert codes2.count() == 500

@@ -329,6 +329,11 @@ EXPECT: dict[str, dict] = {
     "doc_epoch_mix": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # embedding quality report: one codegen validation pass + one
+    # hash-agg; no joins, no Python.
+    "emb_quality_report": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
     # session-incident overlap: sessionize windows share one user_id
     # exchange; the interval join is an EQUI-join on the hour bin
     # (explode fan-out), never a BroadcastNestedLoopJoin; the 168-slot
