@@ -16,6 +16,7 @@ from .ingest import (
     pq_index_commit_batch,
     stream_profile_refresh,
     stream_span_scrub_to_lake,
+    stream_vector_ingest,
     stream_vectors_to_pq_index,
     stream_robust_ingest,
     stream_rollup_refresh,
@@ -38,6 +39,7 @@ __all__ = [
     "pq_index_commit_batch",
     "stream_profile_refresh",
     "stream_span_scrub_to_lake",
+    "stream_vector_ingest",
     "stream_vectors_to_pq_index",
     "stream_robust_ingest",
     "windowed_event_counts",

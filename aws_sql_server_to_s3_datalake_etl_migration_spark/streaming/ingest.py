@@ -615,3 +615,49 @@ def stream_span_scrub_to_lake(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_vector_ingest(
+    df: DataFrame,
+    index_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    available_now: bool = False,
+):
+    """Streaming twin of ``pipelines.vector_ingest_to_index``: each
+    micro-batch runs the full gate → bootstrap-or-append → drift
+    pipeline with ``run_id = batch_id``, so every write is a
+    deterministic per-batch partition overwrite and replay is
+    exactly-once (the first batch bootstraps the codebook; replaying
+    it re-fits on identical data — the k-means seed order is the
+    deterministic smallest-id sample — and rewrites the same
+    partitions)."""
+    from ..pipelines import vector_ingest_to_index
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        vector_ingest_to_index(
+            batch_df.sparkSession,
+            batch_df,
+            index_path,
+            quarantine_path,
+            run_id=str(batch_id),
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            m=m,
+            n_codes=n_codes,
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

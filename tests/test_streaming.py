@@ -1158,3 +1158,48 @@ def test_stream_span_scrub_matches_oneshot(spark, tmp_path, sf_dir):
         for r in spark.read.parquet(lake).collect()
     }
     assert got == oneshot
+
+
+def test_stream_vector_ingest_bootstraps_and_appends(spark, tmp_path):
+    """The streaming vector pipeline bootstraps the index on the first
+    micro-batch, appends the second with the frozen codebook, and the
+    final index equals the batch pipeline run over the same batches."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        quantize,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
+        stream_ingest_files,
+        stream_vector_ingest,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    src = tmp_path / "svi_in"
+    src.mkdir()
+    embs.where("vec_id < 250").coalesce(1).write.parquet(str(src / "b0"))
+    embs.where("vec_id >= 250").coalesce(1).write.parquet(str(src / "b1"))
+    index = str(tmp_path / "svi_index")
+    q = stream_vector_ingest(
+        stream_ingest_files(
+            spark, str(src / "*"), embs.schema, max_files_per_trigger=1
+        ),
+        index,
+        str(tmp_path / "svi_quar"),
+        str(tmp_path / "svi_ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    codes, cb, dim, m = quantize.read_pq_index(spark, index)
+    assert codes.count() == 500
+    # frozen-codebook property: streamed second-batch codes equal a
+    # direct encode of those vectors with the index codebook
+    direct = {
+        r.vec_id: list(r.pq_codes)
+        for r in quantize.pq_encode(
+            embs.where("vec_id >= 250"), cb, dim=dim, m=m
+        ).collect()
+    }
+    streamed = {
+        r.vec_id: list(r.pq_codes)
+        for r in codes.where("vec_id >= 250").collect()
+    }
+    assert streamed == direct
