@@ -453,16 +453,21 @@ def write_pq_index(
     path: str,
     dim: int,
     m: int,
+    batch_id: int | str = "bootstrap",
 ) -> None:
     """Persist a PQ index: the m-byte codes table and a codebook
     sidecar. Codes live under per-batch partitions
     (``codes/ingest_batch_id=...``) — the bootstrap owns the
-    ``bootstrap`` partition — so every later append (batch or
-    streaming) is an idempotent per-batch-id overwrite and the layout
-    never mixes plain files with partition directories."""
+    ``batch_id`` partition (default ``bootstrap``) — so every later
+    append (batch or streaming) is an idempotent per-batch-id
+    overwrite and the layout never mixes plain files with partition
+    directories. Pipelines that may REPLAY their bootstrap batch must
+    pass the run's own id here (see ``vector_ingest_to_index``): a
+    replay then lands in the append path and overwrites the very same
+    partition instead of duplicating it under a second name."""
     from ..sources.writers import overwrite_batch_partition
 
-    overwrite_batch_partition(encoded, f"{path}/codes", "bootstrap")
+    overwrite_batch_partition(encoded, f"{path}/codes", batch_id)
     meta = codebook.select(
         "sub_idx", "code", "cent",
         F.lit(dim).alias("dim"), F.lit(m).alias("m"),

@@ -228,7 +228,9 @@ def vector_ingest_to_index(
        quarantine partition instead of poisoning distances;
     2. bootstrap on first contact: if no index exists at
        ``index_path``, fit the PQ codebook on this batch and write the
-       index with the batch as its ``bootstrap`` partition;
+       index with the batch under its own run-id partition (so a
+       replayed bootstrap overwrites itself via the append path
+       instead of duplicating);
     3. otherwise append: encode ONLY the batch with the index's frozen
        codebook into its own ``ingest_batch_id=<run_id>`` partition
        (replay-idempotent — a re-run re-encodes identically and
@@ -268,9 +270,16 @@ def vector_ingest_to_index(
         cb = fit_pq_codebook(
             clean, id_col, vec_col, dim=dim, m=m, n_codes=n_codes
         )
+        # bootstrap codes land under THIS RUN's partition, not a
+        # separate "bootstrap" name: if the run crashes after the
+        # index write and is replayed, the replay sees the index,
+        # takes the append path, re-encodes identically (the codebook
+        # fit is deterministic) and OVERWRITES this same partition —
+        # without this, a replayed bootstrap would double-index its
+        # vectors under two partition names.
         write_pq_index(
             pq_encode(clean, cb, id_col, vec_col, dim=dim, m=m),
-            cb, index_path, dim=dim, m=m,
+            cb, index_path, dim=dim, m=m, batch_id=run_id,
         )
         # seed the drift baseline with the bootstrap batch's own
         # distortion so the FIRST append already gets a real ratio

@@ -305,3 +305,33 @@ def test_vector_ingest_to_index_e2e(spark, tmp_path):
     assert r1b["clean"] == 250
     codes2, _, _, _ = quantize.read_pq_index(spark, index)
     assert codes2.count() == 500
+
+
+def test_vector_ingest_bootstrap_replay_is_exactly_once(spark, tmp_path):
+    """Replaying the BOOTSTRAP batch (crash after the index write,
+    re-run with the same run_id) must not double-index its vectors:
+    the replay takes the append path and overwrites the same
+    partition."""
+    from pyspark.sql import functions as F
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        quantize,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.pipelines import (
+        vector_ingest_to_index,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    b0 = embs.where(F.col("vec_id") < 200)
+    index = str(tmp_path / "vri")
+    quar = str(tmp_path / "vri_q")
+    vector_ingest_to_index(spark, b0, index, quar, run_id="b0")
+    first = {
+        r.vec_id: list(r.pq_codes)
+        for r in quantize.read_pq_index(spark, index)[0].collect()
+    }
+    vector_ingest_to_index(spark, b0, index, quar, run_id="b0")  # replay
+    codes, _, _, _ = quantize.read_pq_index(spark, index)
+    assert codes.count() == 200
+    again = {r.vec_id: list(r.pq_codes) for r in codes.collect()}
+    assert again == first
