@@ -1181,7 +1181,12 @@ def incremental_span_scrub(
     the batch's new span fingerprints. Returns the cleaned docs (the
     caller persists them BEFORE this function's index commit lands in
     a lake deployment — see ``pipelines.robust_ingest_to_lake`` for
-    the ordering rationale)."""
+    the ordering rationale). A retry after ANY mid-run failure must
+    reuse the SAME ``batch_id``: the admission compute excludes that
+    partition, so the rerun reconstructs the pre-batch index state and
+    recomputes identical cleaned rows; a retry under a fresh id would
+    see the half-committed fingerprints as history and scrub the
+    batch's spans as already-seen."""
     from ..sources.writers import overwrite_batch_partition
 
     cleaned, new_fps = span_scrub_against_index(
