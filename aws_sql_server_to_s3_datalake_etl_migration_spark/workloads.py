@@ -1375,3 +1375,54 @@ def event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("n_view_click_1h"),
         F.count("t_purchase").alias("n_full_funnel_1h"),
     )
+
+
+def _zordered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize (once per sf) a z-ordered copy of orders under the
+    lake cache — Morton-interleaved on (o_custkey, o_totalprice) so
+    BOTH dimensions' min/max file stats turn selective (a single-key
+    sort makes only its leading column skippable)."""
+    import os
+
+    from .operators.maintenance import zorder_layout
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(repo_root, ".lake_cache", f"orders_zorder_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from .sources.writers import write_parquet
+
+        write_parquet(
+            _t(spark, sf_dir, "orders"), path, mode="overwrite"
+        )
+        zorder_layout(
+            spark, path, ["o_custkey", "o_totalprice"], n_files=8
+        )
+    return spark.read.parquet(path)
+
+
+@register(
+    "zorder_orders_skipping_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 200
+      AND o_totalprice BETWEEN 50000 AND 150000
+    """,
+)
+def zorder_orders_skipping_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end z-order flow: orders rewritten Morton-interleaved on
+    (custkey, totalprice), then a two-dimensional range predicate reads
+    it back. The rewrite can't change results (value-checked against
+    the plain table — that's the point of a layout op), while each
+    file's min/max stats now bound BOTH predicate columns, so parquet
+    row-group skipping eliminates most files — the open-format stand-in
+    for Delta/Iceberg OPTIMIZE ZORDER (the skipping behavior itself is
+    asserted file-by-file in tests/test_maintenance.py)."""
+    z = _zordered_orders(spark, sf_dir)
+    return z.where(
+        F.col("o_custkey").between(100, 200)
+        & F.col("o_totalprice").between(50000.0, 150000.0)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")

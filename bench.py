@@ -139,6 +139,7 @@ EXTENDED = [
     "doc_oov_rate",
     "session_incident_overlap",
     "emb_quality_report",
+    "zorder_orders_skipping_scan",
 ]
 
 

@@ -329,6 +329,12 @@ EXPECT: dict[str, dict] = {
     "doc_epoch_mix": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # z-order scan: both range predicates must reach the parquet
+    # reader (PushedFilters) — that's what the layout's min/max stats
+    # serve; no joins, no Python.
+    "zorder_orders_skipping_scan": {
+        "pushed": True, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
     # embedding quality report: one codegen validation pass + one
     # hash-agg; no joins, no Python.
     "emb_quality_report": {
