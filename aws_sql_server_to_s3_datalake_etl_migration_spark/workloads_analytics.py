@@ -1311,3 +1311,110 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m_quintile"
         ),
     )
+
+
+def _bucketed_li_ord(spark: SparkSession, sf_dir: str):
+    """Materialize (once per sf) lineitem + orders bucket-sorted on the
+    order key via saveAsTable — the pay-the-shuffle-once posture for
+    fact tables joined repeatedly on the same key."""
+    import os
+
+    from .operators.skew import write_bucketed
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+
+    def ensure(name: str, src_table: str, key: str):
+        if spark.catalog.tableExists(name):
+            return
+        loc = os.path.join(
+            spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:"),
+            name,
+        )
+        if os.path.exists(loc):
+            # data survives across sessions; the default in-memory
+            # catalog does not — re-register an external bucketed
+            # table over the existing files instead of rewriting
+            ddl = (
+                spark.read.parquet(loc)._jdf.schema().toDDL()
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO 16 BUCKETS LOCATION '{loc}'"
+            )
+        else:
+            write_bucketed(
+                _t(spark, sf_dir, src_table), name, key,
+                n_buckets=16, sort_cols=key,
+            )
+
+    li, od = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    ensure(li, "lineitem", "l_orderkey")
+    ensure(od, "orders", "o_orderkey")
+    return spark.table(li), spark.table(od)
+
+
+@register(
+    "bucketed_supplier_volume",
+    f"""
+    SELECT
+      n.n_name,
+      CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s
+      ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def bucketed_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``local_supplier_volume`` re-run over BUCKETED fact tables: the
+    one big-big join in that plan (lineitem ⋈ orders) normally
+    shuffles both sides on the order key every run; here both tables
+    were written ``bucketBy(16, orderkey) sortBy(orderkey)``, so the
+    join consumes the bucketed layout with ZERO exchange and zero sort
+    — the write-time shuffle amortized over every subsequent join.
+    The audit pins it: exactly ONE materialized shuffle stage remains
+    (the final n_name aggregate). Same oracle as the unbucketed query
+    — a layout change can't change results."""
+    li, od = _bucketed_li_ord(spark, sf_dir)
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = od.where(
+        (F.col("o_orderdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = c.join(
+        F.broadcast(
+            n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("n_nationkey", "n_name")
+        ),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey", "n_name")
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(
+            o.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )

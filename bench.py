@@ -140,6 +140,7 @@ EXTENDED = [
     "session_incident_overlap",
     "emb_quality_report",
     "zorder_orders_skipping_scan",
+    "bucketed_supplier_volume",
 ]
 
 

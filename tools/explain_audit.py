@@ -329,6 +329,13 @@ EXPECT: dict[str, dict] = {
     "doc_epoch_mix": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # bucketed Q5: the lineitem-orders join consumes the bucketed
+    # layout — the ONLY materialized shuffle stage left is the final
+    # n_name aggregate (write-time shuffle amortized).
+    "bucketed_supplier_volume": {
+        "pushed": True, "no_smj": False, "pure_jvm": True,
+        "shuffles": 1,
+    },
     # z-order scan: both range predicates must reach the parquet
     # reader (PushedFilters) — that's what the layout's min/max stats
     # serve; no joins, no Python.
