@@ -673,3 +673,50 @@ def session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_join(
         sessions, incidents, "s_us", "e_us", "i_s_us", "i_e_us"
     ).select("user_id", "sidx", "s_us", "e_us", "i_s_us")
+
+
+@register(
+    "events_salted_type_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS last_event_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats through the SALTED two-stage aggregation
+    (operators/skew.py two_stage_agg): event_type has single-digit
+    cardinality, so the plain plan funnels every row of a type into
+    one reduce task — the canonical hot-key aggregate. Stage 1 groups
+    by (type, salt) spreading each type over 16 tasks; stage 2
+    recombines the algebraic partials. The distinct-user count rides
+    the same shape as a two-level exact distinct: (type, user) dedup
+    first (cardinality-bounded), then a count per type. Results are
+    salt-invariant by construction — value-checked against the plain
+    GROUP BY oracle."""
+    from .operators.skew import two_stage_agg
+
+    e = _events(spark, sf_dir).select("event_type", "user_id", "event_id")
+    base = two_stage_agg(
+        e,
+        ["event_type"],
+        {
+            "n_events": ("count", "event_id"),
+            "first_event_id": ("min", "event_id"),
+            "last_event_id": ("max", "event_id"),
+        },
+    )
+    users = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users_exact"))
+    )
+    return base.join(users, "event_type").select(
+        "event_type", "n_events", "n_users_exact",
+        "first_event_id", "last_event_id",
+    )

@@ -141,6 +141,7 @@ EXTENDED = [
     "emb_quality_report",
     "zorder_orders_skipping_scan",
     "bucketed_supplier_volume",
+    "events_salted_type_stats",
 ]
 
 

@@ -329,6 +329,11 @@ EXPECT: dict[str, dict] = {
     "doc_epoch_mix": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # salted hot-key aggregate: stage-1 (type, salt) + stage-2 (type)
+    # + the distinct-user branch; joins run over tiny aggregates.
+    "events_salted_type_stats": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
     # bucketed Q5: the lineitem-orders join consumes the bucketed
     # layout — the ONLY materialized shuffle stage left is the final
     # n_name aggregate (write-time shuffle amortized).
