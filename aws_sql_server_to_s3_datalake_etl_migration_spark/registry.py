@@ -104,7 +104,8 @@ def oracles() -> dict[str, str]:
 # event_funnel_windowed, scd2_customer_changes, events_seasonal_baseline,
 # doc_corpus_card, doc_oov_rate, session_incident_overlap,
 # emb_quality_report, zorder_orders_skipping_scan,
-# bucketed_supplier_volume, events_salted_type_stats.
+# bucketed_supplier_volume, events_salted_type_stats,
+# partitioned_orders_dpp_join.
 # Swap them in for the by-then
 # two-round-stable gapfill / sampling / funnel rows; keep the §2 core
 # pinned.

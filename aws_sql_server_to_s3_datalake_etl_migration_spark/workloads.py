@@ -1426,3 +1426,93 @@ def zorder_orders_skipping_scan(
         F.col("o_custkey").between(100, 200)
         & F.col("o_totalprice").between(50000.0, 150000.0)
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def _orders_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize (once per sf) a tiny calendar dim over the order
+    years: (cal_year, yr_rev, rev_rank) with years ranked by revenue.
+    Exists so a JOIN-shaped filter on the partitioned fact has a real
+    dim TABLE to arrive through. The rank is an INT on purpose: DPP's
+    selective-predicate detection accepts ``rev_rank <= 2`` but treats
+    a bare boolean flag column as non-selective (measured on this
+    runtime)."""
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(
+        repo_root, ".lake_cache", f"orders_calendar_v2_{tag}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from pyspark.sql.window import Window
+
+        from .sources.writers import write_parquet
+
+        yr = (
+            _t(spark, sf_dir, "orders")
+            .groupBy(F.year("o_orderdate").cast("int").alias("cal_year"))
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("yr_rev")
+            )
+        )
+        ranked = yr.withColumn(
+            "rev_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("yr_rev").desc(), F.col("cal_year"))
+            ),
+        )
+        write_parquet(ranked, path, mode="overwrite")
+    return spark.read.parquet(path)
+
+
+@register(
+    "partitioned_orders_dpp_join",
+    """
+    WITH yr AS (
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS cal_year,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS yr_rev
+      FROM orders GROUP BY 1
+    ),
+    cal AS (
+      SELECT cal_year,
+             ROW_NUMBER() OVER (ORDER BY yr_rev DESC, cal_year)
+               AS rev_rank
+      FROM yr
+    )
+    SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+           o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN cal ON CAST(YEAR(o.o_orderdate) AS INT) = cal.cal_year
+    WHERE cal.rev_rank <= 2
+    GROUP BY 1, 2
+    """,
+)
+def partitioned_orders_dpp_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC partition pruning demonstrated and pinned: the fact
+    side is the year-partitioned orders table, the filter (peak years)
+    lives in a dim TABLE as data — static pruning can't see it, so
+    Spark injects the dim's surviving year set into the fact scan as a
+    dynamicpruning subquery in PartitionFilters (asserted by the
+    audit: the scan lists only the two peak-year directories at
+    runtime). The join-shaped analog of
+    ``partitioned_orders_pruned_scan``'s static pruning — what keeps
+    fact scans selective when the predicate arrives via a dimension
+    at 100 TB."""
+    po = _partitioned_orders(spark, sf_dir)
+    cal = _orders_calendar(spark, sf_dir).where(
+        F.col("rev_rank") <= 2
+    ).select("cal_year")
+    return (
+        po.join(F.broadcast(cal), po.o_year == cal.cal_year)
+        .groupBy(
+            F.col("o_year").cast("int").alias("o_year"),
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

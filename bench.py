@@ -142,6 +142,7 @@ EXTENDED = [
     "zorder_orders_skipping_scan",
     "bucketed_supplier_volume",
     "events_salted_type_stats",
+    "partitioned_orders_dpp_join",
 ]
 
 

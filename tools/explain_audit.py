@@ -329,6 +329,13 @@ EXPECT: dict[str, dict] = {
     "doc_epoch_mix": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # DPP join: the peak-year set is DATA in the calendar dim, so the
+    # fact scan must carry a dynamicpruning PartitionFilter (runtime
+    # directory pruning); the calendar broadcast is the one hint.
+    "partitioned_orders_dpp_join": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+        "dpp": True,
+    },
     # salted hot-key aggregate: stage-1 (type, salt) + stage-2 (type)
     # + the distinct-user branch; joins run over tiny aggregates.
     "events_salted_type_stats": {
@@ -489,6 +496,15 @@ def audit(name: str, show: bool = False) -> list[str]:
         )
         if not pruned:
             problems.append("no non-empty PartitionFilters on any scan")
+    if exp.get("dpp"):
+        # the partitioned fact scan must carry a dynamicpruning
+        # subquery in PartitionFilters — runtime directory pruning
+        # driven by the dim side's surviving keys
+        if "dynamicpruning" not in formatted.lower():
+            problems.append(
+                "no dynamicpruning expression on the partitioned scan "
+                "(DPP not injected?)"
+            )
     if exp.get("aqe_bhj"):
         if "AdaptiveSparkPlan" not in plan:
             problems.append("no AdaptiveSparkPlan (AQE off?)")
