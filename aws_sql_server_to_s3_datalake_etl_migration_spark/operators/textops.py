@@ -513,3 +513,56 @@ def lm_fluency(
             ).alias("lm_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (round 7)
+# ---------------------------------------------------------------------------
+
+# Redaction patterns chosen to parse identically under Java regex
+# (Spark codegen) and RE2 (the DuckDB oracle): character classes,
+# bounded repeats, and \b word boundaries only — no lookaround, no
+# backreferences, which RE2 rejects.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+PII_PHONE_RE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+# Applied email -> IPv4 -> phone: the email class swallows dotted
+# digits left of an '@' before the IP pattern can see them. IP-vs-
+# phone order is fixed for determinism but can't change the result: a
+# valid dotted quad never half-parses as a phone (the final phone
+# group needs exactly 4 digits followed by \b, an octet has at most
+# 3 — pinned by test_pii_scrub_ip_not_double_counted_as_phone). Both
+# engines apply leftmost-earliest non-overlapping replacement, so the
+# composed output is identical on both sides.
+_PII_ORDER: tuple[tuple[str, str], ...] = (
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_IPV4_RE, "<IP>"),
+    (PII_PHONE_RE, "<PHONE>"),
+)
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Text with emails, IPv4 addresses, and NNN-NNN-NNNN / dotted
+    phone numbers replaced by typed redaction tags. One codegen pass —
+    three chained regexp_replace ops, no shuffle, no Python — so it
+    runs at scan speed over a 100 TB corpus."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tag in _PII_ORDER:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_phones) found in the raw text, counted on
+    the same patterns (and the same order-of-precedence: each count is
+    taken on the text with the earlier categories already redacted, so
+    a dotted quad is never double-counted as a phone)."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = []
+    for pat, tag in _PII_ORDER:
+        counts.append(
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("bigint")
+        )
+        c = F.regexp_replace(c, pat, tag)
+    return counts[0], counts[1], counts[2]

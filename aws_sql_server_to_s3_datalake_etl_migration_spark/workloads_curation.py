@@ -756,3 +756,79 @@ def emb_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("vec_id").alias("first_vec_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (round 7): planted-PII differential
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = textops.PII_EMAIL_RE
+_PII_IPV4 = textops.PII_IPV4_RE
+_PII_PHONE = textops.PII_PHONE_RE
+
+
+@register(
+    "doc_pii_scrub",
+    f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.0.1 call 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS ptext
+      FROM documents
+    ), staged AS (
+      SELECT doc_id, ptext,
+             regexp_replace(ptext, '{_PII_EMAIL}', '<EMAIL>', 'g') AS s1
+      FROM planted
+    ), staged2 AS (
+      SELECT doc_id, ptext, s1,
+             regexp_replace(s1, '{_PII_IPV4}', '<IP>', 'g') AS s2
+      FROM staged
+    )
+    SELECT doc_id,
+           regexp_replace(s2, '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(ptext, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(s1, '{_PII_IPV4}')) AS BIGINT)
+             AS n_ips,
+           CAST(len(regexp_extract_all(s2, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones
+    FROM staged2
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/textops.py scrub_pii): emails, IPv4s,
+    and phone numbers replaced with typed tags in one codegen pass.
+
+    The synthetic corpus contains no PII-shaped strings, so a scrub of
+    the raw text would verify nothing — instead the query PLANTS one
+    deterministic email, IP, and phone per document (derived from
+    doc_id, identically in the Spark plan and the DuckDB oracle) and
+    the differential then proves the scrubber found and removed every
+    planted instance: clean_text is value-checked byte-for-byte and
+    each per-category count must come back exactly 1. Both regex
+    engines (Java / RE2) agree on the pattern subset used
+    (textops._PII_ORDER documents the contract)."""
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", planted.alias("ptext"))
+    n_emails, n_ips, n_phones = textops.pii_counts("ptext")
+    return docs.select(
+        "doc_id",
+        textops.scrub_pii("ptext").alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+    )

@@ -14,6 +14,7 @@ from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
     quantize,
     retrieval,
     similarity,
+    textops,
 )
 from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.timeseries import (
     groupwise_linear_trend,
@@ -620,3 +621,76 @@ def test_validate_embeddings_classifies_and_splits(spark):
         2: "wrong_dim", 3: "wrong_dim", 4: "has_null",
         5: "non_finite", 6: "non_finite", 7: "zero_norm",
     }
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_redacts_all_categories(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.org today"),
+        (2, "server at 192.168.10.250 and 10.0.0.1 rebooted"),
+        (3, "call 555-867-5309 or 555.123.4567 now"),
+        (4, "mixed: a@b.io via 8.8.8.8 at 555-000-1111"),
+        (5, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    n_e, n_i, n_p = textops.pii_counts("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            textops.scrub_pii("text").alias("clean"),
+            n_e.alias("e"),
+            n_i.alias("i"),
+            n_p.alias("p"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (1, 0, 0)
+    assert out[1]["clean"] == "mail me at <EMAIL> today"
+    assert (out[2]["e"], out[2]["i"], out[2]["p"]) == (0, 2, 0)
+    assert (out[3]["e"], out[3]["i"], out[3]["p"]) == (0, 0, 2)
+    assert (out[4]["e"], out[4]["i"], out[4]["p"]) == (1, 1, 1)
+    assert out[4]["clean"] == "mixed: <EMAIL> via <IP> at <PHONE>"
+    assert out[5]["clean"] == rows[4][1]
+    # no raw PII shape survives in any scrubbed text
+    import re
+
+    for r in out.values():
+        for pat in (
+            textops.PII_EMAIL_RE,
+            textops.PII_IPV4_RE,
+            textops.PII_PHONE_RE,
+        ):
+            assert not re.search(pat, r["clean"])
+
+
+def test_pii_scrub_ip_not_double_counted_as_phone(spark):
+    # the precedence contract _PII_ORDER documents: a valid dotted
+    # quad is consumed whole by the IP pass and never contributes a
+    # phone match (final phone group needs 4 digits, octets have <=3);
+    # a 4-digit tail is NOT a valid quad and legitimately parses as a
+    # dotted phone
+    rows = [(1, "ip 123.456.789.012 x"), (2, "ip 123.456.789.0123 x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    n_e, n_i, n_p = textops.pii_counts("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", n_i.alias("i"), n_p.alias("p")).collect()
+    }
+    assert (out[1]["i"], out[1]["p"]) == (1, 0)
+    assert (out[2]["i"], out[2]["p"]) == (0, 1)
+
+
+def test_doc_pii_scrub_query_counts(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.workloads_curation import (
+        doc_pii_scrub,
+    )
+
+    out = doc_pii_scrub(spark, SF_SMOKE)
+    bad = out.where(
+        (F.col("n_emails") != 1) | (F.col("n_ips") != 1) | (F.col("n_phones") != 1)
+    ).count()
+    assert bad == 0

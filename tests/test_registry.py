@@ -47,26 +47,28 @@ def test_catalog_window_is_curated_and_oracled():
     window = set(qs[:50])
     # every SURVEY §2 core representative + the LLM suite is in-window
     must_have = {
+        # permanently-pinned §2 core
         "flagship_policies_ingest",
         "incremental_new_rows",
         "merge_upsert_preview",
         "recon_row_counts",
         "window_top_orders_per_segment",
-        "doc_tfidf_topterms",
-        "doc_stratified_sample",
-        "events_rollup_incremental",
-        "doc_exact_dedup",
-        "doc_ngram_jaccard_pairs",
-        "emb_cosine_topk",
-        "mm_extract_features",
-        "scd2_customer_history",
-        "dq_orders_report",
-        # round-6 rotation: first-official-row cohort
-        "doc_decontamination",
-        "doc_quality_prune",
-        "events_gapfill_locf",
-        "doc_frequent_terms_sketch",
-        "events_rolling_active_users",
+        # round-7 rotation: first-official-row cohort (r6 verdict 1)
+        "customer_name_neardup_pairs",
+        "doc_bm25_batch",
+        "doc_span_dedup",
+        "doc_pack_sequences",
+        "orders_cdc_apply",
+        "event_asof_enrich",
+        "orders_column_profile",
+        "emb_pq_topk",
+        "emb_hard_negatives",
+        "session_incident_overlap",
+        "partitioned_orders_dpp_join",
+        "bucketed_supplier_volume",
+        "zorder_orders_skipping_scan",
+        # round-7 new operator takes slot 50
+        "doc_pii_scrub",
     }
     assert must_have <= window
     # the official window carries only oracle-paired entries (rows-only
