@@ -934,8 +934,42 @@ def incremental_near_dedup(
 # non-overlapping spans (n * 1M tokens) — far beyond any real document
 # — while keeping the canonical-occurrence choice ONE bigint MIN, which
 # every engine aggregates identically (a struct-min would lean on
-# engine-specific struct ordering).
+# engine-specific struct ordering). The encoding requires a
+# NON-NEGATIVE integral id below 2^43; _span_canon enforces that in
+# codegen (raise_error, not silent wraparound) and switches to a
+# lexicographic struct-min for string / decimal / otherwise-wide ids,
+# where cross-engine ordering is Spark-only — fine for the operator,
+# but a DuckDB oracle replicating it must mirror the same tuple-min.
 SPAN_POS_BITS = 20
+_SPAN_ID_MAX = 1 << (63 - SPAN_POS_BITS)
+_SPAN_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _span_ord(df: DataFrame, id_col: str):
+    """First-occurrence ordinal for a span table carrying (id_col,
+    _pos). Integral ids take the single-bigint path, guarded so an id
+    outside [0, 2^43) raises in codegen instead of wrapping and
+    silently electing the wrong canonical occurrence (r6 advice).
+    Anything else (string ids, decimals) falls back to MIN over an
+    (id, pos) struct — lexicographic first-occurrence, one extra
+    comparison per row, same downstream MIN/equality logic."""
+    dtype = dict(df.dtypes)[id_col]
+    if dtype in _SPAN_INTEGRAL_TYPES:
+        guarded = F.when(
+            (F.col(id_col) < 0) | (F.col(id_col) >= F.lit(_SPAN_ID_MAX)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"span dedup: {id_col} outside [0, 2^43) — the "
+                        "bigint first-occurrence encoding would wrap; "
+                        "offending id: "
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            ).cast("bigint"),
+        ).otherwise(F.col(id_col).cast("bigint"))
+        return guarded * F.lit(1 << SPAN_POS_BITS) + F.col("_pos")
+    return F.struct(F.col(id_col).alias("i"), F.col("_pos").alias("p"))
 
 
 def span_dedup(
@@ -987,12 +1021,10 @@ def span_dedup(
             ),
         )
     )
-    spans = toks.select(
+    exploded = toks.select(
         F.col(id_col), F.posexplode(chunks).alias("_pos", "_sp")
-    ).withColumn(
-        "_ord",
-        F.col(id_col) * F.lit(1 << SPAN_POS_BITS) + F.col("_pos"),
     )
+    spans = exploded.withColumn("_ord", _span_ord(exploded, id_col))
     stats = spans.groupBy("_sp").agg(
         F.count(F.lit(1)).alias("_cnt"), F.min("_ord").alias("_canon")
     )
@@ -1117,16 +1149,12 @@ def span_scrub_against_index(
             ),
         )
     )
-    spans = (
-        toks.select(
-            F.col(id_col), F.posexplode(chunks).alias("_pos", "_sp")
-        )
-        .withColumn(
-            "_ord",
-            F.col(id_col) * F.lit(1 << SPAN_POS_BITS) + F.col("_pos"),
-        )
-        .withColumn("span_fp", F.sha2(F.col("_sp"), 256))
+    exploded = toks.select(
+        F.col(id_col), F.posexplode(chunks).alias("_pos", "_sp")
     )
+    spans = exploded.withColumn(
+        "_ord", _span_ord(exploded, id_col)
+    ).withColumn("span_fp", F.sha2(F.col("_sp"), 256))
     canon = spans.groupBy("span_fp").agg(F.min("_ord").alias("_canon"))
     batch_first = spans.join(canon, "span_fp").where(
         F.col("_ord") == F.col("_canon")

@@ -63,10 +63,25 @@ def merge_upsert(
     new pks are inserted. SCD-0 full-row semantics, matching the
     reference.
     """
+    # Engage the native path only when Delta is BOTH importable and the
+    # target path is a real Delta table; any failure past that point is
+    # a genuine merge error (schema mismatch, concurrent write,
+    # constraint violation) and must surface — silently re-running the
+    # merge through the parquet path would mask it (r6 verdict item 2).
+    target = None
     try:
         from delta.tables import DeltaTable  # type: ignore
-
-        target = DeltaTable.forPath(spark, path)
+    except ImportError:
+        DeltaTable = None  # delta-spark absent: parquet fallback
+    if DeltaTable is not None:
+        try:
+            target = DeltaTable.forPath(spark, path)
+        except Exception:
+            # not a Delta table at this path (plain-parquet lake, or
+            # the jar half-installed) — the only other condition under
+            # which the fallback is the correct degradation
+            target = None
+    if target is not None:
         m = target.alias("t").merge(
             incoming.alias("i"),
             f"t.{primary_key} = i.{primary_key}",
@@ -87,8 +102,6 @@ def merge_upsert(
             m = m.whenMatchedUpdateAll().whenNotMatchedInsertAll()
         m.execute()
         return
-    except Exception:
-        pass
     target_df = spark.read.parquet(path)
     if delete_col is not None:
         # Deletes are realized by the anti-join below removing every

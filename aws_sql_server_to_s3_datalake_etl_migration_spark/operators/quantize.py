@@ -269,7 +269,23 @@ def fit_pq_codebook(
                     "sub_idx", "code", F.posexplode("sv").alias("dim", "x")
                 )
                 .groupBy("sub_idx", "code", "dim")
-                .agg(F.avg("x").alias("mu"))
+                # order-free refresh: fixed-point bigint sum / count
+                # instead of F.avg over doubles, so the fit is
+                # DETERMINISTIC under partition reordering and a
+                # crash-replayed bootstrap re-derives the identical
+                # codebook (r6 advice — the replay-overwrite contract
+                # in pipelines.vector_ingest_to_index leans on this)
+                .agg(
+                    (
+                        F.sum(
+                            F.floor(
+                                F.col("x") * F.lit(float(PQ_FP_SCALE))
+                            ).cast("bigint")
+                        ).cast("double")
+                        / F.count(F.lit(1)).cast("double")
+                        / F.lit(float(PQ_FP_SCALE))
+                    ).alias("mu")
+                )
                 .groupBy("sub_idx", "code")
                 .agg(
                     F.array_sort(
@@ -583,12 +599,16 @@ def pq_index_drift(
     cur = assignment_distortion(
         new_batch, cb, id_col=id_col, vec_col=vec_col, dim=dim, m=m
     )
-    import os as _os
+    from ..sources import fs
 
+    # Bootstrap-write the baseline only when it is GENUINELY absent
+    # (explicit existence probe, r6 advice) — a transient read failure
+    # must propagate, not silently reset the drift reference, and a
+    # monitoring read must not gain a write side effect on error.
     base_path = f"{path}/baseline"
-    try:
+    if fs.list_data_files(spark, base_path):
         base = spark.read.parquet(base_path).first()["mean_dist_fp"]
-    except Exception:
+    else:
         cur.coalesce(1).write.mode("overwrite").parquet(base_path)
         base = None
     if base is None:

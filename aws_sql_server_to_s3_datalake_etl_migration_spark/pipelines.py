@@ -273,10 +273,16 @@ def vector_ingest_to_index(
         # bootstrap codes land under THIS RUN's partition, not a
         # separate "bootstrap" name: if the run crashes after the
         # index write and is replayed, the replay sees the index,
-        # takes the append path, re-encodes identically (the codebook
-        # fit is deterministic) and OVERWRITES this same partition —
-        # without this, a replayed bootstrap would double-index its
-        # vectors under two partition names.
+        # takes the append path, re-encodes identically and OVERWRITES
+        # this same partition — without this, a replayed bootstrap
+        # would double-index its vectors under two partition names.
+        # A replay that crashes EARLIER (mid index write) re-enters
+        # this bootstrap path and refits; that refit reproduces the
+        # identical codebook because every fit stage is order-free —
+        # deterministic min-id init, fixed-point argmin assignment,
+        # and a fixed-point-sum centroid refresh (fit_pq_codebook;
+        # r6 advice closed by making the refresh order-free rather
+        # than weakening this contract).
         write_pq_index(
             pq_encode(clean, cb, id_col, vec_col, dim=dim, m=m),
             cb, index_path, dim=dim, m=m, batch_id=run_id,

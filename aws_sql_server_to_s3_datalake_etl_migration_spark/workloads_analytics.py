@@ -1332,10 +1332,14 @@ def _bucketed_li_ord(spark: SparkSession, sf_dir: str):
             ).removeprefix("file:"),
             name,
         )
-        if os.path.exists(loc):
+        if os.path.exists(os.path.join(loc, "_SUCCESS")):
             # data survives across sessions; the default in-memory
             # catalog does not — re-register an external bucketed
-            # table over the existing files instead of rewriting
+            # table over the existing files instead of rewriting.
+            # Gated on the _SUCCESS marker (r6 advice): a directory
+            # from a crashed write is NOT trusted as correctly
+            # bucketed — a mis-bucketed layout registered as CLUSTERED
+            # BY would silently drop join matches.
             ddl = (
                 spark.read.parquet(loc)._jdf.schema().toDDL()
             )
@@ -1345,6 +1349,11 @@ def _bucketed_li_ord(spark: SparkSession, sf_dir: str):
                 f"INTO 16 BUCKETS LOCATION '{loc}'"
             )
         else:
+            if os.path.exists(loc):
+                # partial write from a crash: rewrite from source
+                import shutil
+
+                shutil.rmtree(loc)
             write_bucketed(
                 _t(spark, sf_dir, src_table), name, key,
                 n_buckets=16, sort_cols=key,

@@ -929,6 +929,42 @@ def test_span_dedup_keeps_first_occurrence_only(spark):
     assert out[1].n_kept == 2 and out[2].n_kept == 1 and out[3].n_kept == 1
 
 
+def test_span_dedup_string_ids_struct_path(spark):
+    """r6 advice: ids outside the bigint encoding's domain must not
+    wrap — string ids route through the lexicographic struct-min and
+    still elect the globally-first occurrence."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    boiler = "a b c d"
+    docs = spark.createDataFrame(
+        [
+            ("docA", f"{boiler} u1 u2 u3 u4"),
+            ("docB", f"{boiler} v1 v2 v3 v4"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup(docs, n=4).collect()}
+    assert out["docA"].clean_text == f"{boiler} u1 u2 u3 u4"
+    assert out["docB"].clean_text == "v1 v2 v3 v4"
+
+
+def test_span_dedup_out_of_range_id_raises(spark):
+    """Negative or >=2^43 integral ids would silently corrupt the
+    first-occurrence ordinal; the codegen guard raises instead."""
+    import pytest
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(-5, "a b c d"), (1, "a b c d")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="outside \\[0, 2\\^43\\)"):
+        span_dedup(docs, n=4).collect()
+
+
 def test_span_dedup_within_doc_repeats_collapse(spark):
     from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
         span_dedup,

@@ -790,3 +790,82 @@ def test_overwrite_batch_partition_validation_and_sidecar_guard(
 
     assert spark.read.parquet(base).collect()[0]["ingest_batch_id"] == "run-1.a"
     assert fs.read_text_file(spark, str(tmp_path / "s") + "/_m") == "7"
+
+
+def test_merge_upsert_native_errors_surface(spark, tmp_path, monkeypatch):
+    """r6 verdict item 2: when Delta IS present and forPath resolves a
+    real table, a genuine merge failure must propagate — never be
+    swallowed into the parquet fallback (which would silently re-run
+    the merge and mask schema mismatches / concurrent-write errors)."""
+    import sys
+    import types
+
+    path = str(tmp_path / "native_err")
+    base = spark.createDataFrame([(1, "a")], ["pk", "val"])
+    write_parquet(base, path)
+
+    class _FakeMerge:
+        def whenMatchedUpdateAll(self):
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            return self
+
+        def execute(self):
+            raise RuntimeError("DELTA_SCHEMA_MISMATCH: simulated")
+
+    class _FakeTarget:
+        def alias(self, _):
+            return self
+
+        def merge(self, *_a, **_k):
+            return _FakeMerge()
+
+    class _FakeDeltaTable:
+        @staticmethod
+        def forPath(_spark, _path):
+            return _FakeTarget()
+
+    fake_tables = types.ModuleType("delta.tables")
+    fake_tables.DeltaTable = _FakeDeltaTable
+    fake_delta = types.ModuleType("delta")
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+
+    incoming = spark.createDataFrame([(1, "b")], ["pk", "val"])
+    with pytest.raises(RuntimeError, match="DELTA_SCHEMA_MISMATCH"):
+        merge_upsert(spark, incoming, path, "pk")
+    # the swallowed-error regression this guards against: target must
+    # be untouched (the old code would have silently parquet-merged)
+    assert {r.val for r in spark.read.parquet(path).collect()} == {"a"}
+
+
+def test_merge_upsert_falls_back_when_not_a_delta_table(
+    spark, tmp_path, monkeypatch
+):
+    """forPath failing (plain-parquet lake) is the one legitimate
+    degradation: the parquet merge runs and produces SCD-0 results."""
+    import sys
+    import types
+
+    path = str(tmp_path / "fallback_ok")
+    base = spark.createDataFrame([(1, "a"), (2, "a")], ["pk", "val"])
+    write_parquet(base, path)
+
+    class _FakeDeltaTable:
+        @staticmethod
+        def forPath(_spark, _path):
+            raise Exception("AnalysisException: not a Delta table")
+
+    fake_tables = types.ModuleType("delta.tables")
+    fake_tables.DeltaTable = _FakeDeltaTable
+    fake_delta = types.ModuleType("delta")
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+
+    incoming = spark.createDataFrame([(2, "b"), (3, "c")], ["pk", "val"])
+    merge_upsert(spark, incoming, path, "pk")
+    out = {r.pk: r.val for r in spark.read.parquet(path).collect()}
+    assert out == {1: "a", 2: "b", 3: "c"}
