@@ -326,6 +326,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    wide_ids: bool = False,
 ) -> DataFrame:
     """Exact n-gram (word) Jaccard similarity for all pairs sharing at
     least one n-gram: build each n-gram's posting list in ONE shuffle,
@@ -340,7 +341,22 @@ def ngram_jaccard_pairs(
     rather than re-derived under both join sides. Skew guard:
     extremely common n-grams (df > 1000) are dropped, which bounds
     both posting-list memory and per-gram pair fan-out (standard
-    prefix-filtering trick)."""
+    prefix-filtering trick).
+
+    Candidate volume is Θ(Σ C(df,2)) — quadratic in duplication
+    multiplicity, the information-theoretic floor for exact
+    shared-gram counting (the 3× probe's candidate set genuinely
+    grows ~9×) — so the pair stage is tuned for per-row cost: when
+    the id column is integral and fits 31 bits (guarded in codegen,
+    raise_error on violation) each pair is packed into ONE bigint
+    ``id_a·2³¹ + id_b``, making the emitted array a primitive
+    long array and the count shuffle a single-long-key hash-agg
+    instead of a two-field struct key. Non-integral ids fall back to
+    the struct formulation automatically — same output, slower key;
+    integral ids that legitimately exceed 2^31 (hash-derived 64-bit
+    ids) must pass ``wide_ids=True`` to select it explicitly, since
+    the range is only knowable at runtime and a silent wrap would
+    corrupt pairs."""
     grams = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
     )
@@ -350,25 +366,77 @@ def ngram_jaccard_pairs(
     # would re-evaluate it once more per join branch — measured
     # slower at sf0.1 than re-aggregating the already-exploded rows
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    ids = F.array_sort(F.col("ids"))
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    id_type = dict(df.dtypes)[id_col]
+    packable = not wide_ids and id_type in (
+        "tinyint", "smallint", "int", "bigint"
     )
-    common = (
+    posts = (
         grams.groupBy("gram")
         .agg(F.collect_list(id_col).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= 1000))
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    ids = F.array_sort(F.col("ids"))
+    if packable:
+        guard = F.transform(
+            ids,
+            lambda x: F.when(
+                (x < 0) | (x >= F.lit(1 << 31)),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"ngram_jaccard_pairs: {id_col} outside "
+                            "[0, 2^31) for the packed-pair key — pass "
+                            "wide_ids=True for 64-bit ids; offending "
+                            "id: "
+                        ),
+                        x.cast("string"),
+                    )
+                ).cast("bigint"),
+            ).otherwise(x.cast("bigint")),
+        )
+        # project the guarded/sorted array ONCE; the nested pair
+        # transform then iterates a plain column reference instead of
+        # re-evaluating the guard per (i, j)
+        gids = F.col("gids")
+        pair_keys = F.flatten(
+            F.transform(
+                gids,
+                lambda x, i: F.transform(
+                    F.slice(gids, i + F.lit(2), F.size(gids)),
+                    lambda y: x * F.lit(1 << 31) + y,
+                ),
+            )
+        )
+        common = (
+            posts.select(guard.alias("gids"))
+            .select(F.explode(pair_keys).alias("pk"))
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .select(
+                F.shiftright("pk", 31).cast(id_type).alias("id_a"),
+                F.col("pk")
+                .bitwiseAND(F.lit((1 << 31) - 1))
+                .cast(id_type)
+                .alias("id_b"),
+                "n_common",
+            )
+        )
+    else:
+        pair_structs = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + F.lit(2), F.size(ids)),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+        common = (
+            posts.select(F.explode(pair_structs).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(
         F.col(id_col).alias("id_a"), F.col("n_grams").alias("na")
     )

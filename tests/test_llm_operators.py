@@ -1226,3 +1226,43 @@ def test_interval_overlap_join_hot_bin(spark):
     )
     assert out.count() == 2000
     assert out.where("rid = 1").count() == 0
+
+
+def test_ngram_jaccard_packed_and_wide_paths_agree(spark):
+    """The packed-bigint pair key (fast path) and the struct fallback
+    (wide_ids=True) must produce identical pairs; ids past 2^31 raise
+    on the packed path instead of silently wrapping."""
+    import pytest
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e g"),
+            (3, "x y z w q r"),
+        ],
+        "doc_id long, text string",
+    )
+    fast = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    wide = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.1, wide_ids=True
+        ).collect()
+    }
+    assert fast == wide and (1, 2) in fast
+
+    big = spark.createDataFrame(
+        [(1 << 40, "a b c d"), ((1 << 40) + 1, "a b c d")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="wide_ids=True"):
+        ngram_jaccard_pairs(big, threshold=0.1).collect()
+    # the explicit wide path handles them
+    out = ngram_jaccard_pairs(big, threshold=0.1, wide_ids=True).collect()
+    assert len(out) == 1 and out[0].jaccard == 1.0
