@@ -279,10 +279,16 @@ def simhash_pairs(
                     F.struct(
                         F.lit(b).alias("band_idx"),
                         # mask AFTER the (arithmetic) shift so the band
-                        # holding bit 63 doesn't sign-extend
-                        F.shiftright("simhash", off)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("band_val"),
+                        # holding bit 63 doesn't sign-extend; a full-
+                        # width band (max_hamming=0) skips the mask —
+                        # (1<<64)-1 overflows a long literal
+                        (
+                            F.shiftright("simhash", off).bitwiseAND(
+                                F.lit((1 << width) - 1)
+                            )
+                            if width < 64
+                            else F.col("simhash")
+                        ).alias("band_val"),
                     )
                     for b, (off, width) in enumerate(spans)
                 ]

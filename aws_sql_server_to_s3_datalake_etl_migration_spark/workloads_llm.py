@@ -2135,3 +2135,144 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Value-checked LSH twins (round 7): candidate generation + exact verify
+# ---------------------------------------------------------------------------
+
+# The rows-only doc_minhash_lsh_pairs / doc_simhash_pairs outputs
+# depend on xxhash64, which no oracle engine reproduces — and a naive
+# "collapse the threshold" twin fails on real data (measured: 27
+# est=1.0 minhash pairs at sf0.01 whose shingle sets are NOT equal —
+# subset/min-tie artifacts). These twins therefore append an exact
+# VERIFY stage to the LSH candidates, which makes the output
+# hash-independent and PROVABLE: identical shingle sets (resp. token
+# multisets) imply identical signatures, so every band collides and
+# candidate generation has total recall for identical docs — the
+# verified output is exactly "all identical-content pairs", which an
+# oracle can derive from first principles. The corpus has no identical
+# docs, so each twin plants a deterministic copy of every 10th doc
+# (id + 10M) on both sides — nonzero output, and the differential
+# exercises signatures, banding, bucket-join, and verify end to end.
+# The probabilistic thresholds keep their accuracy pytests
+# (test_dedup_recall.py); these twins pin the plumbing.
+
+_PLANT_OFF = 10_000_000
+
+
+def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = base.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_PLANT_OFF)
+    )
+    return base.unionByName(copies)
+
+
+_PLANTED_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_PLANT_OFF} AS doc_id, text FROM documents
+    WHERE doc_id % 10 = 0
+"""
+
+
+@register(
+    "doc_minhash_exact_dup_pairs",
+    f"""
+    WITH planted AS ({_PLANTED_SQL}),
+    toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+      FROM planted
+    ), sets AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_sort(list_distinct(list_transform(
+                         range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])))
+             END AS s
+      FROM toks
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id AND a.s = b.s
+    """,
+)
+def doc_minhash_exact_dup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash(32)+8-band LSH candidates at est=1.0, verified by exact
+    shingle-set equality (operators/dedup.py). Identical sets force
+    identical signatures, so every identical pair reaches the verify
+    stage through ALL 8 bands — total recall by construction, which is
+    what lets a hash-free oracle value-check the whole LSH pipeline."""
+    planted = _planted_docs(spark, sf_dir)
+    cands = dedup.minhash_lsh_pairs(planted, threshold=1.0)
+    sets_ = planted.select(
+        "doc_id", F.array_sort(dedup.word_shingles("text", 3)).alias("_s")
+    )
+    return (
+        cands.join(
+            sets_.select(
+                F.col("doc_id").alias("id_a"), F.col("_s").alias("_sa")
+            ),
+            "id_a",
+        )
+        .join(
+            sets_.select(
+                F.col("doc_id").alias("id_b"), F.col("_s").alias("_sb")
+            ),
+            "id_b",
+        )
+        .where(F.col("_sa") == F.col("_sb"))
+        .select("id_a", "id_b")
+    )
+
+
+@register(
+    "doc_simhash_exact_dup_pairs",
+    f"""
+    WITH planted AS ({_PLANTED_SQL}),
+    toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+      FROM planted
+    ), mult AS (
+      SELECT doc_id, list_sort(w) AS m FROM toks WHERE len(w) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM mult a JOIN mult b ON a.doc_id < b.doc_id AND a.m = b.m
+    """,
+)
+def doc_simhash_exact_dup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SimHash banded candidates at Hamming 0 (one 64-bit band),
+    verified by exact token-multiset equality. Identical multisets
+    force identical vote sums hence identical fingerprints — total
+    recall for identical docs, oracle-expressible without xxhash64.
+    Empty-token docs carry no fingerprint and are excluded on both
+    sides."""
+    planted = _planted_docs(spark, sf_dir)
+    cands = dedup.simhash_pairs(planted, max_hamming=0)
+    mult = planted.select(
+        "doc_id", F.array_sort(textops.tokens("text")).alias("_m")
+    ).where(F.size("_m") > 0)
+    return (
+        cands.join(
+            mult.select(
+                F.col("doc_id").alias("id_a"), F.col("_m").alias("_ma")
+            ),
+            "id_a",
+        )
+        .join(
+            mult.select(
+                F.col("doc_id").alias("id_b"), F.col("_m").alias("_mb")
+            ),
+            "id_b",
+        )
+        .where(F.col("_ma") == F.col("_mb"))
+        .select("id_a", "id_b")
+    )
