@@ -37,9 +37,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
-SCALED = ("documents", "events", "embeddings", "customer")
+SCALED = ("documents", "events", "embeddings", "customer", "orders")
 COPIED = (
-    "region nation supplier part orders lineitem"
+    "region nation supplier part lineitem"
 ).split()
 
 QUERIES = [
@@ -90,13 +90,25 @@ QUERIES = [
     # binned interval join: pair count tracks true overlap density
     # (sessions x busy hours), never sessions x incidents
     "session_incident_overlap",
+    # round-7 additions (per the r6 verdict item 6): the heavy
+    # round-6 families with no recorded ratio yet — the batch-ANN
+    # hard-negative miner (bounded query batch vs growing corpus),
+    # multi-query BM25 (each doc term scored once), the one-scan
+    # Expand profile over the now-scaled orders table, CDC apply
+    # (feed and snapshot both scale; latest-wins anti-join), and the
+    # strided-window substring-leak join (k-char window equi-join)
+    "emb_hard_negatives",
+    "doc_bm25_batch",
+    "orders_column_profile",
+    "orders_cdc_apply",
+    "doc_substring_leak",
 ]
 
 
 def build_scaled_dir(spark, k: int) -> str:
-    # v2: customer joined the scaled set (linkage probe) — new cache
-    # tag so a v1 cache (customer copied verbatim) is never reused
-    dst = os.path.join(REPO_ROOT, ".lake_cache", f"scale_v2_x{k}")
+    # v3: orders joined the scaled set (profile/CDC probes) — new
+    # cache tag so a v2 cache (orders copied verbatim) is never reused
+    dst = os.path.join(REPO_ROOT, ".lake_cache", f"scale_v3_x{k}")
     marker = os.path.join(dst, "_PREPPED")
     if os.path.exists(marker):
         return dst
@@ -129,6 +141,16 @@ def build_scaled_dir(spark, k: int) -> str:
                 cp = cp.withColumn(
                     "event_id", F.col("event_id") + F.lit(off)
                 ).withColumn("user_id", F.col("user_id") + F.lit(off))
+            elif t == "orders":
+                # key offset is a multiple of 8, so the CDC feed's
+                # %2/%4/%8 key-derived update/delete pattern is
+                # preserved verbatim in every copy; custkeys follow
+                # the scaled customer copies
+                cp = cp.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(off)
+                ).withColumn(
+                    "o_custkey", F.col("o_custkey") + F.lit(off)
+                )
             elif t == "customer":
                 # remap key AND regenerate the name from it: copies get
                 # genuinely new (unique) names whose near-dup density

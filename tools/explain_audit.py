@@ -257,6 +257,11 @@ EXPECT: dict[str, dict] = {
     # codegen levenshtein, not Python.
     "customer_name_neardup_pairs": {
         "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+        # the verify stage must be the JVM levenshtein expression in
+        # codegen — if it ever regressed to a Python UDF the global
+        # BatchEvalPython check would fire, but this pins the positive
+        # side too (r6 verdict item 7)
+        "plan_contains": ["levenshtein"],
     },
     # BM25: postings filtered to query terms pre-shuffle; df (≤|terms|
     # rows) and the (N, avgdl) row are the two explicit broadcasts;
@@ -424,6 +429,28 @@ EXPECT: dict[str, dict] = {
     "emb_pq_topk": {
         "pushed": False, "no_smj": True, "hints": 2, "pure_jvm": True,
         "take_ordered": True,
+        # the ADC lookup and encode argmin must consume the codebook
+        # as a BROADCAST build side — a ShuffledHashJoin/SMJ here
+        # would shuffle the corpus-encode stream against an m x
+        # n_codes table (r6 verdict item 7)
+        "bhj_only": True,
+    },
+    # Round-7 additions
+    # PII scrub: three chained regexp_replace in ONE codegen pass over
+    # one scan — no joins, no shuffle, no Python.
+    "doc_pii_scrub": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "shuffles": 0,
+    },
+    # verified LSH twins: banded candidate generation (bucket
+    # collect_list agg) + the exact-equality verify joins; big-big
+    # joins sanctioned (AQE picks the strategy at this SF), but the
+    # whole pipeline must stay JVM-side.
+    "doc_minhash_exact_dup_pairs": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    "doc_simhash_exact_dup_pairs": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
     },
 }
 
@@ -527,6 +554,22 @@ def audit(name: str, show: bool = False) -> list[str]:
                 f"{n_stages} materialized shuffle stages, expected "
                 f"{exp['shuffles']} (lost exchange reuse?)"
             )
+    if exp.get("bhj_only"):
+        # every join must be a broadcast build: no shuffle-side join
+        # operator of any kind, and at least one BroadcastHashJoin
+        if "SortMergeJoin" in plan or "ShuffledHashJoin" in plan:
+            problems.append(
+                "shuffled join in a bhj_only plan (broadcast side "
+                "regressed to a shuffle?)"
+            )
+        if "BroadcastHashJoin" not in plan:
+            problems.append("no BroadcastHashJoin in a bhj_only plan")
+    if "plan_contains" in exp:
+        for frag in exp["plan_contains"]:
+            if frag not in plan and frag not in formatted:
+                problems.append(
+                    f"expected plan fragment '{frag}' not found"
+                )
     if exp.get("take_ordered") and "TakeOrderedAndProject" not in plan:
         problems.append(
             "ORDER BY + LIMIT did not plan as TakeOrderedAndProject "
