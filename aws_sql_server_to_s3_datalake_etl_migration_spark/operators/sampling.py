@@ -343,3 +343,104 @@ def epoch_upsample(
         n == 0, F.array().cast("array<bigint>")
     ).otherwise(F.sequence(F.lit(0).cast("bigint"), n - F.lit(1)))
     return df.withColumn(copy_col, F.explode(copies))
+
+
+def token_budget_mix(
+    df: DataFrame,
+    heavy_sources: list[str],
+    heavy_weight: int,
+    default_weight: int,
+    budget_num: int,
+    budget_den: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Allocate a corpus-wide token budget across sources by integer
+    weights, then materialize the mixture by deterministic hash-rate
+    sampling — the data-mix construction step of an LLM pipeline
+    ("budget B tokens total, favor these sources N:1").
+
+    Budget B = floor(total_tokens * budget_num / budget_den).
+    Allocation is proportional-with-capping in ONE redistribution
+    pass: a source first gets floor(B*w/SW) tokens, capped at what it
+    has; the leftover is re-split over the uncapped sources by weight
+    and capped once more. A residual from double-capping stays
+    unallocated by design — the pass count is part of the contract
+    (an oracle can spell out one pass; a fixpoint loop it could not).
+
+    Every step is INTEGER arithmetic over per-source aggregates
+    (floor divisions, no floats), and the materialization threshold
+    avoids division entirely: keep doc iff
+    ``hash_u32 * T_s < alloc_s * 2^32`` compared in DECIMAL(38,0), so
+    Spark and any SQL oracle agree bit-for-bit at any corpus size.
+    The sampled token count approximates alloc_s in expectation —
+    hash sampling is by rate, not by exact quota (deterministic_take_n
+    is the exact-quota alternative when order matters more than
+    independence).
+
+    Scale shape: one hash-agg over the corpus (per-source totals,
+    S rows), control-plane arithmetic on the S-row table, one
+    broadcast join back, one codegen filter. The corpus is scanned
+    twice (totals + materialize) and shuffled never.
+    """
+    if budget_num < 0 or budget_den <= 0:
+        raise ValueError("budget must be a non-negative rational")
+    w = (
+        F.when(F.col(source_col).isin(*heavy_sources), heavy_weight)
+        .otherwise(default_weight)
+        .cast("bigint")
+        if heavy_sources
+        else F.lit(default_weight).cast("bigint")
+    )
+    per_src = (
+        df.groupBy(source_col)
+        .agg(F.sum(F.col(token_col).cast("bigint")).alias("t_s"))
+        .withColumn("w_s", w)
+    )
+    tot = per_src.agg(
+        F.sum("t_s").alias("_t"), F.sum("w_s").alias("_sw")
+    ).select(
+        # integer DIV, not a double cast: _t * num must stay exact
+        # past 2^53 tokens
+        F.expr(f"_t * {int(budget_num)} DIV {int(budget_den)}").alias("_b"),
+        "_sw",
+    )
+    a0 = per_src.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "t_s",
+        "w_s",
+        F.expr("_b * w_s DIV _sw").alias("a0"),
+    )
+    a0 = a0.withColumn("c_s", F.least("t_s", "a0"))
+    lv = a0.crossJoin(
+        F.broadcast(
+            a0.agg(
+                F.sum("c_s").alias("_sc"),
+                F.sum(F.when(F.col("a0") < F.col("t_s"), F.col("w_s"))).alias(
+                    "_swu"
+                ),
+            ).crossJoin(tot.select("_b"))
+        )
+    )
+    alloc = lv.select(
+        source_col,
+        "t_s",
+        F.least(
+            F.col("t_s"),
+            F.col("c_s")
+            + F.when(
+                (F.col("a0") < F.col("t_s")) & F.col("_swu").isNotNull(),
+                F.expr("(_b - _sc) * w_s DIV _swu"),
+            ).otherwise(F.lit(0)),
+        ).alias("source_budget"),
+    )
+    hash_u32 = F.conv(hash_bucket(id_col), 16, 10).cast("decimal(38,0)")
+    keep = hash_u32 * F.col("t_s").cast("decimal(38,0)") < F.col(
+        "source_budget"
+    ).cast("decimal(38,0)") * F.lit(4294967296).cast("decimal(38,0)")
+    return (
+        df.join(F.broadcast(alloc), source_col)
+        .where(keep)
+        .select(source_col, id_col, token_col, "source_budget")
+    )

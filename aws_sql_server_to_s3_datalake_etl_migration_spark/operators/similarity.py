@@ -397,3 +397,62 @@ def hard_negative_mining(
             F.col("_rank").alias("rank"),
         )
     )
+
+
+def knn_classify(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact k-NN majority-vote classification for a BOUNDED query
+    batch: each query's k nearest corpus vectors by cosine (self
+    excluded by id) vote on its label; ties break to the smaller
+    label. Returns (query_id, pred_label, n_votes).
+
+    Plan: broadcast the query batch against one corpus scan (|Q| must
+    be bounded — the batch-ANN serving contract; an unbounded Q makes
+    the work quadratic in corpus size by definition), per-query top-k
+    via a rank window (WindowGroupLimit pushes the limit map-side),
+    then a (query, label) hash-agg and a 1-row-per-query argmax
+    window. Exact scoring is the value-checkable baseline; swap the
+    scan for ``ivf_topk_batch``'s probed-cell join when the corpus
+    outgrows brute force — the vote stage is identical.
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(query_vec_col).alias("_qvec"),
+    )
+    w_k = Window.partitionBy("_qid").orderBy(
+        F.col("_cos").desc(), F.col(id_col).asc()
+    )
+    neigh = (
+        df.select(id_col, vec_col, label_col)
+        .crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("_qid"))
+        .withColumn(
+            "_cos", pairwise_cosine(F.col("_qvec"), F.col(vec_col))
+        )
+        .withColumn("_rank", F.row_number().over(w_k))
+        .where(F.col("_rank") <= k)
+    )
+    w_vote = Window.partitionBy("_qid").orderBy(
+        F.col("n_votes").desc(), F.col(label_col).asc()
+    )
+    return (
+        neigh.groupBy("_qid", label_col)
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .withColumn("_vrank", F.row_number().over(w_vote))
+        .where(F.col("_vrank") == 1)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(label_col).alias("pred_label"),
+            "n_votes",
+        )
+    )

@@ -331,3 +331,67 @@ def groupwise_linear_trend(
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+def rolling_change_points(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    window_hours: int = 24,
+    min_abs_diff: int = 25,
+) -> DataFrame:
+    """Level-shift change-point candidates per group: hours where the
+    event count of the NEXT ``window_hours`` differs from the PREVIOUS
+    ``window_hours`` by at least ``min_abs_diff``.
+
+    All integer arithmetic over an hourly pre-aggregate — the rolling
+    sums are RANGE-frame windows over the integer hour index, so
+    missing hours contribute zero without a gapfill pass and the
+    result is bit-identical on any engine (no floating point
+    anywhere). Scale shape: one corpus hash-agg down to
+    (groups x hours) rows, then windows over that aggregate — the
+    window input is time-range-bound, not corpus-bound.
+    """
+    from pyspark.sql.window import Window
+
+    hidx = (F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))) / 3600
+            ).cast("bigint")
+    hourly = df.groupBy(
+        F.col(group_col), hidx.alias("hidx")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    base = Window.partitionBy(group_col).orderBy("hidx")
+    prev_w = base.rangeBetween(-window_hours, -1)
+    next_w = base.rangeBetween(0, window_hours - 1)
+    span = Window.partitionBy(group_col)
+    out = (
+        hourly.select(
+            group_col,
+            "hidx",
+            F.coalesce(F.sum("cnt").over(prev_w), F.lit(0)).alias(
+                "prev_sum"
+            ),
+            F.coalesce(F.sum("cnt").over(next_w), F.lit(0)).alias(
+                "next_sum"
+            ),
+            F.min("hidx").over(span).alias("_lo"),
+            F.max("hidx").over(span).alias("_hi"),
+        )
+        # only hours whose BOTH frames lie fully inside the observed
+        # series — an empty leading window is a series edge, not a
+        # level shift
+        .where(
+            (F.col("hidx") - F.col("_lo") >= window_hours)
+            & (F.col("_hi") - F.col("hidx") >= window_hours - 1)
+        )
+        .withColumn("diff", F.col("next_sum") - F.col("prev_sum"))
+    )
+    # the hour surfaces as its integer epoch-hour index, not a
+    # timestamp: epoch arithmetic is timezone-free on every engine,
+    # a rendered timestamp is not
+    return out.where(F.abs("diff") >= min_abs_diff).select(
+        group_col,
+        F.col("hidx").alias("hour_idx"),
+        "prev_sum",
+        "next_sum",
+        "diff",
+    )

@@ -832,3 +832,59 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ips.alias("n_ips"),
         n_phones.alias("n_phones"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN majority-vote classification (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_knn_classify",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id % 101 = 0 AND vec_id < 50500
+    ), scored AS (
+      SELECT q.qid, e.vec_id, e.label,
+             list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      FROM embeddings e, q WHERE e.vec_id <> q.qid
+    ), ranked AS (
+      SELECT qid, label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM scored
+    ), votes AS (
+      SELECT qid, label, COUNT(*) AS n_votes
+      FROM ranked WHERE rnk <= 5 GROUP BY qid, label
+    ), win AS (
+      SELECT qid AS query_id, label AS pred_label, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY n_votes DESC, label ASC) AS vr
+      FROM votes
+    )
+    SELECT query_id, pred_label, CAST(n_votes AS BIGINT) AS n_votes
+    FROM win WHERE vr = 1
+    """,
+)
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-NN majority-vote labels for a bounded query batch
+    (operators/similarity.py knn_classify): broadcast queries, one
+    corpus scan, WindowGroupLimit top-k, (query,label) vote agg,
+    argmax window. Both engines fold the 64-dim products in index
+    order, so the exact-cosine ranking is bit-identical and the
+    prediction is value-checkable; at corpus scale the scan swaps for
+    the IVF probed-cell join with the identical vote stage."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(
+        (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 500 * 101)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    from .operators import similarity
+
+    return similarity.knn_classify(embs, queries, k=5)

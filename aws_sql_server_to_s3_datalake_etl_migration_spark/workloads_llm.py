@@ -2276,3 +2276,71 @@ def doc_simhash_exact_dup_pairs(
         .where(F.col("_ma") == F.col("_mb"))
         .select("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture (round 7): weighted allocation + hash materialize
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_budget_mix",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             END AS BIGINT) AS n_tokens
+      FROM documents
+    ), per_src AS (
+      SELECT source, SUM(n_tokens) AS t_s,
+             CAST(CASE WHEN source IN ('src0', 'src1') THEN 10 ELSE 1 END
+                  AS BIGINT) AS w_s
+      FROM d GROUP BY source
+    ), tot AS (
+      SELECT (SUM(t_s) * 1) // 2 AS b, SUM(w_s) AS sw FROM per_src
+    ), a0 AS (
+      SELECT source, t_s, w_s, (b * w_s) // sw AS a0 FROM per_src, tot
+    ), a1 AS (
+      SELECT *, LEAST(t_s, a0) AS c_s FROM a0
+    ), lv AS (
+      SELECT SUM(c_s) AS sc,
+             SUM(CASE WHEN a0 < t_s THEN w_s END) AS swu
+      FROM a1
+    ), alloc AS (
+      SELECT source, t_s,
+             LEAST(t_s, c_s + CASE WHEN a0 < t_s AND swu IS NOT NULL
+                   THEN ((b - sc) * w_s) // swu ELSE 0 END) AS source_budget
+      FROM a1, lv, tot
+    )
+    SELECT d.source, d.doc_id, d.n_tokens,
+           CAST(a.source_budget AS BIGINT) AS source_budget
+    FROM d JOIN alloc a ON d.source = a.source
+    WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS DECIMAL(38,0)) * CAST(a.t_s AS DECIMAL(38,0))
+        < CAST(a.source_budget AS DECIMAL(38,0)) * CAST(4294967296 AS DECIMAL(38,0))
+    """,
+)
+def doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM data-mix construction (operators/sampling.py
+    token_budget_mix): spend HALF the corpus's tokens, weighting
+    src0/src1 ten-to-one over the rest. The heavy sources cap at full
+    availability (they hold only 5% of tokens each against a 13%
+    proportional share), the leftover re-splits across the light
+    sources in the documented single redistribution pass, and the
+    mixture materializes by md5-rate sampling with a division-free
+    DECIMAL(38,0) threshold — every step integer-exact on both
+    engines. Two corpus scans, zero corpus shuffles."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(textops.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    return sampling.token_budget_mix(
+        docs,
+        heavy_sources=["src0", "src1"],
+        heavy_weight=10,
+        default_weight=1,
+        budget_num=1,
+        budget_den=2,
+    )

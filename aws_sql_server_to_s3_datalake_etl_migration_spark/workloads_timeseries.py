@@ -720,3 +720,51 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_events", "n_users_exact",
         "first_event_id", "last_event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Change-point candidates (round 7): integer rolling level shift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_change_points",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             epoch(date_trunc('hour', ts)) // 3600 AS hidx,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), framed AS (
+      SELECT event_type, hidx,
+             COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY hidx
+               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS prev_sum,
+             COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY hidx
+               RANGE BETWEEN CURRENT ROW AND 23 FOLLOWING), 0) AS next_sum,
+             MIN(hidx) OVER (PARTITION BY event_type) AS lo,
+             MAX(hidx) OVER (PARTITION BY event_type) AS hi
+      FROM hourly
+    )
+    SELECT event_type,
+           CAST(hidx AS BIGINT) AS hour_idx,
+           CAST(prev_sum AS BIGINT) AS prev_sum,
+           CAST(next_sum AS BIGINT) AS next_sum,
+           CAST(next_sum - prev_sum AS BIGINT) AS diff
+    FROM framed
+    WHERE hidx - lo >= 24 AND hi - hidx >= 23
+      AND abs(next_sum - prev_sum) >= 25
+    """,
+)
+def events_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift candidates (operators/timeseries.py
+    rolling_change_points): hours where the next-24h event count moves
+    ≥25 away from the previous 24h, per event type. Integer RANGE
+    windows over the hourly aggregate — missing hours count zero
+    without gapfill, no floats anywhere, windows run over
+    (types x hours) rows, never the raw corpus."""
+    from .operators.timeseries import rolling_change_points
+
+    return rolling_change_points(
+        _events(spark, sf_dir), "event_type", "ts",
+        window_hours=24, min_abs_diff=25,
+    )

@@ -694,3 +694,60 @@ def test_doc_pii_scrub_query_counts(spark):
         (F.col("n_emails") != 1) | (F.col("n_ips") != 1) | (F.col("n_phones") != 1)
     ).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# k-NN classification (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_knn_classify_matches_numpy_reference(spark):
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(60, 8)).astype("float64")
+    labels = (np.arange(60) % 3).astype("int64")
+    rows = [
+        (int(i), [float(x) for x in vecs[i]], int(labels[i]))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    queries = df.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = {
+        r.query_id: (r.pred_label, r.n_votes)
+        for r in similarity.knn_classify(df, queries, k=5).collect()
+    }
+    norms = np.linalg.norm(vecs, axis=1)
+    for qid in (0, 20, 40):
+        cos = (vecs @ vecs[qid]) / (norms * norms[qid])
+        order = sorted(
+            (i for i in range(60) if i != qid),
+            key=lambda i: (-cos[i], i),
+        )[:5]
+        votes = {}
+        for i in order:
+            votes[labels[i]] = votes.get(labels[i], 0) + 1
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        assert out[qid] == (pred, votes[pred])
+
+
+def test_knn_classify_excludes_self(spark):
+    # a duplicated vector must not vote for itself: with k=1 the
+    # nearest neighbor of the query is its twin, not the query row
+    rows = [
+        (1, [1.0, 0.0], 7),
+        (2, [1.0, 0.0], 9),
+        (3, [0.0, 1.0], 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    queries = df.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = similarity.knn_classify(df, queries, k=1).collect()
+    assert len(out) == 1 and out[0].pred_label == 9

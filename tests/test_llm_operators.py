@@ -1266,3 +1266,49 @@ def test_ngram_jaccard_packed_and_wide_paths_agree(spark):
     # the explicit wide path handles them
     out = ngram_jaccard_pairs(big, threshold=0.1, wide_ids=True).collect()
     assert len(out) == 1 and out[0].jaccard == 1.0
+
+
+def test_token_budget_mix_allocation_math(spark):
+    """Hand-computed waterfilling: heavy source caps at availability,
+    leftover re-splits over the light sources by weight."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.sampling import (
+        token_budget_mix,
+    )
+
+    rows = []
+    # srcA: 100 tokens (10 docs x 10) — heavy w=10
+    # srcB: 1000 tokens (10 docs x 100) — light w=1
+    # srcC: 1000 tokens (10 docs x 100) — light w=1
+    for i in range(10):
+        rows.append((i, "srcA", 10))
+        rows.append((100 + i, "srcB", 100))
+        rows.append((200 + i, "srcC", 100))
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = token_budget_mix(
+        df, ["srcA"], 10, 1, budget_num=1, budget_den=2
+    )
+    # T=2100, B=1050, SW=12; a0: A=875->cap 100, B=C=87
+    # L=1050-(100+87+87)=776, SWU=2, extra=388 -> alloc B=C=475
+    alloc = {
+        r["source"]: r["source_budget"]
+        for r in out.select("source", "source_budget").distinct().collect()
+    }
+    assert alloc["srcA"] == 100
+    assert alloc.get("srcB", 475) == 475 and alloc.get("srcC", 475) == 475
+    # srcA rate = 100/100 = 1.0 -> every srcA doc survives
+    assert out.where(F.col("source") == "srcA").count() == 10
+
+
+def test_token_budget_mix_zero_budget(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.sampling import (
+        token_budget_mix,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "s", 10), (2, "s", 20)], "doc_id long, source string, n_tokens long"
+    )
+    assert token_budget_mix(df, [], 1, 1, 0, 2).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        token_budget_mix(df, [], 1, 1, 1, 0)

@@ -509,3 +509,60 @@ def test_chunk_carry_self_scales_with_target_carry_rows(spark):
         for i, v in enumerate(ts):
             prefix = max(prefix, v) if i else v
             assert got[i] == prefix - v, (chunk, target, i)
+
+
+def test_rolling_change_points_detects_level_shift(spark):
+    """A synthetic step: 2/hour for 48h then 10/hour for 48h — the
+    boundary hour must be flagged with the strongest diff; edges with
+    partial windows must NOT be flagged."""
+    import datetime as dt
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.timeseries import (
+        rolling_change_points,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(96):
+        n = 2 if h < 48 else 10
+        for i in range(n):
+            rows.append(("g", t0 + dt.timedelta(hours=h, minutes=i)))
+            eid += 1
+    df = spark.createDataFrame(rows, "grp string, ts timestamp")
+    out = rolling_change_points(
+        df, "grp", "ts", window_hours=24, min_abs_diff=100
+    ).collect()
+    assert out, "level shift not detected"
+    # strongest diff at the boundary hour (48h after t0): prev 24h all
+    # at 2 (48), next 24h all at 10 (240) -> diff 192
+    best = max(out, key=lambda r: abs(r.diff))
+    t0_hidx = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+    assert abs(best.hour_idx - (t0_hidx + 48)) <= 1
+    assert best.diff == 192
+    # no partial-window edge rows
+    for r in out:
+        assert r.hour_idx - t0_hidx >= 24
+        assert (t0_hidx + 95) - r.hour_idx >= 23
+
+
+def test_rolling_change_points_flat_series_empty(spark):
+    import datetime as dt
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.timeseries import (
+        rolling_change_points,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("g", t0 + dt.timedelta(hours=h, minutes=i))
+        for h in range(96)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp")
+    assert (
+        rolling_change_points(
+            df, "grp", "ts", window_hours=24, min_abs_diff=5
+        ).count()
+        == 0
+    )
