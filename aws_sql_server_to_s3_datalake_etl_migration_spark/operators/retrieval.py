@@ -211,3 +211,42 @@ def bm25_topk_batch(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-phrase search via positional postings: documents
+    containing ``phrase`` as consecutive whitespace tokens, with the
+    occurrence count and first (0-based) start position.
+
+    The inverted-index formulation: one tokenized scan, postings
+    FILTERED to the phrase's terms before any shuffle (volume is the
+    phrase terms' frequencies, not corpus tokens), then |phrase|-1
+    equi-joins on (doc, start-position) — term i's postings shift
+    their position by -i so every term of one occurrence lands on the
+    same join key. Phrase length is a query-time constant (single
+    digits), so the join chain is bounded; a LIKE-style scan touches
+    every byte of every document instead.
+
+    Duplicate terms in the phrase are fine: each join matches the
+    shifted position, so "go go" finds exactly the consecutive pairs.
+    """
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("_pos", "_tok")
+    ).where(F.col("_tok").isin(*phrase))
+    starts = toks.where(F.col("_tok") == phrase[0]).select(id_col, "_pos")
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = toks.where(F.col("_tok") == term).select(
+            F.col(id_col), (F.col("_pos") - i).alias("_pos")
+        )
+        starts = starts.join(nxt, [id_col, "_pos"])
+    return starts.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("_pos").alias("first_pos"),
+    )

@@ -888,3 +888,117 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import similarity
 
     return similarity.knn_classify(embs, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (round 7): index algorithm vs scan oracle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_phrase_search",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+      FROM documents
+    ), hits AS (
+      SELECT doc_id,
+             list_filter(range(1, len(w)),
+                         i -> w[i] = 'hash' AND w[i + 1] = 'join') AS pos
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(pos) AS BIGINT) AS n_occurrences,
+           CAST(list_min(pos) - 1 AS BIGINT) AS first_pos
+    FROM hits WHERE len(pos) > 0
+    """,
+)
+def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search for "hash join" via positional postings
+    (operators/retrieval.py phrase_search). The oracle deliberately
+    uses a DIFFERENT algorithm — a direct token-window scan of every
+    document — so the value check is two independent methods agreeing
+    on occurrences and positions, not one formula transcribed twice.
+    The index plan's shuffle volume is the two terms' posting lists;
+    the scan touches the whole corpus."""
+    return retrieval.phrase_search(
+        _docs(spark, sf_dir), ["hash", "join"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust stats (round 7): exact order-statistic clamps
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_length_winsorized",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             END AS BIGINT) AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY n_tokens, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n_s
+      FROM d
+    ), cuts AS (
+      SELECT source,
+             MAX(CASE WHEN rn = (n_s + 9) // 10 THEN n_tokens END) AS p10,
+             MAX(CASE WHEN rn = (9 * n_s + 9) // 10 THEN n_tokens END) AS p90
+      FROM r GROUP BY source
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(c.p10 AS BIGINT) AS p10,
+           CAST(c.p90 AS BIGINT) AS p90,
+           CAST(SUM(LEAST(GREATEST(d.n_tokens, c.p10), c.p90)) AS DOUBLE)
+             / COUNT(*) AS winsorized_mean
+    FROM d JOIN cuts c ON d.source = c.source
+    GROUP BY d.source, c.p10, c.p90
+    """,
+)
+def doc_length_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorized token-length stats: clamp at the EXACT
+    P10/P90 order statistics (rank ceil(q*n) under a deterministic
+    (value, id) order — integer DIV formulas, no percentile
+    interpolation to disagree over), then a mean whose only float op
+    is one exactly-rounded division of exact integers. The robust
+    alternative to mean/stddev corpus cards when a source has
+    outlier documents. One scan + one per-source window + one
+    hash-agg; windows partition by source, never global."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(textops.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ws = Window.partitionBy("source")
+    r = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_s", F.count(F.lit(1)).over(ws)
+    )
+    cuts = r.groupBy("source").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n_s + 9) DIV 10"), F.col("n_tokens"))
+        ).alias("p10"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(9 * n_s + 9) DIV 10"),
+                F.col("n_tokens"),
+            )
+        ).alias("p90"),
+    )
+    clamped = docs.join(cuts, "source").withColumn(
+        "_w", F.least(F.greatest(F.col("n_tokens"), F.col("p10")), F.col("p90"))
+    )
+    return clamped.groupBy("source", "p10", "p90").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("_w").cast("double") / F.count(F.lit(1))).alias(
+            "winsorized_mean"
+        ),
+    ).select("source", "n_docs", "p10", "p90", "winsorized_mean")

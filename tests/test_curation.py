@@ -751,3 +751,65 @@ def test_knn_classify_excludes_self(spark):
     )
     out = similarity.knn_classify(df, queries, k=1).collect()
     assert len(out) == 1 and out[0].pred_label == 9
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_positions_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a hash join b hash join c"),
+            (2, "hash join"),
+            (3, "hash x join"),         # not consecutive
+            (4, "join hash"),           # wrong order
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_occurrences, r.first_pos)
+        for r in retrieval.phrase_search(docs, ["hash", "join"]).collect()
+    }
+    assert out == {1: (2, 1), 2: (1, 0)}
+
+
+def test_phrase_search_repeated_terms_and_overlap(spark):
+    # "go go go" contains "go go" at positions 0 and 1 (overlapping)
+    docs = spark.createDataFrame(
+        [(1, "go go go"), (2, "go stop go")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_occurrences, r.first_pos)
+        for r in retrieval.phrase_search(docs, ["go", "go"]).collect()
+    }
+    assert out == {1: (2, 0)}
+
+
+def test_phrase_search_single_term_and_empty(spark):
+    docs = spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
+    out = retrieval.phrase_search(docs, ["x"]).collect()
+    assert out[0].n_occurrences == 2 and out[0].first_pos == 0
+    with pytest.raises(ValueError):
+        retrieval.phrase_search(docs, [])
+
+
+def test_winsorized_matches_numpy(spark):
+    """Clamped mean equals the numpy winsorization at the same exact
+    order statistics."""
+    out = {r.source: r for r in wc.doc_length_winsorized(spark, SF_SMOKE).collect()}
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    docs["n"] = docs["text"].str.strip().map(
+        lambda t: len(t.split()) if t else 0
+    )
+    for src, g in docs.groupby("source"):
+        v = np.sort(g["n"].to_numpy(), kind="stable")
+        n = len(v)
+        p10 = v[(n + 9) // 10 - 1]
+        p90 = v[(9 * n + 9) // 10 - 1]
+        w = np.clip(g["n"].to_numpy(), p10, p90)
+        r = out[src]
+        assert (r.p10, r.p90, r.n_docs) == (p10, p90, n)
+        assert abs(r.winsorized_mean - w.sum() / n) < 1e-12
