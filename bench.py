@@ -143,6 +143,17 @@ EXTENDED = [
     "bucketed_supplier_volume",
     "events_salted_type_stats",
     "partitioned_orders_dpp_join",
+    # round-7 additions: PII scrub, verified LSH twins, data-mix
+    # allocation, kNN labels, change points, phrase search, robust
+    # stats
+    "doc_pii_scrub",
+    "doc_minhash_exact_dup_pairs",
+    "doc_simhash_exact_dup_pairs",
+    "doc_token_budget_mix",
+    "emb_knn_classify",
+    "events_change_points",
+    "doc_phrase_search",
+    "doc_length_winsorized",
 ]
 
 

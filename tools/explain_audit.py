@@ -452,6 +452,36 @@ EXPECT: dict[str, dict] = {
     "doc_simhash_exact_dup_pairs": {
         "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
     },
+    # phrase search: postings filtered to the two phrase terms before
+    # the position equi-joins (tiny sides; AQE picks the strategy).
+    "doc_phrase_search": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # token-budget mix: control-plane arithmetic over per-source
+    # aggregates. Three explicit broadcasts (totals row, leftover row,
+    # final allocation) — the totals hint appears twice in the
+    # analyzed tree because the leftover aggregate re-reads the
+    # hinted a0 lineage, hence 4 ResolvedHints.
+    "doc_token_budget_mix": {
+        "pushed": False, "no_smj": True, "hints": 4, "pure_jvm": True,
+    },
+    # kNN classify: ONE explicit broadcast (the bounded query batch)
+    # into the corpus scan; top-k + vote windows over |Q|-bounded rows.
+    "emb_knn_classify": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
+    # change points: hourly hash-agg + per-type RANGE windows — the
+    # (type,hour) agg exchange and the per-type window exchange are
+    # the only shuffles; span/frame windows share the second.
+    "events_change_points": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "shuffles": 2,
+    },
+    # winsorized stats: per-source rank window + the cuts join (AQE
+    # strategy) + final hash-agg; no Python.
+    "doc_length_winsorized": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
@@ -473,6 +503,11 @@ SCALAR_SUBQUERY_OK = {
     # <= n_cells centroid rows before pruning to nprobe cells (the
     # batch-ANN cell-selection step)
     "emb_hard_negatives",
+    # bounded broadcast cross joins by design: the S-row allocation /
+    # 1-row totals tables (token mix) and the bounded query batch
+    # (kNN classify)
+    "doc_token_budget_mix",
+    "emb_knn_classify",
 }
 
 
