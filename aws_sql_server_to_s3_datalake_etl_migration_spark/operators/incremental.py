@@ -213,3 +213,35 @@ def cdc_apply_changes(
     )
     upserts = latest.where(F.col(op_col) != F.lit("D")).select(*payload)
     return untouched.unionByName(upserts)
+
+
+def incremental_join_delta(
+    base_left: DataFrame,
+    delta_left: DataFrame,
+    base_right: DataFrame,
+    delta_right: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Δ-propagation for an INNER-join materialized view: the rows the
+    view GAINS when appends ΔL and ΔR land on L and R —
+
+        Δ(L ⋈ R) = ΔL ⋈ R  ∪  L ⋈ ΔR  ∪  ΔL ⋈ ΔR
+                 = ΔL ⋈ (R ∪ ΔR)  ∪  L ⋈ ΔR
+
+    (the standard delta rule for append-only inputs; updates/deletes
+    go through the CDC path first). The view refresh appends exactly
+    these rows — the full base tables are never re-joined, so a
+    refresh costs O(Δ ⋈ ·), not O(L ⋈ R): the property that makes a
+    100 TB denormalized view maintainable under hourly appends.
+
+    Each leg shuffles the delta against one base table on the join
+    key (bases pre-bucketed on that key make the legs shuffle-free
+    on the base side). Correctness contract: result ≡
+    (L∪ΔL) ⋈ (R∪ΔR) MINUS L ⋈ R — the catalog query value-checks
+    that equivalence against an oracle computing the MINUS form.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_full = base_right.unionByName(delta_right)
+    gain_left = delta_left.join(right_full, keys)
+    gain_right = base_left.join(delta_right, keys)
+    return gain_left.unionByName(gain_right)

@@ -1427,3 +1427,54 @@ def bucketed_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental join-view maintenance (round 7): delta propagation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_lineitem_view_delta",
+    """
+    WITH ob AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 0),
+         lb AS (SELECT * FROM lineitem WHERE l_orderkey % 5 <> 0),
+         full_v AS (
+           SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, l.l_partkey
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         ),
+         base_v AS (
+           SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, l.l_partkey
+           FROM ob o JOIN lb l ON o.o_orderkey = l.l_orderkey
+         )
+    SELECT * FROM full_v
+    EXCEPT ALL
+    SELECT * FROM base_v
+    """,
+)
+def order_lineitem_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a denormalized orders⋈lineitem view
+    (operators/incremental.py incremental_join_delta): appends ΔO
+    (every 4th order) and ΔL (lineitems of every 5th order) land, and
+    the refresh computes exactly the view's GAINED rows via the delta
+    rule ΔO⋈(L∪ΔL) ∪ O⋈ΔL — the full base tables are never
+    re-joined, which is what keeps a 100 TB view maintainable under
+    hourly appends. The oracle computes the same rows from the
+    SEMANTIC DEFINITION instead — (O∪ΔO)⋈(L∪ΔL) EXCEPT O⋈L — so the
+    value check is the delta rule proved equivalent to the definition
+    on real data, two genuinely different algorithms."""
+    from .operators.incremental import incremental_join_delta
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_partkey"
+    )
+    ob = o.where(F.col("o_orderkey") % 4 != 0)
+    od = o.where(F.col("o_orderkey") % 4 == 0)
+    lb = l.where(F.col("o_orderkey") % 5 != 0)
+    ld = l.where(F.col("o_orderkey") % 5 == 0)
+    return incremental_join_delta(ob, od, lb, ld, on="o_orderkey").select(
+        "o_orderkey", "l_linenumber", "o_custkey", "l_partkey"
+    )

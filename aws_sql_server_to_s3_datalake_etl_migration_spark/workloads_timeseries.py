@@ -768,3 +768,45 @@ def events_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir), "event_type", "ts",
         window_hours=24, min_abs_diff=25,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window aggregation (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sliding_windows",
+    """
+    WITH slots AS (
+      SELECT event_type,
+             date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS window_start
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM slots GROUP BY 1, 2
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h window counts per event type — ``F.window`` with a
+    slide, the overlapping-window twin of ``events_hourly_counts``
+    (identical expression tree under Structured Streaming). Spark
+    assigns each row its size/slide = 2 windows in the Expand-style
+    generate; shuffle carries |windows x types| aggregate rows. The
+    oracle derives the same assignment from first principles (each
+    event lands in the hour-aligned window of its hour and the one
+    before)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window(F.col("ts"), "2 hours", "1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )

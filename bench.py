@@ -154,6 +154,8 @@ EXTENDED = [
     "events_change_points",
     "doc_phrase_search",
     "doc_length_winsorized",
+    "order_lineitem_view_delta",
+    "events_sliding_windows",
 ]
 
 

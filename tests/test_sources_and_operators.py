@@ -869,3 +869,49 @@ def test_merge_upsert_falls_back_when_not_a_delta_table(
     merge_upsert(spark, incoming, path, "pk")
     out = {r.pk: r.val for r in spark.read.parquet(path).collect()}
     assert out == {1: "a", 2: "b", 3: "c"}
+
+
+def test_incremental_join_view_matches_full_recompute(spark, tmp_path):
+    """Maintain a persisted orders-lines join view through two append
+    rounds with delta propagation only; the final view must equal the
+    full re-join, row for row (bag semantics)."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.incremental import (
+        incremental_join_delta,
+    )
+
+    def orders(lo, hi):
+        return spark.createDataFrame(
+            [(k, k * 10) for k in range(lo, hi)], "k long, cust long"
+        )
+
+    def lines(lo, hi):
+        return spark.createDataFrame(
+            [(k, j, k * 100 + j) for k in range(lo, hi) for j in range(2)],
+            "k long, ln int, part long",
+        )
+
+    path = str(tmp_path / "view")
+    o0, l0 = orders(0, 10), lines(0, 8)
+    write_parquet(o0.join(l0, "k"), path)
+    o_cur, l_cur = o0, l0
+
+    for (o_new, l_new) in [
+        (orders(10, 15), lines(8, 14)),
+        (orders(15, 20), lines(14, 20)),
+    ]:
+        gained = incremental_join_delta(o_cur, o_new, l_cur, l_new, on="k")
+        write_parquet(
+            gained.select("k", "cust", "ln", "part"), path, mode="append"
+        )
+        o_cur = o_cur.unionByName(o_new)
+        l_cur = l_cur.unionByName(l_new)
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(path)
+        .select("k", "cust", "ln", "part").collect()
+    )
+    want = sorted(
+        tuple(r) for r in o_cur.join(l_cur, "k")
+        .select("k", "cust", "ln", "part").collect()
+    )
+    assert got == want and len(got) == 40

@@ -482,6 +482,17 @@ EXPECT: dict[str, dict] = {
     "doc_length_winsorized": {
         "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
     },
+    # join-view delta propagation: each leg shuffles a DELTA against
+    # one base on the join key — pushed filters carve the deltas out
+    # of the scans; big-big legs sanctioned (AQE decides).
+    "order_lineitem_view_delta": {
+        "pushed": True, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # sliding windows: one Expand-style window assignment + one
+    # hash-agg; no joins, no Python.
+    "events_sliding_windows": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
