@@ -93,6 +93,15 @@ def oracles() -> dict[str, str]:
 # their accuracy pytests are a stronger signal than a row-count-only
 # driver row. Slot 50 goes to round-7's first new operator
 # (doc_pii_scrub) so it earns its official row immediately.
+#
+# Round-8 rotation candidates (oracle-backed queries added mid-round-7
+# with no official driver row yet; all local-check green this round):
+# doc_minhash_exact_dup_pairs, doc_simhash_exact_dup_pairs (verified
+# LSH twins), doc_token_budget_mix, emb_knn_classify,
+# events_change_points, doc_phrase_search, doc_length_winsorized,
+# order_lineitem_view_delta, events_sliding_windows — 9 queries, so
+# one rotation swaps them in for by-then two-round-stable round-6
+# rows while keeping the §2 core pinned.
 _PRIORITY: tuple[str, ...] = (
     # §2 core: flagship ingest, scans, incremental/merge, recon
     # (permanently pinned)
