@@ -14,6 +14,8 @@ from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.skew import (
     write_bucketed,
 )
 
+from conftest import SF_SMOKE
+
 
 def _skewed(spark):
     # key 0 is hot: 5000 rows; keys 1..49 have 10 each
@@ -161,3 +163,46 @@ def test_split_skew_join_equals_plain_join(spark):
 
     with _pt.raises(ValueError, match="inner/left"):
         split_skew_join(left, right, "k", ["hot"], "full")
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Spark's runtime bloom-filter join pruning engages on this
+    runtime: when the dim side is too big to broadcast (forced here by
+    disabling broadcast in an ISOLATED newSession — same JVM,
+    independent SQL conf), the fact scan gets a might_contain filter
+    fed by a bloom_filter_agg over the dim keys, row-filtering the
+    fact side before the shuffle. At 100 TB this is the automatic
+    complement to DPP for non-partition join keys."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold", "1KB"
+    )
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    o = s2.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    c = s2.read.parquet(f"{SF_SMOKE}/customer.parquet").where(
+        F.col("c_acctbal") > 9000
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain(True)
+    plan = buf.getvalue()
+    assert "might_contain" in plan and "bloom_filter_agg" in plan
+    # semantics unchanged: bloom is a pre-filter, never a decider
+    base = {
+        (r.c_mktsegment, r.n)
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {(r.c_mktsegment, r.n) for r in j.collect()} == base
