@@ -102,7 +102,12 @@ def merge_upsert(
             m = m.whenMatchedUpdateAll().whenNotMatchedInsertAll()
         m.execute()
         return
-    target_df = spark.read.parquet(path)
+    from ..sources import delta_log
+
+    logged = delta_log.log_version(spark, path) is not None
+    # a log-backed table's live rows come from log replay, not a bare
+    # directory listing (tombstoned files must stay dead)
+    target_df = read_delta(spark, path) if logged else spark.read.parquet(path)
     if delete_col is not None:
         # Deletes are realized by the anti-join below removing every
         # incoming key from the target; only non-delete rows come back.
@@ -113,6 +118,13 @@ def merge_upsert(
         incoming.select(primary_key), on=primary_key, how="left_anti"
     )
     merged = kept.unionByName(upserts.select(*target_df.columns))
+    if logged:
+        # copy-on-write commit: tombstone the old live files and add
+        # the merged ones in ONE log entry — atomic to readers, old
+        # version time-travelable, concurrent reconciliations rejected
+        # via the pinned expected_version (delta_log.CommitConflict)
+        delta_log.overwrite_commit(merged, path)
+        return
     # Parquet can't overwrite a path while reading it: write the merge
     # result to a staging dir, then atomically swap it into place
     # (fault-tolerant tasks + recoverable ._old, vs localCheckpoint

@@ -133,13 +133,36 @@ def append_parquet(df: DataFrame, path: str) -> None:
 
 
 def write_delta_append(df: DataFrame, path: str) -> None:
-    """Delta append sink (S10, ``utils.py:76-80``); parquet-append
-    fallback when delta-spark is absent (semantics preserved: appended
-    rows become part of the table; no txn log)."""
+    """Delta append sink (S10, ``utils.py:76-80``).
+
+    Without delta-spark the fallback now writes a REAL transaction log
+    (``sources/delta_log.py``): new tables bootstrap
+    protocol+metaData+adds at version 0; later appends commit their
+    add actions with the atomic rename claim, so fallback-written
+    tables get isolated commits, optimistic concurrency, time travel
+    via the existing log replay — and delta-spark itself can read
+    them once the jar is available.
+
+    One guarded exception: a PRE-EXISTING plain-parquet directory with
+    data but no log keeps getting plain parquet appends — starting a
+    log that only covers the new files would make log-replay readers
+    silently drop every earlier row.
+    """
     try:
         df.write.format("delta").mode("append").save(path)
+        return
     except Exception:
-        df.write.mode("append").parquet(path)
+        pass
+    from . import delta_log, fs as _fsmod
+
+    spark = df.sparkSession
+    if (
+        delta_log.log_version(spark, path) is None
+        and _fsmod.list_data_files(spark, path)
+    ):
+        df.write.mode("append").parquet(path)  # legacy un-logged table
+        return
+    delta_log.append_commit(df, path)
 
 
 def write_jdbc_append(
