@@ -51,7 +51,9 @@ def _fs(spark: SparkSession, path: str):
 
 def log_version(spark: SparkSession, table_path: str) -> int | None:
     """Latest committed version of ``table_path``'s log, or None when
-    no log exists (plain parquet dir / new table)."""
+    no log exists (plain parquet dir / new table). Checkpoints count:
+    after log truncation a checkpoint may be the only witness of the
+    latest version, and the next commit must claim the slot above it."""
     import re
 
     log_dir = table_path.rstrip("/") + "/_delta_log"
@@ -59,11 +61,15 @@ def log_version(spark: SparkSession, table_path: str) -> int | None:
     hlog = jvm.org.apache.hadoop.fs.Path(log_dir)
     if not fs.exists(hlog):
         return None
-    versions = [
-        int(m.group(1))
-        for st in fs.listStatus(hlog)
-        if (m := re.fullmatch(r"(\d{20})\.json", st.getPath().getName()))
-    ]
+    versions = []
+    for st in fs.listStatus(hlog):
+        name = st.getPath().getName()
+        if m := re.fullmatch(r"(\d{20})\.json", name):
+            versions.append(int(m.group(1)))
+        elif (
+            m := re.match(r"(\d{20})\.checkpoint", name)
+        ) and name.endswith(".parquet"):
+            versions.append(int(m.group(1)))
     return max(versions) if versions else None
 
 
@@ -251,3 +257,104 @@ def overwrite_commit(df: DataFrame, table_path: str) -> int:
         boot + remove_actions(live, table_path) + adds,
         expected_version=expected,
     )
+
+
+def write_checkpoint(spark: SparkSession, table_path: str) -> int:
+    """Write a parquet checkpoint of the table's CURRENT state at the
+    latest version — the reconciled add-set readers can start from
+    instead of replaying every commit (the same role Delta's periodic
+    checkpoints play; the replay reader already consumes them). After
+    a checkpoint at V, the JSON commits at or below V are redundant
+    for reads at HEAD and may be truncated (``truncate_log``);
+    time travel below V then requires the checkpoint's version only.
+
+    Returns the checkpointed version.
+    """
+    from .readers import _delta_live_files
+
+    base = table_path.rstrip("/")
+    v = log_version(spark, base)
+    if v is None:
+        raise ValueError(f"{table_path} has no transaction log")
+    live = _delta_live_files(spark, base) or []
+    from pyspark.sql import functions as F
+
+    prefix = base + "/"
+    rows = [
+        (p[len(prefix):] if p.startswith(prefix) else p,)
+        for p in live
+    ]
+    cp = spark.createDataFrame(rows, "path string").select(
+        F.struct(F.col("path")).alias("add")
+    )
+    # one file, deterministic name the replay reader globs
+    cp.coalesce(1).write.mode("overwrite").parquet(
+        f"{base}/_delta_log/.cp-stage-{v}"
+    )
+    fs, jvm = _fs(spark, base)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    stage = f"{base}/_delta_log/.cp-stage-{v}"
+    for st in fs.listStatus(hpath(stage)):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            fs.rename(
+                st.getPath(),
+                hpath(f"{base}/_delta_log/{v:020d}.checkpoint.parquet"),
+            )
+    fs.delete(hpath(stage), True)
+    return v
+
+
+def truncate_log(spark: SparkSession, table_path: str) -> int:
+    """Delete JSON commits covered by the newest checkpoint (replay
+    starts there). Returns how many commit files were removed. Reads
+    at HEAD are unaffected; time travel below the checkpoint version
+    becomes unavailable — the vacuum-adjacent retention trade."""
+    import re
+
+    base = table_path.rstrip("/")
+    log_dir = base + "/_delta_log"
+    fs, jvm = _fs(spark, log_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    names = [
+        st.getPath().getName() for st in fs.listStatus(hpath(log_dir))
+    ]
+    cps = [
+        int(m.group(1))
+        for n in names
+        if (m := re.match(r"(\d{20})\.checkpoint", n))
+        and n.endswith(".parquet")
+    ]
+    if not cps:
+        return 0
+    cutoff = max(cps)
+    n = 0
+    for name in names:
+        m = re.fullmatch(r"(\d{20})\.json", name)
+        if m and int(m.group(1)) <= cutoff:
+            fs.delete(hpath(f"{log_dir}/{name}"), False)
+            n += 1
+    return n
+
+
+def vacuum(spark: SparkSession, table_path: str) -> list[str]:
+    """Delete data files no longer live at HEAD (tombstoned by merges/
+    overwrites). Returns the deleted file names. After a vacuum, time
+    travel to versions that referenced those files stops working —
+    run it when the retention window closes, exactly like Delta's
+    VACUUM. Never touches ``_delta_log`` or live files."""
+    from .readers import _delta_live_files
+
+    base = table_path.rstrip("/")
+    live = set(_delta_live_files(spark, base) or [])
+    fs, jvm = _fs(spark, base)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    deleted: list[str] = []
+    for st in fs.listStatus(hpath(base)):
+        name = st.getPath().getName()
+        if st.isDirectory() or not name.endswith(".parquet"):
+            continue
+        if f"{base}/{name}" not in live:
+            fs.delete(st.getPath(), False)
+            deleted.append(name)
+    return deleted

@@ -1031,3 +1031,58 @@ def test_delta_merge_commit_is_atomic_single_entry(spark, tmp_path):
     assert {
         (r.pk, r.val) for r in read_delta(spark, path, version=0).collect()
     } == {(1, "a"), (2, "a")}
+
+
+def test_delta_checkpoint_truncate_vacuum(spark, tmp_path):
+    """Checkpoint reconciles HEAD, truncation drops covered commits
+    (replay starts at the checkpoint), vacuum deletes only dead data
+    files — HEAD reads survive all three."""
+    import os
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources import (
+        delta_log,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        read_delta,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.writers import (
+        write_delta_append,
+    )
+
+    path = str(tmp_path / "cpv")
+    write_delta_append(
+        spark.createDataFrame([(1, "a"), (2, "a")], "pk long, val string"),
+        path,
+    )
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(2, "b")], "pk long, val string"),
+        path,
+        "pk",
+    )
+    head = {(r.pk, r.val) for r in read_delta(spark, path).collect()}
+    assert head == {(1, "a"), (2, "b")}
+
+    v = delta_log.write_checkpoint(spark, path)
+    assert v == 1
+    assert delta_log.truncate_log(spark, path) == 2  # commits 0 and 1
+    # replay now starts from the checkpoint; HEAD unchanged
+    assert {
+        (r.pk, r.val) for r in read_delta(spark, path).collect()
+    } == head
+
+    dead = delta_log.vacuum(spark, path)
+    assert dead  # the merge tombstoned the v0 files
+    assert {
+        (r.pk, r.val) for r in read_delta(spark, path).collect()
+    } == head
+    # appends keep working after checkpoint+truncate+vacuum
+    write_delta_append(
+        spark.createDataFrame([(5, "e")], "pk long, val string"), path
+    )
+    assert {
+        (r.pk, r.val) for r in read_delta(spark, path).collect()
+    } == head | {(5, "e")}
+    assert os.path.exists(
+        os.path.join(path, "_delta_log", "0" * 19 + "1.checkpoint.parquet")
+    )
