@@ -99,9 +99,11 @@ def oracles() -> dict[str, str]:
 # doc_minhash_exact_dup_pairs, doc_simhash_exact_dup_pairs (verified
 # LSH twins), doc_token_budget_mix, emb_knn_classify,
 # events_change_points, doc_phrase_search, doc_length_winsorized,
-# order_lineitem_view_delta, events_sliding_windows — 9 queries, so
-# one rotation swaps them in for by-then two-round-stable round-6
-# rows while keeping the §2 core pinned.
+# order_lineitem_view_delta, events_sliding_windows,
+# orders_delta_merge_roundtrip (the fallback Delta engine's
+# bootstrap->merge->replay roundtrip) — 10 queries, so one rotation
+# swaps them in for by-then two-round-stable round-6 rows while
+# keeping the §2 core pinned.
 _PRIORITY: tuple[str, ...] = (
     # §2 core: flagship ingest, scans, incremental/merge, recon
     # (permanently pinned)

@@ -156,6 +156,7 @@ EXTENDED = [
     "doc_length_winsorized",
     "order_lineitem_view_delta",
     "events_sliding_windows",
+    "orders_delta_merge_roundtrip",
 ]
 
 

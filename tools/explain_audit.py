@@ -493,6 +493,12 @@ EXPECT: dict[str, dict] = {
     "events_sliding_windows": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # delta roundtrip: the RETURNED plan is a log-replay read — a
+    # plain scan of the live files, no joins, no Python (the merge
+    # commits run eagerly before the plan is handed back).
+    "orders_delta_merge_roundtrip": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
