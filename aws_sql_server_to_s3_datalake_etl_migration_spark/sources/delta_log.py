@@ -222,13 +222,72 @@ def remove_actions(live_files: list[str], table_path: str) -> list[dict]:
     return out
 
 
+def table_schema_json(spark: SparkSession, table_path: str) -> str | None:
+    """schemaString from the latest metaData action, or None for an
+    un-logged path. Scans the log newest-first — metaData rides commit
+    0 (and any later schema-change commit), so the first hit wins."""
+    import re
+
+    base = table_path.rstrip("/")
+    log_dir = base + "/_delta_log"
+    fs, jvm = _fs(spark, log_dir)
+    hlog = jvm.org.apache.hadoop.fs.Path(log_dir)
+    if not fs.exists(hlog):
+        return None
+    versions = sorted(
+        (
+            int(m.group(1))
+            for st in fs.listStatus(hlog)
+            if (m := re.fullmatch(r"(\d{20})\.json", st.getPath().getName()))
+        ),
+        reverse=True,
+    )
+    for v in versions:
+        raw = read_commit_text(spark, f"{log_dir}/{v:020d}.json")
+        for line in raw.splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "metaData" in action:
+                return action["metaData"]["schemaString"]
+    return None
+
+
+def read_commit_text(spark: SparkSession, path: str) -> str:
+    """Whole small-file read through the Hadoop FS API (py4j can't
+    fill a java byte[] in place, so delegate to commons-io, which
+    ships on Spark's classpath)."""
+    fs, jvm = _fs(spark, path)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def append_commit(df: DataFrame, table_path: str) -> int:
     """Append ``df`` to the log-backed table at ``table_path`` (first
     commit bootstraps protocol+metaData). Returns the committed
-    version."""
+    version.
+
+    Schema-enforcement on append, like real Delta: a frame whose
+    schema differs from the table's metaData is REJECTED before any
+    file lands — committing mismatched files would poison every later
+    log-replay read with an undetected schema union."""
     spark = df.sparkSession
-    adds = stage_data_files(df, table_path)
     v = log_version(spark, table_path)
+    if v is not None:
+        expected = table_schema_json(spark, table_path)
+        if expected is not None and expected != df.schema.json():
+            raise ValueError(
+                f"schema mismatch appending to Delta table {table_path}: "
+                f"table has {expected}, frame has {df.schema.json()} — "
+                "evolve the table schema explicitly instead of appending "
+                "mismatched files"
+            )
+    adds = stage_data_files(df, table_path)
     actions = (bootstrap_actions(df) if v is None else []) + adds
     return commit(spark, table_path, actions)
 

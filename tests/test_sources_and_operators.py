@@ -1086,3 +1086,29 @@ def test_delta_checkpoint_truncate_vacuum(spark, tmp_path):
     assert os.path.exists(
         os.path.join(path, "_delta_log", "0" * 19 + "1.checkpoint.parquet")
     )
+
+
+def test_delta_append_rejects_schema_mismatch(spark, tmp_path):
+    """Schema enforcement on append, like real Delta: a mismatched
+    frame is rejected BEFORE any file lands — a committed mismatch
+    would poison every later replay read."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources import (
+        delta_log,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.writers import (
+        write_delta_append,
+    )
+
+    path = str(tmp_path / "enforced")
+    write_delta_append(
+        spark.createDataFrame([(1, "a")], "pk long, val string"), path
+    )
+    bad = spark.createDataFrame([(2, "b", 1.5)], "pk long, val string, extra double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        delta_log.append_commit(bad, path)
+    assert delta_log.log_version(spark, path) == 0
+    # matching appends still land
+    write_delta_append(
+        spark.createDataFrame([(2, "b")], "pk long, val string"), path
+    )
+    assert delta_log.log_version(spark, path) == 1
