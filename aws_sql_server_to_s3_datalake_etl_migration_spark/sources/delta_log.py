@@ -396,24 +396,36 @@ def truncate_log(spark: SparkSession, table_path: str) -> int:
     return n
 
 
-def vacuum(spark: SparkSession, table_path: str) -> list[str]:
+def vacuum(
+    spark: SparkSession, table_path: str, min_age_seconds: int = 0
+) -> list[str]:
     """Delete data files no longer live at HEAD (tombstoned by merges/
     overwrites). Returns the deleted file names. After a vacuum, time
     travel to versions that referenced those files stops working —
     run it when the retention window closes, exactly like Delta's
-    VACUUM. Never touches ``_delta_log`` or live files."""
+    VACUUM. Never touches ``_delta_log`` or live files.
+
+    ``min_age_seconds`` protects IN-FLIGHT readers: a query that
+    resolved its live-file list just before a merge landed still reads
+    the pre-merge files; deleting them instantly would fail it
+    mid-scan. Production deployments pass hours (Delta defaults to 7
+    days); the default 0 is for tests and single-process pipelines."""
     from .readers import _delta_live_files
 
     base = table_path.rstrip("/")
     live = set(_delta_live_files(spark, base) or [])
     fs, jvm = _fs(spark, base)
     hpath = jvm.org.apache.hadoop.fs.Path
+    cutoff_ms = (time.time() - min_age_seconds) * 1000
     deleted: list[str] = []
     for st in fs.listStatus(hpath(base)):
         name = st.getPath().getName()
         if st.isDirectory() or not name.endswith(".parquet"):
             continue
-        if f"{base}/{name}" not in live:
+        if (
+            f"{base}/{name}" not in live
+            and st.getModificationTime() <= cutoff_ms
+        ):
             fs.delete(st.getPath(), False)
             deleted.append(name)
     return deleted

@@ -1112,3 +1112,69 @@ def test_delta_append_rejects_schema_mismatch(spark, tmp_path):
         spark.createDataFrame([(2, "b")], "pk long, val string"), path
     )
     assert delta_log.log_version(spark, path) == 1
+
+
+def test_delta_concurrent_appends_all_land(spark, tmp_path):
+    """Genuine write-write racing: concurrent appenders all commit —
+    the atomic rename claim serializes them into distinct consecutive
+    versions and no batch is lost."""
+    import threading
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources import (
+        delta_log,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        read_delta,
+    )
+
+    path = str(tmp_path / "race")
+    delta_log.append_commit(
+        spark.createDataFrame([(0, -1)], "writer int, batch int"), path
+    )
+    errors: list[Exception] = []
+
+    def writer(wid: int) -> None:
+        try:
+            for b in range(3):
+                delta_log.append_commit(
+                    spark.createDataFrame(
+                        [(wid, b)], "writer int, batch int"
+                    ),
+                    path,
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert delta_log.log_version(spark, path) == 12  # 1 seed + 12 appends
+    rows = {(r.writer, r.batch) for r in read_delta(spark, path).collect()}
+    assert rows == {(0, -1)} | {(w, b) for w in range(4) for b in range(3)}
+
+
+def test_delta_vacuum_retention_window(spark, tmp_path):
+    """min_age_seconds keeps freshly-tombstoned files alive for
+    in-flight readers; age 0 reclaims them."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources import (
+        delta_log,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.writers import (
+        write_delta_append,
+    )
+
+    path = str(tmp_path / "ret")
+    write_delta_append(
+        spark.createDataFrame([(1, "a")], "pk long, val string"), path
+    )
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(1, "b")], "pk long, val string"),
+        path,
+        "pk",
+    )
+    assert delta_log.vacuum(spark, path, min_age_seconds=3600) == []
+    assert delta_log.vacuum(spark, path) != []
