@@ -102,6 +102,10 @@ QUERIES = [
     "orders_column_profile",
     "orders_cdc_apply",
     "doc_substring_leak",
+    # round-7 late addition: the fallback Delta engine's merge commit
+    # (snapshot anti-join + copy-on-write file rewrite must track
+    # table size)
+    "orders_delta_merge_roundtrip",
 ]
 
 
