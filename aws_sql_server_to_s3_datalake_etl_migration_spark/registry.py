@@ -74,36 +74,28 @@ def oracles() -> dict[str, str]:
 # prefix packs the permanently-pinned SURVEY §2 core plus, each round,
 # the rotation cohort the prior verdict ordered.
 #
-# Round-7 rotation (per the r6 verdict item 1): ALL 39 oracle-backed
-# queries added mid-round-6 with no official driver row yet move in —
-# the curation suite (linkage, BM25 single+batch, LM fluency, span
-# dedup + survivors, epoch mix, transition matrix, source overlap,
-# column profile, OLS trend, corpus card, OOV), the PQ/quantize family,
-# CDC apply + as-of join + interval overlap, substring leak, chunks /
-# take-N / source caps, packing, full-probe batch ANN, exact SemDeDup,
-# hard negatives, embedding quality gate, RFM / exact quantiles /
-# seasonal baseline / windowed funnel / SCD2 changes, and the
-# DPP / bucketed / z-order / salted layout demonstrations. The
-# two-round-green round-6 cohort (decontamination, sampling suite,
-# gapfill trio, funnel/retention, rollup, the LLM text/dedup/sampling
-# core, multimodal, SCD2 history, DQ report) rotates out — every one
-# stays registered, bench-exercised, and local-check green. With this
-# window, every one of the 138 oracle-backed catalog queries holds
-# ≥1 official driver row across r3–r7. Rows-only entries stay out —
-# their accuracy pytests are a stronger signal than a row-count-only
-# driver row. Slot 50 goes to round-7's first new operator
-# (doc_pii_scrub) so it earns its official row immediately.
-#
-# Round-8 rotation candidates (oracle-backed queries added mid-round-7
-# with no official driver row yet; all local-check green this round):
-# doc_minhash_exact_dup_pairs, doc_simhash_exact_dup_pairs (verified
-# LSH twins), doc_token_budget_mix, emb_knn_classify,
+# Round-8 rotation (per the r7 verdict item 1): the 10 oracle-backed
+# round-7 additions with no official driver row yet move in —
+# the verified LSH twins (doc_minhash_exact_dup_pairs,
+# doc_simhash_exact_dup_pairs), doc_token_budget_mix, emb_knn_classify,
 # events_change_points, doc_phrase_search, doc_length_winsorized,
-# order_lineitem_view_delta, events_sliding_windows,
+# order_lineitem_view_delta, events_sliding_windows, and
 # orders_delta_merge_roundtrip (the fallback Delta engine's
-# bootstrap->merge->replay roundtrip) — 10 queries, so one rotation
-# swaps them in for by-then two-round-stable round-6 rows while
-# keeping the §2 core pinned.
+# bootstrap->merge->replay roundtrip). Ten round-6-cohort rows that
+# earned their official row in r7 rotate out (epoch mix, chunks,
+# take-N, source caps, OOV, source overlap, value trend, seasonal
+# baseline, int8 quantize, quantized top-k) — every one stays
+# registered, bench-exercised, and local-check green. With this
+# window, ALL oracle-backed catalog queries that existed entering
+# round 8 hold ≥1 official driver row across r3–r8 — the window debt
+# goes to zero. Rows-only entries stay out — their accuracy pytests
+# are a stronger signal than a row-count-only driver row. Slot 50
+# goes to orders_delta_merge_roundtrip — the round-7 centerpiece's
+# end-to-end value check earns its official row this round.
+#
+# Round-9 rotation candidates: oracle-backed queries added mid-round-8
+# with no official driver row yet — all local-check green when added;
+# the list is maintained in CATALOG.md (entries past position 50).
 _PRIORITY: tuple[str, ...] = (
     # §2 core: flagship ingest, scans, incremental/merge, recon
     # (permanently pinned)
@@ -118,29 +110,21 @@ _PRIORITY: tuple[str, ...] = (
     "semi_join_active_customers",
     "outer_join_nation_order_stats",
     "window_top_orders_per_segment",
-    # round-7 rotation: first official driver rows for every
-    # oracle-backed round-6 addition (39 queries)
+    # round-6 cohort rows holding their official r7 rows; kept for
+    # window continuity (two-round soak before rotating out)
     "customer_name_neardup_pairs",
     "doc_bm25_search",
     "doc_bm25_batch",
     "doc_lm_fluency",
     "doc_span_dedup",
     "doc_dedup_survivors",
-    "doc_epoch_mix",
     "doc_substring_leak",
-    "doc_chunks",
-    "doc_take_n",
-    "doc_source_caps",
     "doc_pack_sequences",
     "doc_incremental_dedup",
     "doc_corpus_card",
-    "doc_oov_rate",
-    "doc_source_overlap",
     "event_transition_matrix",
     "event_asof_enrich",
     "event_funnel_windowed",
-    "events_value_trend",
-    "events_seasonal_baseline",
     "events_salted_type_stats",
     "session_incident_overlap",
     "orders_cdc_apply",
@@ -148,8 +132,6 @@ _PRIORITY: tuple[str, ...] = (
     "orders_price_quantiles",
     "customer_rfm_segments",
     "scd2_customer_changes",
-    "emb_quantize_int8",
-    "emb_quantized_topk",
     "emb_pq_topk",
     "emb_hard_negatives",
     "emb_quality_report",
@@ -159,8 +141,19 @@ _PRIORITY: tuple[str, ...] = (
     "zorder_orders_skipping_scan",
     "bucketed_supplier_volume",
     "partitioned_orders_dpp_join",
-    # round-7's first new operator takes the last slot
     "doc_pii_scrub",
+    # round-8 rotation: first official driver rows for the 10
+    # oracle-backed round-7 additions
+    "doc_minhash_exact_dup_pairs",
+    "doc_simhash_exact_dup_pairs",
+    "doc_token_budget_mix",
+    "emb_knn_classify",
+    "events_change_points",
+    "doc_phrase_search",
+    "doc_length_winsorized",
+    "order_lineitem_view_delta",
+    "events_sliding_windows",
+    "orders_delta_merge_roundtrip",
 )
 
 
