@@ -27,11 +27,23 @@ spec (delta.io PROTOCOL.md) — so fallback-written tables get
   truncated committed file (the reader's torn-log rejection then only
   fires for external corruption).
 
-Actions carry exactly what the replay reader consumes (add.path /
-add.size / remove.path, protocol, metaData with the Spark-JSON
-schemaString), so delta-spark itself can read these tables when the
-jar is present. Scope: unpartitioned tables — the fallback writer's
-surface, matching the reference's usage.
+Actions carry the full protocol surface the replay reader consumes
+(add.path / add.partitionValues / add.size, remove.path, protocol,
+metaData with the Spark-JSON schemaString), and checkpoints are
+SPEC-COMPLETE: the checkpoint parquet holds the latest ``protocol``
+and ``metaData`` actions plus full-field ``add`` rows, and a
+``_last_checkpoint`` pointer file is maintained — so delta-spark
+itself can read these tables when the jar is present, INCLUDING after
+``write_checkpoint`` + ``truncate_log`` (a real Delta reader
+reconstructs snapshots from the ``_last_checkpoint``-discovered
+checkpoint exactly as our fallback replay does).
+
+Partitioned tables are supported end to end: ``partition_by`` on
+append/overwrite writes Hive-layout data files, carries
+``partitionValues`` through the add actions, and the replay reader
+partition-prunes at the FILE LIST level (``readers._delta_live_adds``)
+— at 100 TB that is the difference between scanning one date
+partition and scanning the lake.
 """
 
 from __future__ import annotations
@@ -147,8 +159,13 @@ def commit(
             fs.delete(tmp_p, False)
 
 
-def bootstrap_actions(df: DataFrame) -> list[dict]:
-    """protocol + metaData actions for a new unpartitioned table."""
+def bootstrap_actions(
+    df: DataFrame, partition_cols: list[str] | None = None
+) -> list[dict]:
+    """protocol + metaData actions for a new table. ``partition_cols``
+    (Hive-layout partitioning) are recorded in metaData exactly as the
+    Delta spec requires; the schemaString still carries the FULL
+    schema including partition columns."""
     return [
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
         {
@@ -156,7 +173,7 @@ def bootstrap_actions(df: DataFrame) -> list[dict]:
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": df.schema.json(),
-                "partitionColumns": [],
+                "partitionColumns": list(partition_cols or []),
                 "configuration": {},
                 "createdTime": int(time.time() * 1000),
             }
@@ -164,34 +181,71 @@ def bootstrap_actions(df: DataFrame) -> list[dict]:
     ]
 
 
-def stage_data_files(df: DataFrame, table_path: str) -> list[dict]:
+def _partition_values_from_rel(rel: str) -> dict[str, str | None]:
+    """Parse Hive-layout ``k=v`` directory components of a relative
+    file path into Delta partitionValues (string-typed; the Hive
+    null sentinel maps to JSON null, as the spec does)."""
+    from urllib.parse import unquote
+
+    values: dict[str, str | None] = {}
+    for seg in rel.split("/")[:-1]:
+        k, _, v = seg.partition("=")
+        values[unquote(k)] = (
+            None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+        )
+    return values
+
+
+def stage_data_files(
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str] | None = None,
+) -> list[dict]:
     """Write ``df`` as parquet data files INSIDE ``table_path`` and
     return their ``add`` actions — but the files are invisible to log
     readers until a later :func:`commit` publishes them, which is what
     makes the write all-or-nothing. Files are written to a temp subdir
     first (so a crashed job can't leave half-written parts in the
     table root) and renamed in; Spark part names embed a per-job UUID,
-    so names never collide across writers."""
+    so names never collide across writers.
+
+    With ``partition_by`` the staging write is Hive-layout
+    (``key=value/part-*.parquet``); each file's directory components
+    become its add action's ``partitionValues``, which is what the
+    replay reader prunes on."""
     spark = df.sparkSession
     base = table_path.rstrip("/")
     tmp_dir = f"{base}/.stage-{uuid.uuid4().hex}"
-    df.write.parquet(tmp_dir)
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp_dir)
     fs, jvm = _fs(spark, base)
     hpath = jvm.org.apache.hadoop.fs.Path
+    tmp_q = fs.makeQualified(hpath(tmp_dir)).toString()
     adds: list[dict] = []
-    for st in fs.listStatus(hpath(tmp_dir)):
-        name = st.getPath().getName()
-        if not name.endswith(".parquet"):
+    files = fs.listFiles(hpath(tmp_dir), True)  # recursive
+    while files.hasNext():
+        st = files.next()
+        p = st.getPath()
+        if not p.getName().endswith(".parquet"):
             continue
-        if not fs.rename(st.getPath(), hpath(f"{base}/{name}")):
+        pstr = p.toString()
+        if not pstr.startswith(tmp_q + "/"):  # defensive: never happens
+            raise RuntimeError(f"staged file {pstr} escaped {tmp_q}")
+        rel = pstr[len(tmp_q) + 1:]
+        dest = hpath(f"{base}/{rel}")
+        if "/" in rel:
+            fs.mkdirs(dest.getParent())
+        if not fs.rename(p, dest):
             raise RuntimeError(
-                f"could not move staged file {name} into {table_path}"
+                f"could not move staged file {rel} into {table_path}"
             )
         adds.append(
             {
                 "add": {
-                    "path": name,
-                    "partitionValues": {},
+                    "path": rel,
+                    "partitionValues": _partition_values_from_rel(rel),
                     "size": int(st.getLen()),
                     "modificationTime": int(st.getModificationTime()),
                     "dataChange": True,
@@ -222,10 +276,17 @@ def remove_actions(live_files: list[str], table_path: str) -> list[dict]:
     return out
 
 
-def table_schema_json(spark: SparkSession, table_path: str) -> str | None:
-    """schemaString from the latest metaData action, or None for an
-    un-logged path. Scans the log newest-first — metaData rides commit
-    0 (and any later schema-change commit), so the first hit wins."""
+def latest_metadata(
+    spark: SparkSession, table_path: str
+) -> dict | None:
+    """The latest ``metaData`` action of the table, or None for an
+    un-logged path. Scans JSON commits newest-first — metaData rides
+    commit 0 (and any later schema-change commit), so the first hit
+    wins; when truncation has deleted every metaData-carrying commit,
+    the newest CHECKPOINT's metaData row is authoritative (the
+    spec-complete checkpoints this module writes always carry one, so
+    schema enforcement survives the full checkpoint/truncate
+    lifecycle)."""
     import re
 
     base = table_path.rstrip("/")
@@ -234,11 +295,12 @@ def table_schema_json(spark: SparkSession, table_path: str) -> str | None:
     hlog = jvm.org.apache.hadoop.fs.Path(log_dir)
     if not fs.exists(hlog):
         return None
+    names = [st.getPath().getName() for st in fs.listStatus(hlog)]
     versions = sorted(
         (
             int(m.group(1))
-            for st in fs.listStatus(hlog)
-            if (m := re.fullmatch(r"(\d{20})\.json", st.getPath().getName()))
+            for n in names
+            if (m := re.fullmatch(r"(\d{20})\.json", n))
         ),
         reverse=True,
     )
@@ -249,8 +311,38 @@ def table_schema_json(spark: SparkSession, table_path: str) -> str | None:
                 continue
             action = json.loads(line)
             if "metaData" in action:
-                return action["metaData"]["schemaString"]
+                return action["metaData"]
+    cps = sorted(
+        (
+            int(m.group(1))
+            for n in names
+            if (m := re.match(r"(\d{20})\.checkpoint", n))
+            and n.endswith(".parquet")
+        ),
+        reverse=True,
+    )
+    from pyspark.sql import functions as F
+
+    for v in cps:
+        cp = spark.read.parquet(f"{log_dir}/{v:020d}.checkpoint*.parquet")
+        if "metaData" not in cp.columns:
+            continue  # pre-round-8 path-only checkpoint
+        rows = (
+            cp.where(F.col("metaData").isNotNull())
+            .select("metaData")
+            .collect()
+        )
+        if rows:
+            return rows[0]["metaData"].asDict(recursive=True)
     return None
+
+
+def table_schema_json(spark: SparkSession, table_path: str) -> str | None:
+    """schemaString from the latest metaData action (JSON commits
+    first, then spec-complete checkpoints), or None for an un-logged
+    path."""
+    md = latest_metadata(spark, table_path)
+    return md["schemaString"] if md else None
 
 
 def read_commit_text(spark: SparkSession, path: str) -> str:
@@ -267,32 +359,64 @@ def read_commit_text(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
-def append_commit(df: DataFrame, table_path: str) -> int:
-    """Append ``df`` to the log-backed table at ``table_path`` (first
-    commit bootstraps protocol+metaData). Returns the committed
-    version.
+def _check_append_compat(
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str] | None,
+) -> None:
+    """Reject an append/overwrite whose schema or partitioning differs
+    from the table's metaData BEFORE any file lands — committing
+    mismatched files would poison every later log-replay read with an
+    undetected schema union, and mixing partition layouts would break
+    file-list pruning silently."""
+    md = latest_metadata(df.sparkSession, table_path)
+    if md is None:
+        return
+    expected = md.get("schemaString")
+    if expected is not None and expected != df.schema.json():
+        raise ValueError(
+            f"schema mismatch appending to Delta table {table_path}: "
+            f"table has {expected}, frame has {df.schema.json()} — "
+            "evolve the table schema explicitly instead of appending "
+            "mismatched files"
+        )
+    table_parts = list(md.get("partitionColumns") or [])
+    if table_parts != list(partition_by or []):
+        raise ValueError(
+            f"partitioning mismatch on Delta table {table_path}: table "
+            f"is partitioned by {table_parts}, write requested "
+            f"{list(partition_by or [])} — a table's partition layout "
+            "is fixed at creation"
+        )
 
-    Schema-enforcement on append, like real Delta: a frame whose
-    schema differs from the table's metaData is REJECTED before any
-    file lands — committing mismatched files would poison every later
-    log-replay read with an undetected schema union."""
+
+def append_commit(
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Append ``df`` to the log-backed table at ``table_path`` (first
+    commit bootstraps protocol+metaData, recording ``partition_by`` as
+    the table's partition columns). Returns the committed version.
+
+    Schema AND partition-layout enforcement on append, like real
+    Delta (see ``_check_append_compat``)."""
     spark = df.sparkSession
     v = log_version(spark, table_path)
     if v is not None:
-        expected = table_schema_json(spark, table_path)
-        if expected is not None and expected != df.schema.json():
-            raise ValueError(
-                f"schema mismatch appending to Delta table {table_path}: "
-                f"table has {expected}, frame has {df.schema.json()} — "
-                "evolve the table schema explicitly instead of appending "
-                "mismatched files"
-            )
-    adds = stage_data_files(df, table_path)
-    actions = (bootstrap_actions(df) if v is None else []) + adds
+        _check_append_compat(df, table_path, partition_by)
+    adds = stage_data_files(df, table_path, partition_by=partition_by)
+    actions = (
+        bootstrap_actions(df, partition_by) if v is None else []
+    ) + adds
     return commit(spark, table_path, actions)
 
 
-def overwrite_commit(df: DataFrame, table_path: str) -> int:
+def overwrite_commit(
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str] | None = None,
+) -> int:
     """Copy-on-write replacement of the table's contents with ``df`` in
     ONE commit: tombstone every live file, add the new ones. The prior
     version stays readable (time travel) until vacuumed.
@@ -306,9 +430,11 @@ def overwrite_commit(df: DataFrame, table_path: str) -> int:
 
     spark = df.sparkSession
     read_v = log_version(spark, table_path)
+    if read_v is not None:
+        _check_append_compat(df, table_path, partition_by)
     live = _delta_live_files(spark, table_path) or []
-    adds = stage_data_files(df, table_path)
-    boot = bootstrap_actions(df) if read_v is None else []
+    adds = stage_data_files(df, table_path, partition_by=partition_by)
+    boot = bootstrap_actions(df, partition_by) if read_v is None else []
     expected = 0 if read_v is None else read_v + 1
     return commit(
         spark,
@@ -318,49 +444,219 @@ def overwrite_commit(df: DataFrame, table_path: str) -> int:
     )
 
 
+def _latest_protocol(spark: SparkSession, table_path: str) -> dict:
+    """The latest ``protocol`` action (JSON commits newest-first, then
+    checkpoints), defaulting to this writer's constants for tables
+    whose protocol action is unreachable (pre-round-8 checkpoint after
+    truncation)."""
+    import re
+
+    base = table_path.rstrip("/")
+    log_dir = base + "/_delta_log"
+    fs, jvm = _fs(spark, log_dir)
+    hlog = jvm.org.apache.hadoop.fs.Path(log_dir)
+    names = (
+        [st.getPath().getName() for st in fs.listStatus(hlog)]
+        if fs.exists(hlog)
+        else []
+    )
+    versions = sorted(
+        (
+            int(m.group(1))
+            for n in names
+            if (m := re.fullmatch(r"(\d{20})\.json", n))
+        ),
+        reverse=True,
+    )
+    for v in versions:
+        raw = read_commit_text(spark, f"{log_dir}/{v:020d}.json")
+        for line in raw.splitlines():
+            if line.strip() and "protocol" in (a := json.loads(line)):
+                return a["protocol"]
+    from pyspark.sql import functions as F
+
+    cps = sorted(
+        (
+            int(m.group(1))
+            for n in names
+            if (m := re.match(r"(\d{20})\.checkpoint", n))
+            and n.endswith(".parquet")
+        ),
+        reverse=True,
+    )
+    for v in cps:
+        cp = spark.read.parquet(f"{log_dir}/{v:020d}.checkpoint*.parquet")
+        if "protocol" in cp.columns:
+            rows = (
+                cp.where(F.col("protocol").isNotNull())
+                .select("protocol")
+                .collect()
+            )
+            if rows:
+                return rows[0]["protocol"].asDict()
+    return {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+# The Delta-spec checkpoint schema subset this writer emits: every
+# column a spec reader needs to reconstruct a snapshot (protocol,
+# metaData, full-field adds). ``remove`` tombstones are reconciled
+# away — our vacuum derives dead files from live-at-HEAD, not from
+# checkpoint tombstones.
+_CHECKPOINT_DDL = (
+    "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
+    "metaData struct<id:string,"
+    "format:struct<provider:string,options:map<string,string>>,"
+    "schemaString:string,partitionColumns:array<string>,"
+    "configuration:map<string,string>,createdTime:bigint>, "
+    "add struct<path:string,partitionValues:map<string,string>,"
+    "size:bigint,modificationTime:bigint,dataChange:boolean>"
+)
+
+
 def write_checkpoint(spark: SparkSession, table_path: str) -> int:
-    """Write a parquet checkpoint of the table's CURRENT state at the
-    latest version — the reconciled add-set readers can start from
+    """Write a SPEC-COMPLETE parquet checkpoint of the table's state at
+    the latest version — the reconciled snapshot readers start from
     instead of replaying every commit (the same role Delta's periodic
-    checkpoints play; the replay reader already consumes them). After
-    a checkpoint at V, the JSON commits at or below V are redundant
-    for reads at HEAD and may be truncated (``truncate_log``);
-    time travel below V then requires the checkpoint's version only.
+    checkpoints play). The checkpoint carries the latest ``protocol``
+    and ``metaData`` actions plus full-field ``add`` rows
+    (partitionValues/size/modificationTime), and a ``_last_checkpoint``
+    pointer file is written — so a real delta-spark reader (which
+    discovers the checkpoint via ``_last_checkpoint`` and requires
+    protocol+metaData in it) stays able to read the table after
+    ``truncate_log`` deletes the covered JSON commits, and schema
+    enforcement (``latest_metadata``) survives truncation too.
+
+    The snapshot is PINNED to the version read first: a commit racing
+    in between the version read and the replay cannot leak v+1 state
+    into a checkpoint named v (which would silently corrupt time
+    travel at or below v).
 
     Returns the checkpointed version.
     """
-    from .readers import _delta_live_files
+    from .readers import _delta_live_adds
 
     base = table_path.rstrip("/")
     v = log_version(spark, base)
     if v is None:
         raise ValueError(f"{table_path} has no transaction log")
-    live = _delta_live_files(spark, base) or []
-    from pyspark.sql import functions as F
-
-    prefix = base + "/"
-    rows = [
-        (p[len(prefix):] if p.startswith(prefix) else p,)
-        for p in live
-    ]
-    cp = spark.createDataFrame(rows, "path string").select(
-        F.struct(F.col("path")).alias("add")
-    )
-    # one file, deterministic name the replay reader globs
-    cp.coalesce(1).write.mode("overwrite").parquet(
-        f"{base}/_delta_log/.cp-stage-{v}"
-    )
+    live = _delta_live_adds(spark, base, version=v) or {}
+    md = latest_metadata(spark, base)
+    if md is None:
+        # pre-round-8 lifecycle (path-only checkpoint + truncated
+        # commits) left no reachable metaData: reconstruct it from the
+        # live parquet footers so the table HEALS into the
+        # spec-complete format on its next checkpoint instead of being
+        # un-checkpointable forever
+        if not live:
+            raise ValueError(
+                f"{table_path} has no reachable metaData and no live "
+                "files; cannot reconstruct a checkpoint"
+            )
+        files = [f"{base}/{rel}" for rel in live]
+        md = {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": spark.read.parquet(*files).schema.json(),
+            "partitionColumns": sorted(
+                {
+                    k
+                    for a in live.values()
+                    for k in (a.get("partitionValues") or {})
+                }
+            ),
+            "configuration": {},
+            "createdTime": int(time.time() * 1000),
+        }
+    proto = _latest_protocol(spark, base)
     fs, jvm = _fs(spark, base)
     hpath = jvm.org.apache.hadoop.fs.Path
+    # project onto the checkpoint schema: metaData actions written by
+    # other engines may carry extra spec fields (name, description)
+    # the DDL below doesn't model
+    fmt = md.get("format") or {}
+    rows: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": int(
+                    proto.get("minReaderVersion", 1)
+                ),
+                "minWriterVersion": int(
+                    proto.get("minWriterVersion", 2)
+                ),
+            },
+            "metaData": {
+                "id": md.get("id"),
+                "format": {
+                    "provider": fmt.get("provider", "parquet"),
+                    "options": fmt.get("options") or {},
+                },
+                "schemaString": md.get("schemaString"),
+                "partitionColumns": list(
+                    md.get("partitionColumns") or []
+                ),
+                "configuration": md.get("configuration") or {},
+                "createdTime": md.get("createdTime"),
+            },
+            "add": None,
+        },
+    ]
+    for rel, a in live.items():
+        size = a.get("size")
+        mtime = a.get("modificationTime")
+        if size is None or mtime is None:
+            # pre-round-8 path-only checkpoint state: recover the stat
+            # from the filesystem so the new checkpoint is full-field
+            st = fs.getFileStatus(hpath(f"{base}/{rel}"))
+            size = int(st.getLen()) if size is None else size
+            mtime = (
+                int(st.getModificationTime()) if mtime is None else mtime
+            )
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": rel,
+                    "partitionValues": a.get("partitionValues") or {},
+                    "size": size,
+                    "modificationTime": mtime,
+                    "dataChange": a.get("dataChange", True),
+                },
+            }
+        )
+    cp = spark.createDataFrame(rows, _CHECKPOINT_DDL)
+    # one file, deterministic name the replay reader globs
     stage = f"{base}/_delta_log/.cp-stage-{v}"
+    cp.coalesce(1).write.mode("overwrite").parquet(stage)
+    renamed = False
     for st in fs.listStatus(hpath(stage)):
         name = st.getPath().getName()
         if name.endswith(".parquet"):
-            fs.rename(
-                st.getPath(),
-                hpath(f"{base}/_delta_log/{v:020d}.checkpoint.parquet"),
+            dest = hpath(
+                f"{base}/_delta_log/{v:020d}.checkpoint.parquet"
             )
+            if fs.exists(dest):
+                fs.delete(dest, False)  # idempotent re-checkpoint at v
+            if not fs.rename(st.getPath(), dest):
+                raise IOError(
+                    f"could not publish checkpoint {v} for {table_path} "
+                    "— a truncate_log after a silently-missing "
+                    "checkpoint would delete the commits it covers"
+                )
+            renamed = True
     fs.delete(hpath(stage), True)
+    if not renamed:
+        raise IOError(
+            f"checkpoint staging for {table_path} produced no parquet "
+            "file — nothing was published"
+        )
+    # _last_checkpoint is how spec readers (and fast log listings)
+    # discover the newest checkpoint without a full directory scan
+    _write_bytes(
+        spark,
+        f"{base}/_delta_log/_last_checkpoint",
+        json.dumps({"version": v, "size": len(rows)}).encode(),
+    )
     return v
 
 
@@ -387,6 +683,24 @@ def truncate_log(spark: SparkSession, table_path: str) -> int:
     if not cps:
         return 0
     cutoff = max(cps)
+    # Refuse to delete commits unless the covering checkpoint carries
+    # the table's metaData — truncating on a metaData-less checkpoint
+    # (pre-round-8 format) would orphan the schema: enforcement and
+    # real Delta readers both die with the last metaData commit.
+    cp = spark.read.parquet(
+        f"{log_dir}/{cutoff:020d}.checkpoint*.parquet"
+    )
+    from pyspark.sql import functions as F
+
+    if (
+        "metaData" not in cp.columns
+        or cp.where(F.col("metaData").isNotNull()).limit(1).count() == 0
+    ):
+        raise ValueError(
+            f"checkpoint {cutoff} of {table_path} carries no metaData "
+            "action; re-run write_checkpoint (spec-complete) before "
+            "truncating the log"
+        )
     n = 0
     for name in names:
         m = re.fullmatch(r"(\d{20})\.json", name)
@@ -397,35 +711,57 @@ def truncate_log(spark: SparkSession, table_path: str) -> int:
 
 
 def vacuum(
-    spark: SparkSession, table_path: str, min_age_seconds: int = 0
+    spark: SparkSession, table_path: str, min_age_seconds: int = 3600
 ) -> list[str]:
     """Delete data files no longer live at HEAD (tombstoned by merges/
-    overwrites). Returns the deleted file names. After a vacuum, time
-    travel to versions that referenced those files stops working —
-    run it when the retention window closes, exactly like Delta's
-    VACUUM. Never touches ``_delta_log`` or live files.
+    overwrites). Returns the deleted file names (relative paths for
+    partitioned layouts). After a vacuum, time travel to versions that
+    referenced those files stops working — run it when the retention
+    window closes, exactly like Delta's VACUUM. Never touches
+    ``_delta_log`` or live files. Partitioned tables are walked
+    recursively; emptied partition directories are pruned.
 
-    ``min_age_seconds`` protects IN-FLIGHT readers: a query that
-    resolved its live-file list just before a merge landed still reads
-    the pre-merge files; deleting them instantly would fail it
-    mid-scan. Production deployments pass hours (Delta defaults to 7
-    days); the default 0 is for tests and single-process pipelines."""
-    from .readers import _delta_live_files
+    ``min_age_seconds`` protects two windows at once:
+
+    - IN-FLIGHT readers: a query that resolved its live-file list just
+      before a merge landed still reads the pre-merge files; deleting
+      them instantly would fail it mid-scan.
+    - IN-FLIGHT writers: ``stage_data_files`` publishes staged parquet
+      into the table tree BEFORE their commit lands — until the
+      rename-claim succeeds they look dead to a replay, and a
+      zero-retention vacuum racing a concurrent append/merge would
+      delete them, committing a version that references missing files.
+
+    The default (1 h) covers both for any sane commit latency;
+    production deployments pass hours-to-days (Delta defaults to 7
+    days). 0 remains available as an EXPLICIT override for tests and
+    strictly single-process pipelines, where neither race exists."""
+    from .readers import _delta_live_adds
 
     base = table_path.rstrip("/")
-    live = set(_delta_live_files(spark, base) or [])
+    live = set(_delta_live_adds(spark, base) or {})
     fs, jvm = _fs(spark, base)
     hpath = jvm.org.apache.hadoop.fs.Path
+    base_q = fs.makeQualified(hpath(base)).toString()
     cutoff_ms = (time.time() - min_age_seconds) * 1000
     deleted: list[str] = []
-    for st in fs.listStatus(hpath(base)):
-        name = st.getPath().getName()
-        if st.isDirectory() or not name.endswith(".parquet"):
+    files = fs.listFiles(hpath(base), True)  # recursive
+    while files.hasNext():
+        st = files.next()
+        p = st.getPath()
+        pstr = p.toString()
+        if not pstr.startswith(base_q + "/"):
             continue
-        if (
-            f"{base}/{name}" not in live
-            and st.getModificationTime() <= cutoff_ms
-        ):
-            fs.delete(st.getPath(), False)
-            deleted.append(name)
+        rel = pstr[len(base_q) + 1:]
+        if rel.startswith("_delta_log/") or not rel.endswith(".parquet"):
+            continue
+        if rel not in live and st.getModificationTime() <= cutoff_ms:
+            fs.delete(p, False)
+            deleted.append(rel)
+    # prune partition dirs the deletions emptied (cosmetic but keeps
+    # directory listings honest on long-lived partitioned tables)
+    for rel in {r.rsplit("/", 1)[0] for r in deleted if "/" in r}:
+        d = hpath(f"{base}/{rel}")
+        if fs.exists(d) and not fs.listStatus(d):
+            fs.delete(d, False)
     return deleted

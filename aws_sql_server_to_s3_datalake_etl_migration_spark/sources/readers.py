@@ -157,13 +157,16 @@ def read_parquet(
     return _sql_over_source(df, query, path, view_name)
 
 
-def _delta_live_files(
-    spark: SparkSession, path: str, version: int | None = None
-) -> list[str] | None:
+def _delta_live_adds(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partition_filter: dict[str, str] | None = None,
+) -> dict[str, dict] | None:
     """Replay ``path/_delta_log`` and return the table's live data
-    files, or ``None`` when no transaction log exists (plain parquet
-    dir). With ``version``, replay only up to that commit — time
-    travel (``versionAsOf``).
+    files as ``{relative_path: add_action_fields}``, or ``None`` when
+    no transaction log exists (plain parquet dir). With ``version``,
+    replay only up to that commit — time travel (``versionAsOf``).
 
     This is the same driver-side protocol Delta itself runs: start from
     the newest parquet checkpoint at-or-below the target version if
@@ -171,6 +174,13 @@ def _delta_live_files(
     ``add`` action inserts a file, each ``remove`` tombstones it. The
     log is metadata (KBs per commit), so a driver pass is the
     scale-correct move; the *data* files are never touched here.
+
+    ``partition_filter`` maps partition column -> required string
+    value (Delta stores partitionValues as strings); adds whose
+    ``partitionValues`` don't match every entry are dropped DURING
+    replay — partition pruning at the file-list level, before any data
+    file is opened. At 100 TB this is the difference between a scan of
+    one date partition and a scan of the lake.
     """
     base = path.rstrip("/")
     log_dir = base + "/_delta_log"
@@ -204,15 +214,30 @@ def _delta_live_files(
             )
         commits = [v for v in commits if v <= version]
         checkpoints = [v for v in checkpoints if v <= version]
-    live: dict[str, bool] = {}
+        reachable = max(commits + checkpoints, default=-1)
+        if reachable < version:
+            # the commits between the newest at-or-below witness and
+            # the requested version were truncated — replaying would
+            # silently return OLDER state labeled as `version`
+            raise ValueError(
+                f"version {version} of Delta table at {path} is no "
+                f"longer reachable: the log is truncated above "
+                f"version {reachable} (nearest retained snapshot) — "
+                "time travel below a checkpoint only survives until "
+                "truncate_log"
+            )
+    live: dict[str, dict] = {}
     start = -1
     if checkpoints:
         v = checkpoints[-1]
         cp = spark.read.parquet(f"{log_dir}/{v:020d}.checkpoint*.parquet")
         adds = (
-            cp.where(F.col("add").isNotNull()).select("add.path").collect()
+            cp.where(F.col("add").isNotNull()).select("add.*").collect()
         )
-        live = {r["path"]: True for r in adds}
+        # spec-complete checkpoints carry the full add fields
+        # (partitionValues/size/modificationTime); pre-round-8 ones
+        # held only add.path — asDict() keeps whatever is present.
+        live = {r["path"]: r.asDict(recursive=True) for r in adds}
         # A checkpoint is reconciled state, but the Delta protocol keeps
         # `remove` tombstones in it until vacuum retention expires; a
         # checkpoint written after log truncation can therefore carry a
@@ -265,10 +290,37 @@ def _delta_live_files(
                         f"line {i} of table {path}: {e}"
                     ) from e
                 if "add" in action:
-                    live[action["add"]["path"]] = True
+                    live[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
-    return [f"{base}/{p}" for p in live]
+    if partition_filter:
+        live = {
+            p: a
+            for p, a in live.items()
+            if all(
+                (a.get("partitionValues") or {}).get(k) == v
+                for k, v in partition_filter.items()
+            )
+        }
+    return live
+
+
+def _delta_live_files(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partition_filter: dict[str, str] | None = None,
+) -> list[str] | None:
+    """Absolute paths of the table's live data files (see
+    ``_delta_live_adds`` for the replay protocol), or ``None`` when
+    ``path`` has no transaction log."""
+    adds = _delta_live_adds(
+        spark, path, version=version, partition_filter=partition_filter
+    )
+    if adds is None:
+        return None
+    base = path.rstrip("/")
+    return [f"{base}/{p}" for p in adds]
 
 
 def read_delta(
@@ -277,6 +329,7 @@ def read_delta(
     query: str = "",
     view_name: str = "",
     version: int | None = None,
+    partition_filter: dict[str, str] | None = None,
 ) -> DataFrame:
     """Delta lake scan + optional SQL-over-view (S5, ``utils.py:177-192``).
 
@@ -291,14 +344,26 @@ def read_delta(
     ``version`` requests time travel (``versionAsOf``): the state as of
     that commit. The fallback replays the log up to ``version``; a
     plain parquet dir (no log) cannot time-travel and raises.
+
+    ``partition_filter`` ({column: string_value}) prunes a partitioned
+    table to matching partitions: the fallback drops non-matching
+    files during log replay (no data file of another partition is even
+    listed), the native path applies the equivalent ``WHERE`` and lets
+    Delta's own partition pruning elide them. Empty result after a
+    filter is a normal empty frame, not an error.
     """
+    filtered_empty = False
     try:
         reader = spark.read.format("delta")
         if version is not None:
             reader = reader.option("versionAsOf", str(version))
         df = reader.load(path)
+        for k, v in (partition_filter or {}).items():
+            df = df.where(F.col(k).cast("string") == F.lit(v))
     except Exception:
-        files = _delta_live_files(spark, path, version=version)
+        files = _delta_live_files(
+            spark, path, version=version, partition_filter=partition_filter
+        )
         if files is None:
             if version is not None:
                 raise ValueError(
@@ -307,12 +372,29 @@ def read_delta(
                 )
             df = spark.read.parquet(path)
         elif not files:
-            raise ValueError(
-                f"Delta table at {path} has no live files (all removed); "
-                "refusing to scan dead data files"
-            )
+            if partition_filter:
+                # a pruned-to-nothing read is empty, not broken: scan
+                # the table schema from HEAD and return zero rows
+                all_files = _delta_live_files(spark, path, version=version)
+                if all_files:
+                    df = (
+                        spark.read.option("basePath", path.rstrip("/"))
+                        .parquet(*all_files)
+                        .limit(0)
+                    )
+                    filtered_empty = True
+            if not filtered_empty:
+                raise ValueError(
+                    f"Delta table at {path} has no live files (all "
+                    "removed); refusing to scan dead data files"
+                )
         else:
-            df = spark.read.parquet(*files)
+            # basePath keeps Hive-style partition columns visible when
+            # the live files sit under key=value directories; harmless
+            # for unpartitioned layouts
+            df = spark.read.option("basePath", path.rstrip("/")).parquet(
+                *files
+            )
     if not query:
         return df
     return _sql_over_source(df, query, path, view_name)

@@ -132,27 +132,50 @@ def append_parquet(df: DataFrame, path: str) -> None:
     write_parquet(df, path, mode="append")
 
 
-def write_delta_append(df: DataFrame, path: str) -> None:
+def write_delta_append(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
     """Delta append sink (S10, ``utils.py:76-80``).
 
-    Without delta-spark the fallback now writes a REAL transaction log
+    Without delta-spark the fallback writes a REAL transaction log
     (``sources/delta_log.py``): new tables bootstrap
     protocol+metaData+adds at version 0; later appends commit their
     add actions with the atomic rename claim, so fallback-written
     tables get isolated commits, optimistic concurrency, time travel
     via the existing log replay — and delta-spark itself can read
-    them once the jar is available.
+    them once the jar is available. ``partition_by`` records the
+    table's partition columns at creation (Hive-layout files +
+    partitionValues in the log, pruned on read).
 
-    One guarded exception: a PRE-EXISTING plain-parquet directory with
-    data but no log keeps getting plain parquet appends — starting a
-    log that only covers the new files would make log-replay readers
-    silently drop every earlier row.
+    The fallback engages ONLY when the delta data source is absent
+    from the classpath (the mirror of merge_upsert's narrowing, r6
+    verdict item 2): a genuine native write failure — schema or
+    invariant violation, transaction conflict — propagates instead of
+    being silently re-run as a raw fallback commit into the native
+    table's log, which would bypass the table's writer-version and
+    feature checks.
+
+    One guarded exception on the fallback path: a PRE-EXISTING
+    plain-parquet directory with data but no log keeps getting plain
+    parquet appends — starting a log that only covers the new files
+    would make log-replay readers silently drop every earlier row.
     """
     try:
-        df.write.format("delta").mode("append").save(path)
+        writer = df.write.format("delta").mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
         return
-    except Exception:
-        pass
+    except Exception as e:
+        # the only degradable condition: Spark cannot resolve the
+        # "delta" data source at all (jar absent — this container)
+        msg = str(e)
+        if (
+            "DATA_SOURCE_NOT_FOUND" not in msg
+            and "Failed to find data source: delta" not in msg
+            and "Failed to find the data source: delta" not in msg
+        ):
+            raise
     from . import delta_log, fs as _fsmod
 
     spark = df.sparkSession
@@ -160,9 +183,14 @@ def write_delta_append(df: DataFrame, path: str) -> None:
         delta_log.log_version(spark, path) is None
         and _fsmod.list_data_files(spark, path)
     ):
+        if partition_by:
+            raise ValueError(
+                f"{path} is a pre-existing un-logged parquet directory; "
+                "cannot start a partitioned Delta log over it"
+            )
         df.write.mode("append").parquet(path)  # legacy un-logged table
         return
-    delta_log.append_commit(df, path)
+    delta_log.append_commit(df, path, partition_by=partition_by)
 
 
 def write_jdbc_append(

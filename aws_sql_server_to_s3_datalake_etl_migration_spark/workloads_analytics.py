@@ -1529,5 +1529,8 @@ def orders_delta_merge_roundtrip(
     if (delta_log.log_version(spark, path) or 0) > 12:
         delta_log.write_checkpoint(spark, path)
         delta_log.truncate_log(spark, path)
-        delta_log.vacuum(spark, path)
+        # explicit zero retention: this cache table is written and read
+        # by exactly this single-process pipeline, so neither the
+        # in-flight-reader nor the staged-file race exists
+        delta_log.vacuum(spark, path, min_age_seconds=0)
     return read_delta(spark, path)

@@ -1071,7 +1071,7 @@ def test_delta_checkpoint_truncate_vacuum(spark, tmp_path):
         (r.pk, r.val) for r in read_delta(spark, path).collect()
     } == head
 
-    dead = delta_log.vacuum(spark, path)
+    dead = delta_log.vacuum(spark, path, min_age_seconds=0)
     assert dead  # the merge tombstoned the v0 files
     assert {
         (r.pk, r.val) for r in read_delta(spark, path).collect()
@@ -1176,5 +1176,5 @@ def test_delta_vacuum_retention_window(spark, tmp_path):
         path,
         "pk",
     )
-    assert delta_log.vacuum(spark, path, min_age_seconds=3600) == []
-    assert delta_log.vacuum(spark, path) != []
+    assert delta_log.vacuum(spark, path) == []  # default retention (1 h)
+    assert delta_log.vacuum(spark, path, min_age_seconds=0) != []
