@@ -1534,3 +1534,63 @@ def orders_delta_merge_roundtrip(
         # in-flight-reader nor the staged-file race exists
         delta_log.vacuum(spark, path, min_age_seconds=0)
     return read_delta(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned Delta fallback end-to-end (round 8): Hive-layout commits,
+# partitionValues in the log, file-list pruning on read
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_delta_partitioned_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def orders_delta_partitioned_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PARTITIONED fallback Delta engine under the value check
+    (r7 verdict item 4; sources/delta_log.py): bootstrap a table
+    partitioned by o_orderstatus from half the orders, append the
+    other half (two Hive-layout commits whose add actions carry
+    partitionValues), then read ONE status partition back through
+    log replay with a partition_filter — the filter prunes at the
+    FILE LIST, so data files of the other partitions are never
+    opened. The oracle states the partition's rows directly from
+    orders; matching hashes prove layout, partitionValues plumbing,
+    pruning, and the basePath partition-column recovery all at once.
+    At 100 TB this is the layout that makes a date-scoped read touch
+    one directory instead of the lake."""
+    import os
+
+    from .sources import delta_log
+    from .sources.readers import read_delta
+    from .sources.writers import write_delta_append
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(repo_root, ".lake_cache", f"delta_orders_part_{tag}")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    if delta_log.log_version(spark, path) is None:
+        o = _t(spark, sf_dir, "orders").select(*cols)
+        write_delta_append(
+            o.where(F.col("o_orderkey") % 2 == 1),
+            path,
+            partition_by=["o_orderstatus"],
+        )
+        write_delta_append(
+            o.where(F.col("o_orderkey") % 2 == 0),
+            path,
+            partition_by=["o_orderstatus"],
+        )
+        # exercise the spec-complete checkpoint on the partitioned
+        # layout too: replay afterwards starts from the checkpoint's
+        # full-field add rows (partitionValues intact)
+        delta_log.write_checkpoint(spark, path)
+        delta_log.truncate_log(spark, path)
+    return read_delta(
+        spark, path, partition_filter={"o_orderstatus": "F"}
+    ).select(*cols)

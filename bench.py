@@ -157,6 +157,8 @@ EXTENDED = [
     "order_lineitem_view_delta",
     "events_sliding_windows",
     "orders_delta_merge_roundtrip",
+    # round-8 additions
+    "orders_delta_partitioned_roundtrip",
 ]
 
 
