@@ -1954,8 +1954,11 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining at full probe: per anchor, the 3 most
     similar DIFFERENT-label vectors (similarity.hard_negative_mining)
     — exact by construction at nprobe = n_cells, so the whole
-    distributed plan is value-checked; partial probe is the scale
-    path. Same bounded-query guard as the fullprobe batch entry."""
+    distributed plan is value-checked. VERIFICATION-ONLY entry: full
+    probe scans corpus x queries by design (the size guard below caps
+    it); the production-shaped path is ``emb_hard_negatives_probed``
+    (same vote/filter machinery, nprobe < n_cells). Same
+    bounded-query guard as the fullprobe batch entry."""
     embs = _embs(spark, sf_dir)
     n = embs.count()
     if n > 100_000:
@@ -1990,6 +1993,34 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = similarity.hard_negative_mining(
         assigned, centroids, queries, k=3, nprobe=8
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register("emb_hard_negatives_probed", None)
+def emb_hard_negatives_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining at PARTIAL probe — the production-shaped
+    twin of ``emb_hard_negatives`` (r7 verdict item 3): real k-means
+    cells (``build_ivf_index``), each anchor probing the nprobe=2 of 8
+    cells nearest its query vector, so per-anchor work is ~1/4 of the
+    corpus instead of all of it. That is the plan that holds at
+    100 TB (the full-probe twin exists to VERIFY the machinery — its
+    cost grows with corpus x queries by construction and its own
+    query body caps the corpus size). Rows-only: iterative k-means
+    isn't SQL-expressible; the recall floor vs the value-checked
+    full-probe twin is pinned by pytest
+    (test_hard_negatives_probed_recall_floor)."""
+    embs = _embs(spark, sf_dir)
+    assigned, centroids = similarity.build_ivf_index(embs, n_cells=8)
+    queries = embs.where(
+        (F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 500 * 37)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = similarity.hard_negative_mining(
+        assigned, centroids, queries, k=3, nprobe=2
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 

@@ -159,6 +159,7 @@ EXTENDED = [
     "orders_delta_merge_roundtrip",
     # round-8 additions
     "orders_delta_partitioned_roundtrip",
+    "emb_hard_negatives_probed",
 ]
 
 

@@ -106,6 +106,10 @@ QUERIES = [
     # (snapshot anti-join + copy-on-write file rewrite must track
     # table size)
     "orders_delta_merge_roundtrip",
+    # round-8 (r7 verdict item 3): the production-shaped partial-probe
+    # hard-negative miner — per-anchor work is nprobe/n_cells of the
+    # corpus, so its ratio must sit well under the full-probe twin's
+    "emb_hard_negatives_probed",
 ]
 
 
