@@ -942,6 +942,7 @@ def incremental_near_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    verify_exact: bool = False,
 ) -> DataFrame:
     """NEAR-duplicate admission against all history, without rescanning
     it: the lake keeps an LSH band index ((band_idx, band_hash) per
@@ -959,16 +960,63 @@ def incremental_near_dedup(
     (j = 0.2 -> ~1.3%). Callers needing exact precision verify the
     rejected set against the lake with ``ngram_jaccard_pairs`` before
     discarding.
+
+    ``verify_exact=True`` switches both decision points to EXACT
+    shingle-set equality, reached through the same LSH machinery:
+    in-batch pairs are banded candidates at est=1.0 verified by a
+    set-signature compare, and the history rejection semi-join keys on
+    (band_idx, band_hash, set_sig) — identical sets collide in every
+    band AND share the signature (total recall by construction), while
+    chance band collisions between non-identical docs are filtered by
+    the signature. The admission decision becomes fully deterministic
+    ("rejected iff an ever-admitted doc has the identical shingle
+    set"), which is what makes the catalog twin
+    ``doc_incremental_neardup_checked`` value-checkable against a
+    hash-free DuckDB oracle; the index grows by one 32-char column.
     """
     assert num_hashes % bands == 0
     from ..sources import fs
     from ..sources.writers import write_parquet
 
-    pairs = minhash_lsh_pairs(
-        new_docs, id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
-        threshold=0.0,
-    )
+    sigs = None
+    if verify_exact:
+        # injective set signature: JSON-encode the sorted distinct
+        # shingle array (md5 of an unambiguous serialization)
+        sigs = new_docs.select(
+            F.col(id_col),
+            F.md5(
+                F.to_json(F.array_sort(word_shingles(text_col, shingle_k)))
+            ).alias("set_sig"),
+        )
+        cands = minhash_lsh_pairs(
+            new_docs, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+            threshold=1.0,
+        )
+        pairs = (
+            cands.join(
+                sigs.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col("set_sig").alias("_sa"),
+                ),
+                "id_a",
+            )
+            .join(
+                sigs.select(
+                    F.col(id_col).alias("id_b"),
+                    F.col("set_sig").alias("_sb"),
+                ),
+                "id_b",
+            )
+            .where(F.col("_sa") == F.col("_sb"))
+            .select("id_a", "id_b")
+        )
+    else:
+        pairs = minhash_lsh_pairs(
+            new_docs, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+            threshold=0.0,
+        )
     clusters = connected_components(pairs, new_docs, id_col)
     batch_survivors = new_docs.join(
         clusters.where(F.col(id_col) == F.col("cluster_id")).select(id_col),
@@ -977,13 +1025,18 @@ def incremental_near_dedup(
     new_bands = _minhash_band_table(
         batch_survivors, id_col, text_col, num_hashes, bands, shingle_k
     )
+    if verify_exact:
+        new_bands = new_bands.join(sigs, id_col)
+    hist_key = (
+        ["band_idx", "band_hash", "set_sig"]
+        if verify_exact
+        else ["band_idx", "band_hash"]
+    )
     index_files = fs.list_data_files(spark, band_index_path)
     if index_files:
-        hist = spark.read.parquet(*index_files).select(
-            "band_idx", "band_hash"
-        )
+        hist = spark.read.parquet(*index_files).select(*hist_key)
         hit_ids = (
-            new_bands.join(hist, ["band_idx", "band_hash"], "left_semi")
+            new_bands.join(hist, hist_key, "left_semi")
             .select(id_col)
             .distinct()
         )

@@ -1106,6 +1106,93 @@ def doc_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+# odd offset: copies of (even) every-10th docs land in the OTHER
+# parity batch, so the cross-batch admission path is what rejects them
+_PLANT_OFF_X = 10_000_001
+
+_PLANTED_XBATCH_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_PLANT_OFF_X} AS doc_id, text FROM documents
+    WHERE doc_id % 10 = 0
+"""
+
+
+@register(
+    "doc_incremental_neardup_checked",
+    f"""
+    WITH planted AS ({_PLANTED_XBATCH_SQL}),
+    toks AS (
+      SELECT doc_id, doc_id % 2 AS batch,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+      FROM planted
+    ), sets AS (
+      SELECT doc_id, batch,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_sort(list_distinct(list_transform(
+                         range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])))
+             END AS s
+      FROM toks
+    ), surv AS (
+      SELECT doc_id, batch, s, ROW_NUMBER() OVER (
+        PARTITION BY batch, s ORDER BY doc_id) AS rn
+      FROM sets
+    ), hist AS (
+      SELECT DISTINCT s FROM sets WHERE batch = 0
+    )
+    SELECT surv.doc_id, CAST(surv.batch AS BIGINT) AS batch
+    FROM surv LEFT JOIN hist
+      ON surv.batch = 1 AND surv.s = hist.s
+    WHERE surv.rn = 1 AND hist.s IS NULL
+    """,
+)
+def doc_incremental_neardup_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental near-dup ADMISSION path under a full value
+    check (r7 verdict item 5): the planted corpus (identical copies of
+    every 10th doc, shifted into the opposite parity batch) runs
+    through the REAL ``incremental_near_dedup`` operator — persisted
+    band index, two batches, history never rescanned — in
+    verify_exact mode, where both decision points (in-batch survivor
+    election, cross-batch rejection) resolve by exact shingle-set
+    equality reached THROUGH the LSH machinery (signatures, banding,
+    bucket semi-join). Identical sets collide in every band, so
+    recall is total by construction and the hash-free oracle states
+    the admission decision directly: admitted iff first of its set in
+    its batch and the set never appeared in batch 0. The
+    probabilistic production entry (``doc_incremental_neardup``)
+    keeps its S-curve pytests; this twin value-checks the plumbing
+    both entries share."""
+    import tempfile
+
+    from .operators.dedup import incremental_near_dedup
+
+    idx = tempfile.mkdtemp(prefix="band_idx_chk_")
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = base.unionByName(
+        base.where(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(_PLANT_OFF_X)
+        )
+    )
+    parts = []
+    for i in (0, 1):
+        admitted = incremental_near_dedup(
+            spark,
+            planted.where(F.col("doc_id") % 2 == i),
+            f"{idx}/index",
+            verify_exact=True,
+        )
+        parts.append(
+            admitted.select(
+                "doc_id", F.lit(i).cast("bigint").alias("batch")
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
 @register(
     "doc_pack_sequences",
     f"""
