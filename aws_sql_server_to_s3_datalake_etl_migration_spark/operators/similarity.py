@@ -456,3 +456,38 @@ def knn_classify(
             "n_votes",
         )
     )
+
+
+def pca_project(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """PCA dimensionality reduction for an embedding column — the
+    standard pre-quantization / visualization step of an embedding
+    pipeline. Returns (projected_df with ``projection``
+    array<double>, explained_variance ratios list[float]).
+
+    Spark-first: MLlib's distributed PCA (covariance accumulated in
+    one pass over executors, eigendecomposition of the d x d Gram on
+    the driver — d is the embedding width, so driver work is O(d^2)
+    memory and O(d^3) flops regardless of corpus size; 100 TB of rows
+    changes only the one distributed pass). The projection itself is
+    a broadcast matrix multiply applied per row. Numerical contract
+    (subspace match vs a direct eigendecomposition) is pinned by
+    pytest; catalog exposure is rows-only since iterative linear
+    algebra isn't SQL-expressible.
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.withColumn(
+        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = PCA(k=k, inputCol="_features", outputCol="_pca").fit(feat)
+    out = model.transform(feat).select(
+        F.col(id_col),
+        vector_to_array(F.col("_pca")).alias("projection"),
+    )
+    return out, [float(v) for v in model.explainedVariance]

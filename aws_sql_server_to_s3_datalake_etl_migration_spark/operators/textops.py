@@ -566,3 +566,57 @@ def pii_counts(col: Column | str) -> tuple[Column, Column, Column]:
         )
         c = F.regexp_replace(c, pat, tag)
     return counts[0], counts[1], counts[2]
+
+
+def with_compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Deflate-compression quality signal per document: byte length of
+    the UTF-8 text, its zlib-compressed length at a FIXED level, and
+    the compression ratio — the classic repetition detector
+    (Gopher/MassiveText-style filters drop documents whose bytes
+    compress too well, boilerplate and log spew, and sometimes those
+    that barely compress at all, binary noise). Returns
+    ``(id, n_raw_bytes, n_deflate_bytes, deflate_ratio)``;
+    ``deflate_ratio`` is NULL for empty text.
+
+    Compression is not expressible in Spark SQL, so this is a
+    documented slow-path operator: ``mapInPandas`` over ONLY the
+    (id, text) projection — Arrow-batched columnar transfer, zlib at a
+    pinned level so results are deterministic across runs and
+    partitionings (pytest pins a direct-zlib differential). Work is
+    embarrassingly parallel per batch and memory is bounded by the
+    Arrow batch size; at 100 TB this scans once with no shuffle.
+    """
+    schema = (
+        f"{id_col} bigint, n_raw_bytes bigint, n_deflate_bytes bigint, "
+        "deflate_ratio double"
+    )
+
+    def batches(it):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            raw = pdf[text_col].fillna("").map(
+                lambda s: s.encode("utf-8", errors="surrogatepass")
+            )
+            n_raw = raw.map(len)
+            n_def = raw.map(lambda b: len(zlib.compress(b, level)))
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_raw_bytes": n_raw,
+                    "n_deflate_bytes": n_def,
+                }
+            )
+            out["deflate_ratio"] = out["n_deflate_bytes"] / out[
+                "n_raw_bytes"
+            ].where(out["n_raw_bytes"] > 0)
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema)

@@ -1002,3 +1002,173 @@ def doc_length_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_mean"
         ),
     ).select("source", "n_docs", "p10", "p90", "winsorized_mean")
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (round 8): exact counts, one-shot float index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_readability",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             coalesce(text, '') AS txt,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+                  AS BIGINT) AS n_chars,
+             CAST(len(list_filter(w, x -> len(x) >= 7)) AS BIGINT)
+               AS n_long,
+             CAST(len(regexp_extract_all(txt, '[.!?]+')) AS BIGINT)
+               AS n_sentences
+      FROM t
+    )
+    SELECT doc_id, n_words, n_chars, n_sentences,
+           CASE WHEN n_words = 0 THEN NULL
+                ELSE CAST(n_long AS DOUBLE) / n_words END AS long_word_ratio,
+           CASE WHEN n_words = 0 THEN NULL
+                ELSE 4.71::DOUBLE * (CAST(n_chars AS DOUBLE) / n_words)
+                     + 0.5::DOUBLE * (CAST(n_words AS DOUBLE)
+                                      / GREATEST(n_sentences, 1))
+                     - 21.43::DOUBLE END AS ari
+    FROM c
+    """,
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability profile per document — the curation-side heuristic
+    that separates prose from code dumps and keyword stuffing: word /
+    character / sentence counts (exact integers), long-word ratio, and
+    the Automated Readability Index. All counts are exact integer
+    aggregations; the two float outputs are single exactly-rounded
+    expressions over exact integers, so the oracle hash-matches
+    bit-for-bit. One codegen scan, zero shuffles beyond the implicit
+    scan parallelism — at 100 TB this runs at I/O speed."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    toks = textops.tokens("text")
+    c = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+        ).alias("n_chars"),
+        F.size(F.filter(toks, lambda w: F.length(w) >= 7))
+        .cast("bigint")
+        .alias("n_long"),
+        F.size(F.regexp_extract_all(txt, F.lit(r"[.!?]+"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_sentences"),
+    )
+    n_words_d = F.col("n_words").cast("double")
+    return c.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_sentences",
+        F.when(F.col("n_words") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("n_long").cast("double") / F.col("n_words"))
+        .alias("long_word_ratio"),
+        F.when(F.col("n_words") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.lit(4.71) * (F.col("n_chars").cast("double") / F.col("n_words"))
+            + F.lit(0.5)
+            * (n_words_d / F.greatest(F.col("n_sentences"), F.lit(1)))
+            - F.lit(21.43)
+        )
+        .alias("ari"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding stats (round 8): dead/degenerate dim report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_dim_stats",
+    """
+    SELECT CAST(r.i AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN e.embedding[r.i + 1] = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero,
+           CAST(COUNT(DISTINCT e.embedding[r.i + 1]) AS BIGINT)
+             AS n_distinct,
+           CAST(MIN(e.embedding[r.i + 1]) AS DOUBLE) AS vmin,
+           CAST(MAX(e.embedding[r.i + 1]) AS DOUBLE) AS vmax,
+           CAST(SUM(CASE WHEN e.embedding[r.i + 1] = 0 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS zero_frac
+    FROM embeddings e CROSS JOIN range(0, 64) r(i)
+    GROUP BY r.i
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health report — the index-build
+    pre-flight that catches dead dimensions (n_distinct = 1), zeroed
+    dimensions (zero_frac = 1), and clipped ranges before they poison
+    a quantizer's codebook: every stat is an EXACT value (counts,
+    distinct counts, float min/max widened losslessly to double, one
+    exactly-rounded division), so the report value-checks against the
+    oracle. posexplode fans each vector into (dim, value) rows — a
+    64x row expansion of a narrow pair, shuffled once into a 64-group
+    hash-agg with map-side partials; at 100 TB per-dim partials come
+    from every partition, never a global sort."""
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    )
+    zero = F.sum(F.when(F.col("x") == 0, 1).otherwise(0))
+    return (
+        e.groupBy(F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            zero.cast("bigint").alias("n_zero"),
+            F.countDistinct("x").alias("n_distinct"),
+            F.min("x").cast("double").alias("vmin"),
+            F.max("x").cast("double").alias("vmax"),
+            (zero.cast("double") / F.count(F.lit(1))).alias("zero_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (round 8): distributed covariance, driver-side eig
+# ---------------------------------------------------------------------------
+
+
+@register("emb_pca_project", None)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus to 8 components
+    (operators/similarity.py pca_project, MLlib distributed PCA):
+    covariance accumulates in one executor pass, the d x d
+    eigendecomposition runs on the driver (O(d^3) regardless of
+    corpus size), and the projection is a broadcast matrix multiply.
+    Rows-only (iterative linear algebra isn't SQL-expressible); the
+    numerical contract — explained-variance ratios and subspace
+    alignment vs a direct numpy eigendecomposition — is pinned by
+    pytest (test_pca_project_matches_numpy)."""
+    from .operators import similarity
+
+    out, _ = similarity.pca_project(_embs(spark, sf_dir), k=8)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (round 8): Arrow-batched zlib
+# ---------------------------------------------------------------------------
+
+
+@register("doc_compression_ratio", None)
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document deflate ratio (operators/textops.py
+    with_compression_ratio) — the repetition/boilerplate detector the
+    MassiveText-style quality gates use: bytes that compress too well
+    are log spew and templates, bytes that barely compress are noise.
+    Rows-only (zlib isn't SQL-expressible); a direct-zlib
+    differential plus determinism-under-repartitioning are pinned by
+    pytest. The only Python in the path is the documented
+    mapInPandas batch loop over the (id, text) projection."""
+    return textops.with_compression_ratio(_docs(spark, sf_dir))

@@ -810,3 +810,39 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL distinct rollup (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register("events_hll_rollup", None)
+def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user rollup through MERGEABLE HLL sketches: one pass
+    builds a per-day sketch (hll_sketch_agg), per-day estimates read
+    off the sketches, and the all-time estimate comes from
+    hll_union_agg over the day sketches — history is NEVER rescanned
+    to refresh the total, which is the 100 TB contract (daily
+    sketches persist a few KB each; each new day unions in O(days)).
+    Union-of-sketches equals a single sketch over the concatenated
+    data (register-wise max), so the rollup is exactly as accurate as
+    the one-shot sketch — that identity and a 5%-of-exact tolerance
+    are pinned by pytest; catalog exposure is rows-only (HLL register
+    state isn't SQL-expressible)."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_day = daily.select(
+        F.col("day").cast("string").alias("grain"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    total = (
+        daily.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.lit("ALL").alias("grain"),
+            F.hll_sketch_estimate("sk").alias("approx_users"),
+        )
+    )
+    return per_day.unionByName(total).orderBy("grain")

@@ -160,6 +160,10 @@ EXTENDED = [
     # round-8 additions
     "orders_delta_partitioned_roundtrip",
     "emb_hard_negatives_probed",
+    "doc_readability",
+    "emb_dim_stats",
+    "doc_compression_ratio",
+    "events_hll_rollup",
 ]
 
 

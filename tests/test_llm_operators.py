@@ -1349,3 +1349,88 @@ def test_token_budget_mix_zero_budget(spark):
 
     with pytest.raises(ValueError):
         token_budget_mix(df, [], 1, 1, 1, 0)
+
+
+def test_pca_project_matches_numpy(spark):
+    """MLlib PCA (emb_pca_project) agrees with a direct numpy
+    eigendecomposition: explained-variance ratios match the top-k
+    covariance eigenvalue ratios, and each component spans the same
+    direction (|cosine| ~ 1, sign being arbitrary)."""
+    import numpy as np
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        similarity,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out, ev = similarity.pca_project(embs, k=8)
+    X = np.array(
+        [
+            [float(v) for v in r["embedding"]]
+            for r in embs.orderBy("vec_id").collect()
+        ]
+    )
+    C = np.cov(X, rowvar=False, bias=False)
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1]
+    w, V = w[order], V[:, order]
+    ratios = w / w.sum()
+    assert np.allclose(ev, ratios[:8], rtol=1e-5, atol=1e-8)
+    # projected variance along each component equals its eigenvalue
+    P = np.array(
+        [
+            [float(v) for v in r["projection"]]
+            for r in out.orderBy("vec_id").collect()
+        ]
+    )
+    assert P.shape == (X.shape[0], 8)
+    pv = P.var(axis=0, ddof=1)
+    assert np.allclose(pv, w[:8], rtol=1e-5)
+    # subspace alignment: each MLlib axis matches a numpy eigenvector
+    # up to sign (compare via projections of centered data)
+    Pn = (X - X.mean(axis=0)) @ V[:, :8]
+    cos = np.abs(
+        (P - P.mean(axis=0)).T @ (Pn - Pn.mean(axis=0))
+    ) / (
+        np.linalg.norm(P - P.mean(axis=0), axis=0)[:, None]
+        * np.linalg.norm(Pn - Pn.mean(axis=0), axis=0)[None, :]
+    )
+    assert np.allclose(np.diag(cos), 1.0, atol=1e-5)
+
+
+def test_compression_ratio_matches_zlib_and_is_deterministic(spark, sf_dir):
+    """with_compression_ratio reproduces direct zlib byte-for-byte,
+    NULLs the ratio for empty text, and is invariant to
+    repartitioning (fixed level -> deterministic)."""
+    import zlib
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        textops,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_raw_bytes, r.n_deflate_bytes, r.deflate_ratio)
+        for r in textops.with_compression_ratio(docs).collect()
+    }
+    sample = docs.where(F.col("doc_id") % 7 == 0).collect()
+    assert sample
+    for r in sample:
+        raw = (r.text or "").encode("utf-8")
+        n_def = len(zlib.compress(raw, 6))
+        nr, nd, ratio = got[r.doc_id]
+        assert (nr, nd) == (len(raw), n_def)
+        if len(raw) == 0:
+            assert ratio is None
+        else:
+            assert ratio == n_def / len(raw)
+    empty = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+    for r in textops.with_compression_ratio(empty).collect():
+        assert r.deflate_ratio is None
+    again = {
+        r.doc_id: (r.n_raw_bytes, r.n_deflate_bytes, r.deflate_ratio)
+        for r in textops.with_compression_ratio(
+            docs.repartition(13)
+        ).collect()
+    }
+    assert again == got

@@ -566,3 +566,38 @@ def test_rolling_change_points_flat_series_empty(spark):
         ).count()
         == 0
     )
+
+
+def test_hll_rollup_mergeable_and_close_to_exact(spark):
+    """events_hll_rollup: the merged all-time estimate is IDENTICAL to
+    a one-shot sketch over all data (union of sketches = register-wise
+    max), and every estimate lands within 5% of the exact distinct
+    count."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.workloads import (
+        _events,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.workloads_timeseries import (
+        events_hll_rollup,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.grain: r.approx_users
+        for r in events_hll_rollup(spark, sf).collect()
+    }
+    e = _events(spark, sf)
+    oneshot = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")
+    ).first()["n"]
+    assert got["ALL"] == oneshot
+    exact_all = e.select("user_id").distinct().count()
+    assert abs(got["ALL"] - exact_all) / exact_all <= 0.05
+    exact_daily = {
+        str(r.day): r.n
+        for r in e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact_daily) | {"ALL"}
+    for day, n in exact_daily.items():
+        assert abs(got[day] - n) / n <= 0.05
