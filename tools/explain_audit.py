@@ -499,6 +499,46 @@ EXPECT: dict[str, dict] = {
     "orders_delta_merge_roundtrip": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # Round-8 additions
+    # partitioned delta roundtrip: the returned plan is a log-replay
+    # scan of ONE partition's live files (pruned at the FILE LIST, so
+    # other partitions' files don't even appear as scan inputs) — no
+    # joins, no shuffles, no Python.
+    "orders_delta_partitioned_roundtrip": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "shuffles": 0,
+    },
+    # partial-probe hard negatives (the production-shaped twin): same
+    # bounded centroid cross join + probed-cell equi-join + label
+    # filter machinery as the full-probe verifier, scanning
+    # nprobe/n_cells of the corpus per anchor.
+    "emb_hard_negatives_probed": {
+        "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
+    },
+    # verified incremental near-dup twin: LSH band agg + exact-verify
+    # joins; big-big joins sanctioned (AQE decides); JVM throughout.
+    "doc_incremental_neardup_checked": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # readability: one codegen pass over one scan — no joins, no
+    # shuffles, no Python; runs at scan speed at any scale.
+    "doc_readability": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "shuffles": 0,
+    },
+    # per-dimension stats: posexplode fan-out into the COUNT(DISTINCT)
+    # two-phase aggregate — one shuffle dedups (dim, value) with
+    # map-side partials, the second folds the 64 groups. Both are the
+    # exact-distinct plan, not a lost reuse.
+    "emb_dim_stats": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "shuffles": 2,
+    },
+    # HLL rollup: per-day sketch agg + the merge agg over day
+    # sketches; the final orderBy sorts days+1 rows.
+    "events_hll_rollup": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
@@ -525,6 +565,9 @@ SCALAR_SUBQUERY_OK = {
     # (kNN classify)
     "doc_token_budget_mix",
     "emb_knn_classify",
+    # bounded centroid cross join (cell selection), as in the
+    # full-probe twin
+    "emb_hard_negatives_probed",
 }
 
 
