@@ -1594,3 +1594,94 @@ def orders_delta_partitioned_roundtrip(
     return read_delta(
         spark, path, partition_filter={"o_orderstatus": "F"}
     ).select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_abc_classes",
+    """
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, spend,
+             SUM(spend) OVER (ORDER BY spend DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(spend) OVER () AS total
+      FROM spend
+    ), classed AS (
+      SELECT spend,
+             CASE WHEN CAST(cum AS DOUBLE) * 5 <= CAST(total AS DOUBLE) * 4
+                    THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) * 20
+                       <= CAST(total AS DOUBLE) * 19
+                    THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             total
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(spend) AS DOUBLE) AS class_spend,
+           CAST(SUM(spend) AS DOUBLE) / CAST(MAX(total) AS DOUBLE)
+             AS share
+    FROM classed GROUP BY abc_class
+    """,
+)
+def customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification of customers by order
+    spend: A = customers inside the first 80% of cumulative revenue
+    (under a deterministic spend-desc, key-asc order), B to 95%, C
+    the tail — the classic warehouse segmentation. Per-customer spend
+    accumulates as exact DECIMAL and the heavy fact-side aggregate
+    shuffles ONCE by customer key; the cumulative share then runs
+    over the already-aggregated customer dimension — a deliberately
+    bounded global-order step (the dimension is orders of magnitude
+    smaller than the fact table; at 100 TB the fact scan dominates
+    and this window is noise). Class boundaries compare identical
+    double expressions on both engines, so the report hash-matches."""
+    spend = (
+        read_table_dir(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend"))
+    )
+    w_cum = (
+        Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = spend.select(
+        "spend",
+        F.sum("spend").over(w_cum).alias("cum"),
+        F.sum("spend").over(w_all).alias("total"),
+    )
+    classed = ranked.select(
+        "spend",
+        "total",
+        F.when(
+            F.col("cum").cast("double") * 5
+            <= F.col("total").cast("double") * 4,
+            "A",
+        )
+        .when(
+            F.col("cum").cast("double") * 20
+            <= F.col("total").cast("double") * 19,
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("spend").cast("double").alias("class_spend"),
+        (
+            F.sum("spend").cast("double")
+            / F.max("total").cast("double")
+        ).alias("share"),
+    )

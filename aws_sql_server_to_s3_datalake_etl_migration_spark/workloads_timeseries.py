@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .registry import register
 from .sources.readers import read_table_dir
@@ -846,3 +847,82 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_day.unionByName(total).orderBy("grain")
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (round 8): LOCF segment weighting, exact sums
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_time_weighted_avg",
+    """
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(FLOOR(value * 10000) AS BIGINT) AS v_q,
+             CAST(ts AS DATE) AS day,
+             epoch_ns(ts) // 1000 AS ts_us
+      FROM events
+    ), seg AS (
+      SELECT event_type, day, v_q, ts_us,
+             COALESCE(
+               LEAD(ts_us) OVER (PARTITION BY event_type, day
+                                 ORDER BY ts_us, event_id),
+               epoch_ns(CAST(day + 1 AS TIMESTAMP)) // 1000
+             ) - ts_us AS dt_us
+      FROM e
+    )
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(dt_us) AS BIGINT) AS total_us,
+           CAST(SUM(CAST(v_q AS DECIMAL(18,0))
+                    * CAST(dt_us AS DECIMAL(18,0))) AS DOUBLE)
+             / CAST(SUM(dt_us) AS DOUBLE) / 10000 AS twa
+    FROM seg GROUP BY event_type, day
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per (event_type, day) — the
+    irregular-sampling analytic (TimescaleDB ``time_weight``-style):
+    each observation holds (LOCF) until the next one of its series,
+    the last until midnight, so sparse bursts don't dominate the mean
+    the way a row-average lets them. Weights are exact integer
+    microseconds from the lossless ``ts_ns`` column; the value is
+    floor-quantized to 1e-4 resolution (floor of an identical IEEE
+    product is engine-portable, unlike decimal-cast rounding modes),
+    the weighted sum accumulates as exact DECIMAL products, and the
+    float tail is the same two-division expression on both engines —
+    hash-exact against the oracle. One window + one hash-agg, both
+    partitioned by (type, day): no global sort at any scale."""
+    e = (
+        _events(spark, sf_dir)
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            "ts_ns",
+            F.floor(F.col("value") * 10000).cast("bigint").alias("v_q"),
+        )
+        .withColumn("day", F.to_date("ts"))
+        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts_us", "event_id")
+    day_end_us = F.unix_micros(
+        F.date_add(F.col("day"), 1).cast("timestamp")
+    )
+    seg = e.withColumn(
+        "dt_us",
+        F.coalesce(F.lead("ts_us").over(w), day_end_us) - F.col("ts_us"),
+    )
+    return seg.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("dt_us").alias("total_us"),
+        (
+            F.sum(
+                F.col("v_q").cast("decimal(18,0)")
+                * F.col("dt_us").cast("decimal(18,0)")
+            ).cast("double")
+            / F.sum("dt_us").cast("double")
+            / F.lit(10000)
+        ).alias("twa"),
+    )

@@ -164,6 +164,8 @@ EXTENDED = [
     "emb_dim_stats",
     "doc_compression_ratio",
     "events_hll_rollup",
+    "events_time_weighted_avg",
+    "customer_abc_classes",
 ]
 
 

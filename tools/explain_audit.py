@@ -539,6 +539,19 @@ EXPECT: dict[str, dict] = {
     "events_hll_rollup": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # time-weighted average: the (type, day) window exchange is
+    # REUSED by the same-keyed hash-agg — one shuffle total.
+    "events_time_weighted_avg": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "shuffles": 1,
+    },
+    # ABC classes: the fact-side spend agg shuffles once by customer;
+    # the bounded global cum-share window + class agg share the
+    # second (single-partition) exchange over the aggregated dim.
+    "customer_abc_classes": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "shuffles": 2,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
