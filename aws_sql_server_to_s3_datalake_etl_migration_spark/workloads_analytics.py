@@ -1685,3 +1685,52 @@ def customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.max("total").cast("double")
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair affinity (round 8): support counting, no cross join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_pair_affinity",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS support
+    FROM pairs GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    """,
+)
+def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the support-counting core of
+    frequent-itemset mining — pairs of parts appearing together in at
+    least two orders. The pair generator is a SELF-EQUI-JOIN on the
+    order key (pairs per order = C(basket,2), bounded by basket
+    size), never a cross join; the count is one hash-agg on the pair
+    key. At 100 TB the join co-locates by order key in one shuffle
+    and pair volume tracks Σ C(k,2) — the algorithm's output floor."""
+    li = (
+        read_table_dir(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(b, "l_orderkey").where(
+        F.col("part_a") < F.col("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+    )

@@ -926,3 +926,69 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000)
         ).alias("twa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars (round 8): deterministic open/close, exact extremes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ohlc_bars",
+    """
+    WITH e AS (
+      SELECT event_id, event_type, value,
+             epoch_ns(ts) // 1000 AS ts_us
+      FROM events
+    ), h AS (
+      SELECT *, (ts_us // 3600000000) * 3600000000 AS hour_us FROM e
+    ), r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hour_us
+                                ORDER BY ts_us, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hour_us
+                                ORDER BY ts_us DESC, event_id DESC) AS rn_d
+      FROM h
+    )
+    SELECT event_type, CAST(hour_us AS BIGINT) AS hour_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN value END) AS DOUBLE) AS close
+    FROM r GROUP BY event_type, hour_us
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per event type — the market-data rollup
+    shape: open/close are the first/last observation under a
+    deterministic (ts, id) order (row-number election, engine-portable
+    tie semantics), high/low exact extremes; every output is an exact
+    value of the input, no float arithmetic at all, so the oracle
+    hash-matches. The two row-number windows and the aggregate all
+    share the (type, hour) partitioning — one exchange; bars
+    parallelize across (type, hour) at any scale."""
+    e = (
+        _events(spark, sf_dir)
+        .select("event_id", "event_type", "value", "ts_ns")
+        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .withColumn(
+            "hour_us",
+            F.expr("(ts_us div 3600000000) * 3600000000").cast("bigint"),
+        )
+    )
+    wp = Window.partitionBy("event_type", "hour_us")
+    r = e.withColumn(
+        "rn_a",
+        F.row_number().over(wp.orderBy(F.col("ts_us").asc(), F.col("event_id").asc())),
+    ).withColumn(
+        "rn_d",
+        F.row_number().over(wp.orderBy(F.col("ts_us").desc(), F.col("event_id").desc())),
+    )
+    return r.groupBy("event_type", "hour_us").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).cast("double").alias("open"),
+        F.max("value").cast("double").alias("high"),
+        F.min("value").cast("double").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).cast("double").alias("close"),
+    )

@@ -166,6 +166,8 @@ EXTENDED = [
     "events_hll_rollup",
     "events_time_weighted_avg",
     "customer_abc_classes",
+    "events_ohlc_bars",
+    "part_pair_affinity",
 ]
 
 

@@ -552,6 +552,18 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
         "shuffles": 2,
     },
+    # OHLC bars: both row-number windows and the aggregate share the
+    # ONE (type, hour) exchange.
+    "events_ohlc_bars": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "shuffles": 1,
+    },
+    # pair affinity: basket dedup agg + the order-key self-equi-join
+    # + the pair-key agg; the join side is fact-derived, so AQE picks
+    # the strategy (broadcast at this SF, SMJ at scale — sanctioned).
+    "part_pair_affinity": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
