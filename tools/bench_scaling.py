@@ -37,9 +37,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
-SCALED = ("documents", "events", "embeddings", "customer", "orders")
+SCALED = (
+    "documents", "events", "embeddings", "customer", "orders", "lineitem"
+)
 COPIED = (
-    "region nation supplier part lineitem"
+    "region nation supplier part"
 ).split()
 
 QUERIES = [
@@ -110,13 +112,19 @@ QUERIES = [
     # hard-negative miner — per-anchor work is nprobe/n_cells of the
     # corpus, so its ratio must sit well under the full-probe twin's
     "emb_hard_negatives_probed",
+    # round-8 additions: the Arrow-batched zlib pass (Python-side cost
+    # must track corpus bytes linearly) and the basket pair generator
+    # (pair volume tracks Σ C(basket,2), never n²)
+    "doc_compression_ratio",
+    "part_pair_affinity",
 ]
 
 
 def build_scaled_dir(spark, k: int) -> str:
-    # v3: orders joined the scaled set (profile/CDC probes) — new
-    # cache tag so a v2 cache (orders copied verbatim) is never reused
-    dst = os.path.join(REPO_ROOT, ".lake_cache", f"scale_v3_x{k}")
+    # v4: lineitem joined the scaled set (basket pair-affinity probe;
+    # l_orderkey remapped in sync with orders so joins stay
+    # consistent) — new cache tag so stale caches are never reused
+    dst = os.path.join(REPO_ROOT, ".lake_cache", f"scale_v4_x{k}")
     marker = os.path.join(dst, "_PREPPED")
     if os.path.exists(marker):
         return dst
@@ -158,6 +166,13 @@ def build_scaled_dir(spark, k: int) -> str:
                     "o_orderkey", F.col("o_orderkey") + F.lit(off)
                 ).withColumn(
                     "o_custkey", F.col("o_custkey") + F.lit(off)
+                )
+            elif t == "lineitem":
+                # follow the orders remap so l_orderkey keeps joining
+                # its order copy; part keys stay — every copy repeats
+                # the same baskets, so pair supports scale k-fold
+                cp = cp.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + F.lit(off)
                 )
             elif t == "customer":
                 # remap key AND regenerate the name from it: copies get
