@@ -53,7 +53,7 @@ def test_catalog_window_is_curated_and_oracled():
         "merge_upsert_preview",
         "recon_row_counts",
         "window_top_orders_per_segment",
-        # round-7 rotation: first-official-row cohort (r6 verdict 1)
+        # soaking round-6/7 cohort representatives
         "customer_name_neardup_pairs",
         "doc_bm25_batch",
         "doc_span_dedup",
@@ -67,8 +67,18 @@ def test_catalog_window_is_curated_and_oracled():
         "partitioned_orders_dpp_join",
         "bucketed_supplier_volume",
         "zorder_orders_skipping_scan",
-        # round-7 new operator takes slot 50
         "doc_pii_scrub",
+        # round-8 rotation: first-official-row cohort (r7 verdict 1)
+        "doc_minhash_exact_dup_pairs",
+        "doc_simhash_exact_dup_pairs",
+        "doc_token_budget_mix",
+        "emb_knn_classify",
+        "events_change_points",
+        "doc_phrase_search",
+        "doc_length_winsorized",
+        "order_lineitem_view_delta",
+        "events_sliding_windows",
+        "orders_delta_merge_roundtrip",
     }
     assert must_have <= window
     # the official window carries only oracle-paired entries (rows-only
