@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def expectation_report(
@@ -121,3 +122,52 @@ def observed_write(
     observed = df.observe(obs, *[aggs[n].alias(n) for n in names])
     writer_fn(observed)
     return obs.get
+
+
+def benford_profile(df: DataFrame, amount_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive monetary
+    column against Benford's law — the classic fraud/synthetic-data
+    screen a DQ layer runs next to null/range checks
+    (``expectation_report``).
+
+    The digit is taken from the DECIMAL(18,4) string rendering (both
+    Spark and any ANSI engine print decimals in plain positional
+    form), NOT from floor(x / 10^floor(log10 x)) — the log/floor round
+    trip can misclassify at power-of-ten boundaries and libm log10
+    need not be bit-identical across engines. Expected shares are the
+    nine literal doubles log10(1 + 1/d) computed once in Python, so
+    observed-vs-expected and the chi-square contribution are exact
+    integer counts + one fixed double expression: bit-stable across
+    engines and partition orderings.
+
+    One map-side-combinable groupBy on a 9-value key — no sort, no
+    skew (digit 1 carries ~30% of rows by construction; 9 groups never
+    need salting).
+    """
+    import math
+
+    expected = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+    emap = F.create_map(
+        *[c for d, e in expected.items() for c in (F.lit(str(d)), F.lit(e))]
+    )
+    digits = (
+        df.where(F.col(amount_col) >= 1)
+        .select(
+            F.substring(
+                F.col(amount_col).cast("decimal(18,4)").cast("string"), 1, 1
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    total = Window.partitionBy()
+    out = digits.withColumn("_total", F.sum("n_rows").over(total))
+    obs = F.col("n_rows").cast("double") / F.col("_total").cast("double")
+    exp = F.element_at(emap, F.col("digit"))
+    return out.select(
+        "digit",
+        "n_rows",
+        obs.alias("obs_share"),
+        exp.alias("exp_share"),
+        ((obs - exp) * (obs - exp) / exp).alias("chi2_term"),
+    )

@@ -491,3 +491,184 @@ def pca_project(
         vector_to_array(F.col("_pca")).alias("projection"),
     )
     return out, [float(v) for v in model.explainedVariance]
+
+
+def matryoshka_recall(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    trunc_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Recall@k of TRUNCATED-dimension cosine retrieval against the
+    full-dimension exact top-k, per query — the acceptance gauge for
+    Matryoshka-style dimension reduction (serve the first
+    ``trunc_dim`` dims, re-rank with the full vector only when the
+    cheap prefix already finds the right neighborhood).
+
+    One corpus scan: the bounded query batch is broadcast, both
+    cosines (full + prefix slice) come from the same pair row, and two
+    rank windows over the same (query) partition produce both top-k
+    memberships — recall is then a conditional count, no set
+    intersection join. |Q| must be bounded (the batch-ANN serving
+    contract); corpus side stays fully distributed.
+
+    Returns (query_id, n_common, recall) with recall = |∩| / k as one
+    exact-integer-over-literal double division (bit-stable).
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(query_vec_col).alias("_qvec"),
+    )
+    pairs = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("_qid"))
+        .withColumn(
+            "_cos_full", pairwise_cosine(F.col("_qvec"), F.col(vec_col))
+        )
+        .withColumn(
+            "_cos_trunc",
+            pairwise_cosine(
+                F.slice(F.col("_qvec"), 1, trunc_dim),
+                F.slice(F.col(vec_col), 1, trunc_dim),
+            ),
+        )
+    )
+    w_full = Window.partitionBy("_qid").orderBy(
+        F.col("_cos_full").desc(), F.col(id_col).asc()
+    )
+    w_trunc = Window.partitionBy("_qid").orderBy(
+        F.col("_cos_trunc").desc(), F.col(id_col).asc()
+    )
+    ranked = pairs.withColumn(
+        "_rf", F.row_number().over(w_full)
+    ).withColumn("_rt", F.row_number().over(w_trunc))
+    return (
+        ranked.groupBy("_qid")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("_rf") <= k) & (F.col("_rt") <= k), 1
+                ).otherwise(0)
+            ).alias("n_common")
+        )
+        .select(
+            F.col("_qid").alias(query_id_col),
+            "n_common",
+            (F.col("n_common").cast("double") / F.lit(float(k))).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def label_propagation(
+    df: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    iterations: int = 3,
+    seed_filter=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation over an approximate kNN graph
+    — spread the labels of a small seed set to the unlabeled bulk, the
+    standard trick for growing a labeled training corpus from a
+    hand-labeled nucleus.
+
+    Graph build is the IVF recipe (``build_ivf_index``): k-means cells
+    bound the candidate pairs to per-cell quadratic (never corpus-
+    quadratic), cosine edges to each point's k nearest IN-CELL
+    neighbors. Propagation is ``iterations`` rounds of one
+    edge-to-label equi-join + (node, label) weight sum + per-node
+    argmax window each; seeds never change labels. Each round's result
+    is persisted and the previous unpersisted — the lineage stays one
+    round deep instead of growing geometrically (the iterative-algo
+    pitfall at scale).
+
+    Returns (vec_id, label, is_seed) — label is null for nodes no
+    labeled component ever reached.
+    """
+    from pyspark.sql.window import Window
+
+    if seed_filter is None:
+        seed_filter = F.col(id_col) % 5 == 0
+    assigned, _ = build_ivf_index(
+        df.select(id_col, vec_col, label_col), n_cells=n_cells
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_src"),
+        F.col(vec_col).alias("_svec"),
+        "_cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_dst"),
+        F.col(vec_col).alias("_dvec"),
+        "_cell",
+    )
+    w_knn = Window.partitionBy("_src").orderBy(
+        F.col("_w").desc(), F.col("_dst").asc()
+    )
+    edges = (
+        a.join(b, on="_cell")
+        .where(F.col("_src") != F.col("_dst"))
+        .withColumn(
+            "_w", pairwise_cosine(F.col("_svec"), F.col("_dvec"))
+        )
+        .withColumn("_r", F.row_number().over(w_knn))
+        .where(F.col("_r") <= k)
+        .select("_src", "_dst", "_w")
+        .persist()
+    )
+    edges.count()
+    labels = df.select(
+        F.col(id_col).alias("_id"),
+        F.when(seed_filter, F.col(label_col)).alias("_lbl"),
+        seed_filter.alias("is_seed"),
+    ).persist()
+    labels.count()
+    w_arg = Window.partitionBy("_src").orderBy(
+        F.col("_mass").desc(), F.col("_lbl").asc()
+    )
+    for _ in range(iterations):
+        votes = (
+            edges.join(
+                labels.where(F.col("_lbl").isNotNull()).select(
+                    F.col("_id").alias("_dst"), "_lbl"
+                ),
+                on="_dst",
+            )
+            .groupBy("_src", "_lbl")
+            .agg(F.sum("_w").alias("_mass"))
+            .withColumn("_rank", F.row_number().over(w_arg))
+            .where(F.col("_rank") == 1)
+            .select(F.col("_src").alias("_id"), F.col("_lbl").alias("_new"))
+        )
+        nxt = (
+            labels.join(votes, on="_id", how="left")
+            .select(
+                "_id",
+                F.when(F.col("is_seed"), F.col("_lbl"))
+                .otherwise(F.coalesce(F.col("_new"), F.col("_lbl")))
+                .alias("_lbl"),
+                "is_seed",
+            )
+            .persist()
+        )
+        nxt.count()
+        labels.unpersist()
+        labels = nxt
+    out = labels.select(
+        F.col("_id").alias(id_col),
+        F.col("_lbl").alias(label_col),
+        "is_seed",
+    )
+    edges.unpersist()
+    return out

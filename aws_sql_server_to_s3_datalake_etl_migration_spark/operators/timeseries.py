@@ -395,3 +395,67 @@ def rolling_change_points(
         "next_sum",
         "diff",
     )
+
+
+def autocorrelation(
+    df,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+):
+    """Lag-1..``max_lag`` autocorrelation of an integer-valued series
+    per group, over the ``order_col``-ordered observations.
+
+    The Pearson r for each lag is computed from EXACT integer
+    sufficient statistics (n, Σa, Σb, Σab, Σa², Σb² as DECIMAL(38,0)
+    partial-aggregated sums — map-side combined, one shuffle on
+    (group, lag)) and assembled with one fixed double expression, so
+    the result is bit-identical across partition orderings and across
+    engines: a float-accumulating corr() is order-dependent at 1000
+    executors, exact sums are not.
+
+    All ``max_lag`` lag columns come from ONE window pass (a single
+    sort per group), then unpivot via ``stack`` — not max_lag window
+    passes.
+    """
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    lag_cols = [
+        F.lag(value_col, k).over(w).alias(f"_lag{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    wide = df.select(group_col, F.col(value_col).alias("_a"), *lag_cols)
+    stack_args: list = []
+    for k in range(1, max_lag + 1):
+        stack_args += [F.lit(k), F.col(f"_lag{k}")]
+    stacked = wide.select(
+        group_col,
+        "_a",
+        F.stack(F.lit(max_lag), *stack_args).alias("lag", "_b"),
+    ).where(F.col("_b").isNotNull())
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = stacked.groupBy(group_col, "lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(d("_a")).alias("_sa"),
+        F.sum(d("_b")).alias("_sb"),
+        F.sum((d("_a") * d("_b")).cast("decimal(38,0)")).alias("_sab"),
+        F.sum((d("_a") * d("_a")).cast("decimal(38,0)")).alias("_saa"),
+        F.sum((d("_b") * d("_b")).cast("decimal(38,0)")).alias("_sbb"),
+    )
+    num = (F.col("_n") * F.col("_sab") - F.col("_sa") * F.col("_sb")).cast(
+        "double"
+    )
+    va = (F.col("_n") * F.col("_saa") - F.col("_sa") * F.col("_sa")).cast(
+        "double"
+    )
+    vb = (F.col("_n") * F.col("_sbb") - F.col("_sb") * F.col("_sb")).cast(
+        "double"
+    )
+    return agg.select(
+        group_col,
+        "lag",
+        F.col("_n").cast("long").alias("n_pairs"),
+        F.when(
+            (va > 0) & (vb > 0), num / (F.sqrt(va) * F.sqrt(vb))
+        ).alias("acf"),
+    )

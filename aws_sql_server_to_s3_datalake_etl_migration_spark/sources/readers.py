@@ -439,6 +439,7 @@ def read_json(
     path: str,
     ddl: str = "",
     multi_line: bool = False,
+    timestamp_format: str | None = None,
 ) -> DataFrame:
     """JSON-lines scan — declared schema (preferred) or inferred.
 
@@ -451,6 +452,12 @@ def read_json(
     unsplittable — same caveat as CSV; keep it off for JSONL lakes.
     """
     reader = spark.read.option("multiLine", str(multi_line).lower())
+    if timestamp_format:
+        # both timestamp flavors: TIMESTAMP_NTZ columns (the parquet-
+        # sourced naive kind) are parsed via timestampNTZFormat and
+        # ignore timestampFormat entirely
+        reader = reader.option("timestampFormat", timestamp_format)
+        reader = reader.option("timestampNTZFormat", timestamp_format)
     if ddl:
         reader = reader.schema(_ddl_columns(ddl))
     return reader.json(path)

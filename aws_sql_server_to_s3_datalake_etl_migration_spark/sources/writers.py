@@ -264,12 +264,27 @@ def write_json(
     df: DataFrame,
     path: str,
     mode: str = "overwrite",
+    timestamp_format: str | None = None,
 ) -> None:
     """JSON-lines export sink. Row-oriented text — an interchange
     format, not a lake format: no column pruning or predicate pushdown
     on re-read, ~3-5x the bytes of parquet. Use for handoffs to
-    systems that ingest JSONL, never as the analytic store."""
-    df.write.mode(mode).json(path)
+    systems that ingest JSONL, never as the analytic store.
+
+    Spark's default JSON timestamp rendering stops at milliseconds —
+    a silent 1000x precision loss on microsecond event streams. Pass
+    ``timestamp_format="yyyy-MM-dd HH:mm:ss.SSSSSS"`` (and the same to
+    ``read_json``) when the roundtrip must be lossless; doubles are
+    safe by default (shortest-roundtrip rendering). The format is set
+    for BOTH timestamp flavors — parquet-sourced naive timestamps
+    surface as TIMESTAMP_NTZ, which Spark formats via the separate
+    ``timestampNTZFormat`` option and silently ignores
+    ``timestampFormat`` for."""
+    writer = df.write.mode(mode)
+    if timestamp_format:
+        writer = writer.option("timestampFormat", timestamp_format)
+        writer = writer.option("timestampNTZFormat", timestamp_format)
+    writer.json(path)
 
 
 def write_quarantined(

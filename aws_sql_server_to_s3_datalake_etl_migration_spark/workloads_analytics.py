@@ -1734,3 +1734,252 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Format-fidelity roundtrips (round 8): ORC and JSON-lines complete the
+# value-checked source/sink matrix next to parquet/CSV/Delta/JDBC
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_orc_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+           o_orderpriority
+    FROM orders WHERE o_totalprice >= 150000
+    """,
+)
+def orders_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan under the value check (sources/readers.py
+    read_orc, writers.py write_orc): orders written once to an ORC
+    table, read back with a pushed-down price predicate, compared to
+    the parquet ground truth by the oracle. Matching hashes prove the
+    format converts doubles and microsecond timestamps losslessly in
+    both directions; the filter exercises ORC predicate pushdown
+    (PushedFilters in the scan node), the projection ORC column
+    pruning — the two properties that make the format lake-viable."""
+    import os
+
+    from .sources.readers import read_orc
+    from .sources.writers import write_orc
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(repo_root, ".lake_cache", f"orc_orders_{tag}")
+    cols = [
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    ]
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_orc(_t(spark, sf_dir, "orders").select(*cols), path)
+    return (
+        read_orc(spark, path)
+        .where(F.col("o_totalprice") >= 150000)
+        .select(*cols)
+    )
+
+
+@register(
+    "events_json_roundtrip",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events WHERE event_id % 3 = 0
+    """,
+)
+def events_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + declared-schema scan under the value check:
+    a third of the event stream exported to JSONL (explicit
+    microsecond timestampFormat — Spark's default stops at millis and
+    silently loses 1000x precision) and read back with the declared
+    DDL schema. The oracle states the subset straight from parquet,
+    so matching hashes prove timestamps, shortest-roundtrip doubles,
+    and embedded-JSON prop strings all survive the text roundtrip —
+    the interchange-format contract a handoff pipeline relies on."""
+    import os
+
+    from .sources.readers import read_json
+    from .sources.writers import write_json
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(repo_root, ".lake_cache", f"json_events_{tag}")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_json(
+            _t(spark, sf_dir, "events").where(F.col("event_id") % 3 == 0),
+            path,
+            timestamp_format=fmt,
+        )
+    return read_json(
+        spark,
+        path,
+        ddl=(
+            "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        ),
+        timestamp_format=fmt,
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier / market concentration / weighted median (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_skyline",
+    """
+    WITH gmax AS (
+      SELECT o_totalprice AS x, MAX(o_orderdate) AS gy
+      FROM orders GROUP BY 1
+    ),
+    rm AS (
+      SELECT x, gy,
+             MAX(gy) OVER (ORDER BY x DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS r
+      FROM gmax
+    )
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o JOIN rm ON o.o_totalprice = rm.x
+    WHERE o.o_orderdate = rm.gy AND (rm.r IS NULL OR o.o_orderdate > rm.r)
+    """,
+)
+def orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of orders maximizing (price, recency) —
+    operators/frontier.py skyline_2d: a sound equal-width grid
+    pre-filter drops the dominated bulk without any global sort, then
+    the exact per-price/running-max pass runs on the surviving band
+    only. The oracle runs the exact formulation directly over all
+    rows — identical output proves the pre-filter never discards a
+    frontier point. At 100 TB the pre-filter is one aggregate + one
+    broadcast map lookup per row; the sort the operator can't avoid
+    touches ~frontier-cardinality rows, not the table."""
+    from .operators.frontier import skyline_2d
+
+    return skyline_2d(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        ),
+        "o_totalprice",
+        "o_orderdate",
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+@register(
+    "supplier_nation_hhi",
+    """
+    WITH srev AS (
+      SELECT s.s_nationkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) * 10000 AS HUGEINT)
+               AS rev_i
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_suppkey, s.s_nationkey
+    )
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           10000.0 * CAST(SUM(rev_i * rev_i) AS DOUBLE)
+             / (CAST(SUM(rev_i) AS DOUBLE) * CAST(SUM(rev_i) AS DOUBLE))
+             AS hhi
+    FROM srev JOIN nation n ON srev.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def supplier_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue per
+    nation — the market-structure metric on top of the volume rollups.
+    HHI = 10000 * Σrev_i² / (Σrev)², assembled from EXACT integer
+    arithmetic: revenue accumulates in DECIMAL(18,4), scales to an
+    integer (x10000 — exact, the scale cancels in the ratio), and
+    squares/sums in DECIMAL(38,0) (HUGEINT on the oracle side — the
+    engines' widest exact integers), with ONE double expression at
+    the end. A float Σ(share²) would be partition-order-dependent at
+    1000 executors. Supplier is a true broadcast dim; lineitem
+    shuffles once on the supplier grouping."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    srev = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_nationkey")
+        .agg(
+            (F.sum(rev) * F.lit(10000))
+            .cast("decimal(38,0)")
+            .alias("rev_i")
+        )
+    )
+    return (
+        srev.join(F.broadcast(n), srev.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (
+                F.lit(10000.0)
+                * F.sum(F.col("rev_i") * F.col("rev_i")).cast("double")
+                / (
+                    F.sum("rev_i").cast("double")
+                    * F.sum("rev_i").cast("double")
+                )
+            ).alias("hhi"),
+        )
+    )
+
+
+@register(
+    "lineitem_weighted_median",
+    """
+    WITH wl AS (
+      SELECT l_returnflag, l_extendedprice,
+             CAST(l_quantity AS DECIMAL(18,4)) AS w,
+             SUM(CAST(l_quantity AS DECIMAL(18,4)))
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(CAST(l_quantity AS DECIMAL(18,4)))
+               OVER (PARTITION BY l_returnflag) AS total
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS weighted_median,
+           CAST(MIN(total) AS DOUBLE) AS total_weight
+    FROM wl WHERE 2 * cum >= total
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_weighted_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted median extended price per return flag — the
+    robust per-group center a pricing pipeline wants when line sizes
+    differ by 50x. Lower weighted median via one cumulative-weight
+    window; the threshold test is ``2*cum >= total`` in EXACT decimal
+    (no division, no float compare), and the crossing price group is
+    unique regardless of intra-tie row order — deterministic across
+    engines and partitionings by construction. One sort per flag
+    group; no second pass."""
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    wq = _dec("l_quantity")
+    wl = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(wq).over(w_cum).alias("cum"),
+        F.sum(wq).over(w_tot).alias("total"),
+    )
+    return (
+        wl.where(F.lit(2) * F.col("cum") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.min("total").cast("double").alias("total_weight"),
+        )
+    )

@@ -2462,3 +2462,98 @@ def doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_num=1,
         budget_den=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation quality (round 8): recall@k of prefix-dim
+# retrieval vs the full-dimension exact top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_matryoshka_recall",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings
+      WHERE vec_id % 37 = 0 AND vec_id < 500 * 37
+    ),
+    pairs AS (
+      SELECT q.query_id, e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))
+               AS cos_full,
+             list_dot_product(e.embedding[1:16]::DOUBLE[],
+                              q.qv[1:16]::DOUBLE[])
+             / (sqrt(list_dot_product(e.embedding[1:16]::DOUBLE[],
+                                      e.embedding[1:16]::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv[1:16]::DOUBLE[],
+                                        q.qv[1:16]::DOUBLE[])))
+               AS cos_trunc
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_full DESC, vec_id ASC)
+               AS rf,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_trunc DESC, vec_id ASC)
+               AS rt
+      FROM pairs
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_common,
+           CAST(SUM(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END)
+                AS DOUBLE) / 10.0 AS recall
+    FROM ranked GROUP BY query_id
+    """,
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of first-16-dim cosine retrieval against the exact
+    64-dim top-10, per query (operators/similarity.py
+    matryoshka_recall) — the gauge that decides whether serving can
+    run on the cheap Matryoshka prefix and re-rank with full vectors.
+    Bounded query batch (≤500 ids, the batch-ANN serving contract)
+    broadcast against ONE corpus scan; both cosines from the same
+    pair row; two rank windows on the same partition key. Left-to-
+    right fold dot products match DuckDB's list_dot_product bitwise,
+    so the oracle checks the whole pipeline to the exact double."""
+    from .operators.similarity import matryoshka_recall
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(
+        (F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 500 * 37)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return matryoshka_recall(embs, queries, k=10, trunc_dim=16)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (round 8): grow a labeled corpus from a seed set
+# ---------------------------------------------------------------------------
+
+
+@register("emb_label_propagation", None)
+def emb_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the IVF-bounded kNN
+    graph (operators/similarity.py label_propagation): vec_id % 5 == 0
+    keeps its label as the seed nucleus, three rounds of cosine-
+    weighted neighbor voting spread labels to the rest. Iterative and
+    therefore rows-only (k-means + a data-dependent loop is not SQL-
+    expressible); the accuracy-vs-hidden-truth and seed-invariance
+    contracts are pinned by pytest (test_llm_operators.py)."""
+    from .operators.similarity import label_propagation
+
+    out = label_propagation(
+        _embs(spark, sf_dir), k=5, n_cells=8, iterations=3
+    )
+    return out.select(
+        "vec_id", F.col("label").cast("int").alias("label"), "is_seed"
+    )

@@ -256,3 +256,66 @@ def scd2_customer_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_change_feed(
         scd2_customer_history(spark, sf_dir), keys=["c_custkey"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen (round 8)
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) evaluated ONCE in Python and embedded as literals in
+# both engines — engine libm log10 is not guaranteed bit-identical.
+_BENFORD = {
+    "1": 0.3010299956639812,
+    "2": 0.17609125905568124,
+    "3": 0.12493873660829992,
+    "4": 0.09691001300805642,
+    "5": 0.07918124604762482,
+    "6": 0.06694678963061322,
+    "7": 0.05799194697768673,
+    "8": 0.05115252244738129,
+    "9": 0.04575749056067514,
+}
+
+
+@register(
+    "orders_benford_dq",
+    f"""
+    WITH digits AS (
+      SELECT SUBSTRING(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                            AS VARCHAR), 1, 1) AS digit,
+             COUNT(*) AS n_rows
+      FROM orders WHERE o_totalprice >= 1
+      GROUP BY 1
+    ),
+    shares AS (
+      SELECT digit, n_rows,
+             CAST(n_rows AS DOUBLE)
+               / CAST(SUM(n_rows) OVER () AS DOUBLE) AS obs_share,
+             CASE digit
+               {' '.join(f"WHEN '{d}' THEN CAST({v!r} AS DOUBLE)"
+                         for d, v in _BENFORD.items())}
+             END AS exp_share
+      FROM digits
+    )
+    SELECT digit, CAST(n_rows AS BIGINT) AS n_rows, obs_share, exp_share,
+           (obs_share - exp_share) * (obs_share - exp_share) / exp_share
+             AS chi2_term
+    FROM shares
+    """,
+)
+def orders_benford_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals
+    (operators/quality.py benford_profile) — the fraud/synthetic-data
+    check a DQ layer runs beside null/range expectations
+    (dq_orders_report). The first digit comes from the DECIMAL string
+    rendering, not a log/floor round trip (libm log10 differs across
+    engines at boundaries); expected shares are shared Python literal
+    doubles. One 9-group map-side-combined aggregate — no sort, and
+    the structural 30% skew toward digit 1 is irrelevant at 9 groups.
+    TPC-H uniform prices will FAIL the screen (high chi2) — the point
+    of the check is the number, not a pass."""
+    from .operators.quality import benford_profile
+
+    return benford_profile(
+        _t(spark, sf_dir, "orders"), "o_totalprice"
+    )

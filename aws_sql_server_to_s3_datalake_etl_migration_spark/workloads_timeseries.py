@@ -992,3 +992,158 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").cast("double").alias("low"),
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).cast("double").alias("close"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation profile (round 8): periodicity detection per series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_acf_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, k.lag,
+             y AS a,
+             LAG(y, k.lag) OVER (PARTITION BY event_type, k.lag
+                                 ORDER BY day) AS b
+      FROM daily CROSS JOIN (
+        SELECT CAST(i AS INT) AS lag FROM range(1, 8) t(i)
+      ) k
+    ),
+    stats AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(a) AS HUGEINT) AS sa,
+             CAST(SUM(b) AS HUGEINT) AS sb,
+             CAST(SUM(CAST(a AS HUGEINT) * b) AS HUGEINT) AS sab,
+             CAST(SUM(CAST(a AS HUGEINT) * a) AS HUGEINT) AS saa,
+             CAST(SUM(CAST(b AS HUGEINT) * b) AS HUGEINT) AS sbb
+      FROM lagged WHERE b IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN CAST(n * saa - sa * sa AS DOUBLE) > 0
+                 AND CAST(n * sbb - sb * sb AS DOUBLE) > 0
+                THEN CAST(n * sab - sa * sb AS DOUBLE)
+                     / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))
+                        * SQRT(CAST(n * sbb - sb * sb AS DOUBLE)))
+           END AS acf
+    FROM stats
+    """,
+)
+def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event count per type —
+    the periodicity screen that decides whether a seasonal baseline
+    (events_seasonal_baseline) is even applicable. Exact integer
+    sufficient statistics cross the shuffle (operators/timeseries.py
+    autocorrelation): Pearson r assembled with one fixed double
+    expression, bit-identical across engines and partition orderings
+    where a float-accumulating corr() would not be. One window sort
+    per type produces all 7 lag columns; daily pre-aggregation means
+    the window sees ~days rows per group, never raw events."""
+    from .operators.timeseries import autocorrelation
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return autocorrelation(
+        daily, "event_type", "day", "y", max_lag=7
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining (round 8): top navigation prefixes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_top_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                   OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                      > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM seq
+    ),
+    ranked AS (
+      SELECT user_id, session_no, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+                                ORDER BY ts, event_id) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, session_no,
+             STRING_AGG(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3
+      GROUP BY 1, 2
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY 1
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency of the first-3-event-type prefix of every user
+    session (30-minute inactivity gap) — the navigation-path rollup
+    behind funnel design. Gap test in exact epoch MICROseconds
+    (unix_micros both sides — a seconds-truncating diff would split
+    sessions differently per engine); path assembly sorts the
+    (unique) in-session rank inside the aggregate, so the string is
+    deterministic under any partitioning. Path cardinality is bounded
+    by |event_type|³, so the final rollup never skews."""
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_u.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    sess = (
+        ev.withColumn("_prev", F.lag("ts").over(w_u))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("_prev").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("_prev")
+                    > 1800 * 1000 * 1000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_no", F.sum("brk").over(w_cum))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("user_id", "session_no")
+            .orderBy("ts", "event_id")
+        ))
+        .where(F.col("rn") <= 3)
+    )
+    paths = sess.groupBy("user_id", "session_no").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )

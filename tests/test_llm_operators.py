@@ -1434,3 +1434,104 @@ def test_compression_ratio_matches_zlib_and_is_deterministic(spark, sf_dir):
         ).collect()
     }
     assert again == got
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_recall_full_dim_is_one(spark):
+    """Truncating to the FULL dimension must reproduce the full top-k
+    exactly — recall 1.0 for every query (self-consistency of the two
+    rank windows)."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = embs.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = similarity.matryoshka_recall(
+        embs, queries, k=10, trunc_dim=64
+    ).collect()
+    assert out and all(r["recall"] == 1.0 for r in out)
+
+
+def test_matryoshka_recall_bounds_and_monotony(spark):
+    """Recall lies in [0,1]; a longer prefix can only help on average
+    (mean recall at 32 dims >= mean recall at 4 dims over the batch —
+    averaged, not per-query, since individual queries can flip)."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = embs.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    def mean_recall(dim):
+        rows = similarity.matryoshka_recall(
+            embs, queries, k=10, trunc_dim=dim
+        ).collect()
+        assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+        assert all(r["n_common"] == round(r["recall"] * 10) for r in rows)
+        return sum(r["recall"] for r in rows) / len(rows)
+
+    assert mean_recall(32) >= mean_recall(4)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_seeds_fixed_and_deterministic(spark):
+    """On the real table: seeds never change labels, ≥80% of
+    non-seeds get reached, and two runs are identical (k-means
+    seeded, argmax deterministically tie-broken). Accuracy is NOT
+    asserted here — the synthetic testdata labels are uncorrelated
+    with embedding geometry (measured: kNN accuracy ≈ the
+    majority-class baseline), so geometry-spread labels can't
+    recover them; the accuracy contract lives on the clustered
+    fixture below."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    truth = {r["vec_id"]: r["label"] for r in embs.collect()}
+    out1 = similarity.label_propagation(
+        embs, k=5, n_cells=8, iterations=3
+    ).collect()
+    out2 = similarity.label_propagation(
+        embs, k=5, n_cells=8, iterations=3
+    ).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    for r in out1:
+        if r["is_seed"]:
+            assert r["label"] == truth[r["vec_id"]]
+    scored = [
+        r for r in out1 if not r["is_seed"] and r["label"] is not None
+    ]
+    assert len(scored) > 0.8 * sum(1 for r in out1 if not r["is_seed"])
+
+
+def test_label_propagation_recovers_clustered_labels(spark):
+    """On three well-separated Gaussian blobs with 20% seed labels,
+    propagation must recover nearly all hidden labels — the operator's
+    actual accuracy contract."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    centers = np.eye(3) * 10.0
+    rows = []
+    for i in range(300):
+        c = i % 3
+        vec = centers[c] + rng.normal(0, 0.5, 3)
+        rows.append((i, [float(v) for v in vec], int(c)))
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    out = similarity.label_propagation(
+        df, k=5, n_cells=3, iterations=3
+    ).collect()
+    hidden = [r for r in out if not r["is_seed"]]
+    assert hidden
+    acc = sum(
+        1 for r in hidden if r["label"] is not None
+        and r["label"] == r["vec_id"] % 3
+    ) / len(hidden)
+    assert acc > 0.95, acc
