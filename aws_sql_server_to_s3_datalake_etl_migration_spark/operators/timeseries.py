@@ -459,3 +459,69 @@ def autocorrelation(
             (va > 0) & (vb > 0), num / (F.sqrt(va) * F.sqrt(vb))
         ).alias("acf"),
     )
+
+
+def cross_correlation(
+    df,
+    group_col: str,
+    order_col: str,
+    a_col: str,
+    b_col: str,
+    max_shift: int = 3,
+):
+    """Lead/lag cross-correlation between two integer-valued series
+    observed on the same ordered grid, per group: Pearson r of
+    (a_t, b_{t+s}) for shifts s in [-max_shift, +max_shift]. Positive
+    shift = b LAGS a by s steps (a leads); the s=0 column is the plain
+    correlation. The lead/lag that maximizes |r| is the classic
+    which-series-drives-which probe.
+
+    Same engineered-determinism contract as :func:`autocorrelation`:
+    all shifted b columns come from ONE window sort, exact
+    DECIMAL(38,0) sufficient statistics cross the (group, shift)
+    shuffle, and r is assembled with a single fixed double expression
+    — bit-identical across engines and partition orderings.
+    """
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    shifts = [s for s in range(-max_shift, max_shift + 1)]
+    shift_cols = [
+        F.lag(b_col, -s).over(w).alias(f"_s{i}")
+        for i, s in enumerate(shifts)
+    ]
+    wide = df.select(
+        group_col, F.col(a_col).alias("_a"), *shift_cols
+    )
+    stack_args: list = []
+    for i, s in enumerate(shifts):
+        stack_args += [F.lit(s), F.col(f"_s{i}")]
+    stacked = wide.select(
+        group_col,
+        "_a",
+        F.stack(F.lit(len(shifts)), *stack_args).alias("shift", "_b"),
+    ).where(F.col("_b").isNotNull())
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = stacked.groupBy(group_col, "shift").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(d("_a")).alias("_sa"),
+        F.sum(d("_b")).alias("_sb"),
+        F.sum((d("_a") * d("_b")).cast("decimal(38,0)")).alias("_sab"),
+        F.sum((d("_a") * d("_a")).cast("decimal(38,0)")).alias("_saa"),
+        F.sum((d("_b") * d("_b")).cast("decimal(38,0)")).alias("_sbb"),
+    )
+    num = (F.col("_n") * F.col("_sab") - F.col("_sa") * F.col("_sb")).cast(
+        "double"
+    )
+    va = (F.col("_n") * F.col("_saa") - F.col("_sa") * F.col("_sa")).cast(
+        "double"
+    )
+    vb = (F.col("_n") * F.col("_sbb") - F.col("_sb") * F.col("_sb")).cast(
+        "double"
+    )
+    return agg.select(
+        group_col,
+        "shift",
+        F.col("_n").cast("long").alias("n_pairs"),
+        F.when(
+            (va > 0) & (vb > 0), num / (F.sqrt(va) * F.sqrt(vb))
+        ).alias("xcf"),
+    )

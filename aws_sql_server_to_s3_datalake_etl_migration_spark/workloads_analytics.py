@@ -1983,3 +1983,68 @@ def lineitem_weighted_median(
             F.min("total").cast("double").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps & islands (round 8): consecutive-month activity streaks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_streaks",
+    """
+    WITH months AS (
+      SELECT DISTINCT o_custkey,
+             EXTRACT(YEAR FROM o_orderdate) * 12
+               + EXTRACT(MONTH FROM o_orderdate) AS m
+      FROM orders
+    ),
+    islands AS (
+      SELECT o_custkey, m,
+             m - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY m)
+               AS island
+      FROM months
+    ),
+    streaks AS (
+      SELECT o_custkey, island, COUNT(*) AS len
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT o_custkey,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_months,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY o_custkey
+    """,
+)
+def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-month ordering streak per customer — the
+    gaps-and-islands pattern (island id = month index minus the
+    per-customer rank, constant exactly while months are consecutive).
+    The distinct (customer, month) pre-aggregation happens FIRST, so
+    the rank window sorts ~active-months rows per customer, never raw
+    orders; every later agg is keyed by customer — one shuffle family,
+    no global sort. The engagement-continuity metric behind retention
+    tiers (customer_rfm_segments)."""
+    months = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("m"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    streaks = (
+        months.withColumn(
+            "island", F.col("m") - F.row_number().over(w)
+        )
+        .groupBy("o_custkey", "island")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return streaks.groupBy("o_custkey").agg(
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("n_active_months"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

@@ -1147,3 +1147,267 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paths.groupBy("path").agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation (round 8): which series leads which
+# ---------------------------------------------------------------------------
+
+_XCORR_PAIRS = [
+    ("click", "purchase"),
+    ("view", "click"),
+    ("signup", "purchase"),
+]
+
+
+@register(
+    "events_cross_correlation",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS c_click,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS c_purchase,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS c_view,
+             SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS c_signup
+      FROM events GROUP BY 1
+    ),
+    series AS (
+      {" UNION ALL ".join(
+          f"SELECT '{a}->{b}' AS pair, day, c_{a} AS a, c_{b} AS b "
+          "FROM daily"
+          for a, b in _XCORR_PAIRS
+      )}
+    ),
+    shifted AS (
+      SELECT pair, s.shift, a,
+             CASE s.shift
+               WHEN -3 THEN LAG(b, 3) OVER w
+               WHEN -2 THEN LAG(b, 2) OVER w
+               WHEN -1 THEN LAG(b, 1) OVER w
+               WHEN 0 THEN b
+               WHEN 1 THEN LEAD(b, 1) OVER w
+               WHEN 2 THEN LEAD(b, 2) OVER w
+               WHEN 3 THEN LEAD(b, 3) OVER w
+             END AS bs
+      FROM series CROSS JOIN (
+        SELECT CAST(i AS INT) AS shift FROM range(-3, 4) t(i)
+      ) s
+      WINDOW w AS (PARTITION BY pair, s.shift ORDER BY day)
+    ),
+    stats AS (
+      SELECT pair, shift,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(a) AS HUGEINT) AS sa,
+             CAST(SUM(bs) AS HUGEINT) AS sb,
+             CAST(SUM(CAST(a AS HUGEINT) * bs) AS HUGEINT) AS sab,
+             CAST(SUM(CAST(a AS HUGEINT) * a) AS HUGEINT) AS saa,
+             CAST(SUM(CAST(bs AS HUGEINT) * bs) AS HUGEINT) AS sbb
+      FROM shifted WHERE bs IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT pair, shift, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN CAST(n * saa - sa * sa AS DOUBLE) > 0
+                 AND CAST(n * sbb - sb * sb AS DOUBLE) > 0
+                THEN CAST(n * sab - sa * sb AS DOUBLE)
+                     / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))
+                        * SQRT(CAST(n * sbb - sb * sb AS DOUBLE)))
+           END AS xcf
+    FROM stats
+    """,
+)
+def events_cross_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lead/lag cross-correlation (shifts -3..+3 days) between daily
+    count series of event-type pairs — does clicking today predict
+    purchasing tomorrow (operators/timeseries.py cross_correlation).
+    The wide daily pivot (one conditional-sum pass over events) feeds
+    three bounded pair series; exact integer sufficient statistics
+    assemble each Pearson r bit-identically. Day grid = days with ANY
+    event (absent types count 0 — a real zero, not a gap), so both
+    engines see the identical grid by construction."""
+    from .operators.timeseries import cross_correlation
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == t, 1).otherwise(0)
+            ).alias(f"c_{t}")
+            for t in ("click", "purchase", "view", "signup")
+        ]
+    )
+    series = None
+    for a, b in _XCORR_PAIRS:
+        part = daily.select(
+            F.lit(f"{a}->{b}").alias("pair"),
+            "day",
+            F.col(f"c_{a}").alias("a"),
+            F.col(f"c_{b}").alias("b"),
+        )
+        series = part if series is None else series.unionByName(part)
+    return cross_correlation(
+        series, "pair", "day", "a", "b", max_shift=3
+    ).withColumnRenamed("group", "pair")
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_histogram",
+    """
+    WITH bounds AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    ),
+    binned AS (
+      SELECT event_type,
+             CAST(LEAST(19, FLOOR((value - lo) * 20.0 / (hi - lo)))
+                  AS INT) AS bin,
+             lo, hi
+      FROM events, bounds
+    )
+    SELECT event_type, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(lo + bin * (hi - lo) / 20.0) AS bin_lo,
+           MIN(lo + (bin + 1) * (hi - lo) / 20.0) AS bin_hi
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def events_value_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """20-bin equi-width histogram of event value per type over the
+    GLOBAL [min, max] — the profile-pane rollup. The 1-row bounds
+    aggregate broadcasts back over the stream (scalar-subquery shape);
+    the bin expression is the IDENTICAL double arithmetic on both
+    engines (same multiply-then-divide order — a mathematically equal
+    but differently-associated form can floor across a bin edge), so
+    assignment is bit-deterministic. One map-side-combined (type, bin)
+    agg; ≤ |types|x20 output rows."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "lo",
+        "hi",
+        F.least(
+            F.lit(19),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                * F.lit(20.0)
+                / (F.col("hi") - F.col("lo"))
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(
+            F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / F.lit(20.0)
+        ).alias("bin_lo"),
+        F.min(
+            F.col("lo")
+            + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / F.lit(20.0)
+        ).alias("bin_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap (round 8): exact co-engagement matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_user_overlap",
+    """
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, COUNT(*) AS n_users FROM tu GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_common
+      FROM tu a JOIN tu b ON a.user_id = b.user_id
+      WHERE a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(sa.n_users AS BIGINT) AS n_users_a,
+           CAST(sb.n_users AS BIGINT) AS n_users_b,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n_users + sb.n_users - i.n_common AS DOUBLE)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.type_a = sa.event_type
+    JOIN sizes sb ON i.type_b = sb.event_type
+    """,
+)
+def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap matrix between event types: distinct
+    (type, user) first (the ONLY pass over raw events), then the
+    per-user self-join — pair volume is Σ_user C(types_user, 2),
+    bounded by |types|² x users, never events². Jaccard from exact
+    integer counts with one double division. The exact ground truth
+    the HLL rollup (events_hll_rollup) approximates; at 100 TB the
+    sketch path serves dashboards and THIS query audits it on
+    samples."""
+    tu = (
+        _events(spark, sf_dir)
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sizes = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    a = tu.select(
+        F.col("event_type").alias("type_a"), "user_id"
+    )
+    b = tu.select(
+        F.col("event_type").alias("type_b"), "user_id"
+    )
+    inter = (
+        a.join(b, on="user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_users").alias("n_users_a"),
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_users").alias("n_users_b"),
+    )
+    return (
+        inter.join(F.broadcast(sa), on="type_a")
+        .join(F.broadcast(sb), on="type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            "n_users_a",
+            "n_users_b",
+            (
+                F.col("n_common").cast("double")
+                / (
+                    F.col("n_users_a")
+                    + F.col("n_users_b")
+                    - F.col("n_common")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )

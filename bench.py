@@ -168,6 +168,20 @@ EXTENDED = [
     "customer_abc_classes",
     "events_ohlc_bars",
     "part_pair_affinity",
+    # round-8 late additions: frontier/statistics/format families
+    "orders_skyline",
+    "supplier_nation_hhi",
+    "lineitem_weighted_median",
+    "events_acf_daily",
+    "events_top_paths",
+    "orders_benford_dq",
+    "emb_matryoshka_recall",
+    "orders_orc_roundtrip",
+    "events_json_roundtrip",
+    "customer_order_streaks",
+    "events_cross_correlation",
+    "events_value_histogram",
+    "events_user_overlap",
 ]
 
 

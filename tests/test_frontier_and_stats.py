@@ -143,3 +143,122 @@ def test_benford_shares_sum_to_one(spark):
     for r in rows:
         d = int(r["digit"])
         assert r["exp_share"] == pytest.approx(math.log10(1 + 1 / d))
+
+
+def test_cross_correlation_matches_numpy_and_mirrors(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(5, 50, 80)
+    # b trails a by 2 steps plus noise -> xcf should peak near shift +2
+    b = np.roll(base, 2) + rng.integers(0, 3, 80)
+    rows = [("p", int(i), int(base[i]), int(b[i])) for i in range(80)]
+    df = spark.createDataFrame(rows, "g STRING, t INT, a INT, b INT")
+    got = {
+        r["shift"]: r["xcf"]
+        for r in cross_correlation(df, "g", "t", "a", "b", 3).collect()
+    }
+    for s in range(-3, 4):
+        if s >= 0:
+            aa, bb = base[: 80 - s], b[s:]
+        else:
+            aa, bb = base[-s:], b[: 80 + s]
+        want = float(np.corrcoef(aa.astype(float), bb.astype(float))[0, 1])
+        assert got[s] == pytest.approx(want, abs=1e-12), s
+    assert max(got, key=lambda s: got[s]) == 2
+    # mirror identity: swapping the series negates the shift axis
+    swapped = {
+        r["shift"]: r["xcf"]
+        for r in cross_correlation(df, "g", "t", "b", "a", 3).collect()
+    }
+    for s in range(-3, 4):
+        assert swapped[s] == pytest.approx(got[-s], abs=1e-12)
+
+
+def test_histogram_partitions_all_rows(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.workloads_timeseries import (
+        events_value_histogram,
+    )
+
+    rows = events_value_histogram(spark, SF_SMOKE).collect()
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.workloads import (
+        _events,
+    )
+
+    total = _events(spark, SF_SMOKE).count()
+    assert sum(r["n_events"] for r in rows) == total
+    for r in rows:
+        assert 0 <= r["bin"] <= 19
+        assert r["bin_lo"] < r["bin_hi"]
+
+
+def test_user_overlap_matches_python_sets(spark):
+    import duckdb
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.workloads_timeseries import (
+        events_user_overlap,
+    )
+
+    got = {
+        (r["type_a"], r["type_b"]): (
+            r["n_common"], r["n_users_a"], r["n_users_b"], r["jaccard"]
+        )
+        for r in events_user_overlap(spark, SF_SMOKE).collect()
+    }
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"SELECT event_type, user_id FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    sets: dict[str, set] = {}
+    for t, u in pairs:
+        sets.setdefault(t, set()).add(u)
+    types = sorted(sets)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            inter = len(sets[ta] & sets[tb])
+            if inter == 0:
+                assert (ta, tb) not in got
+                continue
+            n_common, na, nb, jac = got[(ta, tb)]
+            assert n_common == inter
+            assert (na, nb) == (len(sets[ta]), len(sets[tb]))
+            assert jac == pytest.approx(
+                inter / len(sets[ta] | sets[tb])
+            )
+
+
+def test_order_streaks_matches_python(spark):
+    import duckdb
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.workloads_analytics import (
+        customer_order_streaks,
+    )
+
+    got = {
+        r["o_custkey"]: (
+            r["longest_streak"], r["n_active_months"], r["n_streaks"]
+        )
+        for r in customer_order_streaks(spark, SF_SMOKE).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_custkey, EXTRACT(YEAR FROM o_orderdate) * 12 "
+        f"+ EXTRACT(MONTH FROM o_orderdate) "
+        f"FROM '{SF_SMOKE}/orders.parquet'"
+    ).fetchall()
+    by_cust: dict[int, set] = {}
+    for c, m in rows:
+        by_cust.setdefault(c, set()).add(int(m))
+    for c, months in by_cust.items():
+        ms = sorted(months)
+        streaks, cur = [], 1
+        for prev, nxt in zip(ms, ms[1:]):
+            if nxt == prev + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        assert got[c] == (max(streaks), len(ms), len(streaks)), c

@@ -117,6 +117,23 @@ QUERIES = [
     # (pair volume tracks Σ C(basket,2), never n²)
     "doc_compression_ratio",
     "part_pair_affinity",
+    # round-8 late additions: the skyline pre-filter (exact-pass input
+    # must track frontier band size, never the table), the prefix-dim
+    # recall gauge (bounded query batch vs growing corpus — same
+    # contract as the ANN families), session path mining (one window
+    # chain, WindowGroupLimit top-3), and label propagation (per-cell
+    # kNN graph + per-round joins must track corpus size; the
+    # iterative family's only superlinear risk is lineage growth,
+    # which persist-per-round caps)
+    "orders_skyline",
+    "emb_matryoshka_recall",
+    "events_top_paths",
+    "emb_label_propagation",
+    # the user-keyed self-join behind the overlap matrix: pair volume
+    # is Σ_user C(types_user, 2) — types are bounded, so growth must
+    # track users, never events²
+    "events_user_overlap",
+    "events_cross_correlation",
 ]
 
 

@@ -564,6 +564,90 @@ EXPECT: dict[str, dict] = {
     "part_pair_affinity": {
         "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
     },
+    # --- round-8 late additions ---
+    # skyline: the pre-filter keeps the exact pass's join tiny — AQE
+    # broadcasts it (no hint: the gmax side is fact-derived); the
+    # bucket min/max + survivors = 2 shuffles total.
+    "orders_skyline": {
+        "pushed": True, "no_smj": True, "hints": 0, "aqe_bhj": True,
+        "shuffles": 2, "pure_jvm": True,
+    },
+    # HHI: supplier + nation are true dims (2 hints, all joins
+    # broadcast); supplier-grouping + nation-grouping = 2 shuffles.
+    "supplier_nation_hhi": {
+        "pushed": False, "no_smj": True, "hints": 2, "bhj_only": True,
+        "shuffles": 2, "pure_jvm": True,
+    },
+    # weighted median: the cumulative-weight window and the final
+    # per-flag agg share ONE hash(l_returnflag) exchange — the
+    # exchange-reuse pin; a changed partitioning key shows as 2.
+    "lineitem_weighted_median": {
+        "pushed": False, "no_smj": True, "hints": 0, "shuffles": 1,
+        "pure_jvm": True,
+    },
+    # ACF: daily pre-agg + per-type window; all 7 lags from the ONE
+    # window sort (a per-lag pass would be 8 shuffles).
+    "events_acf_daily": {
+        "pushed": False, "no_smj": True, "hints": 0, "shuffles": 2,
+        "pure_jvm": True,
+    },
+    # top paths: the rn <= 3 rank filter must push into the window
+    # sort as WindowGroupLimit (map-side top-3 per session).
+    "events_top_paths": {
+        "pushed": False, "no_smj": True, "hints": 0, "wgl": True,
+        "pure_jvm": True,
+    },
+    "orders_benford_dq": {
+        "pushed": True, "no_smj": True, "hints": 0, "shuffles": 2,
+        "pure_jvm": True,
+    },
+    # matryoshka: ONE corpus scan against the broadcast bounded query
+    # batch (1 hint); both rank windows share the hash(_qid) exchange.
+    "emb_matryoshka_recall": {
+        "pushed": True, "no_smj": True, "hints": 1, "shuffles": 1,
+        "pure_jvm": True,
+    },
+    # ORC roundtrip: the price predicate must reach the ORC reader
+    # (PushedFilters) — the format-parity pin next to the parquet
+    # scans; a pure scan-side plan, zero shuffles.
+    "orders_orc_roundtrip": {
+        "pushed": True, "no_smj": True, "hints": 0, "shuffles": 0,
+        "pure_jvm": True,
+    },
+    # JSON roundtrip: row-oriented text scan — no pushdown, and the
+    # plan is a bare FileScan with no codegen stage to span
+    # (codegen_ok lifts the blanket WholeStageCodegen check).
+    "events_json_roundtrip": {
+        "pushed": False, "no_smj": True, "hints": 0, "shuffles": 0,
+        "pure_jvm": True, "codegen_ok": False,
+    },
+    # gaps & islands: the distinct (cust, month) pre-agg + the
+    # customer-keyed window/agg family share partitioning — 2
+    # shuffles total, no join at all.
+    "customer_order_streaks": {
+        "pushed": False, "no_smj": True, "hints": 0, "shuffles": 2,
+        "pure_jvm": True,
+    },
+    # cross-correlation: one daily-pivot agg (exchange reused across
+    # the 3 pair branches), one per-pair window (all 7 shifts from
+    # one sort), one stats agg — a per-shift window pass would blow
+    # the count up to 7+.
+    "events_cross_correlation": {
+        "pushed": False, "no_smj": True, "hints": 0, "shuffles": 4,
+        "pure_jvm": True,
+    },
+    # histogram: 1-row bounds agg broadcast back (sanctioned BNLJ) +
+    # the (type, bin) rollup.
+    "events_value_histogram": {
+        "pushed": False, "no_smj": True, "hints": 1, "shuffles": 2,
+        "pure_jvm": True,
+    },
+    # audience overlap: distinct pre-agg, user-keyed self-join, pair
+    # agg, sizes agg + 2 broadcast joins of the 5-row sizes table.
+    "events_user_overlap": {
+        "pushed": True, "no_smj": True, "hints": 2, "shuffles": 5,
+        "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
@@ -593,6 +677,11 @@ SCALAR_SUBQUERY_OK = {
     # bounded centroid cross join (cell selection), as in the
     # full-probe twin
     "emb_hard_negatives_probed",
+    # bounded broadcast cross join: the <= 500-query Matryoshka batch
+    # against one corpus scan
+    "emb_matryoshka_recall",
+    # 1-row bounds aggregate broadcast back over the stream
+    "events_value_histogram",
 }
 
 
@@ -737,7 +826,11 @@ def audit(name: str, show: bool = False) -> list[str]:
                      "FlatMapGroupsInPandas"):
             if node in plan:
                 problems.append(f"{node} in a pure-JVM query")
-    if "WholeStageCodegen" not in plan and "codegen id" not in formatted:
+    if (
+        exp.get("codegen_ok", True)
+        and "WholeStageCodegen" not in plan
+        and "codegen id" not in formatted
+    ):
         problems.append("no WholeStageCodegen span")
     if "BroadcastNestedLoopJoin" in plan and name not in SCALAR_SUBQUERY_OK:
         problems.append("BroadcastNestedLoopJoin (accidental cross join?)")
