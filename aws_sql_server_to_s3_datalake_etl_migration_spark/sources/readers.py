@@ -406,6 +406,7 @@ def read_csv(
     ddl: str = "",
     header: bool = True,
     multi_line: bool = False,
+    timestamp_format: str | None = None,
 ) -> DataFrame:
     """CSV scan — inferred schema (S6) or declared-schema (S7).
 
@@ -427,6 +428,11 @@ def read_csv(
         spark.read.option("header", str(header).lower())
         .option("multiLine", str(multi_line).lower())
     )
+    if timestamp_format:
+        # both flavors — TIMESTAMP_NTZ columns ignore timestampFormat
+        # (same Spark quirk as JSON; see write_json)
+        reader = reader.option("timestampFormat", timestamp_format)
+        reader = reader.option("timestampNTZFormat", timestamp_format)
     if ddl:
         reader = reader.schema(_ddl_columns(ddl))
     else:

@@ -287,6 +287,27 @@ def write_json(
     writer.json(path)
 
 
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    timestamp_format: str | None = None,
+) -> None:
+    """CSV export sink — the interchange complement of ``read_csv``
+    (S6/S7). Same posture as JSON: row-oriented text for handoffs,
+    never the analytic store. Doubles render shortest-roundtrip;
+    timestamps need an explicit ``timestamp_format`` for microsecond
+    fidelity (set for both flavors — TIMESTAMP_NTZ columns ignore
+    ``timestampFormat``, the same silently-lossy Spark quirk
+    ``write_json`` documents)."""
+    writer = df.write.mode(mode).option("header", str(header).lower())
+    if timestamp_format:
+        writer = writer.option("timestampFormat", timestamp_format)
+        writer = writer.option("timestampNTZFormat", timestamp_format)
+    writer.csv(path)
+
+
 def write_quarantined(
     df: DataFrame,
     path: str,

@@ -2048,3 +2048,129 @@ def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("len").alias("n_active_months"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heterogeneous-format union (round 8): one table across three eras
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_multiformat_union",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def orders_multiformat_union(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One logical table spread across three physical eras — CSV
+    history (pre-1997), an ORC middle era (1997-98), parquet current
+    (1999+) — read back with the per-format readers and unionByName'd
+    into the full orders table, value-checked row-for-row against the
+    parquet ground truth. The migrating-lake reality the reference's
+    single-format assumption ignores: every format converts doubles
+    and microsecond timestamps losslessly (CSV needs the explicit
+    NTZ timestamp format — the same silent-millis quirk the JSON
+    roundtrip surfaced). Each era scan stays independently
+    splittable/pruneable; union is plan-level, not a materialize."""
+    import os
+
+    from .sources.readers import read_csv, read_orc, read_parquet
+    from .sources.writers import write_csv, write_orc, write_parquet
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(repo_root, ".lake_cache", f"multifmt_orders_{tag}")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    ddl = (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, "
+        "o_orderpriority STRING"
+    )
+    if not os.path.exists(os.path.join(base, "_PREPPED")):
+        o = _t(spark, sf_dir, "orders").select(*cols)
+        t97 = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+        t99 = F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+        write_csv(
+            o.where(F.col("o_orderdate") < t97),
+            f"{base}/era_csv",
+            timestamp_format=fmt,
+        )
+        write_orc(
+            o.where(
+                (F.col("o_orderdate") >= t97) & (F.col("o_orderdate") < t99)
+            ),
+            f"{base}/era_orc",
+        )
+        write_parquet(
+            o.where(F.col("o_orderdate") >= t99), f"{base}/era_parquet"
+        )
+        open(os.path.join(base, "_PREPPED"), "w").close()
+    hist = read_csv(
+        spark, f"{base}/era_csv", ddl=ddl, timestamp_format=fmt
+    )
+    mid = read_orc(spark, f"{base}/era_orc")
+    cur = read_parquet(spark, f"{base}/era_parquet")
+    return (
+        hist.unionByName(mid.select(*cols))
+        .unionByName(cur.select(*cols))
+        .select(*cols)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic pseudonymization (round 8): governance-safe analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_pseudonymize",
+    """
+    SELECT sha256('pepper-2026:' || CAST(c_custkey AS VARCHAR))
+             AS surrogate_key,
+           SUBSTRING(c_name, 1, 1)
+             || REPEAT('*', LENGTH(c_name) - 1) AS name_masked,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS balance_band,
+           c_mktsegment,
+           CAST(c_nationkey AS INT) AS c_nationkey
+    FROM customer
+    """,
+)
+def customer_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization of the customer dim — the
+    governance transform an analytics export runs before leaving the
+    trusted zone: a salted-SHA256 surrogate key (joinable across
+    exports made with the same pepper, irreversible without it), the
+    display name masked to its initial, the balance generalized to a
+    3-band categorical (k-anonymity-style coarsening). Pure codegen
+    row transforms — no shuffle at all; value-checked bit-for-bit
+    (both engines lowercase-hex sha256 the identical byte string).
+    The real pepper lives in a secret store, never in code."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.sha2(
+            F.concat(
+                F.lit("pepper-2026:"), F.col("c_custkey").cast("string")
+            ),
+            256,
+        ).alias("surrogate_key"),
+        F.concat(
+            F.substring("c_name", 1, 1),
+            F.repeat(F.lit("*"), F.length("c_name") - 1),
+        ).alias("name_masked"),
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("balance_band"),
+        "c_mktsegment",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+    )

@@ -182,6 +182,8 @@ EXTENDED = [
     "events_cross_correlation",
     "events_value_histogram",
     "events_user_overlap",
+    "orders_multiformat_union",
+    "customer_pseudonymize",
 ]
 
 

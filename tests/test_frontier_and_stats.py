@@ -262,3 +262,30 @@ def test_order_streaks_matches_python(spark):
                 cur = 1
         streaks.append(cur)
         assert got[c] == (max(streaks), len(ms), len(streaks)), c
+
+
+def test_pseudonymize_is_deterministic_and_masks(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.workloads_analytics import (
+        customer_pseudonymize,
+    )
+
+    rows = customer_pseudonymize(spark, SF_SMOKE).collect()
+    again = customer_pseudonymize(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    keys = [r["surrogate_key"] for r in rows]
+    assert len(set(keys)) == len(keys)  # injective over custkeys
+    for r in rows:
+        assert len(r["surrogate_key"]) == 64
+        assert set(r["name_masked"][1:]) <= {"*"}  # initial only
+        assert r["balance_band"] in ("negative", "standard", "premium")
+
+
+def test_multiformat_union_eras_are_disjoint_and_complete(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.workloads_analytics import (
+        orders_multiformat_union,
+    )
+
+    got = orders_multiformat_union(spark, SF_SMOKE)
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    assert got.count() == orders.count()
+    assert got.select("o_orderkey").distinct().count() == orders.count()

@@ -648,6 +648,17 @@ EXPECT: dict[str, dict] = {
         "pushed": True, "no_smj": True, "hints": 2, "shuffles": 5,
         "pure_jvm": True,
     },
+    # multiformat union: three independent era scans glued plan-level
+    # (Union, no exchange) — each stays splittable/pruneable.
+    "orders_multiformat_union": {
+        "pushed": False, "no_smj": True, "hints": 0, "shuffles": 0,
+        "pure_jvm": True, "plan_contains": ["Union"],
+    },
+    # pseudonymize: pure codegen row transform — zero shuffles.
+    "customer_pseudonymize": {
+        "pushed": False, "no_smj": True, "hints": 0, "shuffles": 0,
+        "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
