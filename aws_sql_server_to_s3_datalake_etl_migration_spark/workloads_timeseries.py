@@ -1411,3 +1411,126 @@ def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B conversion lift with CI (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ab_conversion_lift",
+    """
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+      FROM events
+    ),
+    converted AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    counts AS (
+      SELECT a.variant,
+             COUNT(*) AS n_users,
+             SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_converted
+      FROM assign a LEFT JOIN converted c ON a.user_id = c.user_id
+      GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 'A' THEN n_users END) AS na,
+        MAX(CASE WHEN variant = 'A' THEN n_converted END) AS ca,
+        MAX(CASE WHEN variant = 'B' THEN n_users END) AS nb,
+        MAX(CASE WHEN variant = 'B' THEN n_converted END) AS cb
+      FROM counts
+    )
+    SELECT CAST(na AS BIGINT) AS n_users_a,
+           CAST(ca AS BIGINT) AS n_conv_a,
+           CAST(nb AS BIGINT) AS n_users_b,
+           CAST(cb AS BIGINT) AS n_conv_b,
+           CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS p_a,
+           CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS p_b,
+           CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+             - CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS lift,
+           (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+             - CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+             - 1.959963984540054 * SQRT(
+                 (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                 * (1.0 - CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                 / CAST(na AS DOUBLE)
+                 + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 * (1.0 - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / CAST(nb AS DOUBLE)) AS ci_lo,
+           (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+             - CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+             + 1.959963984540054 * SQRT(
+                 (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                 * (1.0 - CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                 / CAST(na AS DOUBLE)
+                 + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 * (1.0 - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / CAST(nb AS DOUBLE)) AS ci_hi
+    FROM wide
+    """,
+)
+def events_ab_conversion_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-proportion A/B readout: user-level conversion (any
+    'purchase' event) per hash-assigned variant, absolute lift, and
+    the Wald 95% CI — the decision row an experimentation pipeline
+    lands. Everything flows from four EXACT integer counts (distinct
+    users / distinct converters per variant — two distinct pre-aggs
+    and a left semi-ish join, no raw-event pairwise work); the CI is
+    ONE double expression with the z-value as a shared literal
+    (1.959963984540054 — engine inverse-normal functions are not
+    bit-identical, a literal is). Same engineered-determinism rule as
+    the ACF/HHI family."""
+    ev = _events(spark, sf_dir)
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+            "variant"
+        ),
+    )
+    converted = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("_conv", F.lit(1))
+    )
+    counts = (
+        assign.join(converted, on="user_id", how="left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce(F.col("_conv"), F.lit(0))).alias(
+                "n_converted"
+            ),
+        )
+    )
+    wide = counts.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_converted"))).alias("cb"),
+    )
+    pa = F.col("ca").cast("double") / F.col("na").cast("double")
+    pb = F.col("cb").cast("double") / F.col("nb").cast("double")
+    z = F.lit(1.959963984540054)
+    se = F.sqrt(
+        pa * (F.lit(1.0) - pa) / F.col("na").cast("double")
+        + pb * (F.lit(1.0) - pb) / F.col("nb").cast("double")
+    )
+    return wide.select(
+        F.col("na").cast("long").alias("n_users_a"),
+        F.col("ca").cast("long").alias("n_conv_a"),
+        F.col("nb").cast("long").alias("n_users_b"),
+        F.col("cb").cast("long").alias("n_conv_b"),
+        pa.alias("p_a"),
+        pb.alias("p_b"),
+        (pb - pa).alias("lift"),
+        (pb - pa - z * se).alias("ci_lo"),
+        (pb - pa + z * se).alias("ci_hi"),
+    )

@@ -184,6 +184,7 @@ EXTENDED = [
     "events_user_overlap",
     "orders_multiformat_union",
     "customer_pseudonymize",
+    "events_ab_conversion_lift",
 ]
 
 

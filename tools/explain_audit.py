@@ -659,6 +659,12 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": True, "hints": 0, "shuffles": 0,
         "pure_jvm": True,
     },
+    # A/B lift: two distinct pre-aggs + the user-keyed converter join
+    # (AQE broadcasts the converter side) + variant agg + 1-row pivot.
+    "events_ab_conversion_lift": {
+        "pushed": False, "no_smj": True, "hints": 0, "shuffles": 4,
+        "aqe_bhj": True, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
