@@ -94,8 +94,20 @@ def oracles() -> dict[str, str]:
 # end-to-end value check earns its official row this round.
 #
 # Round-9 rotation candidates: oracle-backed queries added mid-round-8
-# with no official driver row yet — all local-check green when added;
-# the list is maintained in CATALOG.md (entries past position 50).
+# with no official driver row yet — all local-check green (sf0.001 AND
+# sf0.01), plan-audited, and bench-exercised when added. Staged, in
+# suggested rotation order: orders_delta_partitioned_roundtrip,
+# customer_abc_classes, part_pair_affinity, events_time_weighted_avg,
+# events_ohlc_bars, events_hll_rollup (rows-only pytest twin),
+# doc_readability, emb_dim_stats, scd2_customer_history, and the
+# round-8-late set — orders_skyline, events_acf_daily,
+# supplier_nation_hhi, lineitem_weighted_median, orders_benford_dq,
+# events_top_paths, emb_matryoshka_recall, orders_orc_roundtrip,
+# events_json_roundtrip, customer_order_streaks,
+# events_cross_correlation, events_value_histogram,
+# events_user_overlap, orders_multiformat_union,
+# customer_pseudonymize, events_ab_conversion_lift. The full list
+# with positions is CATALOG.md (entries past position 50).
 _PRIORITY: tuple[str, ...] = (
     # §2 core: flagship ingest, scans, incremental/merge, recon
     # (permanently pinned)
