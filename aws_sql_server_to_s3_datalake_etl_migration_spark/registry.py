@@ -106,8 +106,12 @@ def oracles() -> dict[str, str]:
 # events_json_roundtrip, customer_order_streaks,
 # events_cross_correlation, events_value_histogram,
 # events_user_overlap, orders_multiformat_union,
-# customer_pseudonymize, events_ab_conversion_lift. The full list
-# with positions is CATALOG.md (entries past position 50).
+# customer_pseudonymize, events_ab_conversion_lift, and the
+# post-close lake-lifecycle pair orders_delta_update_delete_roundtrip
+# and orders_delta_compact_restore_roundtrip (predicate
+# UPDATE/DELETE, OPTIMIZE bin-packing, RESTORE — each value-checked
+# end-to-end). The full list with positions is CATALOG.md (entries
+# past position 50).
 _PRIORITY: tuple[str, ...] = (
     # §2 core: flagship ingest, scans, incremental/merge, recon
     # (permanently pinned)

@@ -200,6 +200,7 @@ def stage_data_files(
     df: DataFrame,
     table_path: str,
     partition_by: list[str] | None = None,
+    data_change: bool = True,
 ) -> list[dict]:
     """Write ``df`` as parquet data files INSIDE ``table_path`` and
     return their ``add`` actions — but the files are invisible to log
@@ -248,7 +249,9 @@ def stage_data_files(
                     "partitionValues": _partition_values_from_rel(rel),
                     "size": int(st.getLen()),
                     "modificationTime": int(st.getModificationTime()),
-                    "dataChange": True,
+                    # False marks a pure reorganization (compaction):
+                    # the protocol lets streaming readers skip these
+                    "dataChange": bool(data_change),
                 }
             }
         )
@@ -256,7 +259,9 @@ def stage_data_files(
     return adds
 
 
-def remove_actions(live_files: list[str], table_path: str) -> list[dict]:
+def remove_actions(
+    live_files: list[str], table_path: str, data_change: bool = True
+) -> list[dict]:
     """remove (tombstone) actions for currently-live files, given the
     absolute paths the replay reader returns."""
     base = table_path.rstrip("/") + "/"
@@ -269,7 +274,7 @@ def remove_actions(live_files: list[str], table_path: str) -> list[dict]:
                 "remove": {
                     "path": rel,
                     "deletionTimestamp": now,
-                    "dataChange": True,
+                    "dataChange": bool(data_change),
                 }
             }
         )
@@ -765,3 +770,249 @@ def vacuum(
         if fs.exists(d) and not fs.listStatus(d):
             fs.delete(d, False)
     return deleted
+
+
+def _rewrite_where(
+    spark: SparkSession,
+    table_path: str,
+    condition,
+    transform=None,
+) -> int:
+    """File-granular copy-on-write shared by :func:`delete_where` and
+    :func:`update_where`: only files that actually CONTAIN matching
+    rows are rewritten (their non-matching rows survive verbatim,
+    their matching rows are dropped or transformed); every other live
+    file is untouched — at 100 TB a predicate hitting one partition
+    rewrites that partition, not the lake. The tombstones + new adds
+    land in ONE commit pinned to the snapshot version read
+    (optimistic concurrency: a racing writer raises
+    :class:`CommitConflict` instead of silently losing rows).
+
+    Returns the committed version, or the current version unchanged
+    when no file matches (no empty commits).
+    """
+    from pyspark.sql import functions as F
+
+    from .readers import _delta_live_files
+
+    base = table_path.rstrip("/")
+    v = log_version(spark, base)
+    if v is None:
+        raise ValueError(f"{table_path} has no transaction log")
+    live = _delta_live_files(spark, base) or []
+    if not live:
+        return v
+    md = latest_metadata(spark, base) or {}
+    part_cols = list(md.get("partitionColumns") or [])
+    df = spark.read.option("basePath", base).parquet(*live).withColumn(
+        "_file", F.col("_metadata.file_path")
+    )
+    # _metadata.file_path is scheme-qualified; live paths are not —
+    # match on the relative suffix, which is unique within the table
+    rel_of = {f: f[len(base) + 1:] for f in live}
+    hit_files = [
+        r["_file"]
+        for r in df.where(condition).select("_file").distinct().collect()
+    ]
+    affected = [
+        f
+        for f in live
+        if any(h.endswith("/" + rel_of[f]) for h in hit_files)
+    ]
+    if not affected:
+        return v
+    keep = spark.read.option("basePath", base).parquet(*affected)
+    if transform is None:
+        # three-valued logic: a NULL predicate row is NOT matched —
+        # it must survive the delete (bare ~condition would drop it)
+        rewrite = keep.where(~F.coalesce(condition, F.lit(False)))
+    else:
+        rewrite = transform(keep, condition)
+    # the basePath read appends partition columns at the schema tail;
+    # restage in the table's declared field order so schema
+    # enforcement and later readers see one consistent shape
+    declared = json.loads(md["schemaString"]) if md else None
+    if declared:
+        order = [f["name"] for f in declared["fields"]]
+        rewrite = rewrite.select(*order)
+    adds = stage_data_files(rewrite, base, partition_by=part_cols or None)
+    return commit(
+        spark,
+        base,
+        remove_actions(affected, base) + adds,
+        expected_version=v + 1,
+    )
+
+
+def delete_where(spark: SparkSession, table_path: str, condition) -> int:
+    """Selective DELETE (the GDPR / right-to-be-forgotten path):
+    copy-on-write removal of every row matching ``condition``, file-
+    granular (see :func:`_rewrite_where`). Deleted rows remain
+    reachable via time travel until ``vacuum`` reclaims the
+    tombstoned files — run the vacuum to make the erasure physical,
+    exactly as delta-spark's DELETE + VACUUM pair works."""
+    return _rewrite_where(spark, table_path, condition)
+
+
+def update_where(
+    spark: SparkSession,
+    table_path: str,
+    condition,
+    set_exprs: dict,
+) -> int:
+    """Selective UPDATE ... SET: rows matching ``condition`` get each
+    column in ``set_exprs`` replaced by its expression (non-matching
+    rows in the same file are rewritten verbatim; other files are
+    untouched). Single-commit copy-on-write with the same snapshot
+    pinning as :func:`delete_where`."""
+    from pyspark.sql import functions as F
+
+    def transform(df, cond):
+        out = df
+        for col, expr in set_exprs.items():
+            out = out.withColumn(
+                col, F.when(cond, expr).otherwise(F.col(col))
+            )
+        return out
+
+    return _rewrite_where(spark, table_path, condition, transform=transform)
+
+
+def compact(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+    partition_filter: dict[str, str] | None = None,
+) -> int | None:
+    """OPTIMIZE-style small-file compaction (bin-packing), the cure
+    for the small-file problem incremental/streaming appends create
+    at lake scale: within each Hive partition, live files smaller
+    than ``target_file_bytes`` are rewritten into
+    ``ceil(total/target)`` larger files; files already at/above the
+    target, and partitions with fewer than ``min_files`` small files,
+    are left untouched. The tombstones and replacement adds land in
+    ONE commit carrying ``dataChange: false`` on every action — the
+    Delta protocol's marker that the commit reorganizes bytes without
+    changing table contents, so incremental/streaming consumers can
+    skip it instead of reprocessing rewritten rows. Snapshot-pinned
+    like every reconciling commit: a racing writer raises
+    :class:`CommitConflict` rather than losing its files.
+
+    ``partition_filter`` scopes the pass to matching partitions — at
+    100 TB you compact the partitions your ingest touched today, not
+    the lake. Returns the committed version, or ``None`` when nothing
+    qualified (no empty commits).
+    """
+    import math
+
+    from .readers import _delta_live_adds
+
+    base = table_path.rstrip("/")
+    v = log_version(spark, base)
+    if v is None:
+        raise ValueError(f"{table_path} has no transaction log")
+    adds = _delta_live_adds(
+        spark, base, partition_filter=partition_filter
+    ) or {}
+    # group small files by partition tuple; unknown sizes (pre-round-8
+    # path-only checkpoints) are treated as small so they get healed
+    # into sized adds by the rewrite
+    groups: dict[tuple, list[tuple[str, int]]] = {}
+    for rel, a in adds.items():
+        size = int(a.get("size") or 0)
+        if size >= target_file_bytes:
+            continue
+        key = tuple(sorted((a.get("partitionValues") or {}).items()))
+        groups.setdefault(key, []).append((rel, size))
+    victims = [
+        (rel, size)
+        for files in groups.values()
+        if len(files) >= min_files
+        for (rel, size) in files
+    ]
+    if not victims:
+        return None
+    md = latest_metadata(spark, base) or {}
+    part_cols = list(md.get("partitionColumns") or [])
+    abs_victims = [f"{base}/{rel}" for rel, _ in victims]
+    df = spark.read.option("basePath", base).parquet(*abs_victims)
+    declared = json.loads(md["schemaString"]) if md else None
+    if declared:
+        df = df.select(*[f["name"] for f in declared["fields"]])
+    total = sum(size for _, size in victims)
+    n_bins = max(1, math.ceil(total / target_file_bytes))
+    if part_cols:
+        # one task per compacted partition (collisions just mean a
+        # task writes two partitions' files — still one file each)
+        n_tasks = max(n_bins, len([g for g in groups.values()
+                                   if len(g) >= min_files]))
+        df = df.repartition(n_tasks, *part_cols)
+    else:
+        df = df.repartition(n_bins)
+    new_adds = stage_data_files(
+        df, base, partition_by=part_cols or None, data_change=False
+    )
+    return commit(
+        spark,
+        base,
+        remove_actions(abs_victims, base, data_change=False) + new_adds,
+        expected_version=v + 1,
+    )
+
+
+def restore_to_version(
+    spark: SparkSession, table_path: str, version: int
+) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF: roll the table's DATA back
+    to the state at ``version`` as a NEW commit (history is preserved
+    — the bad commits stay time-travelable, exactly like delta-spark's
+    RESTORE). The commit tombstones every file added after
+    ``version`` and re-adds every file that was live then but isn't
+    now, reusing the original add actions (size/partitionValues) from
+    the log — zero data files are read or written, so restoring a
+    100 TB table is a metadata-only operation.
+
+    Raises if any file to re-add has been vacuumed (the rollback
+    window is bounded by vacuum retention, as in delta-spark), and
+    :class:`CommitConflict` if a writer lands mid-restore.
+    """
+    from .readers import _delta_live_adds
+
+    base = table_path.rstrip("/")
+    head = log_version(spark, base)
+    if head is None:
+        raise ValueError(f"{table_path} has no transaction log")
+    if version > head or version < 0:
+        raise ValueError(
+            f"cannot restore {table_path} to version {version}: "
+            f"log is at version {head}"
+        )
+    if version == head:
+        return head
+    want = _delta_live_adds(spark, base, version=version) or {}
+    have = _delta_live_adds(spark, base) or {}
+    to_remove = [f"{base}/{rel}" for rel in have if rel not in want]
+    to_readd = [want[rel] for rel in want if rel not in have]
+    fs, jvm = _fs(spark, base)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    missing = [
+        a["path"]
+        for a in to_readd
+        if not fs.exists(hpath(f"{base}/{a['path']}"))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore {table_path} to version {version}: "
+            f"{len(missing)} data file(s) vacuumed since (e.g. "
+            f"{missing[0]}); restores reach only as far back as "
+            "vacuum retention"
+        )
+    actions = remove_actions(to_remove, base)
+    for a in to_readd:
+        re_add = dict(a)
+        re_add["dataChange"] = True  # restore DOES change visible data
+        actions.append({"add": re_add})
+    if not actions:
+        return head  # states identical — no empty commit
+    return commit(spark, base, actions, expected_version=head + 1)

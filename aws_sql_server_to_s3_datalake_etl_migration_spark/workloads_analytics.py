@@ -2174,3 +2174,107 @@ def customer_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("c_nationkey").cast("int").alias("c_nationkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta fallback UPDATE/DELETE (round 8): file-granular copy-on-write
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_delta_update_delete_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE NOT (o_orderstatus = 'P' AND o_orderkey % 3 = 0)
+    """,
+)
+def orders_delta_update_delete_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The fallback Delta engine's predicate UPDATE and DELETE under
+    the value check (sources/delta_log.py update_where/delete_where):
+    bootstrap a log-backed table from orders, UPDATE ... SET
+    totalprice += 10 WHERE key % 7 = 0, then DELETE WHERE the
+    P-status third — each a file-granular copy-on-write commit that
+    rewrites ONLY files containing matching rows and pins its
+    snapshot version. Reruns skip the (already-applied) mutations by
+    log version, so the cached table converges. The oracle states the
+    final table straight from orders; matching hashes prove matched-
+    file discovery, the rewrite's schema-order restage, tombstone +
+    add atomicity, and replay — the full GDPR-erasure path minus the
+    vacuum (covered by pytest)."""
+    import os
+
+    from .sources import delta_log
+    from .sources.readers import read_delta
+    from .sources.writers import write_delta_append
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(repo_root, ".lake_cache", f"delta_orders_ud_{tag}")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    if delta_log.log_version(spark, path) is None:
+        write_delta_append(_t(spark, sf_dir, "orders").select(*cols), path)
+    if (delta_log.log_version(spark, path) or 0) < 2:
+        delta_log.update_where(
+            spark,
+            path,
+            F.col("o_orderkey") % 7 == 0,
+            {"o_totalprice": F.col("o_totalprice") + 10},
+        )
+        delta_log.delete_where(
+            spark,
+            path,
+            (F.col("o_orderstatus") == "P")
+            & (F.col("o_orderkey") % 3 == 0),
+        )
+    return read_delta(spark, path).select(*cols)
+
+
+@register(
+    "orders_delta_compact_restore_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    """,
+)
+def orders_delta_compact_restore_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The fallback engine's OPTIMIZE + RESTORE under the value check
+    (sources/delta_log.py compact/restore_to_version): orders is
+    appended in three deliberately-fragmented commits (nine small
+    files — the small-file problem incremental ingest creates),
+    bin-packed by ``compact`` into one file under a dataChange=false
+    commit, damaged by a predicate DELETE of every 'F'-status order,
+    then healed by a metadata-only RESTORE to the pre-delete version.
+    The oracle states the ORIGINAL full table: hashes match only if
+    compaction preserved every row bit-exactly AND restore re-added
+    the tombstoned files. Each step no-ops on rerun (version guards /
+    empty matches), so the cached lake converges across runs."""
+    import os
+
+    from .sources import delta_log
+    from .sources.readers import read_delta
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(repo_root, ".lake_cache", f"delta_orders_cr_{tag}")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    if delta_log.log_version(spark, path) is None:
+        orders = _t(spark, sf_dir, "orders").select(*cols)
+        for k in range(3):
+            delta_log.append_commit(
+                orders.where(F.col("o_orderkey") % 3 == k).repartition(3),
+                path,
+            )
+    if (delta_log.log_version(spark, path) or 0) < 5:
+        delta_log.compact(spark, path)  # 9 small files -> 1 (v3)
+        delta_log.delete_where(
+            spark, path, F.col("o_orderstatus") == F.lit("F")
+        )  # v4
+        delta_log.restore_to_version(spark, path, 3)  # v5: heal
+    return read_delta(spark, path).select(*cols)

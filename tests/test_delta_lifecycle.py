@@ -251,3 +251,190 @@ def test_old_path_only_checkpoint_heals(spark, tmp_path):
         delta_log.append_commit(
             spark.createDataFrame([(9,)], "pk long"), path
         )
+
+
+def test_delete_where_is_file_granular_and_time_travels(spark, tmp_path):
+    """DELETE rewrites only files containing matches: the untouched
+    commit's data file stays live under its original path; the
+    deleted rows remain reachable via time travel until vacuum."""
+    path = str(tmp_path / "t_del")
+    lo = spark.range(0, 10).selectExpr("id AS pk", "'lo' AS grp")
+    hi = spark.range(100, 110).selectExpr("id AS pk", "'hi' AS grp")
+    delta_log.append_commit(lo.coalesce(1), path)
+    delta_log.append_commit(hi.coalesce(1), path)
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        _delta_live_files,
+    )
+
+    before = set(_delta_live_files(spark, path))
+    v = delta_log.delete_where(spark, path, F.col("pk") >= 105)
+    after = set(_delta_live_files(spark, path))
+    untouched = before & after
+    assert untouched  # the lo-commit file survived verbatim
+    assert all("/" not in f or True for f in untouched)
+    got = {r.pk for r in read_delta(spark, path).collect()}
+    assert got == set(range(10)) | set(range(100, 105))
+    # time travel to the pre-delete version resurrects the rows
+    old = {r.pk for r in read_delta(spark, path, version=v - 1).collect()}
+    assert old == set(range(10)) | set(range(100, 110))
+    # no-match delete is a no-op, not an empty commit
+    assert delta_log.delete_where(spark, path, F.col("pk") > 10**9) == v
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """Three-valued logic: rows where the predicate evaluates NULL are
+    NOT matched and must survive the delete."""
+    path = str(tmp_path / "t_null")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "pk LONG, x DOUBLE"
+    )
+    delta_log.append_commit(df.coalesce(1), path)
+    delta_log.delete_where(spark, path, F.col("x") > 10)
+    got = {r.pk for r in read_delta(spark, path).collect()}
+    assert got == {1, 2}  # NULL-x row kept
+
+
+def test_update_where_partitioned_preserves_layout(spark, tmp_path):
+    """UPDATE on a partitioned table rewrites matching files in Hive
+    layout (partitionValues intact) and leaves other partitions'
+    files untouched; partition pruning still works afterwards."""
+    path = str(tmp_path / "t_upd")
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 == 0 else "B", float(i)) for i in range(20)],
+        "pk LONG, part STRING, val DOUBLE",
+    )
+    delta_log.append_commit(df, path, partition_by=["part"])
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        _delta_live_files,
+    )
+
+    before = {
+        f for f in _delta_live_files(spark, path) if "part=B" in f
+    }
+    delta_log.update_where(
+        spark,
+        path,
+        (F.col("part") == "A") & (F.col("pk") < 10),
+        {"val": F.col("val") + 1000},
+    )
+    after_b = {
+        f for f in _delta_live_files(spark, path) if "part=B" in f
+    }
+    assert before == after_b  # B partition untouched
+    pruned = read_delta(spark, path, partition_filter={"part": "A"})
+    vals = {r.pk: r.val for r in pruned.collect()}
+    for pk, val in vals.items():
+        assert val == (pk + 1000.0 if pk < 10 else float(pk))
+    # pruned read of B sees original values
+    vals_b = {
+        r.pk: r.val
+        for r in read_delta(
+            spark, path, partition_filter={"part": "B"}
+        ).collect()
+    }
+    assert all(v == float(pk) for pk, v in vals_b.items())
+    # deleted-then-vacuumed files make the erasure physical
+    delta_log.delete_where(spark, path, F.col("part") == "A")
+    reclaimed = delta_log.vacuum(spark, path, min_age_seconds=0)
+    assert reclaimed  # the A files (old + rewritten) are gone
+    assert {r.part for r in read_delta(spark, path).collect()} == {"B"}
+
+
+def test_compact_bin_packs_small_files_data_unchanged(spark, tmp_path):
+    """OPTIMIZE semantics: many small appended files become one file
+    per partitionless table, contents bit-identical, the commit's
+    actions all carry dataChange=false, and time travel to the
+    pre-compaction version still sees the old layout."""
+    path = str(tmp_path / "t_opt")
+    for lo in range(0, 40, 10):
+        delta_log.append_commit(
+            spark.range(lo, lo + 10)
+            .selectExpr("id AS pk", "id * 2 AS val")
+            .repartition(2),
+            path,
+        )
+    pre_v = delta_log.log_version(spark, path)
+    n_before = len(_delta_live_adds(spark, path))
+    assert n_before >= 8  # 4 appends x 2 files
+    v = delta_log.compact(spark, path)
+    assert v == pre_v + 1
+    adds_after = _delta_live_adds(spark, path)
+    assert len(adds_after) == 1  # tiny total -> one bin
+    got = {(r.pk, r.val) for r in read_delta(spark, path).collect()}
+    assert got == {(i, i * 2) for i in range(40)}
+    # every action in the compaction commit is dataChange: false
+    log = os.path.join(path, "_delta_log", f"{v:020d}.json")
+    with open(log) as fh:
+        actions = [json.loads(ln) for ln in fh if ln.strip()]
+    assert actions
+    for a in actions:
+        body = a.get("add") or a.get("remove")
+        assert body is not None and body["dataChange"] is False
+    # time travel to pre-compaction still replays the small files
+    old = read_delta(spark, path, version=pre_v)
+    assert old.count() == 40
+    # second pass finds a single already-compacted file: no-op
+    assert delta_log.compact(spark, path) is None
+
+
+def test_compact_respects_target_and_partitions(spark, tmp_path):
+    """Files at/above target are untouched; a partition_filter scopes
+    the pass; partitioned layout survives (pruning still works)."""
+    path = str(tmp_path / "t_opt_part")
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 == 0 else "B", float(i)) for i in range(40)],
+        "pk LONG, part STRING, val DOUBLE",
+    )
+    delta_log.append_commit(df.repartition(4), path, partition_by=["part"])
+    delta_log.append_commit(
+        df.selectExpr("pk + 100 AS pk", "part", "val").repartition(4),
+        path,
+        partition_by=["part"],
+    )
+    before_b = {
+        rel for rel in _delta_live_adds(spark, path) if "part=B" in rel
+    }
+    assert len(before_b) >= 2
+    v = delta_log.compact(spark, path, partition_filter={"part": "A"})
+    assert v is not None
+    adds = _delta_live_adds(spark, path)
+    after_a = {rel for rel in adds if "part=A" in rel}
+    after_b = {rel for rel in adds if "part=B" in rel}
+    assert after_b == before_b  # out-of-scope partition untouched
+    assert len(after_a) == 1
+    pruned = read_delta(spark, path, partition_filter={"part": "A"})
+    assert pruned.count() == 40
+    assert {r.part for r in pruned.collect()} == {"A"}
+    # giant target -> nothing qualifies as small... inverted: tiny
+    # target -> every file is already "large", so no-op
+    assert (
+        delta_log.compact(spark, path, target_file_bytes=1) is None
+    )
+
+
+def test_restore_rolls_back_delete_metadata_only(spark, tmp_path):
+    """RESTORE re-adds the tombstoned files and tombstones the
+    post-version files without touching data bytes; history is
+    preserved; restoring past a vacuum raises."""
+    path = str(tmp_path / "t_restore")
+    delta_log.append_commit(
+        spark.range(0, 20).selectExpr("id AS pk").coalesce(1), path
+    )
+    good_v = delta_log.append_commit(
+        spark.range(20, 30).selectExpr("id AS pk").coalesce(1), path
+    )
+    delta_log.delete_where(spark, path, F.col("pk") >= 10)
+    assert read_delta(spark, path).count() == 10
+    v = delta_log.restore_to_version(spark, path, good_v)
+    assert v == good_v + 2
+    got = {r.pk for r in read_delta(spark, path).collect()}
+    assert got == set(range(30))
+    # the bad (post-restore-target) state is still time-travelable
+    assert read_delta(spark, path, version=good_v + 1).count() == 10
+    # restore to HEAD / identical state is a no-op, not a commit
+    assert delta_log.restore_to_version(spark, path, v) == v
+    # delete again, vacuum the tombstoned bytes, then restore -> error
+    delta_log.delete_where(spark, path, F.col("pk") >= 10)
+    assert delta_log.vacuum(spark, path, min_age_seconds=0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        delta_log.restore_to_version(spark, path, v)

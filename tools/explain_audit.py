@@ -500,6 +500,18 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
     # Round-8 additions
+    # update/delete roundtrip: like the merge roundtrip, the RETURNED
+    # plan is a log-replay scan of the post-mutation live files — the
+    # copy-on-write UPDATE/DELETE commits ran eagerly beforehand.
+    "orders_delta_update_delete_roundtrip": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # compact+restore roundtrip: returned plan is a log-replay scan of
+    # the restored live set (the compaction bin-pack, delete and
+    # metadata-only restore all committed eagerly beforehand).
+    "orders_delta_compact_restore_roundtrip": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
     # partitioned delta roundtrip: the returned plan is a log-replay
     # scan of ONE partition's live files (pruned at the FILE LIST, so
     # other partitions' files don't even appear as scan inputs) — no
