@@ -330,6 +330,7 @@ def read_delta(
     view_name: str = "",
     version: int | None = None,
     partition_filter: dict[str, str] | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Delta lake scan + optional SQL-over-view (S5, ``utils.py:177-192``).
 
@@ -351,7 +352,20 @@ def read_delta(
     listed), the native path applies the equivalent ``WHERE`` and lets
     Delta's own partition pruning elide them. Empty result after a
     filter is a normal empty frame, not an error.
+
+    ``timestamp_ms`` requests ``timestampAsOf`` time travel (epoch
+    millis): resolved to the latest version whose commit file mtime is
+    at or before the instant (delta-spark's rule), then read as that
+    version. Mutually exclusive with ``version``.
     """
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError(
+                "pass either version or timestamp_ms, not both"
+            )
+        from .delta_log import version_at_timestamp
+
+        version = version_at_timestamp(spark, path, timestamp_ms)
     filtered_empty = False
     try:
         reader = spark.read.format("delta")

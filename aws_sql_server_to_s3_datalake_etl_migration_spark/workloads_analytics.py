@@ -2278,3 +2278,150 @@ def orders_delta_compact_restore_roundtrip(
         )  # v4
         delta_log.restore_to_version(spark, path, 3)  # v5: heal
     return read_delta(spark, path).select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (round 8)
+# ---------------------------------------------------------------------------
+
+_RI_EDGES: tuple[tuple[str, str, str, str], ...] = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _ri_oracle_sql() -> str:
+    rows = []
+    for child, fk, parent, pk in _RI_EDGES:
+        edge = f"{child}.{fk}->{parent}.{pk}"
+        rows.append(
+            f"""
+    SELECT '{edge}' AS fk_edge,
+           (SELECT COUNT(*) FROM {child})::BIGINT AS n_child,
+           (SELECT COUNT(*) FROM {child} c
+             WHERE c.{fk} IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{fk}))::BIGINT
+             AS n_orphans,
+           (SELECT COUNT(*) FROM {child} c
+             WHERE c.{fk} IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{fk})) = 0 AS ri_ok"""
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
+@register("referential_integrity_audit", _ri_oracle_sql())
+def referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table referential-integrity audit over the warehouse's
+    seven FK edges — the post-load validation an ETL migration runs
+    before certifying a lake copy (the reference's recon counts rows
+    per table, reference reporting_utils.py; this extends the idea to
+    the EDGES between tables). Each edge contributes one LEFT ANTI
+    join of the child's non-null FK column against the parent's
+    DISTINCT key — at lake scale that is one shuffle per edge on the
+    key column alone (column pruning keeps the scan to a single
+    column; dim-sized parents broadcast, and the big-big edges like
+    lineitem->orders hash-join their already-deduplicated key sides).
+    Single-row count aggregates per edge are crossJoined (broadcast,
+    1x1) and unioned into the seven-row report."""
+    out = None
+    for child, fk, parent, pk in _RI_EDGES:
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent)
+        orphans = (
+            c.select(fk)
+            .where(F.col(fk).isNotNull())
+            .join(
+                p.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        row = (
+            c.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(orphans)
+            .select(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("fk_edge"),
+                "n_child",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("ri_ok"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "orders_delta_cdf",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           'insert' AS change_type, 1::BIGINT AS commit_version
+    FROM base WHERE o_orderkey % 4 = 3
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           'delete', 2::BIGINT
+    FROM base WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice + 5,
+           'insert', 2::BIGINT
+    FROM base WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 5
+                ELSE o_totalprice END,
+           'delete', 3::BIGINT
+    FROM base WHERE o_orderstatus = 'P'
+    """,
+)
+def orders_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed reconstructed from the fallback log
+    (sources/delta_log.py table_changes): the lake table is built by
+    two appends, a predicate UPDATE (+5 on every 10th order) and a
+    predicate DELETE (P-status orders); the feed over versions (0,3]
+    must contain exactly the second append's inserts, delete+insert
+    pairs for ONLY the genuinely updated rows (the copy-on-write
+    rewrite's untouched neighbors cancel via exceptAll), and the
+    deleted rows at their post-update values. The oracle restates all
+    of that from the orders table directly — a hash match proves the
+    feed is row-exact, ordered by commit, and free of rewrite noise.
+    Step-wise version guards make reruns convergent from any crash
+    state."""
+    import os
+
+    from .sources import delta_log
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(repo_root, ".lake_cache", f"delta_orders_cdf_{tag}")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = _t(spark, sf_dir, "orders").select(*cols)
+    if delta_log.log_version(spark, path) is None:
+        delta_log.append_commit(
+            orders.where(F.col("o_orderkey") % 4 != 3), path
+        )  # v0
+    if delta_log.log_version(spark, path) == 0:
+        delta_log.append_commit(
+            orders.where(F.col("o_orderkey") % 4 == 3), path
+        )  # v1
+    if delta_log.log_version(spark, path) == 1:
+        delta_log.update_where(
+            spark,
+            path,
+            F.col("o_orderkey") % 10 == 0,
+            {"o_totalprice": F.col("o_totalprice") + 5},
+        )  # v2
+    if delta_log.log_version(spark, path) == 2:
+        delta_log.delete_where(
+            spark, path, F.col("o_orderstatus") == F.lit("P")
+        )  # v3
+    return delta_log.table_changes(spark, path, 0, to_version=3)

@@ -2557,3 +2557,76 @@ def emb_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", F.col("label").cast("int").alias("label"), "is_seed"
     )
+
+
+# ---------------------------------------------------------------------------
+# All-pairs doc similarity over characteristic terms (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_tfidf_topterm_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+      WHERE trim(text) <> ''
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    docfreq AS (
+      SELECT term, COUNT(*)::BIGINT AS df
+      FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, ROW_NUMBER() OVER (
+        PARTITION BY tf.doc_id
+        ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / docfreq.df DESC,
+                 tf.term ASC
+      ) AS rank
+      FROM tf JOIN docfreq USING (term) CROSS JOIN n
+    ),
+    top5 AS (SELECT doc_id, term FROM ranked WHERE rank <= 5)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*)::BIGINT AS n_shared,
+           CAST(COUNT(*) AS DOUBLE) / 5 AS overlap_coeff
+    FROM top5 a JOIN top5 b
+      ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def doc_tfidf_topterm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs document similarity by shared CHARACTERISTIC terms —
+    the prefix-filtering idea behind AllPairs/PPJoin made exact: each
+    doc is reduced to its top-5 tf-idf terms (deterministic score
+    DESC / term ASC tiebreak), and only those enter the posting-list
+    self-join, so the quadratic blowup common terms cause in naive
+    similarity joins is structurally excluded (a term every doc
+    contains has df ~ N, the worst possible tf-idf, and never makes a
+    prefix). Pairs sharing >= 2 characteristic terms emerge from ONE
+    term-keyed equi-join over 5N posting rows — at 100 TB the join
+    fan-out is bounded by per-term prefix membership, not corpus
+    size, and integer outputs (plus one small-int division) keep the
+    oracle comparison bit-exact."""
+    docs = _docs(spark, sf_dir)
+    top = textops.tfidf_top_terms(docs, k=5, n_docs=docs.count()).select(
+        "doc_id", "term"
+    )
+    a, b = top.alias("a"), top.alias("b")
+    return (
+        a.join(b, "term")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .withColumn(
+            "overlap_coeff", F.col("n_shared").cast("double") / F.lit(5)
+        )
+    )

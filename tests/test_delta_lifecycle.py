@@ -438,3 +438,81 @@ def test_restore_rolls_back_delete_metadata_only(spark, tmp_path):
     assert delta_log.vacuum(spark, path, min_age_seconds=0)
     with pytest.raises(ValueError, match="vacuumed"):
         delta_log.restore_to_version(spark, path, v)
+
+
+def test_table_changes_row_level_cdf(spark, tmp_path):
+    """CDF from the log: appends emit inserts, copy-on-write UPDATE
+    emits delete(old)+insert(new) for ONLY the changed rows (the
+    rewritten file's surviving rows cancel), DELETE emits deletes,
+    and a dataChange=false compaction emits nothing."""
+    path = str(tmp_path / "t_cdf")
+    delta_log.append_commit(
+        spark.range(0, 10)
+        .selectExpr("id AS pk", "CAST(id AS DOUBLE) AS val")
+        .repartition(2),
+        path,
+    )  # v0
+    delta_log.append_commit(
+        spark.range(10, 14)
+        .selectExpr("id AS pk", "CAST(id AS DOUBLE) AS val")
+        .coalesce(1),
+        path,
+    )  # v1
+    delta_log.update_where(
+        spark, path, F.col("pk") == 3, {"val": F.lit(99.0)}
+    )  # v2
+    delta_log.delete_where(spark, path, F.col("pk") >= 12)  # v3
+    assert delta_log.compact(spark, path) == 4  # v4, dataChange=false
+    feed = delta_log.table_changes(spark, path, 0).collect()
+    by_commit = {}
+    for r in feed:
+        by_commit.setdefault(r.commit_version, []).append(
+            (r.change_type, r.pk, r.val)
+        )
+    assert sorted(by_commit) == [1, 2, 3]  # v4 compaction absent
+    assert sorted(by_commit[1]) == [
+        ("insert", pk, float(pk)) for pk in range(10, 14)
+    ]
+    # update: exactly one delete(old) + one insert(new); the other
+    # rows of pk=3's rewritten file cancelled out
+    assert sorted(by_commit[2]) == [
+        ("delete", 3, 3.0),
+        ("insert", 3, 99.0),
+    ]
+    assert sorted(by_commit[3]) == [
+        ("delete", 12, 12.0),
+        ("delete", 13, 13.0),
+    ]
+    # bounded range: only v1's inserts
+    only_v1 = delta_log.table_changes(spark, path, 0, to_version=1)
+    assert only_v1.count() == 4
+    # empty range yields an empty, correctly-shaped feed
+    empty = delta_log.table_changes(spark, path, 4)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"pk", "val", "change_type",
+                                  "commit_version"}
+
+
+def test_timestamp_as_of_resolves_by_commit_mtime(spark, tmp_path):
+    """timestampAsOf: reads resolve to the newest commit at/before
+    the instant; a timestamp before the table existed raises."""
+    import os as _os
+    import time as _time
+
+    path = str(tmp_path / "t_ts")
+    delta_log.append_commit(
+        spark.range(0, 5).selectExpr("id AS pk").coalesce(1), path
+    )
+    v0_file = _os.path.join(path, "_delta_log", f"{0:020d}.json")
+    t0 = int(_os.path.getmtime(v0_file) * 1000)
+    _time.sleep(1.2)  # mtime granularity
+    delta_log.append_commit(
+        spark.range(5, 9).selectExpr("id AS pk").coalesce(1), path
+    )
+    assert read_delta(spark, path, timestamp_ms=t0).count() == 5
+    now = int(_time.time() * 1000) + 60_000
+    assert read_delta(spark, path, timestamp_ms=now).count() == 9
+    with pytest.raises(ValueError, match="at or before"):
+        read_delta(spark, path, timestamp_ms=t0 - 10_000_000)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, path, version=0, timestamp_ms=t0)

@@ -512,6 +512,23 @@ EXPECT: dict[str, dict] = {
     "orders_delta_compact_restore_roundtrip": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # CDF feed: per-commit unions of added/removed file scans diffed
+    # with exceptAll (hash-agg shuffles, no joins) — dataChange=false
+    # commits never even reach the plan.
+    "orders_delta_cdf": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # all-pairs characteristic-term similarity: prefix-bounded posting
+    # self-join on term (big-big sanctioned, AQE decides) + pair agg.
+    "doc_tfidf_topterm_pairs": {
+        "pushed": True, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # RI audit: seven key-column anti-joins (dims broadcast; the
+    # lineitem-parent edges are big-big, AQE decides) + 1x1 count
+    # crossjoins.
+    "referential_integrity_audit": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
     # partitioned delta roundtrip: the returned plan is a log-replay
     # scan of ONE partition's live files (pruned at the FILE LIST, so
     # other partitions' files don't even appear as scan inputs) — no
@@ -694,6 +711,9 @@ SCALAR_SUBQUERY_OK = {
     "emb_quantized_topk",
     # single-row broadcast cross join: the vocabulary-size row V
     "doc_lm_fluency",
+    # seven 1x1 count-aggregate cross joins (n_child x n_orphans per
+    # FK edge) — each side is exactly one row by construction
+    "referential_integrity_audit",
     # bounded broadcast cross join by design: every query scores the
     # <= n_cells centroid rows before pruning to nprobe cells (the
     # batch-ANN cell-selection step)
