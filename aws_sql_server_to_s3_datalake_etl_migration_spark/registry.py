@@ -107,11 +107,14 @@ def oracles() -> dict[str, str]:
 # events_cross_correlation, events_value_histogram,
 # events_user_overlap, orders_multiformat_union,
 # customer_pseudonymize, events_ab_conversion_lift, and the
-# post-close lake-lifecycle pair orders_delta_update_delete_roundtrip
-# and orders_delta_compact_restore_roundtrip (predicate
-# UPDATE/DELETE, OPTIMIZE bin-packing, RESTORE — each value-checked
-# end-to-end). The full list with positions is CATALOG.md (entries
-# past position 50).
+# post-close lake-engine suite — orders_delta_update_delete_roundtrip,
+# orders_delta_compact_restore_roundtrip, orders_delta_cdf,
+# orders_cdf_view_maintenance, orders_delta_stats_skipping_scan
+# (predicate UPDATE/DELETE, OPTIMIZE bin-packing, RESTORE, Change
+# Data Feed, CDF-incremental view refresh, footer-stats data
+# skipping — each value-checked end-to-end) — plus
+# doc_tfidf_topterm_pairs and referential_integrity_audit. The full
+# list with positions is CATALOG.md (entries past position 50).
 _PRIORITY: tuple[str, ...] = (
     # §2 core: flagship ingest, scans, incremental/merge, recon
     # (permanently pinned)

@@ -181,6 +181,87 @@ def bootstrap_actions(
     ]
 
 
+def _file_stats_json(path: str) -> str | None:
+    """Delta-spec per-file stats (``add.stats``: numRecords /
+    minValues / maxValues / nullCount) computed from the parquet
+    footer — metadata-only, no data pages are read. Row-group stats
+    are folded to file level. Columns whose footer stats are absent,
+    truncated, or of a type that doesn't round-trip JSON cleanly are
+    simply omitted (skipping then treats them as unbounded — always
+    safe). Returns None when the footer can't be read (non-local
+    scheme, malformed file) — stats are an optimization, never a
+    correctness dependency."""
+    import datetime
+    import decimal
+
+    local = path
+    if local.startswith("file:"):
+        local = local[len("file:"):]
+        while local.startswith("//"):
+            local = local[1:]
+    try:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(local).metadata
+    except Exception:
+        return None
+
+    def jsonable(v):
+        if isinstance(v, bool) or v is None:
+            return v
+        if isinstance(v, (int, float, str)):
+            return v
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        return None
+
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    dropped: set[str] = set()
+    for rg in range(meta.num_row_groups):
+        for ci in range(meta.num_columns):
+            col = meta.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dropped:
+                continue  # nested columns: file-level stats undefined
+            st = col.statistics
+            if st is None or not st.has_null_count:
+                dropped.add(name)
+                for d in (mins, maxs, nulls):
+                    d.pop(name, None)
+                continue
+            nulls[name] = nulls.get(name, 0) + st.null_count
+            if not st.has_min_max:
+                # all-null group: contributes no min/max but doesn't
+                # invalidate bounds from other groups
+                continue
+            lo, hi = jsonable(st.min), jsonable(st.max)
+            if lo is None or hi is None:
+                dropped.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return json.dumps(
+        {
+            "numRecords": meta.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        },
+        separators=(",", ":"),
+    )
+
+
 def _partition_values_from_rel(rel: str) -> dict[str, str | None]:
     """Parse Hive-layout ``k=v`` directory components of a relative
     file path into Delta partitionValues (string-typed; the Hive
@@ -242,19 +323,19 @@ def stage_data_files(
             raise RuntimeError(
                 f"could not move staged file {rel} into {table_path}"
             )
-        adds.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": _partition_values_from_rel(rel),
-                    "size": int(st.getLen()),
-                    "modificationTime": int(st.getModificationTime()),
-                    # False marks a pure reorganization (compaction):
-                    # the protocol lets streaming readers skip these
-                    "dataChange": bool(data_change),
-                }
-            }
-        )
+        add = {
+            "path": rel,
+            "partitionValues": _partition_values_from_rel(rel),
+            "size": int(st.getLen()),
+            "modificationTime": int(st.getModificationTime()),
+            # False marks a pure reorganization (compaction):
+            # the protocol lets streaming readers skip these
+            "dataChange": bool(data_change),
+        }
+        stats = _file_stats_json(fs.makeQualified(dest).toString())
+        if stats is not None:
+            add["stats"] = stats
+        adds.append({"add": add})
     fs.delete(hpath(tmp_dir), True)
     return adds
 
@@ -514,7 +595,8 @@ _CHECKPOINT_DDL = (
     "schemaString:string,partitionColumns:array<string>,"
     "configuration:map<string,string>,createdTime:bigint>, "
     "add struct<path:string,partitionValues:map<string,string>,"
-    "size:bigint,modificationTime:bigint,dataChange:boolean>"
+    "size:bigint,modificationTime:bigint,dataChange:boolean,"
+    "stats:string>"
 )
 
 
@@ -626,6 +708,7 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
                     "size": size,
                     "modificationTime": mtime,
                     "dataChange": a.get("dataChange", True),
+                    "stats": a.get("stats"),
                 },
             }
         )

@@ -305,22 +305,72 @@ def _delta_live_adds(
     return live
 
 
+_STATS_OPS = ("<", "<=", ">", ">=", "=", "==")
+
+
+def _stats_admit(add: dict, predicates) -> bool:
+    """Data skipping from Delta ``add.stats``: False only when the
+    file's footer bounds PROVE no row can satisfy every predicate —
+    absent/partial/incomparable stats always admit (skipping is an
+    optimization, never a correctness dependency). An all-null column
+    in the file fails any comparison predicate on it (SQL three-valued
+    logic: NULL op v is never TRUE)."""
+    stats_s = add.get("stats")
+    if not stats_s:
+        return True
+    try:
+        stats = json.loads(stats_s)
+    except (TypeError, ValueError):
+        return True
+    nrec = stats.get("numRecords")
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    nulls = stats.get("nullCount") or {}
+    for col, op, val in predicates:
+        if nrec is not None and nulls.get(col) == nrec and nrec > 0:
+            return False
+        lo, hi = mins.get(col), maxs.get(col)
+        if lo is None or hi is None:
+            continue
+        try:
+            if op in ("=", "=="):
+                if val < lo or val > hi:
+                    return False
+            elif op == ">" and not hi > val:
+                return False
+            elif op == ">=" and not hi >= val:
+                return False
+            elif op == "<" and not lo < val:
+                return False
+            elif op == "<=" and not lo <= val:
+                return False
+        except TypeError:
+            continue  # incomparable literal type: keep the file
+    return True
+
+
 def _delta_live_files(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     partition_filter: dict[str, str] | None = None,
+    stats_filter: list[tuple] | None = None,
 ) -> list[str] | None:
     """Absolute paths of the table's live data files (see
     ``_delta_live_adds`` for the replay protocol), or ``None`` when
-    ``path`` has no transaction log."""
+    ``path`` has no transaction log. ``stats_filter`` drops files
+    whose footer stats prove them predicate-free (``_stats_admit``)."""
     adds = _delta_live_adds(
         spark, path, version=version, partition_filter=partition_filter
     )
     if adds is None:
         return None
     base = path.rstrip("/")
-    return [f"{base}/{p}" for p in adds]
+    return [
+        f"{base}/{p}"
+        for p, a in adds.items()
+        if not stats_filter or _stats_admit(a, stats_filter)
+    ]
 
 
 def read_delta(
@@ -331,6 +381,7 @@ def read_delta(
     version: int | None = None,
     partition_filter: dict[str, str] | None = None,
     timestamp_ms: int | None = None,
+    stats_filter: list[tuple] | None = None,
 ) -> DataFrame:
     """Delta lake scan + optional SQL-over-view (S5, ``utils.py:177-192``).
 
@@ -357,7 +408,23 @@ def read_delta(
     millis): resolved to the latest version whose commit file mtime is
     at or before the instant (delta-spark's rule), then read as that
     version. Mutually exclusive with ``version``.
+
+    ``stats_filter`` ([(column, op, literal)], op in <, <=, >, >=, =)
+    is Delta data skipping from the fallback log's per-file footer
+    stats: files whose min/max bounds prove no row can match are
+    dropped from the scan's FILE LIST (they never appear as inputs),
+    and the predicates are ALSO applied as a residual ``WHERE`` so the
+    result is exactly scan-then-filter — stats only ever prune, never
+    decide. At 100 TB a selective predicate on a clustered/sorted
+    column reads the few files whose ranges overlap, not the lake.
+    ISO-format date/timestamp literals compare correctly as strings.
     """
+    for p in stats_filter or []:
+        if len(p) != 3 or p[1] not in _STATS_OPS:
+            raise ValueError(
+                f"stats_filter entries are (column, op, literal) with "
+                f"op in {_STATS_OPS}; got {p!r}"
+            )
     if timestamp_ms is not None:
         if version is not None:
             raise ValueError(
@@ -376,7 +443,11 @@ def read_delta(
             df = df.where(F.col(k).cast("string") == F.lit(v))
     except Exception:
         files = _delta_live_files(
-            spark, path, version=version, partition_filter=partition_filter
+            spark,
+            path,
+            version=version,
+            partition_filter=partition_filter,
+            stats_filter=stats_filter,
         )
         if files is None:
             if version is not None:
@@ -386,7 +457,7 @@ def read_delta(
                 )
             df = spark.read.parquet(path)
         elif not files:
-            if partition_filter:
+            if partition_filter or stats_filter:
                 # a pruned-to-nothing read is empty, not broken: scan
                 # the table schema from HEAD and return zero rows
                 all_files = _delta_live_files(spark, path, version=version)
@@ -409,6 +480,17 @@ def read_delta(
             df = spark.read.option("basePath", path.rstrip("/")).parquet(
                 *files
             )
+    if stats_filter and not filtered_empty:
+        # residual predicate: skipping only pruned files whose bounds
+        # PROVE emptiness — admitted files still carry non-matching
+        # rows, and the WHERE (pushed into the parquet scan) drops
+        # them, making the result exactly scan-then-filter
+        ops = {
+            "<": "__lt__", "<=": "__le__", ">": "__gt__",
+            ">=": "__ge__", "=": "__eq__", "==": "__eq__",
+        }
+        for col, op, val in stats_filter:
+            df = df.where(getattr(F.col(col), ops[op])(F.lit(val)))
     if not query:
         return df
     return _sql_over_source(df, query, path, view_name)

@@ -2425,3 +2425,132 @@ def orders_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, path, F.col("o_orderstatus") == F.lit("P")
         )  # v3
     return delta_log.table_changes(spark, path, 0, to_version=3)
+
+
+@register(
+    "orders_delta_stats_skipping_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey >= 1200 AND o_orderkey < 2400
+    """,
+)
+def orders_delta_stats_skipping_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta data skipping from the fallback log's per-file footer
+    stats (sources/delta_log.py _file_stats_json + readers
+    _stats_admit): orders is written range-clustered on o_orderkey
+    (repartitionByRange -> each file owns a disjoint key range, the
+    layout OPTIMIZE ZORDER/clustering produces), so a key-range
+    predicate prunes non-overlapping files at the FILE LIST — they
+    never appear as scan inputs — while the residual WHERE (pushed
+    into the parquet scan) keeps the result exactly scan-then-filter.
+    At 100 TB this is the difference between reading the lake and
+    reading the handful of files whose min/max overlap the range. The
+    oracle is the plain WHERE over orders: a hash match proves
+    skipping dropped no qualifying row and the residual dropped every
+    non-qualifying one."""
+    import os
+
+    from .sources import delta_log
+    from .sources.readers import read_delta
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(repo_root, ".lake_cache", f"delta_orders_skip_{tag}")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    if delta_log.log_version(spark, path) is None:
+        delta_log.append_commit(
+            _t(spark, sf_dir, "orders")
+            .select(*cols)
+            .repartitionByRange(8, F.col("o_orderkey")),
+            path,
+        )
+    return read_delta(
+        spark,
+        path,
+        stats_filter=[
+            ("o_orderkey", ">=", 1200),
+            ("o_orderkey", "<", 2400),
+        ],
+    ).select(*cols)
+
+
+@register(
+    "orders_cdf_view_maintenance",
+    """
+    SELECT o_orderstatus,
+           COUNT(*)::BIGINT AS n_orders,
+           CAST(SUM(CAST(
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 5
+                  ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderstatus
+    """,
+)
+def orders_cdf_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental materialized-view maintenance from the Change Data
+    Feed: the per-status (COUNT, SUM(price)) aggregate is NOT
+    recomputed from the final table — it is the version-1 base
+    aggregate plus SIGNED contributions from table_changes((1,3])
+    (insert: +price/+1, delete: -price/-1; an update's delete+insert
+    pair nets to the price difference). The oracle aggregates the
+    final state directly from orders, so a hash match proves
+    base + delta == truth: the O(changed bytes) refresh a 100 TB
+    rollup needs instead of an O(table) rebuild. DECIMAL(18,4)
+    accumulation on both sides keeps the float sum engine-exact,
+    and decimal addition is associative so base+delta equals the
+    oracle's one-pass sum bit-for-bit."""
+    import os
+
+    from .sources import delta_log
+    from .sources.readers import read_delta
+
+    # reuse (or build) the same mutated lake as orders_delta_cdf —
+    # its version guards run eagerly during the call; the returned
+    # (lazy) feed frame is discarded
+    orders_delta_cdf(spark, sf_dir)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(repo_root, ".lake_cache", f"delta_orders_cdf_{tag}")
+
+    base = (
+        read_delta(spark, path, version=1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).alias("s"),
+        )
+    )
+    sign = F.when(F.col("change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = (
+        delta_log.table_changes(spark, path, 1, to_version=3)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(sign).alias("dn"),
+            F.sum(sign * _dec("o_totalprice")).alias("ds"),
+        )
+    )
+    merged = (
+        base.join(delta, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).cast("bigint").alias("n_orders"),
+            (
+                F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,4)"))
+                + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,4)"))
+            ).cast("double").alias("total_price"),
+        )
+        .where(F.col("n_orders") > 0)  # fully-deleted groups drop out
+    )
+    return merged

@@ -516,3 +516,110 @@ def test_timestamp_as_of_resolves_by_commit_mtime(spark, tmp_path):
         read_delta(spark, path, timestamp_ms=t0 - 10_000_000)
     with pytest.raises(ValueError, match="not both"):
         read_delta(spark, path, version=0, timestamp_ms=t0)
+
+
+def test_add_actions_carry_footer_stats(spark, tmp_path):
+    """Every staged file's add action records Delta-spec stats
+    (numRecords/minValues/maxValues/nullCount) from the parquet
+    footer — metadata only, and exact."""
+    path = str(tmp_path / "t_stats")
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", None), (3, "c", 9.0)],
+        "pk LONG, s STRING, x DOUBLE",
+    )
+    delta_log.append_commit(df.coalesce(1), path)
+    (add,) = _delta_live_adds(spark, path).values()
+    stats = json.loads(add["stats"])
+    assert stats["numRecords"] == 3
+    assert stats["minValues"] == {"pk": 1, "s": "a", "x": 5.0}
+    assert stats["maxValues"] == {"pk": 3, "s": "c", "x": 9.0}
+    assert stats["nullCount"] == {"pk": 0, "s": 0, "x": 1}
+
+
+def test_stats_skipping_prunes_file_list_exactly(spark, tmp_path):
+    """Data skipping: a range predicate on range-clustered files
+    scans ONLY the overlapping files (pruned at the file list), the
+    residual WHERE keeps the result exact, and a bounds-disjoint
+    predicate yields an empty frame without scanning anything."""
+    path = str(tmp_path / "t_skip")
+    for lo in (0, 10, 20):
+        delta_log.append_commit(
+            spark.range(lo, lo + 10).selectExpr("id AS pk").coalesce(1),
+            path,
+        )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        _delta_live_files,
+    )
+
+    pruned = _delta_live_files(
+        spark, path, stats_filter=[("pk", ">=", 25)]
+    )
+    assert len(pruned) == 1  # only the 20-29 file survives
+    got = {
+        r.pk
+        for r in read_delta(
+            spark, path, stats_filter=[("pk", ">=", 25)]
+        ).collect()
+    }
+    assert got == {25, 26, 27, 28, 29}  # residual filter exact
+    # conjunction across columns and ops
+    mid = read_delta(
+        spark, path, stats_filter=[("pk", ">", 5), ("pk", "<", 12)]
+    )
+    assert {r.pk for r in mid.collect()} == set(range(6, 12))
+    assert (
+        len(
+            _delta_live_files(
+                spark, path,
+                stats_filter=[("pk", ">", 5), ("pk", "<", 12)],
+            )
+        )
+        == 2
+    )
+    # disjoint predicate: zero files, empty frame, correct schema
+    none = read_delta(spark, path, stats_filter=[("pk", ">", 999)])
+    assert none.count() == 0 and none.columns == ["pk"]
+    with pytest.raises(ValueError, match="stats_filter entries"):
+        read_delta(spark, path, stats_filter=[("pk", "!=", 1)])
+
+
+def test_stats_survive_checkpoint_and_all_null_skip(spark, tmp_path):
+    """Checkpoint + truncate preserve per-file stats (skipping still
+    prunes afterwards); an all-null column file is skipped for any
+    comparison on that column (NULL op v is never TRUE)."""
+    path = str(tmp_path / "t_skip_cp")
+    delta_log.append_commit(
+        spark.createDataFrame([(1, 7.0), (2, 8.0)], "pk LONG, x DOUBLE")
+        .coalesce(1),
+        path,
+    )
+    delta_log.append_commit(
+        spark.createDataFrame(
+            [(3, None), (4, None)], "pk LONG, x DOUBLE"
+        ).coalesce(1),
+        path,
+    )
+    v = delta_log.write_checkpoint(spark, path)
+    delta_log.truncate_log(spark, path)
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        _delta_live_files,
+    )
+
+    assert v == 1
+    # stats flowed through the checkpoint: pk filter prunes to 1 file
+    assert (
+        len(_delta_live_files(spark, path, stats_filter=[("pk", "<=", 2)]))
+        == 1
+    )
+    # the all-null-x file can never satisfy x > 0
+    assert (
+        len(_delta_live_files(spark, path, stats_filter=[("x", ">", 0)]))
+        == 1
+    )
+    got = {
+        r.pk
+        for r in read_delta(
+            spark, path, stats_filter=[("x", ">", 0)]
+        ).collect()
+    }
+    assert got == {1, 2}

@@ -512,11 +512,25 @@ EXPECT: dict[str, dict] = {
     "orders_delta_compact_restore_roundtrip": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # stats-skipping scan: file list pruned by footer min/max, residual
+    # range predicate pushed into the surviving files' scan; no joins,
+    # no shuffles.
+    "orders_delta_stats_skipping_scan": {
+        "pushed": True, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "shuffles": 0,
+    },
     # CDF feed: per-commit unions of added/removed file scans diffed
     # with exceptAll (hash-agg shuffles, no joins) — dataChange=false
     # commits never even reach the plan.
     "orders_delta_cdf": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # CDF view maintenance: base-aggregate (time-travel read) full-
+    # outer-joined with the signed delta aggregate — both sides are
+    # already-aggregated status rows (full outer => SMJ is the correct
+    # physical join here; the inputs are tiny by construction).
+    "orders_cdf_view_maintenance": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
     },
     # all-pairs characteristic-term similarity: prefix-bounded posting
     # self-join on term (big-big sanctioned, AQE decides) + pair agg.
