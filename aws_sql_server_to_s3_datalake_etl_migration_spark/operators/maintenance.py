@@ -91,31 +91,22 @@ def _zvalue(bucket_cols: list, bits: int) -> "F.Column":
     return z
 
 
-def zorder_layout(
-    spark: SparkSession,
-    path: str,
+def zorder_arrange(
+    df: DataFrame,
     cols: list[str],
-    n_files: int | None = None,
+    n_parts: int,
     bits: int = 8,
-) -> None:
-    """Rewrite ``path`` in Z-order on ``cols`` so min/max row-group
-    stats skip files for selective predicates on ANY of the columns —
-    where ``optimize_layout`` (linear sort) only serves its leading
-    column. This is the Delta/Iceberg OPTIMIZE ZORDER technique
-    expressed with plain Spark ops:
-
-    1. bucket each column to ``2**bits`` uniform buckets between its
-       min and max (one tiny agg pass for the bounds);
-    2. interleave bucket bits into a Morton value (bitwise exprs);
-    3. ``repartitionByRange`` + sort on the Morton value, atomic swap.
-
-    Uniform bucketing trades skew-robustness for zero extra passes;
-    heavily skewed layout keys should pre-transform (e.g. log) or use
-    the linear ``optimize_layout`` on the dominant column.
-    """
+) -> DataFrame:
+    """Arrange ``df`` in Z-order on ``cols``: bucket each column to
+    ``2**bits`` uniform buckets between its min and max (one tiny agg
+    pass for the bounds), interleave bucket bits into a Morton value
+    (pure bitwise exprs, codegen'd), then ``repartitionByRange`` +
+    sort on it. The returned frame, written as-is, yields files whose
+    min/max footer stats skip for selective predicates on ANY of the
+    columns. Shared by ``zorder_layout`` (plain parquet swap) and the
+    Delta fallback engine's ``compact(zorder_by=...)``."""
     from pyspark.sql import types as T
 
-    df = spark.read.parquet(path)
     n_buckets = 2**bits
     # Z-ordering a column whose values can't be bucketed (non-numeric,
     # all null, or constant) would silently send every row to bucket 0
@@ -128,7 +119,7 @@ def zorder_layout(
         dt = df.schema[c].dataType
         if not isinstance(dt, orderable):
             raise ValueError(
-                f"zorder_layout: column {c!r} has non-orderable type "
+                f"zorder: column {c!r} has non-orderable type "
                 f"{dt.simpleString()}; cast or pre-transform it first"
             )
         # dates can't cast straight to double — go through timestamp
@@ -146,7 +137,7 @@ def zorder_layout(
         lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
         if lo is None or hi is None or not hi > lo:
             raise ValueError(
-                f"zorder_layout: column {c!r} has degenerate bounds "
+                f"zorder: column {c!r} has degenerate bounds "
                 f"[{lo}, {hi}] (all-null or constant); it cannot "
                 "contribute to the Z-order — drop it from cols"
             )
@@ -161,14 +152,35 @@ def zorder_layout(
                 F.lit(n_buckets - 1),
             )
         )
-    parts = n_files or df.rdd.getNumPartitions()
-    staged = (
+    return (
         df.withColumn("_z", _zvalue(bucketed, bits))
-        .repartitionByRange(parts, F.col("_z"))
+        .repartitionByRange(n_parts, F.col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")
     )
-    swap_overwrite(staged, path)
+
+
+def zorder_layout(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    n_files: int | None = None,
+    bits: int = 8,
+) -> None:
+    """Rewrite ``path`` in Z-order on ``cols`` so min/max row-group
+    stats skip files for selective predicates on ANY of the columns —
+    where ``optimize_layout`` (linear sort) only serves its leading
+    column. This is the Delta/Iceberg OPTIMIZE ZORDER technique
+    expressed with plain Spark ops (see ``zorder_arrange``), finished
+    with an atomic swap.
+
+    Uniform bucketing trades skew-robustness for zero extra passes;
+    heavily skewed layout keys should pre-transform (e.g. log) or use
+    the linear ``optimize_layout`` on the dominant column.
+    """
+    df = spark.read.parquet(path)
+    parts = n_files or df.rdd.getNumPartitions()
+    swap_overwrite(zorder_arrange(df, cols, parts, bits=bits), path)
 
 
 def expire_batch_partitions(

@@ -262,6 +262,41 @@ def _file_stats_json(path: str) -> str | None:
     )
 
 
+def _scan_declared(
+    spark: SparkSession,
+    base: str,
+    files: list[str],
+    md: dict | None,
+    keep_file_col: bool = False,
+) -> DataFrame:
+    """Scan ``files`` under the metaData's declared schema (schema-
+    evolution-safe: pre-evolution files surface new columns as NULL,
+    and no footer-sampling pass runs), falling back to inference when
+    no metaData is reachable. Partition columns are restored by
+    directory discovery and the declared field order.
+    ``keep_file_col`` appends a ``_file`` column (source file path,
+    captured from ``_metadata`` BEFORE the projection — the hidden
+    column doesn't survive a select)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    reader = spark.read.option("basePath", base)
+    if md and md.get("schemaString"):
+        full = T.StructType.fromJson(json.loads(md["schemaString"]))
+        parts = set(md.get("partitionColumns") or [])
+        data_fields = [f for f in full.fields if f.name not in parts]
+        df = reader.schema(T.StructType(data_fields)).parquet(*files)
+        cols = [f.name for f in full.fields]
+    else:
+        df = reader.parquet(*files)
+        cols = df.columns
+    if keep_file_col:
+        return df.withColumn("_file", F.col("_metadata.file_path")).select(
+            *cols, "_file"
+        )
+    return df.select(*cols)
+
+
 def _partition_values_from_rel(rel: str) -> dict[str, str | None]:
     """Parse Hive-layout ``k=v`` directory components of a relative
     file path into Delta partitionValues (string-typed; the Hive
@@ -363,7 +398,7 @@ def remove_actions(
 
 
 def latest_metadata(
-    spark: SparkSession, table_path: str
+    spark: SparkSession, table_path: str, version: int | None = None
 ) -> dict | None:
     """The latest ``metaData`` action of the table, or None for an
     un-logged path. Scans JSON commits newest-first — metaData rides
@@ -372,7 +407,13 @@ def latest_metadata(
     the newest CHECKPOINT's metaData row is authoritative (the
     spec-complete checkpoints this module writes always carry one, so
     schema enforcement survives the full checkpoint/truncate
-    lifecycle)."""
+    lifecycle).
+
+    ``version`` bounds the scan to commits/checkpoints at or below it
+    (the metaData a time-travel read must honor — a later
+    schema-evolution commit must not leak new columns into an older
+    snapshot). Returns None when no metaData survives at or below the
+    bound."""
     import re
 
     base = table_path.rstrip("/")
@@ -387,6 +428,7 @@ def latest_metadata(
             int(m.group(1))
             for n in names
             if (m := re.fullmatch(r"(\d{20})\.json", n))
+            and (version is None or int(m.group(1)) <= version)
         ),
         reverse=True,
     )
@@ -404,6 +446,7 @@ def latest_metadata(
             for n in names
             if (m := re.match(r"(\d{20})\.checkpoint", n))
             and n.endswith(".parquet")
+            and (version is None or int(m.group(1)) <= version)
         ),
         reverse=True,
     )
@@ -449,22 +492,61 @@ def _check_append_compat(
     df: DataFrame,
     table_path: str,
     partition_by: list[str] | None,
-) -> None:
+    merge_schema: bool = False,
+) -> dict | None:
     """Reject an append/overwrite whose schema or partitioning differs
     from the table's metaData BEFORE any file lands — committing
     mismatched files would poison every later log-replay read with an
     undetected schema union, and mixing partition layouts would break
-    file-list pruning silently."""
+    file-list pruning silently.
+
+    With ``merge_schema`` (Delta's mergeSchema option), a frame that
+    carries every table column at its exact type PLUS new columns is
+    accepted as schema evolution: returns the widened metaData dict
+    (old field order preserved, new fields appended) for the caller
+    to commit alongside its adds. Type changes and dropped columns
+    are still rejected — widening is additive only. Returns None when
+    the schema already matches."""
     md = latest_metadata(df.sparkSession, table_path)
     if md is None:
-        return
+        return None
+    widened = None
     expected = md.get("schemaString")
-    if expected is not None and expected != df.schema.json():
-        raise ValueError(
-            f"schema mismatch appending to Delta table {table_path}: "
-            f"table has {expected}, frame has {df.schema.json()} — "
-            "evolve the table schema explicitly instead of appending "
-            "mismatched files"
+    # compare PARSED schemas: key order in the JSON text is a writer
+    # artifact (Spark sorts keys; other engines may not)
+    if expected is not None and json.loads(expected) != json.loads(
+        df.schema.json()
+    ):
+        old_fields = json.loads(expected)["fields"]
+        new_fields = json.loads(df.schema.json())["fields"]
+        by_name = {f["name"]: f for f in new_fields}
+        compatible = merge_schema and all(
+            f["name"] in by_name and by_name[f["name"]]["type"] == f["type"]
+            for f in old_fields
+        )
+        added = [
+            f
+            for f in new_fields
+            if f["name"] not in {o["name"] for o in old_fields}
+        ]
+        if not (compatible and added):
+            raise ValueError(
+                f"schema mismatch appending to Delta table {table_path}: "
+                f"table has {expected}, frame has {df.schema.json()} — "
+                + (
+                    "mergeSchema only ADDS columns; type changes and "
+                    "drops are rejected"
+                    if merge_schema
+                    else "evolve the table schema explicitly (append_"
+                    "commit(merge_schema=True)) instead of appending "
+                    "mismatched files"
+                )
+            )
+        widened = dict(md)
+        widened["schemaString"] = json.dumps(
+            {"type": "struct", "fields": old_fields + added},
+            separators=(",", ":"),
+            sort_keys=True,
         )
     table_parts = list(md.get("partitionColumns") or [])
     if table_parts != list(partition_by or []):
@@ -474,26 +556,167 @@ def _check_append_compat(
             f"{list(partition_by or [])} — a table's partition layout "
             "is fixed at creation"
         )
+    _enforce_check_constraints(df, table_path, md)
+    return widened
+
+
+def table_constraints(md: dict | None) -> dict[str, str]:
+    """CHECK constraints recorded in a metaData action's configuration
+    under the Delta-spec ``delta.constraints.<name>`` keys."""
+    conf = (md or {}).get("configuration") or {}
+    prefix = "delta.constraints."
+    return {
+        k[len(prefix):]: v for k, v in conf.items() if k.startswith(prefix)
+    }
+
+
+def _enforce_check_constraints(
+    df: DataFrame, table_path: str, md: dict | None
+) -> None:
+    """Reject a write carrying rows that violate any of the table's
+    CHECK constraints — Delta writer-protocol semantics: a constraint
+    fails only when its expression evaluates to FALSE (NULL passes,
+    SQL three-valued logic). All constraints are counted in ONE
+    aggregate pass over the batch, so N constraints cost one job, not
+    N."""
+    from pyspark.sql import functions as F
+
+    constraints = table_constraints(md)
+    if not constraints:
+        return
+    counts = df.agg(
+        *[
+            F.sum(
+                F.when(
+                    ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias(name)
+            for name, expr in constraints.items()
+        ]
+    ).first()
+    broken = {
+        name: (counts[name], constraints[name])
+        for name in constraints
+        if (counts[name] or 0) > 0
+    }
+    if broken:
+        detail = "; ".join(
+            f"{name} CHECK ({expr}): {n} violating row(s)"
+            for name, (n, expr) in broken.items()
+        )
+        raise ValueError(
+            f"write to Delta table {table_path} violates CHECK "
+            f"constraint(s): {detail}"
+        )
+
+
+def add_check_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT name CHECK (expr): validates the
+    EXISTING data first (one filter pass over the live files — a
+    constraint the current table already breaks is refused, exactly
+    as delta-spark does), then commits a metaData action whose
+    configuration carries ``delta.constraints.<name>`` plus a
+    protocol bump to minWriterVersion 3 (the spec's feature gate for
+    check constraints). Every later append/overwrite/merge/update is
+    verified against it before any file is committed."""
+    from pyspark.sql import functions as F
+
+    from .readers import read_delta
+
+    base = table_path.rstrip("/")
+    v = log_version(spark, base)
+    if v is None:
+        raise ValueError(f"{table_path} has no transaction log")
+    md = latest_metadata(spark, base)
+    if md is None:
+        raise ValueError(f"{table_path} has no reachable metaData")
+    if name in table_constraints(md):
+        raise ValueError(
+            f"constraint {name!r} already exists on {table_path}"
+        )
+    existing_bad = (
+        read_delta(spark, base)
+        .where(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)))
+        .limit(1)
+        .count()
+    )
+    if existing_bad:
+        raise ValueError(
+            f"cannot add CHECK constraint {name!r} to {table_path}: "
+            f"existing rows violate ({expr})"
+        )
+    new_md = dict(md)
+    conf = dict(md.get("configuration") or {})
+    conf[f"delta.constraints.{name}"] = expr
+    new_md["configuration"] = conf
+    proto = _latest_protocol(spark, base)
+    proto["minWriterVersion"] = max(
+        3, int(proto.get("minWriterVersion", 2))
+    )
+    return commit(
+        spark,
+        base,
+        [{"protocol": proto}, {"metaData": new_md}],
+        expected_version=v + 1,
+    )
+
+
+def drop_check_constraint(
+    spark: SparkSession, table_path: str, name: str
+) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: commits a metaData action
+    without the ``delta.constraints.<name>`` key. Unknown names raise
+    (matching delta-spark's default)."""
+    base = table_path.rstrip("/")
+    v = log_version(spark, base)
+    md = latest_metadata(spark, base)
+    if md is None or v is None:
+        raise ValueError(f"{table_path} has no reachable metaData")
+    key = f"delta.constraints.{name}"
+    conf = dict(md.get("configuration") or {})
+    if key not in conf:
+        raise ValueError(
+            f"no CHECK constraint {name!r} on {table_path}"
+        )
+    del conf[key]
+    new_md = dict(md)
+    new_md["configuration"] = conf
+    return commit(
+        spark, base, [{"metaData": new_md}], expected_version=v + 1
+    )
 
 
 def append_commit(
     df: DataFrame,
     table_path: str,
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Append ``df`` to the log-backed table at ``table_path`` (first
     commit bootstraps protocol+metaData, recording ``partition_by`` as
     the table's partition columns). Returns the committed version.
 
     Schema AND partition-layout enforcement on append, like real
-    Delta (see ``_check_append_compat``)."""
+    Delta (see ``_check_append_compat``). ``merge_schema`` opts into
+    additive schema evolution (Delta's mergeSchema): new columns are
+    appended to the table schema in the same commit as the data, and
+    readers surface them as NULL for pre-evolution files — time
+    travel to an older version still shows the old shape."""
     spark = df.sparkSession
     v = log_version(spark, table_path)
+    widened = None
     if v is not None:
-        _check_append_compat(df, table_path, partition_by)
+        widened = _check_append_compat(
+            df, table_path, partition_by, merge_schema=merge_schema
+        )
     adds = stage_data_files(df, table_path, partition_by=partition_by)
     actions = (
-        bootstrap_actions(df, partition_by) if v is None else []
+        bootstrap_actions(df, partition_by)
+        if v is None
+        else ([{"metaData": widened}] if widened else [])
     ) + adds
     return commit(spark, table_path, actions)
 
@@ -887,9 +1110,7 @@ def _rewrite_where(
         return v
     md = latest_metadata(spark, base) or {}
     part_cols = list(md.get("partitionColumns") or [])
-    df = spark.read.option("basePath", base).parquet(*live).withColumn(
-        "_file", F.col("_metadata.file_path")
-    )
+    df = _scan_declared(spark, base, live, md, keep_file_col=True)
     # _metadata.file_path is scheme-qualified; live paths are not —
     # match on the relative suffix, which is unique within the table
     rel_of = {f: f[len(base) + 1:] for f in live}
@@ -904,13 +1125,16 @@ def _rewrite_where(
     ]
     if not affected:
         return v
-    keep = spark.read.option("basePath", base).parquet(*affected)
+    keep = _scan_declared(spark, base, affected, md)
     if transform is None:
         # three-valued logic: a NULL predicate row is NOT matched —
         # it must survive the delete (bare ~condition would drop it)
         rewrite = keep.where(~F.coalesce(condition, F.lit(False)))
     else:
         rewrite = transform(keep, condition)
+        # an UPDATE can mint constraint-breaking values; a DELETE
+        # cannot (it only drops rows), so only transforms pay the pass
+        _enforce_check_constraints(rewrite, base, md)
     # the basePath read appends partition columns at the schema tail;
     # restage in the table's declared field order so schema
     # enforcement and later readers see one consistent shape
@@ -967,6 +1191,7 @@ def compact(
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
     partition_filter: dict[str, str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int | None:
     """OPTIMIZE-style small-file compaction (bin-packing), the cure
     for the small-file problem incremental/streaming appends create
@@ -986,6 +1211,15 @@ def compact(
     100 TB you compact the partitions your ingest touched today, not
     the lake. Returns the committed version, or ``None`` when nothing
     qualified (no empty commits).
+
+    ``zorder_by`` makes this OPTIMIZE ... ZORDER BY: the rewritten
+    rows are Morton-clustered on the named columns (unpartitioned
+    tables only), so the replacement files' footer stats carry tight
+    disjoint bounds on EVERY clustered column — the layout that turns
+    ``read_delta(stats_filter=...)`` into a handful-of-files scan for
+    selective multi-column predicates. Z-ordering additionally
+    rewrites every live file (not just sub-target ones): clustering
+    is a whole-layout property.
     """
     import math
 
@@ -998,6 +1232,30 @@ def compact(
     adds = _delta_live_adds(
         spark, base, partition_filter=partition_filter
     ) or {}
+    if zorder_by:
+        md0 = latest_metadata(spark, base) or {}
+        if md0.get("partitionColumns"):
+            raise ValueError(
+                "compact(zorder_by=...) supports unpartitioned tables; "
+                "partitioned lakes get per-partition clustering by "
+                "compacting with partition_filter and sorted layouts"
+            )
+        if len(adds) < max(min_files, 2):
+            return None
+        from ..operators.maintenance import zorder_arrange
+
+        abs_all = [f"{base}/{rel}" for rel in adds]
+        df = _scan_declared(spark, base, abs_all, md0)
+        total = sum(int(a.get("size") or 0) for a in adds.values())
+        n_bins = max(1, math.ceil(total / target_file_bytes))
+        arranged = zorder_arrange(df, list(zorder_by), n_bins)
+        new_adds = stage_data_files(arranged, base, data_change=False)
+        return commit(
+            spark,
+            base,
+            remove_actions(abs_all, base, data_change=False) + new_adds,
+            expected_version=v + 1,
+        )
     # group small files by partition tuple; unknown sizes (pre-round-8
     # path-only checkpoints) are treated as small so they get healed
     # into sized adds by the rewrite
@@ -1019,10 +1277,7 @@ def compact(
     md = latest_metadata(spark, base) or {}
     part_cols = list(md.get("partitionColumns") or [])
     abs_victims = [f"{base}/{rel}" for rel, _ in victims]
-    df = spark.read.option("basePath", base).parquet(*abs_victims)
-    declared = json.loads(md["schemaString"]) if md else None
-    if declared:
-        df = df.select(*[f["name"] for f in declared["fields"]])
+    df = _scan_declared(spark, base, abs_victims, md)
     total = sum(size for _, size in victims)
     n_bins = max(1, math.ceil(total / target_file_bytes))
     if part_cols:
@@ -1166,17 +1421,12 @@ def table_changes(
         raise ValueError(
             f"to_version {to_version} beyond log head {head}"
         )
-    md = latest_metadata(spark, base) or {}
-    declared = json.loads(md["schemaString"]) if md else None
-    order = [f["name"] for f in declared["fields"]] if declared else None
-
-    def load(rels: list[str]) -> DataFrame | None:
+    def load(rels: list[str], md_v: dict | None) -> DataFrame | None:
         if not rels:
             return None
-        df = spark.read.option("basePath", base).parquet(
-            *[f"{base}/{r}" for r in rels]
+        return _scan_declared(
+            spark, base, [f"{base}/{r}" for r in rels], md_v
         )
-        return df.select(*order) if order else df
 
     out: DataFrame | None = None
     for v in range(from_version + 1, to_version + 1):
@@ -1194,7 +1444,11 @@ def table_changes(
                 "dataChange", True
             ):
                 removed.append(action["remove"]["path"])
-        a_df, r_df = load(added), load(removed)
+        # each commit's changes surface at the schema IN FORCE at that
+        # commit; across an evolution boundary the union backfills the
+        # new columns with NULL for older commits
+        md_v = latest_metadata(spark, base, version=v)
+        a_df, r_df = load(added, md_v), load(removed, md_v)
         pieces = []
         if a_df is not None:
             ins = a_df.exceptAll(r_df) if r_df is not None else a_df
@@ -1206,11 +1460,16 @@ def table_changes(
             )
         for p in pieces:
             p = p.withColumn("commit_version", F.lit(v).cast("bigint"))
-            out = p if out is None else out.unionByName(p)
+            out = (
+                p
+                if out is None
+                else out.unionByName(p, allowMissingColumns=True)
+            )
     if out is None:
         # empty feed with the right shape
         empty = load(
-            list(_read_live_rel_sample(spark, base))
+            list(_read_live_rel_sample(spark, base)),
+            latest_metadata(spark, base),
         )
         if empty is None:
             raise ValueError(

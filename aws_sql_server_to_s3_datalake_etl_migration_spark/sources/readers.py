@@ -373,6 +373,44 @@ def _delta_live_files(
     ]
 
 
+def _read_live_with_declared_schema(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    version: int | None,
+) -> DataFrame:
+    """Scan the live files under the metaData schema AS OF the
+    requested version. Passing the declared schema explicitly does
+    two jobs at once: (1) schema-evolved tables read pre-evolution
+    files with the new columns as NULL (Delta mergeSchema read
+    semantics) WITHOUT the footer-sampling mergeSchema pass — at
+    100 TB that pass alone opens every file; (2) time travel below a
+    schema-evolution commit shows the OLD shape, because the
+    metaData lookup is version-bounded. Tables without reachable
+    metaData (plain fallback lakes predating spec-complete
+    checkpoints) keep the inference read."""
+    base = path.rstrip("/")
+    md = None
+    try:
+        from .delta_log import latest_metadata
+
+        md = latest_metadata(spark, base, version=version)
+    except Exception:
+        md = None
+    reader = spark.read.option("basePath", base)
+    if md and md.get("schemaString"):
+        from pyspark.sql import types as T
+
+        full = T.StructType.fromJson(json.loads(md["schemaString"]))
+        part_cols = set(md.get("partitionColumns") or [])
+        data_fields = [f for f in full.fields if f.name not in part_cols]
+        df = reader.schema(T.StructType(data_fields)).parquet(*files)
+        # partition columns come back via directory discovery; select
+        # restores the declared field order for a stable shape
+        return df.select(*[f.name for f in full.fields])
+    return reader.parquet(*files)
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
@@ -477,8 +515,8 @@ def read_delta(
             # basePath keeps Hive-style partition columns visible when
             # the live files sit under key=value directories; harmless
             # for unpartitioned layouts
-            df = spark.read.option("basePath", path.rstrip("/")).parquet(
-                *files
+            df = _read_live_with_declared_schema(
+                spark, path, files, version
             )
     if stats_filter and not filtered_empty:
         # residual predicate: skipping only pruned files whose bounds

@@ -2554,3 +2554,53 @@ def orders_cdf_view_maintenance(
         .where(F.col("n_orders") > 0)  # fully-deleted groups drop out
     )
     return merged
+
+
+@register(
+    "orders_delta_schema_evolution",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice
+                ELSE NULL END AS o_totalprice
+    FROM orders
+    """,
+)
+def orders_delta_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive schema evolution under the value check
+    (sources/delta_log.py append_commit(merge_schema=True)): the lake
+    table starts two-column (even orderkeys), then a widened append
+    lands the odd orderkeys WITH o_totalprice — one atomic commit
+    carrying both the data and the widened metaData. The read
+    surfaces pre-evolution rows with NULL in the new column straight
+    from the declared schema (no mergeSchema footer pass — at 100 TB
+    that pass opens every file). The oracle restates the NULL
+    backfill with a CASE over orders; a hash match proves the widened
+    metaData committed, the declared-schema read backfills exactly
+    the pre-evolution rows, and no column was silently dropped."""
+    import os
+
+    from .sources import delta_log
+    from .sources.readers import read_delta
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(repo_root, ".lake_cache", f"delta_orders_evo_{tag}")
+    orders = _t(spark, sf_dir, "orders")
+    if delta_log.log_version(spark, path) is None:
+        delta_log.append_commit(
+            orders.where(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey", "o_orderstatus"
+            ),
+            path,
+        )  # v0: narrow
+    if delta_log.log_version(spark, path) == 0:
+        delta_log.append_commit(
+            orders.where(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            ),
+            path,
+            merge_schema=True,
+        )  # v1: widened
+    return read_delta(spark, path)

@@ -2589,11 +2589,18 @@ def emb_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) AS rank
       FROM tf JOIN docfreq USING (term) CROSS JOIN n
     ),
-    top5 AS (SELECT doc_id, term FROM ranked WHERE rank <= 5)
+    top5 AS (SELECT doc_id, term FROM ranked WHERE rank <= 5),
+    kept AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, term,
+               COUNT(*) OVER (PARTITION BY term) AS pf
+        FROM top5
+      ) WHERE pf <= 100
+    )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            COUNT(*)::BIGINT AS n_shared,
            CAST(COUNT(*) AS DOUBLE) / 5 AS overlap_coeff
-    FROM top5 a JOIN top5 b
+    FROM kept a JOIN kept b
       ON a.term = b.term AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= 2
@@ -2603,20 +2610,32 @@ def doc_tfidf_topterm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs document similarity by shared CHARACTERISTIC terms —
     the prefix-filtering idea behind AllPairs/PPJoin made exact: each
     doc is reduced to its top-5 tf-idf terms (deterministic score
-    DESC / term ASC tiebreak), and only those enter the posting-list
-    self-join, so the quadratic blowup common terms cause in naive
-    similarity joins is structurally excluded (a term every doc
-    contains has df ~ N, the worst possible tf-idf, and never makes a
-    prefix). Pairs sharing >= 2 characteristic terms emerge from ONE
-    term-keyed equi-join over 5N posting rows — at 100 TB the join
-    fan-out is bounded by per-term prefix membership, not corpus
-    size, and integer outputs (plus one small-int division) keep the
-    oracle comparison bit-exact."""
+    DESC / term ASC tiebreak), and only prefix terms whose POSTING
+    LIST stays under 100 docs enter the self-join (the PPJoin-family
+    frequency cap, applied identically in both engines, so the value
+    check is still exact). tf-idf already disfavors common terms; the
+    cap makes the bound structural — per-term join fan-out is at most
+    C(100, 2) however the corpus grows, so total pair volume tracks
+    the number of distinct rare terms, never docs² (the 3x probe
+    measured the uncapped form at 13.5x — quadratic in dense prefix
+    groups — and the capped form near-linear). Pairs sharing >= 2
+    kept terms emerge from ONE term-keyed equi-join over <= 5N
+    posting rows; integer outputs (plus one small-int division) keep
+    the oracle comparison bit-exact."""
+    from pyspark.sql.window import Window
+
     docs = _docs(spark, sf_dir)
     top = textops.tfidf_top_terms(docs, k=5, n_docs=docs.count()).select(
         "doc_id", "term"
     )
-    a, b = top.alias("a"), top.alias("b")
+    kept = (
+        top.withColumn(
+            "pf", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .where(F.col("pf") <= 100)
+        .drop("pf")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
     return (
         a.join(b, "term")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

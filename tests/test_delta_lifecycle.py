@@ -623,3 +623,204 @@ def test_stats_survive_checkpoint_and_all_null_skip(spark, tmp_path):
         ).collect()
     }
     assert got == {1, 2}
+
+
+def test_compact_zorder_clusters_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER: after compact(zorder_by=[a, b]) the rewritten
+    files carry tight bounds on BOTH columns, so stats skipping
+    prunes selective predicates on either — which a linear sort on
+    one column cannot do for the other. Data is unchanged and the
+    commit is dataChange=false."""
+    path = str(tmp_path / "t_zorder")
+    # a and b anti-correlated: a ascending, b descending
+    df = spark.range(0, 4096).selectExpr(
+        "id AS a", "4095 - id AS b", "CAST(id AS DOUBLE) AS payload"
+    )
+    # fragment into 8 random-ish files (hash partitioning: every file
+    # spans nearly the full range of BOTH columns -> no skipping)
+    delta_log.append_commit(df.repartition(8), path)
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        _delta_live_files,
+    )
+
+    before_a = _delta_live_files(
+        spark, path, stats_filter=[("a", "<", 256)]
+    )
+    assert len(before_a) == 8  # hash layout: nothing skips
+    v = delta_log.compact(spark, path, zorder_by=["a", "b"])
+    assert v == 1
+    # force multiple output files for the skip assertions
+    if len(_delta_live_files(spark, path)) == 1:
+        # tiny data may bin-pack to one file; re-run with a small
+        # target to spread bins
+        delta_log.restore_to_version(spark, path, 0)
+        v = delta_log.compact(
+            spark, path, zorder_by=["a", "b"], target_file_bytes=16_384
+        )
+    live = _delta_live_files(spark, path)
+    assert len(live) >= 4
+    pruned_a = _delta_live_files(
+        spark, path, stats_filter=[("a", "<", 256)]
+    )
+    pruned_b = _delta_live_files(
+        spark, path, stats_filter=[("b", "<", 256)]
+    )
+    assert len(pruned_a) < len(live)
+    assert len(pruned_b) < len(live)
+    # content identical after clustering
+    got = read_delta(spark, path).selectExpr("sum(a)", "sum(b)",
+                                             "count(*)").first()
+    assert tuple(got) == (4096 * 4095 // 2, 4096 * 4095 // 2, 4096)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        p2 = str(tmp_path / "t_zorder_part")
+        delta_log.append_commit(
+            df.withColumn("part", F.lit("x")), p2, partition_by=["part"]
+        )
+        delta_log.compact(spark, p2, zorder_by=["a"])
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """Delta CHECK constraints: adding one validates existing data,
+    bumps minWriterVersion to 3, and every later append / overwrite /
+    UPDATE is verified (NULL passes — three-valued logic); dropping
+    re-opens the gate; constraints survive checkpoint+truncate."""
+    path = str(tmp_path / "t_check")
+    delta_log.append_commit(
+        spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 30.0)], "pk LONG, amount DOUBLE"
+        ).coalesce(1),
+        path,
+    )
+    # a constraint current data violates is refused
+    with pytest.raises(ValueError, match="existing rows violate"):
+        delta_log.add_check_constraint(
+            spark, path, "amount_big", "amount > 20"
+        )
+    v = delta_log.add_check_constraint(
+        spark, path, "amount_pos", "amount > 0"
+    )
+    proto = delta_log._latest_protocol(spark, path)
+    assert proto["minWriterVersion"] >= 3
+    assert delta_log.table_constraints(
+        delta_log.latest_metadata(spark, path)
+    ) == {"amount_pos": "amount > 0"}
+    # duplicate name refused
+    with pytest.raises(ValueError, match="already exists"):
+        delta_log.add_check_constraint(
+            spark, path, "amount_pos", "amount > 1"
+        )
+    # violating append rejected BEFORE any commit lands
+    with pytest.raises(ValueError, match="amount_pos"):
+        delta_log.append_commit(
+            spark.createDataFrame([(9, -5.0)], "pk LONG, amount DOUBLE"),
+            path,
+        )
+    assert delta_log.log_version(spark, path) == v
+    # NULL passes (three-valued logic), valid rows pass
+    delta_log.append_commit(
+        spark.createDataFrame(
+            [(4, None), (5, 50.0)], "pk LONG, amount DOUBLE"
+        ).coalesce(1),
+        path,
+    )
+    # UPDATE minting a violation is rejected; the table is unchanged
+    with pytest.raises(ValueError, match="amount_pos"):
+        delta_log.update_where(
+            spark, path, F.col("pk") == 1, {"amount": F.lit(-1.0)}
+        )
+    assert read_delta(spark, path).count() == 5
+    # constraints survive the checkpoint/truncate lifecycle
+    delta_log.write_checkpoint(spark, path)
+    delta_log.truncate_log(spark, path)
+    with pytest.raises(ValueError, match="amount_pos"):
+        delta_log.append_commit(
+            spark.createDataFrame([(6, 0.0)], "pk LONG, amount DOUBLE"),
+            path,
+        )
+    # drop re-opens the gate
+    delta_log.drop_check_constraint(spark, path, "amount_pos")
+    delta_log.append_commit(
+        spark.createDataFrame([(6, -1.0)], "pk LONG, amount DOUBLE"),
+        path,
+    )
+    assert read_delta(spark, path).count() == 6
+    with pytest.raises(ValueError, match="no CHECK constraint"):
+        delta_log.drop_check_constraint(spark, path, "amount_pos")
+
+
+def test_schema_evolution_merge_schema_append(spark, tmp_path):
+    """mergeSchema evolution: a widened append commits data + the
+    widened metaData atomically; readers surface NULL for the new
+    column on pre-evolution files WITHOUT a mergeSchema footer pass;
+    time travel below the evolution shows the old shape; type changes
+    and silent widening are rejected; CDF spans the boundary."""
+    path = str(tmp_path / "t_evolve")
+    delta_log.append_commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "pk LONG, v STRING")
+        .coalesce(1),
+        path,
+    )  # v0
+    wide = spark.createDataFrame(
+        [(3, "c", 30.0)], "pk LONG, v STRING, score DOUBLE"
+    ).coalesce(1)
+    # without the flag: rejected
+    with pytest.raises(ValueError, match="merge_schema"):
+        delta_log.append_commit(wide, path)
+    v = delta_log.append_commit(wide, path, merge_schema=True)  # v1
+    assert v == 1
+    got = {
+        (r.pk, r.v, r.score)
+        for r in read_delta(spark, path).collect()
+    }
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 30.0)}
+    assert read_delta(spark, path).columns == ["pk", "v", "score"]
+    # time travel below the evolution: OLD shape
+    old = read_delta(spark, path, version=0)
+    assert old.columns == ["pk", "v"]
+    # dropped column / type change still rejected even with the flag
+    with pytest.raises(ValueError, match="ADDS"):
+        delta_log.append_commit(
+            spark.createDataFrame([(4,)], "pk LONG"), path,
+            merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="ADDS"):
+        delta_log.append_commit(
+            spark.createDataFrame(
+                [(4, "d", 1)], "pk LONG, v STRING, score INT"
+            ),
+            path,
+            merge_schema=True,
+        )
+    # post-evolution strict appends use the widened schema
+    delta_log.append_commit(
+        spark.createDataFrame(
+            [(4, "d", 40.0)], "pk LONG, v STRING, score DOUBLE"
+        ).coalesce(1),
+        path,
+    )  # v2
+    # UPDATE over a mix of pre- and post-evolution files works
+    delta_log.update_where(
+        spark, path, F.col("pk") == 1, {"v": F.lit("A")}
+    )  # v3
+    rows = {
+        (r.pk, r.v, r.score)
+        for r in read_delta(spark, path).collect()
+    }
+    assert rows == {
+        (1, "A", None), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)
+    }
+    # CDF across the boundary: pre-evolution commits backfill NULL
+    feed = delta_log.table_changes(spark, path, 0, to_version=2)
+    ins = {
+        (r.pk, r.score)
+        for r in feed.where(F.col("change_type") == "insert").collect()
+    }
+    assert ins == {(3, 30.0), (4, 40.0)}
+    # compaction across the boundary folds old files into the widened
+    # schema (NULLs materialize) without changing table contents
+    assert delta_log.compact(spark, path) is not None
+    rows2 = {
+        (r.pk, r.v, r.score)
+        for r in read_delta(spark, path).collect()
+    }
+    assert rows2 == rows

@@ -134,6 +134,19 @@ QUERIES = [
     # track users, never events²
     "events_user_overlap",
     "events_cross_correlation",
+    # round-8 post-close additions: the prefix-bounded characteristic-
+    # term posting self-join (pair volume tracks shared-prefix
+    # density, never docs²), the seven-edge anti-join RI audit (each
+    # edge is one key-column shuffle over the scaled tables), the CDF
+    # reconstruction (cost tracks the bytes the mutating commits
+    # touched — here the whole scaled orders lake, so ~K), and the
+    # stats-skipping scan (file pruning should hold the scan near the
+    # matching range, so the ratio must sit WELL below K — this is
+    # the one family where ~1 is the pass signal)
+    "doc_tfidf_topterm_pairs",
+    "referential_integrity_audit",
+    "orders_delta_cdf",
+    "orders_delta_stats_skipping_scan",
 ]
 
 
@@ -218,9 +231,11 @@ def build_scaled_dir(spark, k: int) -> str:
     return dst
 
 
-def time_queries(spark, qs, sf_dir: str) -> dict[str, float]:
+def time_queries(
+    spark, qs, sf_dir: str, names: list[str] | None = None
+) -> dict[str, float]:
     out = {}
-    for name in QUERIES:
+    for name in names or QUERIES:
         best = None
         for _ in range(max(1, ITERATIONS)):
             t0 = time.time()
@@ -234,14 +249,22 @@ def time_queries(spark, qs, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    # usage: bench_scaling.py [K] [query ...] — names limit the run
+    # to those families (for probing additions without a full sweep;
+    # the per-round refresh still runs the whole list)
+    argv = sys.argv[1:]
+    k = int(argv[0]) if argv and argv[0].isdigit() else 3
+    names = [a for a in argv if not a.isdigit()] or None
+    for n in names or []:
+        if n not in QUERIES:
+            raise SystemExit(f"{n} is not a probe family")
     spark = get_spark(app_name="bench-scaling")
     qs = workloads.queries()
     scaled_dir = build_scaled_dir(spark, k)
     # 1x baseline re-split the same way so file layout isn't a variable
     base_dir = build_scaled_dir(spark, 1)
-    t1 = time_queries(spark, qs, base_dir)
-    tk = time_queries(spark, qs, scaled_dir)
+    t1 = time_queries(spark, qs, base_dir, names)
+    tk = time_queries(spark, qs, scaled_dir, names)
     result = {
         "scale": k,
         "queries": {
@@ -250,7 +273,7 @@ def main() -> None:
                 "tk": tk[n],
                 "ratio": round(tk[n] / t1[n], 2) if t1[n] else None,
             }
-            for n in QUERIES
+            for n in (names or QUERIES)
         },
     }
     print(json.dumps(result))

@@ -519,6 +519,13 @@ EXPECT: dict[str, dict] = {
         "pushed": True, "no_smj": True, "hints": 0, "pure_jvm": True,
         "shuffles": 0,
     },
+    # schema evolution roundtrip: declared-schema log-replay scan (new
+    # column NULL-backfilled by the explicit read schema, not a
+    # mergeSchema footer pass); no joins, no shuffles.
+    "orders_delta_schema_evolution": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "shuffles": 0,
+    },
     # CDF feed: per-commit unions of added/removed file scans diffed
     # with exceptAll (hash-agg shuffles, no joins) — dataChange=false
     # commits never even reach the plan.
@@ -533,9 +540,11 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
     },
     # all-pairs characteristic-term similarity: prefix-bounded posting
-    # self-join on term (big-big sanctioned, AQE decides) + pair agg.
+    # self-join on term (big-big sanctioned, AQE decides) after the
+    # per-term frequency-cap window (the PPJoin-style bound) + pair
+    # agg. The text scan has no pushable predicate.
     "doc_tfidf_topterm_pairs": {
-        "pushed": True, "no_smj": False, "hints": 0, "pure_jvm": True,
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
     },
     # RI audit: seven key-column anti-joins (dims broadcast; the
     # lineitem-parent edges are big-big, AQE decides) + 1x1 count
