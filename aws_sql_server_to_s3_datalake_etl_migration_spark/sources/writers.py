@@ -133,9 +133,17 @@ def append_parquet(df: DataFrame, path: str) -> None:
 
 
 def write_delta_append(
-    df: DataFrame, path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> None:
     """Delta append sink (S10, ``utils.py:76-80``).
+
+    ``merge_schema`` is Delta's mergeSchema option: the append may ADD
+    columns (the widened schema commits atomically with the data;
+    type changes and drops are still rejected), and readers backfill
+    NULL for pre-evolution files.
 
     Without delta-spark the fallback writes a REAL transaction log
     (``sources/delta_log.py``): new tables bootstrap
@@ -162,6 +170,8 @@ def write_delta_append(
     """
     try:
         writer = df.write.format("delta").mode("append")
+        if merge_schema:
+            writer = writer.option("mergeSchema", "true")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(path)
@@ -190,7 +200,9 @@ def write_delta_append(
             )
         df.write.mode("append").parquet(path)  # legacy un-logged table
         return
-    delta_log.append_commit(df, path, partition_by=partition_by)
+    delta_log.append_commit(
+        df, path, partition_by=partition_by, merge_schema=merge_schema
+    )
 
 
 def write_jdbc_append(

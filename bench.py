@@ -185,6 +185,15 @@ EXTENDED = [
     "orders_multiformat_union",
     "customer_pseudonymize",
     "events_ab_conversion_lift",
+    # round-8 post-close: lake-engine suite + similarity/RI additions
+    "orders_delta_update_delete_roundtrip",
+    "orders_delta_compact_restore_roundtrip",
+    "orders_delta_cdf",
+    "orders_cdf_view_maintenance",
+    "orders_delta_stats_skipping_scan",
+    "orders_delta_schema_evolution",
+    "doc_tfidf_topterm_pairs",
+    "referential_integrity_audit",
 ]
 
 

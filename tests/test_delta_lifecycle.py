@@ -824,3 +824,23 @@ def test_schema_evolution_merge_schema_append(spark, tmp_path):
         for r in read_delta(spark, path).collect()
     }
     assert rows2 == rows
+
+
+def test_write_delta_append_plumbs_merge_schema(spark, tmp_path):
+    """The public S10 sink forwards merge_schema to the fallback
+    engine (and would pass option mergeSchema natively)."""
+    path = str(tmp_path / "t_sink_evolve")
+    write_delta_append(
+        spark.createDataFrame([(1,)], "pk LONG"), path
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_delta_append(
+            spark.createDataFrame([(2, "x")], "pk LONG, v STRING"), path
+        )
+    write_delta_append(
+        spark.createDataFrame([(2, "x")], "pk LONG, v STRING"),
+        path,
+        merge_schema=True,
+    )
+    got = {(r.pk, r.v) for r in read_delta(spark, path).collect()}
+    assert got == {(1, None), (2, "x")}
