@@ -2604,3 +2604,60 @@ def orders_delta_schema_evolution(
             merge_schema=True,
         )  # v1: widened
     return read_delta(spark, path)
+
+
+@register(
+    "orders_delta_zorder_skipping_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey >= 30 AND o_custkey < 90
+      AND o_totalprice >= 50000 AND o_totalprice < 150000
+    """,
+)
+def orders_delta_zorder_skipping_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMIZE ZORDER + multi-column data skipping end-to-end
+    (sources/delta_log.py compact(zorder_by=...)): orders lands as
+    hash-fragmented files (every file spans nearly the full range of
+    BOTH columns — zero skipping), then one dataChange=false
+    compaction Morton-clusters the layout on (o_custkey,
+    o_totalprice). The conjunctive range predicate then prunes at the
+    FILE LIST on both columns simultaneously — the multi-dimensional
+    selectivity a linear sort can only give its leading column — with
+    the residual WHERE keeping the result exactly scan-then-filter.
+    The oracle is the plain conjunctive WHERE over orders: a hash
+    match proves the clustered rewrite preserved every row and the
+    two-column pruning dropped none that qualify."""
+    import os
+
+    from .sources import delta_log
+    from .sources.readers import read_delta
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(repo_root, ".lake_cache", f"delta_orders_zo_{tag}")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    if delta_log.log_version(spark, path) is None:
+        delta_log.append_commit(
+            _t(spark, sf_dir, "orders").select(*cols).repartition(8),
+            path,
+        )  # v0: hash-fragmented, no column locality
+    if delta_log.log_version(spark, path) == 0:
+        delta_log.compact(
+            spark,
+            path,
+            zorder_by=["o_custkey", "o_totalprice"],
+            target_file_bytes=64 * 1024,
+        )  # v1: Morton-clustered small bins (several files even at sf0.001)
+    return read_delta(
+        spark,
+        path,
+        stats_filter=[
+            ("o_custkey", ">=", 30),
+            ("o_custkey", "<", 90),
+            ("o_totalprice", ">=", 50000),
+            ("o_totalprice", "<", 150000),
+        ],
+    ).select(*cols)

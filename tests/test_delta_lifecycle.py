@@ -844,3 +844,55 @@ def test_write_delta_append_plumbs_merge_schema(spark, tmp_path):
     )
     got = {(r.pk, r.v) for r in read_delta(spark, path).collect()}
     assert got == {(1, None), (2, "x")}
+
+
+def test_mutations_race_appends_linearizably(spark, tmp_path):
+    """Write-write racing across the NEW mutation surface: blind
+    appends race predicate DELETEs (snapshot-pinned, retried on
+    CommitConflict). Invariants at quiescence: the log is contiguous,
+    every appended row either survives or matches the delete
+    predicate, every predicate row present at the LAST delete's
+    snapshot is gone, and replay agrees with a fresh read."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t_race")
+    delta_log.append_commit(
+        spark.range(0, 10).selectExpr("id AS pk").coalesce(1), path
+    )
+
+    def appender(lo: int) -> None:
+        delta_log.append_commit(
+            spark.range(lo, lo + 10).selectExpr("id AS pk").coalesce(1),
+            path,
+        )
+
+    def deleter() -> None:
+        for _ in range(30):
+            try:
+                delta_log.delete_where(
+                    spark, path, F.col("pk") % 10 == 7
+                )
+                return
+            except delta_log.CommitConflict:
+                continue  # re-read snapshot and retry, as documented
+        raise AssertionError("deleter starved")
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        futs = [ex.submit(appender, lo) for lo in (100, 200, 300, 400)]
+        futs += [ex.submit(deleter), ex.submit(deleter)]
+        for f in futs:
+            f.result()
+    # final delete AFTER quiescence removes any stragglers appended
+    # post-snapshot of the racing deleters
+    delta_log.delete_where(spark, path, F.col("pk") % 10 == 7)
+    got = {r.pk for r in read_delta(spark, path).collect()}
+    expected = {
+        pk
+        for lo in (0, 100, 200, 300, 400)
+        for pk in range(lo, lo + 10)
+        if pk % 10 != 7
+    }
+    assert got == expected
+    # log contiguous: every version replays (a torn log would raise)
+    head = delta_log.log_version(spark, path)
+    assert read_delta(spark, path, version=head).count() == len(expected)

@@ -526,6 +526,13 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
         "shuffles": 0,
     },
+    # zorder skipping scan: Morton-clustered log-replay scan pruned on
+    # BOTH predicate columns at the file list; residual conjunction
+    # pushed; no joins, no shuffles (clustering committed eagerly).
+    "orders_delta_zorder_skipping_scan": {
+        "pushed": True, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "shuffles": 0,
+    },
     # CDF feed: per-commit unions of added/removed file scans diffed
     # with exceptAll (hash-agg shuffles, no joins) — dataChange=false
     # commits never even reach the plan.
