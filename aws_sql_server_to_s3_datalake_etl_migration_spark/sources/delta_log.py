@@ -1488,3 +1488,149 @@ def _read_live_rel_sample(spark: SparkSession, base: str) -> list[str]:
 
     adds = _delta_live_adds(spark, base) or {}
     return list(adds)[:1]
+
+
+def fsck(spark: SparkSession, table_path: str) -> dict:
+    """Read-only consistency check of a log-backed table — the
+    operational audit an administrator runs before trusting a synced /
+    restored / long-lived lake. Pure metadata work (log text + file
+    listings; zero data pages read), so checking a 100 TB table costs
+    seconds. Returns a report dict; ``ok`` is True iff no ERROR-grade
+    finding:
+
+    - ``torn_commits``: JSON commits that fail to parse line-by-line
+      (crashed writer / partial copy) — ERROR.
+    - ``log_gap``: replay refused for non-contiguous versions without
+      a covering checkpoint — ERROR.
+    - ``missing_files``: live add actions whose data file is absent
+      (eager vacuum, partial sync) — ERROR; the table is unreadable.
+    - ``unreferenced_files``: data files on disk not live at HEAD
+      (tombstoned awaiting vacuum, or crashed-stage leftovers) —
+      WARNING; they cost storage, not correctness.
+    - ``metadata_ok`` / ``checkpoint_ok``: a reachable metaData action
+      (schema enforcement alive) and a ``_last_checkpoint`` pointer
+      whose checkpoint file exists and carries metaData — ERROR when
+      broken.
+    """
+    import re
+
+    base = table_path.rstrip("/")
+    report: dict = {
+        "table": base,
+        "ok": True,
+        "errors": [],
+        "version": None,
+        "n_live_files": 0,
+        "missing_files": [],
+        "unreferenced_files": [],
+        "torn_commits": [],
+        "log_gap": None,
+        "metadata_ok": True,
+        "checkpoint_ok": True,
+    }
+    fs, jvm = _fs(spark, base)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    v = log_version(spark, base)
+    if v is None:
+        report["ok"] = False
+        report["errors"].append("no transaction log")
+        return report
+    report["version"] = v
+    log_dir = base + "/_delta_log"
+    names = [
+        st.getPath().getName() for st in fs.listStatus(hpath(log_dir))
+    ]
+    for n in sorted(names):
+        if not re.fullmatch(r"\d{20}\.json", n):
+            continue
+        try:
+            text = read_commit_text(spark, f"{log_dir}/{n}")
+            for line in text.splitlines():
+                if line.strip():
+                    json.loads(line)
+        except Exception:
+            report["torn_commits"].append(int(n[:20]))
+    if report["torn_commits"]:
+        report["errors"].append(
+            f"torn/corrupt commits: {report['torn_commits']}"
+        )
+    from .readers import _delta_live_adds
+
+    adds: dict | None
+    try:
+        adds = _delta_live_adds(spark, base) or {}
+    except Exception as e:
+        # ValueError: gap/torn-log refusal; anything else (checksum
+        # mismatch from out-of-band edits, IO) is corruption too
+        adds = None
+        report["log_gap"] = str(e)[:500]
+        report["errors"].append(f"log replay refused: {str(e)[:200]}")
+    if adds is not None:
+        report["n_live_files"] = len(adds)
+        report["missing_files"] = [
+            rel
+            for rel in adds
+            if not fs.exists(hpath(f"{base}/{rel}"))
+        ]
+        if report["missing_files"]:
+            report["errors"].append(
+                f"{len(report['missing_files'])} live file(s) missing "
+                "on disk (vacuumed too eagerly or partial sync)"
+            )
+        qbase = fs.makeQualified(hpath(base)).toString()
+        on_disk = []
+        it = fs.listFiles(hpath(base), True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            rel = p[len(qbase) + 1:] if p.startswith(qbase + "/") else p
+            if (
+                rel.endswith(".parquet")
+                and not rel.startswith("_delta_log/")
+                and not rel.startswith(".")
+                and "/." not in rel
+            ):
+                on_disk.append(rel)
+        report["unreferenced_files"] = sorted(
+            rel for rel in on_disk if rel not in adds
+        )
+    try:
+        md = latest_metadata(spark, base)
+    except Exception as e:
+        md = None
+        report["errors"].append(f"metaData unreadable: {str(e)[:200]}")
+    if md is None or not md.get("schemaString"):
+        report["metadata_ok"] = False
+        if not any("metaData" in e for e in report["errors"]):
+            report["errors"].append(
+                "no reachable metaData action (schema enforcement dead)"
+            )
+    lc = hpath(f"{log_dir}/_last_checkpoint")
+    if fs.exists(lc):
+        try:
+            last = json.loads(
+                read_commit_text(spark, f"{log_dir}/_last_checkpoint")
+            )
+            cpv = int(last["version"])
+            cp_glob = f"{log_dir}/{cpv:020d}.checkpoint.parquet"
+            if not fs.exists(hpath(cp_glob)):
+                raise ValueError(
+                    f"_last_checkpoint names version {cpv} but "
+                    "no checkpoint file exists"
+                )
+            cp = spark.read.parquet(cp_glob)
+            if "metaData" in cp.columns:
+                from pyspark.sql import functions as F
+
+                if (
+                    cp.where(F.col("metaData").isNotNull()).limit(1)
+                    .count() == 0
+                ):
+                    raise ValueError(
+                        f"checkpoint {cpv} carries no metaData row"
+                    )
+        except Exception as e:
+            report["checkpoint_ok"] = False
+            report["errors"].append(f"checkpoint integrity: {e}")
+    report["ok"] = not report["errors"]
+    return report

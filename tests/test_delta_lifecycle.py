@@ -896,3 +896,53 @@ def test_mutations_race_appends_linearizably(spark, tmp_path):
     # log contiguous: every version replays (a torn log would raise)
     head = delta_log.log_version(spark, path)
     assert read_delta(spark, path, version=head).count() == len(expected)
+
+
+def test_fsck_reports_each_corruption_class(spark, tmp_path):
+    """fsck: clean on a healthy table (tombstoned-but-unvacuumed files
+    are a warning list, not an error); detects a vacuumed-live file,
+    a torn commit, and a log gap; metadata/checkpoint checks pass on
+    the spec-complete lifecycle."""
+    import os as _os
+
+    path = str(tmp_path / "t_fsck")
+    delta_log.append_commit(
+        spark.range(0, 10).selectExpr("id AS pk").coalesce(1), path
+    )
+    delta_log.append_commit(
+        spark.range(10, 20).selectExpr("id AS pk").coalesce(1), path
+    )
+    delta_log.delete_where(spark, path, F.col("pk") >= 15)
+    delta_log.write_checkpoint(spark, path)
+    rep = delta_log.fsck(spark, path)
+    assert rep["ok"], rep["errors"]
+    assert rep["version"] == 2
+    assert rep["n_live_files"] == 2
+    # the pre-delete file is tombstoned, awaiting vacuum: warning only
+    assert len(rep["unreferenced_files"]) == 1
+    assert rep["metadata_ok"] and rep["checkpoint_ok"]
+    # corruption 1: a live data file disappears
+    live = sorted(
+        _delta_live_adds(spark, path)
+    )
+    _os.remove(_os.path.join(path, live[0]))
+    rep = delta_log.fsck(spark, path)
+    assert not rep["ok"]
+    assert rep["missing_files"] == [live[0]]
+    # corruption 2: torn commit (truncate the last commit mid-line)
+    log = _os.path.join(path, "_delta_log", f"{2:020d}.json")
+    raw = open(log, "rb").read()
+    with open(log, "wb") as fh:
+        fh.write(raw[: len(raw) // 2])
+    rep = delta_log.fsck(spark, path)
+    assert 2 in rep["torn_commits"] and not rep["ok"]
+    with open(log, "wb") as fh:
+        fh.write(raw)
+    # corruption 3: log gap (remove a middle commit, no checkpoint
+    # covers it after deleting _last_checkpoint + checkpoint file)
+    for n in _os.listdir(_os.path.join(path, "_delta_log")):
+        if "checkpoint" in n or n == "_last_checkpoint":
+            _os.remove(_os.path.join(path, "_delta_log", n))
+    _os.remove(_os.path.join(path, "_delta_log", f"{1:020d}.json"))
+    rep = delta_log.fsck(spark, path)
+    assert rep["log_gap"] is not None and not rep["ok"]
