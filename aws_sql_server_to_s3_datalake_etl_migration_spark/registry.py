@@ -109,12 +109,14 @@ def oracles() -> dict[str, str]:
 # customer_pseudonymize, events_ab_conversion_lift, and the
 # post-close lake-engine suite — orders_delta_update_delete_roundtrip,
 # orders_delta_compact_restore_roundtrip, orders_delta_cdf,
-# orders_cdf_view_maintenance, orders_delta_stats_skipping_scan
-# (predicate UPDATE/DELETE, OPTIMIZE bin-packing, RESTORE, Change
-# Data Feed, CDF-incremental view refresh, footer-stats data
-# skipping — each value-checked end-to-end) — plus
-# doc_tfidf_topterm_pairs and referential_integrity_audit. The full
-# list with positions is CATALOG.md (entries past position 50).
+# orders_cdf_view_maintenance, orders_delta_stats_skipping_scan,
+# orders_delta_schema_evolution, orders_delta_zorder_skipping_scan
+# (predicate UPDATE/DELETE, OPTIMIZE bin-packing + ZORDER, RESTORE,
+# Change Data Feed, CDF-incremental view refresh, footer-stats data
+# skipping, additive schema evolution — each value-checked
+# end-to-end) — plus doc_tfidf_topterm_pairs and
+# referential_integrity_audit. The full list with positions is
+# CATALOG.md (entries past position 50).
 _PRIORITY: tuple[str, ...] = (
     # §2 core: flagship ingest, scans, incremental/merge, recon
     # (permanently pinned)

@@ -1634,3 +1634,63 @@ def fsck(spark: SparkSession, table_path: str) -> dict:
             report["errors"].append(f"checkpoint integrity: {e}")
     report["ok"] = not report["errors"]
     return report
+
+
+def read_offset(spark: SparkSession, offset_path: str) -> int:
+    """Last processed table version recorded at ``offset_path``
+    (:func:`commit_offset`), or -1 for a fresh consumer (so the first
+    feed starts at the table's first commit: ``table_changes``'s
+    from-version is exclusive)."""
+    fs, jvm = _fs(spark, offset_path)
+    p = jvm.org.apache.hadoop.fs.Path(offset_path)
+    if not fs.exists(p):
+        return -1
+    return int(json.loads(read_commit_text(spark, offset_path))["version"])
+
+
+def commit_offset(
+    spark: SparkSession, offset_path: str, version: int
+) -> None:
+    """Durably record ``version`` as processed — written to a temp
+    file and atomically renamed over ``offset_path``, so a crashed
+    consumer never sees a torn offset. Call AFTER the feed's effects
+    are durable; crashing before the call replays the same feed on
+    restart (at-least-once, the same replay-safe contract as the
+    streaming ingestion suite — pair with idempotent processors)."""
+    fs, jvm = _fs(spark, offset_path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    payload = json.dumps(
+        {"version": int(version), "committedAt": int(time.time() * 1000)}
+    ).encode()
+    tmp = f"{offset_path}.tmp-{uuid.uuid4().hex}"
+    _write_bytes(spark, tmp, payload)
+    dest = hpath(offset_path)
+    if fs.exists(dest):
+        fs.delete(dest, False)
+    if not fs.rename(hpath(tmp), dest):
+        raise IOError(f"could not publish consumer offset {offset_path}")
+
+
+def consume_changes(
+    spark: SparkSession, table_path: str, offset_path: str
+):
+    """Incremental CDF consumption with a durable offset — the
+    downstream-pipeline contract the lake engine's Change Data Feed
+    enables: each call returns ``(feed, head)`` where ``feed`` is
+    ``table_changes(offset, head)`` (None when the consumer is caught
+    up) and ``head`` is the version to :func:`commit_offset` once the
+    feed's effects are durable. Per call the consumer pays for the
+    bytes the NEW commits touched — maintenance commits
+    (``dataChange: false``) cost nothing — never for table size or
+    history length. Offsets live wherever the caller points
+    ``offset_path`` (one file per consumer), so independent
+    consumers progress independently, exactly like consumer groups.
+    """
+    base = table_path.rstrip("/")
+    offset = read_offset(spark, offset_path)
+    head = log_version(spark, base)
+    if head is None:
+        raise ValueError(f"{table_path} has no transaction log")
+    if head <= offset:
+        return None, offset
+    return table_changes(spark, base, offset, to_version=head), head

@@ -946,3 +946,36 @@ def test_fsck_reports_each_corruption_class(spark, tmp_path):
     _os.remove(_os.path.join(path, "_delta_log", f"{1:020d}.json"))
     rep = delta_log.fsck(spark, path)
     assert rep["log_gap"] is not None and not rep["ok"]
+
+
+def test_cdf_consumer_offsets_at_least_once(spark, tmp_path):
+    """Durable-offset CDF consumption: a fresh consumer sees the full
+    history, a caught-up consumer sees None, a crash before
+    commit_offset replays the same feed (at-least-once), and two
+    consumers progress independently."""
+    path = str(tmp_path / "t_consume")
+    off_a = str(tmp_path / "consumer_a.offset")
+    off_b = str(tmp_path / "consumer_b.offset")
+    delta_log.append_commit(
+        spark.range(0, 5).selectExpr("id AS pk").coalesce(1), path
+    )
+    delta_log.append_commit(
+        spark.range(5, 8).selectExpr("id AS pk").coalesce(1), path
+    )
+    feed, head = delta_log.consume_changes(spark, path, off_a)
+    assert head == 1 and feed.count() == 8  # full history, v0+v1
+    # crash before offset commit: same feed again
+    feed2, head2 = delta_log.consume_changes(spark, path, off_a)
+    assert head2 == 1 and feed2.count() == 8
+    delta_log.commit_offset(spark, off_a, head)
+    assert delta_log.consume_changes(spark, path, off_a) == (None, 1)
+    # new commits: only the delta
+    delta_log.delete_where(spark, path, F.col("pk") >= 6)
+    feed3, head3 = delta_log.consume_changes(spark, path, off_a)
+    assert head3 == 2
+    rows = [(r.change_type, r.pk) for r in feed3.collect()]
+    assert sorted(rows) == [("delete", 6), ("delete", 7)]
+    delta_log.commit_offset(spark, off_a, head3)
+    # consumer B is independent and still sees everything
+    feed_b, head_b = delta_log.consume_changes(spark, path, off_b)
+    assert head_b == 2 and feed_b.count() == 10  # 8 inserts + 2 deletes
