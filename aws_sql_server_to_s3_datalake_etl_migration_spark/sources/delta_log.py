@@ -1429,6 +1429,12 @@ def table_changes(
         )
 
     out: DataFrame | None = None
+    # metaData tracked INCREMENTALLY: one backward scan for the state
+    # at the range start, then forward updates from metaData actions
+    # the loop already reads — O(history + range) driver I/O, not the
+    # O(range x history) a per-commit latest_metadata lookup would be
+    # on long feeds
+    md_v = latest_metadata(spark, base, version=from_version + 1)
     for v in range(from_version + 1, to_version + 1):
         text = read_commit_text(
             spark, f"{base}/_delta_log/{v:020d}.json"
@@ -1444,10 +1450,11 @@ def table_changes(
                 "dataChange", True
             ):
                 removed.append(action["remove"]["path"])
-        # each commit's changes surface at the schema IN FORCE at that
-        # commit; across an evolution boundary the union backfills the
-        # new columns with NULL for older commits
-        md_v = latest_metadata(spark, base, version=v)
+            elif "metaData" in action:
+                # each commit's changes surface at the schema IN FORCE
+                # at that commit; across an evolution boundary the
+                # union backfills new columns with NULL
+                md_v = action["metaData"]
         a_df, r_df = load(added, md_v), load(removed, md_v)
         pieces = []
         if a_df is not None:
@@ -1469,7 +1476,7 @@ def table_changes(
         # empty feed with the right shape
         empty = load(
             list(_read_live_rel_sample(spark, base)),
-            latest_metadata(spark, base),
+            md_v if md_v else latest_metadata(spark, base),
         )
         if empty is None:
             raise ValueError(
