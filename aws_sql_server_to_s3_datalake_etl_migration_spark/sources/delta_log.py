@@ -725,6 +725,7 @@ def overwrite_commit(
     df: DataFrame,
     table_path: str,
     partition_by: list[str] | None = None,
+    overwrite_schema: bool = False,
 ) -> int:
     """Copy-on-write replacement of the table's contents with ``df`` in
     ONE commit: tombstone every live file, add the new ones. The prior
@@ -734,13 +735,34 @@ def overwrite_commit(
     pins ``expected_version = read_version + 1`` — a concurrent writer
     landing in between raises :class:`CommitConflict` rather than
     letting two reconciliations both "win" (the caller re-reads and
-    redoes the merge; blind appends never conflict)."""
+    redoes the merge; blind appends never conflict).
+
+    ``overwrite_schema`` (Delta's overwriteSchema option) lets the
+    replacement carry a DIFFERENT schema: since every data file is
+    replaced, arbitrary schema change is safe here (unlike append's
+    additive-only evolution), and the new metaData commits atomically
+    with the data. Time travel below the overwrite still shows the
+    old shape via the version-bounded metaData lookup."""
     from .readers import _delta_live_files
 
     spark = df.sparkSession
     read_v = log_version(spark, table_path)
+    md_action: list[dict] = []
     if read_v is not None:
-        _check_append_compat(df, table_path, partition_by)
+        if overwrite_schema:
+            old = latest_metadata(spark, table_path)
+            if old is not None and json.loads(
+                old.get("schemaString") or "{}"
+            ) != json.loads(df.schema.json()):
+                new_md = dict(old)
+                new_md["schemaString"] = df.schema.json()
+                new_md["partitionColumns"] = list(partition_by or [])
+                md_action = [{"metaData": new_md}]
+            _enforce_check_constraints(
+                df, table_path, old if not md_action else new_md
+            )
+        else:
+            _check_append_compat(df, table_path, partition_by)
     live = _delta_live_files(spark, table_path) or []
     adds = stage_data_files(df, table_path, partition_by=partition_by)
     boot = bootstrap_actions(df, partition_by) if read_v is None else []
@@ -748,7 +770,7 @@ def overwrite_commit(
     return commit(
         spark,
         table_path,
-        boot + remove_actions(live, table_path) + adds,
+        boot + md_action + remove_actions(live, table_path) + adds,
         expected_version=expected,
     )
 
@@ -1083,6 +1105,7 @@ def _rewrite_where(
     table_path: str,
     condition,
     transform=None,
+    extra: DataFrame | None = None,
 ) -> int:
     """File-granular copy-on-write shared by :func:`delete_where` and
     :func:`update_where`: only files that actually CONTAIN matching
@@ -1094,8 +1117,13 @@ def _rewrite_where(
     (optimistic concurrency: a racing writer raises
     :class:`CommitConflict` instead of silently losing rows).
 
+    ``extra`` (replaceWhere) stages additional rows into the SAME
+    commit — delete-matching plus insert-replacement is one atomic
+    version, so readers never observe the gap between them.
+
     Returns the committed version, or the current version unchanged
-    when no file matches (no empty commits).
+    when no file matches and no ``extra`` rows arrive (no empty
+    commits).
     """
     from pyspark.sql import functions as F
 
@@ -1106,49 +1134,93 @@ def _rewrite_where(
     if v is None:
         raise ValueError(f"{table_path} has no transaction log")
     live = _delta_live_files(spark, base) or []
-    if not live:
+    if not live and extra is None:
         return v
     md = latest_metadata(spark, base) or {}
     part_cols = list(md.get("partitionColumns") or [])
-    df = _scan_declared(spark, base, live, md, keep_file_col=True)
-    # _metadata.file_path is scheme-qualified; live paths are not —
-    # match on the relative suffix, which is unique within the table
-    rel_of = {f: f[len(base) + 1:] for f in live}
-    hit_files = [
-        r["_file"]
-        for r in df.where(condition).select("_file").distinct().collect()
-    ]
-    affected = [
-        f
-        for f in live
-        if any(h.endswith("/" + rel_of[f]) for h in hit_files)
-    ]
-    if not affected:
-        return v
-    keep = _scan_declared(spark, base, affected, md)
-    if transform is None:
-        # three-valued logic: a NULL predicate row is NOT matched —
-        # it must survive the delete (bare ~condition would drop it)
-        rewrite = keep.where(~F.coalesce(condition, F.lit(False)))
-    else:
-        rewrite = transform(keep, condition)
-        # an UPDATE can mint constraint-breaking values; a DELETE
-        # cannot (it only drops rows), so only transforms pay the pass
-        _enforce_check_constraints(rewrite, base, md)
-    # the basePath read appends partition columns at the schema tail;
-    # restage in the table's declared field order so schema
-    # enforcement and later readers see one consistent shape
     declared = json.loads(md["schemaString"]) if md else None
-    if declared:
-        order = [f["name"] for f in declared["fields"]]
-        rewrite = rewrite.select(*order)
-    adds = stage_data_files(rewrite, base, partition_by=part_cols or None)
+    order = [f["name"] for f in declared["fields"]] if declared else None
+    affected: list[str] = []
+    if live:
+        df = _scan_declared(spark, base, live, md, keep_file_col=True)
+        # _metadata.file_path is scheme-qualified; live paths are not
+        # — match on the relative suffix, unique within the table
+        rel_of = {f: f[len(base) + 1:] for f in live}
+        hit_files = [
+            r["_file"]
+            for r in df.where(condition)
+            .select("_file")
+            .distinct()
+            .collect()
+        ]
+        affected = [
+            f
+            for f in live
+            if any(h.endswith("/" + rel_of[f]) for h in hit_files)
+        ]
+    if not affected and extra is None:
+        return v
+    adds: list[dict] = []
+    if affected:
+        keep = _scan_declared(spark, base, affected, md)
+        if transform is None:
+            # three-valued logic: a NULL predicate row is NOT matched
+            # — it must survive the delete (bare ~condition drops it)
+            rewrite = keep.where(~F.coalesce(condition, F.lit(False)))
+        else:
+            rewrite = transform(keep, condition)
+            # an UPDATE can mint constraint-breaking values; a DELETE
+            # cannot (only drops rows), so only transforms pay the pass
+            _enforce_check_constraints(rewrite, base, md)
+        # the basePath read appends partition columns at the schema
+        # tail; restage in the table's declared field order so schema
+        # enforcement and later readers see one consistent shape
+        if order:
+            rewrite = rewrite.select(*order)
+        adds += stage_data_files(
+            rewrite, base, partition_by=part_cols or None
+        )
+    if extra is not None:
+        ins = extra.select(*order) if order else extra
+        _enforce_check_constraints(ins, base, md)
+        adds += stage_data_files(
+            ins, base, partition_by=part_cols or None
+        )
     return commit(
         spark,
         base,
         remove_actions(affected, base) + adds,
         expected_version=v + 1,
     )
+
+
+def replace_where(
+    spark: SparkSession, table_path: str, condition, df: DataFrame
+) -> int:
+    """Delta's ``replaceWhere``: atomically DELETE every row matching
+    ``condition`` and INSERT ``df`` — one commit, so readers never
+    observe the deleted-but-not-yet-replaced gap. The backfill
+    primitive: re-deriving one day of a date-partitioned lake is
+    ``replace_where(t, col("d") == day, fresh_day_df)`` and touches
+    only that day's files (file-granular hit discovery, same as
+    DELETE). Every inserted row must satisfy ``condition`` — the same
+    containment delta-spark enforces, because rows outside the
+    predicate would silently survive the NEXT replace of the same
+    range."""
+    from pyspark.sql import functions as F
+
+    bad = (
+        df.where(~F.coalesce(condition, F.lit(False)))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            "replace_where: replacement rows must all satisfy the "
+            "predicate — found row(s) outside it (they would escape "
+            "the next replace of this range)"
+        )
+    return _rewrite_where(spark, table_path, condition, extra=df)
 
 
 def delete_where(spark: SparkSession, table_path: str, condition) -> int:

@@ -2661,3 +2661,49 @@ def orders_delta_zorder_skipping_scan(
             ("o_totalprice", "<", 150000),
         ],
     ).select(*cols)
+
+
+@register(
+    "orders_delta_replace_where_backfill",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    """,
+)
+def orders_delta_replace_where_backfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """replaceWhere backfill under the value check
+    (sources/delta_log.py replace_where): orders lands partitioned by
+    o_orderstatus, then the 'P' partition is atomically re-derived
+    (same rows, totalprice doubled) in ONE delete+insert commit — the
+    day-backfill primitive of partitioned lakes, touching only the
+    matched partition's files (the O/F partitions' files survive
+    verbatim, which the partition-untouched pytest pins). The oracle
+    restates the final state with a CASE over orders: a hash match
+    proves atomic replacement, containment, and that no out-of-range
+    row was disturbed."""
+    import os
+
+    from .sources import delta_log
+    from .sources.readers import read_delta
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(repo_root, ".lake_cache", f"delta_orders_rw_{tag}")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = _t(spark, sf_dir, "orders").select(*cols)
+    if delta_log.log_version(spark, path) is None:
+        delta_log.append_commit(
+            orders, path, partition_by=["o_orderstatus"]
+        )  # v0
+    if delta_log.log_version(spark, path) == 0:
+        fresh = orders.where(F.col("o_orderstatus") == "P").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        delta_log.replace_where(
+            spark, path, F.col("o_orderstatus") == F.lit("P"), fresh
+        )  # v1
+    return read_delta(spark, path).select(*cols)

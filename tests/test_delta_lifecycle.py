@@ -979,3 +979,83 @@ def test_cdf_consumer_offsets_at_least_once(spark, tmp_path):
     # consumer B is independent and still sees everything
     feed_b, head_b = delta_log.consume_changes(spark, path, off_b)
     assert head_b == 2 and feed_b.count() == 10  # 8 inserts + 2 deletes
+
+
+def test_replace_where_atomic_backfill(spark, tmp_path):
+    """replaceWhere: delete-matching + insert-replacement in ONE
+    commit (no observable gap version); untouched partitions' files
+    survive verbatim; replacement rows outside the predicate are
+    refused; works on a partitioned lake like a day-backfill."""
+    path = str(tmp_path / "t_replace")
+    df = spark.createDataFrame(
+        [(i, ["d1", "d2"][i % 2], float(i)) for i in range(20)],
+        "pk LONG, day STRING, val DOUBLE",
+    )
+    delta_log.append_commit(df, path, partition_by=["day"])
+    before_d2 = {
+        rel for rel in _delta_live_adds(spark, path) if "day=d2" in rel
+    }
+    fresh = spark.createDataFrame(
+        [(100 + i, "d1", 999.0) for i in range(3)],
+        "pk LONG, day STRING, val DOUBLE",
+    )
+    v0 = delta_log.log_version(spark, path)
+    v = delta_log.replace_where(
+        spark, path, F.col("day") == "d1", fresh
+    )
+    assert v == v0 + 1  # exactly one commit
+    after_d2 = {
+        rel for rel in _delta_live_adds(spark, path) if "day=d2" in rel
+    }
+    assert after_d2 == before_d2  # other partition untouched
+    got = {(r.pk, r.day) for r in read_delta(spark, path).collect()}
+    assert got == {(100, "d1"), (101, "d1"), (102, "d1")} | {
+        (i, "d2") for i in range(20) if i % 2 == 1
+    }
+    # containment: replacement rows must satisfy the predicate
+    with pytest.raises(ValueError, match="satisfy the predicate"):
+        delta_log.replace_where(
+            spark,
+            path,
+            F.col("day") == "d1",
+            spark.createDataFrame(
+                [(7, "d2", 1.0)], "pk LONG, day STRING, val DOUBLE"
+            ),
+        )
+    # no matches + replacement: pure atomic insert (backfill of an
+    # empty range)
+    v2 = delta_log.replace_where(
+        spark,
+        path,
+        F.col("day") == "d3",
+        spark.createDataFrame(
+            [(200, "d3", 5.0)], "pk LONG, day STRING, val DOUBLE"
+        ),
+    )
+    assert v2 == v + 1
+    assert read_delta(
+        spark, path, partition_filter={"day": "d3"}
+    ).count() == 1
+
+
+def test_overwrite_schema_changes_shape_atomically(spark, tmp_path):
+    """overwriteSchema: a full overwrite may change the schema
+    arbitrarily (all files replaced); without the flag it stays
+    rejected; time travel below shows the old shape."""
+    path = str(tmp_path / "t_ow_schema")
+    delta_log.append_commit(
+        spark.createDataFrame([(1, "a")], "pk LONG, v STRING"), path
+    )
+    wide = spark.createDataFrame(
+        [(10, 1.5, "x")], "id LONG, score DOUBLE, tag STRING"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        delta_log.overwrite_commit(wide, path)
+    v = delta_log.overwrite_commit(wide, path, overwrite_schema=True)
+    assert read_delta(spark, path).columns == ["id", "score", "tag"]
+    assert read_delta(spark, path, version=v - 1).columns == ["pk", "v"]
+    # post-overwrite strict appends enforce the NEW schema
+    with pytest.raises(ValueError, match="schema mismatch"):
+        delta_log.append_commit(
+            spark.createDataFrame([(2, "b")], "pk LONG, v STRING"), path
+        )

@@ -533,6 +533,12 @@ EXPECT: dict[str, dict] = {
         "pushed": True, "no_smj": True, "hints": 0, "pure_jvm": True,
         "shuffles": 0,
     },
+    # replaceWhere backfill: the returned plan is a log-replay scan of
+    # the post-replacement live files (the atomic delete+insert commit
+    # ran eagerly); no joins, no Python.
+    "orders_delta_replace_where_backfill": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
     # CDF feed: per-commit unions of added/removed file scans diffed
     # with exceptAll (hash-agg shuffles, no joins) — dataChange=false
     # commits never even reach the plan.
