@@ -44,6 +44,17 @@ append/overwrite writes Hive-layout data files, carries
 partition-prunes at the FILE LIST level (``readers._delta_live_adds``)
 — at 100 TB that is the difference between scanning one date
 partition and scanning the lake.
+
+Idempotent writes ride the spec's ``txn`` action (Transaction
+Identifiers): ``append_commit(txn_app_id=, txn_version=)`` skips a
+replayed (app, version) pair against the table's per-app high-water
+mark, pins the commit slot so concurrent replays cannot both land,
+and checkpoints carry the latest txn per appId so the mark survives
+``truncate_log`` — the primitive the exactly-once streaming sink
+(``streaming.stream_txn_append_to_lake``) is built on. Commits also
+carry a ``commitInfo`` provenance line (operation/timestamp/engine)
+rendered by :func:`table_history` — DESCRIBE HISTORY for the
+fallback path.
 """
 
 from __future__ import annotations
@@ -106,6 +117,7 @@ def commit(
     actions: list[dict],
     max_retries: int = 50,
     expected_version: int | None = None,
+    operation: str | None = None,
 ) -> int:
     """Atomically commit ``actions`` as the table's next version and
     return it. The action list is serialized ONCE to a temp file inside
@@ -119,12 +131,27 @@ def commit(
     tombstones) must pass the version they read + 1, and a lost race
     raises :class:`CommitConflict` instead of silently committing
     stale reconciliation on top of someone else's — blind appends
-    commute and leave it None to retry into the next free slot."""
+    commute and leave it None to retry into the next free slot.
+
+    ``operation`` writes a Delta-spec ``commitInfo`` action as the
+    commit's first line (operation name + timestamp + engine tag) —
+    the provenance DESCRIBE HISTORY (:func:`table_history`) renders;
+    replay readers ignore it, as the spec requires."""
     base = table_path.rstrip("/")
     log_dir = base + "/_delta_log"
     fs, jvm = _fs(spark, log_dir)
     hpath = jvm.org.apache.hadoop.fs.Path
     fs.mkdirs(hpath(log_dir))
+    if operation:
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": operation,
+                    "engineInfo": "fallback-delta-log",
+                }
+            }
+        ] + actions
     payload = (
         "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
         + "\n"
@@ -661,6 +688,7 @@ def add_check_constraint(
         base,
         [{"protocol": proto}, {"metaData": new_md}],
         expected_version=v + 1,
+        operation="ADD CONSTRAINT",
     )
 
 
@@ -685,7 +713,11 @@ def drop_check_constraint(
     new_md = dict(md)
     new_md["configuration"] = conf
     return commit(
-        spark, base, [{"metaData": new_md}], expected_version=v + 1
+        spark,
+        base,
+        [{"metaData": new_md}],
+        expected_version=v + 1,
+        operation="DROP CONSTRAINT",
     )
 
 
@@ -694,7 +726,9 @@ def append_commit(
     table_path: str,
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
-) -> int:
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> int | None:
     """Append ``df`` to the log-backed table at ``table_path`` (first
     commit bootstraps protocol+metaData, recording ``partition_by`` as
     the table's partition columns). Returns the committed version.
@@ -704,21 +738,89 @@ def append_commit(
     additive schema evolution (Delta's mergeSchema): new columns are
     appended to the table schema in the same commit as the data, and
     readers surface them as NULL for pre-evolution files — time
-    travel to an older version still shows the old shape."""
-    spark = df.sparkSession
-    v = log_version(spark, table_path)
-    widened = None
-    if v is not None:
-        widened = _check_append_compat(
-            df, table_path, partition_by, merge_schema=merge_schema
+    travel to an older version still shows the old shape.
+
+    ``txn_app_id`` + ``txn_version`` make the append IDEMPOTENT —
+    Delta's txnAppId/txnVersion writer options, the primitive
+    exactly-once streaming sinks are built on: the commit records a
+    spec ``txn`` action, and a replayed append whose (appId, version)
+    is at or below the table's recorded high-water mark for that app
+    is SKIPPED (returns None, stages no files). A restarted
+    ``foreachBatch`` re-running batch N against a sink that already
+    committed N therefore cannot double-append. Both must be given
+    together; versions must be monotonically increasing per app."""
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError(
+            "txn_app_id and txn_version must be passed together"
         )
-    adds = stage_data_files(df, table_path, partition_by=partition_by)
-    actions = (
-        bootstrap_actions(df, partition_by)
-        if v is None
-        else ([{"metaData": widened}] if widened else [])
-    ) + adds
-    return commit(spark, table_path, actions)
+    spark = df.sparkSession
+    if txn_app_id is None:
+        v = log_version(spark, table_path)
+        widened = None
+        if v is not None:
+            widened = _check_append_compat(
+                df, table_path, partition_by, merge_schema=merge_schema
+            )
+        adds = stage_data_files(df, table_path, partition_by=partition_by)
+        actions = (
+            bootstrap_actions(df, partition_by)
+            if v is None
+            else ([{"metaData": widened}] if widened else [])
+        ) + adds
+        return commit(
+            spark,
+            table_path,
+            actions,
+            operation="CREATE TABLE AS SELECT" if v is None else "WRITE",
+        )
+    # txn path: the skip decision depends on the snapshot read, so the
+    # commit is PINNED to read_version + 1 and a lost race re-reads and
+    # re-decides — two concurrent replays of the same (appId, version)
+    # cannot both land. Data files are staged once and reused across
+    # conflict retries; if a retry discovers the txn already committed,
+    # the now-orphaned staged files are deleted.
+    adds: list[dict] | None = None
+    while True:
+        seen = latest_txn_versions(spark, table_path).get(txn_app_id)
+        if seen is not None and int(txn_version) <= seen:
+            if adds:  # lost the race to our own replay — clean up
+                base = table_path.rstrip("/")
+                fs, jvm = _fs(spark, base)
+                hpath = jvm.org.apache.hadoop.fs.Path
+                for a in adds:
+                    p = hpath(f"{base}/{a['add']['path']}")
+                    if fs.exists(p):
+                        fs.delete(p, False)
+            return None
+        v = log_version(spark, table_path)
+        widened = None
+        if v is not None:
+            widened = _check_append_compat(
+                df, table_path, partition_by, merge_schema=merge_schema
+            )
+        if adds is None:
+            adds = stage_data_files(
+                df, table_path, partition_by=partition_by
+            )
+        actions = (
+            bootstrap_actions(df, partition_by)
+            if v is None
+            else ([{"metaData": widened}] if widened else [])
+        ) + [
+            {"txn": {"appId": txn_app_id, "version": int(txn_version)}}
+        ] + adds
+        try:
+            return commit(
+                spark,
+                table_path,
+                actions,
+                expected_version=0 if v is None else v + 1,
+                operation=(
+                    "CREATE TABLE AS SELECT" if v is None else "WRITE"
+                ),
+            )
+        except CommitConflict:
+            continue  # someone landed a commit — re-read, re-decide
 
 
 def overwrite_commit(
@@ -772,6 +874,7 @@ def overwrite_commit(
         table_path,
         boot + md_action + remove_actions(live, table_path) + adds,
         expected_version=expected,
+        operation="CREATE TABLE AS SELECT" if read_v is None else "WRITE",
     )
 
 
@@ -841,8 +944,68 @@ _CHECKPOINT_DDL = (
     "configuration:map<string,string>,createdTime:bigint>, "
     "add struct<path:string,partitionValues:map<string,string>,"
     "size:bigint,modificationTime:bigint,dataChange:boolean,"
-    "stats:string>"
+    "stats:string>, "
+    "txn struct<appId:string,version:bigint>"
 )
+
+
+def latest_txn_versions(
+    spark: SparkSession, table_path: str
+) -> dict[str, int]:
+    """The highest committed ``txn`` version per application id —
+    Delta's idempotent-writer bookkeeping (spec: "Transaction
+    Identifiers"). Scans the reachable JSON commits, then the newest
+    checkpoint's ``txn`` rows for app ids whose last commit was
+    truncated away (the spec requires checkpoints to carry the latest
+    txn per appId precisely so this survives log cleanup). Driver-side
+    log-text work only; no data files touched."""
+    import re
+
+    base = table_path.rstrip("/")
+    log_dir = base + "/_delta_log"
+    fs, jvm = _fs(spark, log_dir)
+    hlog = jvm.org.apache.hadoop.fs.Path(log_dir)
+    if not fs.exists(hlog):
+        return {}
+    names = [st.getPath().getName() for st in fs.listStatus(hlog)]
+    out: dict[str, int] = {}
+    for v in sorted(
+        int(m.group(1))
+        for n in names
+        if (m := re.fullmatch(r"(\d{20})\.json", n))
+    ):
+        for line in read_commit_text(
+            spark, f"{log_dir}/{v:020d}.json"
+        ).splitlines():
+            if line.strip() and "txn" in (a := json.loads(line)):
+                t = a["txn"]
+                out[t["appId"]] = max(
+                    out.get(t["appId"], -1), int(t["version"])
+                )
+    cps = sorted(
+        (
+            int(m.group(1))
+            for n in names
+            if (m := re.match(r"(\d{20})\.checkpoint", n))
+            and n.endswith(".parquet")
+        ),
+        reverse=True,
+    )
+    if cps:
+        from pyspark.sql import functions as F
+
+        cp = spark.read.parquet(
+            f"{log_dir}/{cps[0]:020d}.checkpoint*.parquet"
+        )
+        if "txn" in cp.columns:
+            for r in (
+                cp.where(F.col("txn").isNotNull()).select("txn").collect()
+            ):
+                t = r["txn"]
+                out[t["appId"]] = max(
+                    out.get(t["appId"], -1), int(t["version"])
+                )
+    return out
 
 
 def write_checkpoint(spark: SparkSession, table_path: str) -> int:
@@ -930,8 +1093,24 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
                 "createdTime": md.get("createdTime"),
             },
             "add": None,
+            "txn": None,
         },
     ]
+    # Latest txn per appId MUST ride the checkpoint (spec: Transaction
+    # Identifiers) or truncate_log would reset every idempotent
+    # writer's high-water mark and replayed batches would double-land.
+    # txn marks are monotone and never consulted by time travel, so an
+    # unpinned scan here is safe — a mark from a commit racing in
+    # above v only makes the replay skip MORE conservative.
+    for app_id, txv in sorted(latest_txn_versions(spark, base).items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "txn": {"appId": app_id, "version": int(txv)},
+            }
+        )
     for rel, a in live.items():
         size = a.get("size")
         mtime = a.get("modificationTime")
@@ -955,6 +1134,7 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
                     "dataChange": a.get("dataChange", True),
                     "stats": a.get("stats"),
                 },
+                "txn": None,
             }
         )
     cp = spark.createDataFrame(rows, _CHECKPOINT_DDL)
@@ -1186,11 +1366,17 @@ def _rewrite_where(
         adds += stage_data_files(
             ins, base, partition_by=part_cols or None
         )
+    op = (
+        "REPLACE WHERE"
+        if extra is not None
+        else ("UPDATE" if transform is not None else "DELETE")
+    )
     return commit(
         spark,
         base,
         remove_actions(affected, base) + adds,
         expected_version=v + 1,
+        operation=op,
     )
 
 
@@ -1327,6 +1513,7 @@ def compact(
             base,
             remove_actions(abs_all, base, data_change=False) + new_adds,
             expected_version=v + 1,
+            operation="OPTIMIZE ZORDER",
         )
     # group small files by partition tuple; unknown sizes (pre-round-8
     # path-only checkpoints) are treated as small so they get healed
@@ -1368,6 +1555,7 @@ def compact(
         base,
         remove_actions(abs_victims, base, data_change=False) + new_adds,
         expected_version=v + 1,
+        operation="OPTIMIZE",
     )
 
 
@@ -1425,7 +1613,10 @@ def restore_to_version(
         actions.append({"add": re_add})
     if not actions:
         return head  # states identical — no empty commit
-    return commit(spark, base, actions, expected_version=head + 1)
+    return commit(
+        spark, base, actions, expected_version=head + 1,
+        operation="RESTORE",
+    )
 
 
 def version_at_timestamp(
@@ -1773,3 +1964,65 @@ def consume_changes(
     if head <= offset:
         return None, offset
     return table_changes(spark, base, offset, to_version=head), head
+
+
+def table_history(spark: SparkSession, table_path: str) -> list[dict]:
+    """DESCRIBE HISTORY for a log-backed table: one entry per
+    surviving JSON commit, newest first — version, commitInfo
+    provenance (operation / timestamp / engine, when the commit
+    carries one; pre-feature or foreign commits render operation
+    None), and add/remove/dataChange action counts. Pure driver-side
+    log-text work, no data files touched. History reaches only as far
+    back as ``truncate_log`` left commits — the same retention
+    horizon delta-spark's DESCRIBE HISTORY has after log cleanup."""
+    import re
+
+    base = table_path.rstrip("/")
+    log_dir = base + "/_delta_log"
+    fs, jvm = _fs(spark, log_dir)
+    hlog = jvm.org.apache.hadoop.fs.Path(log_dir)
+    if not fs.exists(hlog):
+        raise ValueError(f"{table_path} has no transaction log")
+    versions = sorted(
+        (
+            int(m.group(1))
+            for st in fs.listStatus(hlog)
+            if (
+                m := re.fullmatch(
+                    r"(\d{20})\.json", st.getPath().getName()
+                )
+            )
+        ),
+        reverse=True,
+    )
+    out: list[dict] = []
+    for v in versions:
+        entry: dict = {
+            "version": v,
+            "operation": None,
+            "timestamp": None,
+            "engineInfo": None,
+            "n_added": 0,
+            "n_removed": 0,
+            "data_change": False,
+        }
+        text = read_commit_text(spark, f"{log_dir}/{v:020d}.json")
+        for line in text.splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "commitInfo" in action:
+                ci = action["commitInfo"]
+                entry["operation"] = ci.get("operation")
+                entry["timestamp"] = ci.get("timestamp")
+                entry["engineInfo"] = ci.get("engineInfo")
+            elif "add" in action:
+                entry["n_added"] += 1
+                if action["add"].get("dataChange", True):
+                    entry["data_change"] = True
+            elif "remove" in action:
+                entry["n_removed"] += 1
+                if action["remove"].get("dataChange", True):
+                    entry["data_change"] = True
+        out.append(entry)
+    return out

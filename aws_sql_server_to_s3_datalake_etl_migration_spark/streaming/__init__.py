@@ -8,6 +8,7 @@ from .ingest import (
     stream_cdc_to_lake,
     stream_ingest_files,
     stream_append_to_lake,
+    stream_txn_append_to_lake,
     stream_dedup,
     stream_dedup_to_lake,
     stream_enrich,
@@ -31,6 +32,7 @@ __all__ = [
     "stream_rollup_refresh",
     "stream_ingest_files",
     "stream_append_to_lake",
+    "stream_txn_append_to_lake",
     "stream_dedup",
     "stream_dedup_to_lake",
     "stream_enrich",

@@ -75,6 +75,48 @@ def stream_dedup(
         .dropDuplicatesWithinWatermark(key_cols)
 
 
+def stream_txn_append_to_lake(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    app_id: str,
+    available_now: bool = True,
+    partition_by: list[str] | None = None,
+) -> StreamingQuery:
+    """Exactly-once append into a LOG-BACKED Delta table
+    (``sources/delta_log.py``) — the streaming analog of Delta's
+    txnAppId/txnVersion writer options. Each micro-batch commits with
+    a ``txn`` action ``(app_id, batch_id)``; on restart, foreachBatch
+    may re-deliver a batch whose commit already landed (the Spark
+    checkpoint records delivery, not the sink's durability), and the
+    sink's own txn high-water mark skips it instead of double-
+    appending. This makes the SINK idempotent independently of the
+    source checkpoint — the property plain parquet appends via
+    foreachBatch cannot give.
+
+    ``app_id`` must be stable across restarts (a query name, not a
+    run id) and unique per logical stream writing to this table."""
+    from ..sources.delta_log import append_commit
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_commit(
+            batch_df,
+            path,
+            partition_by=partition_by,
+            txn_app_id=app_id,
+            txn_version=int(batch_id),
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_merge_to_lake(
     df: DataFrame,
     path: str,

@@ -362,14 +362,21 @@ def test_compact_bin_packs_small_files_data_unchanged(spark, tmp_path):
     assert len(adds_after) == 1  # tiny total -> one bin
     got = {(r.pk, r.val) for r in read_delta(spark, path).collect()}
     assert got == {(i, i * 2) for i in range(40)}
-    # every action in the compaction commit is dataChange: false
+    # every data action in the compaction commit is dataChange: false;
+    # the only non-data line allowed is the commitInfo provenance row
     log = os.path.join(path, "_delta_log", f"{v:020d}.json")
     with open(log) as fh:
         actions = [json.loads(ln) for ln in fh if ln.strip()]
     assert actions
+    data_actions = 0
     for a in actions:
+        if "commitInfo" in a:
+            assert a["commitInfo"]["operation"] == "OPTIMIZE"
+            continue
         body = a.get("add") or a.get("remove")
         assert body is not None and body["dataChange"] is False
+        data_actions += 1
+    assert data_actions >= 2  # removes + the packed add
     # time travel to pre-compaction still replays the small files
     old = read_delta(spark, path, version=pre_v)
     assert old.count() == 40
@@ -1059,3 +1066,140 @@ def test_overwrite_schema_changes_shape_atomically(spark, tmp_path):
         delta_log.append_commit(
             spark.createDataFrame([(2, "b")], "pk LONG, v STRING"), path
         )
+
+
+def test_table_history_renders_operation_provenance(spark, tmp_path):
+    """DESCRIBE HISTORY: every engine write records a commitInfo line
+    the history renders (operation, timestamp, counts, dataChange);
+    maintenance commits show dataChange=False; replay readers are
+    unaffected by the extra action line."""
+    path = str(tmp_path / "t_hist")
+    delta_log.append_commit(
+        spark.range(0, 10).selectExpr("id AS pk").repartition(2), path
+    )  # v0 CREATE
+    delta_log.append_commit(
+        spark.range(10, 15).selectExpr("id AS pk").coalesce(1), path
+    )  # v1 WRITE
+    delta_log.update_where(
+        spark, path, F.col("pk") == 1, {"pk": F.lit(100)}
+    )  # v2 UPDATE
+    delta_log.delete_where(spark, path, F.col("pk") == 14)  # v3 DELETE
+    delta_log.compact(spark, path)  # v4 OPTIMIZE
+    delta_log.restore_to_version(spark, path, 3)  # v5 RESTORE
+    hist = delta_log.table_history(spark, path)
+    ops = [(h["version"], h["operation"], h["data_change"]) for h in hist]
+    assert ops == [
+        (5, "RESTORE", True),
+        (4, "OPTIMIZE", False),
+        (3, "DELETE", True),
+        (2, "UPDATE", True),
+        (1, "WRITE", True),
+        (0, "CREATE TABLE AS SELECT", True),
+    ]
+    assert all(h["timestamp"] is not None for h in hist)
+    assert hist[1]["n_added"] >= 1 and hist[1]["n_removed"] >= 2
+    # replay still correct with commitInfo lines present
+    got = {r.pk for r in read_delta(spark, path).collect()}
+    assert got == ({100} | set(range(0, 14))) - {1}
+
+
+def test_txn_append_skips_replayed_batches(spark, tmp_path):
+    """Idempotent writes (Delta txnAppId/txnVersion): a replayed
+    (app, version) append is skipped — None returned, no new commit,
+    no new rows — while fresh versions and other apps commit."""
+    path = str(tmp_path / "t_txn")
+    d = lambda lo, hi: spark.range(lo, hi).selectExpr("id AS pk")
+    assert (
+        delta_log.append_commit(
+            d(0, 5), path, txn_app_id="ing", txn_version=0
+        )
+        == 0
+    )
+    assert (
+        delta_log.append_commit(
+            d(5, 10), path, txn_app_id="ing", txn_version=1
+        )
+        == 1
+    )
+    # replay of batch 1 (restart re-delivery): skipped entirely
+    pre = _log_jsons(path)
+    assert (
+        delta_log.append_commit(
+            d(5, 10), path, txn_app_id="ing", txn_version=1
+        )
+        is None
+    )
+    assert _log_jsons(path) == pre
+    # stale replay below the high-water mark: also skipped
+    assert (
+        delta_log.append_commit(
+            d(0, 5), path, txn_app_id="ing", txn_version=0
+        )
+        is None
+    )
+    # fresh batch + a different app id both commit
+    assert (
+        delta_log.append_commit(
+            d(10, 12), path, txn_app_id="ing", txn_version=2
+        )
+        == 2
+    )
+    assert (
+        delta_log.append_commit(
+            d(100, 101), path, txn_app_id="other", txn_version=0
+        )
+        == 3
+    )
+    got = {r.pk for r in read_delta(spark, path).collect()}
+    assert got == set(range(12)) | {100}
+    assert delta_log.latest_txn_versions(spark, path) == {
+        "ing": 2,
+        "other": 0,
+    }
+    with pytest.raises(ValueError):
+        delta_log.append_commit(d(0, 1), path, txn_app_id="ing")
+
+
+def test_txn_high_water_mark_survives_checkpoint_truncation(
+    spark, tmp_path
+):
+    """The spec requires checkpoints to carry the latest txn per
+    appId: after write_checkpoint + truncate_log delete the JSON
+    commits that recorded the txn actions, a replayed batch must STILL
+    be skipped, or every idempotent writer would double-land its last
+    batch after log cleanup."""
+    path = str(tmp_path / "t_txn_cp")
+    d = lambda lo, hi: spark.range(lo, hi).selectExpr("id AS pk")
+    delta_log.append_commit(d(0, 5), path, txn_app_id="a", txn_version=7)
+    delta_log.append_commit(d(5, 8), path, txn_app_id="b", txn_version=2)
+    v = delta_log.write_checkpoint(spark, path)
+    delta_log.truncate_log(spark, path)
+    assert _log_jsons(path) == []  # txn JSON evidence is gone
+    # checkpoint parquet itself carries the txn rows
+    cp = spark.read.parquet(
+        os.path.join(path, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    )
+    txns = {
+        r["txn"]["appId"]: r["txn"]["version"]
+        for r in cp.where(F.col("txn").isNotNull()).collect()
+    }
+    assert txns == {"a": 7, "b": 2}
+    assert delta_log.latest_txn_versions(spark, path) == {"a": 7, "b": 2}
+    # replay of the last pre-truncation batches: still skipped
+    assert (
+        delta_log.append_commit(
+            d(0, 5), path, txn_app_id="a", txn_version=7
+        )
+        is None
+    )
+    # fresh work proceeds, and the next checkpoint keeps both apps
+    assert (
+        delta_log.append_commit(
+            d(8, 9), path, txn_app_id="a", txn_version=8
+        )
+        is not None
+    )
+    assert delta_log.latest_txn_versions(spark, path) == {"a": 8, "b": 2}
+    assert {r.pk for r in read_delta(spark, path).collect()} == set(
+        range(9)
+    )

@@ -967,8 +967,10 @@ def test_delta_log_writer_concurrency_and_time_travel(spark, tmp_path):
         tmp_path / "txn" / "_delta_log" / ("0" * 20 + ".json")
     ).read_text()
     actions = [_json.loads(ln) for ln in log0.splitlines() if ln.strip()]
-    assert actions[0]["protocol"]["minReaderVersion"] == 1
-    meta = actions[1]["metaData"]
+    by_key = {k: a[k] for a in actions for k in a}
+    assert by_key["protocol"]["minReaderVersion"] == 1
+    assert by_key["commitInfo"]["operation"] == "CREATE TABLE AS SELECT"
+    meta = by_key["metaData"]
     assert meta["format"]["provider"] == "parquet"
     assert "pk" in meta["schemaString"] and meta["partitionColumns"] == []
 

@@ -1203,3 +1203,69 @@ def test_stream_vector_ingest_bootstraps_and_appends(spark, tmp_path):
         for r in codes.where("vec_id >= 250").collect()
     }
     assert streamed == direct
+
+
+def test_stream_txn_append_sink_is_idempotent_across_checkpoints(
+    spark, tmp_path
+):
+    """stream_txn_append_to_lake: the SINK's own txn high-water mark
+    dedups re-delivered batches even when the Spark source checkpoint
+    is lost — the failure plain foreachBatch parquet appends cannot
+    survive. Run the same availableNow drain twice with a FRESH
+    checkpoint the second time (batch ids restart at 0, every file
+    re-delivers): row count must not change."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources import (
+        delta_log,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        read_delta,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
+        stream_txn_append_to_lake,
+    )
+
+    src = tmp_path / "txn_landing"
+    src.mkdir()
+    lake = str(tmp_path / "txn_lake")
+    spark.range(0, 20).selectExpr("id AS pk").write.parquet(
+        str(src / "b1")
+    )
+    q = stream_txn_append_to_lake(
+        stream_ingest_files(spark, str(src / "*"), "pk BIGINT"),
+        lake,
+        str(tmp_path / "ckpt1"),
+        app_id="ingest-orders",
+    )
+    q.awaitTermination(120)
+    assert {r.pk for r in read_delta(spark, lake).collect()} == set(
+        range(20)
+    )
+    marks = delta_log.latest_txn_versions(spark, lake)
+    assert marks == {"ingest-orders": 0}
+    # checkpoint lost: fresh drain re-delivers everything as batch 0
+    q2 = stream_txn_append_to_lake(
+        stream_ingest_files(spark, str(src / "*"), "pk BIGINT"),
+        lake,
+        str(tmp_path / "ckpt2"),
+        app_id="ingest-orders",
+    )
+    q2.awaitTermination(120)
+    assert read_delta(spark, lake).count() == 20  # no double-append
+    # new file + the ORIGINAL checkpoint: only the new file lands,
+    # as batch 1 under the same app id
+    spark.range(20, 25).selectExpr("id AS pk").write.parquet(
+        str(src / "b2")
+    )
+    q3 = stream_txn_append_to_lake(
+        stream_ingest_files(spark, str(src / "*"), "pk BIGINT"),
+        lake,
+        str(tmp_path / "ckpt1"),
+        app_id="ingest-orders",
+    )
+    q3.awaitTermination(120)
+    assert {r.pk for r in read_delta(spark, lake).collect()} == set(
+        range(25)
+    )
+    assert delta_log.latest_txn_versions(spark, lake) == {
+        "ingest-orders": 1
+    }
