@@ -45,6 +45,20 @@ partition-prunes at the FILE LIST level (``readers._delta_live_adds``)
 — at 100 TB that is the difference between scanning one date
 partition and scanning the lake.
 
+Concurrent row-level mutations get LOGICAL CONFLICT RESOLUTION
+(write-serializable isolation, the same default delta-spark ships):
+a predicate-scoped UPDATE / DELETE / REPLACE WHERE / OPTIMIZE that
+loses the commit race re-reads the winning commits and REBASES onto
+the new head when they commute — the winners only appended files, or
+removed files disjoint from the loser's rewrite set. Only true
+conflicts abort: a winner that tombstoned a file this transaction
+also rewrites (:class:`ConcurrentDeleteDelete`) or that changed the
+table's metaData/protocol mid-flight
+(:class:`MetadataChangedConflict`). At 100 TB this is the difference
+between "one writer per table" and "one writer per partition":
+backfills on disjoint date ranges commute instead of aborting each
+other.
+
 Idempotent writes ride the spec's ``txn`` action (Transaction
 Identifiers): ``append_commit(txn_app_id=, txn_version=)`` skips a
 replayed (app, version) pair against the table's per-app high-water
@@ -109,6 +123,22 @@ class CommitConflict(Exception):
     """Another writer committed the version this transaction read its
     snapshot at — the caller must re-read and redo its reconciliation
     (the optimistic-concurrency abort path)."""
+
+
+class MetadataChangedConflict(CommitConflict):
+    """A concurrent commit changed the table's metaData or protocol
+    (schema evolution, constraint add/drop, feature upgrade) while
+    this transaction was in flight. Nothing computed against the old
+    metadata is safe to rebase — the delta-spark analogue is
+    ``MetadataChangedException``. Re-read the table and re-run."""
+
+
+class ConcurrentDeleteDelete(CommitConflict):
+    """A concurrent commit tombstoned one of the files this
+    transaction also rewrites — both transactions claimed the same
+    rows, so blindly committing would double-remove the file and lose
+    the winner's rewrite. The delta-spark analogue is
+    ``ConcurrentDeleteDeleteException``. Re-read and re-run."""
 
 
 def commit(
@@ -184,6 +214,91 @@ def commit(
         tmp_p = hpath(tmp)
         if fs.exists(tmp_p):
             fs.delete(tmp_p, False)
+
+
+def _commit_actions(
+    spark: SparkSession, table_path: str, version: int
+) -> list[dict]:
+    """The parsed action list of one committed JSON version."""
+    log_dir = table_path.rstrip("/") + "/_delta_log"
+    text = read_commit_text(spark, f"{log_dir}/{version:020d}.json")
+    return [json.loads(ln) for ln in text.splitlines() if ln.strip()]
+
+
+def commit_with_rebase(
+    spark: SparkSession,
+    table_path: str,
+    actions: list[dict],
+    read_version: int,
+    operation: str | None = None,
+    max_rebases: int = 20,
+) -> int:
+    """Commit a snapshot-dependent action list with LOGICAL CONFLICT
+    RESOLUTION — the write-serializable isolation delta-spark runs by
+    default, instead of aborting on every lost race.
+
+    The transaction read its snapshot at ``read_version`` and its
+    tombstones name exactly the files it rewrites. On losing the
+    ``read_version + 1`` slot, the winning commits are re-read and
+    checked for LOGICAL conflicts:
+
+    - a winner carrying ``metaData`` or ``protocol`` →
+      :class:`MetadataChangedConflict` (our rewrite was computed
+      against dead metadata);
+    - a winner whose ``remove`` set intersects ours →
+      :class:`ConcurrentDeleteDelete` (both claimed the same rows —
+      committing would double-remove the file and silently drop the
+      winner's rewrite of it);
+    - otherwise the winners COMMUTE — they only appended files, or
+      removed files disjoint from our rewrite set — and the same
+      action list is re-pinned onto the new head. The serialization
+      order places this transaction's predicate-scoped rewrite BEFORE
+      the winners' appends (write-serializable: a concurrent append's
+      rows are not rewritten, exactly as delta-spark's default
+      isolation level resolves UPDATE-vs-append races).
+
+    On abort, already-staged data files are left for ``vacuum`` to
+    reclaim — they are never referenced by any commit, so the table
+    stays consistent.
+    """
+    ours_removed = {
+        a["remove"]["path"] for a in actions if "remove" in a
+    }
+    v = read_version
+    for _ in range(max_rebases):
+        try:
+            return commit(
+                spark,
+                table_path,
+                actions,
+                expected_version=v + 1,
+                operation=operation,
+            )
+        except CommitConflict:
+            head = log_version(spark, table_path)
+            if head is None or head <= v:
+                raise  # claim failed but no newer commit: re-raise
+            for wv in range(v + 1, head + 1):
+                for a in _commit_actions(spark, table_path, wv):
+                    if "metaData" in a or "protocol" in a:
+                        raise MetadataChangedConflict(
+                            f"version {wv} of {table_path} changed the "
+                            "table metadata/protocol while this "
+                            "transaction was in flight; re-read and "
+                            "re-run"
+                        )
+                    r = a.get("remove")
+                    if r and r["path"] in ours_removed:
+                        raise ConcurrentDeleteDelete(
+                            f"version {wv} of {table_path} removed "
+                            f"{r['path']}, which this transaction also "
+                            "rewrites; re-read and re-run"
+                        )
+            v = head  # winners commute — rebase onto the new head
+    raise CommitConflict(
+        f"gave up rebasing onto {table_path} after {max_rebases} "
+        "conflicting commits (pathological mutation contention)"
+    )
 
 
 def bootstrap_actions(
@@ -1293,9 +1408,14 @@ def _rewrite_where(
     their matching rows are dropped or transformed); every other live
     file is untouched — at 100 TB a predicate hitting one partition
     rewrites that partition, not the lake. The tombstones + new adds
-    land in ONE commit pinned to the snapshot version read
-    (optimistic concurrency: a racing writer raises
-    :class:`CommitConflict` instead of silently losing rows).
+    land in ONE commit pinned to the snapshot version read, with
+    LOGICAL CONFLICT RESOLUTION on a lost race
+    (:func:`commit_with_rebase`): concurrent appends and rewrites of
+    DISJOINT files rebase and commute — two backfills on different
+    date partitions both land — while a concurrent rewrite of the
+    SAME file aborts with :class:`ConcurrentDeleteDelete` and a
+    mid-flight schema change with :class:`MetadataChangedConflict`,
+    exactly delta-spark's write-serializable default.
 
     ``extra`` (replaceWhere) stages additional rows into the SAME
     commit — delete-matching plus insert-replacement is one atomic
@@ -1371,11 +1491,11 @@ def _rewrite_where(
         if extra is not None
         else ("UPDATE" if transform is not None else "DELETE")
     )
-    return commit(
+    return commit_with_rebase(
         spark,
         base,
         remove_actions(affected, base) + adds,
-        expected_version=v + 1,
+        read_version=v,
         operation=op,
     )
 
@@ -1508,11 +1628,11 @@ def compact(
         n_bins = max(1, math.ceil(total / target_file_bytes))
         arranged = zorder_arrange(df, list(zorder_by), n_bins)
         new_adds = stage_data_files(arranged, base, data_change=False)
-        return commit(
+        return commit_with_rebase(
             spark,
             base,
             remove_actions(abs_all, base, data_change=False) + new_adds,
-            expected_version=v + 1,
+            read_version=v,
             operation="OPTIMIZE ZORDER",
         )
     # group small files by partition tuple; unknown sizes (pre-round-8
@@ -1550,11 +1670,11 @@ def compact(
     new_adds = stage_data_files(
         df, base, partition_by=part_cols or None, data_change=False
     )
-    return commit(
+    return commit_with_rebase(
         spark,
         base,
         remove_actions(abs_victims, base, data_change=False) + new_adds,
-        expected_version=v + 1,
+        read_version=v,
         operation="OPTIMIZE",
     )
 

@@ -507,10 +507,27 @@ def read_delta(
                     )
                     filtered_empty = True
             if not filtered_empty:
-                raise ValueError(
-                    f"Delta table at {path} has no live files (all "
-                    "removed); refusing to scan dead data files"
+                # a table whose every row was deleted is EMPTY, not
+                # broken — delta-spark returns zero rows with the
+                # metaData schema, and so do we (the schemaString is
+                # always reachable: commit 0 or a spec-complete
+                # checkpoint carries it)
+                from pyspark.sql.types import StructType
+
+                from .delta_log import latest_metadata
+
+                md = latest_metadata(spark, path, version=version)
+                if md is None:
+                    raise ValueError(
+                        f"Delta table at {path} has no live files and "
+                        "no reachable metaData; cannot reconstruct "
+                        "even an empty snapshot"
+                    )
+                df = spark.createDataFrame(
+                    [],
+                    StructType.fromJson(json.loads(md["schemaString"])),
                 )
+                filtered_empty = True
         else:
             # basePath keeps Hive-style partition columns visible when
             # the live files sit under key=value directories; harmless

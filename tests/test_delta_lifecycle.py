@@ -1203,3 +1203,119 @@ def test_txn_high_water_mark_survives_checkpoint_truncation(
     assert {r.pk for r in read_delta(spark, path).collect()} == set(
         range(9)
     )
+
+
+def _live_by_partition(spark, path: str, col: str) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for rel, a in (_delta_live_adds(spark, path) or {}).items():
+        out.setdefault((a.get("partitionValues") or {}).get(col), []).append(rel)
+    return out
+
+
+def test_disjoint_mutations_rebase_and_commute(spark, tmp_path):
+    """Logical conflict resolution: a predicate-scoped rewrite that
+    loses the commit race to a winner touching DISJOINT files rebases
+    onto the new head and lands — two backfills on different
+    partitions commute instead of aborting each other."""
+    path = str(tmp_path / "t_rebase")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b") for i in range(100)], "pk LONG, p STRING"
+    )
+    delta_log.append_commit(df.repartition(2, "p"), path, partition_by=["p"])
+    v = delta_log.log_version(spark, path)
+    # writer A: computed a rewrite of partition a at snapshot v...
+    a_files = _live_by_partition(spark, path, "p")["a"]
+    repl = spark.createDataFrame(
+        [(i, "a") for i in range(1000, 1010)], "pk LONG, p STRING"
+    )
+    a_actions = delta_log.remove_actions(
+        [f"{path}/{rel}" for rel in a_files], path
+    ) + delta_log.stage_data_files(repl, path, partition_by=["p"])
+    # ...but a winner lands first: DELETE of partition b
+    delta_log.delete_where(spark, path, F.col("p") == "b")
+    assert delta_log.log_version(spark, path) == v + 1
+    # A's pinned commit at v+1 is taken; the rebase commits at v+2
+    got_v = delta_log.commit_with_rebase(
+        spark, path, a_actions, read_version=v, operation="UPDATE"
+    )
+    assert got_v == v + 2
+    rows = {(r.pk, r.p) for r in read_delta(spark, path).collect()}
+    assert rows == {(i, "a") for i in range(1000, 1010)}
+    hist = delta_log.table_history(spark, path)
+    assert [h["operation"] for h in hist[:2]] == ["UPDATE", "DELETE"]
+
+
+def test_same_file_rewrite_raises_concurrent_delete_delete(
+    spark, tmp_path
+):
+    """A winner that tombstoned a file this transaction also rewrites
+    is a TRUE conflict: rebasing would double-remove the file and
+    silently drop the winner's rewrite — typed abort instead."""
+    path = str(tmp_path / "t_dd")
+    delta_log.append_commit(
+        spark.range(0, 10).selectExpr("id AS pk").coalesce(1), path
+    )
+    v = delta_log.log_version(spark, path)
+    live = list(_delta_live_adds(spark, path))
+    actions = delta_log.remove_actions(
+        [f"{path}/{rel}" for rel in live], path
+    ) + delta_log.stage_data_files(
+        spark.range(50, 55).selectExpr("id AS pk"), path
+    )
+    # winner rewrites the SAME file (update touches every live file)
+    delta_log.update_where(
+        spark, path, F.col("pk") == 3, {"pk": F.lit(300)}
+    )
+    with pytest.raises(delta_log.ConcurrentDeleteDelete):
+        delta_log.commit_with_rebase(
+            spark, path, actions, read_version=v
+        )
+    # winner's rewrite survived untouched
+    assert {r.pk for r in read_delta(spark, path).collect()} == (
+        set(range(10)) - {3}
+    ) | {300}
+
+
+def test_metadata_change_aborts_rebase(spark, tmp_path):
+    """A mid-flight metaData/protocol commit (constraint add, schema
+    evolution) invalidates anything computed against the old
+    metadata: typed MetadataChangedConflict, never a silent rebase."""
+    path = str(tmp_path / "t_md")
+    delta_log.append_commit(
+        spark.range(0, 10).selectExpr("id AS pk").coalesce(1), path
+    )
+    v = delta_log.log_version(spark, path)
+    actions = delta_log.stage_data_files(
+        spark.range(10, 15).selectExpr("id AS pk"), path
+    )
+    delta_log.add_check_constraint(spark, path, "pk_nonneg", "pk >= 0")
+    with pytest.raises(delta_log.MetadataChangedConflict):
+        delta_log.commit_with_rebase(
+            spark, path, actions, read_version=v
+        )
+
+
+def test_threaded_disjoint_deletes_both_land(spark, tmp_path):
+    """End-to-end under a real race: two DELETEs on disjoint
+    partitions run concurrently; whichever loses the commit slot
+    rebases (disjoint rewrite sets commute) and BOTH land."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t_race")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)],
+        "pk LONG, p STRING",
+    )
+    delta_log.append_commit(df.repartition(2, "p"), path, partition_by=["p"])
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fa = ex.submit(
+            delta_log.delete_where, spark, path, F.col("p") == "a"
+        )
+        fb = ex.submit(
+            delta_log.delete_where, spark, path, F.col("p") == "b"
+        )
+        va, vb = fa.result(120), fb.result(120)
+    assert sorted([va, vb]) == [1, 2]
+    assert read_delta(spark, path).count() == 0
+    # and time travel still sees both intermediate states
+    assert read_delta(spark, path, version=0).count() == 100

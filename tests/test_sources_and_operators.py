@@ -319,7 +319,8 @@ def test_read_delta_fallback_replays_transaction_log(spark, tmp_path):
     with pytest.raises(ValueError, match="cannot time-travel"):
         read_delta(spark, str(plain), version=0)
 
-    # fully-deleted table -> loud refusal, not a scan of dead files
+    # fully-deleted table: this FOREIGN log carries no metaData, so
+    # even the empty snapshot's schema is unknowable -> loud refusal
     (log / f"{3:020d}.json").write_text(
         "\n".join(
             _json.dumps({"remove": {"path": p, "dataChange": True}})
@@ -330,6 +331,22 @@ def test_read_delta_fallback_replays_transaction_log(spark, tmp_path):
         read_delta(spark, str(path))
     # ...but time travel to a pre-delete version still reads it
     assert read_delta(spark, str(path), version=2).count() == 25
+
+    # an ENGINE-written table always has reachable metaData: deleting
+    # every row yields an EMPTY frame with the table schema (delta-
+    # spark semantics), not an error
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources import (
+        delta_log as _dl,
+    )
+
+    empty_t = str(tmp_path / "emptied")
+    _dl.append_commit(
+        spark.range(3).selectExpr("id AS pk", "id * 2 AS v"), empty_t
+    )
+    _dl.delete_where(spark, empty_t, F.lit(True))
+    emptied = read_delta(spark, empty_t)
+    assert emptied.count() == 0
+    assert [f.name for f in emptied.schema.fields] == ["pk", "v"]
 
 
 def test_read_delta_checkpoint_honors_remove_tombstones(spark, tmp_path):
