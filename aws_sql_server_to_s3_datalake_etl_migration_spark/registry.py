@@ -114,8 +114,10 @@ def oracles() -> dict[str, str]:
 # (predicate UPDATE/DELETE, OPTIMIZE bin-packing + ZORDER, RESTORE,
 # Change Data Feed, CDF-incremental view refresh, footer-stats data
 # skipping, additive schema evolution — each value-checked
-# end-to-end) — plus doc_tfidf_topterm_pairs and
-# referential_integrity_audit. The full list with positions is
+# end-to-end) — plus doc_tfidf_topterm_pairs,
+# referential_integrity_audit, and orders_delta_clone_divergence
+# (round-8 SHALLOW CLONE: one hash proves zero-copy clone + source
+# intact + clone diverged). The full list with positions is
 # CATALOG.md (entries past position 50).
 _PRIORITY: tuple[str, ...] = (
     # §2 core: flagship ingest, scans, incremental/merge, recon

@@ -419,21 +419,28 @@ def _scan_declared(
     ``keep_file_col`` appends a ``_file`` column (source file path,
     captured from ``_metadata`` BEFORE the projection — the hidden
     column doesn't survive a select)."""
-    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    reader = spark.read.option("basePath", base)
+    from .readers import _scan_parquet_rooted
+
+    fcol = "_file" if keep_file_col else None
     if md and md.get("schemaString"):
         full = T.StructType.fromJson(json.loads(md["schemaString"]))
         parts = set(md.get("partitionColumns") or [])
         data_fields = [f for f in full.fields if f.name not in parts]
-        df = reader.schema(T.StructType(data_fields)).parquet(*files)
+        df = _scan_parquet_rooted(
+            spark,
+            base,
+            files,
+            schema=T.StructType(data_fields),
+            file_col=fcol,
+        )
         cols = [f.name for f in full.fields]
     else:
-        df = reader.parquet(*files)
-        cols = df.columns
+        df = _scan_parquet_rooted(spark, base, files, file_col=fcol)
+        cols = [c for c in df.columns if c != "_file"]
     if keep_file_col:
-        return df.withColumn("_file", F.col("_metadata.file_path")).select(
+        return df.select(
             *cols, "_file"
         )
     return df.select(*cols)
@@ -515,6 +522,14 @@ def stage_data_files(
         adds.append({"add": add})
     fs.delete(hpath(tmp_dir), True)
     return adds
+
+
+def abs_data_path(base: str, p: str) -> str:
+    """Resolve a Delta add/remove path against the table root. The
+    spec allows RELATIVE paths (every file this engine stages) or
+    ABSOLUTE URIs — which :func:`clone_table` commits use to reference
+    the source table's files without copying a byte."""
+    return p if p.startswith("/") or "://" in p else f"{base}/{p}"
 
 
 def remove_actions(
@@ -1162,7 +1177,7 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
                 f"{table_path} has no reachable metaData and no live "
                 "files; cannot reconstruct a checkpoint"
             )
-        files = [f"{base}/{rel}" for rel in live]
+        files = [abs_data_path(base, rel) for rel in live]
         md = {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
@@ -1232,7 +1247,7 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
         if size is None or mtime is None:
             # pre-round-8 path-only checkpoint state: recover the stat
             # from the filesystem so the new checkpoint is full-field
-            st = fs.getFileStatus(hpath(f"{base}/{rel}"))
+            st = fs.getFileStatus(hpath(abs_data_path(base, rel)))
             size = int(st.getLen()) if size is None else size
             mtime = (
                 int(st.getModificationTime()) if mtime is None else mtime
@@ -1363,7 +1378,13 @@ def vacuum(
     The default (1 h) covers both for any sane commit latency;
     production deployments pass hours-to-days (Delta defaults to 7
     days). 0 remains available as an EXPLICIT override for tests and
-    strictly single-process pipelines, where neither race exists."""
+    strictly single-process pipelines, where neither race exists.
+
+    Shallow clones (:func:`clone_table`) reference this table's files
+    by absolute path without appearing in its log — a vacuum here can
+    break them, the same caveat delta-spark documents. Vacuuming the
+    CLONE is always safe: only files under the clone's own root are
+    candidates."""
     from .readers import _delta_live_adds
 
     base = table_path.rstrip("/")
@@ -1444,8 +1465,13 @@ def _rewrite_where(
     if live:
         df = _scan_declared(spark, base, live, md, keep_file_col=True)
         # _metadata.file_path is scheme-qualified; live paths are not
-        # — match on the relative suffix, unique within the table
-        rel_of = {f: f[len(base) + 1:] for f in live}
+        # — match on the relative suffix, unique within the table.
+        # Shallow-cloned files are ABSOLUTE paths outside the root:
+        # their leading "/" is the match boundary instead.
+        rel_of = {
+            f: (f[len(base) + 1:] if f.startswith(base + "/") else f)
+            for f in live
+        }
         hit_files = [
             r["_file"]
             for r in df.where(condition)
@@ -1456,7 +1482,12 @@ def _rewrite_where(
         affected = [
             f
             for f in live
-            if any(h.endswith("/" + rel_of[f]) for h in hit_files)
+            if any(
+                h.endswith(rel_of[f])
+                if rel_of[f].startswith("/")
+                else h.endswith("/" + rel_of[f])
+                for h in hit_files
+            )
         ]
     if not affected and extra is None:
         return v
@@ -1622,7 +1653,7 @@ def compact(
             return None
         from ..operators.maintenance import zorder_arrange
 
-        abs_all = [f"{base}/{rel}" for rel in adds]
+        abs_all = [abs_data_path(base, rel) for rel in adds]
         df = _scan_declared(spark, base, abs_all, md0)
         total = sum(int(a.get("size") or 0) for a in adds.values())
         n_bins = max(1, math.ceil(total / target_file_bytes))
@@ -1655,7 +1686,7 @@ def compact(
         return None
     md = latest_metadata(spark, base) or {}
     part_cols = list(md.get("partitionColumns") or [])
-    abs_victims = [f"{base}/{rel}" for rel, _ in victims]
+    abs_victims = [abs_data_path(base, rel) for rel, _ in victims]
     df = _scan_declared(spark, base, abs_victims, md)
     total = sum(size for _, size in victims)
     n_bins = max(1, math.ceil(total / target_file_bytes))
@@ -1710,14 +1741,16 @@ def restore_to_version(
         return head
     want = _delta_live_adds(spark, base, version=version) or {}
     have = _delta_live_adds(spark, base) or {}
-    to_remove = [f"{base}/{rel}" for rel in have if rel not in want]
+    to_remove = [
+        abs_data_path(base, rel) for rel in have if rel not in want
+    ]
     to_readd = [want[rel] for rel in want if rel not in have]
     fs, jvm = _fs(spark, base)
     hpath = jvm.org.apache.hadoop.fs.Path
     missing = [
         a["path"]
         for a in to_readd
-        if not fs.exists(hpath(f"{base}/{a['path']}"))
+        if not fs.exists(hpath(abs_data_path(base, a["path"])))
     ]
     if missing:
         raise ValueError(
@@ -1960,7 +1993,7 @@ def fsck(spark: SparkSession, table_path: str) -> dict:
         report["missing_files"] = [
             rel
             for rel in adds
-            if not fs.exists(hpath(f"{base}/{rel}"))
+            if not fs.exists(hpath(abs_data_path(base, rel)))
         ]
         if report["missing_files"]:
             report["errors"].append(
@@ -2146,3 +2179,102 @@ def table_history(spark: SparkSession, table_path: str) -> list[dict]:
                     entry["data_change"] = True
         out.append(entry)
     return out
+
+
+def clone_table(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    version: int | None = None,
+) -> int:
+    """SHALLOW CLONE: create a new table whose version 0 references
+    the source's live data files by ABSOLUTE path — zero data copied,
+    pure metadata work (one commit of KBs), finished in seconds on a
+    100 TB source. The delta-spark analogue is ``CREATE TABLE ...
+    SHALLOW CLONE src [VERSION AS OF v]``; the spec hook is that
+    ``add.path`` may be an absolute URI instead of a relative one.
+
+    The clone is a fully independent table from that instant:
+
+    - its metaData gets a FRESH table id (same schema, partitioning,
+      configuration — constraints ride along);
+    - appends stage new files INSIDE the clone root; UPDATE / DELETE /
+      MERGE copy-on-write rewrite materializes only the touched
+      files into the clone — the source is never written;
+    - time travel on the clone reaches back to the clone point
+      (version 0), not into the source's history, exactly like
+      delta-spark;
+    - ``vacuum`` on the clone only reclaims files under the clone
+      root, never the referenced source files.
+
+    CAVEAT (same as delta-spark's): a ``vacuum`` on the SOURCE that
+    reclaims files the clone still references breaks the clone —
+    shallow clones borrow the source's retention. ``fsck`` on the
+    clone reports such missing files.
+
+    ``version`` clones the source AS OF that version (a cheap way to
+    pin a training-data snapshot or stage a backfill experiment).
+    Returns the clone's version (always 0).
+    """
+    from .readers import _delta_live_adds
+
+    src = source_path.rstrip("/")
+    dst = target_path.rstrip("/")
+    if log_version(spark, dst) is not None:
+        raise ValueError(f"{target_path} is already a Delta table")
+    adds_map = _delta_live_adds(spark, src, version=version)
+    if adds_map is None:
+        raise ValueError(f"{source_path} has no transaction log")
+    md = latest_metadata(spark, src, version=version)
+    if md is None:
+        raise ValueError(
+            f"{source_path} has no reachable metaData; cannot clone"
+        )
+    new_md = dict(md)
+    new_md["id"] = str(uuid.uuid4())
+    new_md["createdTime"] = int(time.time() * 1000)
+    actions: list[dict] = [
+        {"protocol": _latest_protocol(spark, src)},
+        {"metaData": new_md},
+    ]
+    for rel, a in adds_map.items():
+        aa = dict(a)
+        aa["path"] = abs_data_path(src, rel)
+        aa["dataChange"] = True  # rows are new TO THE CLONE
+        actions.append({"add": aa})
+    return commit(
+        spark, dst, actions, expected_version=0, operation="CLONE"
+    )
+
+
+def table_detail(spark: SparkSession, table_path: str) -> dict:
+    """DESCRIBE DETAIL for a log-backed table: one dict of snapshot
+    facts — version, numFiles, sizeInBytes (from the add actions'
+    recorded sizes — no data file is opened), partition columns,
+    table id / createdTime / configuration from metaData, and the
+    protocol versions. Pure driver-side metadata work, seconds at
+    100 TB; the shape mirrors delta-spark's ``DESCRIBE DETAIL``."""
+    from .readers import _delta_live_adds
+
+    base = table_path.rstrip("/")
+    v = log_version(spark, base)
+    if v is None:
+        raise ValueError(f"{table_path} has no transaction log")
+    adds = _delta_live_adds(spark, base) or {}
+    md = latest_metadata(spark, base) or {}
+    proto = _latest_protocol(spark, base)
+    return {
+        "format": (md.get("format") or {}).get("provider", "parquet"),
+        "id": md.get("id"),
+        "location": base,
+        "createdTime": md.get("createdTime"),
+        "partitionColumns": list(md.get("partitionColumns") or []),
+        "configuration": dict(md.get("configuration") or {}),
+        "version": v,
+        "numFiles": len(adds),
+        "sizeInBytes": sum(
+            int(a["size"]) for a in adds.values() if a.get("size")
+        ),
+        "minReaderVersion": proto.get("minReaderVersion"),
+        "minWriterVersion": proto.get("minWriterVersion"),
+    }

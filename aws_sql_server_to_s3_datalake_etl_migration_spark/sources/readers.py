@@ -367,10 +367,67 @@ def _delta_live_files(
         return None
     base = path.rstrip("/")
     return [
-        f"{base}/{p}"
+        _abs_add_path(base, p)
         for p, a in adds.items()
         if not stats_filter or _stats_admit(a, stats_filter)
     ]
+
+
+def _abs_add_path(base: str, p: str) -> str:
+    """Resolve a Delta add/remove path. The spec allows RELATIVE paths
+    (inside the table root — every file this engine stages) or
+    ABSOLUTE URIs — which SHALLOW CLONE commits use to reference the
+    source table's files without copying a byte."""
+    return p if p.startswith("/") or "://" in p else f"{base}/{p}"
+
+
+def _hive_root(f: str) -> str:
+    """The partition root of a data file path: everything above its
+    trailing ``key=value`` directory chain. For unpartitioned layouts
+    this is just the file's directory. Used as the per-group basePath
+    when a snapshot mixes files from several roots (shallow clones)."""
+    parts = f.split("/")
+    j = len(parts) - 1  # filename index
+    while j > 0 and re.fullmatch(r"[^/=]+=[^/]*", parts[j - 1]):
+        j -= 1
+    return "/".join(parts[:j]).rstrip("/") or "/"
+
+
+def _scan_parquet_rooted(
+    spark: SparkSession,
+    base: str,
+    files: list[str],
+    schema=None,
+    file_col: str | None = None,
+) -> DataFrame:
+    """basePath-aware parquet scan that tolerates live files OUTSIDE
+    the table root (shallow-clone absolute adds). Files under ``base``
+    scan with ``basePath=base`` as one group; foreign files group by
+    their own Hive partition root — each group keeps its partition
+    columns via directory discovery — and the groups union by name.
+    One group (the overwhelmingly common case) is exactly the old
+    single scan. ``file_col`` captures ``_metadata.file_path`` into a
+    real column PER GROUP — the pseudo-column does not resolve through
+    a union."""
+    prefix = base.rstrip("/") + "/"
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        root = base if f.startswith(prefix) else _hive_root(f)
+        groups.setdefault(root, []).append(f)
+    out = None
+    for root in sorted(groups):
+        reader = spark.read.option("basePath", root)
+        if schema is not None:
+            reader = reader.schema(schema)
+        part = reader.parquet(*groups[root])
+        if file_col:
+            part = part.withColumn(
+                file_col, F.col("_metadata.file_path")
+            )
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
+    return out
 
 
 def _read_live_with_declared_schema(
@@ -397,18 +454,19 @@ def _read_live_with_declared_schema(
         md = latest_metadata(spark, base, version=version)
     except Exception:
         md = None
-    reader = spark.read.option("basePath", base)
     if md and md.get("schemaString"):
         from pyspark.sql import types as T
 
         full = T.StructType.fromJson(json.loads(md["schemaString"]))
         part_cols = set(md.get("partitionColumns") or [])
         data_fields = [f for f in full.fields if f.name not in part_cols]
-        df = reader.schema(T.StructType(data_fields)).parquet(*files)
+        df = _scan_parquet_rooted(
+            spark, base, files, schema=T.StructType(data_fields)
+        )
         # partition columns come back via directory discovery; select
         # restores the declared field order for a stable shape
         return df.select(*[f.name for f in full.fields])
-    return reader.parquet(*files)
+    return _scan_parquet_rooted(spark, base, files)
 
 
 def read_delta(

@@ -2280,6 +2280,75 @@ def orders_delta_compact_restore_roundtrip(
     return read_delta(spark, path).select(*cols)
 
 
+@register(
+    "orders_delta_clone_divergence",
+    """
+    SELECT 'source' AS side, o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT 'clone', o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100
+                ELSE o_totalprice END
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    """,
+)
+def orders_delta_clone_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHALLOW CLONE under the value check (sources/delta_log.py
+    clone_table): a partitioned log-backed orders table is cloned
+    metadata-only — version 0 of the clone references the source's
+    files by absolute path, zero bytes copied — then the CLONE alone
+    is mutated (UPDATE +100 on the %5 keys, DELETE of the 'P'
+    partition). The result unions both tables tagged by side, so ONE
+    value hash proves the divergence contract end to end: the clone
+    carries the mutations (copy-on-write materialized only the files
+    it touched, into the clone root), and the source is bit-identical
+    to the original orders — a zero-copy experiment sandbox over a
+    100 TB lake, priced at one KB-sized commit. Reruns converge via
+    log-version guards."""
+    import os
+
+    from .sources import delta_log
+    from .sources.readers import read_delta
+    from .sources.writers import write_delta_append
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    src = os.path.join(repo_root, ".lake_cache", f"delta_clone_src_{tag}")
+    dst = os.path.join(repo_root, ".lake_cache", f"delta_clone_dst_{tag}")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    if delta_log.log_version(spark, src) is None:
+        write_delta_append(
+            _t(spark, sf_dir, "orders")
+            .select(*cols)
+            .repartition(3, "o_orderstatus"),
+            src,
+            partition_by=["o_orderstatus"],
+        )
+    if delta_log.log_version(spark, dst) is None:
+        delta_log.clone_table(spark, src, dst)
+    if (delta_log.log_version(spark, dst) or 0) < 2:
+        delta_log.update_where(
+            spark,
+            dst,
+            F.col("o_orderkey") % 5 == 0,
+            {"o_totalprice": F.col("o_totalprice") + 100},
+        )
+        delta_log.delete_where(
+            spark, dst, F.col("o_orderstatus") == F.lit("P")
+        )
+    source = read_delta(spark, src).select(
+        F.lit("source").alias("side"), *cols
+    )
+    clone = read_delta(spark, dst).select(
+        F.lit("clone").alias("side"), *cols
+    )
+    return source.unionByName(clone)
+
+
 # ---------------------------------------------------------------------------
 # Referential-integrity audit (round 8)
 # ---------------------------------------------------------------------------

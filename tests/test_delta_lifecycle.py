@@ -1319,3 +1319,131 @@ def test_threaded_disjoint_deletes_both_land(spark, tmp_path):
     assert read_delta(spark, path).count() == 0
     # and time travel still sees both intermediate states
     assert read_delta(spark, path, version=0).count() == 100
+
+
+def _data_files_under(path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        if "_delta_log" in root:
+            continue
+        out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
+    """SHALLOW CLONE: version 0 of the clone references the source's
+    files by absolute path — zero bytes copied — and from that instant
+    the tables diverge independently; mutations on the clone
+    copy-on-write materialize into the CLONE root only."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b") for i in range(100)], "pk LONG, p STRING"
+    )
+    delta_log.append_commit(df.repartition(2, "p"), src, partition_by=["p"])
+    delta_log.append_commit(
+        spark.createDataFrame([(100, "a")], "pk LONG, p STRING"),
+        src,
+        partition_by=["p"],
+    )
+    assert delta_log.clone_table(spark, src, dst) == 0
+    # zero copy: no data files under the clone root
+    assert _data_files_under(dst) == []
+    assert read_delta(spark, dst).count() == 101
+    d_src = delta_log.table_detail(spark, src)
+    d_dst = delta_log.table_detail(spark, dst)
+    assert d_dst["numFiles"] == d_src["numFiles"]
+    assert d_dst["sizeInBytes"] == d_src["sizeInBytes"]
+    assert d_dst["partitionColumns"] == ["p"]
+    assert d_dst["id"] != d_src["id"]  # fresh table identity
+    # partition pruning still works through absolute adds
+    assert read_delta(
+        spark, dst, partition_filter={"p": "b"}
+    ).count() == 50
+    # append lands inside the clone only
+    delta_log.append_commit(
+        spark.createDataFrame([(200, "b")], "pk LONG, p STRING"),
+        dst,
+        partition_by=["p"],
+    )
+    assert read_delta(spark, dst).count() == 102
+    assert read_delta(spark, src).count() == 101
+    # copy-on-write DELETE on the clone: source untouched, the
+    # rewritten partition materializes under the clone root
+    delta_log.delete_where(spark, dst, F.col("p") == "a")
+    assert read_delta(spark, dst).count() == 51
+    assert read_delta(spark, src).count() == 101
+    assert all(dst in f for f in _data_files_under(dst))
+    # vacuum on the clone must NEVER reclaim source files
+    delta_log.vacuum(spark, dst, min_age_seconds=0)
+    assert read_delta(spark, src).count() == 101
+    # clone history starts at the clone point
+    hist = delta_log.table_history(spark, dst)
+    assert hist[-1]["operation"] == "CLONE"
+
+
+def test_shallow_clone_as_of_version_pins_snapshot(spark, tmp_path):
+    """CLONE VERSION AS OF: the clone captures the source at the
+    pinned version — later source commits are invisible to it."""
+    src = str(tmp_path / "src_v")
+    dst = str(tmp_path / "dst_v")
+    delta_log.append_commit(
+        spark.range(0, 10).selectExpr("id AS pk"), src
+    )
+    delta_log.append_commit(
+        spark.range(10, 30).selectExpr("id AS pk"), src
+    )
+    delta_log.clone_table(spark, src, dst, version=0)
+    assert {r.pk for r in read_delta(spark, dst).collect()} == set(
+        range(10)
+    )
+    # UPDATE through the clone's absolute adds round-trips
+    delta_log.update_where(
+        spark, dst, F.col("pk") == 3, {"pk": F.lit(300)}
+    )
+    assert {r.pk for r in read_delta(spark, dst).collect()} == (
+        set(range(10)) - {3}
+    ) | {300}
+    assert {r.pk for r in read_delta(spark, src).collect()} == set(
+        range(30)
+    )
+    with pytest.raises(ValueError):
+        delta_log.clone_table(spark, src, dst)  # dst already a table
+
+
+def test_vacuum_on_source_breaks_clone_and_fsck_reports_it(
+    spark, tmp_path
+):
+    """The documented shallow-clone caveat: the clone borrows the
+    source's retention, so a source-side DELETE + vacuum that reclaims
+    a referenced file leaves the clone with a dangling add — fsck on
+    the clone must report it as missing."""
+    src = str(tmp_path / "src_b")
+    dst = str(tmp_path / "dst_b")
+    delta_log.append_commit(
+        spark.range(0, 10).selectExpr("id AS pk").coalesce(1), src
+    )
+    delta_log.clone_table(spark, src, dst)
+    delta_log.delete_where(spark, src, F.lit(True))
+    delta_log.vacuum(spark, src, min_age_seconds=0)
+    report = delta_log.fsck(spark, dst)
+    assert not report["ok"]
+    assert len(report["missing_files"]) == 1
+
+
+def test_table_detail_tracks_snapshot_facts(spark, tmp_path):
+    """DESCRIBE DETAIL: numFiles/sizeInBytes/version track the live
+    snapshot across mutations without opening a data file."""
+    path = str(tmp_path / "t_detail")
+    delta_log.append_commit(
+        spark.range(0, 100).selectExpr("id AS pk").repartition(4), path
+    )
+    d0 = delta_log.table_detail(spark, path)
+    assert d0["version"] == 0 and d0["numFiles"] == 4
+    assert d0["sizeInBytes"] > 0 and d0["format"] == "parquet"
+    assert d0["minReaderVersion"] == 1
+    delta_log.delete_where(spark, path, F.col("pk") < 50)
+    d1 = delta_log.table_detail(spark, path)
+    assert d1["version"] == 1
+    assert d1["numFiles"] <= d0["numFiles"]
+    assert d1["sizeInBytes"] < d0["sizeInBytes"]
