@@ -117,7 +117,9 @@ def oracles() -> dict[str, str]:
 # end-to-end) — plus doc_tfidf_topterm_pairs,
 # referential_integrity_audit, and orders_delta_clone_divergence
 # (round-8 SHALLOW CLONE: one hash proves zero-copy clone + source
-# intact + clone diverged). The full list with positions is
+# intact + clone diverged), doc_boilerplate_coverage (cross-corpus
+# template 5-gram filter) and doc_bpe_pair_counts (vocab-sized BPE
+# merge-candidate counts). The full list with positions is
 # CATALOG.md (entries past position 50).
 _PRIORITY: tuple[str, ...] = (
     # §2 core: flagship ingest, scans, incremental/merge, recon

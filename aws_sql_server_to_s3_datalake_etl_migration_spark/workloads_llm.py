@@ -1737,9 +1737,17 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine >= 0.93 pairs, connected components, min-id survivor per
     semantic group. Semantics are pytest-verified
     (test_llm_operators.test_semantic_dedup_keeps_one_per_near_identical_group);
-    this entry exercises the full distributed path on real vectors."""
+    this entry exercises the full distributed path on real vectors.
+
+    ``n_cells`` grows with the corpus (~250 vectors per cell) — the
+    knob SemDeDup itself exposes: per-cell pair work is quadratic in
+    cell size, so FIXED cells turn a 3x corpus into ~9x pair work
+    (the scaling probe caught exactly that); cells of constant size
+    keep the candidate stage linear in n."""
+    embs = _embs(spark, sf_dir)
+    n_cells = max(8, -(-embs.count() // 250))
     return similarity.semantic_dedup(
-        _embs(spark, sf_dir), threshold=0.93, n_cells=8
+        embs, threshold=0.93, n_cells=n_cells
     ).select("vec_id", "semantic_cluster", "keep")
 
 
@@ -2548,11 +2556,17 @@ def emb_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted neighbor voting spread labels to the rest. Iterative and
     therefore rows-only (k-means + a data-dependent loop is not SQL-
     expressible); the accuracy-vs-hidden-truth and seed-invariance
-    contracts are pinned by pytest (test_llm_operators.py)."""
+    contracts are pinned by pytest (test_llm_operators.py).
+
+    ``n_cells`` grows with the corpus (~250 vectors per cell): the
+    kNN graph is built from within-cell pairs, so fixed cells make
+    graph construction quadratic in corpus growth — constant-size
+    cells keep it linear (same fix as emb_semantic_dedup)."""
     from .operators.similarity import label_propagation
 
+    embs = _embs(spark, sf_dir)
     out = label_propagation(
-        _embs(spark, sf_dir), k=5, n_cells=8, iterations=3
+        embs, k=5, n_cells=max(8, -(-embs.count() // 250)), iterations=3
     )
     return out.select(
         "vec_id", F.col("label").cast("int").alias("label"), "is_seed"
@@ -2648,4 +2662,170 @@ def doc_tfidf_topterm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "overlap_coeff", F.col("n_shared").cast("double") / F.lit(5)
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram coverage (round 8): cross-corpus template filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_boilerplate_coverage",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+      FROM documents
+      WHERE trim(text) <> ''
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS gram
+      FROM toks, unnest(range(1, len(ts) - 3)) AS t(i)
+      WHERE len(ts) >= 5
+    ),
+    boiler AS (
+      SELECT gram FROM grams
+      GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 20
+    ),
+    per_doc AS (
+      SELECT g.doc_id,
+             COUNT(*)::BIGINT AS n_grams,
+             COUNT(b.gram)::BIGINT AS n_boiler
+      FROM grams g LEFT JOIN boiler b ON g.gram = b.gram
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_boiler,
+           n_boiler::DOUBLE / n_grams AS coverage,
+           n_boiler::DOUBLE / n_grams <= 0.5 AS keep
+    FROM per_doc
+    """,
+)
+def doc_boilerplate_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-corpus boilerplate filter (the MassiveText/RefinedWeb
+    recipe, moved from within-doc repetition to ACROSS-doc templates):
+    a word 5-gram occurring in >= 20 distinct documents is template
+    text (headers, navigation, license banners); each document is
+    scored by the fraction of its 5-grams that are boilerplate and
+    kept under a 50% ceiling.
+
+    Scale shape: gram explode -> one hash-agg for the boilerplate set
+    (map-side combined; the >= 20-doc survivors are a tiny fraction of
+    the gram space, so the membership join BROADCASTS) -> per-doc
+    hash-agg. The shuffle carries distinct (gram, doc) pairs once;
+    nothing is quadratic in corpus size — the probe family shape that
+    stays linear at 100 TB. Complements doc_repetition_stats (within-
+    doc loops) and doc_span_dedup (exact shared spans): this one
+    catches SHARED TEMPLATES too short-lived per doc for either."""
+    from pyspark.sql.functions import broadcast
+
+    ts = F.split(F.trim(F.col("text")), r"\s+")
+    grams = (
+        _docs(spark, sf_dir)
+        .where(F.trim(F.col("text")) != "")
+        .select("doc_id", ts.alias("ts"))
+        .where(F.size("ts") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 5), "
+                    "i -> concat_ws(' ', slice(ts, i + 1, 5)))"
+                )
+            ).alias("gram"),
+        )
+    )
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 20)
+        .select("gram", F.lit(True).alias("_boiler"))
+    )
+    return (
+        grams.join(broadcast(boiler), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_boiler").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            (
+                F.col("n_boiler").cast("double") / F.col("n_grams")
+            ).alias("coverage"),
+            (
+                F.col("n_boiler").cast("double") / F.col("n_grams")
+                <= 0.5
+            ).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates (round 8): tokenizer-training prep
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_bpe_pair_counts",
+    r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents
+      WHERE trim(text) <> ''
+    ),
+    vocab AS (
+      SELECT w, COUNT(*)::BIGINT AS n FROM toks GROUP BY w
+    ),
+    pairs AS (
+      SELECT substring(w, CAST(i AS INT), 2) AS pair, n
+      FROM vocab, unnest(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, SUM(n)::BIGINT AS weight
+    FROM pairs
+    GROUP BY pair
+    ORDER BY weight DESC, pair ASC
+    LIMIT 100
+    """,
+)
+def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge iteration of tokenizer training: adjacent
+    character-pair frequencies over the corpus, weighted by word
+    occurrence counts — the top pair is the first merge a
+    Sennrich-style BPE learner would make.
+
+    The scale move: pairs are generated from the DISTINCT VOCABULARY
+    (one row per unique word, carrying its corpus count), never from
+    the token stream — the explode is vocab-sized (Heaps' law:
+    sublinear in corpus size) while the counts still reflect every
+    occurrence. Token stream -> hash-agg (map-side combine) -> tiny
+    vocab explode -> hash-agg -> TakeOrderedAndProject."""
+    from .operators.textops import tokens
+
+    vocab = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        vocab.where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "n",
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("pair").asc())
+        .limit(100)
     )

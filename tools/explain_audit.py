@@ -724,6 +724,25 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": True, "hints": 0, "shuffles": 0,
         "pure_jvm": True,
     },
+    # shallow-clone divergence: two log-replay scans glued plan-level
+    # (source at its root, clone mixing absolute-path source files +
+    # clone-materialized rewrites) — no joins, no shuffles, no Python.
+    "orders_delta_clone_divergence": {
+        "pushed": False, "no_smj": True, "hints": 0, "shuffles": 0,
+        "pure_jvm": True, "plan_contains": ["Union"],
+    },
+    # boilerplate coverage: gram explode feeds the distinct-doc gram
+    # agg and the per-doc coverage agg; the tiny >=20-doc boilerplate
+    # set is the one hinted broadcast.
+    "doc_boilerplate_coverage": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
+    # BPE pair counts: token hash-agg -> vocab-sized pair explode ->
+    # pair hash-agg -> TakeOrderedAndProject; no joins at all.
+    "doc_bpe_pair_counts": {
+        "pushed": False, "no_smj": True, "hints": 0, "shuffles": 2,
+        "pure_jvm": True, "take_ordered": True,
+    },
     # A/B lift: two distinct pre-aggs + the user-keyed converter join
     # (AQE broadcasts the converter side) + variant agg + 1-row pivot.
     "events_ab_conversion_lift": {
