@@ -118,8 +118,9 @@ def oracles() -> dict[str, str]:
 # referential_integrity_audit, and orders_delta_clone_divergence
 # (round-8 SHALLOW CLONE: one hash proves zero-copy clone + source
 # intact + clone diverged), doc_boilerplate_coverage (cross-corpus
-# template 5-gram filter) and doc_bpe_pair_counts (vocab-sized BPE
-# merge-candidate counts). The full list with positions is
+# template 5-gram filter), doc_bpe_pair_counts (vocab-sized BPE
+# merge-candidate counts) and doc_dsir_importance (DSIR-style
+# target-domain importance scoring). The full list with positions is
 # CATALOG.md (entries past position 50).
 _PRIORITY: tuple[str, ...] = (
     # §2 core: flagship ingest, scans, incremental/merge, recon

@@ -1172,3 +1172,140 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest. The only Python in the path is the documented
     mapInPandas batch loop over the (id, text) projection."""
     return textops.with_compression_ratio(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance scoring (round 8): select toward a target domain
+# ---------------------------------------------------------------------------
+
+_DSIR_SCALE = 1 << 20
+
+
+def _dsir_oracle() -> str:
+    scale = repr(float(_DSIR_SCALE))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+      WHERE trim(text) <> ''
+    ),
+    corpus AS (SELECT w, COUNT(*)::BIGINT AS cc FROM toks GROUP BY w),
+    target AS (
+      SELECT w, COUNT(*)::BIGINT AS ct FROM toks
+      WHERE lang = 'en' GROUP BY w
+    ),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM corpus)::BIGINT AS v,
+             (SELECT COUNT(*) FROM toks)::BIGINT AS nc,
+             (SELECT COUNT(*) FROM toks WHERE lang = 'en')::BIGINT AS nt
+    ),
+    ratios AS (
+      SELECT c.w,
+             CAST(FLOOR(
+               ((COALESCE(t.ct, 0) + 1.0) * (s.nc + s.v))
+               / ((s.nt + s.v) * (c.cc + 1.0)) * {scale}
+             ) AS BIGINT) AS r_fp
+      FROM corpus c LEFT JOIN target t USING (w) CROSS JOIN stats s
+    ),
+    per_doc AS (
+      SELECT tk.doc_id, COUNT(*)::BIGINT AS n_tokens,
+             SUM(r.r_fp)::BIGINT AS sum_fp
+      FROM toks tk JOIN ratios r USING (w)
+      GROUP BY tk.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           (CAST(p.sum_fp AS DOUBLE) / CAST(p.n_tokens AS DOUBLE))
+             / {scale} AS importance,
+           COALESCE((CAST(p.sum_fp AS DOUBLE)
+                     / CAST(p.n_tokens AS DOUBLE)) / {scale} >= 1.0,
+                    FALSE) AS keep
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@register("doc_dsir_importance", _dsir_oracle())
+def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by its mean unigram likelihood RATIO between a target
+    domain (here the English slice, the pipeline's in-domain proxy)
+    and the whole corpus, then keep documents that look more
+    target-like than average — the cheap-feature importance weighting
+    that recipe runs before expensive training.
+
+    Determinism engineering (the repo's fixed-point rule): each
+    token's add-one-smoothed ratio ((ct+1)(nc+V)) / ((nt+V)(cc+1)) is
+    one correctly-rounded IEEE expression over exact integer counts,
+    quantized to floor(r * 2^20) BEFORE the per-doc sum — the
+    aggregate is an order-free integer sum, and the final score is a
+    single exact division. Summing raw doubles would drift across
+    engines; summing logs would also hit libm differences.
+
+    Scale shape: token explode -> two hash-aggs (corpus + target
+    vocab) -> vocab-sized ratio table -> one equi-join back to the
+    token stream -> per-doc hash-agg. The ratio table is vocab-sized
+    (Heaps'-law-sublinear), the join key is the token, nothing is
+    quadratic; at 100 TB the vocab side is still small enough for
+    AQE to broadcast."""
+    from .operators.textops import tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.where(F.trim(F.col("text")) != "").select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("w")
+    )
+    corpus = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cc"))
+    target = (
+        toks.where(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+        ).alias("nt"),
+        F.count_distinct("w").alias("v"),
+    )
+    ratios = (
+        corpus.join(target, "w", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w",
+            F.floor(
+                (
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    * (F.col("nc") + F.col("v"))
+                )
+                / (
+                    (F.col("nt") + F.col("v"))
+                    * (F.col("cc") + F.lit(1.0))
+                )
+                * F.lit(float(_DSIR_SCALE))
+            )
+            .cast("long")
+            .alias("r_fp"),
+        )
+    )
+    per_doc = (
+        toks.join(ratios, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("r_fp").alias("sum_fp"),
+        )
+    )
+    imp = (
+        F.col("sum_fp").cast("double") / F.col("n_tokens").cast("double")
+    ) / F.lit(float(_DSIR_SCALE))
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            imp.alias("importance"),
+            F.coalesce(imp >= 1.0, F.lit(False)).alias("keep"),
+        )
+    )

@@ -194,10 +194,11 @@ EXTENDED = [
     "orders_delta_schema_evolution",
     "doc_tfidf_topterm_pairs",
     "referential_integrity_audit",
-    # round-8: shallow clone, boilerplate filter, BPE prep
+    # round-8: shallow clone, boilerplate filter, BPE prep, DSIR
     "orders_delta_clone_divergence",
     "doc_boilerplate_coverage",
     "doc_bpe_pair_counts",
+    "doc_dsir_importance",
 ]
 
 

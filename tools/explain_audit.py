@@ -743,6 +743,13 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": True, "hints": 0, "shuffles": 2,
         "pure_jvm": True, "take_ordered": True,
     },
+    # DSIR importance: corpus/target vocab hash-aggs -> vocab-sized
+    # ratio table (1-row stats crossjoin is the hinted broadcast) ->
+    # token-stream equi-join (AQE broadcasts the vocab side) ->
+    # per-doc agg.
+    "doc_dsir_importance": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
     # A/B lift: two distinct pre-aggs + the user-keyed converter join
     # (AQE broadcasts the converter side) + variant agg + 1-row pivot.
     "events_ab_conversion_lift": {
@@ -786,6 +793,8 @@ SCALAR_SUBQUERY_OK = {
     "emb_matryoshka_recall",
     # 1-row bounds aggregate broadcast back over the stream
     "events_value_histogram",
+    # 1-row (nc, nt, V) corpus-stats crossjoin into the ratio table
+    "doc_dsir_importance",
 }
 
 
