@@ -404,6 +404,50 @@ def _file_stats_json(path: str) -> str | None:
     )
 
 
+_CM_MODE = "delta.columnMapping.mode"
+_CM_MAX_ID = "delta.columnMapping.maxColumnId"
+_CM_ID = "delta.columnMapping.id"
+_CM_PHYS = "delta.columnMapping.physicalName"
+
+
+def _mapping_enabled(md: dict | None) -> bool:
+    """True when the table runs Delta column mapping in ``name`` mode
+    (logical column names decoupled from the physical parquet field
+    names — the spec hook behind zero-rewrite RENAME/DROP COLUMN)."""
+    return ((md or {}).get("configuration") or {}).get(_CM_MODE) == "name"
+
+
+def physical_names(md: dict) -> dict[str, str]:
+    """logical column name -> physical parquet field name, from the
+    metaData schemaString's per-field ``delta.columnMapping.
+    physicalName`` annotations (identity for unannotated fields)."""
+    fields = json.loads(md["schemaString"])["fields"]
+    return {
+        f["name"]: (f.get("metadata") or {}).get(_CM_PHYS) or f["name"]
+        for f in fields
+    }
+
+
+def _to_physical(df: DataFrame, md: dict | None) -> DataFrame:
+    """Rename a frame's LOGICAL columns to their PHYSICAL parquet
+    names before staging data files — on a column-mapped table, files
+    must carry physical names or later reads (which scan physical and
+    alias back) would miss them. Identity when mapping is off or no
+    name diverges. Columns absent from the mapping (a mergeSchema
+    widening's new fields, not yet committed) pass through — their
+    physicalName is assigned as the logical name in the same commit."""
+    if md is None or not _mapping_enabled(md):
+        return df
+    from pyspark.sql import functions as F
+
+    pmap = physical_names(md)
+    if all(pmap.get(c, c) == c for c in df.columns):
+        return df
+    return df.select(
+        *[F.col(c).alias(pmap.get(c, c)) for c in df.columns]
+    )
+
+
 def _scan_declared(
     spark: SparkSession,
     base: str,
@@ -419,6 +463,7 @@ def _scan_declared(
     ``keep_file_col`` appends a ``_file`` column (source file path,
     captured from ``_metadata`` BEFORE the projection — the hidden
     column doesn't survive a select)."""
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     from .readers import _scan_parquet_rooted
@@ -427,22 +472,31 @@ def _scan_declared(
     if md and md.get("schemaString"):
         full = T.StructType.fromJson(json.loads(md["schemaString"]))
         parts = set(md.get("partitionColumns") or [])
+        pmap = physical_names(md)
         data_fields = [f for f in full.fields if f.name not in parts]
-        df = _scan_parquet_rooted(
-            spark,
-            base,
-            files,
-            schema=T.StructType(data_fields),
-            file_col=fcol,
+        # scan under PHYSICAL field names (identity without column
+        # mapping), then alias back to the logical shape — the
+        # zero-rewrite RENAME COLUMN read path
+        phys = T.StructType(
+            [
+                T.StructField(pmap[f.name], f.dataType, f.nullable)
+                for f in data_fields
+            ]
         )
-        cols = [f.name for f in full.fields]
+        df = _scan_parquet_rooted(
+            spark, base, files, schema=phys, file_col=fcol
+        )
+        cols = [
+            F.col(f.name)
+            if f.name in parts
+            else F.col(pmap[f.name]).alias(f.name)
+            for f in full.fields
+        ]
     else:
         df = _scan_parquet_rooted(spark, base, files, file_col=fcol)
-        cols = [c for c in df.columns if c != "_file"]
+        cols = [F.col(c) for c in df.columns if c != "_file"]
     if keep_file_col:
-        return df.select(
-            *cols, "_file"
-        )
+        return df.select(*cols, "_file")
     return df.select(*cols)
 
 
@@ -481,6 +535,9 @@ def stage_data_files(
     replay reader prunes on."""
     spark = df.sparkSession
     base = table_path.rstrip("/")
+    # column-mapped tables stage files under PHYSICAL field names
+    # (readers scan physical and alias to logical); identity otherwise
+    df = _to_physical(df, latest_metadata(spark, base))
     tmp_dir = f"{base}/.stage-{uuid.uuid4().hex}"
     writer = df.write
     if partition_by:
@@ -669,9 +726,21 @@ def _check_append_compat(
         return None
     widened = None
     expected = md.get("schemaString")
-    # compare PARSED schemas: key order in the JSON text is a writer
-    # artifact (Spark sorts keys; other engines may not)
-    if expected is not None and json.loads(expected) != json.loads(
+
+    # compare SHAPES (name/type/nullable), not raw JSON: key order is
+    # a writer artifact, and column-mapping annotations live in field
+    # metadata the incoming frame legitimately lacks
+    def _shape(schema_json: str) -> list[dict]:
+        return [
+            {
+                "name": f["name"],
+                "type": f["type"],
+                "nullable": f.get("nullable", True),
+            }
+            for f in json.loads(schema_json)["fields"]
+        ]
+
+    if expected is not None and _shape(expected) != _shape(
         df.schema.json()
     ):
         old_fields = json.loads(expected)["fields"]
@@ -700,6 +769,20 @@ def _check_append_compat(
                 )
             )
         widened = dict(md)
+        if _mapping_enabled(md):
+            # new columns join the mapping: fresh ids, physicalName =
+            # the logical name at birth (spec-legal; renames later
+            # move only the logical side)
+            conf = dict(widened.get("configuration") or {})
+            max_id = int(conf.get(_CM_MAX_ID, "0"))
+            for f in added:
+                max_id += 1
+                fmeta = dict(f.get("metadata") or {})
+                fmeta[_CM_ID] = max_id
+                fmeta[_CM_PHYS] = f["name"]
+                f["metadata"] = fmeta
+            conf[_CM_MAX_ID] = str(max_id)
+            widened["configuration"] = conf
         widened["schemaString"] = json.dumps(
             {"type": "struct", "fields": old_fields + added},
             separators=(",", ":"),
@@ -983,6 +1066,13 @@ def overwrite_commit(
     if read_v is not None:
         if overwrite_schema:
             old = latest_metadata(spark, table_path)
+            if old is not None and _mapping_enabled(old):
+                raise ValueError(
+                    f"{table_path} uses column mapping: overwriteSchema "
+                    "would discard the id/physicalName annotations — "
+                    "evolve with rename_column/drop_column/"
+                    "append_commit(merge_schema=True) instead"
+                )
             if old is not None and json.loads(
                 old.get("schemaString") or "{}"
             ) != json.loads(df.schema.json()):
@@ -1841,7 +1931,7 @@ def table_changes(
         if not rels:
             return None
         return _scan_declared(
-            spark, base, [f"{base}/{r}" for r in rels], md_v
+            spark, base, [abs_data_path(base, r) for r in rels], md_v
         )
 
     out: DataFrame | None = None
@@ -2278,3 +2368,160 @@ def table_detail(spark: SparkSession, table_path: str) -> dict:
         "minReaderVersion": proto.get("minReaderVersion"),
         "minWriterVersion": proto.get("minWriterVersion"),
     }
+
+
+def enable_column_mapping(spark: SparkSession, table_path: str) -> int:
+    """Upgrade the table to Delta column mapping in ``name`` mode —
+    the spec feature that decouples LOGICAL column names from the
+    PHYSICAL parquet field names, making RENAME COLUMN and DROP
+    COLUMN pure metadata commits (zero data rewritten; on a 100 TB
+    table, the difference between seconds and a full rewrite).
+
+    Every existing field is annotated with a stable column id and its
+    current name as the physicalName (existing files keep reading
+    without change), the table configuration records the mode and the
+    id high-water mark, and the protocol is raised to
+    minReaderVersion 2 / minWriterVersion 5 exactly as delta-spark's
+    upgrade does. Idempotent."""
+    base = table_path.rstrip("/")
+    v = log_version(spark, base)
+    if v is None:
+        raise ValueError(f"{table_path} has no transaction log")
+    md = latest_metadata(spark, base)
+    if md is None:
+        raise ValueError(f"{table_path} has no reachable metaData")
+    if _mapping_enabled(md):
+        return v
+    schema = json.loads(md["schemaString"])
+    next_id = 0
+    for f in schema["fields"]:
+        next_id += 1
+        fmeta = dict(f.get("metadata") or {})
+        fmeta[_CM_ID] = next_id
+        fmeta[_CM_PHYS] = f["name"]
+        f["metadata"] = fmeta
+    conf = dict(md.get("configuration") or {})
+    conf[_CM_MODE] = "name"
+    conf[_CM_MAX_ID] = str(next_id)
+    new_md = dict(md)
+    new_md["schemaString"] = json.dumps(
+        schema, separators=(",", ":"), sort_keys=True
+    )
+    new_md["configuration"] = conf
+    proto = dict(_latest_protocol(spark, base))
+    proto["minReaderVersion"] = max(
+        2, int(proto.get("minReaderVersion", 1))
+    )
+    proto["minWriterVersion"] = max(
+        5, int(proto.get("minWriterVersion", 2))
+    )
+    return commit(
+        spark,
+        base,
+        [{"protocol": proto}, {"metaData": new_md}],
+        expected_version=v + 1,
+        operation="SET TBLPROPERTIES",
+    )
+
+
+def _reject_mapped_ddl(
+    md: dict, column: str, verb: str, table_path: str
+) -> None:
+    """Shared guards for RENAME/DROP COLUMN: partition columns carry
+    their name in the Hive directory layout (a rename would orphan
+    every file's partitionValues), and a column referenced by a CHECK
+    constraint would leave the constraint SQL dangling."""
+    import re
+
+    if column in (md.get("partitionColumns") or []):
+        raise ValueError(
+            f"cannot {verb} partition column {column!r} of "
+            f"{table_path}: Hive-layout directories and "
+            "partitionValues carry the physical name"
+        )
+    for cname, sql_txt in table_constraints(md).items():
+        if re.search(rf"\b{re.escape(column)}\b", sql_txt):
+            raise ValueError(
+                f"cannot {verb} column {column!r} of {table_path}: "
+                f"CHECK constraint {cname!r} ({sql_txt}) references it "
+                "— drop the constraint first"
+            )
+
+
+def rename_column(
+    spark: SparkSession, table_path: str, old: str, new: str
+) -> int:
+    """RENAME COLUMN without rewriting a byte of data: on a
+    column-mapped table the rename moves only the LOGICAL name — the
+    field keeps its column id and physicalName, so every existing
+    parquet file (written under the physical name) keeps serving
+    reads, which alias physical back to the new logical shape.
+    Auto-upgrades the table to column mapping on first use
+    (:func:`enable_column_mapping`). Time travel below the rename
+    shows the old name, exactly like delta-spark."""
+    base = table_path.rstrip("/")
+    enable_column_mapping(spark, base)
+    v = log_version(spark, base)
+    md = latest_metadata(spark, base)
+    schema = json.loads(md["schemaString"])
+    names = [f["name"] for f in schema["fields"]]
+    if old not in names:
+        raise ValueError(f"{table_path} has no column {old!r}")
+    if new in names:
+        raise ValueError(
+            f"{table_path} already has a column {new!r}"
+        )
+    _reject_mapped_ddl(md, old, "rename", table_path)
+    for f in schema["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    new_md = dict(md)
+    new_md["schemaString"] = json.dumps(
+        schema, separators=(",", ":"), sort_keys=True
+    )
+    return commit(
+        spark,
+        base,
+        [{"metaData": new_md}],
+        expected_version=v + 1,
+        operation="RENAME COLUMN",
+    )
+
+
+def drop_column(
+    spark: SparkSession, table_path: str, column: str
+) -> int:
+    """DROP COLUMN as pure metadata: the field leaves the logical
+    schema; the physical data stays in the files (reads simply stop
+    selecting it) and remains reachable by time travel below the drop
+    — identical semantics to delta-spark's mapped DROP COLUMN, where
+    the data is only physically reclaimed by a later rewrite.
+    Auto-upgrades to column mapping. The last column cannot be
+    dropped."""
+    base = table_path.rstrip("/")
+    enable_column_mapping(spark, base)
+    v = log_version(spark, base)
+    md = latest_metadata(spark, base)
+    schema = json.loads(md["schemaString"])
+    names = [f["name"] for f in schema["fields"]]
+    if column not in names:
+        raise ValueError(f"{table_path} has no column {column!r}")
+    if len(names) == 1:
+        raise ValueError(
+            f"cannot drop the only column of {table_path}"
+        )
+    _reject_mapped_ddl(md, column, "drop", table_path)
+    schema["fields"] = [
+        f for f in schema["fields"] if f["name"] != column
+    ]
+    new_md = dict(md)
+    new_md["schemaString"] = json.dumps(
+        schema, separators=(",", ":"), sort_keys=True
+    )
+    return commit(
+        spark,
+        base,
+        [{"metaData": new_md}],
+        expected_version=v + 1,
+        operation="DROP COLUMNS",
+    )

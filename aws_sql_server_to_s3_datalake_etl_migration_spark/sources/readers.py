@@ -457,15 +457,32 @@ def _read_live_with_declared_schema(
     if md and md.get("schemaString"):
         from pyspark.sql import types as T
 
+        from .delta_log import physical_names
+
         full = T.StructType.fromJson(json.loads(md["schemaString"]))
         part_cols = set(md.get("partitionColumns") or [])
+        pmap = physical_names(md)
         data_fields = [f for f in full.fields if f.name not in part_cols]
-        df = _scan_parquet_rooted(
-            spark, base, files, schema=T.StructType(data_fields)
+        # scan under PHYSICAL field names (identity without column
+        # mapping), alias back to the logical shape — the zero-rewrite
+        # RENAME COLUMN read path
+        phys = T.StructType(
+            [
+                T.StructField(pmap[f.name], f.dataType, f.nullable)
+                for f in data_fields
+            ]
         )
+        df = _scan_parquet_rooted(spark, base, files, schema=phys)
         # partition columns come back via directory discovery; select
         # restores the declared field order for a stable shape
-        return df.select(*[f.name for f in full.fields])
+        return df.select(
+            *[
+                F.col(f.name)
+                if f.name in part_cols
+                else F.col(pmap[f.name]).alias(f.name)
+                for f in full.fields
+            ]
+        )
     return _scan_parquet_rooted(spark, base, files)
 
 
@@ -529,6 +546,21 @@ def read_delta(
         from .delta_log import version_at_timestamp
 
         version = version_at_timestamp(spark, path, timestamp_ms)
+    stats_filter_phys = stats_filter
+    if stats_filter:
+        # add.stats carry PHYSICAL field names; the FILE-PRUNING copy
+        # of the predicate is translated on column-mapped tables
+        # (identity otherwise), while the residual WHERE below keeps
+        # the caller's logical names — the scanned frame is logical
+        from .delta_log import _mapping_enabled, latest_metadata
+        from .delta_log import physical_names as _pn
+
+        _md = latest_metadata(spark, path, version=version)
+        if _md is not None and _mapping_enabled(_md):
+            _pm = _pn(_md)
+            stats_filter_phys = [
+                (_pm.get(c, c), op, val) for c, op, val in stats_filter
+            ]
     filtered_empty = False
     try:
         reader = spark.read.format("delta")
@@ -543,7 +575,7 @@ def read_delta(
             path,
             version=version,
             partition_filter=partition_filter,
-            stats_filter=stats_filter,
+            stats_filter=stats_filter_phys,
         )
         if files is None:
             if version is not None:

@@ -1447,3 +1447,166 @@ def test_table_detail_tracks_snapshot_facts(spark, tmp_path):
     assert d1["version"] == 1
     assert d1["numFiles"] <= d0["numFiles"]
     assert d1["sizeInBytes"] < d0["sizeInBytes"]
+
+
+def test_rename_column_is_pure_metadata(spark, tmp_path):
+    """RENAME COLUMN on a column-mapped table: one metadata commit,
+    zero files rewritten — existing files keep their physical field
+    name and reads alias it to the new logical shape. Appends after
+    the rename use the NEW logical name but stage files under the
+    physical name, so old and new files read as one table."""
+    path = str(tmp_path / "t_rename")
+    delta_log.append_commit(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "pk LONG, val DOUBLE"
+        ).coalesce(1),
+        path,
+    )
+    files_before = sorted(_data_files_under(path))
+    v = delta_log.rename_column(spark, path, "val", "amount")
+    assert sorted(_data_files_under(path)) == files_before  # no rewrite
+    got = read_delta(spark, path)
+    assert got.columns == ["pk", "amount"]
+    assert {(r.pk, r.amount) for r in got.collect()} == {
+        (1, 10.0),
+        (2, 20.0),
+    }
+    # time travel below the rename shows the OLD logical name
+    old = read_delta(spark, path, version=0)
+    assert old.columns == ["pk", "val"]
+    # append AFTER the rename speaks the new logical schema
+    delta_log.append_commit(
+        spark.createDataFrame([(3, 30.0)], "pk LONG, amount DOUBLE"),
+        path,
+    )
+    assert read_delta(spark, path).count() == 3
+    # the physical field under the hood is still 'val': the staged
+    # post-rename file must carry it too (one physical shape per table)
+    import pyarrow.parquet as pq
+
+    for f in _data_files_under(path):
+        assert "val" in pq.read_schema(f).names
+    # mutations address the LOGICAL name
+    delta_log.update_where(
+        spark, path, F.col("amount") == 30.0, {"amount": F.lit(33.0)}
+    )
+    assert {r.amount for r in read_delta(spark, path).collect()} == {
+        10.0,
+        20.0,
+        33.0,
+    }
+    hist = delta_log.table_history(spark, path)
+    assert "RENAME COLUMN" in {h["operation"] for h in hist}
+    # protocol upgraded as the spec requires
+    d = delta_log.table_detail(spark, path)
+    assert d["minReaderVersion"] >= 2 and d["minWriterVersion"] >= 5
+    assert v >= 1
+
+
+def test_drop_column_keeps_history_readable(spark, tmp_path):
+    """DROP COLUMN: the field leaves the logical schema in one
+    metadata commit; data files are untouched and time travel below
+    the drop still shows the column."""
+    path = str(tmp_path / "t_drop")
+    delta_log.append_commit(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)],
+            "pk LONG, tag STRING, score DOUBLE",
+        ).coalesce(1),
+        path,
+    )
+    delta_log.drop_column(spark, path, "tag")
+    got = read_delta(spark, path)
+    assert got.columns == ["pk", "score"]
+    assert got.count() == 2
+    assert read_delta(spark, path, version=0).columns == [
+        "pk",
+        "tag",
+        "score",
+    ]
+    # appends now speak the narrowed schema
+    delta_log.append_commit(
+        spark.createDataFrame([(3, 3.0)], "pk LONG, score DOUBLE"), path
+    )
+    assert read_delta(spark, path).count() == 3
+    with pytest.raises(ValueError, match="no column"):
+        delta_log.drop_column(spark, path, "tag")  # already gone
+
+
+def test_mapped_ddl_guards(spark, tmp_path):
+    """Partition columns and constraint-referenced columns refuse
+    rename/drop; renaming to an existing name refuses; stats skipping
+    still prunes via the PHYSICAL name after a rename."""
+    path = str(tmp_path / "t_guard")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b", float(i)) for i in range(100)],
+        "pk LONG, p STRING, v DOUBLE",
+    )
+    delta_log.append_commit(
+        df.repartition(2, "p"), path, partition_by=["p"]
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        delta_log.rename_column(spark, path, "p", "region")
+    delta_log.add_check_constraint(spark, path, "v_pos", "v >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        delta_log.rename_column(spark, path, "v", "value")
+    with pytest.raises(ValueError, match="already has"):
+        delta_log.rename_column(spark, path, "pk", "v")
+    # un-constrained rename works; file skipping on the renamed
+    # column prunes by the recorded (physical) stats
+    delta_log.drop_check_constraint(spark, path, "v_pos")
+    delta_log.rename_column(spark, path, "v", "value")
+    pruned = read_delta(
+        spark, path, stats_filter=[("value", ">", 1e9)]
+    )
+    assert pruned.count() == 0
+    some = read_delta(
+        spark, path, stats_filter=[("value", "<=", 10.0)]
+    )
+    assert some.where("value <= 10").count() == 11
+    # overwriteSchema is rejected on mapped tables
+    with pytest.raises(ValueError, match="column mapping"):
+        delta_log.overwrite_commit(
+            spark.createDataFrame([(1, "a", 1.0)], "a LONG, b STRING, c DOUBLE"),
+            path,
+            partition_by=["b"],
+            overwrite_schema=True,
+        )
+
+
+def test_mapping_survives_checkpoint_truncation_and_merge_schema(
+    spark, tmp_path
+):
+    """The mapping rides metaData: after checkpoint + truncate_log the
+    renamed logical schema still reads; a mergeSchema widening on a
+    mapped table assigns the new field a fresh column id."""
+    path = str(tmp_path / "t_map_cp")
+    delta_log.append_commit(
+        spark.createDataFrame([(1, 1.0)], "pk LONG, v DOUBLE"), path
+    )
+    delta_log.rename_column(spark, path, "v", "score")
+    delta_log.write_checkpoint(spark, path)
+    delta_log.truncate_log(spark, path)
+    got = read_delta(spark, path)
+    assert got.columns == ["pk", "score"]
+    # widening append on the mapped table: new column gets id+physName
+    delta_log.append_commit(
+        spark.createDataFrame(
+            [(2, 2.0, "x")], "pk LONG, score DOUBLE, tag STRING"
+        ),
+        path,
+        merge_schema=True,
+    )
+    md = delta_log.latest_metadata(spark, path)
+    fields = {
+        f["name"]: (f.get("metadata") or {})
+        for f in __import__("json").loads(md["schemaString"])["fields"]
+    }
+    assert fields["tag"]["delta.columnMapping.physicalName"] == "tag"
+    assert fields["score"]["delta.columnMapping.physicalName"] == "v"
+    ids = [m["delta.columnMapping.id"] for m in fields.values()]
+    assert len(set(ids)) == 3
+    rows = {
+        (r.pk, r.score, r.tag) for r in read_delta(spark, path).collect()
+    }
+    assert rows == {(1, 1.0, None), (2, 2.0, "x")}

@@ -147,6 +147,13 @@ QUERIES = [
     "referential_integrity_audit",
     "orders_delta_cdf",
     "orders_delta_stats_skipping_scan",
+    # round-8 additions: boilerplate gram agg + broadcast membership
+    # join (gram volume tracks corpus tokens), vocab-sized BPE pair
+    # explode (Heaps'-law-sublinear vocab, ratio should sit BELOW K),
+    # and the DSIR token-stream x vocab-ratio equi-join
+    "doc_boilerplate_coverage",
+    "doc_bpe_pair_counts",
+    "doc_dsir_importance",
 ]
 
 
