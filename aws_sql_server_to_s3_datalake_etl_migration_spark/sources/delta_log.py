@@ -727,21 +727,26 @@ def _check_append_compat(
     widened = None
     expected = md.get("schemaString")
 
-    # compare SHAPES (name/type/nullable), not raw JSON: key order is
-    # a writer artifact, and column-mapping annotations live in field
-    # metadata the incoming frame legitimately lacks
-    def _shape(schema_json: str) -> list[dict]:
-        return [
-            {
-                "name": f["name"],
-                "type": f["type"],
-                "nullable": f.get("nullable", True),
-            }
-            for f in json.loads(schema_json)["fields"]
-        ]
+    # compare SHAPES (name/type + nullability narrowing), not raw
+    # JSON: key order is a writer artifact, column-mapping /
+    # generation annotations live in field metadata the incoming
+    # frame legitimately lacks, and a NON-nullable frame column may
+    # always write into a nullable table column (the reverse is the
+    # real violation)
+    def _shapes_compatible(exp_json: str, act_json: str) -> bool:
+        e = json.loads(exp_json)["fields"]
+        a = json.loads(act_json)["fields"]
+        if [(f["name"], f["type"]) for f in e] != [
+            (f["name"], f["type"]) for f in a
+        ]:
+            return False
+        return all(
+            ef.get("nullable", True) or not af.get("nullable", True)
+            for ef, af in zip(e, a)
+        )
 
-    if expected is not None and _shape(expected) != _shape(
-        df.schema.json()
+    if expected is not None and not _shapes_compatible(
+        expected, df.schema.json()
     ):
         old_fields = json.loads(expected)["fields"]
         new_fields = json.loads(df.schema.json())["fields"]
@@ -971,6 +976,9 @@ def append_commit(
         v = log_version(spark, table_path)
         widened = None
         if v is not None:
+            df = _apply_generated_columns(
+                df, latest_metadata(spark, table_path)
+            )
             widened = _check_append_compat(
                 df, table_path, partition_by, merge_schema=merge_schema
             )
@@ -1008,6 +1016,10 @@ def append_commit(
         v = log_version(spark, table_path)
         widened = None
         if v is not None:
+            if adds is None:
+                df = _apply_generated_columns(
+                    df, latest_metadata(spark, table_path)
+                )
             widened = _check_append_compat(
                 df, table_path, partition_by, merge_schema=merge_schema
             )
@@ -1084,6 +1096,9 @@ def overwrite_commit(
                 df, table_path, old if not md_action else new_md
             )
         else:
+            df = _apply_generated_columns(
+                df, latest_metadata(spark, table_path)
+            )
             _check_append_compat(df, table_path, partition_by)
     live = _delta_live_files(spark, table_path) or []
     adds = stage_data_files(df, table_path, partition_by=partition_by)
@@ -1602,7 +1617,8 @@ def _rewrite_where(
             rewrite, base, partition_by=part_cols or None
         )
     if extra is not None:
-        ins = extra.select(*order) if order else extra
+        ins = _apply_generated_columns(extra, md)
+        ins = ins.select(*order) if order else ins
         _enforce_check_constraints(ins, base, md)
         adds += stage_data_files(
             ins, base, partition_by=part_cols or None
@@ -2524,4 +2540,174 @@ def drop_column(
         [{"metaData": new_md}],
         expected_version=v + 1,
         operation="DROP COLUMNS",
+    )
+
+
+_GEN_EXPR = "delta.generationExpression"
+
+
+def _apply_generated_columns(df: DataFrame, md: dict | None) -> DataFrame:
+    """Materialize GENERATED ALWAYS AS columns before a write: absent
+    generated columns are computed from their recorded expression;
+    present ones are ENFORCED to equal it (one limit-1 probe per
+    generated column, exactly like delta-spark's write-side check).
+    The frame is then re-ordered to the declared field order so shape
+    enforcement sees one consistent layout. Identity for tables
+    without generated columns."""
+    if md is None:
+        return df
+    fields = json.loads(md["schemaString"])["fields"]
+    gens = [
+        (f["name"], f["type"], (f.get("metadata") or {}).get(_GEN_EXPR))
+        for f in fields
+        if (f.get("metadata") or {}).get(_GEN_EXPR)
+    ]
+    if not gens:
+        return df
+    from pyspark.sql import functions as F
+
+    out = df
+    for name, typ, expr in gens:
+        value = F.expr(expr).cast(typ)
+        if name not in out.columns:
+            out = out.withColumn(name, value)
+        else:
+            bad = (
+                out.where(~F.col(name).eqNullSafe(value))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"generated column {name!r} must equal its "
+                    f"expression ({expr}); the write carries at least "
+                    "one differing value"
+                )
+    declared = [f["name"] for f in fields]
+    if set(out.columns) == set(declared):
+        out = out.select(*declared)
+    return out
+
+
+def create_table(
+    spark: SparkSession,
+    table_path: str,
+    schema_ddl: str,
+    partition_by: list[str] | None = None,
+    generated: dict[str, str] | None = None,
+    configuration: dict[str, str] | None = None,
+) -> int:
+    """CREATE TABLE without data: commit 0 carries protocol + metaData
+    only — the empty table reads as zero rows with the declared
+    schema, and later appends must match it. ``generated`` maps
+    column name -> SQL expression for GENERATED ALWAYS AS columns
+    (spec: ``delta.generationExpression`` field metadata; writer
+    version raised to 4): writers may omit the column (it is computed
+    at write time) or must supply values equal to the expression.
+
+    The 100 TB pattern this enables: ``partition_by`` a GENERATED
+    date column (``{"d": "CAST(ts AS DATE)"}``) — ingest supplies only
+    the raw timestamp, every file lands Hive-partitioned by derived
+    date, and reads prune on ``d`` at the file list."""
+    from pyspark.sql import types as T
+
+    base = table_path.rstrip("/")
+    if log_version(spark, base) is not None:
+        raise ValueError(f"{table_path} is already a Delta table")
+    schema = T._parse_datatype_string(schema_ddl)
+    names = [f.name for f in schema.fields]
+    for col in generated or {}:
+        if col not in names:
+            raise ValueError(
+                f"generated column {col!r} is not in the schema"
+            )
+    for col in partition_by or []:
+        if col not in names:
+            raise ValueError(
+                f"partition column {col!r} is not in the schema"
+            )
+    fields = json.loads(schema.json())["fields"]
+    for f in fields:
+        if f["name"] in (generated or {}):
+            fmeta = dict(f.get("metadata") or {})
+            fmeta[_GEN_EXPR] = generated[f["name"]]
+            f["metadata"] = fmeta
+    md = {
+        "id": str(uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(
+            {"type": "struct", "fields": fields},
+            separators=(",", ":"),
+            sort_keys=True,
+        ),
+        "partitionColumns": list(partition_by or []),
+        "configuration": dict(configuration or {}),
+        "createdTime": int(time.time() * 1000),
+    }
+    proto = {
+        "minReaderVersion": 1,
+        "minWriterVersion": 4 if generated else 2,
+    }
+    return commit(
+        spark,
+        base,
+        [{"protocol": proto}, {"metaData": md}],
+        expected_version=0,
+        operation="CREATE TABLE",
+    )
+
+
+def add_generated_column(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    data_type: str,
+    expression: str,
+) -> int:
+    """Widen an existing table with a GENERATED ALWAYS AS column in
+    one metadata commit: pre-existing files read the column as NULL
+    (declared-schema backfill); every write from this commit on either
+    omits the column (computed at write time) or must match the
+    expression. Raises the writer version to 4 as the spec requires.
+    Column-mapped tables assign the new field a fresh column id."""
+    base = table_path.rstrip("/")
+    v = log_version(spark, base)
+    if v is None:
+        raise ValueError(f"{table_path} has no transaction log")
+    md = latest_metadata(spark, base)
+    if md is None:
+        raise ValueError(f"{table_path} has no reachable metaData")
+    schema = json.loads(md["schemaString"])
+    if name in [f["name"] for f in schema["fields"]]:
+        raise ValueError(f"{table_path} already has a column {name!r}")
+    fmeta: dict = {_GEN_EXPR: expression}
+    conf = dict(md.get("configuration") or {})
+    if _mapping_enabled(md):
+        max_id = int(conf.get(_CM_MAX_ID, "0")) + 1
+        fmeta[_CM_ID] = max_id
+        fmeta[_CM_PHYS] = name
+        conf[_CM_MAX_ID] = str(max_id)
+    schema["fields"].append(
+        {
+            "name": name,
+            "type": data_type,
+            "nullable": True,
+            "metadata": fmeta,
+        }
+    )
+    new_md = dict(md)
+    new_md["schemaString"] = json.dumps(
+        schema, separators=(",", ":"), sort_keys=True
+    )
+    new_md["configuration"] = conf
+    proto = dict(_latest_protocol(spark, base))
+    proto["minWriterVersion"] = max(
+        4, int(proto.get("minWriterVersion", 2))
+    )
+    return commit(
+        spark,
+        base,
+        [{"protocol": proto}, {"metaData": new_md}],
+        expected_version=v + 1,
+        operation="ADD COLUMNS",
     )

@@ -231,13 +231,26 @@ def _delta_live_adds(
     if checkpoints:
         v = checkpoints[-1]
         cp = spark.read.parquet(f"{log_dir}/{v:020d}.checkpoint*.parquet")
+        if "protocol" in cp.columns:
+            for r in (
+                cp.where(F.col("protocol").isNotNull())
+                .select("protocol")
+                .collect()
+            ):
+                _gate_reader_protocol(
+                    r["protocol"].asDict(recursive=True), path
+                )
         adds = (
             cp.where(F.col("add").isNotNull()).select("add.*").collect()
         )
         # spec-complete checkpoints carry the full add fields
         # (partitionValues/size/modificationTime); pre-round-8 ones
         # held only add.path — asDict() keeps whatever is present.
-        live = {r["path"]: r.asDict(recursive=True) for r in adds}
+        live = {}
+        for r in adds:
+            a = r.asDict(recursive=True)
+            _reject_deletion_vector(a, path)
+            live[a["path"]] = a
         # A checkpoint is reconciled state, but the Delta protocol keeps
         # `remove` tombstones in it until vacuum retention expires; a
         # checkpoint written after log truncation can therefore carry a
@@ -290,9 +303,12 @@ def _delta_live_adds(
                         f"line {i} of table {path}: {e}"
                     ) from e
                 if "add" in action:
+                    _reject_deletion_vector(action["add"], path)
                     live[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
+                elif "protocol" in action:
+                    _gate_reader_protocol(action["protocol"], path)
     if partition_filter:
         live = {
             p: a
@@ -371,6 +387,43 @@ def _delta_live_files(
         for p, a in adds.items()
         if not stats_filter or _stats_admit(a, stats_filter)
     ]
+
+
+# Reader features this replay implementation actually honors. Delta's
+# protocol action exists precisely so an engine that does NOT
+# understand a feature refuses loudly instead of misreading — e.g. a
+# table with deletion vectors read by a DV-ignorant replayer would
+# silently RESURRECT deleted rows.
+_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
+
+
+def _gate_reader_protocol(proto: dict, path: str) -> None:
+    """Refuse tables whose protocol demands reader capabilities this
+    replay does not implement (spec: "readers must reject tables with
+    a higher minReaderVersion / unknown readerFeatures")."""
+    mrv = int(proto.get("minReaderVersion", 1))
+    if mrv <= 2:
+        return
+    feats = set(proto.get("readerFeatures") or [])
+    unsupported = sorted(feats - _SUPPORTED_READER_FEATURES)
+    if mrv > 3 or unsupported:
+        raise ValueError(
+            f"Delta table at {path} requires reader features this "
+            f"engine does not implement "
+            f"(minReaderVersion={mrv}, unsupported={unsupported}); "
+            "refusing to misread it"
+        )
+
+
+def _reject_deletion_vector(add: dict, path: str) -> None:
+    """A non-null add.deletionVector means some of the file's rows are
+    logically deleted — scanning the whole file would resurrect them."""
+    if add.get("deletionVector"):
+        raise ValueError(
+            f"Delta table at {path} carries deletion vectors "
+            f"(file {add.get('path')}); this engine scans whole files "
+            "and would resurrect deleted rows — refusing"
+        )
 
 
 def _abs_add_path(base: str, p: str) -> str:

@@ -1610,3 +1610,162 @@ def test_mapping_survives_checkpoint_truncation_and_merge_schema(
         (r.pk, r.score, r.tag) for r in read_delta(spark, path).collect()
     }
     assert rows == {(1, 1.0, None), (2, 2.0, "x")}
+
+
+def test_reader_protocol_gating_refuses_unknown_features(
+    spark, tmp_path
+):
+    """A protocol demanding reader capabilities this replay lacks must
+    REFUSE the table, not misread it (the spec's whole point): tables
+    with deletion vectors read by a DV-ignorant whole-file scanner
+    would silently resurrect deleted rows."""
+    import json as _json
+
+    def mk(table: str, proto: dict, dv: bool = False) -> str:
+        path = str(tmp_path / table)
+        spark.range(3).selectExpr("id AS pk").coalesce(1).write.parquet(
+            path
+        )
+        data = [
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ][0]
+        log = os.path.join(path, "_delta_log")
+        os.makedirs(log)
+        add = {"path": data, "dataChange": True}
+        if dv:
+            add["deletionVector"] = {
+                "storageType": "u",
+                "pathOrInlineDv": "x",
+                "offset": 1,
+                "sizeInBytes": 40,
+                "cardinality": 1,
+            }
+        with open(os.path.join(log, "0" * 20 + ".json"), "w") as fh:
+            fh.write(_json.dumps({"protocol": proto}) + "\n")
+            fh.write(_json.dumps({"add": add}) + "\n")
+        return path
+
+    # minReaderVersion 3 + a feature we do not implement: refuse
+    p1 = mk(
+        "t_dv_proto",
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        },
+    )
+    with pytest.raises(ValueError, match="deletionVectors"):
+        read_delta(spark, p1).collect()
+    # minReaderVersion 3 with only features we DO implement: reads
+    p2 = mk(
+        "t_cm_proto",
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"],
+            "writerFeatures": ["columnMapping"],
+        },
+    )
+    assert read_delta(spark, p2).count() == 3
+    # a DV-carrying add under a legacy protocol: refuse on content
+    p3 = mk("t_dv_add", {"minReaderVersion": 1, "minWriterVersion": 2}, dv=True)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        read_delta(spark, p3).collect()
+
+
+def test_create_table_with_generated_partition_column(spark, tmp_path):
+    """CREATE TABLE without data + GENERATED ALWAYS AS partition
+    column: ingest supplies only the raw timestamp; every file lands
+    Hive-partitioned by the derived date and reads prune on it."""
+    path = str(tmp_path / "t_gen")
+    v = delta_log.create_table(
+        spark,
+        path,
+        "pk LONG, ts TIMESTAMP, d DATE",
+        partition_by=["d"],
+        generated={"d": "CAST(ts AS DATE)"},
+    )
+    assert v == 0
+    # empty table reads as zero rows with the declared schema
+    empty = read_delta(spark, path)
+    assert empty.count() == 0 and empty.columns == ["pk", "ts", "d"]
+    # appends omit the generated column entirely
+    df = spark.createDataFrame(
+        [
+            (1, "2026-01-01 08:00:00"),
+            (2, "2026-01-01 17:00:00"),
+            (3, "2026-01-02 09:00:00"),
+        ],
+        "pk LONG, ts STRING",
+    ).selectExpr("pk", "CAST(ts AS TIMESTAMP) AS ts")
+    delta_log.append_commit(df, path, partition_by=["d"])
+    got = read_delta(spark, path)
+    assert got.count() == 3
+    assert {str(r.d) for r in got.collect()} == {
+        "2026-01-01",
+        "2026-01-02",
+    }
+    # Hive layout carries the derived date -> file-list pruning works
+    pruned = read_delta(
+        spark, path, partition_filter={"d": "2026-01-01"}
+    )
+    assert pruned.count() == 2
+    assert all("d=2026-01-01" in f for f in _data_files_under(path) if "d=2026-01-01" in f)
+    # a write SUPPLYING the column must match the expression
+    ok = spark.createDataFrame(
+        [(4, "2026-01-03 10:00:00", "2026-01-03")],
+        "pk LONG, ts STRING, d STRING",
+    ).selectExpr(
+        "pk", "CAST(ts AS TIMESTAMP) AS ts", "CAST(d AS DATE) AS d"
+    )
+    delta_log.append_commit(ok, path, partition_by=["d"])
+    bad = spark.createDataFrame(
+        [(5, "2026-01-04 10:00:00", "1999-01-01")],
+        "pk LONG, ts STRING, d STRING",
+    ).selectExpr(
+        "pk", "CAST(ts AS TIMESTAMP) AS ts", "CAST(d AS DATE) AS d"
+    )
+    with pytest.raises(ValueError, match="generated column"):
+        delta_log.append_commit(bad, path, partition_by=["d"])
+    assert read_delta(spark, path).count() == 4
+    d = delta_log.table_detail(spark, path)
+    assert d["minWriterVersion"] >= 4
+    with pytest.raises(ValueError, match="already a Delta table"):
+        delta_log.create_table(spark, path, "x LONG")
+
+
+def test_add_generated_column_to_existing_table(spark, tmp_path):
+    """ADD COLUMNS with a generation expression: one metadata commit;
+    pre-existing files read NULL, post-DDL appends compute the value,
+    replaceWhere inserts get it too."""
+    path = str(tmp_path / "t_gen_add")
+    delta_log.append_commit(
+        spark.createDataFrame(
+            [(1, 100.0), (2, 250.0)], "pk LONG, amount DOUBLE"
+        ),
+        path,
+    )
+    delta_log.add_generated_column(
+        spark, path, "bucket", "string",
+        "CASE WHEN amount >= 200 THEN 'high' ELSE 'low' END",
+    )
+    got = {(r.pk, r.bucket) for r in read_delta(spark, path).collect()}
+    assert got == {(1, None), (2, None)}  # pre-DDL files backfill NULL
+    delta_log.append_commit(
+        spark.createDataFrame([(3, 300.0)], "pk LONG, amount DOUBLE"),
+        path,
+    )
+    got = {(r.pk, r.bucket) for r in read_delta(spark, path).collect()}
+    assert got == {(1, None), (2, None), (3, "high")}
+    # replaceWhere computes it for the inserted rows as well
+    delta_log.replace_where(
+        spark,
+        path,
+        F.col("pk") == 1,
+        spark.createDataFrame([(1, 50.0)], "pk LONG, amount DOUBLE"),
+    )
+    got = {(r.pk, r.bucket) for r in read_delta(spark, path).collect()}
+    assert got == {(1, "low"), (2, None), (3, "high")}
