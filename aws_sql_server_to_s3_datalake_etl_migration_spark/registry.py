@@ -119,9 +119,10 @@ def oracles() -> dict[str, str]:
 # (round-8 SHALLOW CLONE: one hash proves zero-copy clone + source
 # intact + clone diverged), doc_boilerplate_coverage (cross-corpus
 # template 5-gram filter), doc_bpe_pair_counts (vocab-sized BPE
-# merge-candidate counts) and doc_dsir_importance (DSIR-style
-# target-domain importance scoring). The full list with positions is
-# CATALOG.md (entries past position 50).
+# merge-candidate counts), doc_dsir_importance (DSIR-style
+# target-domain importance scoring) and doc_ccnet_buckets (CCNet
+# per-language head/middle/tail terciles). The full list with
+# positions is CATALOG.md (entries past position 50).
 _PRIORITY: tuple[str, ...] = (
     # §2 core: flagship ingest, scans, incremental/merge, recon
     # (permanently pinned)

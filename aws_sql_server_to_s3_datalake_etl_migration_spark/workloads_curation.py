@@ -1309,3 +1309,104 @@ def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(imp >= 1.0, F.lit(False)).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (round 8): per-language head/middle/tail
+# ---------------------------------------------------------------------------
+
+
+def _ccnet_oracle() -> str:
+    scale = repr(float(textops.LM_FP_SCALE))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+      FROM documents
+    ),
+    uni AS (
+      SELECT t.w1, COUNT(*) AS cu
+      FROM (SELECT unnest(w) AS w1 FROM toks) t GROUP BY 1
+    ),
+    vstats AS (SELECT COUNT(*) AS v FROM uni),
+    docbi AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                      i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS bg
+        FROM toks
+      )
+    ),
+    bic AS (SELECT w1, w2, COUNT(*) AS cb FROM docbi GROUP BY 1, 2),
+    pos AS (
+      SELECT d.doc_id,
+             CAST(FLOOR(((CAST(cb AS DOUBLE) + 1.0)
+                  / (CAST(cu AS DOUBLE) + CAST(v AS DOUBLE)))
+                  * {scale}) AS BIGINT) AS p_fp
+      FROM docbi d
+      JOIN bic USING (w1, w2)
+      JOIN uni USING (w1)
+      CROSS JOIN vstats
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(p_fp) AS BIGINT) AS sum_fp
+      FROM pos GROUP BY 1
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             (CAST(a.sum_fp AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE))
+               / {scale} AS lm_score
+      FROM documents d JOIN agg a USING (doc_id)
+      WHERE a.n_bigrams > 0
+    )
+    SELECT doc_id, lang, lm_score, bucket_id,
+           CASE bucket_id WHEN 1 THEN 'head'
+                          WHEN 2 THEN 'middle'
+                          ELSE 'tail' END AS bucket
+    FROM (
+      SELECT doc_id, lang, lm_score,
+             NTILE(3) OVER (PARTITION BY lang
+                            ORDER BY lm_score DESC, doc_id) AS bucket_id
+      FROM scored
+    )
+    """
+
+
+@register("doc_ccnet_buckets", _ccnet_oracle())
+def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet bucketing step (Wenzek et al. 2020): within each
+    LANGUAGE, rank documents by LM fluency and split them into
+    head / middle / tail terciles — the standard pretraining move of
+    keeping the head, sampling the middle, dropping the tail, applied
+    PER LANGUAGE so low-resource languages aren't drowned by the
+    dominant one's fluency distribution.
+
+    Composes the corpus-self-trained bigram fluency score
+    (textops.lm_fluency — fixed-point-quantized, hash-exact across
+    engines, which is what makes the NTILE ordering deterministic
+    here; ties broken by doc_id). One window per language partition:
+    the shuffle carries (lang) keys, each partition ranks locally —
+    at 100 TB languages are the natural parallel unit."""
+    fl = textops.lm_fluency(_docs(spark, sf_dir))
+    scored = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang")
+        .join(fl.where(F.col("n_bigrams") > 0), "doc_id")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lm_score").desc(), F.col("doc_id").asc()
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "lm_score",
+        F.ntile(3).over(w).cast("long").alias("bucket_id"),
+    ).withColumn(
+        "bucket",
+        F.when(F.col("bucket_id") == 1, "head")
+        .when(F.col("bucket_id") == 2, "middle")
+        .otherwise("tail"),
+    )

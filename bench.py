@@ -199,6 +199,7 @@ EXTENDED = [
     "doc_boilerplate_coverage",
     "doc_bpe_pair_counts",
     "doc_dsir_importance",
+    "doc_ccnet_buckets",
 ]
 
 

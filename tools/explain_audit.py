@@ -750,6 +750,11 @@ EXPECT: dict[str, dict] = {
     "doc_dsir_importance": {
         "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
     },
+    # CCNet buckets: the lm_fluency machinery (bigram/unigram aggs,
+    # 1-row vocab crossjoin hinted) + one per-language NTILE window.
+    "doc_ccnet_buckets": {
+        "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
+    },
     # A/B lift: two distinct pre-aggs + the user-keyed converter join
     # (AQE broadcasts the converter side) + variant agg + 1-row pivot.
     "events_ab_conversion_lift": {
@@ -773,6 +778,7 @@ SCALAR_SUBQUERY_OK = {
     "emb_quantized_topk",
     # single-row broadcast cross join: the vocabulary-size row V
     "doc_lm_fluency",
+    "doc_ccnet_buckets",
     # seven 1x1 count-aggregate cross joins (n_child x n_orphans per
     # FK edge) — each side is exactly one row by construction
     "referential_integrity_audit",
