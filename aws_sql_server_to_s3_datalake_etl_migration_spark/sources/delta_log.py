@@ -1243,7 +1243,9 @@ def latest_txn_versions(
     return out
 
 
-def write_checkpoint(spark: SparkSession, table_path: str) -> int:
+def write_checkpoint(
+    spark: SparkSession, table_path: str, parts: int | None = None
+) -> int:
     """Write a SPEC-COMPLETE parquet checkpoint of the table's state at
     the latest version — the reconciled snapshot readers start from
     instead of replaying every commit (the same role Delta's periodic
@@ -1373,37 +1375,63 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
             }
         )
     cp = spark.createDataFrame(rows, _CHECKPOINT_DDL)
-    # one file, deterministic name the replay reader globs
+    # ``parts`` > 1 writes a MULTI-PART checkpoint (the spec's
+    # ``n.checkpoint.i.N.parquet`` form): at 100 TB a snapshot is
+    # millions of add rows, and a single coalesce(1) file makes the
+    # checkpoint a driver-sized bottleneck — parts let the write and
+    # every later replay read parallelize. Readers glob
+    # ``{v}.checkpoint*.parquet`` either way; protocol/metaData rows
+    # may land in any part (the spec allows it; replay unions parts).
+    n_parts = max(1, int(parts or 1))
     stage = f"{base}/_delta_log/.cp-stage-{v}"
-    cp.coalesce(1).write.mode("overwrite").parquet(stage)
-    renamed = False
-    for st in fs.listStatus(hpath(stage)):
-        name = st.getPath().getName()
-        if name.endswith(".parquet"):
-            dest = hpath(
-                f"{base}/_delta_log/{v:020d}.checkpoint.parquet"
-            )
-            if fs.exists(dest):
-                fs.delete(dest, False)  # idempotent re-checkpoint at v
-            if not fs.rename(st.getPath(), dest):
-                raise IOError(
-                    f"could not publish checkpoint {v} for {table_path} "
-                    "— a truncate_log after a silently-missing "
-                    "checkpoint would delete the commits it covers"
-                )
-            renamed = True
-    fs.delete(hpath(stage), True)
-    if not renamed:
+    cp.repartition(n_parts).write.mode("overwrite").parquet(stage)
+    staged = sorted(
+        (
+            st.getPath()
+            for st in fs.listStatus(hpath(stage))
+            if st.getPath().getName().endswith(".parquet")
+        ),
+        key=lambda p: p.getName(),
+    )
+    if not staged:
         raise IOError(
             f"checkpoint staging for {table_path} produced no parquet "
             "file — nothing was published"
         )
+    # idempotent re-checkpoint at v: clear any prior single- or
+    # multi-part publication before renaming the new parts in
+    for st in fs.listStatus(hpath(f"{base}/_delta_log")):
+        name = st.getPath().getName()
+        if name.startswith(f"{v:020d}.checkpoint") and name.endswith(
+            ".parquet"
+        ):
+            fs.delete(st.getPath(), False)
+    total = len(staged)
+    for i, src_p in enumerate(staged):
+        dest_name = (
+            f"{v:020d}.checkpoint.parquet"
+            if total == 1
+            else f"{v:020d}.checkpoint.{i + 1:010d}.{total:010d}.parquet"
+        )
+        if not fs.rename(
+            src_p, hpath(f"{base}/_delta_log/{dest_name}")
+        ):
+            raise IOError(
+                f"could not publish checkpoint {v} for {table_path} "
+                "— a truncate_log after a silently-missing "
+                "checkpoint would delete the commits it covers"
+            )
+    fs.delete(hpath(stage), True)
     # _last_checkpoint is how spec readers (and fast log listings)
-    # discover the newest checkpoint without a full directory scan
+    # discover the newest checkpoint without a full directory scan;
+    # multi-part checkpoints record their part count, as the spec does
+    pointer: dict = {"version": v, "size": len(rows)}
+    if total > 1:
+        pointer["parts"] = total
     _write_bytes(
         spark,
         f"{base}/_delta_log/_last_checkpoint",
-        json.dumps({"version": v, "size": len(rows)}).encode(),
+        json.dumps(pointer).encode(),
     )
     return v
 

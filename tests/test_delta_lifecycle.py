@@ -1769,3 +1769,53 @@ def test_add_generated_column_to_existing_table(spark, tmp_path):
     )
     got = {(r.pk, r.bucket) for r in read_delta(spark, path).collect()}
     assert got == {(1, "low"), (2, None), (3, "high")}
+
+
+def test_multipart_checkpoint_roundtrip(spark, tmp_path):
+    """Multi-part checkpoints (the spec's n.checkpoint.i.N.parquet
+    form): parts parallelize the snapshot write/read at lake scale;
+    replay, txn marks, metaData and truncation all work identically."""
+    path = str(tmp_path / "t_cp_parts")
+    delta_log.append_commit(
+        spark.range(0, 50).selectExpr("id AS pk").repartition(5),
+        path,
+        txn_app_id="app",
+        txn_version=1,
+    )
+    delta_log.append_commit(
+        spark.range(50, 80).selectExpr("id AS pk"), path
+    )
+    v = delta_log.write_checkpoint(spark, path, parts=3)
+    names = sorted(
+        n
+        for n in os.listdir(os.path.join(path, "_delta_log"))
+        if ".checkpoint" in n and n.endswith(".parquet")
+    )
+    assert len(names) >= 2  # genuinely multi-part
+    assert all(re.fullmatch(
+        rf"{v:020d}\.checkpoint\.\d{{10}}\.\d{{10}}\.parquet", n
+    ) for n in names)
+    lc = json.loads(
+        open(os.path.join(path, "_delta_log", "_last_checkpoint")).read()
+    )
+    assert lc["version"] == v and lc["parts"] == len(names)
+    delta_log.truncate_log(spark, path)
+    assert _log_jsons(path) == []
+    assert {r.pk for r in read_delta(spark, path).collect()} == set(
+        range(80)
+    )
+    # schema + txn marks survive via the multi-part checkpoint
+    assert delta_log.latest_txn_versions(spark, path) == {"app": 1}
+    assert delta_log.table_schema_json(spark, path) is not None
+    # later single-file re-checkpoint replaces the parts cleanly
+    delta_log.append_commit(
+        spark.range(80, 90).selectExpr("id AS pk"), path
+    )
+    v2 = delta_log.write_checkpoint(spark, path)
+    names2 = [
+        n
+        for n in os.listdir(os.path.join(path, "_delta_log"))
+        if n.startswith(f"{v2:020d}.checkpoint")
+    ]
+    assert names2 == [f"{v2:020d}.checkpoint.parquet"]
+    assert read_delta(spark, path).count() == 90
