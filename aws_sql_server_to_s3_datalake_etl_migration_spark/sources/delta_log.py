@@ -976,6 +976,7 @@ def append_commit(
         v = log_version(spark, table_path)
         widened = None
         if v is not None:
+            _gate_writer_protocol(spark, table_path)
             df = _apply_generated_columns(
                 df, latest_metadata(spark, table_path)
             )
@@ -1017,6 +1018,7 @@ def append_commit(
         widened = None
         if v is not None:
             if adds is None:
+                _gate_writer_protocol(spark, table_path)
                 df = _apply_generated_columns(
                     df, latest_metadata(spark, table_path)
                 )
@@ -1076,6 +1078,10 @@ def overwrite_commit(
     read_v = log_version(spark, table_path)
     md_action: list[dict] = []
     if read_v is not None:
+        _gate_writer_protocol(spark, table_path)
+        _check_append_only(
+            latest_metadata(spark, table_path), "OVERWRITE", table_path
+        )
         if overwrite_schema:
             old = latest_metadata(spark, table_path)
             if old is not None and _mapping_enabled(old):
@@ -1587,6 +1593,13 @@ def _rewrite_where(
     v = log_version(spark, base)
     if v is None:
         raise ValueError(f"{table_path} has no transaction log")
+    op = (
+        "REPLACE WHERE"
+        if extra is not None
+        else ("UPDATE" if transform is not None else "DELETE")
+    )
+    _gate_writer_protocol(spark, base)
+    _check_append_only(latest_metadata(spark, base), op, base)
     live = _delta_live_files(spark, base) or []
     if not live and extra is None:
         return v
@@ -1651,11 +1664,6 @@ def _rewrite_where(
         adds += stage_data_files(
             ins, base, partition_by=part_cols or None
         )
-    op = (
-        "REPLACE WHERE"
-        if extra is not None
-        else ("UPDATE" if transform is not None else "DELETE")
-    )
     return commit_with_rebase(
         spark,
         base,
@@ -1772,6 +1780,9 @@ def compact(
     v = log_version(spark, base)
     if v is None:
         raise ValueError(f"{table_path} has no transaction log")
+    # pure reorganization (dataChange=false) is legal on append-only
+    # tables; only the writer-feature gate applies here
+    _gate_writer_protocol(spark, base)
     adds = _delta_live_adds(
         spark, base, partition_filter=partition_filter
     ) or {}
@@ -1873,6 +1884,8 @@ def restore_to_version(
         )
     if version == head:
         return head
+    _gate_writer_protocol(spark, base)
+    _check_append_only(latest_metadata(spark, base), "RESTORE", base)
     want = _delta_live_adds(spark, base, version=version) or {}
     have = _delta_live_adds(spark, base) or {}
     to_remove = [
@@ -2738,4 +2751,83 @@ def add_generated_column(
         [{"protocol": proto}, {"metaData": new_md}],
         expected_version=v + 1,
         operation="ADD COLUMNS",
+    )
+
+
+# Writer features this engine actually implements. The spec requires
+# a writer to REFUSE tables demanding features it does not understand
+# — e.g. writing add actions to a rowTracking table without assigning
+# row ids would corrupt the table for its native readers.
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",
+    "checkConstraints",
+    "columnMapping",
+    "generatedColumns",
+    "timestampNtz",
+}
+
+
+def _gate_writer_protocol(spark: SparkSession, table_path: str) -> None:
+    """Refuse to WRITE to tables whose protocol demands writer
+    capabilities this engine does not implement (reading them may
+    still be fine — the reader gate is separate and narrower)."""
+    proto = _latest_protocol(spark, table_path)
+    mwv = int(proto.get("minWriterVersion", 2))
+    if mwv <= 6:
+        return
+    feats = set(proto.get("writerFeatures") or [])
+    unsupported = sorted(feats - _SUPPORTED_WRITER_FEATURES)
+    if mwv > 7 or unsupported:
+        raise ValueError(
+            f"Delta table at {table_path} requires writer features "
+            f"this engine does not implement (minWriterVersion={mwv}, "
+            f"unsupported={unsupported}); refusing to write — a "
+            "feature-blind commit would corrupt the table for its "
+            "native readers"
+        )
+
+
+def _check_append_only(
+    md: dict | None, operation: str, table_path: str
+) -> None:
+    """Enforce ``delta.appendOnly``: row-removing operations are
+    forbidden on append-only tables (the spec's appendOnly writer
+    feature — the contract audit/event-log tables rely on). File
+    REORGANIZATION (compaction's dataChange=false removes) is still
+    legal; callers guard only dataChange=true removals."""
+    conf = (md or {}).get("configuration") or {}
+    if str(conf.get("delta.appendOnly", "")).lower() == "true":
+        raise ValueError(
+            f"{operation} is forbidden on append-only table "
+            f"{table_path} (delta.appendOnly=true): the table's "
+            "consumers rely on rows never disappearing"
+        )
+
+
+def set_table_property(
+    spark: SparkSession, table_path: str, key: str, value: str
+) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES as one metadata commit —
+    e.g. ``set_table_property(spark, t, "delta.appendOnly", "true")``
+    turns the table append-only from that version forward."""
+    base = table_path.rstrip("/")
+    v = log_version(spark, base)
+    if v is None:
+        raise ValueError(f"{table_path} has no transaction log")
+    md = latest_metadata(spark, base)
+    if md is None:
+        raise ValueError(f"{table_path} has no reachable metaData")
+    conf = dict(md.get("configuration") or {})
+    if conf.get(key) == value:
+        return v  # idempotent
+    conf[key] = value
+    new_md = dict(md)
+    new_md["configuration"] = conf
+    return commit(
+        spark,
+        base,
+        [{"metaData": new_md}],
+        expected_version=v + 1,
+        operation="SET TBLPROPERTIES",
     )

@@ -1819,3 +1819,118 @@ def test_multipart_checkpoint_roundtrip(spark, tmp_path):
     ]
     assert names2 == [f"{v2:020d}.checkpoint.parquet"]
     assert read_delta(spark, path).count() == 90
+
+
+def test_append_only_table_refuses_row_removal(spark, tmp_path):
+    """delta.appendOnly: DELETE/UPDATE/OVERWRITE/RESTORE are refused;
+    appends and dataChange=false compaction stay legal — the audit-log
+    contract."""
+    path = str(tmp_path / "t_ao")
+    delta_log.append_commit(
+        spark.range(0, 30).selectExpr("id AS pk").repartition(3), path
+    )
+    delta_log.set_table_property(spark, path, "delta.appendOnly", "true")
+    delta_log.append_commit(
+        spark.range(30, 40).selectExpr("id AS pk"), path
+    )  # appends still fine
+    with pytest.raises(ValueError, match="append-only"):
+        delta_log.delete_where(spark, path, F.col("pk") < 5)
+    with pytest.raises(ValueError, match="append-only"):
+        delta_log.update_where(
+            spark, path, F.col("pk") == 1, {"pk": F.lit(100)}
+        )
+    with pytest.raises(ValueError, match="append-only"):
+        delta_log.overwrite_commit(
+            spark.range(5).selectExpr("id AS pk"), path
+        )
+    with pytest.raises(ValueError, match="append-only"):
+        delta_log.restore_to_version(spark, path, 0)
+    # reorganization is not removal: compaction still allowed
+    assert delta_log.compact(spark, path, min_files=2) is not None
+    assert read_delta(spark, path).count() == 40
+    # idempotent property set returns the current version
+    v = delta_log.log_version(spark, path)
+    assert delta_log.set_table_property(
+        spark, path, "delta.appendOnly", "true"
+    ) == v
+
+
+def test_writer_protocol_gating_refuses_unknown_features(
+    spark, tmp_path
+):
+    """A foreign table demanding writer features we do not implement
+    (e.g. rowTracking) must refuse WRITES — a feature-blind commit
+    would corrupt it for native readers — while READS stay fine when
+    the reader protocol is satisfied."""
+    import json as _json
+
+    path = str(tmp_path / "t_wf")
+    spark.range(3).selectExpr("id AS pk").coalesce(1).write.parquet(path)
+    data = [f for f in os.listdir(path) if f.endswith(".parquet")][0]
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    schema = (
+        '{"type":"struct","fields":[{"name":"pk","type":"long",'
+        '"nullable":true,"metadata":{}}]}'
+    )
+    with open(os.path.join(log, "0" * 20 + ".json"), "w") as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": ["rowTracking"],
+                    }
+                }
+            )
+            + "\n"
+        )
+        fh.write(
+            _json.dumps(
+                {
+                    "metaData": {
+                        "id": "m",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema,
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
+                }
+            )
+            + "\n"
+        )
+        fh.write(_json.dumps({"add": {"path": data, "dataChange": True}}) + "\n")
+    assert read_delta(spark, path).count() == 3  # reading is fine
+    with pytest.raises(ValueError, match="rowTracking"):
+        delta_log.append_commit(
+            spark.range(3, 5).selectExpr("id AS pk"), path
+        )
+    with pytest.raises(ValueError, match="rowTracking"):
+        delta_log.delete_where(spark, path, F.lit(True))
+    # a writer-version-7 table whose features we DO implement writes
+    path2 = str(tmp_path / "t_wf_ok")
+    delta_log.append_commit(
+        spark.range(3).selectExpr("id AS pk"), path2
+    )
+    v = delta_log.log_version(spark, path2)
+    md = delta_log.latest_metadata(spark, path2)
+    delta_log.commit(
+        spark,
+        path2,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["appendOnly", "checkConstraints"],
+                }
+            },
+            {"metaData": md},
+        ],
+        expected_version=v + 1,
+    )
+    delta_log.append_commit(
+        spark.range(3, 6).selectExpr("id AS pk"), path2
+    )
+    assert read_delta(spark, path2).count() == 6
