@@ -105,31 +105,49 @@ def merge_upsert(
     from ..sources import delta_log
 
     logged = delta_log.log_version(spark, path) is not None
-    # a log-backed table's live rows come from log replay, not a bare
-    # directory listing (tombstoned files must stay dead)
-    target_df = read_delta(spark, path) if logged else spark.read.parquet(path)
     if delete_col is not None:
         # Deletes are realized by the anti-join below removing every
         # incoming key from the target; only non-delete rows come back.
         upserts = incoming.where(~F.col(delete_col)).drop(delete_col)
     else:
         upserts = incoming
-    kept = target_df.join(
-        incoming.select(primary_key), on=primary_key, how="left_anti"
+    # MERGE is optimistic-with-retry on the log-backed path: the whole
+    # reconciliation is recomputed from the FRESH snapshot after a
+    # lost commit race, so nothing stale ever lands — the same
+    # serialization a user-level "re-run the merge" gives, automated.
+    # (Rebasing the OLD merge result would lose the winner's rows —
+    # a full overwrite's tombstone set covers the whole table, so the
+    # commute check that predicate rewrites use can never pass here.)
+    for _ in range(10):
+        # a log-backed table's live rows come from log replay, not a
+        # bare directory listing (tombstoned files must stay dead)
+        target_df = (
+            read_delta(spark, path) if logged else spark.read.parquet(path)
+        )
+        kept = target_df.join(
+            incoming.select(primary_key), on=primary_key, how="left_anti"
+        )
+        merged = kept.unionByName(upserts.select(*target_df.columns))
+        if not logged:
+            # Parquet can't overwrite a path while reading it: write
+            # the merge result to a staging dir, then atomically swap
+            # it into place (fault-tolerant tasks + recoverable ._old,
+            # vs localCheckpoint which pins the table in executor
+            # memory and dies with it).
+            swap_overwrite(merged, path)
+            return
+        try:
+            # copy-on-write commit: tombstone the old live files and
+            # add the merged ones in ONE log entry — atomic to
+            # readers, old version time-travelable
+            delta_log.overwrite_commit(merged, path)
+            return
+        except delta_log.CommitConflict:
+            continue  # a writer landed mid-merge: re-read, re-merge
+    raise RuntimeError(
+        f"merge into {path} lost 10 consecutive commit races "
+        "(pathological contention)"
     )
-    merged = kept.unionByName(upserts.select(*target_df.columns))
-    if logged:
-        # copy-on-write commit: tombstone the old live files and add
-        # the merged ones in ONE log entry — atomic to readers, old
-        # version time-travelable, concurrent reconciliations rejected
-        # via the pinned expected_version (delta_log.CommitConflict)
-        delta_log.overwrite_commit(merged, path)
-        return
-    # Parquet can't overwrite a path while reading it: write the merge
-    # result to a staging dir, then atomically swap it into place
-    # (fault-tolerant tasks + recoverable ._old, vs localCheckpoint
-    # which pins the table in executor memory and dies with it).
-    swap_overwrite(merged, path)
 
 
 def write_incremental(

@@ -1934,3 +1934,40 @@ def test_writer_protocol_gating_refuses_unknown_features(
         spark.range(3, 6).selectExpr("id AS pk"), path2
     )
     assert read_delta(spark, path2).count() == 6
+
+
+def test_concurrent_merges_both_land_via_retry(spark, tmp_path):
+    """Two MERGEs with disjoint keys racing on a log-backed table:
+    the loser re-reads the winner's snapshot and re-merges, so BOTH
+    reconciliations land and neither's rows are lost."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.incremental import (
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "t_merge_race")
+    delta_log.append_commit(
+        spark.createDataFrame(
+            [(i, 0) for i in range(20)], "pk LONG, v LONG"
+        ),
+        path,
+    )
+    a = spark.createDataFrame(
+        [(1, 11), (100, 11)], "pk LONG, v LONG"
+    )  # update pk=1, insert pk=100
+    b = spark.createDataFrame(
+        [(2, 22), (200, 22)], "pk LONG, v LONG"
+    )  # update pk=2, insert pk=200
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fa = ex.submit(merge_upsert, spark, a, path, "pk")
+        fb = ex.submit(merge_upsert, spark, b, path, "pk")
+        fa.result(180), fb.result(180)
+    rows = {(r.pk, r.v) for r in read_delta(spark, path).collect()}
+    expect = {(i, 0) for i in range(20) if i not in (1, 2)} | {
+        (1, 11),
+        (100, 11),
+        (2, 22),
+        (200, 22),
+    }
+    assert rows == expect
