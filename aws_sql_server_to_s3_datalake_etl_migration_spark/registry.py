@@ -120,9 +120,13 @@ def oracles() -> dict[str, str]:
 # intact + clone diverged), doc_boilerplate_coverage (cross-corpus
 # template 5-gram filter), doc_bpe_pair_counts (vocab-sized BPE
 # merge-candidate counts), doc_dsir_importance (DSIR-style
-# target-domain importance scoring) and doc_ccnet_buckets (CCNet
-# per-language head/middle/tail terciles). The full list with
-# positions is CATALOG.md (entries past position 50).
+# target-domain importance scoring), doc_ccnet_buckets (CCNet
+# per-language head/middle/tail terciles),
+# orders_delta_rename_roundtrip (column mapping: zero-rewrite RENAME
+# with physical->logical aliasing across file generations) and
+# orders_delta_generated_month_scan (GENERATED partition column:
+# derived-month file-list pruning over raw-timestamp ingest). The
+# full list with positions is CATALOG.md (entries past position 50).
 _PRIORITY: tuple[str, ...] = (
     # §2 core: flagship ingest, scans, incremental/merge, recon
     # (permanently pinned)

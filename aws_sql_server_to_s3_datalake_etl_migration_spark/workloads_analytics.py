@@ -2349,6 +2349,107 @@ def orders_delta_clone_divergence(
     return source.unionByName(clone)
 
 
+@register(
+    "orders_delta_rename_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice AS price
+    FROM orders
+    """,
+)
+def orders_delta_rename_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Column mapping under the value check (sources/delta_log.py
+    rename_column): half of orders bootstraps a log-backed table,
+    RENAME COLUMN o_totalprice -> price runs as a single metadata
+    commit (auto-upgrading the table to columnMapping=name; zero
+    files rewritten), and the OTHER half appends post-rename speaking
+    the new logical schema — its files stage under the original
+    physical name. The final read must therefore alias two
+    generations of physical files into one logical shape; the oracle
+    states the whole of orders with the renamed column. Reruns
+    converge via per-version guards."""
+    import os
+
+    from .sources import delta_log
+    from .sources.readers import read_delta
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(repo_root, ".lake_cache", f"delta_rename_{tag}")
+    if delta_log.log_version(spark, path) is None:
+        delta_log.append_commit(
+            _t(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice"),
+            path,
+        )
+    if delta_log.log_version(spark, path) == 0:
+        delta_log.rename_column(spark, path, "o_totalprice", "price")
+    if delta_log.log_version(spark, path) == 2:
+        delta_log.append_commit(
+            _t(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 2 == 1)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.col("o_totalprice").alias("price"),
+            ),
+            path,
+        )
+    return read_delta(spark, path)
+
+
+@register(
+    "orders_delta_generated_month_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate,
+           strftime(o_orderdate, '%Y-%m') AS m
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') = '1997-03'
+    """,
+)
+def orders_delta_generated_month_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATED partition columns under the value check
+    (sources/delta_log.py create_table + _apply_generated_columns):
+    the table is created data-less with a GENERATED ALWAYS AS month
+    column as its partition key; the ingest append supplies ONLY raw
+    timestamps — the engine computes the month at write time and
+    lands Hive-partitioned files. The returned plan reads exactly one
+    month via FILE-LIST partition pruning over the derived column
+    (the 100 TB pattern: derived-date pruning without the writer ever
+    materializing the column). The oracle derives the same month from
+    raw orders. Reruns converge via version guards."""
+    import os
+
+    from .sources import delta_log
+    from .sources.readers import read_delta
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(repo_root, ".lake_cache", f"delta_genmonth_{tag}")
+    if delta_log.log_version(spark, path) is None:
+        delta_log.create_table(
+            spark,
+            path,
+            "o_orderkey LONG, o_totalprice DOUBLE, "
+            "o_orderdate TIMESTAMP_NTZ, m STRING",
+            partition_by=["m"],
+            generated={"m": "date_format(o_orderdate, 'yyyy-MM')"},
+        )
+    if delta_log.log_version(spark, path) == 0:
+        delta_log.append_commit(
+            _t(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_totalprice", "o_orderdate"
+            ),
+            path,
+            partition_by=["m"],
+        )
+    return read_delta(spark, path, partition_filter={"m": "1997-03"})
+
+
 # ---------------------------------------------------------------------------
 # Referential-integrity audit (round 8)
 # ---------------------------------------------------------------------------

@@ -200,6 +200,8 @@ EXTENDED = [
     "doc_bpe_pair_counts",
     "doc_dsir_importance",
     "doc_ccnet_buckets",
+    "orders_delta_rename_roundtrip",
+    "orders_delta_generated_month_scan",
 ]
 
 

@@ -724,6 +724,18 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": True, "hints": 0, "shuffles": 0,
         "pure_jvm": True,
     },
+    # rename roundtrip: one log-replay scan aliasing two physical-name
+    # generations into the logical shape — no joins, no shuffles.
+    "orders_delta_rename_roundtrip": {
+        "pushed": False, "no_smj": True, "hints": 0, "shuffles": 0,
+        "pure_jvm": True,
+    },
+    # generated-month scan: file-list partition pruning on the
+    # derived column — exactly one month's files reach the scan.
+    "orders_delta_generated_month_scan": {
+        "pushed": False, "no_smj": True, "hints": 0, "shuffles": 0,
+        "pure_jvm": True,
+    },
     # shallow-clone divergence: two log-replay scans glued plan-level
     # (source at its root, clone mixing absolute-path source files +
     # clone-materialized rewrites) — no joins, no shuffles, no Python.
