@@ -139,8 +139,12 @@ def merge_upsert(
         try:
             # copy-on-write commit: tombstone the old live files and
             # add the merged ones in ONE log entry — atomic to
-            # readers, old version time-travelable
-            delta_log.overwrite_commit(merged, path)
+            # readers, old version time-travelable. The table's own
+            # partition layout carries through (a merge must not
+            # flatten a partitioned table).
+            md = delta_log.latest_metadata(spark, path) or {}
+            parts = list(md.get("partitionColumns") or []) or None
+            delta_log.overwrite_commit(merged, path, partition_by=parts)
             return
         except delta_log.CommitConflict:
             continue  # a writer landed mid-merge: re-read, re-merge

@@ -17,6 +17,7 @@ from .writers import (
     save_as_table,
 )
 from .local import create_dataframe_from_rows, create_dataframe_from_pandas
+from .lake_table import LakeTable
 
 __all__ = [
     "read_jdbc",
@@ -33,4 +34,5 @@ __all__ = [
     "save_as_table",
     "create_dataframe_from_rows",
     "create_dataframe_from_pandas",
+    "LakeTable",
 ]

@@ -1493,7 +1493,10 @@ def truncate_log(spark: SparkSession, table_path: str) -> int:
 
 
 def vacuum(
-    spark: SparkSession, table_path: str, min_age_seconds: int = 3600
+    spark: SparkSession,
+    table_path: str,
+    min_age_seconds: int = 3600,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete data files no longer live at HEAD (tombstoned by merges/
     overwrites). Returns the deleted file names (relative paths for
@@ -1523,7 +1526,10 @@ def vacuum(
     by absolute path without appearing in its log — a vacuum here can
     break them, the same caveat delta-spark documents. Vacuuming the
     CLONE is always safe: only files under the clone's own root are
-    candidates."""
+    candidates.
+
+    ``dry_run`` (VACUUM ... DRY RUN) lists what WOULD be reclaimed
+    without deleting anything — the operator's pre-flight check."""
     from .readers import _delta_live_adds
 
     base = table_path.rstrip("/")
@@ -1544,8 +1550,11 @@ def vacuum(
         if rel.startswith("_delta_log/") or not rel.endswith(".parquet"):
             continue
         if rel not in live and st.getModificationTime() <= cutoff_ms:
-            fs.delete(p, False)
+            if not dry_run:
+                fs.delete(p, False)
             deleted.append(rel)
+    if dry_run:
+        return sorted(deleted)
     # prune partition dirs the deletions emptied (cosmetic but keeps
     # directory listings honest on long-lived partitioned tables)
     for rel in {r.rsplit("/", 1)[0] for r in deleted if "/" in r}:

@@ -1971,3 +1971,75 @@ def test_concurrent_merges_both_land_via_retry(spark, tmp_path):
         (200, 22),
     }
     assert rows == expect
+
+
+def test_lake_table_facade_full_surface(spark, tmp_path):
+    """LakeTable: the DeltaTable-shaped object API delegates every
+    operation to the engine with identical semantics — one end-to-end
+    walk across create/append/update/delete/merge/optimize/clone/
+    rename/history/detail/vacuum/restore/CDF."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.lake_table import (
+        LakeTable,
+    )
+
+    path = str(tmp_path / "t_facade")
+    with pytest.raises(ValueError, match="not a Delta table"):
+        LakeTable.forPath(spark, path)
+    t = LakeTable.create(
+        spark, path, "pk LONG, v LONG, p STRING", partition_by=["p"]
+    )
+    assert LakeTable.isDeltaTable(spark, path)
+    t.append(
+        spark.createDataFrame(
+            [(i, 0, "a" if i < 5 else "b") for i in range(10)],
+            "pk LONG, v LONG, p STRING",
+        )
+    )
+    assert t.toDF().count() == 10
+    assert t.toDF(partition_filter={"p": "a"}).count() == 5
+    t.update(F.col("pk") == 1, {"v": F.lit(10)})
+    t.delete(F.col("pk") == 9)
+    t.merge(
+        spark.createDataFrame(
+            [(2, 22, "a"), (100, 1, "b")], "pk LONG, v LONG, p STRING"
+        ),
+        "pk",
+    )
+    rows = {(r.pk, r.v) for r in t.toDF().collect()}
+    assert (1, 10) in rows and (2, 22) in rows and (100, 1) in rows
+    assert (9, 0) not in rows
+    pre_restore = t.version()
+    # maintenance + DDL through the facade
+    t.optimize()
+    t.addCheckConstraint("v_nonneg", "v >= 0")
+    with pytest.raises(ValueError):
+        t.append(
+            spark.createDataFrame(
+                [(7, -1, "a")], "pk LONG, v LONG, p STRING"
+            )
+        )
+    t.dropCheckConstraint("v_nonneg")
+    t.renameColumn("v", "val")
+    assert t.toDF().columns == ["pk", "val", "p"]
+    ops = {h["operation"] for h in t.history()}
+    assert {"CREATE TABLE", "UPDATE", "DELETE", "RENAME COLUMN"} <= ops
+    d = t.detail()
+    assert d["partitionColumns"] == ["p"] and d["numFiles"] >= 1
+    # zero-copy clone through the facade diverges independently
+    c = t.clone(str(tmp_path / "t_facade_clone"))
+    c.delete(F.lit(True))
+    assert c.toDF().count() == 0
+    assert t.toDF().count() > 0
+    # vacuum dry-run reports dead files without touching them
+    dead = t.vacuum(min_age_seconds=0, dry_run=True)
+    assert dead  # update/delete/optimize tombstoned files
+    assert t.toDF(version=1).count() == 10  # still time-travelable
+    # restore + CDF (before the real vacuum: restores reach only as
+    # far back as vacuum retention, and the engine enforces it)
+    t.restoreToVersion(pre_restore)
+    changes = t.tableChanges(0, 1)
+    assert changes.count() == 10
+    t.vacuum(min_age_seconds=0)
+    assert t.fsck()["ok"]
+    with pytest.raises(ValueError, match="vacuum"):
+        t.restoreToVersion(1)  # below retention now — loud refusal
