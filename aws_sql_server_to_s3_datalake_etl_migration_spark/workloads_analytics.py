@@ -2350,6 +2350,65 @@ def orders_delta_clone_divergence(
 
 
 @register(
+    "orders_delta_partitioned_merge_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 7
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def orders_delta_partitioned_merge_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE into a PARTITIONED log-backed table under the value
+    check (operators/incremental.py merge_upsert + the round-8 fix
+    that carries the table's partition layout through the merge's
+    copy-on-write commit): orders bootstraps a table partitioned by
+    o_orderstatus, then one merge both UPDATES the %4 keys (+7) and
+    INSERTS a shifted-key slice. The oracle states the merged table
+    straight from orders; matching hashes prove the keyed
+    reconciliation, the Hive re-layout of the merged output, and the
+    partition-column recovery on replay. Reruns converge via the
+    version guard."""
+    import os
+
+    from .sources import delta_log
+    from .sources.readers import read_delta
+    from .sources.writers import write_delta_append
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(
+        repo_root, ".lake_cache", f"delta_orders_pmerge_{tag}"
+    )
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    if delta_log.log_version(spark, path) is None:
+        write_delta_append(
+            _t(spark, sf_dir, "orders").select(*cols),
+            path,
+            partition_by=["o_orderstatus"],
+        )
+    if delta_log.log_version(spark, path) == 0:
+        from .operators.incremental import merge_upsert
+
+        o = _t(spark, sf_dir, "orders").select(*cols)
+        updates = o.where(F.col("o_orderkey") % 4 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 7
+        )
+        inserts = o.where(F.col("o_orderkey") % 100 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 1000000
+        )
+        merge_upsert(
+            spark, updates.unionByName(inserts), path, "o_orderkey"
+        )
+    return read_delta(spark, path).select(*cols)
+
+
+@register(
     "orders_delta_rename_roundtrip",
     """
     SELECT o_orderkey, o_custkey, o_totalprice AS price

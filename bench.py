@@ -202,6 +202,7 @@ EXTENDED = [
     "doc_ccnet_buckets",
     "orders_delta_rename_roundtrip",
     "orders_delta_generated_month_scan",
+    "orders_delta_partitioned_merge_roundtrip",
 ]
 
 

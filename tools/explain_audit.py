@@ -724,6 +724,12 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": True, "hints": 0, "shuffles": 0,
         "pure_jvm": True,
     },
+    # partitioned merge roundtrip: returned plan is a log-replay scan
+    # of the merged partitioned live set (the merge committed eagerly)
+    "orders_delta_partitioned_merge_roundtrip": {
+        "pushed": False, "no_smj": True, "hints": 0, "shuffles": 0,
+        "pure_jvm": True,
+    },
     # rename roundtrip: one log-replay scan aliasing two physical-name
     # generations into the logical shape — no joins, no shuffles.
     "orders_delta_rename_roundtrip": {
