@@ -93,10 +93,16 @@ def oracles() -> dict[str, str]:
 # goes to orders_delta_merge_roundtrip — the round-7 centerpiece's
 # end-to-end value check earns its official row this round.
 #
-# Round-9 rotation candidates: oracle-backed queries added mid-round-8
-# with no official driver row yet — all local-check green (sf0.001 AND
-# sf0.01), plan-audited, and bench-exercised when added. Staged, in
-# suggested rotation order: orders_delta_partitioned_roundtrip,
+# Round-9 rotation candidates: oracle-backed queries with no official
+# driver row yet — all local-check green (sf0.001 AND sf0.01),
+# plan-audited, and bench-exercised when added. The round-8 IN-ROUND
+# additions lead (newest capabilities deserve the first official
+# rows): orders_delta_clone_divergence, orders_delta_rename_roundtrip,
+# orders_delta_generated_month_scan,
+# orders_delta_partitioned_merge_roundtrip, doc_boilerplate_coverage,
+# doc_bpe_pair_counts, doc_dsir_importance, doc_ccnet_buckets.
+# Then the mid-round-8 set, in suggested rotation order:
+# orders_delta_partitioned_roundtrip,
 # customer_abc_classes, part_pair_affinity, events_time_weighted_avg,
 # events_ohlc_bars, events_hll_rollup (rows-only pytest twin),
 # doc_readability, emb_dim_stats, scd2_customer_history, and the
