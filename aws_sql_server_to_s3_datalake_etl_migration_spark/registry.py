@@ -100,7 +100,8 @@ def oracles() -> dict[str, str]:
 # rows): orders_delta_clone_divergence, orders_delta_rename_roundtrip,
 # orders_delta_generated_month_scan,
 # orders_delta_partitioned_merge_roundtrip, doc_boilerplate_coverage,
-# doc_bpe_pair_counts, doc_dsir_importance, doc_ccnet_buckets.
+# doc_bpe_pair_counts, doc_dsir_importance, doc_ccnet_buckets,
+# doc_langid_confusion, events_user_behavior_outliers.
 # Then the mid-round-8 set, in suggested rotation order:
 # orders_delta_partitioned_roundtrip,
 # customer_abc_classes, part_pair_affinity, events_time_weighted_avg,

@@ -2829,3 +2829,145 @@ def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("weight").desc(), F.col("pair").asc())
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (round 8): model-eval over the corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_langid_confusion",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> lower(x)) AS lw
+      FROM documents
+      WHERE trim(text) <> ''
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             {', '.join(f"{_lang_ratio_sql(lang)} AS s_{lang}" for lang in _LANGS_DESC)}
+      FROM toks
+    ),
+    pred AS (
+      SELECT lang AS lang_true,
+             CASE WHEN GREATEST({', '.join('s_' + lang for lang in _LANGS_DESC)}) = 0
+                  THEN 'und' {_LANG_CASE} END AS lang_pred
+      FROM scored
+    )
+    SELECT lang_true, lang_pred, COUNT(*)::BIGINT AS n,
+           COUNT(*)::DOUBLE
+             / SUM(COUNT(*)) OVER (PARTITION BY lang_true) AS frac
+    FROM pred
+    GROUP BY lang_true, lang_pred
+    """,
+)
+def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language identifier against
+    the corpus's labeled ``lang`` column — the EVALUATION step every
+    classifier-driven pipeline filter needs before its predictions
+    gate data (per-true-language prediction counts + row-normalized
+    fractions). One hash-agg over per-doc predictions plus a window
+    for the normalization; the fraction is one exactly-rounded IEEE
+    division of exact counts, so it hashes identically cross-engine."""
+    from pyspark.sql.window import Window
+
+    pred = textops.with_lang_id(
+        _docs(spark, sf_dir).where(F.trim(F.col("text")) != "")
+    ).select(F.col("lang").alias("lang_true"), "lang_pred")
+    counts = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang_true")
+    return counts.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(w).cast("double")
+        ).alias("frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# User-behavior outliers (round 8): bot/spam screening before training
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_user_behavior_outliers",
+    """
+    WITH u AS (
+      SELECT user_id,
+             COUNT(*)::BIGINT AS n_events,
+             ((max(epoch_ns(ts)) - min(epoch_ns(ts)))
+               // 1000000000)::BIGINT AS span_sec,
+             COUNT(DISTINCT event_type)::BIGINT AS n_types
+      FROM events
+      GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, n_events, span_sec, n_types,
+             n_events * 60.0 / GREATEST(span_sec, 60) AS rate_pm
+      FROM u
+    )
+    SELECT user_id, n_events, span_sec, n_types, rate_pm,
+           PERCENT_RANK() OVER (ORDER BY rate_pm, user_id) AS rate_pr,
+           PERCENT_RANK() OVER (ORDER BY rate_pm, user_id) >= 0.95
+             AS suspect
+    FROM r
+    """,
+)
+def events_user_behavior_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bot/spam screening over the event stream — the behavioral
+    hygiene pass run before user-generated data enters a training
+    corpus: per-user volume, activity span, type diversity and
+    event rate, with the top-5% by rate flagged as suspects (RELATIVE
+    outliers — absolute thresholds don't transfer across products;
+    the percentile does).
+
+    Determinism engineering: span is integer seconds from the int64
+    epoch-nanos column (lossless), the rate is ONE exactly-rounded
+    IEEE division of exact integers, and the percentile tie-breaks on
+    user_id — so ranks, fractions and flags hash identically
+    cross-engine. One hash-agg keyed by user (map-side combined) plus
+    one global rank window; at 100 TB the per-user reduction happens
+    before the single ordered pass."""
+    from pyspark.sql.window import Window
+
+    from .workloads import _events
+
+    u = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts_ns").alias("_mx"),
+            F.min("ts_ns").alias("_mn"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+        # exact int64 floor-division (never float-divide epoch nanos:
+        # a correctly-rounded double quotient can round UP across an
+        # integer boundary and disagree with the oracle's // by one)
+        .withColumn(
+            "span_sec",
+            F.expr("(_mx - _mn) div 1000000000").cast("long"),
+        )
+        .select("user_id", "n_events", "span_sec", "n_types")
+    )
+    rate = (
+        F.col("n_events").cast("double")
+        * F.lit(60.0)
+        / F.greatest(F.col("span_sec"), F.lit(60)).cast("double")
+    )
+    w = Window.orderBy("rate_pm", "user_id")
+    return (
+        u.withColumn("rate_pm", rate)
+        .withColumn("rate_pr", F.percent_rank().over(w))
+        .withColumn("suspect", F.col("rate_pr") >= 0.95)
+    )

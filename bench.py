@@ -203,6 +203,8 @@ EXTENDED = [
     "orders_delta_rename_roundtrip",
     "orders_delta_generated_month_scan",
     "orders_delta_partitioned_merge_roundtrip",
+    "doc_langid_confusion",
+    "events_user_behavior_outliers",
 ]
 
 

@@ -773,6 +773,18 @@ EXPECT: dict[str, dict] = {
     "doc_ccnet_buckets": {
         "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
     },
+    # lang-ID confusion: per-doc prediction expressions -> one
+    # (true, pred) hash-agg + the per-true-lang normalization window.
+    "doc_langid_confusion": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # behavior outliers: user-keyed hash-agg (map-side combined) then
+    # ONE global rank window over the already-reduced user rows —
+    # users << events at any scale, so the single ordered pass is
+    # user-table-sized, not stream-sized.
+    "events_user_behavior_outliers": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
     # A/B lift: two distinct pre-aggs + the user-keyed converter join
     # (AQE broadcasts the converter side) + variant agg + 1-row pivot.
     "events_ab_conversion_lift": {
