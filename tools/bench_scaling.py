@@ -154,6 +154,15 @@ QUERIES = [
     "doc_boilerplate_coverage",
     "doc_bpe_pair_counts",
     "doc_dsir_importance",
+    # round-8 late additions (first ratios land in the round-9 probe):
+    # CCNet buckets (lm_fluency machinery + per-language window),
+    # lang-ID confusion (per-doc prediction agg), behavior outliers
+    # (user-keyed agg + user-table-sized rank window), and the
+    # partitioned-merge roundtrip (merge cost tracks table size)
+    "doc_ccnet_buckets",
+    "doc_langid_confusion",
+    "events_user_behavior_outliers",
+    "orders_delta_partitioned_merge_roundtrip",
 ]
 
 
