@@ -1275,13 +1275,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulates in DECIMAL(18,4) (order-free), every NTILE carries a
     unique tiebreak so quintile boundaries are deterministic.
 
-    Scale: the per-customer aggregate is map-side combined; the three
-    NTILEs each need a total order over the |customers| aggregate —
-    fine for warehouse customer cardinality, and the documented scale
-    path for huge N is percent_rank over range-partitioned sort (or
-    approx quantile cut points broadcast as a join), trading exact
-    equal-size buckets for a fixed cut.
+    Scale: the per-customer aggregate is map-side combined; the
+    customer dimension tracks the fact table, so each NTILE's total
+    order runs as a distributed ordered-prefix pass
+    (``operators/ranking.py`` — quantile buckets, parallel in-bucket
+    rank, tiny carry join) and the tile comes from the exact global
+    position by the closed-form NTILE split — bit-identical to the
+    single-task window, with no single-task window.
     """
+    from .operators.ranking import ntile_expr, with_ordered_prefix
+
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
@@ -1292,24 +1295,37 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
-    def quint(order_cols):
-        return F.ntile(5).over(
-            Window.orderBy(*order_cols)
-        ).cast("bigint")
+    # DESC orders bucket on the negated numeric (monotone, exact);
+    # NTZ->LTZ->micros is lossless and order-isomorphic under the
+    # engine's fixed UTC session timezone (no DST fold)
+    per = (
+        per.withColumn(
+            "_neg_r",
+            -F.unix_micros(F.col("last_order").cast("timestamp")),
+        )
+        .withColumn("_neg_f", -F.col("frequency"))
+        .withColumn("_neg_m", -F.col("monetary"))
+    )
+    for neg, pos in (
+        ("_neg_r", "_pos_r"),
+        ("_neg_f", "_pos_f"),
+        ("_neg_m", "_pos_m"),
+    ):
+        per = with_ordered_prefix(
+            per,
+            neg,
+            [F.col(neg), F.col("c_custkey")],
+            {pos: F.lit(1)},
+            totals={"_n": "_pos_r"} if pos == "_pos_r" else None,
+        )
     return per.select(
         "c_custkey",
         "last_order",
         "frequency",
         "monetary",
-        quint([F.col("last_order").desc(), F.col("c_custkey")]).alias(
-            "r_quintile"
-        ),
-        quint([F.col("frequency").desc(), F.col("c_custkey")]).alias(
-            "f_quintile"
-        ),
-        quint([F.col("monetary").desc(), F.col("c_custkey")]).alias(
-            "m_quintile"
-        ),
+        ntile_expr(F.col("_pos_r"), F.col("_n"), 5).alias("r_quintile"),
+        ntile_expr(F.col("_pos_f"), F.col("_n"), 5).alias("f_quintile"),
+        ntile_expr(F.col("_pos_m"), F.col("_n"), 5).alias("m_quintile"),
     )
 
 
@@ -1638,29 +1654,28 @@ def customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (under a deterministic spend-desc, key-asc order), B to 95%, C
     the tail — the classic warehouse segmentation. Per-customer spend
     accumulates as exact DECIMAL and the heavy fact-side aggregate
-    shuffles ONCE by customer key; the cumulative share then runs
-    over the already-aggregated customer dimension — a deliberately
-    bounded global-order step (the dimension is orders of magnitude
-    smaller than the fact table; at 100 TB the fact scan dominates
-    and this window is noise). Class boundaries compare identical
-    double expressions on both engines, so the report hash-matches."""
+    shuffles ONCE by customer key; the cumulative share then runs as
+    a distributed ordered-prefix sum (``operators/ranking.py``) —
+    the customer dimension is NOT bounded (it merely lags the fact
+    table), so the prefix must never funnel through one task.
+    DECIMAL partial sums re-associate exactly, so the bucketed
+    carry reproduces the single-task window bit-for-bit. Class
+    boundaries compare identical double expressions on both engines,
+    so the report hash-matches."""
+    from .operators.ranking import with_ordered_prefix
+
     spend = (
         read_table_dir(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend"))
     )
-    w_cum = (
-        Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = spend.select(
-        "spend",
-        F.sum("spend").over(w_cum).alias("cum"),
-        F.sum("spend").over(w_all).alias("total"),
-    )
+    ranked = with_ordered_prefix(
+        spend.withColumn("_neg", -F.col("spend")),
+        "_neg",
+        [F.col("_neg"), F.col("o_custkey").asc()],
+        {"cum": F.col("spend")},
+        totals={"total": "cum"},
+    ).select("spend", "cum", "total")
     classed = ranked.select(
         "spend",
         "total",

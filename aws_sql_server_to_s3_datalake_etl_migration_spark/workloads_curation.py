@@ -1387,23 +1387,41 @@ def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composes the corpus-self-trained bigram fluency score
     (textops.lm_fluency — fixed-point-quantized, hash-exact across
     engines, which is what makes the NTILE ordering deterministic
-    here; ties broken by doc_id). One window per language partition:
-    the shuffle carries (lang) keys, each partition ranks locally —
-    at 100 TB languages are the natural parallel unit."""
+    here; ties broken by doc_id).
+
+    Scale shape: a plain per-language NTILE window puts the dominant
+    language's docs through ONE task — and a real web corpus is about
+    half one language, so that task is half the corpus. Instead the
+    tercile comes from the distributed ordered-prefix operator run
+    PARTITIONED BY language (``operators/ranking.py``): global
+    fluency-quantile buckets sub-split every language (monotone
+    within each — bucket id is a function of the score), in-bucket
+    ranks run in parallel, and per-(lang, bucket) counts carry
+    through one tiny window. The exact per-language position plus
+    the closed-form NTILE split reproduce the window bit-for-bit."""
+    from .operators.ranking import ntile_expr, with_ordered_prefix
+
     fl = textops.lm_fluency(_docs(spark, sf_dir))
     scored = (
         _docs(spark, sf_dir)
         .select("doc_id", "lang")
         .join(fl.where(F.col("n_bigrams") > 0), "doc_id")
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.col("lm_score").desc(), F.col("doc_id").asc()
+    ranked = with_ordered_prefix(
+        scored.withColumn("_neg", -F.col("lm_score")),
+        "_neg",
+        [F.col("_neg"), F.col("doc_id").asc()],
+        {"_pos": F.lit(1)},
+        partition_cols=["lang"],
+        totals={"_n": "_pos"},
     )
-    return scored.select(
+    return ranked.select(
         "doc_id",
         "lang",
         "lm_score",
-        F.ntile(3).over(w).cast("long").alias("bucket_id"),
+        ntile_expr(F.col("_pos"), F.col("_n"), 3)
+        .cast("long")
+        .alias("bucket_id"),
     ).withColumn(
         "bucket",
         F.when(F.col("bucket_id") == 1, "head")

@@ -2935,11 +2935,18 @@ def events_user_behavior_outliers(
     epoch-nanos column (lossless), the rate is ONE exactly-rounded
     IEEE division of exact integers, and the percentile tie-breaks on
     user_id — so ranks, fractions and flags hash identically
-    cross-engine. One hash-agg keyed by user (map-side combined) plus
-    one global rank window; at 100 TB the per-user reduction happens
-    before the single ordered pass."""
-    from pyspark.sql.window import Window
+    cross-engine.
 
+    Scale shape: the per-user aggregate is map-side combined, but the
+    USER dimension tracks the fact table (10^8-10^9 users at 100 TB),
+    so the rank must NOT run as a global single-task window. The
+    percentile comes from the distributed ordered-prefix operator
+    (``operators/ranking.py``): quantile-bucket the rate, rank within
+    buckets in parallel, carry per-bucket counts through one tiny
+    window — the exact rank (unique user_id tie-break => rank ==
+    position) then yields PERCENT_RANK by closed-form arithmetic,
+    bit-identical to the oracle's window."""
+    from .operators.ranking import percent_rank_expr, with_ordered_prefix
     from .workloads import _events
 
     u = (
@@ -2965,9 +2972,22 @@ def events_user_behavior_outliers(
         * F.lit(60.0)
         / F.greatest(F.col("span_sec"), F.lit(60)).cast("double")
     )
-    w = Window.orderBy("rate_pm", "user_id")
-    return (
-        u.withColumn("rate_pm", rate)
-        .withColumn("rate_pr", F.percent_rank().over(w))
-        .withColumn("suspect", F.col("rate_pr") >= 0.95)
+    u = u.withColumn("rate_pm", rate)
+    ranked = with_ordered_prefix(
+        u,
+        "rate_pm",
+        [F.col("rate_pm"), F.col("user_id")],
+        {"_pos": F.lit(1)},
+        totals={"_n": "_pos"},
+    )
+    return ranked.select(
+        "user_id",
+        "n_events",
+        "span_sec",
+        "n_types",
+        "rate_pm",
+        percent_rank_expr(F.col("_pos"), F.col("_n")).alias("rate_pr"),
+        (
+            percent_rank_expr(F.col("_pos"), F.col("_n")) >= 0.95
+        ).alias("suspect"),
     )

