@@ -119,10 +119,18 @@ def merge_upsert(
     # a full overwrite's tombstone set covers the whole table, so the
     # commute check that predicate rewrites use can never pass here.)
     for _ in range(10):
-        # a log-backed table's live rows come from log replay, not a
-        # bare directory listing (tombstoned files must stay dead)
+        # Capture the table version ONCE per attempt, resolve the
+        # snapshot AT that version, and pin the commit to it — the
+        # whole read-merge-write must be one serializable unit. (An
+        # unversioned read here followed by overwrite_commit pinning
+        # the LIVE head was a TOCTOU: a commit landing in between got
+        # tombstoned without its rows entering the merge result and
+        # without CommitConflict — a silent lost update.)
+        read_v = delta_log.log_version(spark, path) if logged else None
         target_df = (
-            read_delta(spark, path) if logged else spark.read.parquet(path)
+            read_delta(spark, path, version=read_v)
+            if logged
+            else spark.read.parquet(path)
         )
         kept = target_df.join(
             incoming.select(primary_key), on=primary_key, how="left_anti"
@@ -142,9 +150,14 @@ def merge_upsert(
             # readers, old version time-travelable. The table's own
             # partition layout carries through (a merge must not
             # flatten a partitioned table).
-            md = delta_log.latest_metadata(spark, path) or {}
+            md = (
+                delta_log.latest_metadata(spark, path, version=read_v)
+                or {}
+            )
             parts = list(md.get("partitionColumns") or []) or None
-            delta_log.overwrite_commit(merged, path, partition_by=parts)
+            delta_log.overwrite_commit(
+                merged, path, partition_by=parts, read_version=read_v
+            )
             return
         except delta_log.CommitConflict:
             continue  # a writer landed mid-merge: re-read, re-merge

@@ -974,27 +974,49 @@ def append_commit(
     spark = df.sparkSession
     if txn_app_id is None:
         v = log_version(spark, table_path)
-        widened = None
-        if v is not None:
-            _gate_writer_protocol(spark, table_path)
-            df = _apply_generated_columns(
-                df, latest_metadata(spark, table_path)
+        if v is None:
+            adds = stage_data_files(
+                df, table_path, partition_by=partition_by
             )
+            return commit(
+                spark,
+                table_path,
+                bootstrap_actions(df, partition_by) + adds,
+                operation="CREATE TABLE AS SELECT",
+            )
+        _gate_writer_protocol(spark, table_path)
+        df = _apply_generated_columns(
+            df, latest_metadata(spark, table_path)
+        )
+        adds = None
+        while True:
+            # Read the head version BEFORE the metadata the widening
+            # derives from: a commit landing in between makes the pin
+            # below fail and the widening recompute — never the
+            # reverse (a widened metaData built from a stale snapshot
+            # committed unpinned would silently revert a concurrent
+            # ADD CONSTRAINT / rename / property change).
+            v_now = log_version(spark, table_path)
             widened = _check_append_compat(
                 df, table_path, partition_by, merge_schema=merge_schema
             )
-        adds = stage_data_files(df, table_path, partition_by=partition_by)
-        actions = (
-            bootstrap_actions(df, partition_by)
-            if v is None
-            else ([{"metaData": widened}] if widened else [])
-        ) + adds
-        return commit(
-            spark,
-            table_path,
-            actions,
-            operation="CREATE TABLE AS SELECT" if v is None else "WRITE",
-        )
+            if adds is None:
+                adds = stage_data_files(
+                    df, table_path, partition_by=partition_by
+                )
+            if not widened:
+                # blind append: commutes with everything, no pin needed
+                return commit(spark, table_path, adds, operation="WRITE")
+            try:
+                return commit(
+                    spark,
+                    table_path,
+                    [{"metaData": widened}] + adds,
+                    expected_version=(v_now or 0) + 1,
+                    operation="WRITE",
+                )
+            except CommitConflict:
+                continue  # re-read metadata, recompute the widening
     # txn path: the skip decision depends on the snapshot read, so the
     # commit is PINNED to read_version + 1 and a lost race re-reads and
     # re-decides — two concurrent replays of the same (appId, version)
@@ -1055,6 +1077,7 @@ def overwrite_commit(
     table_path: str,
     partition_by: list[str] | None = None,
     overwrite_schema: bool = False,
+    read_version: int | None = None,
 ) -> int:
     """Copy-on-write replacement of the table's contents with ``df`` in
     ONE commit: tombstone every live file, add the new ones. The prior
@@ -1066,24 +1089,41 @@ def overwrite_commit(
     letting two reconciliations both "win" (the caller re-reads and
     redoes the merge; blind appends never conflict).
 
+    ``read_version`` lets a caller that already materialized a
+    snapshot pass THE version it read, closing the TOCTOU between its
+    read and this commit: the pin and the tombstone set both resolve
+    at that version, so a commit landing in between raises
+    ``CommitConflict`` instead of being silently tombstoned without
+    its rows entering the caller's result (the MERGE path relies on
+    this for its write-serializable retry).
+
     ``overwrite_schema`` (Delta's overwriteSchema option) lets the
     replacement carry a DIFFERENT schema: since every data file is
     replaced, arbitrary schema change is safe here (unlike append's
     additive-only evolution), and the new metaData commits atomically
     with the data. Time travel below the overwrite still shows the
-    old shape via the version-bounded metaData lookup."""
+    old shape via the version-bounded metaData lookup. A changed
+    ``partition_by`` (even under an identical schema) also commits
+    new metaData — partitionColumns drifting from the staged Hive
+    layout would silently break partition pruning."""
     from .readers import _delta_live_files
 
     spark = df.sparkSession
-    read_v = log_version(spark, table_path)
+    read_v = (
+        read_version
+        if read_version is not None
+        else log_version(spark, table_path)
+    )
     md_action: list[dict] = []
     if read_v is not None:
         _gate_writer_protocol(spark, table_path)
         _check_append_only(
-            latest_metadata(spark, table_path), "OVERWRITE", table_path
+            latest_metadata(spark, table_path, version=read_v),
+            "OVERWRITE",
+            table_path,
         )
         if overwrite_schema:
-            old = latest_metadata(spark, table_path)
+            old = latest_metadata(spark, table_path, version=read_v)
             if old is not None and _mapping_enabled(old):
                 raise ValueError(
                     f"{table_path} uses column mapping: overwriteSchema "
@@ -1091,22 +1131,25 @@ def overwrite_commit(
                     "evolve with rename_column/drop_column/"
                     "append_commit(merge_schema=True) instead"
                 )
-            if old is not None and json.loads(
-                old.get("schemaString") or "{}"
-            ) != json.loads(df.schema.json()):
+            new_parts = list(partition_by or [])
+            if old is not None and (
+                json.loads(old.get("schemaString") or "{}")
+                != json.loads(df.schema.json())
+                or new_parts != list(old.get("partitionColumns") or [])
+            ):
                 new_md = dict(old)
                 new_md["schemaString"] = df.schema.json()
-                new_md["partitionColumns"] = list(partition_by or [])
+                new_md["partitionColumns"] = new_parts
                 md_action = [{"metaData": new_md}]
             _enforce_check_constraints(
                 df, table_path, old if not md_action else new_md
             )
         else:
             df = _apply_generated_columns(
-                df, latest_metadata(spark, table_path)
+                df, latest_metadata(spark, table_path, version=read_v)
             )
             _check_append_compat(df, table_path, partition_by)
-    live = _delta_live_files(spark, table_path) or []
+    live = _delta_live_files(spark, table_path, version=read_v) or []
     adds = stage_data_files(df, table_path, partition_by=partition_by)
     boot = bootstrap_actions(df, partition_by) if read_v is None else []
     expected = 0 if read_v is None else read_v + 1
@@ -2191,13 +2234,29 @@ def fsck(spark: SparkSession, table_path: str) -> dict:
                 read_commit_text(spark, f"{log_dir}/_last_checkpoint")
             )
             cpv = int(last["version"])
-            cp_glob = f"{log_dir}/{cpv:020d}.checkpoint.parquet"
-            if not fs.exists(hpath(cp_glob)):
+            # honor the pointer's "parts" field: a multi-part
+            # checkpoint publishes N.checkpoint.i.n.parquet, never the
+            # single-file name — resolve the same way the replay
+            # reader does (glob), then verify part count when declared
+            n_parts = int(last.get("parts") or 1)
+            if n_parts > 1:
+                cp_files = [
+                    f"{log_dir}/{cpv:020d}.checkpoint."
+                    f"{i:010d}.{n_parts:010d}.parquet"
+                    for i in range(1, n_parts + 1)
+                ]
+            else:
+                cp_files = [f"{log_dir}/{cpv:020d}.checkpoint.parquet"]
+            missing_parts = [
+                p for p in cp_files if not fs.exists(hpath(p))
+            ]
+            if missing_parts:
                 raise ValueError(
-                    f"_last_checkpoint names version {cpv} but "
-                    "no checkpoint file exists"
+                    f"_last_checkpoint names version {cpv} "
+                    f"(parts={n_parts}) but checkpoint file(s) "
+                    f"missing: {[p.rsplit('/', 1)[-1] for p in missing_parts]}"
                 )
-            cp = spark.read.parquet(cp_glob)
+            cp = spark.read.parquet(*cp_files)
             if "metaData" in cp.columns:
                 from pyspark.sql import functions as F
 

@@ -639,15 +639,17 @@ def read_delta(
             df = spark.read.parquet(path)
         elif not files:
             if partition_filter or stats_filter:
-                # a pruned-to-nothing read is empty, not broken: scan
-                # the table schema from HEAD and return zero rows
+                # a pruned-to-nothing read is empty, not broken: build
+                # the zero-row frame through the SAME declared-schema
+                # path as a matching read, so column-mapped (renamed /
+                # dropped) and schema-evolved tables keep their LOGICAL
+                # shape — a raw limit(0) scan would leak physical field
+                # names / a stale shape for the empty case only
                 all_files = _delta_live_files(spark, path, version=version)
                 if all_files:
-                    df = (
-                        spark.read.option("basePath", path.rstrip("/"))
-                        .parquet(*all_files)
-                        .limit(0)
-                    )
+                    df = _read_live_with_declared_schema(
+                        spark, path, all_files, version
+                    ).limit(0)
                     filtered_empty = True
             if not filtered_empty:
                 # a table whose every row was deleted is EMPTY, not
