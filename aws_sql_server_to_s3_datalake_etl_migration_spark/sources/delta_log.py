@@ -547,6 +547,7 @@ def stage_data_files(
     hpath = jvm.org.apache.hadoop.fs.Path
     tmp_q = fs.makeQualified(hpath(tmp_dir)).toString()
     adds: list[dict] = []
+    dests: list[str] = []
     files = fs.listFiles(hpath(tmp_dir), True)  # recursive
     while files.hasNext():
         st = files.next()
@@ -564,19 +565,35 @@ def stage_data_files(
             raise RuntimeError(
                 f"could not move staged file {rel} into {table_path}"
             )
-        add = {
-            "path": rel,
-            "partitionValues": _partition_values_from_rel(rel),
-            "size": int(st.getLen()),
-            "modificationTime": int(st.getModificationTime()),
-            # False marks a pure reorganization (compaction):
-            # the protocol lets streaming readers skip these
-            "dataChange": bool(data_change),
-        }
-        stats = _file_stats_json(fs.makeQualified(dest).toString())
+        adds.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": _partition_values_from_rel(rel),
+                    "size": int(st.getLen()),
+                    "modificationTime": int(st.getModificationTime()),
+                    # False marks a pure reorganization (compaction):
+                    # the protocol lets streaming readers skip these
+                    "dataChange": bool(data_change),
+                }
+            }
+        )
+        dests.append(fs.makeQualified(dest).toString())
+    # Footer stats run OFF the serial rename loop: each is an
+    # independent metadata read (pyarrow releases the GIL on IO), and
+    # a 100 TB commit stages thousands of files — serializing
+    # thousands of footer opens on the driver was the write path's
+    # measured bottleneck. Small commits skip the pool entirely.
+    if len(dests) > 2:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(32, len(dests))) as pool:
+            stats_list = list(pool.map(_file_stats_json, dests))
+    else:
+        stats_list = [_file_stats_json(d) for d in dests]
+    for a, stats in zip(adds, stats_list):
         if stats is not None:
-            add["stats"] = stats
-        adds.append({"add": add})
+            a["add"]["stats"] = stats
     fs.delete(hpath(tmp_dir), True)
     return adds
 
@@ -637,11 +654,36 @@ def latest_metadata(
     if not fs.exists(hlog):
         return None
     names = [st.getPath().getName() for st in fs.listStatus(hlog)]
+    cps = sorted(
+        (
+            int(m.group(1))
+            for n in names
+            if (m := re.match(r"(\d{20})\.checkpoint", n))
+            and n.endswith(".parquet")
+            and (version is None or int(m.group(1)) <= version)
+        ),
+        reverse=True,
+    )
+    # The JSON walk stops at the newest reachable checkpoint that
+    # CARRIES metaData: its row snapshots the latest metaData at that
+    # version, so older commits can never hold a newer one — scanning
+    # them (the pre-round-9 behavior) made every metadata lookup
+    # O(full tail). Path-only pre-round-8 checkpoints don't qualify
+    # and keep the full walk (their covered commits may be the only
+    # metaData left). Checkpoint reads are memoized, so probing them
+    # first costs one parse per process.
+    floor, cp_md = -1, None
+    for v in cps:
+        md = checkpoint_actions(spark, log_dir, v)["metaData"]
+        if md is not None:
+            floor, cp_md = v, md
+            break
     versions = sorted(
         (
             int(m.group(1))
             for n in names
             if (m := re.fullmatch(r"(\d{20})\.json", n))
+            and int(m.group(1)) > floor
             and (version is None or int(m.group(1)) <= version)
         ),
         reverse=True,
@@ -654,30 +696,7 @@ def latest_metadata(
             action = json.loads(line)
             if "metaData" in action:
                 return action["metaData"]
-    cps = sorted(
-        (
-            int(m.group(1))
-            for n in names
-            if (m := re.match(r"(\d{20})\.checkpoint", n))
-            and n.endswith(".parquet")
-            and (version is None or int(m.group(1)) <= version)
-        ),
-        reverse=True,
-    )
-    from pyspark.sql import functions as F
-
-    for v in cps:
-        cp = spark.read.parquet(f"{log_dir}/{v:020d}.checkpoint*.parquet")
-        if "metaData" not in cp.columns:
-            continue  # pre-round-8 path-only checkpoint
-        rows = (
-            cp.where(F.col("metaData").isNotNull())
-            .select("metaData")
-            .collect()
-        )
-        if rows:
-            return rows[0]["metaData"].asDict(recursive=True)
-    return None
+    return cp_md
 
 
 def table_schema_json(spark: SparkSession, table_path: str) -> str | None:
@@ -689,9 +708,20 @@ def table_schema_json(spark: SparkSession, table_path: str) -> str | None:
 
 
 def read_commit_text(spark: SparkSession, path: str) -> str:
-    """Whole small-file read through the Hadoop FS API (py4j can't
-    fill a java byte[] in place, so delegate to commons-io, which
-    ships on Spark's classpath)."""
+    """Whole small-file read. Local paths (no scheme, or file:) read
+    with plain Python IO — a py4j round trip through the Hadoop FS
+    API measures ~50 ms per file, which multiplied by a commit tail
+    made every metadata lookup a second-scale operation. Remote
+    schemes delegate to commons-io on Spark's classpath (py4j can't
+    fill a java byte[] in place)."""
+    local = path
+    if local.startswith("file:"):
+        local = local[len("file:"):]
+        while local.startswith("//"):
+            local = local[1:]
+    if "://" not in local:
+        with open(local, encoding="utf-8") as f:
+            return f.read()
     fs, jvm = _fs(spark, path)
     stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
     try:
@@ -1162,6 +1192,90 @@ def overwrite_commit(
     )
 
 
+# Parsed-checkpoint cache. A published checkpoint file is immutable
+# (idempotent re-checkpointing REPLACES it, changing size/mtime), yet
+# one MERGE reads it 5+ times — replay, every latest_metadata call
+# that falls through a truncated JSON tail, the protocol gate — and
+# each read is a full Spark job over the same parquet. Cache the
+# parsed actions keyed by (log dir, version, part-file listing);
+# consumers get copies (top-level for the add map, deep for the small
+# metaData/protocol dicts callers are known to derive from).
+_CP_CACHE: dict[tuple, dict] = {}
+_CP_CACHE_MAX = 8
+
+
+def checkpoint_actions(
+    spark: SparkSession, log_dir: str, version: int
+) -> dict:
+    """All actions of the checkpoint published at ``version`` under
+    ``log_dir``, parsed once and memoized: ``{"adds": {path: add},
+    "removes": [path, ...], "protocol": dict | None, "metaData":
+    dict | None, "txns": {appId: version}}``. Raises if no checkpoint
+    file exists at that version."""
+    import re
+
+    fs, jvm = _fs(spark, log_dir)
+    hlog = jvm.org.apache.hadoop.fs.Path(log_dir)
+    prefix = f"{version:020d}.checkpoint"
+    parts = sorted(
+        (
+            st.getPath().getName(),
+            int(st.getLen()),
+            int(st.getModificationTime()),
+        )
+        for st in fs.listStatus(hlog)
+        if st.getPath().getName().startswith(prefix)
+        and st.getPath().getName().endswith(".parquet")
+    )
+    if not parts:
+        raise FileNotFoundError(
+            f"no checkpoint at version {version} under {log_dir}"
+        )
+    key = (log_dir, version, tuple(parts))
+    hit = _CP_CACHE.get(key)
+    if hit is None:
+        cp = spark.read.parquet(
+            *[f"{log_dir}/{name}" for name, _, _ in parts]
+        )
+        cols = set(cp.columns)
+        parsed: dict = {
+            "adds": {},
+            "removes": [],
+            "protocol": None,
+            "metaData": None,
+            "txns": {},
+        }
+        # independent ifs, not an elif chain: this writer's checkpoint
+        # rides protocol AND metaData on ONE row, and the spec does
+        # not forbid other writers combining actions per row either
+        for r in cp.collect():
+            if "add" in cols and r["add"] is not None:
+                a = r["add"].asDict(recursive=True)
+                parsed["adds"][a["path"]] = a
+            if "remove" in cols and r["remove"] is not None:
+                parsed["removes"].append(r["remove"]["path"])
+            if "protocol" in cols and r["protocol"] is not None:
+                parsed["protocol"] = r["protocol"].asDict(recursive=True)
+            if "metaData" in cols and r["metaData"] is not None:
+                parsed["metaData"] = r["metaData"].asDict(recursive=True)
+            if "txn" in cols and r["txn"] is not None:
+                t = r["txn"]
+                parsed["txns"][t["appId"]] = max(
+                    parsed["txns"].get(t["appId"], -1), int(t["version"])
+                )
+        if len(_CP_CACHE) >= _CP_CACHE_MAX:
+            _CP_CACHE.pop(next(iter(_CP_CACHE)))
+        _CP_CACHE[key] = parsed
+        hit = parsed
+    return {
+        "adds": {p: dict(a) for p, a in hit["adds"].items()},
+        "removes": list(hit["removes"]),
+        "protocol": json.loads(json.dumps(hit["protocol"])),
+        "metaData": json.loads(json.dumps(hit["metaData"])),
+        "txns": dict(hit["txns"]),
+    }
+
+
 def _latest_protocol(spark: SparkSession, table_path: str) -> dict:
     """The latest ``protocol`` action (JSON commits newest-first, then
     checkpoints), defaulting to this writer's constants for tables
@@ -1178,21 +1292,6 @@ def _latest_protocol(spark: SparkSession, table_path: str) -> dict:
         if fs.exists(hlog)
         else []
     )
-    versions = sorted(
-        (
-            int(m.group(1))
-            for n in names
-            if (m := re.fullmatch(r"(\d{20})\.json", n))
-        ),
-        reverse=True,
-    )
-    for v in versions:
-        raw = read_commit_text(spark, f"{log_dir}/{v:020d}.json")
-        for line in raw.splitlines():
-            if line.strip() and "protocol" in (a := json.loads(line)):
-                return a["protocol"]
-    from pyspark.sql import functions as F
-
     cps = sorted(
         (
             int(m.group(1))
@@ -1202,16 +1301,30 @@ def _latest_protocol(spark: SparkSession, table_path: str) -> dict:
         ),
         reverse=True,
     )
+    # same walk-bounding as latest_metadata: the newest checkpoint
+    # that carries a protocol row supersedes every covered commit
+    floor, cp_proto = -1, None
     for v in cps:
-        cp = spark.read.parquet(f"{log_dir}/{v:020d}.checkpoint*.parquet")
-        if "protocol" in cp.columns:
-            rows = (
-                cp.where(F.col("protocol").isNotNull())
-                .select("protocol")
-                .collect()
-            )
-            if rows:
-                return rows[0]["protocol"].asDict()
+        proto = checkpoint_actions(spark, log_dir, v)["protocol"]
+        if proto is not None:
+            floor, cp_proto = v, proto
+            break
+    versions = sorted(
+        (
+            int(m.group(1))
+            for n in names
+            if (m := re.fullmatch(r"(\d{20})\.json", n))
+            and int(m.group(1)) > floor
+        ),
+        reverse=True,
+    )
+    for v in versions:
+        raw = read_commit_text(spark, f"{log_dir}/{v:020d}.json")
+        for line in raw.splitlines():
+            if line.strip() and "protocol" in (a := json.loads(line)):
+                return a["protocol"]
+    if cp_proto is not None:
+        return cp_proto
     return {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
@@ -1253,19 +1366,6 @@ def latest_txn_versions(
         return {}
     names = [st.getPath().getName() for st in fs.listStatus(hlog)]
     out: dict[str, int] = {}
-    for v in sorted(
-        int(m.group(1))
-        for n in names
-        if (m := re.fullmatch(r"(\d{20})\.json", n))
-    ):
-        for line in read_commit_text(
-            spark, f"{log_dir}/{v:020d}.json"
-        ).splitlines():
-            if line.strip() and "txn" in (a := json.loads(line)):
-                t = a["txn"]
-                out[t["appId"]] = max(
-                    out.get(t["appId"], -1), int(t["version"])
-                )
     cps = sorted(
         (
             int(m.group(1))
@@ -1275,17 +1375,29 @@ def latest_txn_versions(
         ),
         reverse=True,
     )
+    # the newest checkpoint's txn rows ARE the per-appId high-water
+    # marks at its version (the spec requires it), so only commits
+    # ABOVE it can raise them — never scan the covered tail. Only a
+    # SPEC-COMPLETE checkpoint (metaData present) earns the floor; a
+    # pre-round-8 path-only one may cover txn commits it didn't record.
+    floor = -1
     if cps:
-        from pyspark.sql import functions as F
-
-        cp = spark.read.parquet(
-            f"{log_dir}/{cps[0]:020d}.checkpoint*.parquet"
-        )
-        if "txn" in cp.columns:
-            for r in (
-                cp.where(F.col("txn").isNotNull()).select("txn").collect()
-            ):
-                t = r["txn"]
+        acts = checkpoint_actions(spark, log_dir, cps[0])
+        if acts["metaData"] is not None:
+            floor = cps[0]
+        for app_id, txv in acts["txns"].items():
+            out[app_id] = max(out.get(app_id, -1), int(txv))
+    for v in sorted(
+        int(m.group(1))
+        for n in names
+        if (m := re.fullmatch(r"(\d{20})\.json", n))
+        and int(m.group(1)) > floor
+    ):
+        for line in read_commit_text(
+            spark, f"{log_dir}/{v:020d}.json"
+        ).splitlines():
+            if line.strip() and "txn" in (a := json.loads(line)):
+                t = a["txn"]
                 out[t["appId"]] = max(
                     out.get(t["appId"], -1), int(t["version"])
                 )
@@ -1485,10 +1597,39 @@ def write_checkpoint(
     return v
 
 
-def truncate_log(spark: SparkSession, table_path: str) -> int:
+def latest_checkpoint_version(
+    spark: SparkSession, table_path: str
+) -> int | None:
+    """Version of the newest published checkpoint, or None — the
+    cadence primitive: ingest loops checkpoint when HEAD has moved a
+    budgeted number of commits past this, not on every commit (a
+    checkpoint re-serializes the whole live-file set, so per-commit
+    checkpointing makes commit cost grow with table size)."""
+    import re
+
+    base = table_path.rstrip("/")
+    log_dir = base + "/_delta_log"
+    fs, jvm = _fs(spark, log_dir)
+    hlog = jvm.org.apache.hadoop.fs.Path(log_dir)
+    if not fs.exists(hlog):
+        return None
+    vs = [
+        int(m.group(1))
+        for st in fs.listStatus(hlog)
+        if (m := re.match(r"(\d{20})\.checkpoint", st.getPath().getName()))
+        and st.getPath().getName().endswith(".parquet")
+    ]
+    return max(vs) if vs else None
+
+
+def truncate_log(
+    spark: SparkSession, table_path: str, retain_checkpoints: int = 2
+) -> int:
     """Delete JSON commits covered by the newest checkpoint (replay
-    starts there). Returns how many commit files were removed. Reads
-    at HEAD are unaffected; time travel below the checkpoint version
+    starts there) and checkpoints beyond the newest
+    ``retain_checkpoints`` (retained ones stay usable as time-travel
+    anchors). Returns how many commit files were removed. Reads at
+    HEAD are unaffected; time travel below the retained window
     becomes unavailable — the vacuum-adjacent retention trade."""
     import re
 
@@ -1512,15 +1653,7 @@ def truncate_log(spark: SparkSession, table_path: str) -> int:
     # the table's metaData — truncating on a metaData-less checkpoint
     # (pre-round-8 format) would orphan the schema: enforcement and
     # real Delta readers both die with the last metaData commit.
-    cp = spark.read.parquet(
-        f"{log_dir}/{cutoff:020d}.checkpoint*.parquet"
-    )
-    from pyspark.sql import functions as F
-
-    if (
-        "metaData" not in cp.columns
-        or cp.where(F.col("metaData").isNotNull()).limit(1).count() == 0
-    ):
+    if checkpoint_actions(spark, log_dir, cutoff)["metaData"] is None:
         raise ValueError(
             f"checkpoint {cutoff} of {table_path} carries no metaData "
             "action; re-run write_checkpoint (spec-complete) before "
@@ -1532,6 +1665,21 @@ def truncate_log(spark: SparkSession, table_path: str) -> int:
         if m and int(m.group(1)) <= cutoff:
             fs.delete(hpath(f"{log_dir}/{name}"), False)
             n += 1
+    # Checkpoints are ALSO retention-managed (Delta's own log cleanup
+    # does the same): every replay starts from the newest one, and
+    # older ones only serve as time-travel anchors — so keep the
+    # newest ``retain_checkpoints`` and delete the rest. Without this
+    # a long-lived ingest table accumulates one checkpoint per
+    # lifecycle pass and every log listing grows without bound.
+    keep = set(sorted(cps, reverse=True)[:retain_checkpoints])
+    for name in names:
+        mc = re.match(r"(\d{20})\.checkpoint", name)
+        if (
+            mc
+            and name.endswith(".parquet")
+            and int(mc.group(1)) not in keep
+        ):
+            fs.delete(hpath(f"{log_dir}/{name}"), False)
     return n
 
 

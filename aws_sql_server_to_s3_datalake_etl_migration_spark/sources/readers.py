@@ -157,6 +157,19 @@ def read_parquet(
     return _sql_over_source(df, query, path, view_name)
 
 
+# Replayed-snapshot cache: a table's live-file set AT A VERSION is
+# immutable, so replays repeat byte-identical work — and one MERGE
+# alone replays twice (snapshot read + tombstone set), the following
+# checkpoint a third time. Keyed by (table, version, log fingerprint):
+# the fingerprint is the (name, size, mtime) listing of _delta_log, so
+# any commit, truncation, or out-of-band edit changes the key and the
+# stale entry is never served. Bounded LRU; values are deep-ish copies
+# (the caller may mutate partition-filtered views, the cache must not
+# see it).
+_SNAPSHOT_CACHE: dict[tuple, dict[str, dict]] = {}
+_SNAPSHOT_CACHE_MAX = 16
+
+
 def _delta_live_adds(
     spark: SparkSession,
     path: str,
@@ -174,13 +187,15 @@ def _delta_live_adds(
     ``add`` action inserts a file, each ``remove`` tombstones it. The
     log is metadata (KBs per commit), so a driver pass is the
     scale-correct move; the *data* files are never touched here.
+    Successful replays are memoized per (table, version, log listing)
+    — see ``_SNAPSHOT_CACHE``.
 
     ``partition_filter`` maps partition column -> required string
     value (Delta stores partitionValues as strings); adds whose
-    ``partitionValues`` don't match every entry are dropped DURING
-    replay — partition pruning at the file-list level, before any data
-    file is opened. At 100 TB this is the difference between a scan of
-    one date partition and a scan of the lake.
+    ``partitionValues`` don't match every entry are dropped AFTER
+    replay but before any data file is opened — partition pruning at
+    the file-list level. At 100 TB this is the difference between a
+    scan of one date partition and a scan of the lake.
     """
     base = path.rstrip("/")
     log_dir = base + "/_delta_log"
@@ -189,7 +204,15 @@ def _delta_live_adds(
     fs = hlog.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hlog):
         return None
-    names = [st.getPath().getName() for st in fs.listStatus(hlog)]
+    entries = [
+        (
+            st.getPath().getName(),
+            int(st.getLen()),
+            int(st.getModificationTime()),
+        )
+        for st in fs.listStatus(hlog)
+    ]
+    names = [e[0] for e in entries]
     commits = sorted(
         int(m.group(1))
         for n in names
@@ -226,29 +249,59 @@ def _delta_live_adds(
                 "time travel below a checkpoint only survives until "
                 "truncate_log"
             )
+    target_v = latest if version is None else version
+    cache_key = (base, target_v, tuple(sorted(entries)))
+    cached = _SNAPSHOT_CACHE.get(cache_key)
+    if cached is not None:
+        live = {p: dict(a) for p, a in cached.items()}
+    else:
+        live = _replay_log(
+            spark, path, log_dir, commits, checkpoints
+        )
+        if len(_SNAPSHOT_CACHE) >= _SNAPSHOT_CACHE_MAX:
+            _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
+        _SNAPSHOT_CACHE[cache_key] = {p: dict(a) for p, a in live.items()}
+    if partition_filter:
+        live = {
+            p: a
+            for p, a in live.items()
+            if all(
+                (a.get("partitionValues") or {}).get(k) == v
+                for k, v in partition_filter.items()
+            )
+        }
+    return live
+
+
+def _replay_log(
+    spark: SparkSession,
+    path: str,
+    log_dir: str,
+    commits: list[int],
+    checkpoints: list[int],
+) -> dict[str, dict]:
+    """The uncached replay: newest covering checkpoint (one parquet
+    read + ONE collect for protocol/add/remove together), then the
+    JSON commits above it, read driver-side — commit files are KBs
+    and bounded in number by the checkpoint cadence, so a Spark job
+    per replay (the old ``wholeTextFiles``) was pure scheduler
+    overhead."""
     live: dict[str, dict] = {}
     start = -1
     if checkpoints:
         v = checkpoints[-1]
-        cp = spark.read.parquet(f"{log_dir}/{v:020d}.checkpoint*.parquet")
-        if "protocol" in cp.columns:
-            for r in (
-                cp.where(F.col("protocol").isNotNull())
-                .select("protocol")
-                .collect()
-            ):
-                _gate_reader_protocol(
-                    r["protocol"].asDict(recursive=True), path
-                )
-        adds = (
-            cp.where(F.col("add").isNotNull()).select("add.*").collect()
-        )
+        # the parsed-checkpoint cache (delta_log.checkpoint_actions)
+        # makes re-replays across commits one dict lookup instead of a
+        # Spark job — a checkpoint file is immutable once published
+        from .delta_log import checkpoint_actions
+
+        acts = checkpoint_actions(spark, log_dir, v)
+        if acts["protocol"] is not None:
+            _gate_reader_protocol(acts["protocol"], path)
         # spec-complete checkpoints carry the full add fields
         # (partitionValues/size/modificationTime); pre-round-8 ones
-        # held only add.path — asDict() keeps whatever is present.
-        live = {}
-        for r in adds:
-            a = r.asDict(recursive=True)
+        # held only add.path — the parse keeps whatever is present.
+        for a in acts["adds"].values():
             _reject_deletion_vector(a, path)
             live[a["path"]] = a
         # A checkpoint is reconciled state, but the Delta protocol keeps
@@ -256,14 +309,8 @@ def _delta_live_adds(
         # checkpoint written after log truncation can therefore carry a
         # tombstone for a file an earlier (now-truncated) commit added.
         # Honor them — otherwise replay resurrects removed files.
-        if "remove" in cp.columns:
-            removes = (
-                cp.where(F.col("remove").isNotNull())
-                .select("remove.path")
-                .collect()
-            )
-            for r in removes:
-                live.pop(r["path"], None)
+        for p in acts["removes"]:
+            live.pop(p, None)
         start = v
     todo = [v for v in commits if v > start]
     if todo:
@@ -280,14 +327,11 @@ def _delta_live_adds(
                 f"{start} (found commits {todo}); refusing to replay a "
                 "torn log — restore the missing commit or a checkpoint"
             )
-        texts = dict(
-            spark.sparkContext.wholeTextFiles(
-                ",".join(f"{log_dir}/{v:020d}.json" for v in todo)
-            ).collect()
-        )
+        from .delta_log import read_commit_text
+
         for v in todo:
             suffix = f"{v:020d}.json"
-            content = next(t for k, t in texts.items() if k.endswith(suffix))
+            content = read_commit_text(spark, f"{log_dir}/{suffix}")
             for i, line in enumerate(content.splitlines(), start=1):
                 if not line.strip():
                     continue
@@ -309,15 +353,6 @@ def _delta_live_adds(
                     live.pop(action["remove"]["path"], None)
                 elif "protocol" in action:
                     _gate_reader_protocol(action["protocol"], path)
-    if partition_filter:
-        live = {
-            p: a
-            for p, a in live.items()
-            if all(
-                (a.get("partitionValues") or {}).get(k) == v
-                for k, v in partition_filter.items()
-            )
-        }
     return live
 
 

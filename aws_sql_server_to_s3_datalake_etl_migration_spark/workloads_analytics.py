@@ -1519,11 +1519,13 @@ def orders_delta_merge_roundtrip(
     re-runs — the merge is SCD-0 idempotent, so the persisted cache
     table converges to the same state every run while still
     re-exercising the copy-on-write commit), then read HEAD through
-    log replay. Once the log passes a dozen versions the query also
-    runs the lifecycle — checkpoint, truncate, vacuum — proving reads
-    survive all three. The oracle states the final table directly from
-    orders; every path from commit claiming to replay must be correct
-    for the hashes to match."""
+    log replay. On Delta's own cadence (every ~8 commits past the
+    newest checkpoint, not per commit — a checkpoint re-serializes
+    the whole live-file set) the query also runs the lifecycle —
+    checkpoint, truncate, vacuum — proving reads survive all three.
+    The oracle states the final table directly from orders; every
+    path from commit claiming to replay must be correct for the
+    hashes to match."""
     import os
 
     from .operators.incremental import merge_upsert
@@ -1542,7 +1544,9 @@ def orders_delta_merge_roundtrip(
         "o_totalprice", F.col("o_totalprice") + 1
     )
     merge_upsert(spark, feed, path, "o_orderkey")
-    if (delta_log.log_version(spark, path) or 0) > 12:
+    head = delta_log.log_version(spark, path) or 0
+    cp = delta_log.latest_checkpoint_version(spark, path)
+    if head > 12 and (cp is None or head - cp >= 8):
         delta_log.write_checkpoint(spark, path)
         delta_log.truncate_log(spark, path)
         # explicit zero retention: this cache table is written and read
