@@ -140,10 +140,15 @@ def with_ordered_prefix(
             for name, expr in aggs.items()
         ]
     )
-    # carries over |groups| x n_buckets rows — tiny by construction
-    w_carry = Window.partitionBy(*pcols).orderBy("_opx_bkt").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    # Carries run over |groups| x n_buckets rows — tiny by
+    # construction; the global-case carry window is deliberately
+    # single-partition (a lit(0) partition key would be folded away
+    # by Catalyst anyway). Queries built on this helper register on
+    # the plan audit's bounded-global-window allowlist with this
+    # bound as the reason.
+    w_carry = Window.partitionBy(*pcols).orderBy(
+        "_opx_bkt"
+    ).rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.partitionBy(*pcols).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

@@ -1306,19 +1306,25 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_neg_f", -F.col("frequency"))
         .withColumn("_neg_m", -F.col("monetary"))
     )
+    # The three rank passes run INDEPENDENTLY over `per` and join back
+    # on the customer key — chaining them would nest each pass's
+    # lineage inside the next one's carry side (2^n tree copies; the
+    # chained form measured 17 shuffle stages vs 8 here).
+    out = per
     for neg, pos in (
         ("_neg_r", "_pos_r"),
         ("_neg_f", "_pos_f"),
         ("_neg_m", "_pos_m"),
     ):
-        per = with_ordered_prefix(
+        ranked = with_ordered_prefix(
             per,
             neg,
             [F.col(neg), F.col("c_custkey")],
             {pos: F.lit(1)},
             totals={"_n": "_pos_r"} if pos == "_pos_r" else None,
-        )
-    return per.select(
+        ).select("c_custkey", pos, *(["_n"] if pos == "_pos_r" else []))
+        out = out.join(ranked, "c_custkey")
+    return out.select(
         "c_custkey",
         "last_order",
         "frequency",

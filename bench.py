@@ -304,12 +304,38 @@ def main() -> None:
         "prep_sec": prep_sec,
         # Round-2 additions, timed separately so "value" stays
         # comparable round-over-round on the same 19-query set.
-        "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
+        "extended_detail": "bench_extended.json",
     }
     if errors:
-        result["errors"] = errors
-    print(json.dumps(result))
+        result["errors"] = {k: v[:80] for k, v in errors.items()}
+    # The per-query extended map (190+ entries, ~4 KB) goes to a
+    # sidecar file + stderr, NOT the stdout JSON: BENCH_r08 recorded
+    # "parsed": null because the driver's 2000-char tail capture
+    # truncated the headline out of one giant line. The stdout
+    # contract stays ONE JSON line — now compact enough that any tail
+    # window sees it whole.
+    full = dict(result)
+    full["extended"] = extended
+    if errors:
+        full["errors"] = errors
+    try:
+        with open(os.path.join(REPO_ROOT, "bench_extended.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError as e:
+        print(f"# could not write bench_extended.json: {e}", file=sys.stderr)
+    print(f"# extended per-query: {json.dumps(extended)}", file=sys.stderr)
+    print(
+        f"# HEADLINE {result['value']}s EXTENDED "
+        f"{result['extended_total']}s over {len(extended)} queries",
+        file=sys.stderr,
+    )
+    line = json.dumps(result)
+    if len(line) > 1900:  # belt-and-braces: never exceed a tail window
+        result.pop("queries", None)
+        result["queries_detail"] = "bench_extended.json"
+        line = json.dumps(result)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -84,3 +84,58 @@ def test_audit_flags_accidental_cross_join(spark, scratch_query, sf_dir):
     name = scratch_query("_audit_selfcheck_bnlj", q)
     problems = explain_audit.audit(name)
     assert any("BroadcastNestedLoopJoin" in p for p in problems)
+
+
+def test_audit_flags_unpartitioned_window(spark, scratch_query, sf_dir):
+    """A global ORDER BY window over raw rows (the round-8 scale-killer
+    shape) must trip the default-on unpartitioned-window check, and the
+    same query must pass once allowlisted with a bound."""
+    from pyspark.sql.window import Window
+
+    def q(spark, d):
+        o = spark.read.parquet(f"{d}/orders.parquet")
+        return o.withColumn(
+            "rk",
+            F.percent_rank().over(
+                Window.orderBy("o_totalprice", "o_orderkey")
+            ),
+        )
+
+    name = scratch_query("_audit_selfcheck_global_window", q)
+    explain_audit.EXPECT[name] = {}
+    problems = explain_audit.audit(name)
+    assert any("unpartitioned WindowExec" in p for p in problems)
+    explain_audit.GLOBAL_WINDOW_OK[name] = "test-only bound"
+    try:
+        assert explain_audit.audit(name) == []
+    finally:
+        explain_audit.GLOBAL_WINDOW_OK.pop(name, None)
+
+
+def test_audit_accepts_partitioned_and_unordered_windows(
+    spark, scratch_query, sf_dir
+):
+    """Neither a partitioned rank window nor a partitioned-no-order
+    aggregate window (min-over-group) may false-positive the
+    unpartitioned-window check."""
+    from pyspark.sql.window import Window
+
+    def q(spark, d):
+        o = spark.read.parquet(f"{d}/orders.parquet")
+        return o.select(
+            "o_orderkey",
+            F.row_number()
+            .over(
+                Window.partitionBy("o_orderstatus").orderBy(
+                    "o_totalprice", "o_orderkey"
+                )
+            )
+            .alias("rn"),
+            F.min("o_totalprice")
+            .over(Window.partitionBy("o_orderstatus"))
+            .alias("mn"),
+        )
+
+    name = scratch_query("_audit_selfcheck_part_window", q)
+    explain_audit.EXPECT[name] = {}
+    assert explain_audit.audit(name) == []

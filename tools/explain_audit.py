@@ -401,14 +401,15 @@ EXPECT: dict[str, dict] = {
     "scd2_customer_changes": {
         "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
     },
-    # RFM: one map-side-combined aggregate, then three global NTILEs
-    # over the |customers| aggregate (single-partition windows on an
-    # aggregate — the documented exact-quintile trade); no joins.
+    # RFM: one map-side-combined aggregate, then three DISTRIBUTED
+    # ordered-prefix passes (operators/ranking.py) joined back on the
+    # customer key — quantile-bucketed rank windows, one broadcast
+    # carry join per pass (3 hints), closed-form NTILE. The only
+    # unpartitioned windows are the three <=64-row bucket carries
+    # (GLOBAL_WINDOW_OK).
     "customer_rfm_segments": {
-        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
-        # custkey agg exchange + ONE single-partition stage shared by
-        # all three NTILE windows
-        "shuffles": 2,
+        "pushed": False, "no_smj": True, "hints": 3, "pure_jvm": True,
+        "shuffles": 16,
     },
     # hard-negative mining: centroid cross product is |Q| x n_cells
     # narrow rows (one explicit broadcast); the probed-cell equi-join
@@ -611,11 +612,12 @@ EXPECT: dict[str, dict] = {
         "shuffles": 1,
     },
     # ABC classes: the fact-side spend agg shuffles once by customer;
-    # the bounded global cum-share window + class agg share the
-    # second (single-partition) exchange over the aggregated dim.
+    # the cumulative share runs as a distributed ordered-prefix pass
+    # (quantile buckets + one broadcast carry join — 1 hint); only the
+    # <=64-row carry windows are unpartitioned (GLOBAL_WINDOW_OK).
     "customer_abc_classes": {
-        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
-        "shuffles": 2,
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+        "shuffles": 6,
     },
     # OHLC bars: both row-number windows and the aggregate share the
     # ONE (type, hour) exchange.
@@ -769,9 +771,11 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
     },
     # CCNet buckets: the lm_fluency machinery (bigram/unigram aggs,
-    # 1-row vocab crossjoin hinted) + one per-language NTILE window.
+    # 1-row vocab crossjoin hinted) + the per-language tercile via the
+    # distributed ordered-prefix pass — its carry join is hinted, and
+    # the fluency hint appears on both sides of the carry (3 total).
     "doc_ccnet_buckets": {
-        "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
+        "pushed": False, "no_smj": False, "hints": 3, "pure_jvm": True,
     },
     # lang-ID confusion: per-doc prediction expressions -> one
     # (true, pred) hash-agg + the per-true-lang normalization window.
@@ -779,11 +783,12 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
     # behavior outliers: user-keyed hash-agg (map-side combined) then
-    # ONE global rank window over the already-reduced user rows —
-    # users << events at any scale, so the single ordered pass is
-    # user-table-sized, not stream-sized.
+    # the DISTRIBUTED percent-rank (ordered-prefix pass: quantile
+    # buckets, parallel in-bucket rank, one hinted <=64-row carry
+    # join) — the user dimension tracks the fact table, so no global
+    # single-task window is allowed here.
     "events_user_behavior_outliers": {
-        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
     },
     # A/B lift: two distinct pre-aggs + the user-keyed converter join
     # (AQE broadcasts the converter side) + variant agg + 1-row pivot.
@@ -832,6 +837,75 @@ SCALAR_SUBQUERY_OK = {
     # 1-row (nc, nt, V) corpus-stats crossjoin into the ratio table
     "doc_dsir_importance",
 }
+
+
+# Queries allowed to run an UNPARTITIONED window — each over a
+# provably bounded aggregate (the value is the bound). Everything
+# else fails the audit: a global ORDER BY window funnels its whole
+# input through ONE task, which is exactly the plan shape that made
+# events_user_behavior_outliers / customer_rfm_segments /
+# customer_abc_classes scale-killers in round 8 (their inputs were
+# per-user/per-customer aggregates — cardinality tracks the fact
+# table). Those three now use the distributed ordered-prefix pass
+# (operators/ranking.py); the entries here are its <=64-row bucket
+# carries plus the genuinely bounded rollup windows.
+GLOBAL_WINDOW_OK: dict[str, str] = {
+    "monthly_order_momentum": "LAG over the per-month rollup — |months|"
+    " rows, grows with calendar time, not data rate",
+    "doc_frequent_terms_sketch": "final top-50 rank over <=capacity"
+    " (4096) merged Misra-Gries summary rows",
+    "doc_temperature_mix": "stratum-rate windows over the per-source"
+    " count table — |sources| rows",
+    "doc_bm25_search": "rank over the k=10 retrieval result",
+    "customer_rfm_segments": "ordered-prefix bucket carries — <=64"
+    " rows each (3 passes + totals)",
+    "emb_pq_topk": "codebook argmin over 256 codes and rank over the"
+    " k=10 ADC result",
+    "customer_abc_classes": "ordered-prefix bucket carry + grand"
+    " total — <=64 rows",
+    "orders_skyline": "exact frontier pass over the grid-prefiltered"
+    " band (~frontier cardinality), never the table",
+    "orders_benford_dq": "share normalization over the 9 first-digit"
+    " groups",
+    "events_user_behavior_outliers": "ordered-prefix bucket carry +"
+    " total — <=64 rows",
+}
+
+
+def _unpartitioned_windows(plan: str) -> int:
+    """Count WindowExec nodes with an EMPTY partition spec in a
+    physical plan string. A fully-specified window prints
+    ``Window [exprs], [partSpec], [orderSpec]`` (3 top-level bracket
+    groups); both the partition and order spec may be omitted, so a
+    2-group node is unpartitioned only when its LAST group is an
+    ORDER spec — catalyst always prints sort direction (ASC/DESC)
+    there, never in a partition spec. WindowGroupLimit is excluded —
+    its arg layout differs (partition spec first) and it only ever
+    accompanies a Window node."""
+    import re as _re
+
+    n = 0
+    for ln in plan.splitlines():
+        m = _re.search(r"\bWindow (\[.*)$", ln)
+        if not m:
+            continue
+        groups: list[str] = []
+        depth = 0
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+            if depth > 0:
+                groups[-1] += ch
+            if ch == "]":
+                depth -= 1
+        is_order = lambda g: " ASC" in g or " DESC" in g  # noqa: E731
+        if len(groups) == 2 and is_order(groups[1]):
+            n += 1  # [exprs], [orderSpec] — global ordered window
+        elif len(groups) == 1:
+            n += 1  # [exprs] only — global unordered window
+    return n
 
 
 def audit(name: str, show: bool = False) -> list[str]:
@@ -983,6 +1057,16 @@ def audit(name: str, show: bool = False) -> list[str]:
         problems.append("no WholeStageCodegen span")
     if "BroadcastNestedLoopJoin" in plan and name not in SCALAR_SUBQUERY_OK:
         problems.append("BroadcastNestedLoopJoin (accidental cross join?)")
+    # Default-on for EVERY audited query: an unpartitioned WindowExec
+    # is a single-task global sort — allowed only over provably
+    # bounded aggregates (GLOBAL_WINDOW_OK carries each bound).
+    n_up = _unpartitioned_windows(plan)
+    if n_up and name not in GLOBAL_WINDOW_OK:
+        problems.append(
+            f"{n_up} unpartitioned WindowExec node(s) — single-task "
+            "global sort; if the window input is provably bounded, "
+            "add the query to GLOBAL_WINDOW_OK with the bound"
+        )
     # Row-at-a-time Python UDFs are never sanctioned anywhere in this
     # engine — Arrow-batched nodes are allowed only where pure_jvm is
     # not pinned (multimodal, streaming sessionize).
