@@ -45,42 +45,36 @@ def test_catalog_window_is_curated_and_oracled():
     assert len(qs) == len(set(qs))
     assert qs[: len(_PRIORITY)] == list(_PRIORITY)
     window = set(qs[:50])
-    # every SURVEY §2 core representative + the LLM suite is in-window
-    must_have = {
-        # permanently-pinned §2 core
+    # the permanently-pinned §2 anchors (r8 verdict item 1 shrank the
+    # pin set to these six)
+    anchors = {
         "flagship_policies_ingest",
+        "global_watermark_max",
         "incremental_new_rows",
         "merge_upsert_preview",
         "recon_row_counts",
         "window_top_orders_per_segment",
-        # soaking round-6/7 cohort representatives
-        "customer_name_neardup_pairs",
-        "doc_bm25_batch",
-        "doc_span_dedup",
-        "doc_pack_sequences",
-        "orders_cdc_apply",
-        "event_asof_enrich",
-        "orders_column_profile",
-        "emb_pq_topk",
-        "emb_hard_negatives",
-        "session_incident_overlap",
-        "partitioned_orders_dpp_join",
-        "bucketed_supplier_volume",
-        "zorder_orders_skipping_scan",
-        "doc_pii_scrub",
-        # round-8 rotation: first-official-row cohort (r7 verdict 1)
-        "doc_minhash_exact_dup_pairs",
-        "doc_simhash_exact_dup_pairs",
-        "doc_token_budget_mix",
-        "emb_knn_classify",
-        "events_change_points",
-        "doc_phrase_search",
-        "doc_length_winsorized",
-        "order_lineitem_view_delta",
-        "events_sliding_windows",
-        "orders_delta_merge_roundtrip",
     }
-    assert must_have <= window
+    assert anchors <= window
+    # round-9 rotation contract: every oracle-backed query with no
+    # official driver row entering this round is in the window —
+    # representatives from each family
+    r9_cohort = {
+        "orders_delta_partitioned_roundtrip",
+        "orders_delta_cdf",
+        "orders_cdf_view_maintenance",
+        "orders_delta_clone_divergence",
+        "orders_delta_rename_roundtrip",
+        "customer_abc_classes",
+        "orders_skyline",
+        "orders_orc_roundtrip",
+        "events_user_behavior_outliers",
+        "doc_incremental_neardup_checked",
+        "doc_ccnet_buckets",
+        "doc_dsir_importance",
+        "emb_matryoshka_recall",
+    }
+    assert r9_cohort <= window
     # the official window carries only oracle-paired entries (rows-only
     # checks are weaker signal and live outside it)
     os_ = oracles()
