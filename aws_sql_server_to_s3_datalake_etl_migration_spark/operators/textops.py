@@ -620,3 +620,118 @@ def with_compression_ratio(
             yield out
 
     return df.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (round 9): Sennrich-style merge learning
+# ---------------------------------------------------------------------------
+
+
+def merge_adjacent_pair(
+    symbols: Column | str, left: str, right: str, merged: str
+) -> Column:
+    """Apply ONE BPE merge rule to a symbol array, left-to-right: every
+    adjacent (left, right) occurrence becomes ``merged``. The fold
+    keeps an output accumulator and greedily replaces its LAST element
+    when (last, current) matches — which is exactly left-to-right
+    non-overlapping merging: after a replacement the last element is
+    the merged token, which can never equal ``left``'s bare form, so
+    overlapping occurrences ("aaa" under (a,a) -> [aa, a]) resolve the
+    way a sequential scan does. Pure codegen (no UDF); the leading
+    WHEN guards the ANSI-mode element_at(-1) on an empty accumulator
+    (CASE branches evaluate lazily per row)."""
+    col = F.col(symbols) if isinstance(symbols, str) else symbols
+    return _merge_adjacent_impl(col, left, right, merged)
+
+
+def _merge_adjacent_impl(col: Column, a: str, b: str, m: str) -> Column:
+    def step(acc: Column, x: Column) -> Column:
+        return (
+            F.when(F.size(acc) == 0, F.array(x))
+            .when(
+                (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))
+                ),
+            )
+            .otherwise(F.concat(acc, F.array(x)))
+        )
+
+    return F.aggregate(
+        col, F.expr("cast(array() as array<string>)"), step
+    )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` byte-pair-encoding merges over the
+    corpus (Sennrich et al. 2016): repeatedly count adjacent symbol
+    pairs weighted by word frequency, merge the most frequent pair
+    (count desc, then lexicographic (left, right) for determinism),
+    and rewrite the vocabulary. Returns the merge table
+    ``(rank, left, right, merged, weight)``.
+
+    Scale shape — the whole loop runs on the DISTINCT VOCABULARY
+    (word -> corpus count), never the token stream: one corpus-sized
+    hash-agg up front, then every iteration's pair count and rewrite
+    touch |vocab| rows (Heaps' law: sublinear in corpus size — the
+    same contract as doc_bpe_pair_counts). Each round's rewritten
+    vocabulary is persisted and materialized so the n_merges-deep
+    fold lineage never re-executes end-to-end; the only driver-side
+    data is ONE argmax row per round.
+
+    Reference parity: the reference has no tokenizer training; this is
+    the training-data-pipeline extension (SURVEY §2.10 class)."""
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cur = vocab.select(
+        "n",
+        F.expr("filter(split(w, ''), x -> x <> '')").alias("s"),
+    ).persist()
+    cur.count()
+    merges: list[tuple] = []
+    try:
+        for r in range(1, n_merges + 1):
+            pair_struct = F.expr(
+                "transform(sequence(1, size(s) - 1), "
+                "i -> struct(element_at(s, i) AS l, "
+                "element_at(s, i + 1) AS r))"
+            )
+            top = (
+                cur.where(F.size("s") >= 2)
+                .select(F.explode(pair_struct).alias("p"), "n")
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("n").alias("weight"))
+                .orderBy(
+                    F.col("weight").desc(),
+                    F.col("l").asc(),
+                    F.col("r").asc(),
+                )
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b, w = top[0]["l"], top[0]["r"], int(top[0]["weight"])
+            merged = a + b
+            merges.append((r, a, b, merged, w))
+            nxt = cur.withColumn(
+                "s", _merge_adjacent_impl(F.col("s"), a, b, merged)
+            ).persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "rank long, left string, right string, merged string, "
+        "weight long",
+    )

@@ -19,6 +19,7 @@ from .operators import (
     profile,
     quantize,
     retrieval,
+    similarity,
     textops,
     timeseries,
 )
@@ -1428,3 +1429,139 @@ def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("bucket_id") == 2, "middle")
         .otherwise("tail"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (round 9): reciprocal-rank fusion of BM25 + dense ANN
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_CAND = 50
+
+
+def _hybrid_rrf_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1p1 = repr(_BM25_K1 + 1.0)
+    k1 = repr(_BM25_K1)
+    one_minus_b = repr(1.0 - _BM25_B)
+    b = repr(_BM25_B)
+    scale = repr(float(retrieval.FP_SCALE))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+      FROM documents
+    ),
+    docs AS (SELECT doc_id, len(w) AS dl, w FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM docs),
+    posts AS (
+      SELECT doc_id, dl, t.term, COUNT(*) AS tf
+      FROM docs, unnest(w) AS t(term)
+      WHERE t.term IN ({terms})
+      GROUP BY 1, 2, 3
+    ),
+    dfs AS (SELECT term, COUNT(*) AS df FROM posts GROUP BY 1),
+    bm_scored AS (
+      SELECT p.doc_id,
+        CAST(SUM(CAST(FLOOR(
+          (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+            / (CAST(df AS DOUBLE) + 0.5))
+           * ((CAST(tf AS DOUBLE) * {k1p1})
+              / (CAST(tf AS DOUBLE)
+                 + {k1} * ({one_minus_b}
+                           + {b} * CAST(dl AS DOUBLE)
+                             / (CAST(sum_dl AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE))))))
+          * {scale}) AS BIGINT)) AS BIGINT) AS score_fp
+      FROM posts p JOIN dfs USING (term) CROSS JOIN stats
+      GROUP BY 1
+    ),
+    bm AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id)
+                  AS BIGINT) AS bm_rank
+      FROM bm_scored ORDER BY score_fp DESC, doc_id LIMIT {_RRF_CAND}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cos_scored AS (
+      SELECT e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))
+               AS cosine
+      FROM embeddings e, q
+    ),
+    cos AS (
+      SELECT vec_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id)
+                  AS BIGINT) AS cos_rank
+      FROM cos_scored ORDER BY cosine DESC, vec_id LIMIT {_RRF_CAND}
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, c.vec_id) AS id,
+             CAST(COALESCE(b.bm_rank, 0) AS BIGINT) AS bm25_rank,
+             CAST(COALESCE(c.cos_rank, 0) AS BIGINT) AS cos_rank,
+             COALESCE(CAST(1 AS DOUBLE)
+                      / (CAST({_RRF_K} AS DOUBLE)
+                         + CAST(b.bm_rank AS DOUBLE)), CAST(0 AS DOUBLE))
+             + COALESCE(CAST(1 AS DOUBLE)
+                        / (CAST({_RRF_K} AS DOUBLE)
+                           + CAST(c.cos_rank AS DOUBLE)),
+                        CAST(0 AS DOUBLE)) AS rrf
+      FROM bm b FULL OUTER JOIN cos c ON b.doc_id = c.vec_id
+    )
+    SELECT id, bm25_rank, cos_rank, rrf
+    FROM fused ORDER BY rrf DESC, id LIMIT 10
+    """
+
+
+@register("doc_hybrid_rrf_search", _hybrid_rrf_oracle())
+def doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009): the sparse BM25 top-50 and the dense cosine top-50 for the
+    SAME information need fuse as rrf = Σ 1/(60 + rank), taking the
+    best of keyword precision and semantic recall — the standard
+    first-stage retriever of a modern RAG / hard-negative pipeline.
+
+    Scale shape: both candidate lists come from distributed top-k
+    (TakeOrderedAndProject — per-partition heaps, never a global
+    sort); the fusion is a full-outer join of two 50-row frames and
+    the only windows rank those bounded lists. Absent ranks
+    contribute 0 (and surface as rank 0) — the conventional RRF
+    treatment. Hash-exact: ranks are integers, the fusion is two
+    IEEE divisions and one add, written identically on both engines."""
+    bm = retrieval.bm25_topk(
+        _docs(spark, sf_dir),
+        _BM25_TERMS,
+        k=_RRF_CAND,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    ).select(
+        F.col("doc_id").alias("id"),
+        F.col("rank").cast("bigint").alias("bm_rank"),
+    )
+    cos50 = similarity.brute_force_topk(
+        _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=_RRF_CAND
+    )
+    w50 = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    cos = cos50.select(
+        F.col("vec_id").alias("id"),
+        F.row_number().over(w50).cast("bigint").alias("cos_rank"),
+    )
+    part = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col(r).cast("double")),
+        F.lit(0.0),
+    )
+    fused = bm.join(cos, "id", "full_outer").select(
+        "id",
+        F.coalesce(F.col("bm_rank"), F.lit(0))
+        .cast("bigint")
+        .alias("bm25_rank"),
+        F.coalesce(F.col("cos_rank"), F.lit(0))
+        .cast("bigint")
+        .alias("cos_rank"),
+        (part("bm_rank") + part("cos_rank")).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("id").asc()).limit(10)

@@ -2991,3 +2991,190 @@ def events_user_behavior_outliers(
             percent_rank_expr(F.col("_pos"), F.col("_n")) >= 0.95
         ).alias("suspect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: exact AUC at corpus scale (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_quality_score_auc",
+    f"""
+    WITH {_QUALITY_CTE},
+    labeled AS (
+      SELECT s.quality_score AS score,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    per AS (
+      SELECT score,
+             CAST(SUM(pos) AS BIGINT) AS pos_n,
+             CAST(SUM(1 - pos) AS BIGINT) AS neg_n
+      FROM labeled GROUP BY score
+    ),
+    pref AS (
+      SELECT score, pos_n, neg_n,
+             CAST(COALESCE(SUM(neg_n) OVER (
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cneg
+      FROM per
+    ),
+    agg AS (
+      SELECT CAST(SUM(pos_n) AS BIGINT) AS n_pos,
+             CAST(SUM(neg_n) AS BIGINT) AS n_neg,
+             CAST(SUM(pos_n * (2 * cneg + neg_n)) AS BIGINT) AS u2
+      FROM pref
+    )
+    SELECT n_pos, n_neg, u2,
+           CAST(u2 AS DOUBLE)
+             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+             AS auc
+    FROM agg
+    """,
+)
+def doc_quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the heuristic quality score as a predictor of
+    English-language documents — the evaluation every learned or
+    heuristic pipeline filter needs before its scores gate data. AUC
+    is the Mann-Whitney U statistic with the standard half-credit for
+    score ties: U = Σ_s pos_s * (neg_below(s) + neg_s / 2), computed
+    as the exact INTEGER 2U = Σ pos_s * (2*cneg + neg_s) so the only
+    float step is one final division (hash-identical cross-engine).
+
+    Scale shape: a naive AUC ranks every row in one global window —
+    the round-8 scale-killer shape. Here rows first collapse to
+    DISTINCT SCORE groups (a hash-agg; the score is a bounded-support
+    heuristic, but the plan does NOT rely on that), and the running
+    negative count over score groups runs as the distributed
+    ordered-prefix pass (operators/ranking.py: quantile buckets,
+    parallel in-bucket prefix, <=64-row carry) — so the AUC of a
+    10^10-row corpus never funnels through one task."""
+    from .operators.ranking import with_ordered_prefix
+
+    scored = textops.with_quality_score(_docs(spark, sf_dir))
+    labeled = scored.select(
+        F.col("quality_score").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    per = labeled.groupBy("score").agg(
+        F.sum("pos").cast("bigint").alias("pos_n"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("neg_n"),
+    )
+    # distinct scores form a unique total order — prefix is exact
+    pref = with_ordered_prefix(
+        per,
+        "score",
+        [F.col("score")],
+        {"_cneg_incl": F.col("neg_n")},
+    ).withColumn("cneg", F.col("_cneg_incl") - F.col("neg_n"))
+    return pref.agg(
+        F.sum("pos_n").cast("bigint").alias("n_pos"),
+        F.sum("neg_n").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("pos_n") * (F.lit(2) * F.col("cneg") + F.col("neg_n"))
+        )
+        .cast("bigint")
+        .alias("u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        (
+            F.col("u2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            )
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge LEARNING (round 9): the full iterative loop, not just pass 1
+# ---------------------------------------------------------------------------
+
+
+@register("doc_bpe_learn_merges", None)
+def doc_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 10 BPE merges learned over the corpus (Sennrich-style
+    iterate: count pairs -> merge argmax -> rewrite vocabulary),
+    extending doc_bpe_pair_counts' single pass into actual tokenizer
+    training. Every iteration runs on the distinct vocabulary (Heaps'-
+    law sublinear), the rewrite is a codegen'd array fold, and only
+    the 1-row argmax reaches the driver per round. Rows-only: the
+    iterative loop isn't SQL-expressible; tests/test_llm_operators.py
+    pins the merge table against a pure-Python reference BPE on the
+    same corpus."""
+    return textops.bpe_learn_merges(
+        _docs(spark, sf_dir), n_merges=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free train/eval split (round 9): clusters never straddle splits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_leakage_free_split",
+    """
+    WITH rep AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY text) AS component
+      FROM documents
+    )
+    SELECT doc_id, component,
+           CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)),
+                                     1, 8))::BIGINT::DOUBLE
+                     < 0.9 * 4294967296.0
+                THEN 'train' ELSE 'eval' END AS split
+    FROM rep
+    """,
+)
+def doc_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/eval split: the 90/10 hash decision is made
+    per DUPLICATE CLUSTER, not per document, so copies of the same
+    content can never land on both sides of the split — the leakage
+    rule every eval-set construction needs (a per-row split leaks
+    every duplicated document straight into the benchmark).
+
+    The Spark side runs the REAL clustering machinery end to end:
+    star edges (doc -> its content group's min id — linear, never a
+    quadratic within-group self-join) feed
+    ``dedup.connected_components``, and the md5-fraction split is the
+    engine's standard deterministic sampler. The oracle states the
+    same result declaratively (min-id per content group + identical
+    md5 arithmetic), so the hash match VALUE-CHECKS the iterative
+    component labeling — the same pattern as the verified LSH twins.
+    Near-dup clusters compose the same way: swap the star edges for
+    ``minhash_lsh_pairs`` (rows-only — covered by the incremental
+    near-dup twins)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    reps = docs.groupBy("text").agg(F.min("doc_id").alias("rep"))
+    star = (
+        docs.join(reps, "text")
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("doc_id").alias("id_a"), F.col("rep").alias("id_b"))
+    )
+    comps = dedup.connected_components(star, docs, "doc_id")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("cluster_id").cast("string")), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+    )
+    return comps.select(
+        "doc_id",
+        F.col("cluster_id").alias("component"),
+        F.when(u < F.lit(0.9) * F.lit(4294967296.0), "train")
+        .otherwise("eval")
+        .alias("split"),
+    )

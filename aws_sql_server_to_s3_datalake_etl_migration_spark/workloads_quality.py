@@ -319,3 +319,62 @@ def orders_benford_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_profile(
         _t(spark, sf_dir, "orders"), "o_totalprice"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (round 9): governance check before data sharing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_k_anonymity",
+    """
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band
+      FROM customer
+    ),
+    grp AS (
+      SELECT c_nationkey, c_mktsegment, acctbal_band,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           k < 5 AS violates_k5
+    FROM grp GROUP BY k
+    """,
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifier tuple
+    (nation, market segment, account-balance band): the privacy
+    pre-flight a governance layer runs before a table leaves the
+    boundary — every row in a group of size k is re-identifiable to
+    1-in-k, so the k<5 rows are what a release must suppress or
+    generalize further. The report is the k-histogram (group sizes,
+    affected rows, violation flag).
+
+    Plan: one hash-agg over the QI tuple (map-side combined) and one
+    over the k value — both bounded well below the table; no sort, no
+    window, no join. At 100 TB this is two shuffles of shrinking
+    aggregates. The band uses FLOOR of one IEEE division, identical
+    on both engines."""
+    c = _t(spark, sf_dir, "customer")
+    grp = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / F.lit(1000.0))
+            .cast("bigint")
+            .alias("acctbal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "acctbal_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    return grp.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+    ).select(
+        "k", "n_groups", "n_rows", (F.col("k") < 5).alias("violates_k5")
+    )

@@ -205,6 +205,14 @@ EXTENDED = [
     "orders_delta_partitioned_merge_roundtrip",
     "doc_langid_confusion",
     "events_user_behavior_outliers",
+    # round-9 additions: exact AUC over score groups (distributed
+    # ordered-prefix), k-anonymity audit, iterative BPE merge
+    # learning, hybrid sparse+dense retrieval fusion
+    "doc_quality_score_auc",
+    "customer_k_anonymity",
+    "doc_bpe_learn_merges",
+    "doc_hybrid_rrf_search",
+    "doc_leakage_free_split",
 ]
 
 

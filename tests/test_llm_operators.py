@@ -1535,3 +1535,71 @@ def test_label_propagation_recovers_clustered_labels(spark):
         and r["label"] == r["vec_id"] % 3
     ) / len(hidden)
     assert acc > 0.95, acc
+
+
+def test_bpe_learn_merges_matches_reference(spark, sf_dir):
+    """The distributed BPE learner's merge table must equal a pure-
+    Python Sennrich reference run on the same vocabulary — rule
+    selection (count desc, lexicographic tiebreak) AND left-to-right
+    rewrite semantics both pinned."""
+    from collections import Counter
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        textops,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["weight"])
+        for r in textops.bpe_learn_merges(docs, n_merges=8).collect()
+    ]
+
+    # pure-Python reference on the same tokenization
+    vocab = Counter()
+    for row in textops.with_tokens(docs).select("tokens").collect():
+        for w in row["tokens"]:
+            vocab[w] += 1
+    sym = {w: tuple(w) for w in vocab}
+    want = []
+    for rank in range(1, 9):
+        pairs: Counter = Counter()
+        for w, n in vocab.items():
+            s = sym[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), wt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rank, a, b, a + b, wt))
+        for w in vocab:
+            s, out, i = sym[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            sym[w] = tuple(out)
+    assert got == want
+
+
+def test_merge_adjacent_pair_left_to_right(spark):
+    """Overlapping occurrences resolve like a sequential scan."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.textops import (
+        merge_adjacent_pair,
+    )
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "b", "a", "b"],), (["x"],), ([],)],
+        "s array<string>",
+    )
+    got = [
+        r["m"]
+        for r in df.select(
+            merge_adjacent_pair("s", "a", "a", "aa").alias("m")
+        ).collect()
+    ]
+    assert got == [["aa", "a"], ["a", "b", "a", "b"], ["x"], []]

@@ -163,6 +163,11 @@ QUERIES = [
     "doc_langid_confusion",
     "events_user_behavior_outliers",
     "orders_delta_partitioned_merge_roundtrip",
+    # round-9 (r8 verdict item 6): the heaviest extended query had no
+    # probe entry — CDF-incremental view refresh (per-commit exceptAll
+    # of added vs removed files; cost must track changed bytes, here
+    # the whole scaled lake, so ~K)
+    "orders_cdf_view_maintenance",
 ]
 
 

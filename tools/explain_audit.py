@@ -796,6 +796,39 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": True, "hints": 0, "shuffles": 4,
         "aqe_bhj": True, "pure_jvm": True,
     },
+    # round-9 additions
+    # exact AUC: score-group hash-agg + distributed ordered-prefix
+    # (one hinted <=64-row carry join) + final 1-row aggregate
+    "doc_quality_score_auc": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
+    # k-anonymity: two shrinking hash-aggs, nothing else
+    "customer_k_anonymity": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "shuffles": 2,
+    },
+    # BPE learner: the returned frame is the collected merge table
+    # (LocalTableScan — the distributed work ran in the per-round
+    # pair-count/rewrite jobs, which the roundtrip pytest exercises)
+    "doc_bpe_learn_merges": {
+        "pushed": False, "no_smj": True, "hints": 0,
+        "codegen_ok": False,
+    },
+    # hybrid RRF: two TakeOrderedAndProject candidate lists, 50-row
+    # rank windows (GLOBAL_WINDOW_OK), one outer join of 50+50 rows
+    "doc_hybrid_rrf_search": {
+        # the 2 hints are bm25's 1-row corpus-stats broadcast appearing
+        # on both the posting and df sides; the BNLJ is that same
+        # bounded crossjoin (SCALAR_SUBQUERY_OK)
+        "pushed": False, "no_smj": False, "hints": 2, "pure_jvm": True,
+        "take_ordered": True,
+    },
+    # leakage-free split: the returned frame projects the persisted
+    # CC labels (InMemoryTableScan) through the md5 split expression;
+    # the iterative rounds ran as separate jobs
+    "doc_leakage_free_split": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
@@ -836,6 +869,8 @@ SCALAR_SUBQUERY_OK = {
     "events_value_histogram",
     # 1-row (nc, nt, V) corpus-stats crossjoin into the ratio table
     "doc_dsir_importance",
+    # bm25's 1-row corpus-stats crossjoin inside the hybrid fusion
+    "doc_hybrid_rrf_search",
 }
 
 
@@ -869,6 +904,11 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     " groups",
     "events_user_behavior_outliers": "ordered-prefix bucket carry +"
     " total — <=64 rows",
+    "doc_quality_score_auc": "ordered-prefix bucket carry over the"
+    " score groups — <=64 rows",
+    "doc_bm25_batch": "per-query rank over k-bounded candidates",
+    "doc_hybrid_rrf_search": "rank windows over the two 50-row"
+    " candidate lists",
 }
 
 
