@@ -167,3 +167,108 @@ def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
         )
         .select("asset_id", "frame_idx", "meta")
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level integrity screening (round 9) — REAL, no media libs needed
+# ---------------------------------------------------------------------------
+
+# (format, hex prefix, byte offset) — enough of the magic register to
+# screen the modalities the schema contract names. mp4's brand box
+# sits at offset 4 (after the box length), hence the offset field.
+MAGIC_HEX: tuple[tuple[str, str, int], ...] = (
+    ("png", "89504E470D0A1A0A", 0),
+    ("jpeg", "FFD8FF", 0),
+    ("wav", "52494646", 0),  # RIFF
+    ("mp4", "66747970", 4),  # 'ftyp'
+)
+
+
+def sniff_format(content_col) -> "F.Column":
+    """Container-format sniff from the content's magic bytes — the
+    integrity primitive that does NOT trust the declared metadata
+    (a mislabeled or truncated asset fails downstream decoders at the
+    worst possible time: mid-training-job). Pure codegen: one hex()
+    of the prefix and a CASE over the magic register; 'unknown' when
+    nothing matches."""
+    col = F.col(content_col) if isinstance(content_col, str) else content_col
+    h = F.hex(col)
+    out = F.lit("unknown")
+    for fmt, prefix, off in reversed(MAGIC_HEX):
+        out = F.when(
+            F.substring(h, 2 * off + 1, len(prefix)) == F.lit(prefix),
+            F.lit(fmt),
+        ).otherwise(out)
+    return out
+
+
+def content_integrity(df: DataFrame) -> DataFrame:
+    """Integrity report per asset: byte size, sniffed container format,
+    the declared format, and a mismatch flag (sniffed != declared,
+    with 'unknown' counting as a mismatch whenever a format IS
+    declared — a declared-png asset whose bytes don't open with the
+    png magic is exactly the corruption this screen exists to catch).
+    All codegen; content bytes are read once for the hex prefix."""
+    sniffed = sniff_format("content")
+    declared = F.col("meta.format")
+    return df.select(
+        "asset_id",
+        "modality",
+        F.length("content").cast("bigint").alias("n_bytes"),
+        sniffed.alias("sniffed_format"),
+        declared.alias("declared_format"),
+        (
+            declared.isNotNull() & (sniffed != F.coalesce(declared, F.lit("")))
+        ).alias("format_mismatch"),
+    )
+
+
+ENTROPY_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("entropy_bits", StringType(), True),
+        StructField("zero_frac", StringType(), True),
+    ]
+)
+
+
+def byte_entropy(df: DataFrame) -> DataFrame:
+    """Shannon entropy (bits/byte) + zero-byte fraction per asset via
+    Arrow-batched numpy — the truncation/padding screen: a zero-filled
+    or constant-padded asset shows near-zero entropy, an encrypted or
+    well-compressed one sits near 8. Values are returned as repr()
+    strings so the cross-engine float-hash question never arises (the
+    pytest differential recomputes them bit-exactly in pure Python).
+    Vectorized np.bincount per asset; content crosses the Arrow
+    boundary once."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ents, zfs, sizes = [], [], []
+            for b in pdf["content"]:
+                if b is None or len(b) == 0:
+                    sizes.append(0)
+                    ents.append(repr(0.0))
+                    zfs.append(repr(0.0))
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
+                counts = np.bincount(arr, minlength=256)
+                p = counts[counts > 0] / float(len(arr))
+                ent = float(-(p * np.log2(p)).sum())
+                sizes.append(len(arr))
+                ents.append(repr(ent))
+                zfs.append(repr(float(counts[0]) / float(len(arr))))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": sizes,
+                    "entropy_bits": ents,
+                    "zero_frac": zfs,
+                }
+            )
+
+    return df.select("asset_id", "content").mapInPandas(
+        batches, schema=ENTROPY_SCHEMA
+    )

@@ -213,6 +213,8 @@ EXTENDED = [
     "doc_bpe_learn_merges",
     "doc_hybrid_rrf_search",
     "doc_leakage_free_split",
+    "mm_integrity_screen",
+    "mm_entropy_screen",
 ]
 
 

@@ -1603,3 +1603,69 @@ def test_merge_adjacent_pair_left_to_right(spark):
         ).collect()
     ]
     assert got == [["aa", "a"], ["a", "b", "a", "b"], ["x"], []]
+
+
+def test_content_integrity_sniffs_magic_and_flags_mismatch(spark):
+    """Real magic-byte sniffing: signed assets sniff to their planted
+    container format; unsigned/garbage content flags a mismatch."""
+    rows = [
+        (1, "image", bytes.fromhex("89504E470D0A1A0A") + b"px", ("png",)),
+        (2, "image", b"\xff\xd8\xff\xe0rest", ("png",)),
+        (3, "audio", b"RIFFxxxxWAVE", ("wav",)),
+        (4, "video", bytes.fromhex("0000001866747970") + b"mp42", ("mp4",)),
+        (5, "image", b"plain text bytes", ("png",)),
+        (6, "image", b"", (None,)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, modality string, content binary, "
+        "meta struct<format:string>",
+    )
+    got = {
+        r["asset_id"]: (r["sniffed_format"], r["format_mismatch"])
+        for r in multimodal.content_integrity(df).collect()
+    }
+    assert got[1] == ("png", False)
+    assert got[2] == ("jpeg", True)  # declared png, is jpeg
+    assert got[3] == ("wav", False)
+    assert got[4] == ("mp4", False)
+    assert got[5] == ("unknown", True)
+    assert got[6] == ("unknown", False)  # nothing declared -> no flag
+
+
+def test_byte_entropy_matches_pure_python(spark):
+    """The Arrow-batched entropy/zero-frac values must equal a pure-
+    Python recomputation bit-for-bit (repr round-trip)."""
+    import math
+
+    payloads = [
+        (1, b"\x00" * 64),
+        (2, bytes(range(256))),
+        (3, b"abababab"),
+        (4, b""),
+        (5, b"The quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in payloads], "asset_id long, content binary"
+    )
+    got = {
+        r["asset_id"]: (r["n_bytes"], r["entropy_bits"], r["zero_frac"])
+        for r in multimodal.byte_entropy(df).collect()
+    }
+    for i, b in payloads:
+        if not b:
+            assert got[i] == (0, repr(0.0), repr(0.0))
+            continue
+        counts = [0] * 256
+        for x in b:
+            counts[x] += 1
+        p = [c / len(b) for c in counts if c > 0]
+        # numpy computes -sum(p*log2(p)) via float64 ops; mirror it
+        import numpy as np
+
+        arr = np.array(p, dtype=np.float64)
+        ent = float(-(arr * np.log2(arr)).sum())
+        assert got[i][0] == len(b)
+        assert got[i][1] == repr(ent)
+        assert got[i][2] == repr(counts[0] / len(b))
+    assert math.isclose(eval(got[1][1]), 0.0) and eval(got[2][1]) == 8.0

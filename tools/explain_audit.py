@@ -829,6 +829,16 @@ EXPECT: dict[str, dict] = {
     "doc_leakage_free_split": {
         "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
     },
+    # magic sniff: one codegen'd hex-prefix CASE over the content scan
+    "mm_integrity_screen": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "shuffles": 0,
+    },
+    # entropy screen: the sanctioned Arrow-batched numpy pass — the
+    # MapInPandas node is the point, so no pure_jvm pin
+    "mm_entropy_screen": {
+        "pushed": False, "no_smj": True, "hints": 0,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
