@@ -50,6 +50,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "with_ordered_prefix",
+    "quantile_boundaries",
     "ntile_expr",
     "percent_rank_expr",
 ]
@@ -88,6 +89,32 @@ def _bucket_expr(primary: str, boundaries: list[float]) -> Column:
     return F.coalesce(reduce(lambda a, b: a + b, terms), F.lit(0))
 
 
+def quantile_boundaries(
+    df: DataFrame, cols: list[str], n_buckets: int = 64
+) -> dict[str, list[float]]:
+    """Interior quantile boundaries for SEVERAL columns in ONE
+    collected aggregate — callers running multiple ordered-prefix
+    passes over the same frame (e.g. three NTILE orderings) pay one
+    boundary job instead of one per pass."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(
+        *[
+            F.percentile_approx(
+                F.col(c).cast("double"), probs, 10_000
+            ).alias(c)
+            for c in cols
+        ]
+    ).collect()[0]
+    out: dict[str, list[float]] = {}
+    for c in cols:
+        vals: list[float] = []
+        for v in row[c] or []:
+            if v is not None and (not vals or v > vals[-1]):
+                vals.append(float(v))
+        out[c] = vals
+    return out
+
+
 def with_ordered_prefix(
     df: DataFrame,
     primary: str,
@@ -97,6 +124,7 @@ def with_ordered_prefix(
     partition_cols: list[str] | None = None,
     totals: dict[str, str] | None = None,
     n_buckets: int = 64,
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """Add exact running-``sum`` columns under a total order, computed
     distributed (see module docstring for the plan shape).
@@ -123,9 +151,15 @@ def with_ordered_prefix(
         ``output_name -> agg_name``: also attach the grand total of
         ``aggs[agg_name]`` per partition group (e.g. the ``n`` that
         PERCENT_RANK/NTILE need), from the same tiny carry aggregate.
+    boundaries:
+        Precomputed bucket boundaries (``quantile_boundaries``) —
+        callers with several passes over one frame batch the boundary
+        jobs. Any sorted list works; balance only affects speed,
+        never values.
     """
     pcols = list(partition_cols or [])
-    boundaries = _bucket_boundaries(df, primary, n_buckets)
+    if boundaries is None:
+        boundaries = _bucket_boundaries(df, primary, n_buckets)
     d = df.withColumn("_opx_bkt", _bucket_expr(primary, boundaries))
 
     w_in = Window.partitionBy(*pcols, "_opx_bkt").orderBy(

@@ -1309,7 +1309,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The three rank passes run INDEPENDENTLY over `per` and join back
     # on the customer key — chaining them would nest each pass's
     # lineage inside the next one's carry side (2^n tree copies; the
-    # chained form measured 17 shuffle stages vs 8 here).
+    # chained form measured 17 shuffle stages vs 8 here). All three
+    # boundary sets come from ONE collected aggregate, and the
+    # per-customer aggregate is persisted so the six subtree copies
+    # (main + carry side per pass) read the cache instead of
+    # re-shuffling orders (LRU-evicted later, the CC precedent).
+    from .operators.ranking import quantile_boundaries
+
+    per = per.persist()
+    bnds = quantile_boundaries(per, ["_neg_r", "_neg_f", "_neg_m"])
     out = per
     for neg, pos in (
         ("_neg_r", "_pos_r"),
@@ -1322,6 +1330,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             [F.col(neg), F.col("c_custkey")],
             {pos: F.lit(1)},
             totals={"_n": "_pos_r"} if pos == "_pos_r" else None,
+            boundaries=bnds[neg],
         ).select("c_custkey", pos, *(["_n"] if pos == "_pos_r" else []))
         out = out.join(ranked, "c_custkey")
     return out.select(

@@ -1403,11 +1403,14 @@ def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ranking import ntile_expr, with_ordered_prefix
 
     fl = textops.lm_fluency(_docs(spark, sf_dir))
+    # persisted: the ordered-prefix pass reads this frame on both the
+    # main and the carry side — without the cache the whole bigram
+    # fluency machinery runs twice (measured 3.6 s -> ~2 s at sf0.1)
     scored = (
         _docs(spark, sf_dir)
         .select("doc_id", "lang")
         .join(fl.where(F.col("n_bigrams") > 0), "doc_id")
-    )
+    ).persist()
     ranked = with_ordered_prefix(
         scored.withColumn("_neg", -F.col("lm_score")),
         "_neg",
