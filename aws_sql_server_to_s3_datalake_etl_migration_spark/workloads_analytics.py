@@ -2970,3 +2970,61 @@ def orders_delta_replace_where_backfill(
             spark, path, F.col("o_orderstatus") == F.lit("P"), fresh
         )  # v1
     return read_delta(spark, path).select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Write-Audit-Publish roundtrip (round 9): the pre-publish gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_wap_gated_publish",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 1
+    """,
+)
+def orders_wap_gated_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish end to end under the value check
+    (operators/wap.py): a GREEN batch (every 3k+1 order; all
+    expectations hold) stages, audits, and publishes with an
+    idempotent txn append — re-running the query replays the same
+    wap id and cannot double-land. A RED batch (every 3k+2 order
+    with its price sign flipped, violating the positivity rule)
+    stages and is REJECTED, leaving the target untouched. The oracle
+    states the final target directly: exactly the green rows — so
+    staging, auditing, gating, idempotent publish, and log replay
+    must all be correct for the hash to match."""
+    import os
+    import tempfile
+
+    from .operators.wap import WapRejected, wap_run
+    from .sources.readers import read_delta
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    target = os.path.join(repo_root, ".lake_cache", f"wap_orders_{tag}")
+    staging = tempfile.mkdtemp(prefix="wap_stage_")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    o = read_table_dir(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double")
+    )
+    green = o.where(F.col("o_orderkey") % 3 == 1)
+    red = o.where(F.col("o_orderkey") % 3 == 2).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    rule = {"price_positive": F.col("o_totalprice") <= 0}
+    wap_run(
+        spark, green, target, staging, wap_id=f"green_{tag}",
+        row_rules=rule,
+    )
+    try:
+        wap_run(
+            spark, red, target, staging, wap_id=f"red_{tag}",
+            row_rules=rule,
+        )
+        raise AssertionError("red batch must be rejected")  # pragma: no cover
+    except WapRejected:
+        pass
+    return read_delta(spark, target).select(*cols)

@@ -3291,3 +3291,85 @@ def mm_entropy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import byte_entropy
 
     return byte_entropy(_doc_assets_signed(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Confusable-skeleton dedup (round 9): accent/homoglyph spam variants
+# ---------------------------------------------------------------------------
+
+# shared accent-folding table (identical literal on both engines —
+# deliberately NOT locale/ICU-dependent, so the skeleton is
+# deterministic everywhere); the tail FROM-characters with no TO
+# counterpart are DELETED (zero-width space/joiners, NBSP)
+_FOLD_FROM = (
+    "áàâäãåéèêëíìîïóòôöõúùûüçñý"
+    "ÁÀÂÄÃÅÉÈÊËÍÌÎÏÓÒÔÖÕÚÙÛÜÇÑÝ"
+    "​‌‍ "
+)
+_FOLD_TO = "aaaaaaeeeeiiiiooooouuuucny" "AAAAAAEEEEIIIIOOOOOUUUUCNY"
+_PLANT_OFF_C = 40_000_000
+
+
+@register(
+    "doc_confusable_spam_groups",
+    f"""
+    WITH planted AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_PLANT_OFF_C} AS doc_id,
+             translate(text, 'aeo', 'áéö') AS text
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    sk AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               lower(translate(text, '{_FOLD_FROM}', '{_FOLD_TO}')),
+               '\\s+', ' ', 'g')) AS skeleton
+      FROM planted
+    )
+    SELECT MIN(doc_id) AS group_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_variants
+    FROM sk
+    GROUP BY skeleton
+    HAVING COUNT(*) > 1 AND COUNT(DISTINCT text) > 1
+    """,
+)
+def doc_confusable_spam_groups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Confusable-content grouping: documents that differ only by
+    accent substitution / zero-width characters / whitespace shape
+    collapse to one SKELETON (fixed fold table + lowercase +
+    whitespace normalization — deliberately locale-free so the key is
+    deterministic on any engine), and groups with >1 distinct raw
+    variant are the homoglyph-spam clusters an exact dedup misses.
+    The planted corpus re-injects every 13th doc with 'aeo' -> 'áéö'
+    substitutions, so the screen has real work to do. One hash-agg
+    over the skeleton key — the same O(corpus) shape as exact dedup,
+    with the fold fused into the scan projection."""
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = base.unionByName(
+        base.where(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + F.lit(_PLANT_OFF_C)).alias("doc_id"),
+            F.translate("text", "aeo", "áéö").alias("text"),
+        )
+    )
+    skeleton = F.trim(
+        F.regexp_replace(
+            F.lower(F.translate("text", _FOLD_FROM, _FOLD_TO)),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        planted.withColumn("skeleton", skeleton)
+        .groupBy("skeleton")
+        .agg(
+            F.min("doc_id").alias("group_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("text").cast("bigint").alias("n_variants"),
+        )
+        .where((F.col("n_docs") > 1) & (F.col("n_variants") > 1))
+        .select("group_id", "n_docs", "n_variants")
+    )

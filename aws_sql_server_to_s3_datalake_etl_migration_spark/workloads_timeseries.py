@@ -1534,3 +1534,55 @@ def events_ab_conversion_lift(
         (pb - pa - z * se).alias("ci_lo"),
         (pb - pa + z * se).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative reach (round 9): daily new users + running distinct total
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cumulative_reach",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY d
+    )
+    SELECT d, new_users,
+           CAST(SUM(new_users) OVER (
+             ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    """,
+)
+def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily NEW users and the running DISTINCT-user total — the
+    product-growth reach curve. Spark has no COUNT(DISTINCT) OVER, and
+    the naive emulation (size of a windowed collect_set) is quadratic
+    in memory; the exact linear plan is first-appearance semantics:
+    per-user MIN(day) (one map-side-combined hash-agg over the
+    stream), a per-day count of first appearances, and a prefix sum
+    over the |days| rollup — cumulative distinct == cumulative new,
+    because each user contributes exactly once, on their first day.
+    The prefix window runs over the bounded day rollup (grows with
+    calendar time, not data rate)."""
+    e = _events(spark, sf_dir)
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "d",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias(
+            "cumulative_users"
+        ),
+    )

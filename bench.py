@@ -215,6 +215,9 @@ EXTENDED = [
     "doc_leakage_free_split",
     "mm_integrity_screen",
     "mm_entropy_screen",
+    "events_cumulative_reach",
+    "doc_confusable_spam_groups",
+    "orders_wap_gated_publish",
 ]
 
 

@@ -279,3 +279,86 @@ def test_funnel_windowed_never_exceeds_unbounded(spark, sf_dir):
     assert wi.n_view == un.n_view  # stage 1 has no deadline
     assert wi.n_view_click_1h <= un.n_view_click
     assert wi.n_full_funnel_1h <= un.n_view_click_purchase
+
+
+# ---------------------------------------------------------------------------
+# Write-Audit-Publish (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_wap_publishes_only_green_batches(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.wap import (
+        WapRejected,
+        wap_run,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        read_delta,
+    )
+
+    target = str(tmp_path / "target")
+    staging = str(tmp_path / "staging")
+    good = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "pk long, v double"
+    )
+    out = wap_run(
+        spark,
+        good,
+        target,
+        staging,
+        wap_id="b1",
+        row_rules={"v_positive": F.col("v") <= 0},
+        unique_rules={"pk_unique": ["pk"]},
+    )
+    assert out["published_version"] == 0
+    assert {r["pk"] for r in read_delta(spark, target).collect()} == {1, 2}
+
+    # a red batch: duplicate pk AND a negative value — target untouched
+    bad = spark.createDataFrame(
+        [(3, -1.0), (3, 5.0)], "pk long, v double"
+    )
+    with _pytest.raises(WapRejected) as ei:
+        wap_run(
+            spark,
+            bad,
+            target,
+            staging,
+            wap_id="b2",
+            row_rules={"v_positive": F.col("v") <= 0},
+            unique_rules={"pk_unique": ["pk"]},
+        )
+    assert {f["rule"] for f in ei.value.failures} == {
+        "v_positive", "pk_unique",
+    }
+    assert {r["pk"] for r in read_delta(spark, target).collect()} == {1, 2}
+    # the rejected batch stays inspectable in staging with its report
+    import json as _json
+    import os as _os
+
+    staged = read_delta(spark, ei.value.staging_path)
+    assert staged.count() == 2
+    rep = _json.load(
+        open(_os.path.join(ei.value.staging_path, "_audit.json"))
+    )
+    assert any(not r["passed"] for r in rep["report"])
+
+
+def test_wap_publish_is_idempotent_per_wap_id(spark, tmp_path):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.wap import (
+        wap_run,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        read_delta,
+    )
+
+    target = str(tmp_path / "t2")
+    staging = str(tmp_path / "s2")
+    batch = spark.createDataFrame([(1, "a")], "pk long, v string")
+    out1 = wap_run(spark, batch, target, staging, wap_id="same")
+    # the crashed-after-publish retry: same wap id, same batch
+    out2 = wap_run(spark, batch, target, staging, wap_id="same")
+    assert out1["published_version"] == 0
+    assert out2["published_version"] is None  # replay skipped
+    assert read_delta(spark, target).count() == 1

@@ -407,9 +407,12 @@ EXPECT: dict[str, dict] = {
     # carry join per pass (3 hints), closed-form NTILE. The only
     # unpartitioned windows are the three <=64-row bucket carries
     # (GLOBAL_WINDOW_OK).
+    # the persisted per-customer aggregate absorbs the base shuffles
+    # (InMemoryTableScan); the one visible stage is the final join
+    # assembly — the three passes' carry aggregates broadcast
     "customer_rfm_segments": {
         "pushed": False, "no_smj": True, "hints": 3, "pure_jvm": True,
-        "shuffles": 16,
+        "shuffles": 1,
     },
     # hard-negative mining: centroid cross product is |Q| x n_cells
     # narrow rows (one explicit broadcast); the probed-cell equi-join
@@ -839,6 +842,21 @@ EXPECT: dict[str, dict] = {
     "mm_entropy_screen": {
         "pushed": False, "no_smj": True, "hints": 0,
     },
+    # cumulative reach: user-min agg, day rollup, one bounded prefix
+    # window over |days| (GLOBAL_WINDOW_OK)
+    "events_cumulative_reach": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # confusable skeleton: fold fused into the scan projection, one
+    # skeleton hash-agg (count_distinct expands to two)
+    "doc_confusable_spam_groups": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # WAP roundtrip: the returned frame is the published target's
+    # log-replay scan
+    "orders_wap_gated_publish": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
@@ -919,6 +937,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "doc_bm25_batch": "per-query rank over k-bounded candidates",
     "doc_hybrid_rrf_search": "rank windows over the two 50-row"
     " candidate lists",
+    "events_cumulative_reach": "prefix sum over the per-day rollup —"
+    " |days| rows, grows with calendar time",
 }
 
 
