@@ -66,6 +66,9 @@ def wap_run(
     unique_rules=None,
     ref_rules=None,
     partition_by: list[str] | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+    fresh_staging: bool = False,
 ) -> dict:
     """Run one Write-Audit-Publish cycle; returns a summary dict
     (wap_id, staging_path, audit rows, published version or None).
@@ -74,9 +77,20 @@ def wap_run(
     cycle (same id) after a crash between publish and the caller's
     bookkeeping is a no-op append (txn high-water mark), and each
     distinct batch needs a distinct id. Defaults to a fresh UUID.
+
+    ``txn_app_id``/``txn_version`` override the publish idempotency
+    key (default ``wap-<wap_id>`` at version 1) — a streaming caller
+    passes ONE app id with the batch id as the version, so the
+    target's txn state stays one entry per stream instead of one per
+    batch. ``fresh_staging`` appends a per-ATTEMPT suffix to the
+    staging path: a replay of a batch whose first attempt crashed
+    mid-cycle must not append a second copy into the same staging
+    table and publish both (the publish key, not the staging path,
+    carries the idempotency).
     """
     wap_id = wap_id or uuid.uuid4().hex
-    staging_path = f"{staging_root.rstrip('/')}/wap-{wap_id}"
+    suffix = f"-{uuid.uuid4().hex[:8]}" if fresh_staging else ""
+    staging_path = f"{staging_root.rstrip('/')}/wap-{wap_id}{suffix}"
 
     # 1. WRITE: durable, consumer-invisible
     delta_log.append_commit(batch, staging_path, partition_by=partition_by)
@@ -107,8 +121,8 @@ def wap_run(
         staged,
         target_path,
         partition_by=partition_by,
-        txn_app_id=f"wap-{wap_id}",
-        txn_version=1,
+        txn_app_id=txn_app_id or f"wap-{wap_id}",
+        txn_version=1 if txn_version is None else int(txn_version),
     )
     return {
         "wap_id": wap_id,

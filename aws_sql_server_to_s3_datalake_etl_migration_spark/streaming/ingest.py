@@ -703,3 +703,65 @@ def stream_vector_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_wap_to_lake(
+    df: DataFrame,
+    path: str,
+    staging_root: str,
+    quarantine_path: str,
+    checkpoint: str,
+    app_id: str,
+    row_rules=None,
+    unique_rules=None,
+    available_now: bool = True,
+    partition_by: list[str] | None = None,
+) -> StreamingQuery:
+    """Streaming Write-Audit-Publish (operators/wap.py per
+    micro-batch): each batch stages durably, audits, and either
+    PUBLISHES to ``path`` or DIVERTS whole to ``quarantine_path`` —
+    a stream cannot raise on a bad batch, so rejection becomes data
+    an operator replays after fixing the rule or the source.
+
+    Exactly-once on BOTH sinks: publish and quarantine append with
+    ``txn`` keys (one app id per stream and sink, batch id as the
+    version — bounded txn state), and each ATTEMPT stages fresh so a
+    crash mid-cycle can never accumulate duplicate rows into the
+    snapshot that eventually publishes."""
+    from ..operators.wap import WapRejected, wap_run
+    from ..sources.delta_log import append_commit
+    from ..sources.readers import read_delta
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            wap_run(
+                batch_df.sparkSession,
+                batch_df,
+                path,
+                staging_root,
+                wap_id=f"{app_id}-b{batch_id}",
+                row_rules=row_rules,
+                unique_rules=unique_rules,
+                partition_by=partition_by,
+                txn_app_id=f"wap-{app_id}",
+                txn_version=int(batch_id),
+                fresh_staging=True,
+            )
+        except WapRejected as rej:
+            spark = batch_df.sparkSession
+            append_commit(
+                read_delta(spark, rej.staging_path),
+                quarantine_path,
+                partition_by=partition_by,
+                txn_app_id=f"wapq-{app_id}",
+                txn_version=int(batch_id),
+            )
+
+    writer = (
+        df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

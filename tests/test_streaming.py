@@ -1269,3 +1269,57 @@ def test_stream_txn_append_sink_is_idempotent_across_checkpoints(
     assert delta_log.latest_txn_versions(spark, lake) == {
         "ingest-orders": 1
     }
+
+
+def test_stream_wap_publishes_green_quarantines_red(spark, tmp_path):
+    """Streaming Write-Audit-Publish: batches that pass the audit
+    publish exactly-once to the target; a failing batch diverts WHOLE
+    to quarantine (a stream cannot raise), and the target never sees
+    any of its rows."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        read_delta,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming.ingest import (
+        stream_wap_to_lake,
+    )
+
+    src = tmp_path / "wap_in"
+    src.mkdir()
+    batches = [
+        '{"pk": 1, "v": 10.0}\n{"pk": 2, "v": 20.0}\n',
+        '{"pk": 3, "v": -5.0}\n{"pk": 4, "v": 40.0}\n',  # red: v<=0
+        '{"pk": 5, "v": 50.0}\n',
+    ]
+    for i, content in enumerate(batches):
+        f = src / f"b{i}.jsonl"
+        f.write_text(content)
+        t = time.time() - 100 + i
+        os.utime(f, (t, t))
+    stream = (
+        spark.readStream.schema("pk long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    target = str(tmp_path / "wap_target")
+    quarantine = str(tmp_path / "wap_q")
+    q = stream_wap_to_lake(
+        stream,
+        target,
+        str(tmp_path / "wap_staging"),
+        quarantine,
+        checkpoint=str(tmp_path / "wap_ckpt"),
+        app_id="wap-test",
+        row_rules={"v_positive": F.col("v") <= 0},
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    got = {r["pk"] for r in read_delta(spark, target).collect()}
+    assert got == {1, 2, 5}
+    bad = {r["pk"] for r in read_delta(spark, quarantine).collect()}
+    assert bad == {3, 4}
