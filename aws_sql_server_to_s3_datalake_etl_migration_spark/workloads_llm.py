@@ -3373,3 +3373,67 @@ def doc_confusable_spam_groups(
         .where((F.col("n_docs") > 1) & (F.col("n_variants") > 1))
         .select("group_id", "n_docs", "n_variants")
     )
+
+
+@register(
+    "doc_quality_calibration",
+    f"""
+    WITH {_QUALITY_CTE},
+    labeled AS (
+      SELECT s.quality_score AS score,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT CAST(FLOOR(score * 10.0) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS pos_rate,
+           CAST(SUM(CAST(FLOOR(score * 1073741824.0) AS BIGINT))
+                AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1073741824.0)
+             AS mean_score
+    FROM labeled GROUP BY 1
+    """,
+)
+def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability curve for the quality score against
+    the language label — the companion diagnostic to
+    ``doc_quality_score_auc``: AUC says the RANKING is good,
+    calibration says whether the score VALUE means what a threshold
+    user thinks it means (bin by floor(score*10), compare mean score
+    to empirical positive rate per bin). One fixed-width-bin hash-agg
+    — no sort, no window, no quantiles — so the curve of a 10^10-row
+    corpus is one map-side-combined pass.
+
+    Determinism: bins come from FLOOR of one IEEE multiply, the rates
+    are single divisions of exact integer counts, and mean_score
+    accumulates FIXED-POINT (floor(score * 2^30) summed as int64 —
+    order-free, no float-summation partitioning sensitivity) with one
+    final double division."""
+    scored = textops.with_quality_score(_docs(spark, sf_dir))
+    labeled = scored.select(
+        F.col("quality_score").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    return labeled.groupBy(
+        F.floor(F.col("score") * F.lit(10.0)).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        (
+            F.sum("pos").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("pos_rate"),
+        (
+            F.sum(
+                F.floor(F.col("score") * F.lit(1073741824.0)).cast(
+                    "bigint"
+                )
+            ).cast("double")
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.lit(1073741824.0)
+            )
+        ).alias("mean_score"),
+    )

@@ -1586,3 +1586,107 @@ def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumulative_users"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (round 9): median of pairwise slopes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_theilsen_trend",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             (epoch_ns(ts) // 3600000000000)::BIGINT AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (CAST(b.n AS DOUBLE) - CAST(a.n AS DOUBLE))
+               / (CAST(b.h AS DOUBLE) - CAST(a.h AS DOUBLE)) AS slope,
+             a.h AS h1, b.h AS h2
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type AND a.h < b.h
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY slope, h1, h2) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM slopes
+    )
+    SELECT event_type,
+           CAST(MAX(cnt) AS BIGINT) AS n_pairs,
+           (MAX(CASE WHEN rn = (cnt + 1) // 2 THEN slope END)
+            + MAX(CASE WHEN rn = (cnt + 2) // 2 THEN slope END)) / 2.0
+             AS theilsen_slope
+    FROM ranked GROUP BY event_type
+    """,
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of hourly event volume per type: the
+    MEDIAN of all pairwise slopes — up to ~29% contamination
+    (outliers, incident spikes) cannot move it, unlike OLS, which a
+    single bad hour drags arbitrarily. Slopes form per type from the
+    HOURLY rollup self-join, so pair volume is C(|hours|, 2) per type
+    — bounded by the time range squared, never by event count; the
+    per-type median resolves by explicit rank selection (identical
+    middle-element arithmetic on both engines — no reliance on either
+    engine's median() interpolation), with (h1, h2) tie-breaks making
+    the rank order total."""
+    from pyspark.sql.window import Window as W
+
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type",
+        F.expr("ts_ns div 3600000000000").cast("bigint").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = hourly.select(
+        "event_type",
+        F.col("h").alias("h1"),
+        F.col("n").alias("n1"),
+    )
+    b = hourly.select(
+        F.col("event_type").alias("et2"),
+        F.col("h").alias("h2"),
+        F.col("n").alias("n2"),
+    )
+    slopes = a.join(
+        b,
+        (F.col("event_type") == F.col("et2")) & (F.col("h1") < F.col("h2")),
+    ).select(
+        "event_type",
+        (
+            (F.col("n2").cast("double") - F.col("n1").cast("double"))
+            / (F.col("h2").cast("double") - F.col("h1").cast("double"))
+        ).alias("slope"),
+        "h1",
+        "h2",
+    )
+    w = W.partitionBy("event_type").orderBy("slope", "h1", "h2")
+    wc = W.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    lo = F.max(
+        F.when(
+            F.col("rn") == ((F.col("cnt") + 1) / 2).cast("long"),
+            F.col("slope"),
+        )
+    )
+    hi = F.max(
+        F.when(
+            F.col("rn") == ((F.col("cnt") + 2) / 2).cast("long"),
+            F.col("slope"),
+        )
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("cnt").cast("bigint").alias("n_pairs"),
+        ((lo + hi) / F.lit(2.0)).alias("theilsen_slope"),
+    )

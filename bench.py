@@ -218,6 +218,8 @@ EXTENDED = [
     "events_cumulative_reach",
     "doc_confusable_spam_groups",
     "orders_wap_gated_publish",
+    "doc_quality_calibration",
+    "events_theilsen_trend",
 ]
 
 

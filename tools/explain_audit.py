@@ -857,6 +857,15 @@ EXPECT: dict[str, dict] = {
     "orders_wap_gated_publish": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # calibration: one fixed-bin hash-agg; no window, no join
+    "doc_quality_calibration": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # Theil-Sen: hourly-rollup self-join (both sides aggregates; AQE
+    # picks the strategy) + per-type bounded rank windows
+    "events_theilsen_trend": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
