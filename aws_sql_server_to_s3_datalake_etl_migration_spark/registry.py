@@ -87,6 +87,15 @@ def oracles() -> dict[str, str]:
 # official driver row across r3–r9 — debt 0 for the first time
 # since r5. Rows-only entries stay out: their accuracy/differential
 # pytests are a stronger signal than a row-count-only driver row.
+#
+# Round-10 rotation candidates (the 10 oracle-backed round-9 in-round
+# additions, in suggested order — all local-check green at sf0.01 AND
+# sf0.001, plan-audited, bench-exercised): doc_quality_score_auc,
+# doc_quality_calibration, customer_k_anonymity,
+# doc_hybrid_rrf_search, doc_leakage_free_split, mm_integrity_screen,
+# events_cumulative_reach, doc_confusable_spam_groups,
+# orders_wap_gated_publish, events_theilsen_trend. Swap them for ten
+# round-9-cohort rows after those hold their official r9 rows.
 _PRIORITY: tuple[str, ...] = (
     # §2 anchors (permanently pinned): flagship ingest, SQL-over-
     # parquet agg pipeline, watermark + incremental pair, MERGE

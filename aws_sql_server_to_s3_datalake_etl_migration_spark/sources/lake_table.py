@@ -162,8 +162,17 @@ class LakeTable:
             self._spark, self._path, parts=parts
         )
 
-    def truncateLog(self) -> int:
-        return delta_log.truncate_log(self._spark, self._path)
+    def truncateLog(self, retain_checkpoints: int = 2) -> int:
+        return delta_log.truncate_log(
+            self._spark,
+            self._path,
+            retain_checkpoints=retain_checkpoints,
+        )
+
+    def checkpointVersion(self) -> int | None:
+        return delta_log.latest_checkpoint_version(
+            self._spark, self._path
+        )
 
     def vacuum(
         self, min_age_seconds: int = 3600, dry_run: bool = False
