@@ -74,26 +74,39 @@ def wap_run(
     (wap_id, staging_path, audit rows, published version or None).
 
     ``wap_id`` doubles as the idempotency key: re-running the same
-    cycle (same id) after a crash between publish and the caller's
-    bookkeeping is a no-op append (txn high-water mark), and each
-    distinct batch needs a distinct id. Defaults to a fresh UUID.
+    cycle (same id) is safe at EVERY crash point — a retry that finds
+    the staging table already committed REUSES the staged snapshot
+    instead of appending a second copy (the staging commit is atomic,
+    so an existing log version means the batch landed whole; the
+    ``batch`` argument is then ignored, which is why each distinct
+    batch needs a distinct id), and a retry after publish is a no-op
+    append (txn high-water mark). Defaults to a fresh UUID.
 
     ``txn_app_id``/``txn_version`` override the publish idempotency
     key (default ``wap-<wap_id>`` at version 1) — a streaming caller
     passes ONE app id with the batch id as the version, so the
     target's txn state stays one entry per stream instead of one per
     batch. ``fresh_staging`` appends a per-ATTEMPT suffix to the
-    staging path: a replay of a batch whose first attempt crashed
-    mid-cycle must not append a second copy into the same staging
-    table and publish both (the publish key, not the staging path,
-    carries the idempotency).
+    staging path for callers that re-derive the batch each attempt
+    (a streaming replay's frame may differ from the crashed
+    attempt's) — the publish key, not the staging path, still
+    carries the publish idempotency.
     """
     wap_id = wap_id or uuid.uuid4().hex
     suffix = f"-{uuid.uuid4().hex[:8]}" if fresh_staging else ""
     staging_path = f"{staging_root.rstrip('/')}/wap-{wap_id}{suffix}"
 
-    # 1. WRITE: durable, consumer-invisible
-    delta_log.append_commit(batch, staging_path, partition_by=partition_by)
+    # 1. WRITE: durable, consumer-invisible. A retry of a crashed
+    # cycle may find the staging table already committed — appending
+    # again would DOUBLE the batch and publish the doubled snapshot
+    # (the publish txn key can't catch it: that cycle never
+    # published). The staging commit is atomic (rename-published
+    # commit file), so an existing log version means the staged copy
+    # is complete: reuse it as-is.
+    if delta_log.log_version(spark, staging_path) is None:
+        delta_log.append_commit(
+            batch, staging_path, partition_by=partition_by
+        )
     staged = read_delta(spark, staging_path)
 
     # 2. AUDIT the staged snapshot (what will actually publish —

@@ -88,14 +88,18 @@ def oracles() -> dict[str, str]:
 # since r5. Rows-only entries stay out: their accuracy/differential
 # pytests are a stronger signal than a row-count-only driver row.
 #
-# Round-10 rotation candidates (the 10 oracle-backed round-9 in-round
-# additions, in suggested order — all local-check green at sf0.01 AND
-# sf0.001, plan-audited, bench-exercised): doc_quality_score_auc,
-# doc_quality_calibration, customer_k_anonymity,
-# doc_hybrid_rrf_search, doc_leakage_free_split, mm_integrity_screen,
-# events_cumulative_reach, doc_confusable_spam_groups,
-# orders_wap_gated_publish, events_theilsen_trend. Swap them for ten
-# round-9-cohort rows after those hold their official r9 rows.
+# Round-10 rotation (r9 verdict item 1, executed verbatim): the 10
+# oracle-backed round-9 in-round additions enter the window; the 10
+# dropped cohort members are the lake-engine roundtrips with the
+# deepest independent pytest suites (partitioned/update-delete/
+# compact-restore/clone/rename/generated/stats-skip/schema-evolution/
+# zorder/replace-where — each holds its official r9 row AND dedicated
+# red/green pytests, so the window slot adds the least marginal
+# signal there). Kept in-window from the lake family: the
+# partitioned MERGE roundtrip (exercises the r9 TOCTOU-fixed write
+# path) and the CDF pair (under active perf work, r9 verdict item 7).
+# With this window, every oracle-backed catalog query holds >=1
+# official driver row across r3–r10 — debt 0.
 _PRIORITY: tuple[str, ...] = (
     # §2 anchors (permanently pinned): flagship ingest, SQL-over-
     # parquet agg pipeline, watermark + incremental pair, MERGE
@@ -106,22 +110,23 @@ _PRIORITY: tuple[str, ...] = (
     "merge_upsert_preview",
     "recon_row_counts",
     "window_top_orders_per_segment",
-    # ---- round-9 rotation: the 44 never-driver-checked oracle-backed
-    # queries, in registration order ----
-    # lake engine roundtrips (fallback Delta protocol end-to-end)
-    "orders_delta_partitioned_roundtrip",
-    "orders_delta_update_delete_roundtrip",
-    "orders_delta_compact_restore_roundtrip",
-    "orders_delta_clone_divergence",
+    # ---- round-10 rotation: the 10 round-9 additions ----
+    "doc_quality_score_auc",
+    "doc_quality_calibration",
+    "customer_k_anonymity",
+    "doc_hybrid_rrf_search",
+    "doc_leakage_free_split",
+    "mm_integrity_screen",
+    "events_cumulative_reach",
+    "doc_confusable_spam_groups",
+    "orders_wap_gated_publish",
+    "events_theilsen_trend",
+    # lake engine: MERGE roundtrip (r9-fixed write path) + CDF pair
+    # (perf work this round); the other 10 roundtrips rotated out
+    # with their r9 rows + dedicated pytests intact
     "orders_delta_partitioned_merge_roundtrip",
-    "orders_delta_rename_roundtrip",
-    "orders_delta_generated_month_scan",
     "orders_delta_cdf",
-    "orders_delta_stats_skipping_scan",
     "orders_cdf_view_maintenance",
-    "orders_delta_schema_evolution",
-    "orders_delta_zorder_skipping_scan",
-    "orders_delta_replace_where_backfill",
     # warehouse analytics (round-8 additions)
     "customer_abc_classes",
     "part_pair_affinity",

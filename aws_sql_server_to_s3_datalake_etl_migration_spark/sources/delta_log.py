@@ -737,6 +737,7 @@ def _check_append_compat(
     table_path: str,
     partition_by: list[str] | None,
     merge_schema: bool = False,
+    version: int | None = None,
 ) -> dict | None:
     """Reject an append/overwrite whose schema or partitioning differs
     from the table's metaData BEFORE any file lands — committing
@@ -750,8 +751,16 @@ def _check_append_compat(
     (old field order preserved, new fields appended) for the caller
     to commit alongside its adds. Type changes and dropped columns
     are still rejected — widening is additive only. Returns None when
-    the schema already matches."""
-    md = latest_metadata(df.sparkSession, table_path)
+    the schema already matches.
+
+    ``version`` pins the metaData lookup to the snapshot the CALLER
+    read (overwrite_commit's ``read_v``, append_commit's per-retry
+    ``v_now``) — without it the compat/widening decision could
+    resolve against metadata newer than the version the commit is
+    pinned to, so the pin would turn the race into CommitConflict
+    but the error message / widened schema could reflect metadata
+    the caller never read (ADVICE r9)."""
+    md = latest_metadata(df.sparkSession, table_path, version=version)
     if md is None:
         return None
     widened = None
@@ -969,6 +978,23 @@ def drop_check_constraint(
     )
 
 
+def _delete_staged(spark: SparkSession, table_path: str, adds: list[dict]) -> None:
+    """Delete data files staged for a commit that will never land
+    (lost an idempotency race, or the frame had to be re-derived
+    against newer metadata) — orphans are harmless to readers but
+    waste storage and show up in fsck."""
+    base = table_path.rstrip("/")
+    fs, jvm = _fs(spark, base)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    for a in adds:
+        p = hpath(f"{base}/{a['add']['path']}")
+        if fs.exists(p):
+            fs.delete(p, False)
+
+
+_COMMIT_RETRIES = 50
+
+
 def append_commit(
     df: DataFrame,
     table_path: str,
@@ -1015,11 +1041,10 @@ def append_commit(
                 operation="CREATE TABLE AS SELECT",
             )
         _gate_writer_protocol(spark, table_path)
-        df = _apply_generated_columns(
-            df, latest_metadata(spark, table_path)
-        )
+        src = df
         adds = None
-        while True:
+        applied_schema: str | None = None
+        for _ in range(_COMMIT_RETRIES):
             # Read the head version BEFORE the metadata the widening
             # derives from: a commit landing in between makes the pin
             # below fail and the widening recompute — never the
@@ -1027,8 +1052,26 @@ def append_commit(
             # committed unpinned would silently revert a concurrent
             # ADD CONSTRAINT / rename / property change).
             v_now = log_version(spark, table_path)
+            md_now = latest_metadata(spark, table_path, version=v_now)
+            schema_now = md_now["schemaString"] if md_now else None
+            if adds is None or schema_now != applied_schema:
+                # (Re-)derive generated columns from the metadata of
+                # THIS retry's snapshot: a concurrent schema change
+                # (new generated column, reorder) between retries
+                # must re-materialize the frame, not commit files
+                # derived from stale metadata (ADVICE r9). Already-
+                # staged files from the stale derivation are orphans.
+                df = _apply_generated_columns(src, md_now)
+                applied_schema = schema_now
+                if adds is not None:
+                    _delete_staged(spark, table_path, adds)
+                    adds = None
             widened = _check_append_compat(
-                df, table_path, partition_by, merge_schema=merge_schema
+                df,
+                table_path,
+                partition_by,
+                merge_schema=merge_schema,
+                version=v_now,
             )
             if adds is None:
                 adds = stage_data_files(
@@ -1047,6 +1090,12 @@ def append_commit(
                 )
             except CommitConflict:
                 continue  # re-read metadata, recompute the widening
+        _delete_staged(spark, table_path, adds or [])
+        raise CommitConflict(
+            f"append to {table_path} lost {_COMMIT_RETRIES} metadata-"
+            "widening races in a row — sustained concurrent metadata "
+            "churn; retry when the writer storm subsides"
+        )
     # txn path: the skip decision depends on the snapshot read, so the
     # commit is PINNED to read_version + 1 and a lost race re-reads and
     # re-decides — two concurrent replays of the same (appId, version)
@@ -1054,28 +1103,35 @@ def append_commit(
     # conflict retries; if a retry discovers the txn already committed,
     # the now-orphaned staged files are deleted.
     adds: list[dict] | None = None
-    while True:
+    src = df
+    applied_schema: str | None = None
+    gated = False
+    for _ in range(_COMMIT_RETRIES):
         seen = latest_txn_versions(spark, table_path).get(txn_app_id)
         if seen is not None and int(txn_version) <= seen:
             if adds:  # lost the race to our own replay — clean up
-                base = table_path.rstrip("/")
-                fs, jvm = _fs(spark, base)
-                hpath = jvm.org.apache.hadoop.fs.Path
-                for a in adds:
-                    p = hpath(f"{base}/{a['add']['path']}")
-                    if fs.exists(p):
-                        fs.delete(p, False)
+                _delete_staged(spark, table_path, adds)
             return None
         v = log_version(spark, table_path)
         widened = None
         if v is not None:
-            if adds is None:
+            if not gated:
                 _gate_writer_protocol(spark, table_path)
-                df = _apply_generated_columns(
-                    df, latest_metadata(spark, table_path)
-                )
+                gated = True
+            md_now = latest_metadata(spark, table_path, version=v)
+            schema_now = md_now["schemaString"] if md_now else None
+            if adds is None or schema_now != applied_schema:
+                df = _apply_generated_columns(src, md_now)
+                applied_schema = schema_now
+                if adds is not None:
+                    _delete_staged(spark, table_path, adds)
+                    adds = None
             widened = _check_append_compat(
-                df, table_path, partition_by, merge_schema=merge_schema
+                df,
+                table_path,
+                partition_by,
+                merge_schema=merge_schema,
+                version=v,
             )
         if adds is None:
             adds = stage_data_files(
@@ -1100,6 +1156,12 @@ def append_commit(
             )
         except CommitConflict:
             continue  # someone landed a commit — re-read, re-decide
+    _delete_staged(spark, table_path, adds or [])
+    raise CommitConflict(
+        f"idempotent append ({txn_app_id}@{txn_version}) to "
+        f"{table_path} lost {_COMMIT_RETRIES} commit races in a row — "
+        "retry when the writer storm subsides"
+    )
 
 
 def overwrite_commit(
@@ -1178,7 +1240,9 @@ def overwrite_commit(
             df = _apply_generated_columns(
                 df, latest_metadata(spark, table_path, version=read_v)
             )
-            _check_append_compat(df, table_path, partition_by)
+            _check_append_compat(
+                df, table_path, partition_by, version=read_v
+            )
     live = _delta_live_files(spark, table_path, version=read_v) or []
     adds = stage_data_files(df, table_path, partition_by=partition_by)
     boot = bootstrap_actions(df, partition_by) if read_v is None else []
@@ -1267,13 +1331,12 @@ def checkpoint_actions(
             _CP_CACHE.pop(next(iter(_CP_CACHE)))
         _CP_CACHE[key] = parsed
         hit = parsed
-    return {
-        "adds": {p: dict(a) for p, a in hit["adds"].items()},
-        "removes": list(hit["removes"]),
-        "protocol": json.loads(json.dumps(hit["protocol"])),
-        "metaData": json.loads(json.dumps(hit["metaData"])),
-        "txns": dict(hit["txns"]),
-    }
+    # Deep copies on the way out — the add entries' nested
+    # partitionValues/stats dicts must NOT be shared with the cache,
+    # or a consumer mutating them silently poisons every later replay
+    # of this checkpoint (ADVICE r9). One json round trip over
+    # metadata-sized dicts; the data files are untouched.
+    return json.loads(json.dumps(hit))
 
 
 def _latest_protocol(spark: SparkSession, table_path: str) -> dict:
@@ -2165,14 +2228,24 @@ def table_changes(
     insert(new) for exactly the rows whose values changed.
 
     Per qualifying commit the feed is the multiset difference between
-    the commit's added and removed files (``exceptAll`` both ways) —
-    copy-on-write rewrites carry every surviving row in BOTH sides,
-    so unchanged rows cancel and only genuine changes remain. Commits
-    whose actions carry ``dataChange: false`` (compaction, layout
-    maintenance) are skipped without reading a byte — the protocol's
-    whole reason for the flag — so a 100 TB OPTIMIZE pass costs a
-    downstream incremental consumer nothing. Cost scales with the
-    bytes the mutating commits touched, never with table size."""
+    the commit's added and removed files — copy-on-write rewrites
+    carry every surviving row in BOTH sides, so unchanged rows cancel
+    and only genuine changes remain. The differences for EVERY
+    rewrite commit in the range are batched into ONE signed-count
+    aggregation (r9 verdict item 7): each row is tagged +1 (added
+    file) / -1 (removed file), grouped by (row values,
+    commit_version), and re-expanded |net| times as insert (net > 0)
+    or delete (net < 0) — the same multiset semantics as the previous
+    per-commit double ``exceptAll`` at ONE shuffle over the range's
+    changed bytes instead of two exceptAll evaluations (four scans)
+    per commit. Pure-append / pure-delete commits keep the zero-
+    shuffle fast path: nothing can cancel, so their files stream
+    straight into the feed. Commits whose actions carry
+    ``dataChange: false`` (compaction, layout maintenance) are
+    skipped without reading a byte — the protocol's whole reason for
+    the flag — so a 100 TB OPTIMIZE pass costs a downstream
+    incremental consumer nothing. Cost scales with the bytes the
+    mutating commits touched, never with table size."""
     from pyspark.sql import functions as F
 
     base = table_path.rstrip("/")
@@ -2192,6 +2265,7 @@ def table_changes(
         )
 
     out: DataFrame | None = None
+    batched: DataFrame | None = None  # tagged rewrite-commit rows
     # metaData tracked INCREMENTALLY: one backward scan for the state
     # at the range start, then forward updates from metaData actions
     # the loop already reads — O(history + range) driver I/O, not the
@@ -2219,22 +2293,66 @@ def table_changes(
                 # union backfills new columns with NULL
                 md_v = action["metaData"]
         a_df, r_df = load(added, md_v), load(removed, md_v)
-        pieces = []
+        if a_df is not None and r_df is not None:
+            # rewrite commit: both sides into the range-wide batch
+            for df_, tag in ((a_df, 1), (r_df, -1)):
+                t = df_.withColumn("_cdf_tag", F.lit(tag)).withColumn(
+                    "commit_version", F.lit(v).cast("bigint")
+                )
+                batched = (
+                    t
+                    if batched is None
+                    else batched.unionByName(
+                        t, allowMissingColumns=True
+                    )
+                )
+            continue
+        # pure append / pure delete: nothing can cancel — stream the
+        # files straight into the feed, no shuffle
+        p = None
         if a_df is not None:
-            ins = a_df.exceptAll(r_df) if r_df is not None else a_df
-            pieces.append(ins.withColumn("change_type", F.lit("insert")))
-        if r_df is not None:
-            del_ = r_df.exceptAll(a_df) if a_df is not None else r_df
-            pieces.append(
-                del_.withColumn("change_type", F.lit("delete"))
-            )
-        for p in pieces:
+            p = a_df.withColumn("change_type", F.lit("insert"))
+        elif r_df is not None:
+            p = r_df.withColumn("change_type", F.lit("delete"))
+        if p is not None:
             p = p.withColumn("commit_version", F.lit(v).cast("bigint"))
             out = (
                 p
                 if out is None
                 else out.unionByName(p, allowMissingColumns=True)
             )
+    if batched is not None:
+        data_cols = [
+            c
+            for c in batched.columns
+            if c not in ("_cdf_tag", "commit_version")
+        ]
+        net = batched.groupBy(*data_cols, "commit_version").agg(
+            F.sum("_cdf_tag").alias("_cdf_net")
+        )
+        diff = (
+            net.where(F.col("_cdf_net") != 0)
+            .withColumn(
+                "change_type",
+                F.when(F.col("_cdf_net") > 0, F.lit("insert")).otherwise(
+                    F.lit("delete")
+                ),
+            )
+            # |net| copies of the row — multiset multiplicity (a
+            # degenerate commit can add the same row twice)
+            .withColumn(
+                "_cdf_i",
+                F.explode(
+                    F.sequence(F.lit(1), F.abs(F.col("_cdf_net")))
+                ),
+            )
+            .select(*data_cols, "change_type", "commit_version")
+        )
+        out = (
+            diff
+            if out is None
+            else out.unionByName(diff, allowMissingColumns=True)
+        )
     if out is None:
         # empty feed with the right shape
         empty = load(

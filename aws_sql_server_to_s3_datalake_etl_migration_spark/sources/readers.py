@@ -163,9 +163,9 @@ def read_parquet(
 # checkpoint a third time. Keyed by (table, version, log fingerprint):
 # the fingerprint is the (name, size, mtime) listing of _delta_log, so
 # any commit, truncation, or out-of-band edit changes the key and the
-# stale entry is never served. Bounded LRU; values are deep-ish copies
-# (the caller may mutate partition-filtered views, the cache must not
-# see it).
+# stale entry is never served. Bounded LRU; values are DEEP copies in
+# both directions (the caller may mutate the adds — including nested
+# partitionValues/stats — and the cache must not see it).
 _SNAPSHOT_CACHE: dict[tuple, dict[str, dict]] = {}
 _SNAPSHOT_CACHE_MAX = 16
 
@@ -251,16 +251,21 @@ def _delta_live_adds(
             )
     target_v = latest if version is None else version
     cache_key = (base, target_v, tuple(sorted(entries)))
+    # Deep copies both ways — top-level dict copies would share the
+    # nested partitionValues/stats objects with the cache, so any
+    # consumer mutating them would silently poison every later replay
+    # of this snapshot (ADVICE r9). json round trip over
+    # metadata-sized dicts.
     cached = _SNAPSHOT_CACHE.get(cache_key)
     if cached is not None:
-        live = {p: dict(a) for p, a in cached.items()}
+        live = json.loads(json.dumps(cached))
     else:
         live = _replay_log(
             spark, path, log_dir, commits, checkpoints
         )
         if len(_SNAPSHOT_CACHE) >= _SNAPSHOT_CACHE_MAX:
             _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
-        _SNAPSHOT_CACHE[cache_key] = {p: dict(a) for p, a in live.items()}
+        _SNAPSHOT_CACHE[cache_key] = json.loads(json.dumps(live))
     if partition_filter:
         live = {
             p: a

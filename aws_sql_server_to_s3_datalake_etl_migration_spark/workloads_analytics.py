@@ -1333,7 +1333,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             boundaries=bnds[neg],
         ).select("c_custkey", pos, *(["_n"] if pos == "_pos_r" else []))
         out = out.join(ranked, "c_custkey")
-    return out.select(
+    res = out.select(
         "c_custkey",
         "last_order",
         "frequency",
@@ -1342,6 +1342,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntile_expr(F.col("_pos_f"), F.col("_n"), 5).alias("f_quintile"),
         ntile_expr(F.col("_pos_m"), F.col("_n"), 5).alias("m_quintile"),
     )
+    # Materialize the joined result into ITS OWN cache, then free the
+    # fat per-customer intermediate deterministically (ADVICE r9: the
+    # bare persist leaked until LRU across a full bench session). The
+    # residual footprint is one result-sized frame consumed by the
+    # caller's action, not six subtree copies of `per`.
+    res = res.persist()
+    res.count()
+    per.unpersist()
+    return res
 
 
 def _bucketed_li_ord(spark: SparkSession, sf_dir: str):
@@ -3028,3 +3037,85 @@ def orders_wap_gated_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     except WapRejected:
         pass
     return read_delta(spark, target).select(*cols)
+
+
+@register(
+    "orders_wap_red_path_audit",
+    """
+    SELECT 'staging' AS src, o_orderkey, o_custkey,
+           CAST(-o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 2
+    UNION ALL
+    SELECT 'target' AS src, o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 1
+    """,
+)
+def orders_wap_red_path_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAP RED PATH under the value check (r9 verdict item 5 —
+    the pytest coverage promoted to the oracle harness): a green base
+    publishes, then a deliberately failing batch (sign-flipped
+    prices) is staged and REJECTED. The returned frame is the union
+    of the surviving artifacts — the staged red batch (tagged
+    'staging') and the post-rejection target (tagged 'target') — and
+    the oracle restates both directly from orders, so the hash match
+    proves the target still holds EXACTLY the green rows (the
+    rejected cycle moved nothing) while the red batch survived intact
+    in staging for the operator's post-mortem. In-code guards
+    additionally pin what the hash can't see: the target's log
+    version is unchanged across the rejected cycle (no commit of any
+    kind landed) and the persisted audit report carries the failing
+    rule. Staging lives under .lake_cache (not a temp dir), so a
+    re-run REUSES the staged copy via wap_run's crash-retry
+    idempotency — the output is stable across replays."""
+    import json
+    import os
+
+    from .operators.wap import WapRejected, wap_run
+    from .sources import delta_log
+    from .sources.readers import read_delta
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    target = os.path.join(repo_root, ".lake_cache", f"wap_red_target_{tag}")
+    staging = os.path.join(repo_root, ".lake_cache", f"wap_red_stage_{tag}")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    o = read_table_dir(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double")
+    )
+    green = o.where(F.col("o_orderkey") % 3 == 1)
+    red = o.where(F.col("o_orderkey") % 3 == 2).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    rule = {"price_positive": F.col("o_totalprice") <= 0}
+    wap_run(
+        spark, green, target, staging, wap_id=f"base_{tag}",
+        row_rules=rule,
+    )
+    v_before = delta_log.log_version(spark, target)
+    try:
+        wap_run(
+            spark, red, target, staging, wap_id=f"red_{tag}",
+            row_rules=rule,
+        )
+        raise AssertionError(
+            "red batch must be rejected"
+        )  # pragma: no cover
+    except WapRejected as e:
+        staging_path = e.staging_path
+    if delta_log.log_version(spark, target) != v_before:
+        raise AssertionError(
+            "rejected WAP cycle committed to the target"
+        )  # pragma: no cover
+    report = json.load(open(os.path.join(staging_path, "_audit.json")))
+    if not any(not r["passed"] for r in report["report"]):
+        raise AssertionError(
+            "audit report lost the failing rule"
+        )  # pragma: no cover
+    staged = read_delta(spark, staging_path).select(
+        F.lit("staging").alias("src"), *cols
+    )
+    tgt = read_delta(spark, target).select(
+        F.lit("target").alias("src"), *cols
+    )
+    return staged.unionByName(tgt)

@@ -1419,7 +1419,7 @@ def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_cols=["lang"],
         totals={"_n": "_pos"},
     )
-    return ranked.select(
+    res = ranked.select(
         "doc_id",
         "lang",
         "lm_score",
@@ -1432,6 +1432,13 @@ def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("bucket_id") == 2, "middle")
         .otherwise("tail"),
     )
+    # Materialize the terciles into their own cache, then free the
+    # scored intermediate deterministically (ADVICE r9: the bare
+    # persist leaked until LRU across a full bench session).
+    res = res.persist()
+    res.count()
+    scored.unpersist()
+    return res
 
 
 # ---------------------------------------------------------------------------

@@ -3287,10 +3287,96 @@ def mm_entropy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy over the binary column) — the truncation/padding screen a
     media lake runs beside the magic sniff. Rows-only: the values ride
     as repr() strings (bit-exact cross-run); the pytest differential
-    recomputes them in pure Python."""
+    recomputes them in pure Python, and
+    ``mm_byte_histogram_checked`` value-checks the underlying byte
+    histogram integer-exactly (the Shannon fold itself is the one
+    part a hash oracle can't carry: cross-engine log2 is not
+    bit-stable, which is why the screen ships repr() strings)."""
     from .operators.multimodal import byte_entropy
 
     return byte_entropy(_doc_assets_signed(spark, sf_dir))
+
+
+@register(
+    "mm_byte_histogram_checked",
+    f"""
+    WITH signed AS (
+      SELECT doc_id AS asset_id,
+             CASE WHEN doc_id % 7 = 0 THEN encode(COALESCE(text, ''))
+                  ELSE (CASE doc_id % 3
+                          WHEN 0 THEN unhex('{_SIGN_HEX["image"]}')
+                          WHEN 1 THEN unhex('{_SIGN_HEX["audio"]}')
+                          ELSE unhex('{_SIGN_HEX["video"]}')
+                        END) || encode(COALESCE(text, ''))
+             END AS content
+      FROM documents
+    ),
+    hx AS (
+      SELECT asset_id, hex(content) AS h,
+             octet_length(content) AS n
+      FROM signed
+    ),
+    b AS (
+      SELECT asset_id, substr(h, 2 * i - 1, 2) AS b
+      FROM hx, unnest(generate_series(1, n)) AS t(i)
+      WHERE n > 0
+    ),
+    hist AS (SELECT asset_id, b, COUNT(*) AS c FROM b GROUP BY 1, 2)
+    SELECT asset_id,
+           CAST(SUM(c) AS BIGINT) AS n_bytes,
+           CAST(COUNT(*) AS BIGINT) AS distinct_bytes,
+           CAST(SUM(c * c) AS BIGINT) AS sum_sq_counts,
+           CAST(SUM(CASE WHEN b = '00' THEN c ELSE 0 END) AS BIGINT)
+             AS zero_cnt
+    FROM hist GROUP BY asset_id
+    """,
+)
+def mm_byte_histogram_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VERIFIED TWIN for the entropy screen's byte machinery (r9
+    verdict item 6, the verified-LSH-twin pattern): the per-asset
+    byte HISTOGRAM — total bytes, distinct byte values, zero-byte
+    count, and the collision-entropy numerator Σc² — computed
+    integer-exactly on both engines (Spark: hex + in-cell transform
+    to byte pairs, exploded; DuckDB: hex + generate_series unnest).
+    Every quantity the Shannon screen folds over is pinned by value
+    here; the fold itself (floats) is covered by the bit-exact
+    pure-Python pytest, because cross-engine log2 differs in final
+    ulps and a float hash would be flaky by construction.
+
+    Scale shape: the explode is one row per content byte — linear in
+    corpus bytes, the inherent cost of any byte-level screen — into
+    two shrinking hash-aggs keyed (asset, byte) then (asset). The
+    production screen stays the Arrow-batched numpy pass
+    (``mm_entropy_screen``); this twin is the correctness witness."""
+    assets = _doc_assets_signed(spark, sf_dir).select(
+        "asset_id", F.hex("content").alias("hx")
+    )
+    byts = assets.where(F.length("hx") > 0).select(
+        "asset_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(hx) div 2),"
+                " i -> substring(hx, 2*i-1, 2))"
+            )
+        ).alias("b"),
+    )
+    hist = byts.groupBy("asset_id", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return hist.groupBy("asset_id").agg(
+        F.sum("c").cast("bigint").alias("n_bytes"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_bytes"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias(
+            "sum_sq_counts"
+        ),
+        F.sum(
+            F.when(F.col("b") == "00", F.col("c")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("zero_cnt"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3345,9 +3431,15 @@ def doc_confusable_spam_groups(
     deterministic on any engine), and groups with >1 distinct raw
     variant are the homoglyph-spam clusters an exact dedup misses.
     The planted corpus re-injects every 13th doc with 'aeo' -> 'áéö'
-    substitutions, so the screen has real work to do. One hash-agg
-    over the skeleton key — the same O(corpus) shape as exact dedup,
-    with the fold fused into the scan projection."""
+    substitutions, so the screen has real work to do. One hash-agg —
+    the same O(corpus) shape as exact dedup, with the fold fused into
+    the scan projection — whose shuffle keys are sha256 FINGERPRINTS
+    (r9 verdict item 4): grouping on the raw skeleton and
+    count-distincting the raw text would move the full normalized
+    corpus through the exchange, where 32-byte digests decide group
+    identity and variant distinctness just as exactly (the output
+    exposes neither key, so the result is digest-collision-equal —
+    the engine's standing exact-dedup contract)."""
     base = _docs(spark, sf_dir).select("doc_id", "text")
     planted = base.unionByName(
         base.where(F.col("doc_id") % 13 == 0).select(
@@ -3363,12 +3455,16 @@ def doc_confusable_spam_groups(
         )
     )
     return (
-        planted.withColumn("skeleton", skeleton)
-        .groupBy("skeleton")
+        planted.select(
+            "doc_id",
+            F.sha2(skeleton, 256).alias("skeleton_fp"),
+            F.sha2(F.col("text"), 256).alias("text_fp"),
+        )
+        .groupBy("skeleton_fp")
         .agg(
             F.min("doc_id").alias("group_id"),
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.count_distinct("text").cast("bigint").alias("n_variants"),
+            F.count_distinct("text_fp").cast("bigint").alias("n_variants"),
         )
         .where((F.col("n_docs") > 1) & (F.col("n_variants") > 1))
         .select("group_id", "n_docs", "n_variants")

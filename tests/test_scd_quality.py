@@ -362,3 +362,37 @@ def test_wap_publish_is_idempotent_per_wap_id(spark, tmp_path):
     assert out1["published_version"] == 0
     assert out2["published_version"] is None  # replay skipped
     assert read_delta(spark, target).count() == 1
+
+
+def test_wap_retry_after_stage_crash_does_not_double_publish(
+    spark, tmp_path
+):
+    """ADVICE r9 (medium): a cycle that crashed AFTER the staging
+    commit but BEFORE publish must not, on retry, append a second
+    copy of the batch into the same staging table and publish the
+    doubled snapshot — the retry reuses the already-committed staged
+    copy."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.wap import (
+        wap_run,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources import (
+        delta_log,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        read_delta,
+    )
+
+    target = str(tmp_path / "t3")
+    staging = str(tmp_path / "s3")
+    batch = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "pk long, v double"
+    )
+    # simulate the crashed first attempt: the batch landed in staging
+    # (atomic commit succeeded) but the cycle died before publish
+    delta_log.append_commit(batch, f"{staging}/wap-crashed")
+    # the retry of the SAME cycle (same wap id -> same staging path)
+    out = wap_run(spark, batch, target, staging, wap_id="crashed")
+    assert out["published_version"] == 0
+    staged = read_delta(spark, out["staging_path"])
+    assert staged.count() == 2  # NOT 4 — the retry did not re-append
+    assert read_delta(spark, target).count() == 2

@@ -857,14 +857,31 @@ EXPECT: dict[str, dict] = {
     "orders_wap_gated_publish": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # round-10 additions
+    # WAP red path: union of two log-replay scans (staged red batch +
+    # untouched target) — no join, no window
+    "orders_wap_red_path_audit": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # byte-histogram twin: in-cell hex transform + explode into two
+    # shrinking hash-aggs keyed (asset, byte) then (asset)
+    "mm_byte_histogram_checked": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+        "shuffles": 2,
+    },
     # calibration: one fixed-bin hash-agg; no window, no join
     "doc_quality_calibration": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
-    # Theil-Sen: hourly-rollup self-join (both sides aggregates; AQE
-    # picks the strategy) + per-type bounded rank windows
+    # Theil-Sen: BUCKETED pair generation (r9 verdict item 2) — the
+    # hourly-rollup self-join equi-keys on (event_type, h1_bkt), so
+    # parallelism is |types| x _TS_BUCKETS, pinned by the h1_bkt
+    # fragment appearing in the join/exchange keys; the per-type
+    # median runs through the ordered-prefix pass (1 hinted <=64-row
+    # carry broadcast).
     "events_theilsen_trend": {
-        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+        "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
+        "plan_contains": ["h1_bkt"],
     },
 }
 
