@@ -1709,7 +1709,12 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-type median by exact rank selection over the DISTRIBUTED
     # ordered-prefix pass (never a per-type row_number window — the
     # pair stream per type is the thing whose single-task sort this
-    # rewrite removes).
+    # rewrite removes). The pair stream is persisted first: the pass
+    # reads it three times (quantile boundaries, in-bucket rank,
+    # carry totals), and regenerating the join per read tripled the
+    # cost; unpersisted after the result materializes (the rfm/ccnet
+    # pattern).
+    slopes = slopes.persist()
     ranked = with_ordered_prefix(
         slopes,
         "slope",
@@ -1730,7 +1735,11 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("slope"),
         )
     )
-    return ranked.groupBy("event_type").agg(
+    res = ranked.groupBy("event_type").agg(
         F.max("cnt").cast("bigint").alias("n_pairs"),
         ((lo + hi) / F.lit(2.0)).alias("theilsen_slope"),
     )
+    res = res.persist()
+    res.count()
+    slopes.unpersist()
+    return res

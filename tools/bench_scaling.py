@@ -168,6 +168,22 @@ QUERIES = [
     # of added vs removed files; cost must track changed bytes, here
     # the whole scaled lake, so ~K)
     "orders_cdf_view_maintenance",
+    # round-10 (r9 verdict item 3): the two remaining ordered-prefix
+    # rewrites (same operator shape as the recorded outliers 0.80 —
+    # the rows close SURVEY's "all three probe <= 1.05" claim with
+    # artifacts), the iterative BPE learner (per-round cost must
+    # track VOCAB growth — Heaps-sublinear — not corpus size), the
+    # bucketed Theil-Sen pair generator (pair volume is calendar-
+    # bounded: |hours| is unchanged at Kx data, so the ratio tracks
+    # the hourly-rollup agg, ~K at most), the score-group AUC
+    # (distinct-score collapse then ordered-prefix), and the WAP
+    # cycle (stage + audit + publish all track batch size)
+    "customer_rfm_segments",
+    "customer_abc_classes",
+    "doc_bpe_learn_merges",
+    "events_theilsen_trend",
+    "doc_quality_score_auc",
+    "orders_wap_gated_publish",
 ]
 
 
