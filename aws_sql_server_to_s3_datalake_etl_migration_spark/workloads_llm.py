@@ -3533,3 +3533,379 @@ def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("mean_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: collocation mining, corpus novelty, concentration, PageRank
+# ---------------------------------------------------------------------------
+
+_COLLOC_MIN_N12 = 3
+
+_TOKS_CTE = """
+    toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+      FROM documents
+    )"""
+
+
+@register(
+    "doc_collocation_lift",
+    f"""
+    WITH {_TOKS_CTE},
+    big AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    uni AS (
+      SELECT t.u AS w, COUNT(*) AS n
+      FROM toks, unnest(w) AS t(u) GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM toks, unnest(w) AS t(u)),
+    p AS (
+      SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY 1, 2
+      HAVING COUNT(*) >= {_COLLOC_MIN_N12}
+    )
+    SELECT p.w1, p.w2, CAST(p.n12 AS BIGINT) AS n12,
+           CAST(u1.n AS BIGINT) AS n1, CAST(u2.n AS BIGINT) AS n2,
+           (CAST(p.n12 AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+             / (CAST(u1.n AS DOUBLE) * CAST(u2.n AS DOUBLE)) AS lift
+    FROM p JOIN uni u1 ON p.w1 = u1.w
+           JOIN uni u2 ON p.w2 = u2.w, tot t
+    """,
+)
+def doc_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by LIFT — for every bigram seen >= {min}
+    times, how much more often do its words co-occur than
+    independence predicts (n12*N / (n1*n2), the exp() of PMI)? The
+    phrase-vs-chance screen a tokenizer-vocabulary or stopword-list
+    builder runs over a pretraining corpus.
+
+    Determinism: all four operands are exact integer counts; LIFT is
+    computed as one double expression with an identical operand order
+    on both engines (counts up to 2^53 are exactly representable, so
+    the product/quotient is bit-stable — the raw log-PMI would not
+    be, which is exactly why the ratio form is the oracle surface).
+    At a trillion-token corpus the double products need DECIMAL or
+    log-space accumulation; the counts themselves stay exact.
+
+    Scale shape: bigrams explode IN-CELL (transform over the token
+    array — no per-doc window, no shuffle before the count), then
+    three hash-aggs (bigram, unigram, total) and two unigram-keyed
+    joins; the 1-row corpus total broadcasts back. Pair volume is
+    corpus tokens, never tokens^2."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", textops.tokens("text").alias("w")
+    )
+    big = d.where(F.size("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w)-2),"
+                " i -> struct(w[i] AS w1, w[i+1] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = (
+        d.select(F.explode("w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = d.select(F.explode("w").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    p = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .where(F.col("n12") >= _COLLOC_MIN_N12)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    return (
+        p.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n12").cast("bigint").alias("n12"),
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            (
+                (
+                    F.col("n12").cast("double")
+                    * F.col("n_total").cast("double")
+                )
+                / (
+                    F.col("n1").cast("double")
+                    * F.col("n2").cast("double")
+                )
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "doc_ngram_novelty_curve",
+    f"""
+    WITH {_TOKS_CTE},
+    grams AS (
+      SELECT doc_id % 10 AS batch,
+             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+      FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    pairs AS (SELECT DISTINCT batch, g FROM grams),
+    firsts AS (SELECT g, MIN(batch) AS batch FROM pairs GROUP BY 1),
+    per AS (SELECT batch, COUNT(*) AS n_distinct FROM pairs GROUP BY 1),
+    nov AS (SELECT batch, COUNT(*) AS n_novel FROM firsts GROUP BY 1)
+    SELECT per.batch,
+           CAST(per.n_distinct AS BIGINT) AS n_distinct,
+           CAST(COALESCE(nov.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(COALESCE(nov.n_novel, 0) AS DOUBLE)
+             / CAST(per.n_distinct AS DOUBLE) AS novelty_rate
+    FROM per LEFT JOIN nov USING (batch)
+    """,
+)
+def doc_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus NOVELTY curve: treating doc_id % 10 as ten successive
+    crawl batches, what fraction of each batch's distinct word
+    3-grams was never seen in ANY earlier batch? The saturation
+    diagnostic behind "is the next crawl still worth ingesting" —
+    a flattening curve says new data is mostly old data.
+
+    First-appearance semantics (the cumulative-reach precedent): no
+    batch-over-batch anti-join chain — one distinct over (batch,
+    gram), one MIN(batch) per gram, and two 10-row rollups joined at
+    the end. History is never rescanned; at 100 TB the cost is the
+    gram-keyed hash-aggs, both map-side combined."""
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 10).alias("batch"),
+        textops.tokens("text").alias("w"),
+    )
+    grams = d.where(F.size("w") >= 3).select(
+        "batch",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w)-3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("g"),
+    )
+    pairs = grams.distinct()
+    per = pairs.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct")
+    )
+    nov = (
+        pairs.groupBy("g")
+        .agg(F.min("batch").alias("batch"))
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    return per.join(nov, "batch", "left").select(
+        "batch",
+        "n_distinct",
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        (
+            F.coalesce("n_novel", F.lit(0)).cast("double")
+            / F.col("n_distinct").cast("double")
+        ).alias("novelty_rate"),
+    )
+
+
+@register(
+    "doc_source_gini",
+    f"""
+    WITH {_TOKS_CTE},
+    x AS (
+      SELECT d.source, t.doc_id, len(t.w) AS x
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT source, x,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY x, doc_id) AS i
+      FROM x
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(x) AS BIGINT) AS total_tokens,
+           CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(x) AS DOUBLE) AS gini
+    FROM ranked GROUP BY source HAVING SUM(x) > 0
+    """,
+)
+def doc_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass CONCENTRATION per source — the exact Gini
+    coefficient of per-document token counts, from the closed form
+    over ascending ranks: G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx). A
+    source whose mass sits in a few mega-documents (high Gini) needs
+    chunking/repacking before epoch mixing; a flat source doesn't.
+
+    The rank i comes from the DISTRIBUTED ordered-prefix pass
+    partitioned by source (operators/ranking.py) — per-source doc
+    counts track the corpus, so a plain per-source ROW_NUMBER window
+    is the exact single-task funnel this engine bans; the oracle
+    restates it with the window because DuckDB's single node is the
+    oracle's whole job. Every accumulation is int64 (i·x products —
+    at petabyte scale promote to DECIMAL); ONE double division at
+    the end, and ties in x permute only equal terms of Σi·x so the
+    tie-break changes nothing."""
+    from .operators.ranking import with_ordered_prefix
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(textops.tokens("text")).alias("x")
+    )
+    ranked = with_ordered_prefix(
+        d,
+        "x",
+        [F.col("x"), F.col("doc_id")],
+        {"i": F.lit(1)},
+        partition_cols=["source"],
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("x").cast("bigint").alias("total_tokens"),
+            (
+                (
+                    F.lit(2) * F.sum(F.col("i") * F.col("x"))
+                    - (F.count(F.lit(1)) + F.lit(1)) * F.sum("x")
+                ).cast("double")
+                / (F.count(F.lit(1)) * F.sum("x")).cast("double")
+            ).alias("gini"),
+        )
+        .where(F.col("total_tokens") > 0)
+    )
+
+
+_PR_SCALE = 1_000_000
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-point PageRank oracle: 5 iterations, each one
+    LEFT JOIN + SUM over the edge list, all arithmetic in BIGINT
+    floor division so both engines are bit-identical."""
+    it = """
+    it{k} AS (
+      SELECT nd.doc_id AS node,
+             CAST(150000 + (85 * COALESCE(agg.s, 0)) // 100 AS BIGINT)
+               AS score
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst, SUM(p.score // d.outdeg) AS s
+        FROM edges e JOIN deg d ON e.src = d.src
+                     JOIN it{prev} p ON e.src = p.node
+        GROUP BY e.dst
+      ) agg ON nd.doc_id = agg.dst
+    )"""
+    parts = [
+        f"""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    nn AS (SELECT MAX(doc_id) AS mx FROM nodes),
+    cand AS (
+      SELECT doc_id AS src,
+             (doc_id * 31 + k * 7919) % (mx + 1) AS dst
+      FROM nodes, nn, unnest([1, 2, 3]) AS t(k)
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst
+      FROM cand JOIN nodes n2 ON cand.dst = n2.doc_id
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+    it0 AS (
+      SELECT doc_id AS node, {_PR_SCALE}::BIGINT AS score FROM nodes
+    )"""
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        parts.append("," + it.format(k=k, prev=k - 1))
+    parts.append(
+        f"\n    SELECT node AS doc_id, score FROM it{_PR_ITERS}"
+    )
+    return "".join(parts)
+
+
+@register("doc_pagerank_fixedpoint", _pagerank_oracle())
+def doc_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE PageRank over a deterministic citation graph,
+    VALUE-CHECKED (the leakage-free-split precedent for iterative
+    algorithms): three modular out-links per document, 5 power
+    iterations, damping 0.15 — and every score is int64 FIXED-POINT
+    (scores start at 10^6; contributions are floor divisions), so
+    the oracle's unrolled 5-iteration SQL is bit-identical to the
+    Spark loop — no float-summation ordering question can arise.
+    Dangling mass is dropped (the simplified formulation), and both
+    engines drop it identically.
+
+    Scale shape: the Pregel-on-DataFrame pattern — per round, one
+    (src-keyed) join of scores onto the edge list and one dst-keyed
+    hash-agg, with persist/materialize/unpersist per round capping
+    lineage (the BPE-learner discipline). Work per round is O(edges),
+    rounds are fixed — no driver-side data, only the loop counter.
+    The synthetic modular graph stands in for a real link table; the
+    operator reads ANY (src, dst) edge frame."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    mx = d.agg(F.max("doc_id")).collect()[0][0] or 0
+    cand = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        (F.col("doc_id") * 31 + F.lit(k * 7919))
+                        % F.lit(mx + 1)
+                    )
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    nodes = d.select(F.col("doc_id").alias("node"))
+    edges = (
+        cand.join(
+            d.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = edges.join(deg, "src").persist()
+    edges_deg.count()
+    scores = nodes.withColumn(
+        "score", F.lit(_PR_SCALE).cast("bigint")
+    ).persist()
+    scores.count()
+    try:
+        for _ in range(_PR_ITERS):
+            contrib = (
+                edges_deg.join(
+                    scores, edges_deg["src"] == scores["node"]
+                )
+                .select(
+                    "dst", F.expr("score div outdeg").alias("c")
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            new = (
+                nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(150_000)
+                        + F.expr("85 * coalesce(s, 0) div 100")
+                    )
+                    .cast("bigint")
+                    .alias("score"),
+                )
+                .persist()
+            )
+            new.count()
+            scores.unpersist()
+            scores = new
+        return scores.select(
+            F.col("node").alias("doc_id"), "score"
+        )
+    finally:
+        edges_deg.unpersist()

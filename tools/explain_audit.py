@@ -869,6 +869,27 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
         "shuffles": 2,
     },
+    # collocation lift: in-cell bigram transform, three hash-aggs,
+    # two unigram-keyed joins, 1-row corpus-total broadcast (the hint)
+    "doc_collocation_lift": {
+        "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
+    },
+    # novelty curve: distinct (batch, gram) + MIN(batch) per gram,
+    # two 10-row rollups joined — no window, no per-batch rescan
+    "doc_ngram_novelty_curve": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # source gini: ordered-prefix pass partitioned by source (1 hinted
+    # <=64-row carry broadcast) + one source-keyed agg
+    "doc_source_gini": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
+    # fixed-point PageRank: returned frame is the final persisted
+    # score table (InMemoryTableScan); the per-round join+agg jobs ran
+    # eagerly with persist/unpersist lineage control
+    "doc_pagerank_fixedpoint": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
     # calibration: one fixed-bin hash-agg; no window, no join
     "doc_quality_calibration": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
@@ -925,6 +946,8 @@ SCALAR_SUBQUERY_OK = {
     "doc_dsir_importance",
     # bm25's 1-row corpus-stats crossjoin inside the hybrid fusion
     "doc_hybrid_rrf_search",
+    # 1-row corpus-token-total crossjoin into the lift expression
+    "doc_collocation_lift",
 }
 
 
