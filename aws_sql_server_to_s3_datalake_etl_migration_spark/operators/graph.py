@@ -1,0 +1,96 @@
+"""Graph analytics on plain (src, dst) edge frames.
+
+The engine's graph surface is deliberately DataFrame-native (no
+GraphX/GraphFrames dependency — neither ships in this runtime): a
+graph is a node frame plus an edge frame, and each algorithm is the
+Pregel-on-DataFrame loop — per round, one src-keyed join of state
+onto the edge list and one dst-keyed hash-aggregation, with
+persist/materialize/unpersist per round capping lineage growth (the
+discipline ``connected_components`` and the BPE learner established).
+
+Fixed-point arithmetic throughout: scores are int64 at a caller-chosen
+scale and every contribution is a floor division, so two runs — or
+two ENGINES (see the unrolled SQL oracle of
+``doc_pagerank_fixedpoint``) — produce bit-identical scores. Float
+PageRank sums would depend on aggregation order; integer sums don't.
+
+Reference parity: the reference engine has no graph operators (its
+pipelines stop at relational recon, ``reporting_utils.py``); this
+module is part of the training-data extension surface (link-graph
+quality weighting a web-corpus curation pipeline needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank_fixedpoint"]
+
+
+def pagerank_fixedpoint(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    iters: int = 5,
+    scale: int = 1_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Power-iteration PageRank in int64 fixed-point.
+
+    ``nodes``: one column ``node``. ``edges``: columns ``src``,
+    ``dst`` (deduplicated here; self-loops allowed). Every node
+    starts at ``scale``; each round a node keeps
+    ``scale * (damp_den - damp_num) // damp_den`` as base mass and
+    receives ``damp_num/damp_den`` of its in-neighbors'
+    ``score // outdeg`` contributions (floor divisions — the
+    bit-stability contract). Dangling-node mass is dropped, the
+    simplified formulation, identically on any engine that mirrors
+    the arithmetic.
+
+    Scale shape: O(edges) per round — one join, one hash-agg — times
+    a fixed ``iters``; no driver-side data movement (only the loop
+    counter lives on the driver). The returned frame is the final
+    round's persisted score table; the caller owns its lifetime.
+    """
+    base = (scale * (damp_den - damp_num)) // damp_den
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = e.join(deg, "src").persist()
+    edges_deg.count()
+    scores = nodes.select("node").withColumn(
+        "score", F.lit(scale).cast("bigint")
+    ).persist()
+    scores.count()
+    try:
+        for _ in range(iters):
+            contrib = (
+                edges_deg.join(scores, edges_deg["src"] == scores["node"])
+                .select("dst", F.expr("score div outdeg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            new = (
+                nodes.select("node")
+                .join(contrib, F.col("node") == F.col("dst"), "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"{damp_num} * coalesce(s, 0)"
+                            f" div {damp_den}"
+                        )
+                    )
+                    .cast("bigint")
+                    .alias("score"),
+                )
+                .persist()
+            )
+            new.count()
+            scores.unpersist()
+            scores = new
+        return scores
+    finally:
+        edges_deg.unpersist()

@@ -3845,7 +3845,10 @@ def doc_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage (the BPE-learner discipline). Work per round is O(edges),
     rounds are fixed — no driver-side data, only the loop counter.
     The synthetic modular graph stands in for a real link table; the
-    operator reads ANY (src, dst) edge frame."""
+    operator (``operators/graph.py``) reads ANY (src, dst) edge
+    frame."""
+    from .operators.graph import pagerank_fixedpoint
+
     d = _docs(spark, sf_dir).select("doc_id")
     mx = d.agg(F.max("doc_id")).collect()[0][0] or 0
     cand = d.select(
@@ -3862,50 +3865,13 @@ def doc_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dst"),
     )
-    nodes = d.select(F.col("doc_id").alias("node"))
-    edges = (
-        cand.join(
-            d.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
-        )
-        .distinct()
+    edges = cand.join(
+        d.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges_deg = edges.join(deg, "src").persist()
-    edges_deg.count()
-    scores = nodes.withColumn(
-        "score", F.lit(_PR_SCALE).cast("bigint")
-    ).persist()
-    scores.count()
-    try:
-        for _ in range(_PR_ITERS):
-            contrib = (
-                edges_deg.join(
-                    scores, edges_deg["src"] == scores["node"]
-                )
-                .select(
-                    "dst", F.expr("score div outdeg").alias("c")
-                )
-                .groupBy("dst")
-                .agg(F.sum("c").alias("s"))
-            )
-            new = (
-                nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-                .select(
-                    "node",
-                    (
-                        F.lit(150_000)
-                        + F.expr("85 * coalesce(s, 0) div 100")
-                    )
-                    .cast("bigint")
-                    .alias("score"),
-                )
-                .persist()
-            )
-            new.count()
-            scores.unpersist()
-            scores = new
-        return scores.select(
-            F.col("node").alias("doc_id"), "score"
-        )
-    finally:
-        edges_deg.unpersist()
+    scores = pagerank_fixedpoint(
+        d.select(F.col("doc_id").alias("node")),
+        edges,
+        iters=_PR_ITERS,
+        scale=_PR_SCALE,
+    )
+    return scores.select(F.col("node").alias("doc_id"), "score")

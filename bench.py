@@ -220,6 +220,13 @@ EXTENDED = [
     "orders_wap_gated_publish",
     "doc_quality_calibration",
     "events_theilsen_trend",
+    # round-10 additions
+    "orders_wap_red_path_audit",
+    "mm_byte_histogram_checked",
+    "doc_collocation_lift",
+    "doc_ngram_novelty_curve",
+    "doc_source_gini",
+    "doc_pagerank_fixedpoint",
 ]
 
 

@@ -56,25 +56,25 @@ def test_catalog_window_is_curated_and_oracled():
         "window_top_orders_per_segment",
     }
     assert anchors <= window
-    # round-9 rotation contract: every oracle-backed query with no
-    # official driver row entering this round is in the window —
-    # representatives from each family
-    r9_cohort = {
-        "orders_delta_partitioned_roundtrip",
+    # round-10 rotation contract (r9 verdict item 1): all ten round-9
+    # in-round additions hold window slots, plus the kept lake trio
+    # (MERGE roundtrip + the CDF pair under perf work)
+    r10_rotation = {
+        "doc_quality_score_auc",
+        "doc_quality_calibration",
+        "customer_k_anonymity",
+        "doc_hybrid_rrf_search",
+        "doc_leakage_free_split",
+        "mm_integrity_screen",
+        "events_cumulative_reach",
+        "doc_confusable_spam_groups",
+        "orders_wap_gated_publish",
+        "events_theilsen_trend",
+        "orders_delta_partitioned_merge_roundtrip",
         "orders_delta_cdf",
         "orders_cdf_view_maintenance",
-        "orders_delta_clone_divergence",
-        "orders_delta_rename_roundtrip",
-        "customer_abc_classes",
-        "orders_skyline",
-        "orders_orc_roundtrip",
-        "events_user_behavior_outliers",
-        "doc_incremental_neardup_checked",
-        "doc_ccnet_buckets",
-        "doc_dsir_importance",
-        "emb_matryoshka_recall",
     }
-    assert r9_cohort <= window
+    assert r10_rotation <= window
     # the official window carries only oracle-paired entries (rows-only
     # checks are weaker signal and live outside it)
     os_ = oracles()
