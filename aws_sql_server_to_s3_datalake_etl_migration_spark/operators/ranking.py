@@ -42,6 +42,7 @@ would need.
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -51,6 +52,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "with_ordered_prefix",
     "quantile_boundaries",
+    "group_order_statistics",
     "ntile_expr",
     "percent_rank_expr",
 ]
@@ -241,3 +243,106 @@ def ntile_expr(pos: Column, n: Column, k: int) -> Column:
     in_big = ((pos - F.lit(1)) / (q + F.lit(1))).cast("long") + F.lit(1)
     in_small = r + ((pos - big - F.lit(1)) / q).cast("long") + F.lit(1)
     return F.when(pos <= big, in_big).otherwise(in_small).cast("bigint")
+
+
+def group_order_statistics(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    partition_cols: list[str],
+    tiebreak_cols: list[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact per-group ORDER STATISTICS (the ceil(p·n)-th value under
+    the (value, tiebreak) total order) WITHOUT sorting any group in
+    one task — the bucket-locate plan:
+
+    1. Quantile boundaries of ``value_col`` split rows into value
+       buckets (monotone, deterministic — the ordered-prefix
+       machinery above).
+    2. One (group, bucket) count aggregate collects to the driver —
+       bounded by |groups| × n_buckets (the caller contract: group
+       cardinality is BOUNDED, e.g. market segments; for
+       fact-tracking groups use ``with_ordered_prefix`` instead).
+    3. Pure driver arithmetic locates, per (group, p), the bucket
+       holding rank k = ceil(p·n) and the residual in-bucket rank.
+    4. A broadcast join of that tiny needed-list filters the data to
+       the selected buckets only (~|probs|/n_buckets of each group),
+       and a window partitioned by (group, bucket, p) — never by
+       group alone — picks the residual rank.
+
+    Versus the naive per-group ROW_NUMBER window (whose task count is
+    |groups| and task SIZE is the whole group — half the fact table
+    for a dominant group), the sort here touches ~1/n_buckets of each
+    group per requested p, fully parallel. Two passes over the input
+    (count + filtered rank): persist the source frame when its
+    lineage is expensive.
+
+    Returns a LONG frame: (*partition_cols, prob double, n bigint,
+    value) — one row per (group, p); callers pivot as needed. Exact:
+    ties in ``value`` land in one bucket, so the tiebreak ordering
+    inside the bucket reproduces the global order's selection
+    bit-for-bit.
+    """
+    if not probs or any(not (0.0 < p <= 1.0) for p in probs):
+        raise ValueError("probs must lie in (0, 1]")
+    pcols = list(partition_cols)
+    boundaries = _bucket_boundaries(df, value_col, n_buckets)
+    d = df.withColumn("_gos_bkt", _bucket_expr(value_col, boundaries))
+    cnt = (
+        d.groupBy(*pcols, "_gos_bkt")
+        .agg(F.count(F.lit(1)).alias("_gos_c"))
+        .collect()
+    )
+    per_group: dict[tuple, dict[int, int]] = {}
+    for r in cnt:
+        key = tuple(r[c] for c in pcols)
+        per_group.setdefault(key, {})[r["_gos_bkt"]] = r["_gos_c"]
+    needed_rows: list[tuple] = []
+    for key, buckets in per_group.items():
+        n = sum(buckets.values())
+        for p in probs:
+            k = max(math.ceil(p * n), 1)
+            cum = 0
+            for b in sorted(buckets):
+                if cum + buckets[b] >= k:
+                    needed_rows.append(key + (b, float(p), k - cum, n))
+                    break
+                cum += buckets[b]
+    spark = df.sparkSession
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    key_fields = [
+        StructField(c, df.schema[c].dataType) for c in pcols
+    ]
+    needed = spark.createDataFrame(
+        needed_rows,
+        StructType(
+            key_fields
+            + [
+                StructField("_gos_bkt", LongType()),
+                StructField("_gos_p", DoubleType()),
+                StructField("_gos_r", LongType()),
+                StructField("_gos_n", LongType()),
+            ]
+        ),
+    ).withColumn("_gos_bkt", F.col("_gos_bkt").cast("int"))
+    j = d.join(F.broadcast(needed), pcols + ["_gos_bkt"])
+    w = Window.partitionBy(*pcols, "_gos_bkt", "_gos_p").orderBy(
+        F.col(value_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    return (
+        j.withColumn("_gos_rn", F.row_number().over(w))
+        .where(F.col("_gos_rn") == F.col("_gos_r"))
+        .select(
+            *pcols,
+            F.col("_gos_p").alias("prob"),
+            F.col("_gos_n").cast("bigint").alias("n"),
+            F.col(value_col).alias("value"),
+        )
+    )

@@ -1210,42 +1210,46 @@ def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation arithmetic to drift across engines; ties broken by
     orderkey, which cannot change the selected value).
 
-    Scale: the window sorts within each of the five segments — fine
-    at warehouse segment cardinality, and the one-pass
-    ``approx_percentile`` (t-digest) path is the drop-in at 100 TB /
-    low group cardinality; its rank error vs these exact quantiles is
-    pinned by pytest (test_workloads_oracle.py).
-    """
+    Scale (rewritten round 10): the old per-segment ROW_NUMBER window
+    put EVERY order of a segment through one task — five tasks for
+    the whole fact table, the partitioned cousin of the global-window
+    funnel this engine bans. The bucket-locate operator
+    (``ranking.group_order_statistics``) replaces it: value buckets +
+    one bounded (segment, bucket) count collect locate each target
+    rank's bucket, and only ~1/64 of each segment is ever sorted —
+    in a window partitioned by (segment, bucket, p). The joined
+    source is persisted across the operator's two passes. Exact by
+    construction; the ceil(p*n) selection is unchanged, so the
+    oracle hash is too."""
+    from .operators.ranking import group_order_statistics
+
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
                                            "o_totalprice")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    j = o.join(c, o.o_custkey == c.c_custkey)
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        "o_totalprice", "o_orderkey"
-    )
-    wn = Window.partitionBy("c_mktsegment")
-    ranked = j.select(
-        "c_mktsegment",
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_totalprice", "o_orderkey"
+    ).persist()
+    long = group_order_statistics(
+        j,
         "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        [0.50, 0.95, 0.99],
+        ["c_mktsegment"],
+        ["o_orderkey"],
     )
 
     def pick(p: float):
-        return F.max(
-            F.when(
-                F.col("rn")
-                == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
-                F.col("o_totalprice"),
-            )
-        )
+        return F.max(F.when(F.col("prob") == p, F.col("value")))
 
-    return ranked.groupBy("c_mktsegment").agg(
+    res = long.groupBy("c_mktsegment").agg(
         F.max("n").cast("bigint").alias("n_orders"),
         pick(0.50).alias("p50"),
         pick(0.95).alias("p95"),
         pick(0.99).alias("p99"),
     )
+    res = res.persist()
+    res.count()
+    j.unpersist()
+    return res
 
 
 @register(
@@ -1727,6 +1731,92 @@ def customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("spend").cast("double")
             / F.max("total").cast("double")
         ).alias("share"),
+    )
+
+
+@register(
+    "supplier_pareto_deciles",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,4))) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT l_suppkey, r,
+             NTILE(10) OVER (ORDER BY r DESC, l_suppkey) AS decile
+      FROM rev
+    ),
+    per AS (
+      SELECT decile, COUNT(*) AS n_suppliers, SUM(r) AS dr
+      FROM ranked GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(dr AS DOUBLE) AS decile_revenue,
+           CAST(SUM(dr) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST(SUM(dr) OVER () AS DOUBLE) AS cum_share
+    FROM per
+    """,
+)
+def supplier_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto curve of supplier revenue concentration: suppliers
+    ranked into revenue-desc DECILES, each decile's exact DECIMAL
+    revenue, and the cumulative share — "the top 10% of suppliers
+    carry X% of spend", the procurement twin of the customer ABC
+    report.
+
+    The decile comes from the distributed ordered-prefix pass + the
+    closed-form NTILE (supplier cardinality scales with the
+    warehouse, so no single-task NTILE window); the cumulative share
+    then runs over the 10-ROW decile rollup — bounded by construction
+    (GLOBAL_WINDOW_OK). DECIMAL accumulation end to end; the two
+    casts to double happen in the same final division on both
+    engines."""
+    from .operators.ranking import ntile_expr, with_ordered_prefix
+
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("r")
+        )
+    )
+    ranked = with_ordered_prefix(
+        rev.withColumn("_neg", -F.col("r")),
+        "_neg",
+        [F.col("_neg"), F.col("l_suppkey").asc()],
+        {"_pos": F.lit(1)},
+        totals={"_n": "_pos"},
+    )
+    per = (
+        ranked.select(
+            ntile_expr(F.col("_pos"), F.col("_n"), 10).alias("decile"),
+            "r",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("r").alias("dr"),
+        )
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_suppliers",
+        F.col("dr").cast("double").alias("decile_revenue"),
+        (
+            F.sum("dr").over(w_cum).cast("double")
+            / F.sum("dr").over(w_all).cast("double")
+        ).alias("cum_share"),
     )
 
 

@@ -227,6 +227,7 @@ EXTENDED = [
     "doc_ngram_novelty_curve",
     "doc_source_gini",
     "doc_pagerank_fixedpoint",
+    "supplier_pareto_deciles",
 ]
 
 

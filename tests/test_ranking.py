@@ -175,3 +175,79 @@ def test_no_unpartitioned_window_over_input_rows(rank_df):
     assert "partitionspec=[_opx_bkt" in plan.lower().replace(" ", "") or (
         "_opx_bkt" in plan
     )
+
+
+# ---------------------------------------------------------------------------
+# group_order_statistics (round 10): bucket-locate exact percentiles
+# ---------------------------------------------------------------------------
+
+
+def _naive_order_stat(rows, probs):
+    """(group, value, tiebreak) rows -> {(group, p): (n, value)} via a
+    full in-memory sort — the definitional baseline."""
+    import math
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, v, t in rows:
+        by_g[g].append((v, t))
+    out = {}
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        for p in probs:
+            k = max(math.ceil(p * n), 1)
+            out[(g, p)] = (n, vals[k - 1][0])
+    return out
+
+
+def test_group_order_statistics_matches_naive_sort(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.ranking import (
+        group_order_statistics,
+    )
+
+    random.seed(7)
+    # heavy ties (values drawn from a small domain) force tie-break
+    # selection inside one bucket; two groups of very different sizes
+    rows = [
+        ("a", float(random.randrange(10)), i) for i in range(503)
+    ] + [("b", float(random.randrange(1000)), i) for i in range(57)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    probs = [0.5, 0.95, 0.99, 1.0]
+    got = {
+        (r["g"], r["prob"]): (r["n"], r["value"])
+        for r in group_order_statistics(
+            df, "v", probs, ["g"], ["id"], n_buckets=4
+        ).collect()
+    }
+    assert got == _naive_order_stat(rows, probs)
+
+
+def test_group_order_statistics_multiple_probs_one_bucket(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.ranking import (
+        group_order_statistics,
+    )
+
+    # constant values: every row lands in ONE bucket, and all probs
+    # resolve inside it (duplicate-join + per-prob window partition)
+    rows = [("a", 5.0, i) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    got = group_order_statistics(
+        df, "v", [0.25, 0.75], ["g"], ["id"], n_buckets=8
+    ).collect()
+    assert {(r["prob"], r["n"], r["value"]) for r in got} == {
+        (0.25, 20, 5.0),
+        (0.75, 20, 5.0),
+    }
+
+
+def test_group_order_statistics_rejects_bad_probs(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.ranking import (
+        group_order_statistics,
+    )
+
+    df = spark.createDataFrame([("a", 1.0, 1)], "g string, v double, id long")
+    with pytest.raises(ValueError):
+        group_order_statistics(df, "v", [0.0], ["g"], ["id"])
+    with pytest.raises(ValueError):
+        group_order_statistics(df, "v", [], ["g"], ["id"])

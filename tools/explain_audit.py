@@ -420,11 +420,12 @@ EXPECT: dict[str, dict] = {
     "emb_hard_negatives": {
         "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
     },
-    # discrete quantiles: one customer join (AQE decides the
-    # strategy), two windows sharing the per-segment exchange, one
-    # final hash-agg; no Python.
+    # discrete quantiles (rewritten r10): bucket-locate order
+    # statistics — the needed-list broadcast (the 1 hint) filters to
+    # ~1/64 of each segment before the (segment, bucket, p) window;
+    # never a whole-segment sort task.
     "orders_price_quantiles": {
-        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+        "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
     },
     # PQ ADC search: the codebook (m x n_codes rows) broadcasts into
     # both the encode argmin and the ADC lookup; the seed-codebook
@@ -890,6 +891,11 @@ EXPECT: dict[str, dict] = {
     "doc_pagerank_fixedpoint": {
         "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
     },
+    # Pareto deciles: supplier-keyed agg, ordered-prefix NTILE (1
+    # hinted carry), 10-row decile rollup + bounded share windows
+    "supplier_pareto_deciles": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
     # calibration: one fixed-bin hash-agg; no window, no join
     "doc_quality_calibration": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
@@ -988,6 +994,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     " candidate lists",
     "events_cumulative_reach": "prefix sum over the per-day rollup —"
     " |days| rows, grows with calendar time",
+    "supplier_pareto_deciles": "ordered-prefix carry (<=64 rows) +"
+    " cumulative share over the 10-row decile rollup",
 }
 
 
