@@ -1229,27 +1229,29 @@ def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = o.join(c, o.o_custkey == c.c_custkey).select(
         "c_mktsegment", "o_totalprice", "o_orderkey"
     ).persist()
-    long = group_order_statistics(
-        j,
-        "o_totalprice",
-        [0.50, 0.95, 0.99],
-        ["c_mktsegment"],
-        ["o_orderkey"],
-    )
+    try:
+        long = group_order_statistics(
+            j,
+            "o_totalprice",
+            [0.50, 0.95, 0.99],
+            ["c_mktsegment"],
+            ["o_orderkey"],
+        )
 
-    def pick(p: float):
-        return F.max(F.when(F.col("prob") == p, F.col("value")))
+        def pick(p: float):
+            return F.max(F.when(F.col("prob") == p, F.col("value")))
 
-    res = long.groupBy("c_mktsegment").agg(
-        F.max("n").cast("bigint").alias("n_orders"),
-        pick(0.50).alias("p50"),
-        pick(0.95).alias("p95"),
-        pick(0.99).alias("p99"),
-    )
-    res = res.persist()
-    res.count()
-    j.unpersist()
-    return res
+        res = long.groupBy("c_mktsegment").agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            pick(0.50).alias("p50"),
+            pick(0.95).alias("p95"),
+            pick(0.99).alias("p99"),
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        j.unpersist()
 
 
 @register(
@@ -1321,40 +1323,45 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ranking import quantile_boundaries
 
     per = per.persist()
-    bnds = quantile_boundaries(per, ["_neg_r", "_neg_f", "_neg_m"])
-    out = per
-    for neg, pos in (
-        ("_neg_r", "_pos_r"),
-        ("_neg_f", "_pos_f"),
-        ("_neg_m", "_pos_m"),
-    ):
-        ranked = with_ordered_prefix(
-            per,
-            neg,
-            [F.col(neg), F.col("c_custkey")],
-            {pos: F.lit(1)},
-            totals={"_n": "_pos_r"} if pos == "_pos_r" else None,
-            boundaries=bnds[neg],
-        ).select("c_custkey", pos, *(["_n"] if pos == "_pos_r" else []))
-        out = out.join(ranked, "c_custkey")
-    res = out.select(
-        "c_custkey",
-        "last_order",
-        "frequency",
-        "monetary",
-        ntile_expr(F.col("_pos_r"), F.col("_n"), 5).alias("r_quintile"),
-        ntile_expr(F.col("_pos_f"), F.col("_n"), 5).alias("f_quintile"),
-        ntile_expr(F.col("_pos_m"), F.col("_n"), 5).alias("m_quintile"),
-    )
-    # Materialize the joined result into ITS OWN cache, then free the
-    # fat per-customer intermediate deterministically (ADVICE r9: the
-    # bare persist leaked until LRU across a full bench session). The
-    # residual footprint is one result-sized frame consumed by the
-    # caller's action, not six subtree copies of `per`.
-    res = res.persist()
-    res.count()
-    per.unpersist()
-    return res
+    try:
+        bnds = quantile_boundaries(per, ["_neg_r", "_neg_f", "_neg_m"])
+        out = per
+        for neg, pos in (
+            ("_neg_r", "_pos_r"),
+            ("_neg_f", "_pos_f"),
+            ("_neg_m", "_pos_m"),
+        ):
+            ranked = with_ordered_prefix(
+                per,
+                neg,
+                [F.col(neg), F.col("c_custkey")],
+                {pos: F.lit(1)},
+                totals={"_n": "_pos_r"} if pos == "_pos_r" else None,
+                boundaries=bnds[neg],
+            ).select(
+                "c_custkey", pos, *(["_n"] if pos == "_pos_r" else [])
+            )
+            out = out.join(ranked, "c_custkey")
+        res = out.select(
+            "c_custkey",
+            "last_order",
+            "frequency",
+            "monetary",
+            ntile_expr(F.col("_pos_r"), F.col("_n"), 5).alias("r_quintile"),
+            ntile_expr(F.col("_pos_f"), F.col("_n"), 5).alias("f_quintile"),
+            ntile_expr(F.col("_pos_m"), F.col("_n"), 5).alias("m_quintile"),
+        )
+        # Materialize the joined result into ITS OWN cache, then free
+        # the fat per-customer intermediate deterministically (ADVICE
+        # r9: the bare persist leaked until LRU across a full bench
+        # session). The residual footprint is one result-sized frame
+        # consumed by the caller's action, not six subtree copies of
+        # `per`.
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        per.unpersist()
 
 
 def _bucketed_li_ord(spark: SparkSession, sf_dir: str):

@@ -1411,34 +1411,36 @@ def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .join(fl.where(F.col("n_bigrams") > 0), "doc_id")
     ).persist()
-    ranked = with_ordered_prefix(
-        scored.withColumn("_neg", -F.col("lm_score")),
-        "_neg",
-        [F.col("_neg"), F.col("doc_id").asc()],
-        {"_pos": F.lit(1)},
-        partition_cols=["lang"],
-        totals={"_n": "_pos"},
-    )
-    res = ranked.select(
-        "doc_id",
-        "lang",
-        "lm_score",
-        ntile_expr(F.col("_pos"), F.col("_n"), 3)
-        .cast("long")
-        .alias("bucket_id"),
-    ).withColumn(
-        "bucket",
-        F.when(F.col("bucket_id") == 1, "head")
-        .when(F.col("bucket_id") == 2, "middle")
-        .otherwise("tail"),
-    )
-    # Materialize the terciles into their own cache, then free the
-    # scored intermediate deterministically (ADVICE r9: the bare
-    # persist leaked until LRU across a full bench session).
-    res = res.persist()
-    res.count()
-    scored.unpersist()
-    return res
+    try:
+        ranked = with_ordered_prefix(
+            scored.withColumn("_neg", -F.col("lm_score")),
+            "_neg",
+            [F.col("_neg"), F.col("doc_id").asc()],
+            {"_pos": F.lit(1)},
+            partition_cols=["lang"],
+            totals={"_n": "_pos"},
+        )
+        res = ranked.select(
+            "doc_id",
+            "lang",
+            "lm_score",
+            ntile_expr(F.col("_pos"), F.col("_n"), 3)
+            .cast("long")
+            .alias("bucket_id"),
+        ).withColumn(
+            "bucket",
+            F.when(F.col("bucket_id") == 1, "head")
+            .when(F.col("bucket_id") == 2, "middle")
+            .otherwise("tail"),
+        )
+        # Materialize the terciles into their own cache, then free
+        # the scored intermediate deterministically (ADVICE r9: the
+        # bare persist leaked until LRU across a full bench session).
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        scored.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -378,3 +378,107 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "k", "n_groups", "n_rows", (F.col("k") < 5).alias("violates_k5")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: chi-square independence screen (distribution drift)
+# ---------------------------------------------------------------------------
+
+_CHI2_FP = 1073741824.0  # 2^30 — the calibration-curve fixed point
+
+
+@register(
+    "doc_source_lang_chi2",
+    f"""
+    WITH obs AS (
+      SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT source, COUNT(*) AS r FROM documents GROUP BY 1),
+    ct AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    cells AS (
+      SELECT rt.source, ct.lang, rt.r, ct.c, nn.n,
+             COALESCE(obs.o, 0) AS o
+      FROM rt CROSS JOIN ct CROSS JOIN nn
+      LEFT JOIN obs ON obs.source = rt.source AND obs.lang = ct.lang
+    ),
+    terms AS (
+      SELECT CAST(FLOOR(
+        ((CAST(o AS DOUBLE)
+          - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(o AS DOUBLE)
+            - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+        / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        * {_CHI2_FP}) AS BIGINT) AS t
+      FROM cells
+    )
+    SELECT CAST(SUM(t) AS DOUBLE) / {_CHI2_FP} AS chi2,
+           CAST(((SELECT COUNT(*) FROM rt) - 1)
+                * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
+           (SELECT CAST(n AS BIGINT) FROM nn) AS n_docs
+    FROM terms
+    """,
+)
+def doc_source_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between SOURCE and LANGUAGE —
+    the categorical drift/contamination screen: a corpus whose
+    language mix varies wildly by source (huge chi2 vs the dof) needs
+    per-source language reweighting before mixing; an independent mix
+    doesn't. The same operator shape screens any pair of bounded
+    categorical columns (batch x label, shard x topic).
+
+    Determinism (the calibration-curve discipline): observed/marginal
+    counts are exact integers; each cell's (o-e)^2/e term is ONE
+    identical double expression on both engines, quantized
+    floor(term * 2^30) and summed as int64 — order-free — with a
+    single final division, so the float-summation ordering question
+    never arises. Zero cells are INCLUDED (each contributes its
+    expectation), via the bounded marginal cross join.
+
+    Scale shape: one (source, lang) hash-agg over the corpus (map-side
+    combined), then everything else runs on the |sources| x |langs|
+    marginal grid — bounded category tables, so the cross join is a
+    broadcast of dozens of rows, never data."""
+    from .workloads_llm import _docs
+
+    d = _docs(spark, sf_dir).select("source", "lang")
+    obs = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    rt = d.groupBy("source").agg(F.count(F.lit(1)).alias("r"))
+    ct = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(nn))
+        .join(obs, ["source", "lang"], "left")
+        .select(
+            "r",
+            "c",
+            "n",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+    )
+    od = F.col("o").cast("double")
+    exp = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (od - exp) * (od - exp) / exp
+    t = F.floor(term * F.lit(_CHI2_FP)).cast("bigint")
+    dof = (
+        rt.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("nc")))
+        .select(
+            ((F.col("nr") - 1) * (F.col("nc") - 1))
+            .cast("bigint")
+            .alias("dof")
+        )
+    )
+    stat = cells.agg(
+        (F.sum(t).cast("double") / F.lit(_CHI2_FP)).alias("chi2")
+    )
+    return (
+        stat.crossJoin(F.broadcast(dof))
+        .crossJoin(F.broadcast(nn))
+        .select("chi2", "dof", F.col("n").cast("bigint").alias("n_docs"))
+    )

@@ -1715,31 +1715,33 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost; unpersisted after the result materializes (the rfm/ccnet
     # pattern).
     slopes = slopes.persist()
-    ranked = with_ordered_prefix(
-        slopes,
-        "slope",
-        [F.col("slope"), F.col("h1"), F.col("h2")],
-        {"rn": F.lit(1)},
-        partition_cols=["event_type"],
-        totals={"cnt": "rn"},
-    )
-    lo = F.max(
-        F.when(
-            F.col("rn") == ((F.col("cnt") + 1) / 2).cast("long"),
-            F.col("slope"),
+    try:
+        ranked = with_ordered_prefix(
+            slopes,
+            "slope",
+            [F.col("slope"), F.col("h1"), F.col("h2")],
+            {"rn": F.lit(1)},
+            partition_cols=["event_type"],
+            totals={"cnt": "rn"},
         )
-    )
-    hi = F.max(
-        F.when(
-            F.col("rn") == ((F.col("cnt") + 2) / 2).cast("long"),
-            F.col("slope"),
+        lo = F.max(
+            F.when(
+                F.col("rn") == ((F.col("cnt") + 1) / 2).cast("long"),
+                F.col("slope"),
+            )
         )
-    )
-    res = ranked.groupBy("event_type").agg(
-        F.max("cnt").cast("bigint").alias("n_pairs"),
-        ((lo + hi) / F.lit(2.0)).alias("theilsen_slope"),
-    )
-    res = res.persist()
-    res.count()
-    slopes.unpersist()
-    return res
+        hi = F.max(
+            F.when(
+                F.col("rn") == ((F.col("cnt") + 2) / 2).cast("long"),
+                F.col("slope"),
+            )
+        )
+        res = ranked.groupBy("event_type").agg(
+            F.max("cnt").cast("bigint").alias("n_pairs"),
+            ((lo + hi) / F.lit(2.0)).alias("theilsen_slope"),
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        slopes.unpersist()

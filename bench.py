@@ -228,6 +228,7 @@ EXTENDED = [
     "doc_source_gini",
     "doc_pagerank_fixedpoint",
     "supplier_pareto_deciles",
+    "doc_source_lang_chi2",
 ]
 
 

@@ -896,6 +896,12 @@ EXPECT: dict[str, dict] = {
     "supplier_pareto_deciles": {
         "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
     },
+    # chi-square drift screen: one (source, lang) hash-agg, then the
+    # bounded marginal grid (3 hinted broadcasts of category-sized /
+    # 1-row frames)
+    "doc_source_lang_chi2": {
+        "pushed": False, "no_smj": True, "hints": 4, "pure_jvm": True,
+    },
     # calibration: one fixed-bin hash-agg; no window, no join
     "doc_quality_calibration": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
@@ -954,6 +960,9 @@ SCALAR_SUBQUERY_OK = {
     "doc_hybrid_rrf_search",
     # 1-row corpus-token-total crossjoin into the lift expression
     "doc_collocation_lift",
+    # bounded marginal-grid cross joins: |sources| x |langs| category
+    # tables plus 1-row total/dof frames
+    "doc_source_lang_chi2",
 }
 
 
