@@ -2096,27 +2096,43 @@ def lineitem_weighted_median(
 ) -> DataFrame:
     """Quantity-weighted median extended price per return flag — the
     robust per-group center a pricing pipeline wants when line sizes
-    differ by 50x. Lower weighted median via one cumulative-weight
-    window; the threshold test is ``2*cum >= total`` in EXACT decimal
+    differ by 50x. Lower weighted median via a cumulative-weight
+    prefix; the threshold test is ``2*cum >= total`` in EXACT decimal
     (no division, no float compare), and the crossing price group is
     unique regardless of intra-tie row order — deterministic across
-    engines and partitionings by construction. One sort per flag
-    group; no second pass."""
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_tot = Window.partitionBy("l_returnflag")
+    engines and partitionings by construction.
+
+    Rewritten round 10: the per-flag cumulative window put the whole
+    fact table through THREE tasks (|return_flags| = 3) — the
+    partitioned cousin of the banned global window. The cumulative
+    weight now runs as the distributed ordered-prefix sum
+    (``operators/ranking.py``) partitioned by flag; DECIMAL partial
+    sums re-associate exactly, so the bucketed carry reproduces the
+    window bit-for-bit and the oracle hash is unchanged."""
+    from .operators.ranking import with_ordered_prefix
+
     wq = _dec("l_quantity")
-    wl = _t(spark, sf_dir, "lineitem").select(
+    li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_extendedprice",
-        F.sum(wq).over(w_cum).alias("cum"),
-        F.sum(wq).over(w_tot).alias("total"),
+        "l_orderkey",
+        "l_linenumber",
+        wq.alias("wq"),
+    )
+    ranked = with_ordered_prefix(
+        li,
+        "l_extendedprice",
+        [
+            F.col("l_extendedprice"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+        {"cum": F.col("wq")},
+        partition_cols=["l_returnflag"],
+        totals={"total": "cum"},
     )
     return (
-        wl.where(F.lit(2) * F.col("cum") >= F.col("total"))
+        ranked.where(F.lit(2) * F.col("cum") >= F.col("total"))
         .groupBy("l_returnflag")
         .agg(
             F.min("l_extendedprice").alias("weighted_median"),

@@ -1714,18 +1714,32 @@ def doc_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-based corpus pruning: drop the bottom 20% of each
     source by composite quality score (per-source percent_rank, ties
-    broken by doc_id so the cut is deterministic on any engine). The
-    window partitions by source — per-source parallelism, no global
-    sort. This is the classifier-less 'perplexity-style' pruning move
-    corpus pipelines run between scoring and packing."""
-    from pyspark.sql.window import Window
+    broken by doc_id so the cut is deterministic on any engine).
+    This is the classifier-less 'perplexity-style' pruning move
+    corpus pipelines run between scoring and packing.
+
+    Rewritten round 10: |sources| is ~20 while per-source doc counts
+    track the corpus, so the per-source PERCENT_RANK window was ~20
+    tasks each carrying 1/20th of a 10^10-doc corpus. The rank now
+    comes from the distributed ordered-prefix pass partitioned by
+    source; the unique (score, doc_id) order makes rank ==
+    row_number, so ``percent_rank_expr`` reproduces the window's
+    (rank-1)/(n-1) bit-for-bit and the oracle hash is unchanged."""
+    from .operators.ranking import percent_rank_expr, with_ordered_prefix
 
     scored = textops.with_quality_score(_docs(spark, sf_dir))
-    w = Window.partitionBy("source").orderBy(
-        F.col("quality_score").asc(), F.col("doc_id").asc()
+    ranked = with_ordered_prefix(
+        scored.select("doc_id", "source", "quality_score"),
+        "quality_score",
+        [F.col("quality_score").asc(), F.col("doc_id").asc()],
+        {"_pos": F.lit(1)},
+        partition_cols=["source"],
+        totals={"_n": "_pos"},
     )
     return (
-        scored.withColumn("q_rank", F.percent_rank().over(w))
+        ranked.withColumn(
+            "q_rank", percent_rank_expr(F.col("_pos"), F.col("_n"))
+        )
         .where(F.col("q_rank") >= 0.2)
         .select("doc_id", "source", "quality_score", "q_rank")
     )

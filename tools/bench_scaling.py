@@ -184,6 +184,19 @@ QUERIES = [
     "events_theilsen_trend",
     "doc_quality_score_auc",
     "orders_wap_gated_publish",
+    # round-10 in-round additions: the iterative PageRank loop (work
+    # per round is O(edges), edges = 3x docs), the in-cell bigram /
+    # 3-gram exploders (token-linear), the byte-level histogram twin
+    # (corpus-byte-linear), the ordered-prefix Gini, the bucket-locate
+    # exact percentiles (two passes, ~1/64 of each group sorted), and
+    # the Pareto decile rollup
+    "doc_pagerank_fixedpoint",
+    "doc_collocation_lift",
+    "doc_ngram_novelty_curve",
+    "mm_byte_histogram_checked",
+    "doc_source_gini",
+    "orders_price_quantiles",
+    "supplier_pareto_deciles",
 ]
 
 

@@ -649,12 +649,12 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": True, "hints": 2, "bhj_only": True,
         "shuffles": 2, "pure_jvm": True,
     },
-    # weighted median: the cumulative-weight window and the final
-    # per-flag agg share ONE hash(l_returnflag) exchange — the
-    # exchange-reuse pin; a changed partitioning key shows as 2.
+    # weighted median (rewritten r10): distributed ordered-prefix
+    # cumulative weight partitioned by flag — the old per-flag window
+    # carried the fact table in 3 tasks; the 1 hint is the <=64-row
+    # carry broadcast.
     "lineitem_weighted_median": {
-        "pushed": False, "no_smj": True, "hints": 0, "shuffles": 1,
-        "pure_jvm": True,
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
     },
     # ACF: daily pre-agg + per-type window; all 7 lags from the ONE
     # window sort (a per-lag pass would be 8 shuffles).
@@ -901,6 +901,12 @@ EXPECT: dict[str, dict] = {
     # 1-row frames)
     "doc_source_lang_chi2": {
         "pushed": False, "no_smj": True, "hints": 4, "pure_jvm": True,
+    },
+    # quality prune (rewritten r10): ordered-prefix percent-rank
+    # partitioned by source (1 hinted carry) — never ~20 tasks each
+    # carrying 1/20th of the corpus
+    "doc_quality_prune": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
     },
     # calibration: one fixed-bin hash-agg; no window, no join
     "doc_quality_calibration": {
