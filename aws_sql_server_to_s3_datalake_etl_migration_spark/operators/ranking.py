@@ -53,6 +53,7 @@ __all__ = [
     "with_ordered_prefix",
     "quantile_boundaries",
     "group_order_statistics",
+    "group_rank_statistics",
     "ntile_expr",
     "percent_rank_expr",
 ]
@@ -286,7 +287,63 @@ def group_order_statistics(
     """
     if not probs or any(not (0.0 < p <= 1.0) for p in probs):
         raise ValueError("probs must lie in (0, 1]")
-    pcols = list(partition_cols)
+    targets = [
+        (float(p), (lambda n, p=p: max(math.ceil(p * n), 1)))
+        for p in probs
+    ]
+    return _bucket_locate(
+        df,
+        value_col,
+        targets,
+        list(partition_cols),
+        tiebreak_cols,
+        n_buckets,
+        label_col="prob",
+        label_is_double=True,
+    )
+
+
+def group_rank_statistics(
+    df: DataFrame,
+    value_col: str,
+    rank_fns: dict[str, "callable"],
+    partition_cols: list[str],
+    tiebreak_cols: list[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """``group_order_statistics`` with CALLER-SUPPLIED integer rank
+    functions ``label -> (n -> k)`` instead of float probabilities —
+    for selections whose rank arithmetic must match an oracle's
+    integer formula exactly (e.g. ``(n + 9) div 10``), where
+    ``ceil(p·n)`` in floating point could differ at adversarial n.
+    Returns (*partition_cols, stat string, n bigint, value)."""
+    if not rank_fns:
+        raise ValueError("rank_fns must not be empty")
+    targets = [(label, fn) for label, fn in rank_fns.items()]
+    return _bucket_locate(
+        df,
+        value_col,
+        targets,
+        list(partition_cols),
+        tiebreak_cols,
+        n_buckets,
+        label_col="stat",
+        label_is_double=False,
+    )
+
+
+def _bucket_locate(
+    df: DataFrame,
+    value_col: str,
+    targets: list[tuple],
+    pcols: list[str],
+    tiebreak_cols: list[str],
+    n_buckets: int,
+    label_col: str,
+    label_is_double: bool,
+) -> DataFrame:
+    """Shared bucket-locate core: ``targets`` is a list of
+    (label, n -> k) pairs; ranks are clamped to [1, n]."""
     boundaries = _bucket_boundaries(df, value_col, n_buckets)
     d = df.withColumn("_gos_bkt", _bucket_expr(value_col, boundaries))
     cnt = (
@@ -301,18 +358,19 @@ def group_order_statistics(
     needed_rows: list[tuple] = []
     for key, buckets in per_group.items():
         n = sum(buckets.values())
-        for p in probs:
-            k = max(math.ceil(p * n), 1)
+        for label, k_fn in targets:
+            k = min(max(int(k_fn(n)), 1), n)
             cum = 0
             for b in sorted(buckets):
                 if cum + buckets[b] >= k:
-                    needed_rows.append(key + (b, float(p), k - cum, n))
+                    needed_rows.append(key + (b, label, k - cum, n))
                     break
                 cum += buckets[b]
     spark = df.sparkSession
     from pyspark.sql.types import (
         DoubleType,
         LongType,
+        StringType,
         StructField,
         StructType,
     )
@@ -320,20 +378,21 @@ def group_order_statistics(
     key_fields = [
         StructField(c, df.schema[c].dataType) for c in pcols
     ]
+    label_type = DoubleType() if label_is_double else StringType()
     needed = spark.createDataFrame(
         needed_rows,
         StructType(
             key_fields
             + [
                 StructField("_gos_bkt", LongType()),
-                StructField("_gos_p", DoubleType()),
+                StructField("_gos_lbl", label_type),
                 StructField("_gos_r", LongType()),
                 StructField("_gos_n", LongType()),
             ]
         ),
     ).withColumn("_gos_bkt", F.col("_gos_bkt").cast("int"))
     j = d.join(F.broadcast(needed), pcols + ["_gos_bkt"])
-    w = Window.partitionBy(*pcols, "_gos_bkt", "_gos_p").orderBy(
+    w = Window.partitionBy(*pcols, "_gos_bkt", "_gos_lbl").orderBy(
         F.col(value_col), *[F.col(c) for c in tiebreak_cols]
     )
     return (
@@ -341,7 +400,7 @@ def group_order_statistics(
         .where(F.col("_gos_rn") == F.col("_gos_r"))
         .select(
             *pcols,
-            F.col("_gos_p").alias("prob"),
+            F.col("_gos_lbl").alias(label_col),
             F.col("_gos_n").cast("bigint").alias("n"),
             F.col(value_col).alias("value"),
         )

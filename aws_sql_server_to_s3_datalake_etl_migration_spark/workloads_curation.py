@@ -971,38 +971,59 @@ def doc_length_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation to disagree over), then a mean whose only float op
     is one exactly-rounded division of exact integers. The robust
     alternative to mean/stddev corpus cards when a source has
-    outlier documents. One scan + one per-source window + one
-    hash-agg; windows partition by source, never global."""
+    outlier documents.
+
+    Rewritten round 10: the per-source ROW_NUMBER window was ~20
+    tasks each carrying 1/20th of the corpus. The cuts now come from
+    the bucket-locate operator's INTEGER-rank variant
+    (``ranking.group_rank_statistics`` — the oracle's (n+9) div 10
+    arithmetic passed through verbatim, where ceil(0.1·n) in floating
+    point could disagree at adversarial n), so only ~2/64 of each
+    source is ever sorted; the clamp mean is one broadcast join of
+    the 20-row cut table + one hash-agg. Oracle hash unchanged."""
+    from .operators.ranking import group_rank_statistics
+
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         "source",
         F.size(textops.tokens("text")).cast("bigint").alias("n_tokens"),
-    )
-    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
-    ws = Window.partitionBy("source")
-    r = docs.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n_s", F.count(F.lit(1)).over(ws)
-    )
-    cuts = r.groupBy("source").agg(
-        F.max(
-            F.when(F.col("rn") == F.expr("(n_s + 9) DIV 10"), F.col("n_tokens"))
-        ).alias("p10"),
-        F.max(
-            F.when(
-                F.col("rn") == F.expr("(9 * n_s + 9) DIV 10"),
-                F.col("n_tokens"),
-            )
-        ).alias("p90"),
-    )
-    clamped = docs.join(cuts, "source").withColumn(
-        "_w", F.least(F.greatest(F.col("n_tokens"), F.col("p10")), F.col("p90"))
-    )
-    return clamped.groupBy("source", "p10", "p90").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("_w").cast("double") / F.count(F.lit(1))).alias(
-            "winsorized_mean"
-        ),
-    ).select("source", "n_docs", "p10", "p90", "winsorized_mean")
+    ).persist()
+    try:
+        cuts_long = group_rank_statistics(
+            docs,
+            "n_tokens",
+            {
+                "p10": lambda n: (n + 9) // 10,
+                "p90": lambda n: (9 * n + 9) // 10,
+            },
+            ["source"],
+            ["doc_id"],
+        )
+        cuts = cuts_long.groupBy("source").agg(
+            F.max(
+                F.when(F.col("stat") == "p10", F.col("value"))
+            ).alias("p10"),
+            F.max(
+                F.when(F.col("stat") == "p90", F.col("value"))
+            ).alias("p90"),
+        )
+        clamped = docs.join(F.broadcast(cuts), "source").withColumn(
+            "_w",
+            F.least(
+                F.greatest(F.col("n_tokens"), F.col("p10")), F.col("p90")
+            ),
+        )
+        res = clamped.groupBy("source", "p10", "p90").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("_w").cast("double") / F.count(F.lit(1))).alias(
+                "winsorized_mean"
+            ),
+        ).select("source", "n_docs", "p10", "p90", "winsorized_mean")
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        docs.unpersist()
 
 
 # ---------------------------------------------------------------------------

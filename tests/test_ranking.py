@@ -251,3 +251,33 @@ def test_group_order_statistics_rejects_bad_probs(spark):
         group_order_statistics(df, "v", [0.0], ["g"], ["id"])
     with pytest.raises(ValueError):
         group_order_statistics(df, "v", [], ["g"], ["id"])
+
+
+def test_group_rank_statistics_integer_formulas(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.ranking import (
+        group_rank_statistics,
+    )
+
+    random.seed(11)
+    rows = [("s", float(random.randrange(50)), i) for i in range(97)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    got = {
+        r["stat"]: (r["n"], r["value"])
+        for r in group_rank_statistics(
+            df,
+            "v",
+            {
+                "p10": lambda n: (n + 9) // 10,
+                "p90": lambda n: (9 * n + 9) // 10,
+            },
+            ["g"],
+            ["id"],
+            n_buckets=4,
+        ).collect()
+    }
+    vals = sorted(v for _, v, _ in rows)
+    n = len(vals)
+    assert got == {
+        "p10": (n, vals[(n + 9) // 10 - 1]),
+        "p90": (n, vals[(9 * n + 9) // 10 - 1]),
+    }

@@ -482,10 +482,11 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
         "shuffles": 2,
     },
-    # winsorized stats: per-source rank window + the cuts join (AQE
-    # strategy) + final hash-agg; no Python.
+    # winsorized stats (rewritten r10): bucket-locate integer-rank
+    # cuts (1 hinted needed-list broadcast) + the hinted 20-row cut
+    # join + final hash-agg; never a per-source corpus window.
     "doc_length_winsorized": {
-        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+        "pushed": False, "no_smj": False, "hints": 2, "pure_jvm": True,
     },
     # join-view delta propagation: each leg shuffles a DELTA against
     # one base on the join key — pushed filters carve the deltas out
