@@ -54,6 +54,7 @@ __all__ = [
     "quantile_boundaries",
     "group_order_statistics",
     "group_rank_statistics",
+    "with_ordered_lead",
     "ntile_expr",
     "percent_rank_expr",
 ]
@@ -405,3 +406,79 @@ def _bucket_locate(
             F.col(value_col).alias("value"),
         )
     )
+
+
+def with_ordered_lead(
+    df: DataFrame,
+    primary: str,
+    order_cols: list[Column | str],
+    lead_cols: dict[str, str],
+    *,
+    partition_cols: list[str] | None = None,
+    n_buckets: int = 64,
+    boundaries: list[float] | None = None,
+) -> DataFrame:
+    """Exact LEAD(1) under a total order, computed distributed — the
+    neighbor-access companion to ``with_ordered_prefix``: in-bucket
+    windows produce every lead except each bucket's LAST row, whose
+    successor lives in the next non-empty bucket; those boundary
+    values come from a per-(group, bucket) FIRST-row aggregate
+    (≤ n_buckets rows per group) whose own lead, over one bounded
+    carry window, is broadcast back.
+
+    ``order_cols`` must be plain ASC-sorting expressions (negate for
+    descending — the ``with_ordered_prefix`` convention), because the
+    boundary aggregate orders them as a STRUCT via ``min_by``.
+    NULL-safety: leads are carried as (present, value) structs, so a
+    legitimate NULL in a successor's ``lead_cols`` value is
+    distinguished from "no successor" — the final row of the final
+    non-empty bucket is the only NULL-lead row per group, exactly as
+    the single-task window would produce.
+    """
+    pcols = list(partition_cols or [])
+    if boundaries is None:
+        boundaries = _bucket_boundaries(df, primary, n_buckets)
+    d = df.withColumn("_olx_bkt", _bucket_expr(primary, boundaries))
+    okey = F.struct(
+        *[c if isinstance(c, Column) else F.col(c) for c in order_cols]
+    )
+    w_in = Window.partitionBy(*pcols, "_olx_bkt").orderBy(*order_cols)
+
+    def wrap(src: str) -> Column:
+        return F.struct(
+            F.lit(True).alias("p"), F.col(src).alias("v")
+        )
+
+    for out, src in lead_cols.items():
+        d = d.withColumn(f"_olx_in_{out}", F.lead(wrap(src)).over(w_in))
+    firsts = d.groupBy(*pcols, "_olx_bkt").agg(
+        *[
+            F.min_by(wrap(src), okey).alias(f"_olx_first_{out}")
+            for out, src in lead_cols.items()
+        ]
+    )
+    # ≤ n_buckets rows per group — the same bounded-carry shape as
+    # with_ordered_prefix's offset window
+    w_next = Window.partitionBy(*pcols).orderBy("_olx_bkt")
+    carry = firsts.select(
+        *pcols,
+        "_olx_bkt",
+        *[
+            F.lead(f"_olx_first_{out}").over(w_next).alias(
+                f"_olx_next_{out}"
+            )
+            for out in lead_cols
+        ],
+    )
+    d = d.join(F.broadcast(carry), pcols + ["_olx_bkt"])
+    for out in lead_cols:
+        resolved = F.coalesce(
+            F.col(f"_olx_in_{out}"), F.col(f"_olx_next_{out}")
+        )
+        d = d.withColumn(out, resolved["v"])
+    drop = (
+        ["_olx_bkt"]
+        + [f"_olx_in_{o}" for o in lead_cols]
+        + [f"_olx_next_{o}" for o in lead_cols]
+    )
+    return d.drop(*drop)

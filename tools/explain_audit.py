@@ -909,6 +909,15 @@ EXPECT: dict[str, dict] = {
     "doc_quality_prune": {
         "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
     },
+    # window-breadth demo (rewritten r10): per-segment windows now
+    # partition by (segment, bucket), never segment alone. 7 analyzed
+    # hints = the customer-dim broadcast repeated through the four
+    # persisted-spend subtree copies (main + prefix carry + lead main
+    # + lead firsts) + the prefix carry + the lead carry + the dim
+    # itself; runtime reads the cache, not four joins.
+    "segment_spend_quartiles": {
+        "pushed": True, "no_smj": True, "hints": 7, "pure_jvm": True,
+    },
     # calibration: one fixed-bin hash-agg; no window, no join
     "doc_quality_calibration": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
