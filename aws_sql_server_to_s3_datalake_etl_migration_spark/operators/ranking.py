@@ -129,9 +129,16 @@ def with_ordered_prefix(
     totals: dict[str, str] | None = None,
     n_buckets: int = 64,
     boundaries: list[float] | None = None,
+    broadcast_carry: bool = True,
 ) -> DataFrame:
     """Add exact running-``sum`` columns under a total order, computed
     distributed (see module docstring for the plan shape).
+
+    ``broadcast_carry=False`` swaps the carry broadcast for a plain
+    equi-join on (partition_cols, bucket) — required when
+    ``partition_cols`` cardinality is HIGH (the carry table is
+    |groups| x n_buckets rows; broadcasting millions of carries would
+    OOM the executors that the bucketing exists to protect).
 
     Parameters
     ----------
@@ -206,7 +213,9 @@ def with_ordered_prefix(
     carry = btot.select(*carry_cols)
 
     join_keys = pcols + ["_opx_bkt"]
-    d = d.join(F.broadcast(carry), join_keys)
+    d = d.join(
+        F.broadcast(carry) if broadcast_carry else carry, join_keys
+    )
     for name, expr in aggs.items():
         zero = F.lit(0).cast(
             dict(d.dtypes)[f"_opx_run_{name}"]
@@ -417,6 +426,7 @@ def with_ordered_lead(
     partition_cols: list[str] | None = None,
     n_buckets: int = 64,
     boundaries: list[float] | None = None,
+    broadcast_carry: bool = True,
 ) -> DataFrame:
     """Exact LEAD(1) under a total order, computed distributed — the
     neighbor-access companion to ``with_ordered_prefix``: in-bucket
@@ -434,6 +444,14 @@ def with_ordered_lead(
     distinguished from "no successor" — the final row of the final
     non-empty bucket is the only NULL-lead row per group, exactly as
     the single-task window would produce.
+
+    ``broadcast_carry=False`` swaps the boundary broadcast for a
+    plain equi-join — required for HIGH-cardinality
+    ``partition_cols`` (e.g. per (series, day)), where the carry
+    table is |groups| x n_buckets rows. In that regime also pass
+    group-relative ``boundaries`` (e.g. static within-day offsets):
+    GLOBAL value quantiles would land every group in one bucket and
+    buy nothing.
     """
     pcols = list(partition_cols or [])
     if boundaries is None:
@@ -470,7 +488,10 @@ def with_ordered_lead(
             for out in lead_cols
         ],
     )
-    d = d.join(F.broadcast(carry), pcols + ["_olx_bkt"])
+    d = d.join(
+        F.broadcast(carry) if broadcast_carry else carry,
+        pcols + ["_olx_bkt"],
+    )
     for out in lead_cols:
         resolved = F.coalesce(
             F.col(f"_olx_in_{out}"), F.col(f"_olx_next_{out}")

@@ -892,8 +892,20 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     product is engine-portable, unlike decimal-cast rounding modes),
     the weighted sum accumulates as exact DECIMAL products, and the
     float tail is the same two-division expression on both engines —
-    hash-exact against the oracle. One window + one hash-agg, both
-    partitioned by (type, day): no global sort at any scale."""
+    hash-exact against the oracle.
+
+    Rewritten round 10: a (type, day) window is well-PARTITIONED but
+    each partition holds a full type-day of events — at 10^9
+    events/day/type that single task is the hot spot. The successor
+    timestamp now comes from ``with_ordered_lead`` bucketed on the
+    WITHIN-DAY offset (static 64-slice boundaries of the 86,400 s
+    day — group-relative, since global ts quantiles would land every
+    day in one bucket) with a plain (not broadcast) carry join:
+    the carry table is |type-days| x 64 rows, which is exactly the
+    regime the ``broadcast_carry=False`` knob exists for."""
+    from .operators.ranking import with_ordered_lead
+
+    _DAY_US = 86_400_000_000
     e = (
         _events(spark, sf_dir)
         .select(
@@ -905,14 +917,27 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("day", F.to_date("ts"))
         .withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .withColumn(
+            "us_in_day",
+            F.col("ts_us")
+            - F.unix_micros(F.col("day").cast("timestamp")),
+        )
     )
-    w = Window.partitionBy("event_type", "day").orderBy("ts_us", "event_id")
     day_end_us = F.unix_micros(
         F.date_add(F.col("day"), 1).cast("timestamp")
     )
-    seg = e.withColumn(
+    led = with_ordered_lead(
+        e,
+        "us_in_day",
+        [F.col("us_in_day"), F.col("event_id")],
+        {"_next_us": "ts_us"},
+        partition_cols=["event_type", "day"],
+        boundaries=[_DAY_US * i / 64 for i in range(1, 64)],
+        broadcast_carry=False,
+    )
+    seg = led.withColumn(
         "dt_us",
-        F.coalesce(F.lead("ts_us").over(w), day_end_us) - F.col("ts_us"),
+        F.coalesce(F.col("_next_us"), day_end_us) - F.col("ts_us"),
     )
     return seg.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).alias("n_events"),

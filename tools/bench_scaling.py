@@ -197,6 +197,10 @@ QUERIES = [
     "doc_source_gini",
     "orders_price_quantiles",
     "supplier_pareto_deciles",
+    # r10 ordered-lead rewrite: the within-day bucketed lead must
+    # track events linearly (the old plan's per-type-day task was the
+    # ceiling; this one's tasks are per (type, day, day-slice))
+    "events_time_weighted_avg",
 ]
 
 

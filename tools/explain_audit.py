@@ -610,11 +610,14 @@ EXPECT: dict[str, dict] = {
     "events_hll_rollup": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
-    # time-weighted average: the (type, day) window exchange is
-    # REUSED by the same-keyed hash-agg — one shuffle total.
+    # time-weighted average (rewritten r10): ordered-lead bucketed on
+    # the within-day offset — windows partition by (type, day,
+    # bucket), the carry is a plain join (broadcast_carry=False for
+    # the |type-days| x 64 carry table), then the final hash-agg. No
+    # shuffle-count pin: the lead pass legitimately adds exchanges in
+    # trade for removing the per-type-day task-size ceiling.
     "events_time_weighted_avg": {
-        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
-        "shuffles": 1,
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
     },
     # ABC classes: the fact-side spend agg shuffles once by customer;
     # the cumulative share runs as a distributed ordered-prefix pass
