@@ -987,12 +987,17 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC candles per event type — the market-data rollup
     shape: open/close are the first/last observation under a
-    deterministic (ts, id) order (row-number election, engine-portable
-    tie semantics), high/low exact extremes; every output is an exact
-    value of the input, no float arithmetic at all, so the oracle
-    hash-matches. The two row-number windows and the aggregate all
-    share the (type, hour) partitioning — one exchange; bars
-    parallelize across (type, hour) at any scale."""
+    deterministic (ts, id) order, high/low exact extremes; every
+    output is an exact value of the input, no float arithmetic at
+    all, so the oracle hash-matches.
+
+    Rewritten round 10: the first/last election needed NO window at
+    all — ``min_by``/``max_by`` over the unique (ts, id) order struct
+    fold open/close into the SAME map-side-combinable hash-agg as the
+    extremes, so a type-hour holding 10^8 events costs one combine
+    tree instead of two full per-partition sorts. The oracle keeps
+    its ROW_NUMBER formulation (single-node DuckDB doesn't care);
+    values are identical because the order key is unique."""
     e = (
         _events(spark, sf_dir)
         .select("event_id", "event_type", "value", "ts_ns")
@@ -1002,20 +1007,13 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(ts_us div 3600000000) * 3600000000").cast("bigint"),
         )
     )
-    wp = Window.partitionBy("event_type", "hour_us")
-    r = e.withColumn(
-        "rn_a",
-        F.row_number().over(wp.orderBy(F.col("ts_us").asc(), F.col("event_id").asc())),
-    ).withColumn(
-        "rn_d",
-        F.row_number().over(wp.orderBy(F.col("ts_us").desc(), F.col("event_id").desc())),
-    )
-    return r.groupBy("event_type", "hour_us").agg(
+    okey = F.struct(F.col("ts_us"), F.col("event_id"))
+    return e.groupBy("event_type", "hour_us").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).cast("double").alias("open"),
+        F.min_by("value", okey).cast("double").alias("open"),
         F.max("value").cast("double").alias("high"),
         F.min("value").cast("double").alias("low"),
-        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).cast("double").alias("close"),
+        F.max_by("value", okey).cast("double").alias("close"),
     )
 
 

@@ -627,8 +627,8 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
         "shuffles": 6,
     },
-    # OHLC bars: both row-number windows and the aggregate share the
-    # ONE (type, hour) exchange.
+    # OHLC bars (rewritten r10): zero windows — min_by/max_by fold
+    # open/close into the ONE map-side-combined (type, hour) hash-agg.
     "events_ohlc_bars": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
         "shuffles": 1,
