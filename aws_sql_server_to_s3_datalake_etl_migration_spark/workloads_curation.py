@@ -1156,6 +1156,83 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_batch_drift",
+    """
+    WITH d AS (
+      SELECT vec_id % 2 AS batch, r.i AS dim,
+             CAST(FLOOR(CAST(e.embedding[r.i + 1] AS DOUBLE)
+                        * 1048576.0) AS BIGINT) AS xq
+      FROM embeddings e CROSS JOIN range(0, 64) r(i)
+    ),
+    per AS (
+      SELECT dim, batch, COUNT(*) AS n, SUM(xq) AS s
+      FROM d GROUP BY 1, 2
+    )
+    SELECT CAST(a.dim AS BIGINT) AS dim,
+           CAST(a.n AS BIGINT) AS n_a,
+           CAST(b.n AS BIGINT) AS n_b,
+           CAST(a.s AS DOUBLE) / (CAST(a.n AS DOUBLE) * 1048576.0)
+             AS mean_a,
+           CAST(b.s AS DOUBLE) / (CAST(b.n AS DOUBLE) * 1048576.0)
+             AS mean_b,
+           ABS(CAST(a.s AS DOUBLE) / (CAST(a.n AS DOUBLE) * 1048576.0)
+               - CAST(b.s AS DOUBLE) / (CAST(b.n AS DOUBLE) * 1048576.0))
+             AS mean_shift
+    FROM per a JOIN per b ON a.dim = b.dim
+    WHERE a.batch = 0 AND b.batch = 1
+    """,
+)
+def emb_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DISTRIBUTION DRIFT between two ingestion batches
+    (vec_id parity stands in for crawl A vs crawl B): per-dimension
+    centroid of each batch and the absolute shift — the screen that
+    catches a re-embedded or model-upgraded batch before it poisons a
+    shared ANN index (a centroid shift >> typical dim scale means the
+    two batches don't live in the same space).
+
+    Determinism (the calibration fixed-point discipline): each
+    component is floor-quantized at 2^-20 and summed as int64 —
+    order-free, immune to float-summation partitioning — with the
+    batch means and their difference computed as identical double
+    expressions on both engines. Scale shape: posexplode to (dim,
+    batch) pairs, one map-side-combined hash-agg over 128 groups,
+    then a 64-row self-join; at 100 TB the only data-sized cost is
+    the one pass over the vectors."""
+    e = _embs(spark, sf_dir).select(
+        (F.col("vec_id") % 2).alias("batch"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    per = e.groupBy("dim", "batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("x").cast("double") * F.lit(1048576.0)).cast(
+                "bigint"
+            )
+        ).alias("s"),
+    )
+    a = per.where(F.col("batch") == 0).select(
+        "dim", F.col("n").alias("n_a"), F.col("s").alias("s_a")
+    )
+    b = per.where(F.col("batch") == 1).select(
+        "dim", F.col("n").alias("n_b"), F.col("s").alias("s_b")
+    )
+    mean_a = F.col("s_a").cast("double") / (
+        F.col("n_a").cast("double") * F.lit(1048576.0)
+    )
+    mean_b = F.col("s_b").cast("double") / (
+        F.col("n_b").cast("double") * F.lit(1048576.0)
+    )
+    return a.join(b, "dim").select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        F.abs(mean_a - mean_b).alias("mean_shift"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PCA projection (round 8): distributed covariance, driver-side eig
 # ---------------------------------------------------------------------------

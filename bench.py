@@ -229,6 +229,7 @@ EXTENDED = [
     "doc_pagerank_fixedpoint",
     "supplier_pareto_deciles",
     "doc_source_lang_chi2",
+    "emb_batch_drift",
 ]
 
 

@@ -906,6 +906,11 @@ EXPECT: dict[str, dict] = {
     "doc_source_lang_chi2": {
         "pushed": False, "no_smj": True, "hints": 4, "pure_jvm": True,
     },
+    # embedding drift: posexplode -> one 128-group hash-agg -> 64-row
+    # self-join (AQE broadcasts)
+    "emb_batch_drift": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
     # quality prune (rewritten r10): ordered-prefix percent-rank
     # partitioned by source (1 hinted carry) — never ~20 tasks each
     # carrying 1/20th of the corpus
