@@ -3889,3 +3889,126 @@ def doc_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale=_PR_SCALE,
     )
     return scores.select(F.col("node").alias("doc_id"), "score")
+
+
+@register(
+    "doc_lang_trigram_distance",
+    """
+    WITH ch AS (
+      SELECT lang, lower(coalesce(text, '')) AS t FROM documents
+    ),
+    g AS (
+      SELECT lang, substr(t, i, 3) AS g
+      FROM ch, unnest(generate_series(1, length(t) - 2)) AS u(i)
+      WHERE length(t) >= 3
+    ),
+    prof AS (SELECT lang, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    tot AS (SELECT lang, SUM(c) AS n FROM prof GROUP BY 1),
+    inner_sums AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             SUM(ABS(a.c * tb.n - b.c * ta.n)) AS inner_abs,
+             SUM(a.c) AS sca, SUM(b.c) AS scb,
+             COUNT(*) AS shared_grams
+      FROM prof a JOIN prof b ON a.g = b.g AND a.lang < b.lang
+      JOIN tot ta ON ta.lang = a.lang
+      JOIN tot tb ON tb.lang = b.lang
+      GROUP BY 1, 2
+    )
+    SELECT ta.lang AS lang_a, tb.lang AS lang_b,
+           CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+           CAST(COALESCE(i.shared_grams, 0) AS BIGINT) AS shared_grams,
+           CAST(COALESCE(i.inner_abs, 0)
+                + (ta.n - COALESCE(i.sca, 0)) * tb.n
+                + (tb.n - COALESCE(i.scb, 0)) * ta.n AS DOUBLE)
+             / (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE))
+             AS l1_distance
+    FROM tot ta JOIN tot tb ON ta.lang < tb.lang
+    LEFT JOIN inner_sums i
+      ON i.lang_a = ta.lang AND i.lang_b = tb.lang
+    """,
+)
+def doc_lang_trigram_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise LANGUAGE-PROFILE distance: the L1 distance between
+    per-language character-trigram frequency vectors — the corpus-mix
+    diagnostic behind language-ID confusability ("which language
+    pairs will the n-gram classifier struggle to separate") and
+    contamination screening (a 'language' whose profile sits
+    suspiciously close to another is likely mislabeled).
+
+    EXACT arithmetic via the common-denominator trick: per gram,
+    |c_a/n_a − c_b/n_b| = |c_a·n_b − c_b·n_a| / (n_a·n_b), so the
+    numerator sums as int64 over the gram-keyed inner join, grams
+    private to one language contribute their count times the other's
+    total (closed form from the totals — no full-outer join needed),
+    and ONE double division lands the distance in [0, 2]. At
+    trillion-gram scale the products need DECIMAL; counts stay exact.
+
+    Scale shape: in-cell char-array trigrams (the textops split('')
+    idiom — linear, never per-index substring), one (lang, gram)
+    hash-agg, a gram-keyed self-join of the BOUNDED per-language
+    profiles (vocab-sized, Heaps-sublinear), and a |langs|² driver of
+    pairs."""
+    ch = _docs(spark, sf_dir).select(
+        "lang",
+        F.expr(
+            "filter(split(lower(coalesce(text, '')), ''), x -> x <> '')"
+        ).alias("ch"),
+    )
+    grams = ch.where(F.size("ch") >= 3).select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ch)-3),"
+                " i -> concat(ch[i], ch[i+1], ch[i+2]))"
+            )
+        ).alias("g"),
+    )
+    prof = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    tot = prof.groupBy("lang").agg(F.sum("c").alias("n"))
+    pa = prof.select(
+        F.col("lang").alias("lang_a"), "g", F.col("c").alias("ca")
+    )
+    pb = prof.select(
+        F.col("lang").alias("lang_b"), "g", F.col("c").alias("cb")
+    )
+    ta = tot.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    inner = (
+        pa.join(pb, "g")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .join(F.broadcast(ta), "lang_a")
+        .join(F.broadcast(tb), "lang_b")
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("ca") * F.col("n_b")
+                    - F.col("cb") * F.col("n_a")
+                )
+            ).alias("inner_abs"),
+            F.sum("ca").alias("sca"),
+            F.sum("cb").alias("scb"),
+            F.count(F.lit(1)).alias("shared_grams"),
+        )
+    )
+    pairs = ta.crossJoin(F.broadcast(tb)).where(
+        F.col("lang_a") < F.col("lang_b")
+    )
+    l1_num = (
+        F.coalesce("inner_abs", F.lit(0))
+        + (F.col("n_a") - F.coalesce("sca", F.lit(0))) * F.col("n_b")
+        + (F.col("n_b") - F.coalesce("scb", F.lit(0))) * F.col("n_a")
+    )
+    return pairs.join(inner, ["lang_a", "lang_b"], "left").select(
+        "lang_a",
+        "lang_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.coalesce("shared_grams", F.lit(0))
+        .cast("bigint")
+        .alias("shared_grams"),
+        (
+            l1_num.cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("l1_distance"),
+    )

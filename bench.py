@@ -230,6 +230,7 @@ EXTENDED = [
     "supplier_pareto_deciles",
     "doc_source_lang_chi2",
     "emb_batch_drift",
+    "doc_lang_trigram_distance",
 ]
 
 

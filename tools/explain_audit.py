@@ -911,6 +911,12 @@ EXPECT: dict[str, dict] = {
     "emb_batch_drift": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # trigram language distance: gram-keyed profile self-join with
+    # the two hinted lang-total broadcasts + the bounded |langs|^2
+    # pair grid (3 hints)
+    "doc_lang_trigram_distance": {
+        "pushed": False, "no_smj": False, "hints": 3, "pure_jvm": True,
+    },
     # quality prune (rewritten r10): ordered-prefix percent-rank
     # partitioned by source (1 hinted carry) — never ~20 tasks each
     # carrying 1/20th of the corpus
@@ -987,6 +993,8 @@ SCALAR_SUBQUERY_OK = {
     # bounded marginal-grid cross joins: |sources| x |langs| category
     # tables plus 1-row total/dof frames
     "doc_source_lang_chi2",
+    # bounded |langs|^2 pair grid cross join
+    "doc_lang_trigram_distance",
 }
 
 
