@@ -119,6 +119,29 @@ def quantile_boundaries(
     return out
 
 
+def _null_safe_join(
+    d: DataFrame, small: DataFrame, keys: list[str], broadcast: bool
+) -> DataFrame:
+    """Inner-join ``small`` onto ``d`` with NULL-SAFE key equality.
+    A plain column-list join uses SQL equality, where NULL != NULL —
+    so rows in a NULL-valued partition group would silently VANISH
+    from the operator's output (the single-task window these
+    operators replace keeps them; NULLS FIRST is a legal group). The
+    small side's keys are renamed before the condition so no
+    ambiguous columns survive."""
+    renamed = small
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"_nsj_{k}")
+    cond = None
+    for k in keys:
+        term = d[k].eqNullSafe(renamed[f"_nsj_{k}"])
+        cond = term if cond is None else (cond & term)
+    out = d.join(
+        F.broadcast(renamed) if broadcast else renamed, cond
+    )
+    return out.drop(*[f"_nsj_{k}" for k in keys])
+
+
 def with_ordered_prefix(
     df: DataFrame,
     primary: str,
@@ -212,9 +235,8 @@ def with_ordered_prefix(
         )
     carry = btot.select(*carry_cols)
 
-    join_keys = pcols + ["_opx_bkt"]
-    d = d.join(
-        F.broadcast(carry) if broadcast_carry else carry, join_keys
+    d = _null_safe_join(
+        d, carry, pcols + ["_opx_bkt"], broadcast_carry
     )
     for name, expr in aggs.items():
         zero = F.lit(0).cast(
@@ -401,7 +423,7 @@ def _bucket_locate(
             ]
         ),
     ).withColumn("_gos_bkt", F.col("_gos_bkt").cast("int"))
-    j = d.join(F.broadcast(needed), pcols + ["_gos_bkt"])
+    j = _null_safe_join(d, needed, pcols + ["_gos_bkt"], True)
     w = Window.partitionBy(*pcols, "_gos_bkt", "_gos_lbl").orderBy(
         F.col(value_col), *[F.col(c) for c in tiebreak_cols]
     )
@@ -488,9 +510,8 @@ def with_ordered_lead(
             for out in lead_cols
         ],
     )
-    d = d.join(
-        F.broadcast(carry) if broadcast_carry else carry,
-        pcols + ["_olx_bkt"],
+    d = _null_safe_join(
+        d, carry, pcols + ["_olx_bkt"], broadcast_carry
     )
     for out in lead_cols:
         resolved = F.coalesce(

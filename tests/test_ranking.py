@@ -348,3 +348,60 @@ def test_with_ordered_lead_global_order(spark):
     }
     # ascending v order: 1(id1) 2(id3) 3(id2) 4(id4) 5(id0)
     assert got == {1: 3, 3: 2, 2: 4, 4: 0, 0: None}
+
+
+def test_null_partition_groups_survive_all_operators(spark):
+    """A NULL-valued partition key is a legal group (NULLS FIRST in
+    the window ordering) — the carry/needed joins must be NULL-SAFE
+    or every row of the NULL group silently vanishes."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.ranking import (
+        group_order_statistics,
+        with_ordered_lead,
+        with_ordered_prefix,
+    )
+
+    rows = [(None if i % 3 == 0 else "g" + str(i % 3), float(i % 7), i)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    w = Window.partitionBy("g").orderBy("v", "id")
+
+    # prefix: exact row_number per group, NULL group included
+    got = {
+        (r["g"], r["id"]): r["pos"]
+        for r in with_ordered_prefix(
+            df, "v", [F.col("v"), F.col("id")], {"pos": F.lit(1)},
+            partition_cols=["g"], n_buckets=4,
+        ).collect()
+    }
+    want = {
+        (r["g"], r["id"]): r["rn"]
+        for r in df.select(
+            "g", "id", F.row_number().over(w).alias("rn")
+        ).collect()
+    }
+    assert got == want  # 60 rows, 20 of them in the NULL group
+
+    # lead: NULL group's successors intact
+    got_lead = {
+        (r["g"], r["id"]): r["nxt"]
+        for r in with_ordered_lead(
+            df, "v", [F.col("v"), F.col("id")], {"nxt": "id"},
+            partition_cols=["g"], n_buckets=4,
+        ).collect()
+    }
+    want_lead = {
+        (r["g"], r["id"]): r["nxt"]
+        for r in df.select(
+            "g", "id", F.lead("id").over(w).alias("nxt")
+        ).collect()
+    }
+    assert got_lead == want_lead
+
+    # bucket-locate: the NULL group reports its own order statistic
+    stats = {
+        r["g"]: r["value"]
+        for r in group_order_statistics(
+            df, "v", [0.5], ["g"], ["id"], n_buckets=4
+        ).collect()
+    }
+    assert None in stats and len(stats) == 3

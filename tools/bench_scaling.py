@@ -201,6 +201,11 @@ QUERIES = [
     # track events linearly (the old plan's per-type-day task was the
     # ceiling; this one's tasks are per (type, day, day-slice))
     "events_time_weighted_avg",
+    # r10 late additions: the embedding-drift posexplode pass (linear
+    # in vectors) and the trigram-profile self-join (pair volume is
+    # vocab-bounded — Heaps-sublinear — never corpus^2)
+    "emb_batch_drift",
+    "doc_lang_trigram_distance",
 ]
 
 
