@@ -1768,3 +1768,133 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res
     finally:
         slopes.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Round 10: robust median/MAD outlier screen (bucket-locate reuse)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_robust_outliers",
+    """
+    WITH e AS (
+      SELECT event_type, event_id,
+             CAST(FLOOR(value * 10000) AS BIGINT) AS v_q
+      FROM events
+    ),
+    r1 AS (
+      SELECT event_type, v_q,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY v_q, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ),
+    med AS (
+      SELECT event_type, MAX(n) AS n,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN v_q END) AS med
+      FROM r1 GROUP BY 1
+    ),
+    d AS (
+      SELECT e.event_type, e.event_id, ABS(e.v_q - m.med) AS dev
+      FROM e JOIN med m USING (event_type)
+    ),
+    r2 AS (
+      SELECT event_type, dev,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY dev, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    mad AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+      FROM r2 GROUP BY 1
+    )
+    SELECT m.event_type,
+           CAST(m.n AS BIGINT) AS n_events,
+           CAST(m.med AS DOUBLE) / 10000.0 AS median_value,
+           CAST(x.mad AS DOUBLE) / 10000.0 AS mad_value,
+           CAST(SUM(CASE WHEN ABS(e.v_q - m.med) > 3 * x.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM e JOIN med m USING (event_type) JOIN mad x USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier screen per event type — the ROBUST
+    counterpart to ``events_anomaly_zscore``: a mean/std gate moves
+    with the outliers it's hunting, while the median and the median
+    absolute deviation ignore up to half the data being garbage. An
+    event is flagged when |x − median| > 3·MAD (unscaled MAD — the
+    1.4826 normal-consistency factor is a float constant that adds
+    nothing to a threshold rule).
+
+    Fully integer-exact: values quantize to 1e-4 once (floor of one
+    IEEE multiply), so both medians are INTEGER order statistics —
+    selected via the bucket-locate operator's integer-rank variant
+    ((n+1) div 2, the lower median) — and the outlier comparison is
+    pure int64. The only floats are the two final /10000 display
+    divisions.
+
+    Scale shape: two ``group_rank_statistics`` passes (median, then
+    MAD over |x − med|) — each sorts ~1/64 of each type, never a
+    whole type in one task — plus one broadcast of the ~|types|-row
+    med/mad table and a final map-side-combined count. The events
+    projection is persisted across the passes."""
+    from .operators.ranking import group_rank_statistics
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_q"),
+    ).persist()
+    try:
+        lower_median = {"m": lambda n: (n + 1) // 2}
+        med = group_rank_statistics(
+            e, "v_q", lower_median, ["event_type"], ["event_id"]
+        ).select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.col("value").alias("med"),
+        )
+        dev = e.join(F.broadcast(med), "event_type").select(
+            "event_type",
+            "event_id",
+            F.abs(F.col("v_q") - F.col("med")).alias("dev"),
+        )
+        mad = group_rank_statistics(
+            dev, "dev", lower_median, ["event_type"], ["event_id"]
+        ).select("event_type", F.col("value").alias("mad"))
+        stats = med.join(mad, "event_type")
+        res = (
+            e.join(F.broadcast(stats), "event_type")
+            .groupBy("event_type", "n_events", "med", "mad")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("v_q") - F.col("med"))
+                        > 3 * F.col("mad"),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_outliers")
+            )
+            .select(
+                "event_type",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                (F.col("med").cast("double") / F.lit(10000.0)).alias(
+                    "median_value"
+                ),
+                (F.col("mad").cast("double") / F.lit(10000.0)).alias(
+                    "mad_value"
+                ),
+                "n_outliers",
+            )
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        e.unpersist()

@@ -231,6 +231,7 @@ EXTENDED = [
     "doc_source_lang_chi2",
     "emb_batch_drift",
     "doc_lang_trigram_distance",
+    "events_robust_outliers",
 ]
 
 

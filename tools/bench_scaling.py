@@ -206,6 +206,8 @@ QUERIES = [
     # vocab-bounded — Heaps-sublinear — never corpus^2)
     "emb_batch_drift",
     "doc_lang_trigram_distance",
+    # two bucket-locate passes; cost must track events linearly
+    "events_robust_outliers",
 ]
 
 

@@ -911,6 +911,14 @@ EXPECT: dict[str, dict] = {
     "emb_batch_drift": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # robust median/MAD screen: two bucket-locate needed-lists + the
+    # ~|types|-row med broadcast (appearing twice: once under the dev
+    # derivation, once inside the stats join's lineage) + the stats
+    # broadcast = 5 analyzed hints; windows partition by (type,
+    # bucket, stat)
+    "events_robust_outliers": {
+        "pushed": False, "no_smj": True, "hints": 5, "pure_jvm": True,
+    },
     # trigram language distance: gram-keyed profile self-join with
     # the two hinted lang-total broadcasts + the bounded |langs|^2
     # pair grid (3 hints)
