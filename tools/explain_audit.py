@@ -408,11 +408,14 @@ EXPECT: dict[str, dict] = {
     # unpartitioned windows are the three <=64-row bucket carries
     # (GLOBAL_WINDOW_OK).
     # the persisted per-customer aggregate absorbs the base shuffles
-    # (InMemoryTableScan); the one visible stage is the final join
-    # assembly — the three passes' carry aggregates broadcast
+    # (InMemoryTableScan); carry aggregates broadcast. No shuffle-
+    # count pin: since the r10 eager-materialize/unpersist pattern,
+    # the returned frame reads ITS OWN cache and the visible stage
+    # count depends on session cache state (1 in isolation, 2 after a
+    # long audit run evicts blocks) — order-dependent, not a plan
+    # property.
     "customer_rfm_segments": {
         "pushed": False, "no_smj": True, "hints": 3, "pure_jvm": True,
-        "shuffles": 1,
     },
     # hard-negative mining: centroid cross product is |Q| x n_cells
     # narrow rows (one explicit broadcast); the probed-cell equi-join
