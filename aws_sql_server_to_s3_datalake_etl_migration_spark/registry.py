@@ -100,6 +100,16 @@ def oracles() -> dict[str, str]:
 # path) and the CDF pair (under active perf work, r9 verdict item 7).
 # With this window, every oracle-backed catalog query holds >=1
 # official driver row across r3–r10 — debt 0.
+#
+# Round-11 rotation candidates (the 11 oracle-backed round-10
+# in-round additions, in suggested order — all local-check green at
+# sf0.01, plan-audited, bench-exercised, probed):
+# orders_wap_red_path_audit, mm_byte_histogram_checked,
+# doc_collocation_lift, doc_ngram_novelty_curve, doc_source_gini,
+# doc_pagerank_fixedpoint, supplier_pareto_deciles,
+# doc_source_lang_chi2, emb_batch_drift, doc_lang_trigram_distance,
+# events_robust_outliers. Swap them for eleven longest-green cohort
+# members after the round-10 window holds its official rows.
 _PRIORITY: tuple[str, ...] = (
     # §2 anchors (permanently pinned): flagship ingest, SQL-over-
     # parquet agg pipeline, watermark + incremental pair, MERGE
