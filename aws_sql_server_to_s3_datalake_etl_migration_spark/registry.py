@@ -101,15 +101,27 @@ def oracles() -> dict[str, str]:
 # With this window, every oracle-backed catalog query holds >=1
 # official driver row across r3–r10 — debt 0.
 #
-# Round-11 rotation candidates (the 11 oracle-backed round-10
-# in-round additions, in suggested order — all local-check green at
-# sf0.01, plan-audited, bench-exercised, probed):
-# orders_wap_red_path_audit, mm_byte_histogram_checked,
-# doc_collocation_lift, doc_ngram_novelty_curve, doc_source_gini,
-# doc_pagerank_fixedpoint, supplier_pareto_deciles,
-# doc_source_lang_chi2, emb_batch_drift, doc_lang_trigram_distance,
-# events_robust_outliers. Swap them for eleven longest-green cohort
-# members after the round-10 window holds its official rows.
+# Round-11 rotation (r10 verdict item 1, executed verbatim): the 11
+# oracle-backed round-10 in-round additions enter the window in the
+# staged order. The 11 dropped cohort members are the longest-green
+# entries (official rows r9 AND r10) with the deepest independent
+# pytest coverage: lineitem_weighted_median, customer_order_streaks,
+# customer_pseudonymize, events_value_histogram, events_user_overlap
+# (each with dedicated red/green pytests), the three format
+# roundtrips orders_orc_roundtrip / events_json_roundtrip /
+# orders_multiformat_union (test_json_and_orc_roundtrip plus the
+# multiformat-union pytests exercise the same reader/writer paths),
+# and events_time_weighted_avg / events_ohlc_bars / events_acf_daily
+# (the temporal operator layer beneath them carries the
+# test_timeseries.py suite: gapfill/LOCF/rolling/chunk-carry
+# properties). Every dropped query stays registered, bench-exercised,
+# and in the full local check. With this window, official-row debt
+# returns to 0: every oracle-backed catalog query holds >=1 driver
+# row across r3–r11.
+#
+# Round-12 rotation candidates will be staged here as round-11
+# in-round additions land (same protocol: oracle-backed, local-check
+# green, plan-audited, bench-exercised, probed before staging).
 _PRIORITY: tuple[str, ...] = (
     # §2 anchors (permanently pinned): flagship ingest, SQL-over-
     # parquet agg pipeline, watermark + incremental pair, MERGE
@@ -131,34 +143,36 @@ _PRIORITY: tuple[str, ...] = (
     "doc_confusable_spam_groups",
     "orders_wap_gated_publish",
     "events_theilsen_trend",
+    # ---- round-11 rotation: the 11 round-10 additions ----
+    "orders_wap_red_path_audit",
+    "mm_byte_histogram_checked",
+    "doc_collocation_lift",
+    "doc_ngram_novelty_curve",
+    "doc_source_gini",
+    "doc_pagerank_fixedpoint",
+    "supplier_pareto_deciles",
+    "doc_source_lang_chi2",
+    "emb_batch_drift",
+    "doc_lang_trigram_distance",
+    "events_robust_outliers",
     # lake engine: MERGE roundtrip (r9-fixed write path) + CDF pair
-    # (perf work this round); the other 10 roundtrips rotated out
-    # with their r9 rows + dedicated pytests intact
+    # (perf floor re-measured r11); the other 10 roundtrips rotated
+    # out with their r9 rows + dedicated pytests intact
     "orders_delta_partitioned_merge_roundtrip",
     "orders_delta_cdf",
     "orders_cdf_view_maintenance",
-    # warehouse analytics (round-8 additions)
+    # warehouse analytics (round-8 additions; the three members with
+    # dedicated pytests rotated out r11)
     "customer_abc_classes",
     "part_pair_affinity",
     "orders_skyline",
     "supplier_nation_hhi",
-    "lineitem_weighted_median",
-    "customer_order_streaks",
-    "customer_pseudonymize",
     "referential_integrity_audit",
     "orders_benford_dq",
-    # format roundtrips
-    "orders_orc_roundtrip",
-    "events_json_roundtrip",
-    "orders_multiformat_union",
-    # event analytics
-    "events_time_weighted_avg",
-    "events_ohlc_bars",
-    "events_acf_daily",
+    # event analytics (five members rotated out r11: direct pytests
+    # or test_timeseries.py operator coverage)
     "events_top_paths",
     "events_cross_correlation",
-    "events_value_histogram",
-    "events_user_overlap",
     "events_ab_conversion_lift",
     "events_user_behavior_outliers",
     # LLM-curation additions
