@@ -596,11 +596,22 @@ def connected_components(
     loop is a handful of shuffle-join + min-agg rounds, each
     partitioned on the node id — no driver-side graph, no all-pairs.
     The per-round ``count()`` is the convergence test (one scalar
-    action), and labels are re-persisted per round to keep lineage
-    flat. Raises if ``max_iter`` rounds don't converge (pathological
-    chain — raise the budget explicitly rather than silently returning
-    half-merged clusters).
-    """
+    action). Raises if ``max_iter`` rounds don't converge
+    (pathological chain — raise the budget explicitly rather than
+    silently returning half-merged clusters).
+
+    Per-round lineage TRUNCATION, not just caching (fixed round 11):
+    each round references ``labels`` twice (neighbor-min join + the
+    keep-own-label join), so the LOGICAL plan doubles per round —
+    persist caches execution but Catalyst still re-ANALYZES the full
+    2^rounds tree, which turned a diameter-7 chain graph into
+    minutes of pure driver-side planning. ``localCheckpoint(eager)``
+    materializes the round AND replaces its plan with the
+    materialized leaf, keeping analysis O(1) per round — the
+    standard discipline for iterative DataFrame algorithms
+    (deliberately executor-local: a lost executor aborts-and-retries
+    the job, which re-runs the loop — acceptable for a convergence
+    loop that is itself restartable)."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(
@@ -609,14 +620,13 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
-        nodes.select(F.col(id_col).alias("id"))
-        .distinct()
-        .withColumn("lbl", F.col("id"))
-        .persist()
-    )
-    labels.count()
     try:
+        labels = (
+            nodes.select(F.col(id_col).alias("id"))
+            .distinct()
+            .withColumn("lbl", F.col("id"))
+            .localCheckpoint()
+        )
         for _ in range(max_iter):
             nbr_min = (
                 edges.join(labels, edges.dst == labels.id)
@@ -634,9 +644,8 @@ def connected_components(
                         "chg"
                     ),
                 )
-            ).persist()
+            ).localCheckpoint()
             changed = new_labels.where(F.col("chg")).count()
-            labels.unpersist()
             labels = new_labels.select("id", "lbl")
             if changed == 0:
                 return labels.select(

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_fixedpoint"]
+__all__ = ["pagerank_fixedpoint", "connected_components"]
 
 
 def pagerank_fixedpoint(
@@ -94,3 +94,46 @@ def pagerank_fixedpoint(
         return scores
     finally:
         edges_deg.unpersist()
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Weakly connected components: every node labeled with the
+    smallest node id reachable over the (undirected) edge set.
+    Returns ``(node_col, component)``; singletons keep their own id.
+
+    This is the engine's ONE iterative graph labeling, promoted here
+    (round 11) from its birthplace in the dedup module so the graph
+    surface is complete beside PageRank — the implementation is
+    ``dedup.connected_components`` (operators/dedup.py), unchanged:
+    smallest-label propagation, per round one dst-keyed join + one
+    min-aggregation, labels re-persisted/materialized and the
+    previous round unpersisted (the module's standard per-round
+    discipline), convergence tested by a one-scalar changed-count
+    action. Rounds needed = component diameter; raises after
+    ``max_iter`` rounds rather than silently returning half-merged
+    components. No driver-side graph, no all-pairs anything —
+    O(edges) per round, like the PageRank loop above.
+    """
+    from . import dedup
+
+    pairs = edges.select(
+        F.col(src_col).alias("id_a"), F.col(dst_col).alias("id_b")
+    )
+    out = dedup.connected_components(
+        pairs,
+        nodes.select(F.col(node_col).alias("_wcc_id")),
+        "_wcc_id",
+        max_iter=max_iter,
+    )
+    return out.select(
+        F.col("_wcc_id").alias(node_col),
+        F.col("cluster_id").alias("component"),
+    )

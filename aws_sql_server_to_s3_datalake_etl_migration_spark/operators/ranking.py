@@ -42,7 +42,6 @@ would need.
 
 from __future__ import annotations
 
-import math
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -285,6 +284,9 @@ def group_order_statistics(
     partition_cols: list[str],
     tiebreak_cols: list[str],
     n_buckets: int = 64,
+    *,
+    boundaries: list[float] | None = None,
+    broadcast_needed: bool = True,
 ) -> DataFrame:
     """Exact per-group ORDER STATISTICS (the ceil(p·n)-th value under
     the (value, tiebreak) total order) WITHOUT sorting any group in
@@ -293,34 +295,52 @@ def group_order_statistics(
     1. Quantile boundaries of ``value_col`` split rows into value
        buckets (monotone, deterministic — the ordered-prefix
        machinery above).
-    2. One (group, bucket) count aggregate collects to the driver —
-       bounded by |groups| × n_buckets (the caller contract: group
-       cardinality is BOUNDED, e.g. market segments; for
-       fact-tracking groups use ``with_ordered_prefix`` instead).
-    3. Pure driver arithmetic locates, per (group, p), the bucket
+    2. A (group, bucket) count aggregate gets running/total counts
+       over one BOUNDED window per group (≤ n_buckets rows each —
+       the ``with_ordered_prefix`` carry shape; nothing is collected
+       to the driver, so group cardinality may track the fact table).
+    3. In-engine rank arithmetic locates, per (group, p), the bucket
        holding rank k = ceil(p·n) and the residual in-bucket rank.
-    4. A broadcast join of that tiny needed-list filters the data to
-       the selected buckets only (~|probs|/n_buckets of each group),
-       and a window partitioned by (group, bucket, p) — never by
-       group alone — picks the residual rank.
+    4. A join of that needed-list (one row per group × p) filters the
+       data to the selected buckets only (~|probs|/n_buckets of each
+       group), and a window partitioned by (group, bucket, p) — never
+       by group alone — picks the residual rank.
 
     Versus the naive per-group ROW_NUMBER window (whose task count is
     |groups| and task SIZE is the whole group — half the fact table
     for a dominant group), the sort here touches ~1/n_buckets of each
     group per requested p, fully parallel. Two passes over the input
     (count + filtered rank): persist the source frame when its
-    lineage is expensive.
+    lineage is expensive. ``broadcast_needed=False`` swaps the
+    needed-list broadcast for a plain shuffle join — set it when
+    |groups| × |probs| is too large to broadcast (the same dial as
+    ``with_ordered_prefix``'s ``broadcast_carry``).
 
     Returns a LONG frame: (*partition_cols, prob double, n bigint,
     value) — one row per (group, p); callers pivot as needed. Exact:
     ties in ``value`` land in one bucket, so the tiebreak ordering
     inside the bucket reproduces the global order's selection
-    bit-for-bit.
+    bit-for-bit; k = CEIL(p · n) is the same IEEE double product +
+    ceil on both engines.
     """
     if not probs or any(not (0.0 < p <= 1.0) for p in probs):
         raise ValueError("probs must lie in (0, 1]")
+    if len(set(float(p) for p in probs)) != len(probs):
+        raise ValueError(
+            "duplicate probs: each p is the needed-list join key and "
+            "the residual-rank window partition, so a duplicate would "
+            "double every joined row and silently shift the selected "
+            "order statistic — pass each p once"
+        )
     targets = [
-        (float(p), (lambda n, p=p: max(math.ceil(p * n), 1)))
+        (
+            float(p),
+            (
+                lambda n, p=p: F.ceil(
+                    F.lit(float(p)) * n.cast("double")
+                ).cast("bigint")
+            ),
+        )
         for p in probs
     ]
     return _bucket_locate(
@@ -332,7 +352,61 @@ def group_order_statistics(
         n_buckets,
         label_col="prob",
         label_is_double=True,
+        boundaries=boundaries,
+        broadcast_needed=broadcast_needed,
     )
+
+
+class _ColInt:
+    """Exact int64 arithmetic PROXY over a Spark Column — lets
+    caller-supplied Python rank formulas (``n -> k`` built from
+    ``+ - * //`` and int literals, e.g. ``lambda n: (n + 9) // 10``)
+    evaluate UNCHANGED against the in-engine group size, so the same
+    lambda that states the oracle's integer arithmetic compiles to a
+    JVM-side expression instead of running on a collected count.
+
+    Floor division is ``(a - a % b) / b`` cast to bigint: the
+    remainder-subtracted dividend is exactly divisible, and IEEE
+    double division of two exactly-representable operands with an
+    exactly-representable integer quotient is exact — valid for the
+    rank domain (|k| ≤ n ≤ 2^53, far above any group size). Spark's
+    ``%`` has the dividend's sign, matching Python for the
+    non-negative counts this domain guarantees."""
+
+    __slots__ = ("col",)
+
+    def __init__(self, col: Column):
+        self.col = col
+
+    def _lift(self, other) -> Column:
+        if isinstance(other, _ColInt):
+            return other.col
+        if isinstance(other, int) and not isinstance(other, bool):
+            return F.lit(other).cast("bigint")
+        raise TypeError(
+            f"rank formulas may combine the group size with int "
+            f"literals via + - * // only; got {type(other).__name__}"
+        )
+
+    def __add__(self, other):
+        return _ColInt(self.col + self._lift(other))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return _ColInt(self.col - self._lift(other))
+
+    def __rsub__(self, other):
+        return _ColInt(self._lift(other) - self.col)
+
+    def __mul__(self, other):
+        return _ColInt(self.col * self._lift(other))
+
+    __rmul__ = __mul__
+
+    def __floordiv__(self, other):
+        a, b = self.col, self._lift(other)
+        return _ColInt(((a - a % b) / b).cast("bigint"))
 
 
 def group_rank_statistics(
@@ -342,16 +416,45 @@ def group_rank_statistics(
     partition_cols: list[str],
     tiebreak_cols: list[str],
     n_buckets: int = 64,
+    *,
+    boundaries: list[float] | None = None,
+    broadcast_needed: bool = True,
 ) -> DataFrame:
     """``group_order_statistics`` with CALLER-SUPPLIED integer rank
     functions ``label -> (n -> k)`` instead of float probabilities —
     for selections whose rank arithmetic must match an oracle's
     integer formula exactly (e.g. ``(n + 9) div 10``), where
     ``ceil(p·n)`` in floating point could differ at adversarial n.
-    Returns (*partition_cols, stat string, n bigint, value)."""
+
+    Each function receives the group size as an exact-int64 proxy
+    (``_ColInt``) and runs IN-ENGINE; plain Python lambdas over
+    ``+ - * //`` work verbatim. Functions needing richer expressions
+    may instead accept a ``pyspark.sql.Column`` (bigint n) and return
+    a Column k. Returns (*partition_cols, stat string, n bigint,
+    value)."""
     if not rank_fns:
         raise ValueError("rank_fns must not be empty")
-    targets = [(label, fn) for label, fn in rank_fns.items()]
+
+    def _as_col_fn(fn):
+        def k_expr(n_col: Column) -> Column:
+            try:
+                res = fn(_ColInt(n_col))
+            except TypeError:
+                res = fn(n_col)
+            if isinstance(res, _ColInt):
+                return res.col
+            if isinstance(res, Column):
+                return res
+            raise TypeError(
+                "rank function must return the proxy/Column it was "
+                f"given arithmetic over, got {type(res).__name__}"
+            )
+
+        return k_expr
+
+    targets = [
+        (label, _as_col_fn(fn)) for label, fn in rank_fns.items()
+    ]
     return _bucket_locate(
         df,
         value_col,
@@ -361,6 +464,8 @@ def group_rank_statistics(
         n_buckets,
         label_col="stat",
         label_is_double=False,
+        boundaries=boundaries,
+        broadcast_needed=broadcast_needed,
     )
 
 
@@ -373,57 +478,88 @@ def _bucket_locate(
     n_buckets: int,
     label_col: str,
     label_is_double: bool,
+    boundaries: list[float] | None = None,
+    broadcast_needed: bool = True,
 ) -> DataFrame:
     """Shared bucket-locate core: ``targets`` is a list of
-    (label, n -> k) pairs; ranks are clamped to [1, n]."""
-    boundaries = _bucket_boundaries(df, value_col, n_buckets)
-    d = df.withColumn("_gos_bkt", _bucket_expr(value_col, boundaries))
-    cnt = (
-        d.groupBy(*pcols, "_gos_bkt")
-        .agg(F.count(F.lit(1)).alias("_gos_c"))
-        .collect()
-    )
-    per_group: dict[tuple, dict[int, int]] = {}
-    for r in cnt:
-        key = tuple(r[c] for c in pcols)
-        per_group.setdefault(key, {})[r["_gos_bkt"]] = r["_gos_c"]
-    needed_rows: list[tuple] = []
-    for key, buckets in per_group.items():
-        n = sum(buckets.values())
-        for label, k_fn in targets:
-            k = min(max(int(k_fn(n)), 1), n)
-            cum = 0
-            for b in sorted(buckets):
-                if cum + buckets[b] >= k:
-                    needed_rows.append(key + (b, label, k - cum, n))
-                    break
-                cum += buckets[b]
-    spark = df.sparkSession
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
+    (label, n_col -> k_col) pairs; ranks are clamped to [1, n].
 
-    key_fields = [
-        StructField(c, df.schema[c].dataType) for c in pcols
+    Fully in-engine (rewritten round 11 — the driver-side locate and
+    its unguarded |groups| × n_buckets collect are gone): the
+    (group, bucket) count aggregate gets a running-count-before and a
+    group total over ONE bounded window per group (≤ n_buckets rows
+    each — the ``with_ordered_prefix`` carry shape), each target's
+    rank k is derived as a column expression over the group total,
+    and the bucket holding k is the row where
+    ``cum_before < k ≤ cum_before + count``. The needed-list then
+    joins back to the data exactly as before. No driver data
+    movement ⇒ no bounded-group contract: per-id partition keys are
+    as safe here as in the prefix operator.
+
+    ``boundaries``: precomputed bucket boundaries (e.g. from
+    ``quantile_boundaries``) — callers running several locate passes
+    over one frame batch the boundary jobs; any sorted list works,
+    balance only affects speed, never values."""
+    if boundaries is None:
+        boundaries = _bucket_boundaries(df, value_col, n_buckets)
+    d = df.withColumn("_gos_bkt", _bucket_expr(value_col, boundaries))
+    cnt = d.groupBy(*pcols, "_gos_bkt").agg(
+        F.count(F.lit(1)).alias("_gos_c")
+    )
+    # Bounded carry windows: ≤ n_buckets rows per partition group by
+    # construction (bucket ids come from _bucket_expr). Same audit
+    # allowlist shape as with_ordered_prefix's carry.
+    w_before = (
+        Window.partitionBy(*pcols)
+        .orderBy("_gos_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*pcols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    loc = cnt.select(
+        *pcols,
+        "_gos_bkt",
+        "_gos_c",
+        F.coalesce(
+            F.sum("_gos_c").over(w_before), F.lit(0).cast("bigint")
+        ).alias("_gos_cum"),
+        F.sum("_gos_c").over(w_all).cast("bigint").alias("_gos_n"),
+    )
+    label_sql = "double" if label_is_double else "string"
+    n_col = F.col("_gos_n")
+    structs = [
+        F.struct(
+            F.lit(label).cast(label_sql).alias("_gos_lbl"),
+            F.least(
+                F.greatest(k_fn(n_col).cast("bigint"), F.lit(1)),
+                n_col,
+            ).alias("_gos_k"),
+        )
+        for label, k_fn in targets
     ]
-    label_type = DoubleType() if label_is_double else StringType()
-    needed = spark.createDataFrame(
-        needed_rows,
-        StructType(
-            key_fields
-            + [
-                StructField("_gos_bkt", LongType()),
-                StructField("_gos_lbl", label_type),
-                StructField("_gos_r", LongType()),
-                StructField("_gos_n", LongType()),
-            ]
-        ),
-    ).withColumn("_gos_bkt", F.col("_gos_bkt").cast("int"))
-    j = _null_safe_join(d, needed, pcols + ["_gos_bkt"], True)
+    needed = (
+        loc.withColumn("_gos_t", F.explode(F.array(*structs)))
+        .where(
+            (F.col("_gos_t._gos_k") > F.col("_gos_cum"))
+            & (
+                F.col("_gos_t._gos_k")
+                <= F.col("_gos_cum") + F.col("_gos_c")
+            )
+        )
+        .select(
+            *pcols,
+            "_gos_bkt",
+            F.col("_gos_t._gos_lbl").alias("_gos_lbl"),
+            (F.col("_gos_t._gos_k") - F.col("_gos_cum")).alias(
+                "_gos_r"
+            ),
+            "_gos_n",
+        )
+    )
+    j = _null_safe_join(
+        d, needed, pcols + ["_gos_bkt"], broadcast_needed
+    )
     w = Window.partitionBy(*pcols, "_gos_bkt", "_gos_lbl").orderBy(
         F.col(value_col), *[F.col(c) for c in tiebreak_cols]
     )

@@ -735,3 +735,115 @@ def bpe_learn_merges(
         "rank long, left string, right string, merged string, "
         "weight long",
     )
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    *,
+    merges_per_stage: int = 8,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Tokenize the CORPUS with a learned BPE merge table — the apply
+    half of ``bpe_learn_merges`` (learn → tokenize → pack completes
+    the training-data pipeline; packing is ``doc_pack_sequences``).
+
+    ``merges`` is the learner's output frame (rank, left, right,
+    merged, ...) or an already-ordered list of (left, right, merged)
+    tuples; a merge TABLE is control-plane data (tens to a few
+    thousand rows), so collecting it to drive expression construction
+    is the sanctioned bounded collect.
+
+    Scale shape — the fold runs on the DISTINCT VOCABULARY, never the
+    token stream (Heaps' law, the learner's own trick): one
+    corpus-sized hash-agg builds word -> symbol list, the merge list
+    folds over those |vocab| rows via the same codegen'd
+    merge-adjacent expression the learner uses (chunked
+    ``merges_per_stage`` per select, with persist/materialize between
+    chunks, so codegen depth and lineage stay bounded for
+    thousand-merge tables), and ONE join maps each word occurrence to
+    its token list. Per-doc sequences reassemble by word position —
+    posexplode + array_sort(collect_list(struct)), no window.
+
+    ``broadcast_vocab=False`` swaps the vocab broadcast for a shuffle
+    join — required when the corpus vocabulary outgrows executor
+    memory (a web-scale corpus' vocab is Heaps-sublinear but still
+    ~10^8 words at 100 TB).
+
+    Returns one row per input doc: every original column of ``docs``
+    plus ``out_col`` (array<string>, the BPE token sequence in word
+    order). Rows whose text has no tokens get an empty array.
+    """
+    if isinstance(merges, DataFrame):
+        merge_rows = [
+            (r["left"], r["right"], r["merged"])
+            for r in merges.orderBy("rank").collect()
+        ]
+    else:
+        merge_rows = [tuple(m)[:3] for m in merges]
+
+    toks = tokens(text_col)
+    exploded = docs.select(
+        F.col("*"),
+        F.posexplode_outer(toks).alias("_bpe_pos", "_bpe_w"),
+    )
+    vocab = (
+        exploded.where(F.col("_bpe_w").isNotNull())
+        .select(F.col("_bpe_w").alias("_bpe_word"))
+        .distinct()
+        .withColumn(
+            "_bpe_syms",
+            F.expr("filter(split(_bpe_word, ''), x -> x <> '')"),
+        )
+    )
+    staged: list[DataFrame] = []
+    for i in range(0, len(merge_rows), max(merges_per_stage, 1)):
+        chunk = merge_rows[i:i + max(merges_per_stage, 1)]
+        col = F.col("_bpe_syms")
+        for a, b, m in chunk:
+            col = _merge_adjacent_impl(col, a, b, m)
+        vocab = vocab.withColumn("_bpe_syms", col)
+        if i + merges_per_stage < len(merge_rows):
+            vocab = vocab.persist()
+            vocab.count()
+            staged.append(vocab)
+    try:
+        mapped = exploded.join(
+            F.broadcast(vocab) if broadcast_vocab else vocab,
+            exploded["_bpe_w"].eqNullSafe(vocab["_bpe_word"]),
+            "left",
+        )
+        doc_cols = [c for c in docs.columns]
+        reassembled = (
+            mapped.groupBy(*doc_cols)
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("_bpe_pos").alias("p"),
+                                    F.col("_bpe_syms").alias("s"),
+                                )
+                            )
+                        ),
+                        lambda st: st["s"],
+                    )
+                ).alias(out_col)
+            )
+            .withColumn(
+                out_col,
+                F.coalesce(
+                    F.col(out_col), F.array().cast("array<string>")
+                ),
+            )
+        )
+        if staged:
+            reassembled = reassembled.persist()
+            reassembled.count()
+        return reassembled
+    finally:
+        for s in staged:
+            s.unpersist()

@@ -76,6 +76,7 @@ from __future__ import annotations
 import json
 import time
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -982,14 +983,35 @@ def _delete_staged(spark: SparkSession, table_path: str, adds: list[dict]) -> No
     """Delete data files staged for a commit that will never land
     (lost an idempotency race, or the frame had to be re-derived
     against newer metadata) — orphans are harmless to readers but
-    waste storage and show up in fsck."""
+    waste storage and show up in fsck.
+
+    Best-effort by contract (ADVICE r10): this runs on the
+    retry-exhaustion and txn-replay-cleanup paths, where a transient
+    FS error during orphan removal must not mask the real outcome —
+    the CommitConflict being raised, or the successful no-op replay
+    return. Orphans are documented as harmless to readers, so each
+    delete failure is noted and skipped."""
     base = table_path.rstrip("/")
-    fs, jvm = _fs(spark, base)
-    hpath = jvm.org.apache.hadoop.fs.Path
+    try:
+        fs, jvm = _fs(spark, base)
+        hpath = jvm.org.apache.hadoop.fs.Path
+    except Exception as exc:  # noqa: BLE001 — cleanup must not mask
+        warnings.warn(
+            f"staged-file cleanup skipped for {base}: {exc}",
+            stacklevel=2,
+        )
+        return
     for a in adds:
-        p = hpath(f"{base}/{a['add']['path']}")
-        if fs.exists(p):
-            fs.delete(p, False)
+        try:
+            p = hpath(f"{base}/{a['add']['path']}")
+            if fs.exists(p):
+                fs.delete(p, False)
+        except Exception as exc:  # noqa: BLE001
+            warnings.warn(
+                f"orphan staged file not removed "
+                f"({a['add']['path']}): {exc}",
+                stacklevel=2,
+            )
 
 
 _COMMIT_RETRIES = 50

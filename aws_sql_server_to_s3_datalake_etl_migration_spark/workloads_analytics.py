@@ -3266,7 +3266,14 @@ def orders_wap_red_path_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             "rejected WAP cycle committed to the target"
         )  # pragma: no cover
-    report = json.load(open(os.path.join(staging_path, "_audit.json")))
+    # Read the audit report through the same scheme-aware helper that
+    # wrote it (ADVICE r10): a bare POSIX open() breaks the moment the
+    # staging root is non-local, unlike every other lake access here.
+    report = json.loads(
+        delta_log.read_commit_text(
+            spark, staging_path.rstrip("/") + "/_audit.json"
+        )
+    )
     if not any(not r["passed"] for r in report["report"]):
         raise AssertionError(
             "audit report lost the failing rule"

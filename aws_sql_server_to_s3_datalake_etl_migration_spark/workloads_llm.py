@@ -4012,3 +4012,190 @@ def doc_lang_trigram_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
         ).alias("l1_distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE APPLY at corpus scale (round 11): learn -> tokenize, value-checked
+# ---------------------------------------------------------------------------
+
+_BPE_TOK_ROUNDS = 8
+
+
+def _bpe_tokenize_oracle(n_rounds: int) -> str:
+    """Unrolled BPE learn+apply as ONE DuckDB statement — the same
+    technique as the PageRank unrolled-iteration oracle: each round is
+    a (pair-argmax, vocabulary-rewrite) CTE pair. The vocabulary is
+    held as a WRAPPED STRING ('|h||e||l||l||o|'): every token carries
+    its own delimiters, so the merge rewrite is one global
+    replace('|a||b|' -> '|ab|') whose non-overlapping left-to-right
+    semantics equal the engine's array fold exactly — legal because
+    the word stream is restricted to [a-z]{2,12}, which can never
+    contain the delimiter. The chr(1) coalesce keeps a pair-less
+    round a no-op instead of NULL-poisoning the vocabulary. Every
+    vocabulary CTE is MATERIALIZED: each round reads its predecessor
+    twice (argmax + rewrite), so default inlining would re-evaluate
+    the chain 2^rounds times — enough parquet re-opens to exhaust
+    the fd limit."""
+    parts = [
+        r"""
+    WITH words AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+               x -> regexp_full_match(x, '[a-z]{2,12}'))) AS w
+      FROM documents
+    ),
+    v0 AS MATERIALIZED (
+      SELECT w, count(*)::BIGINT AS n,
+             regexp_replace(w, '(.)', '|\1|', 'g') AS s
+      FROM words GROUP BY w
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""
+    , p{r} AS (
+      SELECT u.l AS l, u.r AS r
+      FROM (
+        SELECT n, unnest(list_transform(range(1, len(toks)),
+                 i -> struct_pack(l := toks[i], r := toks[i+1]))) AS u
+        FROM (SELECT n, string_split(substr(s, 2, len(s) - 2), '||')
+                AS toks FROM v{r - 1}) q
+      ) z GROUP BY 1, 2 ORDER BY sum(n) DESC, l, r LIMIT 1
+    ),
+    v{r} AS MATERIALIZED (
+      SELECT w, n, replace(s,
+        coalesce('|' || (SELECT l FROM p{r}) || '||'
+                     || (SELECT r FROM p{r}) || '|', chr(1)),
+        coalesce('|' || (SELECT l FROM p{r})
+                     || (SELECT r FROM p{r}) || '|', chr(1))) AS s
+      FROM v{r - 1}
+    )""")
+    parts.append(f"""
+    SELECT d.doc_id,
+           count(w.w)::BIGINT AS n_words,
+           coalesce(sum(len(string_split(
+             substr(v.s, 2, len(v.s) - 2), '||'))), 0)::BIGINT
+             AS n_bpe_tokens
+    FROM documents d
+    LEFT JOIN words w ON w.doc_id = d.doc_id
+    LEFT JOIN v{n_rounds} v ON v.w = w.w
+    GROUP BY d.doc_id
+    """)
+    return "".join(parts)
+
+
+@register("doc_bpe_tokenize", _bpe_tokenize_oracle(_BPE_TOK_ROUNDS))
+def doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with BPE merges learned ON that corpus —
+    the apply half of doc_bpe_learn_merges and the missing middle of
+    the train-data pipeline (learn -> TOKENIZE -> pack; packing is
+    doc_pack_sequences). The word stream is the lowercased
+    [a-z]{2,12} vocabulary (delimiter-safe, so the oracle's wrapped-
+    string replace arithmetic is exactly the engine's array fold).
+
+    Scale shape: the learner iterates on the distinct vocabulary
+    (Heaps-sublinear); apply_bpe folds the merge table over that same
+    vocabulary in codegen (chunked, persisted between chunks) and
+    maps word -> tokens back over the corpus with ONE broadcast join;
+    per-doc sequences reassemble by word position without a window.
+    The full per-doc token SEQUENCES are pinned by a pure-Python
+    differential pytest; this oracle value-checks the learned table
+    end-to-end through per-doc token counts (any divergent merge
+    shifts counts corpus-wide)."""
+    docs = _docs(spark, sf_dir)
+    cleaned = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.split(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                    r"\s+",
+                ),
+                lambda w: w.rlike("^[a-z]{2,12}$"),
+            ),
+        ).alias("text"),
+    ).persist()
+    try:
+        merges = textops.bpe_learn_merges(
+            cleaned, n_merges=_BPE_TOK_ROUNDS
+        )
+        toked = textops.apply_bpe(cleaned, merges)
+        res = toked.select(
+            "doc_id",
+            F.size(textops.tokens("text")).cast("bigint").alias(
+                "n_words"
+            ),
+            F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        cleaned.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Weakly connected components (round 11): iterative labeling, value-checked
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_link_components",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             doc_id - ROW_NUMBER() OVER (ORDER BY doc_id) AS run,
+             doc_id // 8 AS bkt
+      FROM documents
+    ),
+    lab AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY run, bkt) AS component,
+             COUNT(*) OVER (PARTITION BY run, bkt) AS component_size
+      FROM d
+    )
+    SELECT doc_id, component,
+           CAST(component_size AS BIGINT) AS component_size
+    FROM lab
+    """,
+)
+def doc_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly connected components over a deterministic chain graph,
+    VALUE-CHECKED — the iterative-twin pattern (leakage-free split,
+    PageRank): docs link to their successor id inside 8-wide id
+    buckets, so the true components are exactly the maximal
+    CONTIGUOUS id runs within each bucket — which the oracle states
+    declaratively as gaps-and-islands (doc_id − ROW_NUMBER is
+    constant along a contiguous run). Chain diameter ≤ 7 exercises
+    multiple propagation rounds, unlike the split query's
+    diameter-2 star edges.
+
+    The Spark side runs the REAL iterative machinery
+    (``graph.connected_components`` — smallest-label propagation,
+    O(edges) join+min-agg per round, per-round persist hygiene); the
+    oracle's window runs over the ~|docs|-row id list on the DuckDB
+    side only. Component sizes come from one hash-agg joined back on
+    the component id (both sides fact-partitioned keys, no window on
+    the Spark side)."""
+    from .operators.graph import connected_components
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    a = d.select(F.col("doc_id").alias("src"))
+    edges = a.join(
+        d.select(F.col("doc_id").alias("dst")),
+        (F.col("dst") == F.col("src") + 1)
+        & (
+            F.floor(F.col("dst") / 8)
+            == F.floor(F.col("src") / 8)
+        ),
+    )
+    comps = connected_components(
+        d.select(F.col("doc_id").alias("node")), edges
+    )
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("component_size")
+    )
+    return comps.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "component", "component_size"
+    )

@@ -1841,31 +1841,50 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAD over |x − med|) — each sorts ~1/64 of each type, never a
     whole type in one task — plus one broadcast of the ~|types|-row
     med/mad table and a final map-side-combined count. The events
-    projection is persisted across the passes."""
-    from .operators.ranking import group_rank_statistics
+    projection is persisted across the passes.
+
+    Fixed-overhead trim (round 11, the r10 verdict's heaviest
+    extended query): ONE boundary job serves both passes — the
+    deviation pass reuses the value boundaries folded around their
+    own midpoint (|b − c| for each value boundary b and the middle
+    boundary c — bucket boundaries only steer balance, never values,
+    so any sorted list is legal); and the ~|types|-row med/mad
+    frames are persisted + materialized, so the final join does not
+    re-run each locate pipeline's lineage per consumer."""
+    from .operators.ranking import (
+        group_rank_statistics,
+        quantile_boundaries,
+    )
 
     e = _events(spark, sf_dir).select(
         "event_type",
         "event_id",
         F.floor(F.col("value") * 10000).cast("bigint").alias("v_q"),
     ).persist()
+    med = mad = None
     try:
         lower_median = {"m": lambda n: (n + 1) // 2}
+        v_bounds = quantile_boundaries(e, ["v_q"])["v_q"]
+        center = v_bounds[len(v_bounds) // 2] if v_bounds else 0.0
+        dev_bounds = sorted({abs(b - center) for b in v_bounds})
         med = group_rank_statistics(
-            e, "v_q", lower_median, ["event_type"], ["event_id"]
+            e, "v_q", lower_median, ["event_type"], ["event_id"],
+            boundaries=v_bounds,
         ).select(
             "event_type",
             F.col("n").alias("n_events"),
             F.col("value").alias("med"),
-        )
+        ).persist()
+        med.count()
         dev = e.join(F.broadcast(med), "event_type").select(
             "event_type",
             "event_id",
             F.abs(F.col("v_q") - F.col("med")).alias("dev"),
         )
         mad = group_rank_statistics(
-            dev, "dev", lower_median, ["event_type"], ["event_id"]
-        ).select("event_type", F.col("value").alias("mad"))
+            dev, "dev", lower_median, ["event_type"], ["event_id"],
+            boundaries=dev_bounds,
+        ).select("event_type", F.col("value").alias("mad")).persist()
         stats = med.join(mad, "event_type")
         res = (
             e.join(F.broadcast(stats), "event_type")
@@ -1898,3 +1917,7 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res
     finally:
         e.unpersist()
+        if med is not None:
+            med.unpersist()
+        if mad is not None:
+            mad.unpersist()

@@ -232,6 +232,8 @@ EXTENDED = [
     "emb_batch_drift",
     "doc_lang_trigram_distance",
     "events_robust_outliers",
+    # round-11 additions
+    "doc_bpe_tokenize",
 ]
 
 

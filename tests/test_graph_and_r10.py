@@ -165,3 +165,60 @@ def test_byte_histogram_matches_python_counter(spark, tmp_path):
             c.get(0, 0),
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 11: connected components on the graph surface + lineage fix
+# ---------------------------------------------------------------------------
+
+
+def test_graph_connected_components_matches_union_find(spark):
+    """graph.connected_components (the dedup labeling re-exported on
+    the graph surface) must match a pure-Python union-find on a mixed
+    graph: chains (diameter ~10), a star, singletons, and a cycle."""
+    import time
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = []
+    # two 11-node chains (diameter 10 — exercises many rounds)
+    for base in (0, 20):
+        edges += [(base + i, base + i + 1) for i in range(10)]
+    # a star at 40
+    edges += [(40, 41), (40, 42), (40, 43)]
+    # a 4-cycle at 50
+    edges += [(50, 51), (51, 52), (52, 53), (53, 50)]
+    nodes = sorted({n for e in edges for n in e} | {60, 61})  # singletons
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    t0 = time.time()
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(ndf, edf).collect()
+    }
+    elapsed = time.time() - t0
+    assert got == want
+    # lineage-truncation regression (r11): before the per-round
+    # localCheckpoint, each round DOUBLED the logical plan (labels is
+    # referenced twice), so a diameter-10 graph spent minutes in pure
+    # Catalyst re-analysis (measured: 2^7 rounds -> 56 s for ONE
+    # round's analysis at diameter 7). Post-fix, 11 rounds of tiny
+    # joins finish in well under this generous bound.
+    assert elapsed < 120, f"lineage blowup? {elapsed:.0f}s"

@@ -1669,3 +1669,57 @@ def test_byte_entropy_matches_pure_python(spark):
         assert got[i][1] == repr(ent)
         assert got[i][2] == repr(counts[0] / len(b))
     assert math.isclose(eval(got[1][1]), 0.0) and eval(got[2][1]) == 8.0
+
+
+def test_apply_bpe_matches_python_encoder(spark, sf_dir):
+    """apply_bpe's corpus tokenization must equal a pure-Python BPE
+    encoder applying the SAME learned merge table word by word —
+    exercising the chunked vocab fold (merges_per_stage below the
+    table size forces persist/materialize staging) and the
+    shuffle-join vocab path (broadcast_vocab=False)."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        textops,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    merges = textops.bpe_learn_merges(docs, n_merges=8)
+    merge_rows = [
+        (r["left"], r["right"], r["merged"])
+        for r in merges.orderBy("rank").collect()
+    ]
+
+    got = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in textops.apply_bpe(
+            docs,
+            merges,
+            merges_per_stage=3,
+            broadcast_vocab=False,
+        ).collect()
+    }
+
+    def encode(word: str) -> list[str]:
+        s = list(word)
+        for a, b, m in merge_rows:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    want = {}
+    for row in textops.with_tokens(docs).select(
+        "doc_id", "tokens"
+    ).collect():
+        seq: list[str] = []
+        for w in row["tokens"]:
+            seq.extend(encode(w))
+        want[row["doc_id"]] = seq
+    assert got == want

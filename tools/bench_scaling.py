@@ -208,6 +208,12 @@ QUERIES = [
     "doc_lang_trigram_distance",
     # two bucket-locate passes; cost must track events linearly
     "events_robust_outliers",
+    # round-11 additions: BPE learn+apply (both run on the distinct
+    # vocabulary — Heaps-sublinear — plus one corpus-linear mapping
+    # join), and the chain-graph WCC (rounds = diameter, fixed at 7
+    # by construction; per-round work is O(edges) = O(docs))
+    "doc_bpe_tokenize",
+    "doc_link_components",
 ]
 
 

@@ -898,6 +898,19 @@ EXPECT: dict[str, dict] = {
     "doc_pagerank_fixedpoint": {
         "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
     },
+    # BPE tokenize (r11): the learner ran as per-round jobs; the
+    # returned frame's plan is the apply half — one hinted vocab
+    # broadcast mapping word -> tokens onto the posexploded corpus,
+    # then the per-doc reassembly hash-agg
+    "doc_bpe_tokenize": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
+    # chain-graph WCC (r11): labels come back as a localCheckpoint
+    # leaf (lineage truncated per round — the exponential-analysis
+    # fix); component sizes are one hash-agg equi-joined back
+    "doc_link_components": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
     # Pareto deciles: supplier-keyed agg, ordered-prefix NTILE (1
     # hinted carry), 10-row decile rollup + bounded share windows
     "supplier_pareto_deciles": {
@@ -914,13 +927,18 @@ EXPECT: dict[str, dict] = {
     "emb_batch_drift": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
-    # robust median/MAD screen: two bucket-locate needed-lists + the
-    # ~|types|-row med broadcast (appearing twice: once under the dev
-    # derivation, once inside the stats join's lineage) + the stats
-    # broadcast = 5 analyzed hints; windows partition by (type,
-    # bucket, stat)
+    # robust median/MAD screen: the r11 in-engine locate keeps each
+    # pass's needed-list broadcast, but the needed-list is now PART
+    # OF med's lineage (it derives from the count aggregate instead
+    # of a driver-collected local frame), so med's two analyzed-plan
+    # appearances (dev derivation, stats join) each carry their own
+    # copy of that hint: 2 needed (med) + 1 needed (mad) + med
+    # broadcast x2 + stats broadcast + one more med-needed copy under
+    # the final stats lineage = 7 analyzed hints. All broadcast
+    # frames stay <= |types| x |stats| rows; windows partition by
+    # (type, bucket, stat).
     "events_robust_outliers": {
-        "pushed": False, "no_smj": True, "hints": 5, "pure_jvm": True,
+        "pushed": False, "no_smj": True, "hints": 7, "pure_jvm": True,
     },
     # trigram language distance: gram-keyed profile self-join with
     # the two hinted lang-total broadcasts + the bounded |langs|^2
