@@ -3285,3 +3285,273 @@ def orders_wap_red_path_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("target").alias("src"), *cols
     )
     return staged.unionByName(tgt)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions: supplier lead-time medians (the in-engine
+# bucket-locate on a FACT-TRACKING key), cohort LTV, inter-purchase
+# gaps, seasonality indices
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_leadtime_median",
+    """
+    WITH lt AS (
+      SELECT l.l_suppkey,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS d,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), r AS (
+      SELECT l_suppkey, d,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                ORDER BY d, l_orderkey, l_linenumber)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY l_suppkey) AS n
+      FROM lt
+    )
+    SELECT l_suppkey,
+           CAST(n AS BIGINT) AS n_shipments,
+           CAST(d AS BIGINT) AS median_ship_days
+    FROM r WHERE rn = (n + 1) // 2
+    """,
+)
+def supplier_leadtime_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact per-supplier LOWER-MEDIAN fulfillment latency (order date
+    -> line ship date) — the first registered caller of the round-11
+    IN-ENGINE bucket-locate on a partition key that TRACKS THE FACT
+    TABLE (suppliers scale with the warehouse): pre-r11 this exact
+    query was outside the operator's bounded-group contract because
+    the locate collected |suppliers| x 64 count rows to the driver.
+    Now the locate is a <=64-row-per-supplier window and the
+    needed-list joins back via SHUFFLE (broadcast_needed=False —
+    |suppliers| needed rows at 100 TB would not fit a broadcast), so
+    the whole plan is fact-partitioned: no driver data, no
+    single-task window, ~1/64 of each supplier's shipments ever
+    sorted. The latency source is a fact-fact equi-join on the order
+    key (both sides co-partition on it); integer day arithmetic end
+    to end, and the oracle's (n+1) div 2 lower-median rank passes
+    through the int64 expression proxy verbatim."""
+    from .operators.ranking import group_rank_statistics
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    lt = li.join(o, "l_orderkey").select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "d"
+        ),
+        "l_orderkey",
+        "l_linenumber",
+    ).persist()
+    try:
+        med = group_rank_statistics(
+            lt,
+            "d",
+            {"med": lambda n: (n + 1) // 2},
+            ["l_suppkey"],
+            ["l_orderkey", "l_linenumber"],
+            broadcast_needed=False,
+        )
+        res = med.select(
+            "l_suppkey",
+            F.col("n").cast("bigint").alias("n_shipments"),
+            F.col("value").cast("bigint").alias("median_ship_days"),
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        lt.unpersist()
+
+
+@register(
+    "orders_cohort_ltv",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(CAST(date_trunc('month', o_orderdate) AS DATE))
+               AS cohort_month
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT f.cohort_month,
+           (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+           - (year(f.cohort_month) * 12 + month(f.cohort_month))
+             AS month_index,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by FIRST-order
+    month, revenue and active-customer counts by months-since-first —
+    the standard retention/LTV triangle, on the orders fact.
+
+    Scale shape: one per-customer MIN hash-agg (map-side combined),
+    one custkey equi-join back to the fact (both sides partition on
+    the key — co-located shuffle, no broadcast: customers track the
+    warehouse), one (cohort, index) hash-agg whose output is bounded
+    by months². Month arithmetic is integer (y*12+m differences);
+    revenue accumulates in DECIMAL and casts to double once, in the
+    same final place on both engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "mm")).alias("cohort_month")
+    )
+    mi = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        - (F.year("cohort_month") * 12 + F.month("cohort_month"))
+    )
+    return (
+        o.join(firsts, "o_custkey")
+        .groupBy("cohort_month", mi.alias("month_index"))
+        .agg(
+            F.count_distinct("o_custkey").cast("bigint").alias(
+                "n_active"
+            ),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "customer_interpurchase_stats",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap
+      FROM orders
+    ), per_cust AS (
+      SELECT o_custkey,
+             COUNT(gap)::BIGINT AS n_gaps,
+             SUM(gap)::BIGINT AS sum_gap,
+             MAX(gap)::BIGINT AS max_gap
+      FROM gaps GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(p.n_gaps) AS BIGINT) AS n_gaps,
+           CAST(SUM(p.sum_gap) AS DOUBLE) / CAST(SUM(p.n_gaps) AS DOUBLE)
+             AS avg_gap_days,
+           CAST(MAX(p.max_gap) AS BIGINT) AS max_gap_days
+    FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+    WHERE p.n_gaps > 0
+    GROUP BY c.c_mktsegment
+    """,
+)
+def customer_interpurchase_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-purchase cadence per market segment: day gaps between a
+    customer's CONSECUTIVE orders (LAG under the (date, orderkey)
+    total order), rolled up to segment averages and maxima over
+    repeat customers.
+
+    Scale shape: the LAG window partitions by o_custkey — a
+    fact-tracking key whose per-partition size is one customer's
+    order history (tiny, bounded by customer activity), the shape
+    per-key windows are FOR; then two hash-aggs and one
+    |customers|-scale equi-join to attach segments (co-partitioned
+    shuffle, no broadcast). Gap sums/counts stay int64; the single
+    avg division is the same exact-int double division on both
+    engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap"),
+    )
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.sum("gap").cast("bigint").alias("sum_gap"),
+        F.max("gap").cast("bigint").alias("max_gap"),
+    ).where(F.col("n_gaps") > 0)
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return per_cust.join(c, "o_custkey").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("n_gaps").cast("bigint").alias("n_gaps"),
+        (
+            F.sum("sum_gap").cast("double")
+            / F.sum("n_gaps").cast("double")
+        ).alias("avg_gap_days"),
+        F.max("max_gap").cast("bigint").alias("max_gap_days"),
+    )
+
+
+@register(
+    "orders_seasonality_index",
+    """
+    WITH seg AS (
+      SELECT c.c_mktsegment,
+             month(o.o_orderdate) AS month,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT c_mktsegment, SUM(rev) AS total FROM seg GROUP BY 1
+    )
+    SELECT s.c_mktsegment,
+           CAST(s.month AS BIGINT) AS month,
+           CAST(s.rev AS DOUBLE) AS revenue,
+           CAST(s.rev AS DOUBLE) * 12.0 / CAST(t.total AS DOUBLE)
+             AS seasonality_index
+    FROM seg s JOIN tot t ON s.c_mktsegment = t.c_mktsegment
+    """,
+)
+def orders_seasonality_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Month-of-year revenue seasonality per market segment: each
+    (segment, month) cell's share of the segment's annualized average
+    month — index 1.0 = a perfectly flat month. One fact-side
+    hash-agg to the bounded (5 x 12) grid, one 5-row total rollup
+    broadcast back. DECIMAL accumulation; both double casts and the
+    single *12/total division happen identically on both engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    seg = (
+        o.join(c, "o_custkey")
+        .groupBy(
+            "c_mktsegment", F.month("o_orderdate").alias("month")
+        )
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    tot = seg.groupBy("c_mktsegment").agg(
+        F.sum("rev").alias("total")
+    )
+    return seg.join(F.broadcast(tot), "c_mktsegment").select(
+        "c_mktsegment",
+        F.col("month").cast("bigint").alias("month"),
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.col("rev").cast("double")
+            * F.lit(12.0)
+            / F.col("total").cast("double")
+        ).alias("seasonality_index"),
+    )

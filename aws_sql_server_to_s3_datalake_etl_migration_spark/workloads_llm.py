@@ -4199,3 +4199,67 @@ def doc_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.join(sizes, "component").select(
         F.col("node").alias("doc_id"), "component", "component_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplication pressure by source (round 11): curation's routing metric
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_dup_rate_by_source",
+    """
+    WITH c AS (
+      SELECT doc_id, source,
+             COUNT(*) OVER (PARTITION BY text) AS k
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM c GROUP BY source
+    """,
+)
+def doc_dup_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-duplicate PRESSURE per source — the metric a curation
+    pipeline routes on (a source whose dup_rate spikes gets its
+    crawler, not its docs, fixed). A doc counts as duplicated when
+    its exact text appears anywhere in the corpus more than once
+    (GLOBAL clusters: cross-source copies count for both sources).
+
+    Scale shape: content equality groups on the sha256 FINGERPRINT,
+    never the text itself (the confusable-spam lesson — 32-byte
+    shuffle payloads instead of document bodies): one fingerprint
+    hash-agg for cluster sizes, one fingerprint equi-join back, one
+    source rollup. The oracle partitions by raw text — equal by
+    construction absent a sha256 collision. The division is the
+    same exact-int double division on both engines."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("_fp"),
+    )
+    sizes = docs.groupBy("_fp").agg(
+        F.count(F.lit(1)).alias("_k")
+    )
+    return (
+        docs.join(sizes, "_fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("_k") > 1, 1).otherwise(0)
+            ).cast("bigint").alias("n_dup_docs"),
+            (
+                F.sum(F.when(F.col("_k") > 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_rate"),
+        )
+    )

@@ -234,6 +234,12 @@ EXTENDED = [
     "events_robust_outliers",
     # round-11 additions
     "doc_bpe_tokenize",
+    "doc_link_components",
+    "supplier_leadtime_median",
+    "orders_cohort_ltv",
+    "customer_interpurchase_stats",
+    "orders_seasonality_index",
+    "doc_dup_rate_by_source",
 ]
 
 

@@ -214,6 +214,14 @@ QUERIES = [
     # by construction; per-round work is O(edges) = O(docs))
     "doc_bpe_tokenize",
     "doc_link_components",
+    # r11 warehouse additions: the fact-keyed bucket-locate median
+    # (two passes over the orderkey join), the cohort/cadence pair
+    # (per-customer agg + co-partitioned joins), and the fingerprint
+    # dup-pressure rollup (all corpus/fact-linear by construction)
+    "supplier_leadtime_median",
+    "orders_cohort_ltv",
+    "customer_interpurchase_stats",
+    "doc_dup_rate_by_source",
 ]
 
 

@@ -911,6 +911,35 @@ EXPECT: dict[str, dict] = {
     "doc_link_components": {
         "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
     },
+    # supplier fulfillment median (r11): the in-engine bucket-locate
+    # on a fact-tracking key — needed-list deliberately SHUFFLE-joined
+    # (broadcast_needed=False), so zero hints; windows partition by
+    # (suppkey[, bucket, stat]) and the carry windows are <=64 rows
+    # per supplier
+    "supplier_leadtime_median": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # cohort LTV: per-customer MIN agg + co-partitioned custkey join
+    # + bounded (cohort, index) agg — no broadcast (customers track
+    # the warehouse)
+    "orders_cohort_ltv": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # inter-purchase gaps: LAG window per customer (fact-tracking key,
+    # bounded partitions), two hash-aggs, co-partitioned segment join
+    "customer_interpurchase_stats": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # seasonality grid: fact agg to a 5x12 grid + one hinted 5-row
+    # total broadcast
+    "orders_seasonality_index": {
+        "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
+    },
+    # dup pressure: sha256-fingerprint cluster sizes + fingerprint
+    # equi-join + source rollup — 32-byte shuffle keys, no broadcast
+    "doc_dup_rate_by_source": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
     # Pareto deciles: supplier-keyed agg, ordered-prefix NTILE (1
     # hinted carry), 10-row decile rollup + bounded share windows
     "supplier_pareto_deciles": {
