@@ -3555,3 +3555,152 @@ def orders_seasonality_index(
             / F.col("total").cast("double")
         ).alias("seasonality_index"),
     )
+
+
+@register(
+    "customer_revenue_gini",
+    """
+    WITH x AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)) * 100)
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+      FROM x
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(2 * SUM(CAST(i AS HUGEINT) * cents)
+                - (COUNT(*) + 1) * CAST(SUM(cents) AS HUGEINT)
+                AS DOUBLE)
+           / CAST(CAST(COUNT(*) AS HUGEINT)
+                  * CAST(SUM(cents) AS HUGEINT) AS DOUBLE) AS gini
+    FROM ranked
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue CONCENTRATION across the whole customer base — the
+    exact Gini coefficient of per-customer lifetime spend, closed
+    form over ascending ranks: G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx).
+
+    The rank i comes from the GLOBAL distributed ordered-prefix pass
+    (operators/ranking.py) at |customers| cardinality — exactly the
+    fact-tracking global ORDER BY this engine bans as a plain
+    window; doc_source_gini's per-source version runs at ~20 groups,
+    this one exercises the operator at warehouse scale. Revenue
+    quantizes to int64 CENTS once (DECIMAL *100, exact); the two
+    rank-weighted sums accumulate in DECIMAL(38,0) on the Spark side
+    and HUGEINT on the oracle side — both exact integers — and the
+    single Gini division casts them to double identically."""
+    from .operators.ranking import with_ordered_prefix
+
+    x = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(_dec("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ranked = with_ordered_prefix(
+        x,
+        "cents",
+        [F.col("cents"), F.col("o_custkey")],
+        {"i": F.lit(1)},
+        totals={"n": "i"},
+    )
+    big = "decimal(38,0)"
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        (
+            (
+                F.lit(2) * F.sum(F.col("i").cast(big) * F.col("cents"))
+                - (F.max("n").cast(big) + 1)
+                * F.sum("cents").cast(big)
+            ).cast("double")
+            / (
+                F.max("n").cast(big) * F.sum("cents").cast(big)
+            ).cast("double")
+        ).alias("gini"),
+    )
+
+
+@register(
+    "part_brand_share_shift",
+    """
+    WITH by AS (
+      SELECT p.p_brand, year(o.o_orderdate) AS yr,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(18,4))) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT yr, SUM(rev) AS yr_total FROM by GROUP BY yr
+    ), shares AS (
+      SELECT b.p_brand, b.yr,
+             CAST(b.rev AS DOUBLE) / CAST(t.yr_total AS DOUBLE)
+               AS share
+      FROM by b JOIN tot t ON b.yr = t.yr
+    )
+    SELECT p_brand, CAST(yr AS BIGINT) AS yr, share,
+           share - lag(share) OVER (PARTITION BY p_brand ORDER BY yr)
+             AS share_delta
+    FROM shares
+    """,
+)
+def part_brand_share_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Year-over-year brand revenue-share drift: each brand's share of
+    the year's total revenue and its delta vs the prior year — the
+    assortment-shift report a merchandiser reads.
+
+    Scale shape: the three-way fact join co-partitions on its keys
+    (part is the only broadcast-eligible side and AQE takes it), the
+    (brand, year) grid is bounded (|brands| x ~7), and the LAG runs
+    per brand over ≤|years| rows — a bounded window by construction.
+    DECIMAL accumulation; shares divide as double once, identically
+    on both engines, and the delta is a subtraction of those exact
+    quotients."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    by = (
+        li.join(o, "l_orderkey")
+        .join(p, "l_partkey")
+        .groupBy("p_brand", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("rev")
+        )
+    )
+    tot = by.groupBy("yr").agg(F.sum("rev").alias("yr_total"))
+    shares = by.join(F.broadcast(tot), "yr").select(
+        "p_brand",
+        "yr",
+        (
+            F.col("rev").cast("double")
+            / F.col("yr_total").cast("double")
+        ).alias("share"),
+    )
+    w = Window.partitionBy("p_brand").orderBy("yr")
+    return shares.select(
+        "p_brand",
+        F.col("yr").cast("bigint").alias("yr"),
+        "share",
+        (F.col("share") - F.lag("share").over(w)).alias("share_delta"),
+    )

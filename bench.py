@@ -240,6 +240,8 @@ EXTENDED = [
     "customer_interpurchase_stats",
     "orders_seasonality_index",
     "doc_dup_rate_by_source",
+    "customer_revenue_gini",
+    "part_brand_share_shift",
 ]
 
 

@@ -222,6 +222,9 @@ QUERIES = [
     "orders_cohort_ltv",
     "customer_interpurchase_stats",
     "doc_dup_rate_by_source",
+    # global ordered-prefix Gini at |customers| cardinality — the
+    # rank pass must stay fact-linear
+    "customer_revenue_gini",
 ]
 
 

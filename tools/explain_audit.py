@@ -945,6 +945,18 @@ EXPECT: dict[str, dict] = {
     "supplier_pareto_deciles": {
         "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
     },
+    # customer revenue Gini (r11): per-customer agg, global
+    # ordered-prefix rank (1 hinted <=64-row carry), one final global
+    # aggregate row
+    "customer_revenue_gini": {
+        "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
+    },
+    # brand share shift (r11): three-way fact join (AQE picks the
+    # part broadcast), bounded (brand, year) grid + hinted year-total
+    # broadcast, LAG over <=|years| rows per brand
+    "part_brand_share_shift": {
+        "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
+    },
     # chi-square drift screen: one (source, lang) hash-agg, then the
     # bounded marginal grid (3 hinted broadcasts of category-sized /
     # 1-row frames)
@@ -1095,6 +1107,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     " |days| rows, grows with calendar time",
     "supplier_pareto_deciles": "ordered-prefix carry (<=64 rows) +"
     " cumulative share over the 10-row decile rollup",
+    "customer_revenue_gini": "ordered-prefix carry (<=64 rows; the"
+    " rank pass itself partitions by bucket)",
 }
 
 
