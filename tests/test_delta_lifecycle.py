@@ -2043,3 +2043,67 @@ def test_lake_table_facade_full_surface(spark, tmp_path):
     assert t.fsck()["ok"]
     with pytest.raises(ValueError, match="vacuum"):
         t.restoreToVersion(1)  # below retention now — loud refusal
+
+
+def test_table_changes_signed_linear_aggregates(spark, tmp_path):
+    """table_changes_signed (r11): the shuffle-free CDF for linear-
+    aggregate consumers. Signed sums over the raw tagged file rows
+    must equal the same sums over the row-exact table_changes feed
+    (the rewrite's carried-over rows cancel arithmetically), and
+    base + signed delta must equal the final table's aggregate —
+    including across a dataChange=false compaction, which both feeds
+    skip."""
+    path = str(tmp_path / "t_cdf_signed")
+    delta_log.append_commit(
+        spark.range(0, 10)
+        .selectExpr("id AS pk", "CAST(id AS DOUBLE) AS val")
+        .repartition(2),
+        path,
+    )  # v0
+    delta_log.append_commit(
+        spark.range(10, 14)
+        .selectExpr("id AS pk", "CAST(id AS DOUBLE) AS val")
+        .coalesce(1),
+        path,
+    )  # v1
+    delta_log.update_where(
+        spark, path, F.col("pk") == 3, {"val": F.lit(99.0)}
+    )  # v2
+    delta_log.delete_where(spark, path, F.col("pk") >= 12)  # v3
+    assert delta_log.compact(spark, path) == 4  # dataChange=false
+
+    signed = delta_log.table_changes_signed(spark, path, 0)
+    s = signed.agg(
+        F.sum("_cdf_sign").alias("dn"),
+        F.sum(F.col("_cdf_sign") * F.col("val")).alias("dv"),
+    ).collect()[0]
+
+    feed = delta_log.table_changes(spark, path, 0)
+    sign = F.when(
+        F.col("change_type") == "insert", F.lit(1)
+    ).otherwise(F.lit(-1))
+    f = feed.agg(
+        F.sum(sign).alias("dn"),
+        F.sum(sign * F.col("val")).alias("dv"),
+    ).collect()[0]
+    assert (s["dn"], s["dv"]) == (f["dn"], f["dv"])
+
+    # base(v0) + signed delta (0,3] == final state
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        read_delta,
+    )
+
+    base = read_delta(spark, path, version=0).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("val").alias("v")
+    ).collect()[0]
+    final = read_delta(spark, path).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("val").alias("v")
+    ).collect()[0]
+    assert base["n"] + s["dn"] == final["n"]
+    assert abs(base["v"] + s["dv"] - final["v"]) < 1e-9
+
+    # empty range: correctly-shaped empty frame
+    empty = delta_log.table_changes_signed(spark, path, 4)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"pk", "val", "_cdf_sign",
+                                  "commit_version"}
