@@ -743,6 +743,7 @@ def apply_bpe(
     text_col: str = "text",
     out_col: str = "bpe_tokens",
     *,
+    id_col: str | None = None,
     merges_per_stage: int = 8,
     broadcast_vocab: bool = True,
 ) -> DataFrame:
@@ -772,6 +773,15 @@ def apply_bpe(
     memory (a web-scale corpus' vocab is Heaps-sublinear but still
     ~10^8 words at 100 TB).
 
+    ``id_col`` names a UNIQUE key of ``docs``: the token stream then
+    carries ONLY (id, position, word) through the explode, the
+    mapping join, and the reassembly shuffle, and the other doc
+    columns re-attach with one id equi-join at the end. Without it
+    the operator groups by every doc column, which drags the full
+    document text through the token-level shuffle — fine for narrow
+    frames, a corpus-tokens × doc-size blowup on real documents, so
+    pass the key whenever one exists.
+
     Returns one row per input doc: every original column of ``docs``
     plus ``out_col`` (array<string>, the BPE token sequence in word
     order). Rows whose text has no tokens get an empty array.
@@ -785,10 +795,16 @@ def apply_bpe(
         merge_rows = [tuple(m)[:3] for m in merges]
 
     toks = tokens(text_col)
-    exploded = docs.select(
-        F.col("*"),
-        F.posexplode_outer(toks).alias("_bpe_pos", "_bpe_w"),
-    )
+    if id_col is not None:
+        exploded = docs.select(
+            F.col(id_col),
+            F.posexplode_outer(toks).alias("_bpe_pos", "_bpe_w"),
+        )
+    else:
+        exploded = docs.select(
+            F.col("*"),
+            F.posexplode_outer(toks).alias("_bpe_pos", "_bpe_w"),
+        )
     vocab = (
         exploded.where(F.col("_bpe_w").isNotNull())
         .select(F.col("_bpe_w").alias("_bpe_word"))
@@ -815,7 +831,7 @@ def apply_bpe(
             exploded["_bpe_w"].eqNullSafe(vocab["_bpe_word"]),
             "left",
         )
-        doc_cols = [c for c in docs.columns]
+        doc_cols = [id_col] if id_col is not None else list(docs.columns)
         reassembled = (
             mapped.groupBy(*doc_cols)
             .agg(
@@ -840,6 +856,16 @@ def apply_bpe(
                 ),
             )
         )
+        if id_col is not None:
+            # token-level shuffles carried only (id, pos, word);
+            # everything else re-attaches here, once per doc
+            reassembled = docs.join(reassembled, id_col, "left")
+            reassembled = reassembled.withColumn(
+                out_col,
+                F.coalesce(
+                    F.col(out_col), F.array().cast("array<string>")
+                ),
+            )
         if staged:
             reassembled = reassembled.persist()
             reassembled.count()

@@ -4120,7 +4120,7 @@ def doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges = textops.bpe_learn_merges(
             cleaned, n_merges=_BPE_TOK_ROUNDS
         )
-        toked = textops.apply_bpe(cleaned, merges)
+        toked = textops.apply_bpe(cleaned, merges, id_col="doc_id")
         res = toked.select(
             "doc_id",
             F.size(textops.tokens("text")).cast("bigint").alias(

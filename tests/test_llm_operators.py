@@ -1700,6 +1700,17 @@ def test_apply_bpe_matches_python_encoder(spark, sf_dir):
         ).collect()
     }
 
+    # the id-keyed fast path (token shuffles carry only (id, pos,
+    # word); doc columns re-attach by one id join) must agree with
+    # the group-by-all-columns path exactly
+    got_keyed = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in textops.apply_bpe(
+            docs, merges, id_col="doc_id"
+        ).collect()
+    }
+    assert got_keyed == got
+
     def encode(word: str) -> list[str]:
         s = list(word)
         for a, b, m in merge_rows:
