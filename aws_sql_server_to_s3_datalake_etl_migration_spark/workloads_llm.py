@@ -4263,3 +4263,81 @@ def doc_dup_rate_by_source(
             ).alias("dup_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal size profile (round 11): exact byte-size quantiles per modality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_size_profile",
+    """
+    WITH a AS (
+      SELECT doc_id AS asset_id,
+             ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT]
+               AS modality,
+             octet_length(encode(coalesce(text, ''))) AS n_bytes
+      FROM documents
+    ), r AS (
+      SELECT modality, n_bytes,
+             ROW_NUMBER() OVER (PARTITION BY modality
+                                ORDER BY n_bytes, asset_id) AS rn,
+             COUNT(*) OVER (PARTITION BY modality) AS n
+      FROM a
+    )
+    SELECT modality,
+           CAST(MAX(n) AS BIGINT) AS n_assets,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_bytes END)
+                AS BIGINT) AS p50_bytes,
+           CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN n_bytes
+                END) AS BIGINT) AS p95_bytes
+    FROM r GROUP BY modality
+    """,
+)
+def mm_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality payload-size profile of the binary asset column —
+    the storage-planning numbers a multimodal lake needs (row-group
+    sizing, fetch batching, decode-budget forecasts): exact lower
+    median and exact (19n+19) div 20 (p95-style) byte-size order
+    statistics per modality.
+
+    Both quantiles come from ONE bucket-locate pass
+    (group_rank_statistics with two rank functions — the locate's
+    needed-list carries both labels, so the data is scanned once for
+    counts and once for the two filtered ranks); byte length is
+    integer, so the whole computation is int64-exact. The binary
+    column never moves: only its LENGTH enters the shuffle, the same
+    project-before-exchange discipline as the byte-histogram twin."""
+    from .operators.ranking import group_rank_statistics
+
+    a = _doc_assets(spark, sf_dir).select(
+        "asset_id",
+        "modality",
+        F.octet_length("content").cast("bigint").alias("n_bytes"),
+    ).persist()
+    try:
+        stats = group_rank_statistics(
+            a,
+            "n_bytes",
+            {
+                "p50": lambda n: (n + 1) // 2,
+                "p95": lambda n: (19 * n + 19) // 20,
+            },
+            ["modality"],
+            ["asset_id"],
+        )
+        res = stats.groupBy("modality").agg(
+            F.max("n").cast("bigint").alias("n_assets"),
+            F.max(
+                F.when(F.col("stat") == "p50", F.col("value"))
+            ).cast("bigint").alias("p50_bytes"),
+            F.max(
+                F.when(F.col("stat") == "p95", F.col("value"))
+            ).cast("bigint").alias("p95_bytes"),
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        a.unpersist()

@@ -242,6 +242,7 @@ EXTENDED = [
     "doc_dup_rate_by_source",
     "customer_revenue_gini",
     "part_brand_share_shift",
+    "mm_size_profile",
 ]
 
 

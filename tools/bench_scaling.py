@@ -225,6 +225,8 @@ QUERIES = [
     # global ordered-prefix Gini at |customers| cardinality — the
     # rank pass must stay fact-linear
     "customer_revenue_gini",
+    # single-pass two-label bucket-locate over asset byte lengths
+    "mm_size_profile",
 ]
 
 

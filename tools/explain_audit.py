@@ -940,6 +940,12 @@ EXPECT: dict[str, dict] = {
     "doc_dup_rate_by_source": {
         "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
     },
+    # modality size profile (r11): ONE bucket-locate pass carrying
+    # both rank labels (1 hinted needed-list broadcast); only the
+    # byte LENGTH enters the shuffle
+    "mm_size_profile": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
     # Pareto deciles: supplier-keyed agg, ordered-prefix NTILE (1
     # hinted carry), 10-row decile rollup + bounded share windows
     "supplier_pareto_deciles": {
