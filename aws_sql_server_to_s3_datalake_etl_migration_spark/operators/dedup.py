@@ -595,68 +595,86 @@ def connected_components(
     clusters is tiny (dups of a doc are dups of each other), so the
     loop is a handful of shuffle-join + min-agg rounds, each
     partitioned on the node id — no driver-side graph, no all-pairs.
-    The per-round ``count()`` is the convergence test (one scalar
-    action). Raises if ``max_iter`` rounds don't converge
-    (pathological chain — raise the budget explicitly rather than
-    silently returning half-merged clusters).
+    Raises if ``max_iter`` rounds don't converge (pathological chain
+    — raise the budget explicitly rather than silently returning
+    half-merged clusters).
 
-    Per-round lineage TRUNCATION, not just caching (fixed round 11):
-    each round references ``labels`` twice (neighbor-min join + the
-    keep-own-label join), so the LOGICAL plan doubles per round —
-    persist caches execution but Catalyst still re-ANALYZES the full
-    2^rounds tree, which turned a diameter-7 chain graph into
-    minutes of pure driver-side planning. ``localCheckpoint(eager)``
-    materializes the round AND replaces its plan with the
-    materialized leaf, keeping analysis O(1) per round — the
-    standard discipline for iterative DataFrame algorithms
-    (deliberately executor-local: a lost executor aborts-and-retries
-    the job, which re-runs the loop — acceptable for a convergence
-    loop that is itself restartable)."""
+    SINGLE-REFERENCE rounds (fixed round 11): the original round
+    referenced ``labels`` twice (neighbor-min join + a keep-own-label
+    join), so the LOGICAL plan doubled per round — persist caches
+    execution, but Catalyst re-ANALYZES the full 2^rounds tree, which
+    turned a diameter-7 chain graph into minutes of pure driver-side
+    planning. Adding a SELF-LOOP per node to the (pre-loop, persisted)
+    edge set folds "keep my own label" into the same neighbor-min
+    aggregate, so each round is ONE join + ONE min-agg over the
+    previous round's persisted frame — the plan grows linearly like
+    the PageRank loop, with no lineage checkpointing (this engine
+    bans ``localCheckpoint``: a table-sized frame must never pin
+    itself in executor storage). Convergence is ONE scalar action
+    per round: labels never increase (each is the min of a set
+    containing itself), so the exact DECIMAL(38,0) label sum is
+    strictly decreasing until the fixed point — sum unchanged ⟺ no
+    label changed — and that same aggregate doubles as the round's
+    persist materialization (NULL-id singletons sit outside the sum
+    and never change)."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
+    )
+    node_ids = nodes.select(F.col(id_col).alias("id")).distinct()
+    # output rows are keyed by src, so srcs outside the node frame
+    # must not leak in (the pre-r11 shape only ever emitted node
+    # rows); unknown DSTs need no guard — they match no label
+    edges_all = (
+        edges.join(
+            node_ids.select(F.col("id").alias("src")),
+            "src",
+            "left_semi",
+        )
+        .unionByName(
+            node_ids.select(
+                F.col("id").alias("src"), F.col("id").alias("dst")
+            )
+        )
         .distinct()
         .persist()
     )
+    labels = node_ids.withColumn("lbl", F.col("id")).persist()
+
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)  # also materializes the persist
     try:
-        labels = (
-            nodes.select(F.col(id_col).alias("id"))
-            .distinct()
-            .withColumn("lbl", F.col("id"))
-            .localCheckpoint()
-        )
         for _ in range(max_iter):
-            nbr_min = (
-                edges.join(labels, edges.dst == labels.id)
-                .groupBy("src")
-                .agg(F.min("lbl").alias("nbr_lbl"))
-            )
+            # self-loops make this min(own, neighbors) in one pass;
+            # eqNullSafe keeps a NULL node id as a legal singleton
             new_labels = (
-                labels.join(nbr_min, labels.id == nbr_min.src, "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("lbl"), F.coalesce("nbr_lbl", "lbl")
-                    ).alias("lbl"),
-                    (F.coalesce("nbr_lbl", "lbl") < F.col("lbl")).alias(
-                        "chg"
-                    ),
+                edges_all.join(
+                    labels, edges_all.dst.eqNullSafe(labels.id)
                 )
-            ).localCheckpoint()
-            changed = new_labels.where(F.col("chg")).count()
-            labels = new_labels.select("id", "lbl")
-            if changed == 0:
+                .groupBy("src")
+                .agg(F.min("lbl").alias("lbl"))
+                .select(F.col("src").alias("id"), "lbl")
+            ).persist()
+            cur_sum = _label_sum(new_labels)
+            labels.unpersist()
+            labels = new_labels
+            if cur_sum == prev_sum:
                 return labels.select(
                     F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
                 )
+            prev_sum = cur_sum
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "raise max_iter for high-diameter graphs"
         )
     finally:
-        edges.unpersist()
+        edges_all.unpersist()
 
 
 # ---------------------------------------------------------------------------

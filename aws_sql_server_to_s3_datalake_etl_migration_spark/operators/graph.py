@@ -113,11 +113,12 @@ def connected_components(
     (round 11) from its birthplace in the dedup module so the graph
     surface is complete beside PageRank — the implementation is
     ``dedup.connected_components`` (operators/dedup.py), unchanged:
-    smallest-label propagation, per round one dst-keyed join + one
-    min-aggregation, labels re-persisted/materialized and the
-    previous round unpersisted (the module's standard per-round
-    discipline), convergence tested by a one-scalar changed-count
-    action. Rounds needed = component diameter; raises after
+    smallest-label propagation over a self-loop-augmented edge set —
+    per round ONE dst-keyed join + ONE min-aggregation (single
+    reference to the previous round, so the logical plan grows
+    linearly; the r11 lineage fix), labels re-persisted/materialized
+    and the previous round unpersisted, convergence tested by a
+    one-scalar changed-count action. Rounds needed = component diameter; raises after
     ``max_iter`` rounds rather than silently returning half-merged
     components. No driver-side graph, no all-pairs anything —
     O(edges) per round, like the PageRank loop above.

@@ -215,10 +215,11 @@ def test_graph_connected_components_matches_union_find(spark):
     }
     elapsed = time.time() - t0
     assert got == want
-    # lineage-truncation regression (r11): before the per-round
-    # localCheckpoint, each round DOUBLED the logical plan (labels is
-    # referenced twice), so a diameter-10 graph spent minutes in pure
-    # Catalyst re-analysis (measured: 2^7 rounds -> 56 s for ONE
-    # round's analysis at diameter 7). Post-fix, 11 rounds of tiny
-    # joins finish in well under this generous bound.
+    # lineage regression (r11): before the single-reference rewrite
+    # (self-loops fold keep-own-label into the neighbor-min agg),
+    # each round DOUBLED the logical plan (labels was referenced
+    # twice), so a diameter-10 graph spent minutes in pure Catalyst
+    # re-analysis (measured: 56 s for round 7's analysis alone).
+    # Post-fix the plan grows linearly and 11 rounds of tiny joins
+    # finish in well under this generous bound.
     assert elapsed < 120, f"lineage blowup? {elapsed:.0f}s"
