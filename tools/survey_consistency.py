@@ -54,12 +54,22 @@ def _load(path: str | None) -> dict:
         return json.load(f)
 
 
-def render() -> str:
+def render(
+    bench_name: str | None = None, corr_name: str | None = None
+) -> str:
     probe = _load(os.path.join(REPO, "SCALING_PROBE.json"))
-    bench_path = _latest("BENCH_r[0-9][0-9].json")
+    bench_path = (
+        os.path.join(REPO, bench_name)
+        if bench_name
+        else _latest("BENCH_r[0-9][0-9].json")
+    )
     bench = _load(bench_path)
     parsed = bench.get("parsed", bench) or {}
-    corr_path = _latest("CORRECTNESS_r[0-9][0-9].json")
+    corr_path = (
+        os.path.join(REPO, corr_name)
+        if corr_name
+        else _latest("CORRECTNESS_r[0-9][0-9].json")
+    )
     corr = _load(corr_path)
 
     # registry counts come from the package (import-time registration)
@@ -111,9 +121,8 @@ def render() -> str:
 
 
 def main() -> None:
-    block = render()
     if "--check" not in sys.argv:
-        print(block)
+        print(render())
         return
     survey = open(os.path.join(REPO, "SURVEY.md")).read()
     m = re.search(
@@ -126,6 +135,14 @@ def main() -> None:
             "closing inventory."
         )
         sys.exit(1)
+    # regenerate against the SAME artifact files the block names, so
+    # the check stays stable after later rounds' artifacts land
+    bench_m = re.search(r"BENCH_r\d+\.json", m.group(0))
+    corr_m = re.search(r"CORRECTNESS_r\d+\.json", m.group(0))
+    block = render(
+        bench_m.group(0) if bench_m else None,
+        corr_m.group(0) if corr_m else None,
+    )
     if m.group(0).strip() != block.strip():
         print("FAIL: SURVEY.md inventory block != regenerated block.")
         print("--- SURVEY.md ---")
