@@ -58,10 +58,16 @@ def render(
     bench_name: str | None = None, corr_name: str | None = None
 ) -> str:
     probe = _load(os.path.join(REPO, "SCALING_PROBE.json"))
+    # prefer the round's shipped in-round close reading (written by
+    # the builder with the final code) over the driver's recording of
+    # the previous round
     bench_path = (
         os.path.join(REPO, bench_name)
         if bench_name
-        else _latest("BENCH_r[0-9][0-9].json")
+        else (
+            _latest("BENCH_close_r[0-9][0-9].json")
+            or _latest("BENCH_r[0-9][0-9].json")
+        )
     )
     bench = _load(bench_path)
     parsed = bench.get("parsed", bench) or {}
@@ -137,7 +143,7 @@ def main() -> None:
         sys.exit(1)
     # regenerate against the SAME artifact files the block names, so
     # the check stays stable after later rounds' artifacts land
-    bench_m = re.search(r"BENCH_r\d+\.json", m.group(0))
+    bench_m = re.search(r"BENCH[\w.]*r\d+\.json", m.group(0))
     corr_m = re.search(r"CORRECTNESS_r\d+\.json", m.group(0))
     block = render(
         bench_m.group(0) if bench_m else None,
