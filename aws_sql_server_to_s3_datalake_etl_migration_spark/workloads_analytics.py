@@ -3721,3 +3721,194 @@ def part_brand_share_shift(
         "share",
         (F.col("share") - F.lag("share").over(w)).alias("share_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 post-close wave: TPC-H-shaped semi/anti-join depth
+# (Q4 / Q21 / Q22 analogues on the trimmed synthetic schema)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_priority_check",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 reshaped for the trimmed schema: orders counted per
+    priority when AT LEAST ONE line shipped more than 60 days after
+    the order date (the commit<receipt lateness witness, restated on
+    the columns this schema carries). The EXISTS is a LEFT SEMI join
+    on the order key with the lateness predicate inside the join
+    condition — one co-partitioned shuffle, no row duplication from
+    multi-line matches, and Catalyst plants the l_shipdate filter
+    scan-side. Integer day arithmetic on both engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (F.datediff(li.l_shipdate, o.o_orderdate) > 60),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+@register(
+    "suppliers_kept_waiting",
+    """
+    WITH l AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+               AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM l l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s.s_name
+    """,
+)
+def suppliers_kept_waiting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q21 reshaped: suppliers who were the SOLE late shipper in
+    a multi-supplier order (late := shipped >60 days after the order
+    date), counted per supplier — the classic blame report whose
+    whole point is the EXISTS / NOT-EXISTS pair over the same
+    correlated set.
+
+    Scale shape: lateness derives from ONE orderkey-co-partitioned
+    fact-fact join; the EXISTS/NOT-EXISTS pair collapses into ONE
+    per-order aggregate (n_suppliers via count distinct, n_late_other
+    via per-supplier late flags) joined back on the order key —
+    never two more self-joins of the fact. The supplier-name attach
+    is the only broadcast-eligible side and AQE takes it. Windows:
+    none."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l = li.join(o, "l_orderkey").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60).alias(
+            "late"
+        ),
+    )
+    per = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("sup_late")
+    )
+    order_stats = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("sup_late").alias("n_late_suppliers"),
+    )
+    # sole late shipper in a multi-supplier order: this supplier is
+    # late, the order has >=2 suppliers, and no OTHER supplier is
+    # late; numwait counts the supplier's LATE LINES in qualifying
+    # orders (the oracle's per-l1-row semantics)
+    late_lines = (
+        l.where(F.col("late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_late_lines"))
+    )
+    waiting = late_lines.join(order_stats, "l_orderkey").where(
+        (F.col("n_suppliers") >= 2)
+        & (F.col("n_late_suppliers") == 1)
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return waiting.join(s, "l_suppkey").groupBy("s_name").agg(
+        F.sum("n_late_lines").cast("bigint").alias("numwait")
+    )
+
+
+@register(
+    "global_sales_opportunity",
+    """
+    WITH rich AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0)
+    )
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(r.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_acctbal
+    FROM rich r
+    JOIN nation n ON r.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = r.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY n.n_name
+    """,
+)
+def global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 reshaped: untapped wealthy customers — above the
+    positive-balance average, with NO urgent orders — counted and
+    summed per nation (the phone-prefix country codes of real Q22
+    become the nation dim this schema carries; the anti-join predicate
+    targets URGENT orders because this synthetic corpus gives nearly
+    every customer SOME order).
+
+    Scale shape: the average is one scalar aggregate (broadcast as a
+    1-row scalar subquery), the NO-orders test is a LEFT ANTI join on
+    the customer key against the orders key projection (co-partitioned
+    shuffle; at 100 TB the anti side is the orders KEY column only),
+    and the nation attach is a hinted 25-row broadcast. DECIMAL
+    accumulation, one final double cast per column."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_pos = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("a"))
+    )
+    rich = c.crossJoin(F.broadcast(avg_pos)).where(
+        F.col("c_acctbal") > F.col("a")
+    )
+    o_keys = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    idle = rich.join(o_keys, "c_custkey", "left_anti")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    return idle.join(F.broadcast(n), "c_nationkey").groupBy(
+        "n_name"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+    )

@@ -243,6 +243,9 @@ EXTENDED = [
     "customer_revenue_gini",
     "part_brand_share_shift",
     "mm_size_profile",
+    "order_priority_check",
+    "suppliers_kept_waiting",
+    "global_sales_opportunity",
 ]
 
 

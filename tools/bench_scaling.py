@@ -227,6 +227,9 @@ QUERIES = [
     "customer_revenue_gini",
     # single-pass two-label bucket-locate over asset byte lengths
     "mm_size_profile",
+    # Q21-shaped blame report: one orderkey fact-fact join + two
+    # hash-aggs — pair work tracks lines, never lines^2
+    "suppliers_kept_waiting",
 ]
 
 

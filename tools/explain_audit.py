@@ -946,6 +946,23 @@ EXPECT: dict[str, dict] = {
     "mm_size_profile": {
         "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
     },
+    # Q4-shaped priority check: LEFT SEMI on the order key with the
+    # lateness predicate in the join condition
+    "order_priority_check": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # Q21-shaped blame report: orderkey fact-fact join, the
+    # EXISTS/NOT-EXISTS pair collapsed into one per-order aggregate
+    # joined back; supplier attach AQE-broadcast
+    "suppliers_kept_waiting": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # Q22-shaped opportunity scan: 1-row scalar-average broadcast +
+    # LEFT ANTI on the urgent-filtered key projection (pushed filter)
+    # + hinted 25-row nation broadcast
+    "global_sales_opportunity": {
+        "pushed": True, "no_smj": False, "hints": 2, "pure_jvm": True,
+    },
     # Pareto deciles: supplier-keyed agg, ordered-prefix NTILE (1
     # hinted carry), 10-row decile rollup + bounded share windows
     "supplier_pareto_deciles": {
@@ -1031,6 +1048,9 @@ SCALAR_SUBQUERY_OK = {
     "rich_idle_customers",
     "important_part_value",
     "top_revenue_suppliers",
+    # single-row broadcast cross join: the positive-balance average
+    # (the Q22 scalar subquery)
+    "global_sales_opportunity",
     # single-row broadcast cross joins by design: (N, avgdl) stats row
     # for BM25; the dim-indexed quantizer-params row for SQ8
     "doc_bm25_search",
