@@ -119,15 +119,16 @@ def oracles() -> dict[str, str]:
 # returns to 0: every oracle-backed catalog query holds >=1 driver
 # row across r3–r11.
 #
-# Round-12 rotation candidates (the 10 oracle-backed round-11
+# Round-12 rotation candidates (the 13 oracle-backed round-11
 # in-round additions, in suggested order — all local-check green at
-# sf0.01, plan-audited, bench-exercised; heavy families probed):
+# sf0.01, plan-audited, bench-exercised, probed):
 # doc_bpe_tokenize, doc_link_components, supplier_leadtime_median,
 # customer_revenue_gini, orders_cohort_ltv,
 # customer_interpurchase_stats, orders_seasonality_index,
-# doc_dup_rate_by_source, part_brand_share_shift, mm_size_profile.
-# Swap them for ten longest-green cohort members after the round-11
-# window holds its official rows.
+# doc_dup_rate_by_source, part_brand_share_shift, mm_size_profile,
+# order_priority_check, suppliers_kept_waiting,
+# global_sales_opportunity. Swap them for thirteen longest-green
+# cohort members after the round-11 window holds its official rows.
 _PRIORITY: tuple[str, ...] = (
     # §2 anchors (permanently pinned): flagship ingest, SQL-over-
     # parquet agg pipeline, watermark + incremental pair, MERGE
