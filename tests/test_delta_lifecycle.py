@@ -2107,3 +2107,40 @@ def test_table_changes_signed_linear_aggregates(spark, tmp_path):
     assert empty.count() == 0
     assert set(empty.columns) == {"pk", "val", "_cdf_sign",
                                   "commit_version"}
+
+
+def test_table_changes_signed_across_schema_evolution(spark, tmp_path):
+    """The signed feed must survive an additive schema evolution
+    inside the range: pre-evolution files surface with NULL in the
+    new column (allowMissingColumns union), and signed sums over the
+    widened column count only post-evolution rows."""
+    path = str(tmp_path / "t_cdf_signed_evo")
+    delta_log.append_commit(
+        spark.range(0, 6).selectExpr("id AS pk"), path
+    )  # v0: narrow
+    delta_log.append_commit(
+        spark.range(6, 10).selectExpr(
+            "id AS pk", "CAST(id AS DOUBLE) AS val"
+        ),
+        path,
+        merge_schema=True,
+    )  # v1: widened
+    delta_log.delete_where(spark, path, F.col("pk") == 7)  # v2
+
+    # (-1, head]: include v0 so pre-evolution rows are in range
+    signed = delta_log.table_changes_signed(spark, path, -1)
+    assert set(signed.columns) == {"pk", "val", "_cdf_sign",
+                                   "commit_version"}
+    agg = signed.agg(
+        F.sum("_cdf_sign").alias("dn"),
+        F.sum(F.col("_cdf_sign") * F.col("val")).alias("dv"),
+        F.sum(
+            F.when(F.col("val").isNull(), F.col("_cdf_sign"))
+            .otherwise(F.lit(0))
+        ).alias("dn_null"),
+    ).collect()[0]
+    # net rows: +6 (v0) +4 (v1) -1 (v2) = 9; v0's rows carry NULL val
+    assert agg["dn"] == 9
+    assert agg["dn_null"] == 6
+    # net val mass: 6..9 inserted, 7.0 deleted
+    assert agg["dv"] == float(6 + 8 + 9)

@@ -475,3 +475,34 @@ def test_group_order_statistics_rejects_duplicate_probs(spark):
     )
     with pytest.raises(ValueError, match="duplicate probs"):
         group_order_statistics(df, "v", [0.5, 0.5], ["g"], ["id"])
+
+
+def test_bucket_locate_shuffle_needed_list_has_no_broadcast(spark):
+    """broadcast_needed=False must leave NO broadcast hint in the
+    analyzed plan — at 100 TB a |groups|-row needed-list broadcast is
+    exactly what the dial exists to prevent (plan-level red/green for
+    the r11 in-engine locate)."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.ranking import (
+        group_order_statistics,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 50}", float(i % 13), i) for i in range(400)],
+        "g string, v double, id long",
+    )
+    with_b = group_order_statistics(
+        df, "v", [0.5], ["g"], ["id"], n_buckets=8
+    )
+    without_b = group_order_statistics(
+        df, "v", [0.5], ["g"], ["id"], n_buckets=8,
+        broadcast_needed=False,
+    )
+    plan_with = with_b._jdf.queryExecution().analyzed().toString()
+    plan_without = without_b._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan_with
+    assert "ResolvedHint" not in plan_without
+    # both variants must select identical order statistics
+    rows = lambda d: sorted(
+        (r["g"], r["prob"], r["n"], r["value"]) for r in d.collect()
+    )
+    assert rows(with_b) == rows(without_b)
