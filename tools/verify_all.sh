@@ -12,4 +12,6 @@ echo "== plan audit =="
 python tools/explain_audit.py
 echo "== catalog inventory freshness =="
 python tools/catalog_report.py | diff - CATALOG.md
+echo "== SURVEY inventory vs shipped artifacts =="
+python tools/survey_consistency.py --check
 echo "ALL GATES GREEN"
