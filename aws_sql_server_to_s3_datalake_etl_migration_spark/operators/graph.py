@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_fixedpoint", "connected_components"]
+__all__ = [
+    "pagerank_fixedpoint",
+    "connected_components",
+    "triangle_count",
+]
 
 
 def pagerank_fixedpoint(
@@ -138,3 +142,116 @@ def connected_components(
         F.col("_wcc_id").alias(node_col),
         F.col("cluster_id").alias("component"),
     )
+
+
+def triangle_count(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact per-node triangle participation counts over an
+    undirected graph. Returns ``(node_col, n_triangles bigint)`` —
+    one row per input node, zero for triangle-free nodes.
+
+    Algorithm (round 11): the DEGREE-ORDERED orientation — the
+    standard exact triangle algorithm that scales. Canonicalize the
+    edge set (undirected, deduplicated, self-loops dropped), then
+    orient every edge from its lower endpoint under the total order
+    ``(degree, id)``. Each triangle now has exactly one vertex with
+    two OUT-edges — its lowest-order corner — so enumerating wedges
+    ``(a→b, a→c)`` with ``(deg_b, b) < (deg_c, c)`` and semi-joining
+    the closing edge ``b→c`` against the oriented set counts every
+    triangle exactly once, with no post-hoc deduplication.
+
+    Why this is the 100 TB shape: wedge generation is
+    Σ_a C(outdeg(a), 2), and degree-ordering bounds every out-degree
+    by O(√m) on any graph (a node keeps only edges to HIGHER-ordered
+    neighbors, and fewer than √m nodes can have degree above √m) —
+    the naive orientation-by-id explodes on one high-degree hub,
+    this one cannot. Total work is O(m^1.5) worst case, the known
+    lower bound for exact listing. Plan: two hash-aggs (degrees,
+    per-node counts), the self-join co-located on the wedge apex
+    ``a``, and one ``left_semi`` shuffled on the closing pair — no
+    window, no driver-side graph, no all-pairs anything. The
+    oriented edge set is persisted for its two consumers (wedge
+    build + closing probe) and released before return.
+
+    Reference parity: the reference engine has no graph operators
+    (its pipelines stop at relational recon, ``reporting_utils.py``);
+    this completes the graph surface beside ``pagerank_fixedpoint``
+    and ``connected_components`` — triangle density is the standard
+    link-spam / community-structure signal a web-corpus curation
+    pipeline weighs alongside PageRank.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = e.join(
+        deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u"
+    ).join(
+        deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v"
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).persist()
+    oriented.count()
+    try:
+        e1 = oriented.select(
+            F.col("a"), F.col("b"), F.col("db")
+        )
+        e2 = oriented.select(
+            F.col("a"), F.col("b").alias("c"), F.col("db").alias("dc")
+        )
+        wedges = e1.join(e2, "a").where(
+            (F.col("db") < F.col("dc"))
+            | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+        )
+        tri = wedges.join(
+            oriented.select(
+                F.col("a").alias("b"), F.col("b").alias("c")
+            ),
+            ["b", "c"],
+            "left_semi",
+        )
+        roles = (
+            tri.select(F.col("a").alias(node_col))
+            .unionAll(tri.select(F.col("b").alias(node_col)))
+            .unionAll(tri.select(F.col("c").alias(node_col)))
+        )
+        counts = roles.groupBy(node_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+        )
+        out = (
+            nodes.select(node_col)
+            .join(counts, node_col, "left")
+            .select(
+                node_col,
+                F.coalesce(
+                    F.col("n_triangles"), F.lit(0).cast("bigint")
+                ).alias("n_triangles"),
+            )
+        )
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        oriented.unpersist()

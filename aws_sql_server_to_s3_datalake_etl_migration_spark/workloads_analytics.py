@@ -3912,3 +3912,91 @@ def global_sales_opportunity(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Block jackknife confidence interval (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_block_jackknife_ci",
+    """
+    WITH b AS (
+      SELECT o_orderkey % 32 AS blk,
+             COUNT(*) AS n_i,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s_i
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT COUNT(*) AS bb, SUM(n_i) AS n, SUM(s_i) AS s FROM b
+    )
+    SELECT blk,
+           CAST(n_i AS BIGINT) AS n_block,
+           CAST(n - n_i AS BIGINT) AS n_excl,
+           CAST(s - s_i AS DOUBLE) AS sum_excl,
+           CAST(s - s_i AS DOUBLE) / CAST(n - n_i AS DOUBLE)
+             AS theta_excl,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS theta_all,
+           CAST(bb AS DOUBLE)
+             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           - (CAST(bb AS DOUBLE) - 1)
+             * (CAST(s - s_i AS DOUBLE) / CAST(n - n_i AS DOUBLE))
+             AS pseudovalue
+    FROM b, t
+    """,
+)
+def orders_block_jackknife_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delete-one-block jackknife over the mean order value — THE
+    scalable uncertainty estimator: a full bootstrap resamples the
+    fact table hundreds of times, the block jackknife gets a variance
+    estimate from ONE aggregation pass over B=32 deterministic hash
+    blocks (``o_orderkey % 32``). Emits one row per block with the
+    leave-block-out mean ``theta_excl`` and its pseudovalue
+    ``B·θ − (B−1)·θ₋ᵢ``; the caller's 32-row fold
+    ``var = Σ(pv − p̄v)² / (B(B−1))`` is the CI half-width.
+
+    Exactness: all sums accumulate in DECIMAL(18,4) (order-
+    independent, the module-wide monetary rule); every emitted double
+    is a FIXED expression tree over those exact aggregates — single
+    casts, one division, one fused subtract — so both engines
+    evaluate the identical IEEE operation sequence. The variance fold
+    itself is left to the consumer precisely because a 32-term float
+    sum has no canonical order to pin cross-engine.
+
+    Scale shape: one map-side-combined hash-agg to 32 rows, one
+    32-row re-agg for the totals, one broadcast of the 1-row total
+    back over the blocks. The fact table is scanned once and never
+    shuffled on a data-sized key. At 100 TB the only growth is the
+    scan; the jackknife arithmetic is O(B)."""
+    o = read_table_dir(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 32).alias("blk"),
+        F.col("o_totalprice"),
+    )
+    b = o.groupBy("blk").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum(_dec("o_totalprice")).alias("s_i"),
+    )
+    t = b.agg(
+        F.count(F.lit(1)).alias("bb"),
+        F.sum("n_i").alias("n"),
+        F.sum("s_i").alias("s"),
+    )
+    theta_all = F.col("s").cast("double") / F.col("n").cast("double")
+    theta_excl = (F.col("s") - F.col("s_i")).cast("double") / (
+        F.col("n") - F.col("n_i")
+    ).cast("double")
+    return b.crossJoin(F.broadcast(t)).select(
+        "blk",
+        F.col("n_i").cast("bigint").alias("n_block"),
+        (F.col("n") - F.col("n_i")).cast("bigint").alias("n_excl"),
+        (F.col("s") - F.col("s_i")).cast("double").alias("sum_excl"),
+        theta_excl.alias("theta_excl"),
+        theta_all.alias("theta_all"),
+        (
+            F.col("bb").cast("double") * theta_all
+            - (F.col("bb").cast("double") - F.lit(1.0)) * theta_excl
+        ).alias("pseudovalue"),
+    )

@@ -4358,3 +4358,76 @@ def mm_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res
     finally:
         a.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (round 11): link-graph community/spam density signal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_link_triangles",
+    """
+    WITH e AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM documents a JOIN documents b
+        ON (b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2)
+       AND b.doc_id // 16 = a.doc_id // 16
+    ),
+    t AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    r AS (
+      SELECT a AS node FROM t
+      UNION ALL SELECT b AS node FROM t
+      UNION ALL SELECT c AS node FROM t
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_triangles
+    FROM documents d LEFT JOIN (
+      SELECT node, COUNT(*) AS n FROM r GROUP BY node
+    ) cnt ON cnt.node = d.doc_id
+    """,
+)
+def doc_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation over a deterministic link
+    graph, VALUE-CHECKED — the iterative-twin pattern (PageRank,
+    WCC): docs link to their +1 and +2 successors inside 16-wide id
+    buckets, so triangles are exactly the (i, i+1, i+2) runs that fit
+    in one bucket — a shape the oracle can state as a 3-way self-join
+    at sf0.01 while the Spark side runs the REAL scalable machinery.
+
+    Spark side is ``graph.triangle_count``: degree-ordered
+    orientation, wedge join co-located on the apex, ``left_semi``
+    closing-edge probe — O(m^1.5) worst case with per-node out-degree
+    capped at O(√m), the shape that survives a hub-heavy web graph
+    where the oracle's naive 3-way join dies. Interior bucket nodes
+    sit in 3 triangles, the two nodes at each bucket edge in 1–2 —
+    non-uniform counts, so the check exercises role attribution, not
+    just the global total.
+    """
+    from .operators.graph import triangle_count
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    src = d.select(F.col("doc_id").alias("src"))
+    dst = d.select(F.col("doc_id").alias("dst"))
+    edges = None
+    for k in (1, 2):
+        hop = src.join(
+            dst,
+            (F.col("dst") == F.col("src") + k)
+            & (
+                F.floor(F.col("dst") / 16)
+                == F.floor(F.col("src") / 16)
+            ),
+        )
+        edges = hop if edges is None else edges.unionAll(hop)
+    counts = triangle_count(
+        d.select(F.col("doc_id").alias("node")), edges
+    )
+    return counts.select(
+        F.col("node").alias("doc_id"), "n_triangles"
+    )

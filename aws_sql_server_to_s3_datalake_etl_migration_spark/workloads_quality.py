@@ -482,3 +482,72 @@ def doc_source_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nn))
         .select("chi2", "dof", F.col("n").cast("bigint").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (round 11): k-anonymity's sibling gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_l_diversity",
+    """
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band,
+             COUNT(*) AS n
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    grp AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS l,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT l,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           l < 3 AS violates_l3
+    FROM grp GROUP BY l
+    """,
+)
+def customer_l_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's required sibling: a QI group
+    can be large (k-safe) yet still leak if every member shares the
+    SAME sensitive value, so the gate also demands ≥l distinct
+    sensitive values per group. QI tuple = (nation, market segment),
+    sensitive attribute = the account-balance band; the report is the
+    l-histogram with the l<3 violation flag, mirroring
+    ``customer_k_anonymity``'s k-histogram so a governance layer
+    reads both gates off the same shape.
+
+    Plan: distinct-count WITHOUT count_distinct's expand — two
+    stacked map-side-combined hash-aggs (QI+band cells → QI groups →
+    l histogram), each output strictly smaller than its input; no
+    sort, no window, no join, no distinct expansion. At 100 TB this
+    is three shrinking shuffles. The band is FLOOR of one IEEE
+    division, identical on both engines."""
+    c = _t(spark, sf_dir, "customer")
+    cells = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / F.lit(1000.0))
+            .cast("bigint")
+            .alias("band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grp = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("l"),
+        F.sum("n").cast("bigint").alias("n"),
+    )
+    return grp.groupBy("l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    ).select(
+        "l", "n_groups", "n_rows", (F.col("l") < 3).alias("violates_l3")
+    )

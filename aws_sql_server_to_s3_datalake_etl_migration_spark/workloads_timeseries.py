@@ -1921,3 +1921,108 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             med.unpersist()
         if mad is not None:
             mad.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov–Smirnov two-sample drift test (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ks_drift",
+    """
+    WITH v AS (
+      SELECT value,
+             SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS a_c,
+             SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS b_c
+      FROM events WHERE value IS NOT NULL GROUP BY value
+    ),
+    c AS (
+      SELECT SUM(a_c) OVER w AS ca, SUM(b_c) OVER w AS cb
+      FROM v WINDOW w AS (
+        ORDER BY value
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    n AS (SELECT SUM(a_c) AS n1, SUM(b_c) AS n2 FROM v)
+    SELECT CAST(n1 AS BIGINT) AS n_a,
+           CAST(n2 AS BIGINT) AS n_b,
+           CAST(MAX(ABS(ca * n2 - cb * n1)) AS BIGINT) AS d_num,
+           CAST(MAX(ABS(ca * n2 - cb * n1)) AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d
+    FROM c, n GROUP BY n1, n2
+    """,
+)
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the two
+    ingestion shards (event_id parity) over ``value`` — the
+    distribution-drift gate a pipeline runs between batches, here as
+    an A/A calibration (same-population shards should score near 0,
+    so a spike means the sharding itself went biased). The same
+    operator shape compares any two cohorts: old batch vs new batch,
+    source A vs source B.
+
+    Exactness (the confusable-spam discipline): D = sup|F₁−F₂| is
+    evaluated at pooled distinct values with INTEGER cross-
+    multiplication — ``d_num = max|c₁·n₂ − c₂·n₁|`` over exact
+    bigint cumulative counts, so both engines agree bit-for-bit; the
+    reported ``ks_d = d_num / (n₁·n₂)`` is one exact-int double
+    division. (int64 holds to ~3·10⁹ rows per shard; past that the
+    products move to decimal(38) — SCALING.md.)
+
+    Scale shape: the cumulative counts are the classic ordered-prefix
+    problem over a value domain that TRACKS the fact table (doubles,
+    mostly distinct) — a single global window would serialize on one
+    task, so this runs the engine's distributed ordered-prefix pass
+    (quantile buckets → in-bucket running sums → ≤64-row carry):
+    one per-value hash-agg, then ``with_ordered_prefix``, then one
+    scalar max. No driver-side data, no global sort."""
+    from .operators.ranking import with_ordered_prefix
+
+    per_val = (
+        _events(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_id") % 2 == 0, 1).otherwise(0)
+            ).alias("a_c"),
+            F.sum(
+                F.when(F.col("event_id") % 2 == 1, 1).otherwise(0)
+            ).alias("b_c"),
+        )
+        .persist()
+    )
+    try:
+        ranked = with_ordered_prefix(
+            per_val,
+            "value",
+            [F.col("value")],
+            {"ca": F.col("a_c"), "cb": F.col("b_c")},
+            totals={"n_a": "ca", "n_b": "cb"},
+        )
+        res = ranked.agg(
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+            F.max(
+                F.abs(
+                    F.col("ca") * F.col("n_b")
+                    - F.col("cb") * F.col("n_a")
+                )
+            ).cast("bigint").alias("d_num"),
+        ).select(
+            "n_a",
+            "n_b",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (
+                    F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                )
+            ).alias("ks_d"),
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        per_val.unpersist()

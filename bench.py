@@ -246,6 +246,10 @@ EXTENDED = [
     "order_priority_check",
     "suppliers_kept_waiting",
     "global_sales_opportunity",
+    "doc_link_triangles",
+    "events_ks_drift",
+    "orders_block_jackknife_ci",
+    "customer_l_diversity",
 ]
 
 

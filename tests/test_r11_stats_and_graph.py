@@ -1,0 +1,223 @@
+"""Round-11 additions (second batch): triangle counting, the KS
+two-sample drift test, the block jackknife CI, and the l-diversity
+audit — each pinned on tiny crafted inputs against hand-computed or
+pure-Python brute-force expectations (the oracle harness cross-checks
+the same queries against DuckDB at sf0.01; these pin SEMANTICS)."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.graph import (
+    triangle_count,
+)
+from aws_sql_server_to_s3_datalake_etl_migration_spark import (
+    workloads_analytics,
+    workloads_quality,
+    workloads_timeseries,
+)
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+
+def _triangles_bruteforce(nodes, edges):
+    """O(n^3) reference: per-node triangle participation counts."""
+    adj = set()
+    for s, d in edges:
+        if s != d:
+            adj.add((min(s, d), max(s, d)))
+    out = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        if (
+            (a, b) in adj
+            and (a, c) in adj
+            and (b, c) in adj
+        ):
+            out[a] += 1
+            out[b] += 1
+            out[c] += 1
+    return out
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    # K4 on 1-4 (4 triangles), a hub 5 joined to all of K4 (6 more),
+    # an isolated node 6; duplicate, reversed, and self-loop edges
+    # must not change counts.
+    nodes = [1, 2, 3, 4, 5, 6]
+    k4 = [(a, b) for a, b in itertools.combinations([1, 2, 3, 4], 2)]
+    hub = [(5, x) for x in [1, 2, 3, 4]]
+    noise = [(2, 1), (1, 2), (3, 3), (4, 5)]
+    edges = k4 + hub + noise
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(ndf, edf).collect()
+    }
+    assert got == _triangles_bruteforce(nodes, edges)
+    assert got[6] == 0  # isolated node present with a zero row
+
+
+def test_triangle_count_path_graph_is_triangle_free(spark):
+    nodes = list(range(8))
+    edges = [(i, i + 1) for i in range(7)]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    rows = triangle_count(ndf, edf).collect()
+    assert len(rows) == 8
+    assert all(r["n_triangles"] == 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# events_ks_drift
+# ---------------------------------------------------------------------------
+
+
+def test_ks_drift_hand_case(spark, tmp_path):
+    # shard A (even event_id): values {1, 2, 3}
+    # shard B (odd  event_id): values {2, 3, 4}
+    # pooled x:  1    2    3    4
+    # F_A(x):   1/3  2/3  3/3  3/3
+    # F_B(x):    0   1/3  2/3  3/3
+    # D = 1/3 at x=1 (also 2, 3); d_num = max|ca*n2 - cb*n1| = 3.
+    rows = [
+        (0, 1.0),
+        (2, 2.0),
+        (4, 3.0),
+        (1, 2.0),
+        (3, 3.0),
+        (5, 4.0),
+        (6, None),  # NULL value rows are excluded on both engines
+    ]
+    src = str(tmp_path / "ks_events")
+    (
+        spark.createDataFrame(rows, "event_id long, value double")
+        .select(
+            "event_id",
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+            F.lit(1).cast("long").alias("user_id"),
+            F.lit("view").alias("event_type"),
+            "value",
+            F.lit("{}").alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{src}/events.parquet")
+    )
+    out = workloads_timeseries.events_ks_drift(spark, src).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_a, r.n_b, r.d_num) == (3, 3, 3)
+    assert r.ks_d == 3 / 9
+
+
+def test_ks_drift_identical_shards_score_zero(spark, tmp_path):
+    # every value appears once in each shard -> ECDFs coincide at
+    # every pooled point -> D = 0 exactly
+    rows = [(2 * i + p, float(i)) for i in range(5) for p in (0, 1)]
+    src = str(tmp_path / "ks_aa")
+    (
+        spark.createDataFrame(rows, "event_id long, value double")
+        .select(
+            "event_id",
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+            F.lit(1).cast("long").alias("user_id"),
+            F.lit("view").alias("event_type"),
+            "value",
+            F.lit("{}").alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{src}/events.parquet")
+    )
+    r = workloads_timeseries.events_ks_drift(spark, src).collect()[0]
+    assert (r.n_a, r.n_b, r.d_num, r.ks_d) == (5, 5, 0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# orders_block_jackknife_ci
+# ---------------------------------------------------------------------------
+
+
+def test_block_jackknife_mirror(spark, tmp_path):
+    # 3 blocks (keys 0,1,2 mod 32), unequal sizes, exact-cent prices
+    rows = [
+        (0, 10.00),
+        (32, 20.00),
+        (64, 30.00),  # blk 0: n=3, s=60
+        (1, 40.00),
+        (33, 60.00),  # blk 1: n=2, s=100
+        (2, 50.00),  # blk 2: n=1, s=50
+    ]
+    src = str(tmp_path / "jk_orders")
+    (
+        spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+        .write.mode("overwrite")
+        .parquet(f"{src}/orders.parquet")
+    )
+    got = {
+        r.blk: r
+        for r in workloads_analytics.orders_block_jackknife_ci(
+            spark, src
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    S, N, B = 210.0, 6, 3
+    theta = S / N
+    for blk, (n_i, s_i) in {0: (3, 60.0), 1: (2, 100.0), 2: (1, 50.0)}.items():
+        r = got[blk]
+        assert (r.n_block, r.n_excl) == (n_i, N - n_i)
+        assert r.sum_excl == S - s_i
+        assert r.theta_excl == (S - s_i) / (N - n_i)
+        assert r.theta_all == theta
+        assert r.pseudovalue == B * theta - (B - 1) * r.theta_excl
+    # the pseudovalue mean recovers a valid estimator: for the mean
+    # statistic it is n-weighted-consistent, and with equal-size
+    # blocks it equals theta exactly -- here just pin the identity
+    # sum(pv) = B*B*theta - (B-1)*sum(theta_excl)
+    pv_sum = sum(r.pseudovalue for r in got.values())
+    te_sum = sum(r.theta_excl for r in got.values())
+    assert abs(pv_sum - (B * B * theta - (B - 1) * te_sum)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# customer_l_diversity
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_hand_case(spark, tmp_path):
+    # group (1,'A'): bands {0,0,1} -> l=2, n=3
+    # group (1,'B'): bands {5}     -> l=1, n=1  (violates l<3)
+    # group (2,'A'): bands {0,1,2} -> l=3, n=3  (first non-violating)
+    data = [
+        (1, "c1", 1, 10.0, "A"),
+        (2, "c2", 1, 999.0, "A"),
+        (3, "c3", 1, 1500.0, "A"),
+        (4, "c4", 1, 5200.0, "B"),
+        (5, "c5", 2, 10.0, "A"),
+        (6, "c6", 2, 1200.0, "A"),
+        (7, "c7", 2, 2500.0, "A"),
+    ]
+    src = str(tmp_path / "ld_customer")
+    (
+        spark.createDataFrame(
+            data,
+            "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{src}/customer.parquet")
+    )
+    got = {
+        r.l: r
+        for r in workloads_quality.customer_l_diversity(
+            spark, src
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n_groups, got[1].n_rows, got[1].violates_l3) == (1, 1, True)
+    assert (got[2].n_groups, got[2].n_rows, got[2].violates_l3) == (1, 3, True)
+    assert (got[3].n_groups, got[3].n_rows, got[3].violates_l3) == (1, 3, False)

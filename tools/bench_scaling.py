@@ -230,6 +230,15 @@ QUERIES = [
     # Q21-shaped blame report: one orderkey fact-fact join + two
     # hash-aggs — pair work tracks lines, never lines^2
     "suppliers_kept_waiting",
+    # r11 second batch: degree-ordered triangle counting (wedge work
+    # is Σ C(outdeg,2); the synthetic graph's out-degrees are ≤2, so
+    # edge-linear — the orientation is what keeps a hub-heavy real
+    # graph at O(m^1.5) instead of deg_max^2), the KS drift test
+    # (per-value hash-agg + ordered-prefix pass, value-linear), and
+    # the block jackknife (one map-side-combined agg to 32 rows)
+    "doc_link_triangles",
+    "events_ks_drift",
+    "orders_block_jackknife_ci",
 ]
 
 

@@ -1091,6 +1091,9 @@ SCALAR_SUBQUERY_OK = {
     "doc_source_lang_chi2",
     # bounded |langs|^2 pair grid cross join
     "doc_lang_trigram_distance",
+    # 1-row jackknife-totals aggregate broadcast back over the
+    # 32-row block table
+    "orders_block_jackknife_ci",
 }
 
 
