@@ -2026,3 +2026,134 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res
     finally:
         per_val.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Classical OLS trend per key (round 11): Theil-Sen's parametric twin
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ols_trend",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             (epoch_ns(ts) // 3600000000000)::BIGINT AS h,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    mn AS (SELECT event_type, MIN(h) AS h0 FROM hourly GROUP BY 1),
+    pts AS (
+      SELECT h.event_type, h.h - m.h0 AS x, h.y AS y
+      FROM hourly h JOIN mn m USING (event_type)
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM pts GROUP BY 1
+    ),
+    d AS (
+      SELECT event_type, n,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS dnum,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS dden,
+             CAST(n * syy - sy * sy AS DOUBLE) AS dsyy,
+             CAST(sx AS DOUBLE) AS dsx,
+             CAST(sy AS DOUBLE) AS dsy
+      FROM s
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CASE WHEN dden = 0 THEN NULL
+                ELSE dnum / dden END AS slope,
+           CASE WHEN dden = 0 THEN NULL
+                ELSE (dsy - (dnum / dden) * dsx) / CAST(n AS DOUBLE)
+                END AS intercept,
+           CASE WHEN dden = 0 OR dsyy = 0 THEN NULL
+                ELSE (dnum * dnum) / (dden * dsyy) END AS r2
+    FROM d
+    """,
+)
+def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of the hourly rate — the
+    classical parametric twin of ``events_theilsen_trend``: where
+    Theil-Sen pays a pair join for outlier robustness, OLS gets
+    slope + intercept + r² from the closed-form normal equations in
+    ONE map-side-combined hash-agg over the hourly rollup. A pipeline
+    runs both: OLS for every key cheaply, Theil-Sen only on keys
+    whose r² and slope disagree (robustness actually needed).
+
+    Exactness: hours are recentered per key (x = h − min(h), so the
+    moment sums stay small), all six moments accumulate as EXACT
+    integers — DECIMAL(38,0) on Spark, HUGEINT on DuckDB — and every
+    reported double is the same fixed expression tree over
+    identically-rounded casts of identical integers: one division for
+    slope, one fused tree each for intercept and r². Degenerate keys
+    (a single distinct hour) return NULL, not a division crash.
+
+    Scale shape: one hourly hash-agg over the fact stream (the only
+    data-sized pass), then a |keys|-row min join (broadcast; key
+    domain is bounded) and a |keys × hours|-row moment agg. At 100 TB
+    nothing but the first rollup touches the fact table."""
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            (F.col("ts_ns") / F.lit(3_600_000_000_000))
+            .cast("bigint")
+            .alias("h"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    mn = hourly.groupBy("event_type").agg(F.min("h").alias("h0"))
+    pts = hourly.join(F.broadcast(mn), "event_type").select(
+        "event_type",
+        (F.col("h") - F.col("h0")).cast("decimal(19,0)").alias("x"),
+        F.col("y").cast("decimal(19,0)").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("dnum"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("dden"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("dsyy"),
+        F.col("sx").cast("double").alias("dsx"),
+        F.col("sy").cast("double").alias("dsy"),
+    )
+    slope = F.col("dnum") / F.col("dden")
+    return d.select(
+        "event_type",
+        "n_hours",
+        F.when(F.col("dden") == 0, F.lit(None).cast("double"))
+        .otherwise(slope)
+        .alias("slope"),
+        F.when(F.col("dden") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("dsy") - slope * F.col("dsx"))
+            / F.col("n_hours").cast("double")
+        )
+        .alias("intercept"),
+        F.when(
+            (F.col("dden") == 0) | (F.col("dsyy") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            (F.col("dnum") * F.col("dnum"))
+            / (F.col("dden") * F.col("dsyy"))
+        )
+        .alias("r2"),
+    )

@@ -250,6 +250,8 @@ EXTENDED = [
     "events_ks_drift",
     "orders_block_jackknife_ci",
     "customer_l_diversity",
+    "events_ols_trend",
+    "customer_entity_resolution",
 ]
 
 

@@ -221,3 +221,101 @@ def test_l_diversity_hand_case(spark, tmp_path):
     assert (got[1].n_groups, got[1].n_rows, got[1].violates_l3) == (1, 1, True)
     assert (got[2].n_groups, got[2].n_rows, got[2].violates_l3) == (1, 3, True)
     assert (got[3].n_groups, got[3].n_rows, got[3].violates_l3) == (1, 3, False)
+
+
+# ---------------------------------------------------------------------------
+# events_ols_trend
+# ---------------------------------------------------------------------------
+
+
+def test_ols_trend_hand_case(spark, tmp_path):
+    # type "lin": hourly counts 1,2,3 at hours h0,h0+1,h0+2 ->
+    # perfect line: slope=1, intercept=1, r2=1
+    # type "flat": counts 2,2 -> slope=0, syy-den=0 -> r2 NULL
+    # type "one": a single hour -> dden=0 -> slope/intercept/r2 NULL
+    base = "2024-01-01 0{h}:00:0{i}"
+    rows = []
+    eid = 0
+    for h, n in [(0, 1), (1, 2), (2, 3)]:
+        for i in range(n):
+            rows.append((eid, f"2024-01-01 0{h}:00:0{i}", "lin"))
+            eid += 1
+    for h in (0, 1):
+        for i in range(2):
+            rows.append((eid, f"2024-01-02 0{h}:00:0{i}", "flat"))
+            eid += 1
+    rows.append((eid, "2024-01-03 00:00:00", "one"))
+    src = str(tmp_path / "ols_events")
+    (
+        spark.createDataFrame(rows, "event_id long, ts_s string, event_type string")
+        .select(
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            F.lit(1).cast("long").alias("user_id"),
+            "event_type",
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{src}/events.parquet")
+    )
+    got = {
+        r.event_type: r
+        for r in workloads_timeseries.events_ols_trend(spark, src).collect()
+    }
+    lin = got["lin"]
+    assert (lin.n_hours, lin.slope, lin.intercept, lin.r2) == (3, 1.0, 1.0, 1.0)
+    flat = got["flat"]
+    assert (flat.n_hours, flat.slope, flat.intercept) == (2, 0.0, 2.0)
+    assert flat.r2 is None  # zero variance in y
+    one = got["one"]
+    assert one.n_hours == 1
+    assert one.slope is None and one.intercept is None and one.r2 is None
+
+
+# ---------------------------------------------------------------------------
+# customer_entity_resolution
+# ---------------------------------------------------------------------------
+
+
+def test_entity_resolution_hand_case(spark, tmp_path):
+    # nation 1: "ann"/"anne"/"annet" chain (ann~anne dist 1,
+    #   anne~annet dist 1 -> one 3-member cluster via transitivity,
+    #   even though ann~annet is dist 2); "bob" is a singleton
+    # nation 2: "ann2" matches nation-1 "anne" by name distance but
+    #   the nation block must keep it separate
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.workloads_curation import (
+        customer_entity_resolution,
+    )
+
+    data = [
+        (1, "ann", 1, 10.0, "A"),
+        (2, "anne", 1, 20.0, "A"),
+        (3, "annet", 1, 30.0, "B"),
+        (4, "bob", 1, 40.0, "A"),
+        (5, "anne", 2, 50.0, "A"),
+    ]
+    src = str(tmp_path / "er_customer")
+    (
+        spark.createDataFrame(
+            data,
+            "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{src}/customer.parquet")
+    )
+    got = {
+        r.cluster_id: r
+        for r in customer_entity_resolution(spark, src).collect()
+    }
+    assert set(got) == {1, 4, 5}
+    g1 = got[1]
+    assert (g1.n_members, g1.canonical_name, g1.total_acctbal, g1.n_nations) == (
+        3,
+        "ann",
+        60.0,
+        1,
+    )
+    assert (got[4].n_members, got[4].canonical_name) == (1, "bob")
+    assert (got[5].n_members, got[5].canonical_name) == (1, "anne")

@@ -239,6 +239,12 @@ QUERIES = [
     "doc_link_triangles",
     "events_ks_drift",
     "orders_block_jackknife_ci",
+    # per-key OLS: one hourly hash-agg over the stream, moments over
+    # the |keys x hours| rollup — must track events linearly
+    "events_ols_trend",
+    # ER composition: deletion-key blocking + per-round O(edges) WCC
+    # — pair volume tracks customers (bounded per-key neighborhoods)
+    "customer_entity_resolution",
 ]
 
 
