@@ -765,3 +765,165 @@ def stream_wap_to_lake(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming distribution-drift monitor (round 11)
+# ---------------------------------------------------------------------------
+
+
+def bin_counts(
+    df: DataFrame, boundaries: list[float], value_col: str = "value"
+) -> DataFrame:
+    """Histogram a value column into the fixed bins defined by sorted
+    ``boundaries`` — bin id = number of boundaries strictly below the
+    value (0 .. len(boundaries)), NULLs dropped. Returns
+    ``(bin bigint, c bigint)``; empty bins are absent (consumers
+    outer-join). The bin id is a codegen'd sum of bounded indicator
+    terms — no UDF, no lookup join — so at 100 TB the histogram is
+    one map-side-combined hash-agg over the scan."""
+    bs = sorted(float(x) for x in boundaries)
+    if not bs:
+        raise ValueError("boundaries must be non-empty")
+    bin_id = None
+    for x in bs:
+        term = F.when(F.col(value_col) > F.lit(x), 1).otherwise(0)
+        bin_id = term if bin_id is None else bin_id + term
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(bin_id.cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def ks_drift_batch(
+    batch_df: DataFrame,
+    ref_bins: DataFrame,
+    boundaries: list[float],
+    value_col: str = "value",
+) -> DataFrame:
+    """Binned two-sample KS statistic between one batch and a
+    reference histogram (``bin_counts`` output). Returns ONE row:
+    ``(n_batch, n_ref, d_num, ks_d)``.
+
+    The batch-side ECDF and the reference ECDF are compared at the
+    shared bin boundaries — with FIXED bins the statistic is exact
+    for the binned distributions and every quantity is integer until
+    the final division (``d_num = max|c_b·n_r − c_r·n_b|`` over
+    bigint cumulative counts, the ``events_ks_drift`` discipline), so
+    replaying the same batch reproduces the same row bit-for-bit.
+    The cumulative window runs over ≤ |boundaries|+1 rows — bounded
+    by construction, the allowlisted carry shape."""
+    from pyspark.sql.window import Window
+
+    b = bin_counts(batch_df, boundaries, value_col).select(
+        "bin", F.col("c").alias("b_c")
+    )
+    r = ref_bins.select("bin", F.col("c").alias("r_c"))
+    grid = (
+        b.join(r, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("b_c", F.lit(0)).alias("b_c"),
+            F.coalesce("r_c", F.lit(0)).alias("r_c"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select(
+        F.sum("b_c").over(w).alias("cb"),
+        F.sum("r_c").over(w).alias("cr"),
+    )
+    tot = cum.agg(
+        F.coalesce(F.max("cb"), F.lit(0)).cast("bigint").alias("n_batch"),
+        F.coalesce(F.max("cr"), F.lit(0)).cast("bigint").alias("n_ref"),
+    )
+    # totals ride a 1-row broadcast back over the <= |bins|+1 grid
+    # rows; a both-sides-empty comparison yields zero rows (no data
+    # to compare), which the monitor writes through as-is
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_batch", "n_ref")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cb") * F.col("n_ref")
+                    - F.col("cr") * F.col("n_batch")
+                )
+            ).cast("bigint").alias("d_num")
+        )
+        .select(
+            "n_batch",
+            "n_ref",
+            "d_num",
+            F.when(
+                (F.col("n_batch") == 0) | (F.col("n_ref") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.col("d_num").cast("double")
+                / (
+                    F.col("n_batch").cast("double")
+                    * F.col("n_ref").cast("double")
+                )
+            )
+            .alias("ks_d"),
+        )
+    )
+
+
+def stream_drift_monitor(
+    stream: DataFrame,
+    ref_bins_path: str,
+    boundaries: list[float],
+    out_path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    threshold: float = 0.2,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Per-micro-batch distribution-drift gate: each batch's binned
+    KS statistic against the reference histogram at ``ref_bins_path``
+    (re-read per batch, so a refreshed reference is picked up without
+    a restart) is appended to the drift log at ``out_path`` with the
+    ``drifted`` flag (ks_d > threshold) a downstream WAP gate or
+    alert reads.
+
+    Exactly-once under at-least-once foreachBatch replay: each
+    batch's single row lands via DYNAMIC PARTITION OVERWRITE of its
+    own ``batch_id=N`` partition — a replayed batch rewrites the same
+    partition with the same deterministic row (``ks_drift_batch`` is
+    integer-exact), never appends a duplicate. This is the engine's
+    established idempotent-sink pattern (exactly-once partition
+    overwrites, SCALING.md)."""
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ref = spark.read.parquet(ref_bins_path)
+        row = ks_drift_batch(
+            batch_df, ref, boundaries, value_col
+        ).select(
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+            "n_batch",
+            "n_ref",
+            "d_num",
+            "ks_d",
+            (F.col("ks_d") > F.lit(float(threshold))).alias("drifted"),
+        )
+        (
+            row.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1323,3 +1323,113 @@ def test_stream_wap_publishes_green_quarantines_red(spark, tmp_path):
     assert got == {1, 2, 5}
     bad = {r["pk"] for r in read_delta(spark, quarantine).collect()}
     assert bad == {3, 4}
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _binned_ks_mirror(batch_vals, ref_vals, boundaries):
+    """Pure-Python mirror of the binned integer-exact KS."""
+    def binv(v):
+        return sum(1 for x in boundaries if v > x)
+
+    import collections
+
+    bc = collections.Counter(binv(v) for v in batch_vals)
+    rc = collections.Counter(binv(v) for v in ref_vals)
+    nb, nr = sum(bc.values()), sum(rc.values())
+    cb = cr = 0
+    d = 0
+    for b in sorted(set(bc) | set(rc)):
+        cb += bc.get(b, 0)
+        cr += rc.get(b, 0)
+        d = max(d, abs(cb * nr - cr * nb))
+    return nb, nr, d
+
+
+def test_ks_drift_batch_matches_mirror(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
+        bin_counts,
+        ks_drift_batch,
+    )
+
+    boundaries = [10.0, 20.0, 30.0]
+    ref_vals = [5.0, 12.0, 25.0, 31.0, 15.0]
+    batch_vals = [35.0, 36.0, 22.0, None]
+    ref = spark.createDataFrame(
+        [(v,) for v in ref_vals], "value double"
+    )
+    batch = spark.createDataFrame(
+        [(v,) for v in batch_vals], "value double"
+    )
+    row = ks_drift_batch(
+        batch, bin_counts(ref, boundaries), boundaries
+    ).collect()[0]
+    nb, nr, d = _binned_ks_mirror(
+        [v for v in batch_vals if v is not None], ref_vals, boundaries
+    )
+    assert (row.n_batch, row.n_ref, row.d_num) == (nb, nr, d)
+    assert row.ks_d == d / (nb * nr)
+
+
+def test_stream_drift_monitor_flags_shifted_batch(spark, tmp_path):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
+        bin_counts,
+        stream_drift_monitor,
+        stream_ingest_files,
+    )
+
+    boundaries = [25.0, 50.0, 75.0]
+    # reference: uniform 0..99
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "value double"
+    )
+    ref_path = str(tmp_path / "ref_bins")
+    bin_counts(ref, boundaries).write.parquet(ref_path)
+
+    src = tmp_path / "drift_landing"
+    src.mkdir()
+    # batch 0: same distribution (no drift); batch 1: shifted +75
+    (
+        spark.createDataFrame(
+            [(float(i),) for i in range(100)], "value double"
+        )
+        .coalesce(1)
+        .write.parquet(str(src / "b0"))
+    )
+    (
+        spark.createDataFrame(
+            [(float(i + 75),) for i in range(100)], "value double"
+        )
+        .coalesce(1)
+        .write.parquet(str(src / "b1"))
+    )
+    out = str(tmp_path / "drift_log")
+    q = stream_drift_monitor(
+        stream_ingest_files(
+            spark, str(src / "*"), "value DOUBLE", max_files_per_trigger=1
+        ),
+        ref_path,
+        boundaries,
+        out,
+        str(tmp_path / "drift_ckpt"),
+        threshold=0.2,
+    )
+    q.awaitTermination(120)
+    log = {r.batch_id: r for r in spark.read.parquet(out).collect()}
+    assert len(log) == 2
+    rows = sorted(log.values(), key=lambda r: r.d_num)
+    same, shifted = rows[0], rows[1]
+    # identical distribution: D = 0 exactly
+    assert (same.n_batch, same.n_ref, same.d_num) == (100, 100, 0)
+    assert same.drifted is False
+    # +75 shift: mirror the expected statistic
+    nb, nr, d = _binned_ks_mirror(
+        [float(i + 75) for i in range(100)],
+        [float(i) for i in range(100)],
+        boundaries,
+    )
+    assert (shifted.n_batch, shifted.n_ref, shifted.d_num) == (nb, nr, d)
+    assert shifted.drifted is True
