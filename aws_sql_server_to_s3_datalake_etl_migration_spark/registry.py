@@ -119,7 +119,7 @@ def oracles() -> dict[str, str]:
 # returns to 0: every oracle-backed catalog query holds >=1 driver
 # row across r3–r11.
 #
-# Round-12 rotation candidates (the 13 oracle-backed round-11
+# Round-12 rotation candidates (the 20 oracle-backed round-11
 # in-round additions, in suggested order — all local-check green at
 # sf0.01, plan-audited, bench-exercised, probed):
 # doc_bpe_tokenize, doc_link_components, supplier_leadtime_median,
@@ -127,8 +127,15 @@ def oracles() -> dict[str, str]:
 # customer_interpurchase_stats, orders_seasonality_index,
 # doc_dup_rate_by_source, part_brand_share_shift, mm_size_profile,
 # order_priority_check, suppliers_kept_waiting,
-# global_sales_opportunity. Swap them for thirteen longest-green
-# cohort members after the round-11 window holds its official rows.
+# global_sales_opportunity, doc_link_triangles, events_ks_drift,
+# orders_block_jackknife_ci, customer_l_diversity, events_ols_trend,
+# customer_entity_resolution, orders_median_ci. Swap them for as
+# many longest-green cohort members after the round-11 window holds
+# its official rows
+# (20 > the usual rotation width; if the window can't absorb all 20
+# in one round, rotate the first 13 and stage the second-batch seven
+# for round 13 — additions-before-close keep the one-round-lag
+# contract either way).
 _PRIORITY: tuple[str, ...] = (
     # §2 anchors (permanently pinned): flagship ingest, SQL-over-
     # parquet agg pipeline, watermark + incremental pair, MERGE

@@ -4000,3 +4000,107 @@ def orders_block_jackknife_ci(
             - (F.col("bb").cast("double") - F.lit(1.0)) * theta_excl
         ).alias("pseudovalue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-free median CI (round 11): binomial order-statistic bounds
+# ---------------------------------------------------------------------------
+
+_Z95 = "1.959963984540054"  # two-sided 95% normal quantile, both engines
+
+
+@register(
+    "orders_median_ci",
+    f"""
+    WITH r AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS v,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    k AS (
+      SELECT grp, n,
+             GREATEST(1, CAST(CEIL(
+               (CAST(n AS DOUBLE) - {_Z95} * SQRT(CAST(n AS DOUBLE)))
+               / 2) AS BIGINT)) AS l,
+             (n + 1) // 2 AS m
+      FROM (SELECT DISTINCT grp, n FROM r)
+    ),
+    k2 AS (SELECT grp, n, l, m, n + 1 - l AS u FROM k)
+    SELECT r.grp AS o_orderpriority,
+           CAST(k2.n AS BIGINT) AS n_orders,
+           MAX(CASE WHEN rn = l THEN v END) AS ci_lo,
+           MAX(CASE WHEN rn = m THEN v END) AS median,
+           MAX(CASE WHEN rn = u THEN v END) AS ci_hi
+    FROM r JOIN k2 USING (grp)
+    GROUP BY r.grp, k2.n
+    """,
+)
+def orders_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the per-priority
+    median order value — the binomial order-statistic bound: the CI
+    endpoints are the sample values at ranks
+    l = max(1, ⌈(n − z·√n)/2⌉) and u = n + 1 − l (z = 1.96), no
+    normality assumption, no resampling. The scalable counterpart of
+    a bootstrap percentile CI: THREE exact order statistics from one
+    bucket-locate pass (``group_rank_statistics`` — only ~1/64 of
+    each group is ever sorted), where a bootstrap pays hundreds of
+    full passes.
+
+    Determinism: the ranks derive from n via one fixed double tree
+    (sqrt and ceil are exactly-rounded IEEE operations, identical on
+    both engines); rank→value selection is the bucket-locate
+    machinery whose tiebreak (o_orderkey) reproduces the oracle's
+    global ROW_NUMBER order bit-for-bit. The oracle sorts each whole
+    partition; the engine never does."""
+    from pyspark.sql import Column
+    from .operators.ranking import group_rank_statistics
+
+    z = float(_Z95)
+
+    def _l_expr(n: Column) -> Column:
+        nd = n.cast("double")
+        return F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil((nd - F.lit(z) * F.sqrt(nd)) / F.lit(2)).cast(
+                "bigint"
+            ),
+        )
+
+    def k_lo(n):
+        if not isinstance(n, Column):
+            raise TypeError("needs the raw Column")
+        return _l_expr(n)
+
+    def k_med(n):
+        return (n + 1) // 2
+
+    def k_hi(n):
+        if not isinstance(n, Column):
+            raise TypeError("needs the raw Column")
+        return n + F.lit(1).cast("bigint") - _l_expr(n)
+
+    o = read_table_dir(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    stats = group_rank_statistics(
+        o,
+        "o_totalprice",
+        {"ci_lo": k_lo, "median": k_med, "ci_hi": k_hi},
+        ["o_orderpriority"],
+        ["o_orderkey"],
+    )
+    return stats.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.max(
+            F.when(F.col("stat") == "ci_lo", F.col("value"))
+        ).alias("ci_lo"),
+        F.max(
+            F.when(F.col("stat") == "median", F.col("value"))
+        ).alias("median"),
+        F.max(
+            F.when(F.col("stat") == "ci_hi", F.col("value"))
+        ).alias("ci_hi"),
+    )

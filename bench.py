@@ -252,6 +252,7 @@ EXTENDED = [
     "customer_l_diversity",
     "events_ols_trend",
     "customer_entity_resolution",
+    "orders_median_ci",
 ]
 
 

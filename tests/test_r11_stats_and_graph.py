@@ -319,3 +319,41 @@ def test_entity_resolution_hand_case(spark, tmp_path):
     )
     assert (got[4].n_members, got[4].canonical_name) == (1, "bob")
     assert (got[5].n_members, got[5].canonical_name) == (1, "anne")
+
+
+# ---------------------------------------------------------------------------
+# orders_median_ci
+# ---------------------------------------------------------------------------
+
+
+def test_median_ci_hand_case(spark, tmp_path):
+    import math
+
+    # group "A": n=9, values 10..90 by 10 -> median = 5th = 50;
+    # l = max(1, ceil((9 - 1.96*3)/2)) = max(1, ceil(1.56)) = 2 ->
+    # ci_lo = 20, u = 9 + 1 - 2 = 8 -> ci_hi = 80
+    # group "B": n=1 -> l=1, m=1, u=1 -> all three equal the value
+    rows = [(k + 1, float((k + 1) * 10), "A") for k in range(9)]
+    rows.append((100, 7.0, "B"))
+    src = str(tmp_path / "mci_orders")
+    (
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_totalprice double,"
+            " o_orderpriority string"
+        )
+        .write.mode("overwrite")
+        .parquet(f"{src}/orders.parquet")
+    )
+    got = {
+        r.o_orderpriority: r
+        for r in workloads_analytics.orders_median_ci(
+            spark, src
+        ).collect()
+    }
+    z = 1.959963984540054
+    l = max(1, math.ceil((9 - z * 3.0) / 2))
+    assert l == 2
+    a = got["A"]
+    assert (a.n_orders, a.ci_lo, a.median, a.ci_hi) == (9, 20.0, 50.0, 80.0)
+    b = got["B"]
+    assert (b.n_orders, b.ci_lo, b.median, b.ci_hi) == (1, 7.0, 7.0, 7.0)

@@ -245,6 +245,9 @@ QUERIES = [
     # ER composition: deletion-key blocking + per-round O(edges) WCC
     # — pair volume tracks customers (bounded per-key neighborhoods)
     "customer_entity_resolution",
+    # three order statistics from ONE bucket-locate pass — must track
+    # the orders table linearly like the other locate callers
+    "orders_median_ci",
 ]
 
 
