@@ -357,3 +357,96 @@ def test_median_ci_hand_case(spark, tmp_path):
     assert (a.n_orders, a.ci_lo, a.median, a.ci_hi) == (9, 20.0, 50.0, 80.0)
     b = got["B"]
     assert (b.n_orders, b.ci_lo, b.median, b.ci_hi) == (1, 7.0, 7.0, 7.0)
+
+
+# ---------------------------------------------------------------------------
+# star_connected_components
+# ---------------------------------------------------------------------------
+
+
+def _wcc_mirror(nodes, edges):
+    """Union-find reference."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # label = min of component
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def test_star_wcc_long_path_converges_in_log_rounds(spark):
+    # a 120-node path: diameter 119 -- min-label propagation would
+    # need 119 rounds; star contraction must close it inside the
+    # default 60 (in practice ~10)
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.graph import (
+        star_connected_components,
+    )
+
+    nodes = list(range(120))
+    edges = [(i, i + 1) for i in range(119)]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in star_connected_components(ndf, edf).collect()
+    }
+    assert got == {n: 0 for n in nodes}
+
+
+def test_star_wcc_matches_union_find_on_mixed_graph(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.graph import (
+        star_connected_components,
+    )
+
+    # deterministic pseudo-random graph: multiple components, a
+    # cycle, a binary-ish tree, duplicate + reversed edges, isolates
+    # (roster covers the modular edges' max endpoint, 61)
+    nodes = list(range(62))
+    edges = []
+    edges += [(i, i + 1) for i in range(0, 9)]          # path 0-9
+    edges += [(10 + i, 10 + (i + 1) % 7) for i in range(7)]  # cycle 10-16
+    edges += [(20 + i, 20 + 2 * i + 1) for i in range(5)]    # tree-ish
+    edges += [(40, 41), (41, 40), (42, 42), (43, 44), (44, 45), (43, 45)]
+    edges += [(x * 7919 % 17 + 45, x * 104729 % 13 + 45) for x in range(12)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    got = {
+        r["node"]: r["component"]
+        for r in star_connected_components(ndf, edf).collect()
+    }
+    assert got == _wcc_mirror(nodes, [(a, b) for a, b in edges if a != b])
+
+
+def test_graph_connected_components_delegates_same_labels(spark):
+    # the public connected_components must keep the min-label
+    # semantics after the star-contraction upgrade
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.graph import (
+        connected_components,
+    )
+
+    nodes = [1, 2, 3, 4, 5, 9]
+    edges = [(1, 2), (2, 3), (4, 5)]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(ndf, edf).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 9: 9}

@@ -248,6 +248,9 @@ QUERIES = [
     # three order statistics from ONE bucket-locate pass — must track
     # the orders table linearly like the other locate callers
     "orders_median_ci",
+    # three strictly-shrinking hash-aggs; ratio should sit at ~1
+    # (group-count-bound, not row-bound)
+    "customer_l_diversity",
 ]
 
 
