@@ -597,7 +597,11 @@ def connected_components(
     partitioned on the node id — no driver-side graph, no all-pairs.
     Raises if ``max_iter`` rounds don't converge (pathological chain
     — raise the budget explicitly rather than silently returning
-    half-merged clusters).
+    half-merged clusters; for graphs whose diameter is NOT shallow,
+    use ``operators.graph.star_connected_components`` — O(log n)
+    rounds — which is what ``graph.connected_components`` now runs;
+    this loop stays for the NULL-id-tolerant near-dup clusters it
+    was built for).
 
     SINGLE-REFERENCE rounds (fixed round 11): the original round
     referenced ``labels`` twice (neighbor-min join + a keep-own-label

@@ -1735,7 +1735,8 @@ def customer_entity_resolution(
     both engines.
 
     Scale shape: deletion-key blocking (8-byte hash shuffle keys),
-    WCC rounds = cluster diameter (edit-graph clusters are shallow),
+    star-contraction WCC (O(log n) rounds — this graph's diameter is
+    50 at sf0.1, which broke the old label-propagation loop),
     one cluster-keyed hash-agg for the golden records. No window, no
     driver-side graph."""
     from .operators.graph import connected_components

@@ -968,6 +968,43 @@ EXPECT: dict[str, dict] = {
     "supplier_pareto_deciles": {
         "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
     },
+    # round-11 second batch -------------------------------------------
+    # degree-ordered triangle counting: the closing-edge probe must
+    # stay a LeftSemi (a rewrite to inner+distinct would double-count)
+    "doc_link_triangles": {
+        "pushed": False, "hints": 0, "pure_jvm": True,
+        "plan_contains": ["LeftSemi"],
+    },
+    # two-sample KS on the ordered-prefix pass: one hinted <=64-row
+    # carry broadcast, everything else hash-agg
+    "events_ks_drift": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
+    # block jackknife: one hinted 1-row totals broadcast back over the
+    # 32-row block table; no other join anywhere
+    "orders_block_jackknife_ci": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
+    # l-diversity: two stacked hash-aggs, join-free
+    "customer_l_diversity": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # per-key OLS: one hinted |keys|-row min-join broadcast, then the
+    # moment hash-agg
+    "events_ols_trend": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
+    # entity resolution: the explained frame is the golden-record agg
+    # over the persisted star-contraction labels + the customer join
+    # (fact-keyed, un-hinted — AQE picks the strategy)
+    "customer_entity_resolution": {
+        "pushed": False, "hints": 0, "pure_jvm": True,
+    },
+    # median CI: one bucket-locate pass (hinted needed-list broadcast,
+    # same shape as orders_price_quantiles)
+    "orders_median_ci": {
+        "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
+    },
     # customer revenue Gini (r11): per-customer agg, global
     # ordered-prefix rank (1 hinted <=64-row carry), one final global
     # aggregate row
