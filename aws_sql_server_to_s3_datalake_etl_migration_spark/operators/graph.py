@@ -30,6 +30,7 @@ __all__ = [
     "connected_components",
     "star_connected_components",
     "triangle_count",
+    "k_core",
 ]
 
 
@@ -423,3 +424,128 @@ def star_connected_components(
         if prev is not canon:
             prev.unpersist()
         canon.unpersist()
+
+
+def k_core(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int,
+    *,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Membership of the k-CORE — the maximal subgraph in which every
+    node has degree ≥ k — by iterative peeling: repeatedly delete
+    nodes whose CURRENT degree is below k until none remain (the
+    deletions cascade, which is the whole point — a node can be
+    k-degreed in the input yet fall out once its support peels away).
+    Returns ``(node_col, in_core boolean)`` for every input node.
+
+    Per round: ONE single-reference chain over the surviving edge
+    list (explode to directed rows, per-endpoint degree via a window
+    over the node key, regroup to canonical edges keeping those whose
+    smaller endpoint-degree is still ≥ k) — O(edges) work, the edge
+    list only ever shrinks, and the Catalyst-analyzed plan grows
+    LINEARLY with wave count (the star-contraction lesson: a wave
+    that references the previous frame three times re-analyzes a
+    3^waves tree). Convergence is a carried
+    edge count (strictly decreasing until the fixed point, so count
+    equality IS the proof here — unlike star contraction, a peel
+    round that removes nothing changes nothing). Round count = peel
+    DEPTH of the graph (how many cascade waves), which is the known
+    cost of exact k-core: bounded by the longest chain of
+    dependent deletions, NOT the diameter — for the registered
+    link-graph query it is ≤ the id-bucket width. A pathological
+    path graph peels O(n/2) waves at k=2+; for such graphs at 100 TB
+    use the (approximate) truss/degeneracy sketches instead — this
+    operator is the exact reference.
+
+    Reference parity: no graph operators in the reference engine;
+    completes the graph module beside PageRank / WCC / triangles —
+    core number is the standard spam-farm / boilerplate-hub signal
+    (link farms are high-core, organic link tails are 1-core).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    n_prev = e.count()
+    prev = e
+    from pyspark.sql.window import Window
+
+    w_x = Window.partitionBy("x")
+
+    def _directed(df: DataFrame) -> DataFrame:
+        # both directions from ONE reference (explode, not union)
+        return df.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("x"), F.col("b").alias("y")
+                    ),
+                    F.struct(
+                        F.col("b").alias("x"), F.col("a").alias("y")
+                    ),
+                )
+            ).alias("r")
+        ).select("r.x", "r.y")
+
+    try:
+        for _ in range(max_iter):
+            # edge survives iff BOTH endpoint degrees are >= k: min of
+            # the degree over the edge's two directed rows
+            nxt = (
+                _directed(prev)
+                .withColumn("d", F.count(F.lit(1)).over(w_x))
+                .groupBy(
+                    F.least("x", "y").alias("a"),
+                    F.greatest("x", "y").alias("b"),
+                )
+                .agg(F.min("d").alias("md"))
+                .where(F.col("md") >= k)
+                .select("a", "b")
+                .persist()
+            )
+            n_nxt = nxt.count()
+            if prev is not e:
+                prev.unpersist()
+            prev = nxt
+            if n_nxt == n_prev:
+                break
+            n_prev = n_nxt
+        else:
+            raise RuntimeError(
+                f"k_core did not stabilize in {max_iter} peel rounds"
+            )
+        # at the fixed point every incident endpoint holds degree >= k
+        survivors = _directed(prev).select("x").distinct()
+        out = (
+            nodes.select(F.col(node_col).alias("_n"))
+            .join(
+                survivors.select(
+                    F.col("x").alias("_n"), F.lit(True).alias("in_core")
+                ),
+                "_n",
+                "left",
+            )
+            .select(
+                F.col("_n").alias(node_col),
+                F.coalesce("in_core", F.lit(False)).alias("in_core"),
+            )
+        )
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        if prev is not e:
+            prev.unpersist()
+        e.unpersist()

@@ -4104,3 +4104,83 @@ def orders_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("stat") == "ci_hi", F.col("value"))
         ).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target encoding (round 11, third batch): the ML feature op
+# ---------------------------------------------------------------------------
+
+_TE_M = 100  # m-estimate pseudo-count, both engines
+
+
+@register(
+    "customer_target_encoding",
+    f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(o.o_totalprice AS DECIMAL(18,4)) AS v
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    per AS (
+      SELECT seg, COUNT(*) AS n, SUM(v) AS s FROM j GROUP BY seg
+    ),
+    g AS (SELECT SUM(n) AS gn, SUM(s) AS gs FROM per)
+    SELECT seg AS c_mktsegment,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS raw_mean,
+           (CAST(s AS DOUBLE)
+            + {_TE_M} * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))
+           / (CAST(n AS DOUBLE) + {_TE_M}) AS encoded
+    FROM per, g
+    """,
+)
+def customer_target_encoding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """m-estimate TARGET ENCODING of the market segment against order
+    value — the standard leakage-prone ML feature a training pipeline
+    computes in the warehouse, not the trainer: encode each category
+    by its smoothed target mean ``(Σy + m·ȳ_global)/(n + m)`` so rare
+    categories shrink toward the prior instead of memorizing noise
+    (m = 100 pseudo-observations). Emitted per segment with the raw
+    mean beside it; the train-split-only discipline this needs at
+    training time is `doc_leakage_free_split`'s job.
+
+    Exactness: target sums accumulate in DECIMAL(18,4) (module rule),
+    the global prior is the ratio of two exact decimal/bigint totals,
+    and the encoded value is one fixed tree (mul, add, two divides)
+    over identically-rounded casts — cross-engine bit-exact.
+
+    Scale shape: one fact-dim equi-join (customer un-hinted — it
+    grows with SF; AQE picks broadcast while it fits), one
+    map-side-combined segment agg (|segments| rows), a 1-row totals
+    agg broadcast back. The fact table is scanned once."""
+    o = read_table_dir(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = read_table_dir(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).alias("s"),
+        )
+    )
+    g = per.agg(
+        F.sum("n").alias("gn"), F.sum("s").alias("gs")
+    )
+    prior = F.col("gs").cast("double") / F.col("gn").cast("double")
+    return per.crossJoin(F.broadcast(g)).select(
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n_orders"),
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "raw_mean"
+        ),
+        (
+            (F.col("s").cast("double") + F.lit(float(_TE_M)) * prior)
+            / (F.col("n").cast("double") + F.lit(float(_TE_M)))
+        ).alias("encoded"),
+    )

@@ -4431,3 +4431,106 @@ def doc_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         F.col("node").alias("doc_id"), "n_triangles"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (round 11, third batch): cascade-peeled core screen
+# ---------------------------------------------------------------------------
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 12) -> str:
+    """Unrolled peeling twin (the PageRank / BPE unrolled-oracle
+    pattern): each round recomputes degrees over the surviving edge
+    list and keeps edges whose BOTH endpoints hold >= k — exactly the
+    engine loop, stated as ``rounds`` explicit CTE stages. The peel
+    depth of the registered graph is 8 by construction (one in-bucket
+    cascade wave per wave of un-chorded end nodes; bucket width 16,
+    INDEPENDENT of corpus size), so 12 rounds are a fixed-margin
+    overshoot: extra rounds are no-ops once the fixed point is
+    reached, and an engine that needs MORE than 12 rounds on this
+    graph is wrong and hash-mismatches loudly. MATERIALIZED CTEs —
+    default inlining re-evaluates the twice-referenced chain
+    2^rounds times (the BPE-oracle lesson)."""
+    parts = [
+        """
+    WITH e0 AS MATERIALIZED (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM documents a JOIN documents b
+        ON (b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2
+            OR (b.doc_id = a.doc_id + 3
+                AND (a.doc_id // 16) % 2 = 0))
+       AND b.doc_id // 16 = a.doc_id // 16
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    d{i} AS MATERIALIZED (
+      SELECT x FROM (
+        SELECT a AS x FROM e{i - 1}
+        UNION ALL SELECT b AS x FROM e{i - 1}
+      ) GROUP BY x HAVING COUNT(*) >= {k}
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT a, b FROM e{i - 1}
+      WHERE a IN (SELECT x FROM d{i})
+        AND b IN (SELECT x FROM d{i})
+    )"""
+        )
+    parts.append(
+        f""",
+    fin AS (
+      SELECT x FROM (
+        SELECT a AS x FROM e{rounds}
+        UNION ALL SELECT b AS x FROM e{rounds}
+      ) GROUP BY x HAVING COUNT(*) >= {k}
+    )
+    SELECT d.doc_id, fin.x IS NOT NULL AS in_core
+    FROM documents d LEFT JOIN fin ON fin.x = d.doc_id
+    """
+    )
+    return "".join(parts)
+
+
+@register("doc_link_kcore", _kcore_oracle())
+def doc_link_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core membership over a deterministic link graph whose core
+    structure is NON-UNIFORM by construction: every doc links to its
+    +1/+2 successors inside 16-wide id buckets, and EVEN buckets add
+    a +3 chord — chorded buckets sustain degree ≥ 3 everywhere (their
+    whole bucket is 3-core), un-chorded buckets peel to nothing in a
+    ~8-wave cascade (the path-power graph has degeneracy 2). The
+    check therefore exercises the cascade itself — a node's fate
+    depends on neighbors peeled in earlier waves — and the answer is
+    mixed per node, so a constant-flag bug cannot pass.
+
+    Spark side is the real ``graph.k_core`` peeling loop (degree
+    hash-agg + two semi-joins per wave, carried-count convergence);
+    the oracle unrolls the same peel as 12 fixed CTE stages
+    (``_kcore_oracle``). Core membership is the standard link-farm /
+    hub-density signal next to PageRank and triangle count."""
+    from .operators.graph import k_core
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    src = d.select(F.col("doc_id").alias("src"))
+    dst = d.select(F.col("doc_id").alias("dst"))
+    edges = None
+    for cond in [
+        F.col("dst") == F.col("src") + 1,
+        F.col("dst") == F.col("src") + 2,
+        (F.col("dst") == F.col("src") + 3)
+        & (F.floor(F.col("src") / 16) % 2 == 0),
+    ]:
+        hop = src.join(
+            dst,
+            cond
+            & (
+                F.floor(F.col("dst") / 16)
+                == F.floor(F.col("src") / 16)
+            ),
+        )
+        edges = hop if edges is None else edges.unionAll(hop)
+    cores = k_core(
+        d.select(F.col("doc_id").alias("node")), edges, 3
+    )
+    return cores.select(F.col("node").alias("doc_id"), "in_core")

@@ -2157,3 +2157,86 @@ def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal embargo split (round 11, third batch): purged time-series CV
+# ---------------------------------------------------------------------------
+
+_EMBARGO_NS = 86_400_000_000_000  # 1 day, both engines
+
+
+@register(
+    "events_embargo_split",
+    f"""
+    WITH b AS (
+      SELECT MIN(epoch_ns(ts)) AS lo, MAX(epoch_ns(ts)) AS hi
+      FROM events
+    ),
+    cut AS (
+      SELECT lo, hi, lo + ((hi - lo) * 4) // 5 AS t_cut FROM b
+    ),
+    lab AS (
+      SELECT CASE
+               WHEN epoch_ns(ts) <= t_cut THEN 'train'
+               WHEN epoch_ns(ts) > t_cut + {_EMBARGO_NS} THEN 'test'
+               ELSE 'purged'
+             END AS split,
+             epoch_ns(ts) AS tns
+      FROM events, cut
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(tns) AS BIGINT) AS min_ts_ns,
+           CAST(MAX(tns) AS BIGINT) AS max_ts_ns
+    FROM lab GROUP BY split
+    """,
+)
+def events_embargo_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PURGED temporal train/test split with an embargo window — the
+    time-series CV discipline (López de Prado): train = first 80% of
+    the observed time range, test = everything after the cut PLUS a
+    1-day embargo, and the embargo band itself is PURGED (dropped)
+    so that any feature computed over trailing windows in the train
+    split cannot overlap the test horizon. The group-based sibling is
+    `doc_leakage_free_split` (duplicate clusters); this one closes
+    the TEMPORAL leakage channel.
+
+    Exactness: the cut is integer arithmetic on epoch-nanos
+    (``lo + (hi − lo)·4 // 5`` — floor division of exact int64s,
+    identical on both engines); the embargo is an integer constant;
+    every reported column is an exact bigint. No floats anywhere.
+
+    Scale shape: one min/max agg over the stream (map-side combined),
+    the 1-row bounds broadcast back, one labeling pass folded into a
+    3-row hash-agg. The fact table is scanned twice (bounds + label)
+    — the price of a data-driven cut; a production pipeline pins
+    t_cut explicitly and scans once."""
+    ev = _events(spark, sf_dir)
+    b = ev.agg(
+        F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi")
+    ).select(
+        "lo",
+        "hi",
+        (
+            F.col("lo")
+            + F.expr("((hi - lo) * 4) div 5")
+        ).alias("t_cut"),
+    )
+    lab = ev.crossJoin(F.broadcast(b)).select(
+        F.when(F.col("ts_ns") <= F.col("t_cut"), F.lit("train"))
+        .when(
+            F.col("ts_ns") > F.col("t_cut") + F.lit(_EMBARGO_NS),
+            F.lit("test"),
+        )
+        .otherwise(F.lit("purged"))
+        .alias("split"),
+        F.col("ts_ns").alias("tns"),
+    )
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("tns").cast("bigint").alias("min_ts_ns"),
+        F.max("tns").cast("bigint").alias("max_ts_ns"),
+    )

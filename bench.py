@@ -253,6 +253,9 @@ EXTENDED = [
     "events_ols_trend",
     "customer_entity_resolution",
     "orders_median_ci",
+    "doc_link_kcore",
+    "customer_target_encoding",
+    "events_embargo_split",
 ]
 
 

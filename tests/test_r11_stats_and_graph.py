@@ -1,8 +1,11 @@
-"""Round-11 additions (second batch): triangle counting, the KS
-two-sample drift test, the block jackknife CI, and the l-diversity
-audit — each pinned on tiny crafted inputs against hand-computed or
-pure-Python brute-force expectations (the oracle harness cross-checks
-the same queries against DuckDB at sf0.01; these pin SEMANTICS)."""
+"""Round-11 additions (second + third batch): triangle counting, the
+KS two-sample drift test, the block jackknife CI, the l-diversity
+audit, per-key OLS, entity resolution, the median CI,
+star-contraction WCC, k-core peeling, target encoding, and the
+temporal embargo split — each pinned on tiny crafted inputs against
+hand-computed or pure-Python brute-force expectations (the oracle
+harness cross-checks the same queries against DuckDB at sf0.01;
+these pin SEMANTICS)."""
 
 from __future__ import annotations
 
@@ -450,3 +453,129 @@ def test_graph_connected_components_delegates_same_labels(spark):
         for r in connected_components(ndf, edf).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 9: 9}
+
+
+# ---------------------------------------------------------------------------
+# k_core
+# ---------------------------------------------------------------------------
+
+
+def _kcore_mirror(nodes, edges, k):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    alive = set(nodes)
+    while True:
+        doomed = {x for x in alive if len(adj[x] & alive) < k}
+        if not doomed:
+            break
+        alive -= doomed
+    return alive
+
+
+def test_k_core_cascade_matches_mirror(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.graph import (
+        k_core,
+    )
+
+    # a triangle with a pendant chain: 2-core = the triangle only,
+    # and discovering that takes a CASCADE (5 -> 4 -> 3 peel waves)
+    nodes = [0, 1, 2, 3, 4, 5, 9]
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["in_core"] for r in k_core(ndf, edf, 2).collect()
+    }
+    expect = _kcore_mirror(nodes, edges, 2)
+    assert got == {n: (n in expect) for n in nodes}
+    assert got[9] is False  # isolated node present, out of core
+    assert [n for n in nodes if got[n]] == [0, 1, 2]
+
+
+def test_k_core_k3_empty_on_triangle(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.graph import (
+        k_core,
+    )
+
+    nodes = [0, 1, 2]
+    edges = [(0, 1), (1, 2), (0, 2)]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["in_core"] for r in k_core(ndf, edf, 3).collect()
+    }
+    assert got == {0: False, 1: False, 2: False}
+
+
+# ---------------------------------------------------------------------------
+# customer_target_encoding / events_embargo_split
+# ---------------------------------------------------------------------------
+
+
+def test_target_encoding_hand_case(spark, tmp_path):
+    # seg A: 2 orders sum 300 -> raw 150; seg B: 1 order 60 -> raw 60
+    # global mean = 360/3 = 120; m = 100
+    # enc(A) = (300 + 100*120) / (2 + 100) = 12300/102
+    # enc(B) = (60 + 100*120) / (1 + 100) = 12060/101
+    src = str(tmp_path / "te")
+    (
+        spark.createDataFrame(
+            [(1, 100.0), (1, 200.0), (2, 60.0)],
+            "o_custkey long, o_totalprice double",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{src}/orders.parquet")
+    )
+    (
+        spark.createDataFrame(
+            [(1, "A"), (2, "B")], "c_custkey long, c_mktsegment string"
+        )
+        .write.mode("overwrite")
+        .parquet(f"{src}/customer.parquet")
+    )
+    got = {
+        r.c_mktsegment: r
+        for r in workloads_analytics.customer_target_encoding(
+            spark, src
+        ).collect()
+    }
+    a, b = got["A"], got["B"]
+    assert (a.n_orders, a.raw_mean) == (2, 150.0)
+    assert a.encoded == (300.0 + 100 * 120.0) / 102.0
+    assert (b.n_orders, b.raw_mean) == (1, 60.0)
+    assert b.encoded == (60.0 + 100 * 120.0) / 101.0
+
+
+def test_embargo_split_hand_case(spark, tmp_path):
+    # 6 hourly events over [0h, 5h]: range = 5h, cut = 0 + 4h (80%);
+    # embargo = 1 day >> range, so 'test' is empty and the post-cut
+    # tail is all purged
+    rows = [(i, f"2024-01-01 0{i}:00:00") for i in range(6)]
+    src = str(tmp_path / "emb")
+    (
+        spark.createDataFrame(rows, "event_id long, ts_s string")
+        .select(
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            F.lit(1).cast("long").alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{src}/events.parquet")
+    )
+    got = {
+        r.split: r
+        for r in workloads_timeseries.events_embargo_split(
+            spark, src
+        ).collect()
+    }
+    assert set(got) == {"train", "purged"}
+    assert got["train"].n_events == 5   # hours 0..4 inclusive of cut
+    assert got["purged"].n_events == 1  # hour 5, inside the embargo

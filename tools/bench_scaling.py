@@ -251,6 +251,14 @@ QUERIES = [
     # three strictly-shrinking hash-aggs; ratio should sit at ~1
     # (group-count-bound, not row-bound)
     "customer_l_diversity",
+    # k-core peeling: 8 cascade waves by construction (bucket-width-
+    # bound, NOT corpus-bound), each wave O(edges) — must track edges
+    # linearly with a fixed wave count
+    "doc_link_kcore",
+    # one fact-dim join + two shrinking aggs; fact-scan-bound
+    "customer_target_encoding",
+    # two fact scans (bounds + label) folded into 3-row aggs
+    "events_embargo_split",
 ]
 
 

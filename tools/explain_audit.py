@@ -1005,6 +1005,23 @@ EXPECT: dict[str, dict] = {
     "orders_median_ci": {
         "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
     },
+    # round-11 third batch --------------------------------------------
+    # k-core peeling: the explained frame is the persisted membership
+    # table left-joined back onto the doc roster
+    "doc_link_kcore": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # target encoding: un-hinted fact-dim join (AQE broadcasts at this
+    # SF) + one hinted 1-row totals broadcast
+    "customer_target_encoding": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+        "aqe_bhj": True,
+    },
+    # embargo split: one hinted 1-row bounds broadcast, otherwise
+    # join-free aggregation
+    "events_embargo_split": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
     # customer revenue Gini (r11): per-customer agg, global
     # ordered-prefix rank (1 hinted <=64-row carry), one final global
     # aggregate row
@@ -1131,6 +1148,11 @@ SCALAR_SUBQUERY_OK = {
     # 1-row jackknife-totals aggregate broadcast back over the
     # 32-row block table
     "orders_block_jackknife_ci",
+    # 1-row global-prior aggregate broadcast back over the |segments|
+    # rows
+    "customer_target_encoding",
+    # 1-row time-bounds aggregate broadcast back over the stream
+    "events_embargo_split",
 }
 
 
