@@ -119,7 +119,7 @@ def oracles() -> dict[str, str]:
 # returns to 0: every oracle-backed catalog query holds >=1 driver
 # row across r3–r11.
 #
-# Round-12 rotation candidates (the 23 oracle-backed round-11
+# Round-12 rotation candidates (the 25 oracle-backed round-11
 # in-round additions, in suggested order — all local-check green at
 # sf0.01, plan-audited, bench-exercised, probed):
 # doc_bpe_tokenize, doc_link_components, supplier_leadtime_median,
@@ -130,11 +130,12 @@ def oracles() -> dict[str, str]:
 # global_sales_opportunity, doc_link_triangles, events_ks_drift,
 # orders_block_jackknife_ci, customer_l_diversity, events_ols_trend,
 # customer_entity_resolution, orders_median_ci, doc_link_kcore,
-# customer_target_encoding, events_embargo_split. Swap them for as
+# customer_target_encoding, events_embargo_split,
+# customer_survival_km, events_diff_in_diff. Swap them for as
 # many longest-green cohort members after the round-11 window holds
 # its official rows
-# (23 > the usual rotation width; if the window can't absorb all 23
-# in one round, rotate the first 13 and stage the later-batch ten
+# (25 > the usual rotation width; if the window can't absorb all 25
+# in one round, rotate the first 13 and stage the later-batch twelve
 # for round 13 — additions-before-close keep the one-round-lag
 # contract either way).
 _PRIORITY: tuple[str, ...] = (

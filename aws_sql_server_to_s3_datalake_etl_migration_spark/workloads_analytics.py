@@ -4184,3 +4184,131 @@ def customer_target_encoding(
             / (F.col("n").cast("double") + F.lit(float(_TE_M)))
         ).alias("encoded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (round 11, third batch): churn curve in-warehouse
+# ---------------------------------------------------------------------------
+
+_KM_CHURN_DAYS = 90  # last order this far before the horizon = churned
+
+
+@register(
+    "customer_survival_km",
+    f"""
+    WITH per AS (
+      SELECT o_custkey,
+             MIN(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d0,
+             MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d1
+      FROM orders GROUP BY o_custkey
+    ),
+    horizon AS (SELECT MAX(d1) AS m FROM per),
+    life AS (
+      SELECT d1 - d0 AS t,
+             CASE WHEN d1 < m - {_KM_CHURN_DAYS} THEN 1 ELSE 0 END
+               AS churned
+      FROM per, horizon
+    ),
+    byt AS (
+      SELECT t, COUNT(*) AS n_all, SUM(churned) AS n_events
+      FROM life GROUP BY t
+    ),
+    risk AS (
+      SELECT t, n_all, n_events,
+             SUM(n_all) OVER (
+               ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_risk
+      FROM byt
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_all - n_events AS BIGINT) AS n_censored,
+           list_reduce(
+             list(
+               1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+             ) OVER (
+               ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             (a, b) -> a * b) AS survival
+    FROM risk
+    """,
+)
+def customer_survival_km(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan–Meier survival curve for customer LIFETIME (days between
+    first and last order), with right-censoring: a customer whose last
+    order falls within 90 days of the data horizon is CENSORED (still
+    alive — their lifetime is only known to exceed t), everyone else
+    churned at their observed lifetime. The product-limit estimator
+    S(t) = Π_{{tᵢ ≤ t}} (1 − dᵢ/nᵢ) is THE standard churn/retention
+    curve; computing it in-warehouse beats exporting per-customer
+    rows to a stats stack.
+
+    Exactness: risk sets and event counts are exact integers (suffix
+    sums over the per-lifetime rollup); every factor 1 − d/n is one
+    exact-int double division; and the cumulative product folds
+    those factors STRICTLY LEFT-TO-RIGHT in ascending t on both
+    engines — Spark's running-frame window aggregate is an
+    incremental per-row fold, and the oracle forces the same
+    association with an ordered list_reduce (DuckDB's windowed
+    PRODUCT is segment-tree-associated and drifts by ulps) — so the
+    curve matches bit-for-bit (the windowed-product twin of the
+    module's decimal-sum rule). Lifetimes are calendar-date day
+    numbers (datediff from the epoch — both engines' date bucketing
+    agrees under the UTC session).
+
+    Scale shape: one per-customer hash-agg over orders (the only
+    fact-sized pass), a 1-row horizon broadcast, then a per-lifetime
+    rollup whose cardinality is CALENDAR-bounded (≤ the day span of
+    the table) — the suffix-sum and product windows run over those
+    bounded rows (allowlisted, the monthly-momentum class)."""
+    o = read_table_dir(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("bigint").alias("_day"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.min("_day").alias("d0"), F.max("_day").alias("d1")
+    )
+    horizon = per.agg(F.max("d1").alias("m"))
+    life = per.crossJoin(F.broadcast(horizon)).select(
+        (F.col("d1") - F.col("d0")).alias("t"),
+        F.when(
+            F.col("d1") < F.col("m") - F.lit(_KM_CHURN_DAYS), 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    byt = life.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("churned").alias("n_events"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = (
+        Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = byt.withColumn("n_risk", F.sum("n_all").over(w_desc))
+    return risk.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (F.col("n_all") - F.col("n_events"))
+        .cast("bigint")
+        .alias("n_censored"),
+        F.product(
+            F.lit(1.0)
+            - F.col("n_events").cast("double")
+            / F.col("n_risk").cast("double")
+        )
+        .over(w_asc)
+        .alias("survival"),
+    )

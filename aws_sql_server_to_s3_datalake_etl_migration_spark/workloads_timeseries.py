@@ -2240,3 +2240,139 @@ def events_embargo_split(
         F.min("tns").cast("bigint").alias("min_ts_ns"),
         F.max("tns").cast("bigint").alias("max_ts_ns"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (round 11, third batch): the causal baseline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_diff_in_diff",
+    """
+    WITH b AS (
+      SELECT MIN(epoch_ns(ts)) AS lo, MAX(epoch_ns(ts)) AS hi
+      FROM events WHERE value IS NOT NULL
+    ),
+    cut AS (SELECT lo + (hi - lo) // 2 AS t_mid FROM b),
+    cells AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN epoch_ns(ts) > t_mid THEN 1 ELSE 0 END
+               AS post,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,4))) AS s
+      FROM events, cut WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT treated, post, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v
+      FROM cells
+    )
+    SELECT
+      CAST(SUM(CASE WHEN treated = 1 AND post = 0 THEN n END)
+           AS BIGINT) AS n_treat_pre,
+      CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN n END)
+           AS BIGINT) AS n_treat_post,
+      CAST(SUM(CASE WHEN treated = 0 AND post = 0 THEN n END)
+           AS BIGINT) AS n_ctrl_pre,
+      CAST(SUM(CASE WHEN treated = 0 AND post = 1 THEN n END)
+           AS BIGINT) AS n_ctrl_post,
+      MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_v END)
+        AS mean_treat_pre,
+      MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_v END)
+        AS mean_treat_post,
+      MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_v END)
+        AS mean_ctrl_pre,
+      MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_v END)
+        AS mean_ctrl_post,
+      (MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_v END)
+       - MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_v END))
+      - (MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_v END)
+         - MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_v END))
+        AS did
+    FROM m
+    """,
+)
+def events_diff_in_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Difference-in-differences over the event stream — the causal
+    baseline an experimentation platform computes in-warehouse:
+    treatment = user-id parity (the deterministic assignment an A/B
+    platform would replace with its own flags), period = before/after
+    the observed time-range midpoint, outcome = the event value. The
+    DiD estimate (Δtreated − Δcontrol) nets out both the group's
+    level difference and the common time trend; on the parity
+    assignment it is an A/A placebo — a non-zero reading calibrates
+    the pipeline's noise floor.
+
+    Exactness: the midpoint cut is exact int64 epoch-nanos floor
+    arithmetic (the embargo-split discipline); the four cell sums
+    accumulate in DECIMAL(18,4); each mean is one exact-int double
+    division and the DiD is one fixed subtraction tree over them —
+    cross-engine bit-exact.
+
+    Scale shape: one min/max bounds agg, the 1-row cut broadcast
+    back, one map-side-combined 4-cell agg, one 1-row pivot. Two
+    fact scans (bounds + cells), no window, no join beyond the 1-row
+    broadcast."""
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    b = ev.agg(
+        F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi")
+    ).select(
+        (F.col("lo") + F.expr("(hi - lo) div 2")).alias("t_mid")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            (F.col("user_id") % 2 == 1)
+            .cast("int")
+            .alias("treated"),
+            (F.col("ts_ns") > F.col("t_mid")).cast("int").alias(
+                "post"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).alias("s"),
+        )
+        .select(
+            "treated",
+            "post",
+            "n",
+            (F.col("s").cast("double") / F.col("n").cast("double"))
+            .alias("mean_v"),
+        )
+    )
+
+    def _cell(t, p, col):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col(col),
+            )
+        )
+
+    def _n(t, p):
+        return F.sum(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col("n"),
+            )
+        ).cast("bigint")
+
+    return cells.agg(
+        _n(1, 0).alias("n_treat_pre"),
+        _n(1, 1).alias("n_treat_post"),
+        _n(0, 0).alias("n_ctrl_pre"),
+        _n(0, 1).alias("n_ctrl_post"),
+        _cell(1, 0, "mean_v").alias("mean_treat_pre"),
+        _cell(1, 1, "mean_v").alias("mean_treat_post"),
+        _cell(0, 0, "mean_v").alias("mean_ctrl_pre"),
+        _cell(0, 1, "mean_v").alias("mean_ctrl_post"),
+        (
+            (_cell(1, 1, "mean_v") - _cell(1, 0, "mean_v"))
+            - (_cell(0, 1, "mean_v") - _cell(0, 0, "mean_v"))
+        ).alias("did"),
+    )

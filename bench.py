@@ -256,6 +256,8 @@ EXTENDED = [
     "doc_link_kcore",
     "customer_target_encoding",
     "events_embargo_split",
+    "customer_survival_km",
+    "events_diff_in_diff",
 ]
 
 

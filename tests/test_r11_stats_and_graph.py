@@ -579,3 +579,95 @@ def test_embargo_split_hand_case(spark, tmp_path):
     assert set(got) == {"train", "purged"}
     assert got["train"].n_events == 5   # hours 0..4 inclusive of cut
     assert got["purged"].n_events == 1  # hour 5, inside the embargo
+
+
+# ---------------------------------------------------------------------------
+# customer_survival_km / events_diff_in_diff
+# ---------------------------------------------------------------------------
+
+
+def test_survival_km_hand_case(spark, tmp_path):
+    # horizon = day of the latest last-order (cust 4). Lifetimes:
+    #   c1: days 0..10   -> t=10, last day 10  -> churned (10 < 200-90)
+    #   c2: days 0..10   -> t=10, churned
+    #   c3: days 0..30   -> t=30, churned
+    #   c4: days 0..200  -> t=200, last day 200 -> censored
+    # KM: t=10: n_risk=4, d=2 -> S=0.5; t=30: n_risk=2, d=1 -> 0.25;
+    #     t=200: n_risk=1, d=0 -> 0.25 (censored tail)
+    def ts(day):
+        import datetime
+
+        return (
+            datetime.datetime(1970, 1, 1)
+            + datetime.timedelta(days=day)
+        ).strftime("%Y-%m-%d %H:%M:%S")
+
+    rows = []
+    for ck, days in [(1, [0, 10]), (2, [0, 5, 10]), (3, [0, 30]),
+                     (4, [0, 100, 200])]:
+        for d in days:
+            rows.append((len(rows), ck, ts(d)))
+    src = str(tmp_path / "km")
+    (
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, ts_s string"
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("O").alias("o_orderstatus"),
+            F.lit(1.0).alias("o_totalprice"),
+            F.col("ts_s").cast("timestamp").alias("o_orderdate"),
+            F.lit("1-URGENT").alias("o_orderpriority"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{src}/orders.parquet")
+    )
+    got = {
+        r.t_days: r
+        for r in workloads_analytics.customer_survival_km(
+            spark, src
+        ).collect()
+    }
+    assert set(got) == {10, 30, 200}
+    assert (got[10].n_risk, got[10].n_events, got[10].n_censored) == (4, 2, 0)
+    assert got[10].survival == 1.0 - 2 / 4
+    assert (got[30].n_risk, got[30].n_events) == (2, 1)
+    assert got[30].survival == (1.0 - 2 / 4) * (1.0 - 1 / 2)
+    assert (got[200].n_risk, got[200].n_events, got[200].n_censored) == (1, 0, 1)
+    assert got[200].survival == got[30].survival
+
+
+def test_diff_in_diff_hand_case(spark, tmp_path):
+    # time range [0, 10]s -> mid = 5; treated = odd user
+    #   ctrl pre: values 10, 20 (mean 15); ctrl post: 30 (mean 30)
+    #   treat pre: 100 (mean 100);  treat post: 150, 250 (mean 200)
+    # DiD = (200 - 100) - (30 - 15) = 85
+    rows = [
+        (0, 2, 0, 10.0), (1, 2, 4, 20.0), (2, 2, 8, 30.0),
+        (3, 1, 2, 100.0), (4, 1, 7, 150.0), (5, 3, 10, 250.0),
+    ]
+    src = str(tmp_path / "did")
+    (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, sec int, value double"
+        )
+        .select(
+            "event_id",
+            (F.lit("2024-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(secs=F.col("sec"))).alias("ts"),
+            "user_id",
+            F.lit("view").alias("event_type"),
+            "value",
+            F.lit("{}").alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{src}/events.parquet")
+    )
+    r = workloads_timeseries.events_diff_in_diff(spark, src).collect()[0]
+    assert (r.n_ctrl_pre, r.n_ctrl_post, r.n_treat_pre, r.n_treat_post) == (
+        2, 1, 1, 2,
+    )
+    assert (r.mean_ctrl_pre, r.mean_ctrl_post) == (15.0, 30.0)
+    assert (r.mean_treat_pre, r.mean_treat_post) == (100.0, 200.0)
+    assert r.did == (200.0 - 100.0) - (30.0 - 15.0)

@@ -259,6 +259,10 @@ QUERIES = [
     "customer_target_encoding",
     # two fact scans (bounds + label) folded into 3-row aggs
     "events_embargo_split",
+    # per-customer hash-agg + calendar-bounded rollup windows
+    "customer_survival_km",
+    # two fact scans folded to a 4-cell agg
+    "events_diff_in_diff",
 ]
 
 

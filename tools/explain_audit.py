@@ -1022,6 +1022,14 @@ EXPECT: dict[str, dict] = {
     "events_embargo_split": {
         "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
     },
+    # Kaplan-Meier: per-customer agg + calendar-bounded rollup windows
+    "customer_survival_km": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
+    # DiD: two fact scans folded to a 4-cell agg + 1-row pivot
+    "events_diff_in_diff": {
+        "pushed": True, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
     # customer revenue Gini (r11): per-customer agg, global
     # ordered-prefix rank (1 hinted <=64-row carry), one final global
     # aggregate row
@@ -1153,6 +1161,9 @@ SCALAR_SUBQUERY_OK = {
     "customer_target_encoding",
     # 1-row time-bounds aggregate broadcast back over the stream
     "events_embargo_split",
+    # 1-row horizon / midpoint-cut aggregates broadcast back
+    "customer_survival_km",
+    "events_diff_in_diff",
 }
 
 
@@ -1180,6 +1191,9 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     " k=10 ADC result",
     "customer_abc_classes": "ordered-prefix bucket carry + grand"
     " total — <=64 rows",
+    "customer_survival_km": "suffix-risk and product-limit folds over"
+    " the per-lifetime-day rollup — calendar-bounded rows (the"
+    " monthly-momentum class)",
     "orders_skyline": "exact frontier pass over the grid-prefiltered"
     " band (~frontier cardinality), never the table",
     "orders_benford_dq": "share normalization over the 9 first-digit"
