@@ -119,25 +119,36 @@ def oracles() -> dict[str, str]:
 # returns to 0: every oracle-backed catalog query holds >=1 driver
 # row across r3–r11.
 #
-# Round-12 rotation candidates (the 25 oracle-backed round-11
-# in-round additions, in suggested order — all local-check green at
-# sf0.01, plan-audited, bench-exercised, probed):
-# doc_bpe_tokenize, doc_link_components, supplier_leadtime_median,
-# customer_revenue_gini, orders_cohort_ltv,
-# customer_interpurchase_stats, orders_seasonality_index,
-# doc_dup_rate_by_source, part_brand_share_shift, mm_size_profile,
-# order_priority_check, suppliers_kept_waiting,
-# global_sales_opportunity, doc_link_triangles, events_ks_drift,
-# orders_block_jackknife_ci, customer_l_diversity, events_ols_trend,
-# customer_entity_resolution, orders_median_ci, doc_link_kcore,
-# customer_target_encoding, events_embargo_split,
-# customer_survival_km, events_diff_in_diff. Swap them for as
-# many longest-green cohort members after the round-11 window holds
-# its official rows
-# (25 > the usual rotation width; if the window can't absorb all 25
-# in one round, rotate the first 13 and stage the later-batch twelve
-# for round 13 — additions-before-close keep the one-round-lag
-# contract either way).
+# Round-12 rotation (r11 verdict item 1, executed verbatim): the
+# FIRST 13 of the 25 oracle-backed round-11 in-round additions enter
+# the window in the staged order (doc_bpe_tokenize through
+# global_sales_opportunity). The 13 dropped cohort members are the
+# longest-green entries (official rows r9 AND r10 AND r11) whose
+# machinery carries the deepest independent pytest coverage: the 10
+# LLM-curation members (doc_incremental_neardup_checked,
+# emb_matryoshka_recall, doc_tfidf_topterm_pairs,
+# doc_boilerplate_coverage, doc_bpe_pair_counts, doc_langid_confusion,
+# doc_readability, emb_dim_stats, doc_dsir_importance,
+# doc_ccnet_buckets — their dedup/similarity/textops operator layers
+# are exercised by test_llm_operators.py, test_curation.py,
+# test_dedup_recall.py and test_dedup_skew.py), plus
+# customer_abc_classes (the decile/bucket machinery under it is
+# test_ranking.py's subject) and events_cross_correlation /
+# events_user_behavior_outliers (the temporal operator layer beneath
+# them carries the test_timeseries.py suite). Every dropped query
+# stays registered, bench-exercised, and in the full local check.
+#
+# Round-13 rotation candidates (the later-batch 12 round-11
+# additions, in staged order — all local-check green at sf0.01,
+# plan-audited, bench-exercised, probed): doc_link_triangles,
+# events_ks_drift, orders_block_jackknife_ci, customer_l_diversity,
+# events_ols_trend, customer_entity_resolution, orders_median_ci,
+# doc_link_kcore, customer_target_encoding, events_embargo_split,
+# customer_survival_km, events_diff_in_diff — followed by the
+# oracle-backed round-12 in-round additions in registration order.
+# Swap them for the longest-green cohort members after the round-12
+# window holds its official rows (additions-before-close keep the
+# one-round-lag contract).
 _PRIORITY: tuple[str, ...] = (
     # §2 anchors (permanently pinned): flagship ingest, SQL-over-
     # parquet agg pipeline, watermark + incremental pair, MERGE
@@ -171,37 +182,37 @@ _PRIORITY: tuple[str, ...] = (
     "emb_batch_drift",
     "doc_lang_trigram_distance",
     "events_robust_outliers",
+    # ---- round-12 rotation: first 13 of the round-11 additions ----
+    "doc_bpe_tokenize",
+    "doc_link_components",
+    "supplier_leadtime_median",
+    "customer_revenue_gini",
+    "orders_cohort_ltv",
+    "customer_interpurchase_stats",
+    "orders_seasonality_index",
+    "doc_dup_rate_by_source",
+    "part_brand_share_shift",
+    "mm_size_profile",
+    "order_priority_check",
+    "suppliers_kept_waiting",
+    "global_sales_opportunity",
     # lake engine: MERGE roundtrip (r9-fixed write path) + CDF pair
     # (perf floor re-measured r11); the other 10 roundtrips rotated
     # out with their r9 rows + dedicated pytests intact
     "orders_delta_partitioned_merge_roundtrip",
     "orders_delta_cdf",
     "orders_cdf_view_maintenance",
-    # warehouse analytics (round-8 additions; the three members with
-    # dedicated pytests rotated out r11)
-    "customer_abc_classes",
+    # warehouse analytics (round-8 additions; customer_abc_classes
+    # rotated out r12 on test_ranking.py's decile/bucket coverage)
     "part_pair_affinity",
     "orders_skyline",
     "supplier_nation_hhi",
     "referential_integrity_audit",
     "orders_benford_dq",
-    # event analytics (five members rotated out r11: direct pytests
-    # or test_timeseries.py operator coverage)
+    # event analytics (cross_correlation / user_behavior_outliers
+    # rotated out r12 on test_timeseries.py operator coverage)
     "events_top_paths",
-    "events_cross_correlation",
     "events_ab_conversion_lift",
-    "events_user_behavior_outliers",
-    # LLM-curation additions
-    "doc_incremental_neardup_checked",
-    "emb_matryoshka_recall",
-    "doc_tfidf_topterm_pairs",
-    "doc_boilerplate_coverage",
-    "doc_bpe_pair_counts",
-    "doc_langid_confusion",
-    "doc_readability",
-    "emb_dim_stats",
-    "doc_dsir_importance",
-    "doc_ccnet_buckets",
 )
 
 
