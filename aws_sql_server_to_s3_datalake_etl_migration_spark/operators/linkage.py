@@ -78,6 +78,7 @@ def edit_distance_self_join(
     str_col: str,
     max_distance: int = 1,
     hot_key_cap: int | None = None,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """All pairs of rows whose ``str_col`` values are within Levenshtein
     distance ``max_distance`` (EXACT — guaranteed recall via the
@@ -86,6 +87,17 @@ def edit_distance_self_join(
 
     Assumes ``str_col`` is unique per row (dedup identical strings
     first; identical-string groups belong to ``exact_dedup``).
+
+    ``block_cols``: equality hard-blocks (e.g. "same nation") folded
+    INTO the blocking key — the join key becomes
+    ``xxhash64(variant, *block_cols)``, so cross-block candidates are
+    never generated, shuffled, or Levenshtein-verified. Semantically
+    identical to post-filtering the pair set on block-column equality
+    (the pair output carries no block columns either way), but the
+    candidate volume drops where blocking belongs: before the shuffle.
+    Rows with a NULL block column never pair (xxhash64 folds NULL to
+    a seed-stable value, but we filter them out to keep "equality"
+    semantics strict — NULL != NULL).
 
     ``hot_key_cap``: adversarial data (e.g. a constant shared prefix
     the deletion falls outside of) can make one deletion key cover a
@@ -96,19 +108,32 @@ def edit_distance_self_join(
     bucket cap). This trades exactness for boundedness: a true pair
     survives iff at least one of its shared deletion keys is cold, so
     the capped result is a SUBSET of the exact one — prefer leaving it
-    off unless key-frequency skew is demonstrated.
+    off unless key-frequency skew is demonstrated. With ``block_cols``
+    the cap applies to the composite (variant, block) key, so a key
+    hot in one block does not suppress pairs in another.
     """
-    # Join on the 64-bit hash of each deletion variant, not the variant
-    # string: the shuffle key drops from O(len) chars to 8 bytes, and a
-    # hash collision can only ADD a candidate pair, which the
-    # levenshtein verify below removes — exactness is unaffected.
-    keyed = df.select(
+    # Join on the 64-bit hash of each deletion variant (composed with
+    # the block columns when given), not the variant string: the
+    # shuffle key drops from O(len) chars to 8 bytes, and a hash
+    # collision can only ADD a candidate pair, which the levenshtein
+    # verify below removes — exactness is unaffected. (A collision
+    # ACROSS blocks could in principle admit a cross-block pair that
+    # the verify pass keeps; with 64-bit keys that is a ~2^-64 event
+    # per candidate, and the deterministic seed makes any such pair
+    # reproducible — acceptable for the blocking use case, identical
+    # in kind to the LSH band-hash contract elsewhere in this repo.)
+    block_exprs = [F.col(c) for c in (block_cols or [])]
+    src = df
+    if block_cols:
+        for c in block_cols:
+            src = src.where(F.col(c).isNotNull())
+    keyed = src.select(
         F.col(id_col).alias("_id"),
         F.col(str_col).alias("_s"),
         F.explode(
             F.transform(
                 deletion_keys(str_col, max_distance),
-                lambda v: F.xxhash64(v),
+                lambda v: F.xxhash64(v, *block_exprs),
             )
         ).alias("_key"),
     )

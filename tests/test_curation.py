@@ -377,6 +377,57 @@ def test_edit_distance_join_hot_key_cap(spark):
     assert capped <= full
 
 
+def test_edit_distance_join_block_cols(spark):
+    # blocking in the key must equal post-filtering pairs on block
+    # equality — and cross-block near-identical strings must never pair
+    rows = [
+        (0, "martha", 1),
+        (1, "marths", 1),  # dist 1, same block -> pair
+        (2, "martho", 2),  # dist 1 to both, different block -> no pair
+        (3, "zzzzzz", 1),
+        (4, "marthq", None),  # NULL block: never pairs
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, blk int")
+    blocked = {
+        (r.left_id, r.right_id, r.dist)
+        for r in linkage.edit_distance_self_join(
+            df, "id", "s", 1, block_cols=["blk"]
+        ).collect()
+    }
+    assert blocked == {(0, 1, 1)}
+    # equivalence with the post-hoc filter on a bigger fuzzy set
+    big = spark.createDataFrame(
+        [(i, s, i % 3) for i, s in enumerate(_LINK_STRINGS)],
+        "id long, s string, blk int",
+    )
+    unblocked = linkage.edit_distance_self_join(big, "id", "s", 1)
+    side = big.select("id", "blk")
+    post = {
+        (r.left_id, r.right_id)
+        for r in unblocked.join(
+            side.withColumnRenamed("id", "left_id").withColumnRenamed(
+                "blk", "bl"
+            ),
+            "left_id",
+        )
+        .join(
+            side.withColumnRenamed("id", "right_id").withColumnRenamed(
+                "blk", "br"
+            ),
+            "right_id",
+        )
+        .where("bl = br")
+        .collect()
+    }
+    in_key = {
+        (r.left_id, r.right_id)
+        for r in linkage.edit_distance_self_join(
+            big, "id", "s", 1, block_cols=["blk"]
+        ).collect()
+    }
+    assert in_key == post
+
+
 def test_bm25_batch_matches_single_query(spark):
     """A batch of one query must reproduce the single-query ranking
     exactly (scores AND order) when df is computed over the same
