@@ -18,6 +18,15 @@ Methodology (disclosed in the JSON):
   iterations: round-4 analysis showed min-of-3 admits ~15% run-to-run
   noise on a shared machine (the same code measured 13.4s and 10.7s an
   hour apart at 3 vs 6 iters), which swamps real plan regressions.
+- Host-load stamps (r11 verdict item 4): this machine is co-tenant —
+  the r11 round recorded apparent per-query regressions that an
+  idle-window re-run showed were load artifacts (driver extended total
+  21% above the close reading). Every JSON now carries
+  ``load_1m_start/_end`` (plus 5-min), and each query records the
+  1-min load at its best iteration; queries whose best iteration still
+  ran under load above ``SPARK_GRAFT_LOAD_WARN`` (default 2.0) are
+  listed in ``load_flagged`` so round-over-round diffs can separate
+  code drift from host noise without a re-run.
 """
 
 from __future__ import annotations
@@ -38,7 +47,17 @@ from aws_sql_server_to_s3_datalake_etl_migration_spark.session import (
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
+LOAD_WARN = float(os.environ.get("SPARK_GRAFT_LOAD_WARN", "2.0"))
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def _loadavg() -> tuple[float, float]:
+    """(1-min, 5-min) load average; (-1, -1) where /proc is absent."""
+    try:
+        one, five = open("/proc/loadavg").read().split()[:2]
+        return float(one), float(five)
+    except (OSError, ValueError):
+        return -1.0, -1.0
 
 # Tables big enough that one-task scans dominate; everything else is
 # copied as-is. documents/embeddings are row-light but compute-heavy
@@ -314,6 +333,8 @@ def main() -> None:
         print(f"# warm-up failed ({e}); continuing", file=sys.stderr)
 
     errors: dict[str, str] = {}
+    query_load: dict[str, float] = {}  # 1-min load at best iteration
+    load_start = _loadavg()
 
     def time_set(names: list[str], iters: int = ITERATIONS) -> dict[str, float]:
         # Per-query fault isolation: one broken query records an error
@@ -323,19 +344,27 @@ def main() -> None:
         for name in names:
             if name not in qs:
                 continue
-            best, rows = None, 0
+            best, rows, best_load = None, 0, -1.0
             try:
                 for _ in range(max(1, iters)):
+                    load_now = _loadavg()[0]
                     t0 = time.time()
                     rows = qs[name](spark, bench_dir).count()
                     elapsed = time.time() - t0
-                    best = elapsed if best is None else min(best, elapsed)
+                    if best is None or elapsed < best:
+                        best, best_load = elapsed, load_now
             except Exception as e:
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
                 continue
             out[name] = round(best, 3)
-            print(f"# {name}: {out[name]}s ({rows} rows)", file=sys.stderr)
+            query_load[name] = best_load
+            flag = " [LOAD]" if best_load > LOAD_WARN else ""
+            print(
+                f"# {name}: {out[name]}s ({rows} rows, "
+                f"load {best_load}){flag}",
+                file=sys.stderr,
+            )
         return out
 
     timings = time_set(HEADLINE)
@@ -347,6 +376,10 @@ def main() -> None:
     extended = time_set(EXTENDED, iters=ITERATIONS)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    load_end = _loadavg()
+    flagged = sorted(
+        n for n, ld in query_load.items() if ld > LOAD_WARN
+    )
     result = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -355,6 +388,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "iterations": ITERATIONS,
         "prep_sec": prep_sec,
+        # co-tenant host context (r11 verdict item 4): 1-min/5-min
+        # load at sweep start/end; per-query loads in the sidecar
+        "load_1m_start": load_start[0],
+        "load_5m_start": load_start[1],
+        "load_1m_end": load_end[0],
+        "load_flagged_n": len(flagged),
         # Round-2 additions, timed separately so "value" stays
         # comparable round-over-round on the same 19-query set.
         "extended_total": round(sum(extended.values()), 3),
@@ -370,6 +409,8 @@ def main() -> None:
     # window sees it whole.
     full = dict(result)
     full["extended"] = extended
+    full["query_load_1m"] = query_load
+    full["load_flagged"] = flagged
     if errors:
         full["errors"] = errors
     try:

@@ -26,6 +26,17 @@ hand: SCALING_PROBE.json (probe family count, max ratios),
 BENCH_r{N}.json (headline/extended seconds, query counts),
 CORRECTNESS_r{N}.json (driver window size and green count), and the
 registry itself (catalog/oracle counts).
+
+Per-query close figures (r11 verdict items 2/3): ``bench_extended.json``
+is git-ignored and overwritten by every bench run, so from round 12 the
+close artifact ``BENCH_close_rN.json`` is the FULL sidecar — it embeds
+the ``extended`` per-query dict (plus per-query load stamps). Any
+per-query second SURVEY's narrative quotes from a close reading must be
+written with the machine-checkable token form ``name=N.NNs`` (e.g.
+"entity resolution (customer_entity_resolution=8.2s)"); ``--check``
+extracts every such token and requires the value to match the named
+close artifact's per-query entry at the token's own precision. Tokens
+naming queries absent from the artifact fail the check.
 """
 
 from __future__ import annotations
@@ -107,6 +118,14 @@ def render(
         and not v.get("err")
     )
 
+    # per-query extended detail: prefer the close artifact's own
+    # embedded dict (shipped, immutable) over the git-ignored sidecar
+    ext = parsed.get("extended") or _load(
+        os.path.join(REPO, "bench_extended.json")
+    ).get("extended", {})
+    heavy = sorted(ext.items(), key=lambda kv: -kv[1])[:5]
+    heavy_s = ", ".join(f"{k}={v:.2f}s" for k, v in heavy)
+
     lines = [
         BEGIN,
         f"- Catalog: {n_queries} registered queries, {n_oracles} "
@@ -117,13 +136,54 @@ def render(
         f"- Bench ({os.path.basename(bench_path or '?')}): headline "
         f"{parsed.get('value')} s, extended "
         f"{parsed.get('extended_total')} s over "
-        f"{len(_load(os.path.join(REPO, 'bench_extended.json')).get('extended', {})) or 'N'} "
+        f"{len(ext) or 'N'} "
         f"extended queries at sf={parsed.get('sf')}.",
+        f"- Heaviest extended ({os.path.basename(bench_path or '?')}): "
+        f"{heavy_s}.",
         f"- 3x probe (SCALING_PROBE.json): {len(fams)} families, "
         f"worst ratios: {top3}.",
         END,
     ]
     return "\n".join(lines)
+
+
+def check_perquery_tokens(survey: str) -> list[str]:
+    """Validate every ``name=N.NNs`` token in SURVEY.md against the
+    latest close-bench artifact's per-query entries (headline or
+    extended). Returns a list of human-readable failures."""
+    bench_path = _latest("BENCH_close_r[0-9][0-9].json") or _latest(
+        "BENCH_r[0-9][0-9].json"
+    )
+    bench = _load(bench_path)
+    parsed = bench.get("parsed", bench) or {}
+    perquery: dict[str, float] = {}
+    perquery.update(parsed.get("queries", {}) or {})
+    # older close artifacts (pre-r12) carry no embedded extended dict;
+    # fall back to the sidecar for those
+    perquery.update(
+        parsed.get("extended")
+        or _load(os.path.join(REPO, "bench_extended.json")).get(
+            "extended", {}
+        )
+    )
+    failures: list[str] = []
+    for m in re.finditer(r"\b([a-z][a-z0-9_]{3,})=([0-9]+\.[0-9]+)s\b",
+                         survey):
+        name, text_val = m.group(1), m.group(2)
+        if name not in perquery:
+            failures.append(
+                f"token {name}={text_val}s: query not in "
+                f"{os.path.basename(bench_path or '?')}"
+            )
+            continue
+        decimals = len(text_val.split(".")[1])
+        actual = round(perquery[name], decimals)
+        if abs(actual - float(text_val)) > 10 ** -decimals / 2 + 1e-9:
+            failures.append(
+                f"token {name}={text_val}s != artifact "
+                f"{perquery[name]}s ({os.path.basename(bench_path)})"
+            )
+    return failures
 
 
 def main() -> None:
@@ -156,7 +216,16 @@ def main() -> None:
         print("--- regenerated ---")
         print(block)
         sys.exit(1)
-    print("OK: SURVEY.md inventory block matches the shipped artifacts.")
+    token_failures = check_perquery_tokens(survey)
+    if token_failures:
+        print("FAIL: per-query tokens do not match the close artifact:")
+        for f in token_failures:
+            print(f"  - {f}")
+        sys.exit(1)
+    print(
+        "OK: SURVEY.md inventory block and per-query tokens match the "
+        "shipped artifacts."
+    )
 
 
 if __name__ == "__main__":
