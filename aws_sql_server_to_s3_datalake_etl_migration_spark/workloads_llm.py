@@ -4504,8 +4504,12 @@ def doc_link_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     depends on neighbors peeled in earlier waves — and the answer is
     mixed per node, so a constant-flag bug cannot pass.
 
-    Spark side is the real ``graph.k_core`` peeling loop (degree
-    hash-agg + two semi-joins per wave, carried-count convergence);
+    Spark side is the real ``graph.k_core`` peeling loop — each wave
+    is a SINGLE reference to the previous wave's edges: explode to
+    directed rows, per-endpoint degree via a window over the node
+    key, regroup to canonical edges keeping min(endpoint degree) ≥ k,
+    with carried-count convergence (the abandoned 3-reference
+    formulation re-analyzed a 3^waves logical tree — SCALING.md);
     the oracle unrolls the same peel as 12 fixed CTE stages
     (``_kcore_oracle``). Core membership is the standard link-farm /
     hub-density signal next to PageRank and triangle count."""

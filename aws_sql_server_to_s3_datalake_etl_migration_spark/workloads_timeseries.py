@@ -2021,6 +2021,11 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("ks_d"),
         )
+        # degenerate-input row shape: Spark's global agg always emits
+        # one row (all NULLs on empty input) while the oracle's
+        # GROUP BY n1, n2 emits zero — drop the all-NULL row so both
+        # engines return 0 rows when events is empty/all-NULL
+        res = res.where(F.col("n_a").isNotNull())
         res = res.persist()
         res.count()
         return res
@@ -2099,9 +2104,10 @@ def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir)
         .groupBy(
             "event_type",
-            (F.col("ts_ns") / F.lit(3_600_000_000_000))
-            .cast("bigint")
-            .alias("h"),
+            # exact integer division: the float path rounds ts_ns at
+            # 2^53, so a timestamp within ~128 ns of an hour boundary
+            # could land in a different bucket than the oracle's `//`
+            F.expr("ts_ns div 3600000000000").alias("h"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
     )
