@@ -873,3 +873,47 @@ def apply_bpe(
     finally:
         for s in staged:
             s.unpersist()
+
+
+def bpe_vocab_ids(
+    toked: DataFrame,
+    tokens_col: str = "bpe_tokens",
+    id_col: str = "token_id",
+) -> DataFrame:
+    """Deterministic integer-id assignment over an applied-BPE token
+    vocabulary: id = 0-based rank by (corpus occurrence count DESC,
+    token ASC) — the one order both engines (and a re-run months
+    later) can state, so the id table is a reproducible training
+    artifact, not an accident of partitioning. Returns
+    ``(token, token_id, n)`` with ``n`` the corpus occurrence count.
+
+    Completes learn → apply → IDS: ``bpe_learn_merges`` produces the
+    merge table, ``apply_bpe`` the token sequences, this the integer
+    ids a trainer consumes (``doc_pack_sequences`` packs from there).
+
+    Scale shape: one token-level hash-agg (map-side combined) builds
+    the vocabulary counts — the only corpus-sized pass; the ranking
+    runs over |vocab| rows (Heaps-sublinear) through the engine's
+    distributed ordered-prefix pass (quantile buckets on the negated
+    count → per-bucket running row count → ≤n_buckets-row carry), so
+    a 10^8-token web-corpus vocabulary never serializes onto one
+    window task."""
+    from .ranking import with_ordered_prefix
+
+    occ = (
+        toked.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("_neg_n", -F.col("n"))
+    )
+    ranked = with_ordered_prefix(
+        occ,
+        "_neg_n",
+        [F.col("_neg_n"), F.col("token")],
+        {"_rk": F.lit(1)},
+    )
+    return ranked.select(
+        "token",
+        (F.col("_rk") - 1).cast("bigint").alias(id_col),
+        "n",
+    )

@@ -4036,14 +4036,37 @@ def _bpe_tokenize_oracle(n_rounds: int) -> str:
     twice (argmax + rewrite), so default inlining would re-evaluate
     the chain 2^rounds times — enough parquet re-opens to exhaust
     the fd limit."""
+    parts = [_bpe_learn_ctes(n_rounds)]
+    parts.append(f"""
+    SELECT d.doc_id,
+           count(w.w)::BIGINT AS n_words,
+           coalesce(sum(len(string_split(
+             substr(v.s, 2, len(v.s) - 2), '||'))), 0)::BIGINT
+             AS n_bpe_tokens
+    FROM documents d
+    LEFT JOIN words w ON w.doc_id = d.doc_id
+    LEFT JOIN v{n_rounds} v ON v.w = w.w
+    GROUP BY d.doc_id
+    """)
+    return "".join(parts)
+
+
+def _bpe_learn_ctes(n_rounds: int) -> str:
+    """Shared CTE prefix of the unrolled learn+apply oracles: the
+    positional word stream (zipped unnest — DuckDB evaluates parallel
+    unnests in lockstep) and the ``n_rounds`` (pair-argmax,
+    vocabulary-rewrite) stages over the wrapped-string vocabulary."""
     parts = [
         r"""
     WITH words AS MATERIALIZED (
-      SELECT doc_id,
-             unnest(list_filter(
-               regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
-               x -> regexp_full_match(x, '[a-z]{2,12}'))) AS w
-      FROM documents
+      SELECT doc_id, unnest(arr) AS w,
+             unnest(range(1, len(arr) + 1)) AS wpos
+      FROM (
+        SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+          x -> regexp_full_match(x, '[a-z]{2,12}')) AS arr
+        FROM documents
+      )
     ),
     v0 AS MATERIALIZED (
       SELECT w, count(*)::BIGINT AS n,
@@ -4070,18 +4093,79 @@ def _bpe_tokenize_oracle(n_rounds: int) -> str:
                      || (SELECT r FROM p{r}) || '|', chr(1))) AS s
       FROM v{r - 1}
     )""")
-    parts.append(f"""
-    SELECT d.doc_id,
-           count(w.w)::BIGINT AS n_words,
-           coalesce(sum(len(string_split(
-             substr(v.s, 2, len(v.s) - 2), '||'))), 0)::BIGINT
-             AS n_bpe_tokens
-    FROM documents d
-    LEFT JOIN words w ON w.doc_id = d.doc_id
-    LEFT JOIN v{n_rounds} v ON v.w = w.w
-    GROUP BY d.doc_id
-    """)
     return "".join(parts)
+
+
+def _bpe_token_ids_oracle(n_rounds: int) -> str:
+    """Learn + apply + ID-ASSIGN in one statement: the shared learn
+    CTEs, then the per-doc positional token stream (word position ×
+    in-word token index, zipped unnests), corpus occurrence counts,
+    ROW_NUMBER ids by (count DESC, token ASC), and the id-mapped
+    stream."""
+    return _bpe_learn_ctes(n_rounds) + f"""
+    , stream AS MATERIALIZED (
+      SELECT w.doc_id, w.wpos, unnest(v.toks) AS tok,
+             unnest(range(1, len(v.toks) + 1)) AS k
+      FROM words w JOIN (
+        SELECT w AS vw,
+               string_split(substr(s, 2, len(s) - 2), '||') AS toks
+        FROM v{n_rounds}
+      ) v ON v.vw = w.w
+    ),
+    ids AS (
+      SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) - 1
+               AS token_id
+      FROM (SELECT tok, count(*)::BIGINT AS n FROM stream
+            GROUP BY tok)
+    )
+    SELECT s.doc_id,
+           (ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                               ORDER BY s.wpos, s.k) - 1)::BIGINT
+             AS pos,
+           i.token_id::BIGINT AS token_id
+    FROM stream s JOIN ids i ON i.tok = s.tok
+    """
+
+
+def _bpe_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lowercased [a-z]{2,12} word stream (delimiter-safe, so the
+    oracle's wrapped-string replace arithmetic equals the engine's
+    array fold exactly), one text column per doc."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.split(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                    r"\s+",
+                ),
+                lambda w: w.rlike("^[a-z]{2,12}$"),
+            ),
+        ).alias("text"),
+    )
+
+
+def _bpe_cached_merges(
+    spark: SparkSession, sf_dir: str, cleaned: DataFrame
+) -> DataFrame:
+    """The merge table is a training ARTIFACT: learned once per corpus
+    and cached (the lake queries' .lake_cache precedent) — steady-state
+    reruns measure APPLY, the operation a pipeline actually repeats.
+    The cached table is deterministic, so the oracles (which re-learn
+    in SQL every run) are unaffected."""
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    mpath = os.path.join(repo_root, ".lake_cache", f"bpe_merges_{tag}")
+    if not os.path.exists(os.path.join(mpath, "_SUCCESS")):
+        textops.bpe_learn_merges(
+            cleaned, n_merges=_BPE_TOK_ROUNDS
+        ).coalesce(1).write.mode("overwrite").parquet(mpath)
+    return spark.read.parquet(mpath)
 
 
 @register("doc_bpe_tokenize", _bpe_tokenize_oracle(_BPE_TOK_ROUNDS))
@@ -4102,41 +4186,9 @@ def doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     differential pytest; this oracle value-checks the learned table
     end-to-end through per-doc token counts (any divergent merge
     shifts counts corpus-wide)."""
-    docs = _docs(spark, sf_dir)
-    cleaned = docs.select(
-        "doc_id",
-        F.concat_ws(
-            " ",
-            F.filter(
-                F.split(
-                    F.lower(F.coalesce(F.col("text"), F.lit(""))),
-                    r"\s+",
-                ),
-                lambda w: w.rlike("^[a-z]{2,12}$"),
-            ),
-        ).alias("text"),
-    ).persist()
+    cleaned = _bpe_cleaned(spark, sf_dir).persist()
     try:
-        # the merge table is a training ARTIFACT: learned once per
-        # corpus and cached (the lake queries' .lake_cache precedent)
-        # — steady-state reruns measure APPLY, the operation a
-        # pipeline actually repeats; the cached table is
-        # deterministic, so the oracle (which re-learns in SQL every
-        # run) is unaffected
-        import os
-
-        repo_root = os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))
-        )
-        tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-        mpath = os.path.join(
-            repo_root, ".lake_cache", f"bpe_merges_{tag}"
-        )
-        if not os.path.exists(os.path.join(mpath, "_SUCCESS")):
-            textops.bpe_learn_merges(
-                cleaned, n_merges=_BPE_TOK_ROUNDS
-            ).coalesce(1).write.mode("overwrite").parquet(mpath)
-        merges = spark.read.parquet(mpath)
+        merges = _bpe_cached_merges(spark, sf_dir, cleaned)
         toked = textops.apply_bpe(cleaned, merges, id_col="doc_id")
         res = toked.select(
             "doc_id",
@@ -4144,6 +4196,51 @@ def doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_words"
             ),
             F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        cleaned.unpersist()
+
+
+@register("doc_bpe_token_ids", _bpe_token_ids_oracle(_BPE_TOK_ROUNDS))
+def doc_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus as INTEGER TOKEN IDS — the last missing link of the
+    tokenizer pipeline (learn -> apply -> IDS -> pack;
+    doc_pack_sequences takes over from here): apply the learned BPE
+    merges, assign each vocabulary token a deterministic id (0-based
+    rank by corpus count DESC, token ASC — ``bpe_vocab_ids``), and
+    emit the id-mapped positional stream (doc_id, pos, token_id).
+    A trainer consumes exactly this shape; emitting the stream rather
+    than per-doc arrays keeps every value scalar, so the oracle
+    comparison is value-exact on all three columns.
+
+    Scale shape: apply_bpe's vocabulary fold (Heaps-sublinear) + ONE
+    corpus-sized posexplode; the id table builds from one map-side-
+    combined token hash-agg and ranks through the distributed
+    ordered-prefix pass (no global-window task); the stream-to-id map
+    is a broadcast join on the vocabulary (shuffle join at 10^8-word
+    web-corpus vocabularies — same knob as apply_bpe's
+    broadcast_vocab). The oracle re-learns, re-applies, and re-ranks
+    in one unrolled DuckDB statement; a pure-Python differential
+    pytest pins the operator on random corpora."""
+    cleaned = _bpe_cleaned(spark, sf_dir).persist()
+    try:
+        merges = _bpe_cached_merges(spark, sf_dir, cleaned)
+        toked = textops.apply_bpe(cleaned, merges, id_col="doc_id")
+        vocab = textops.bpe_vocab_ids(toked)
+        stream = toked.select(
+            "doc_id",
+            F.posexplode("bpe_tokens").alias("pos", "token"),
+        )
+        res = (
+            stream.join(F.broadcast(vocab), "token")
+            .select(
+                "doc_id",
+                F.col("pos").cast("bigint").alias("pos"),
+                "token_id",
+            )
         )
         res = res.persist()
         res.count()

@@ -277,6 +277,8 @@ EXTENDED = [
     "events_embargo_split",
     "customer_survival_km",
     "events_diff_in_diff",
+    # round-12 additions
+    "doc_bpe_token_ids",
 ]
 
 

@@ -1734,3 +1734,48 @@ def test_apply_bpe_matches_python_encoder(spark, sf_dir):
             seq.extend(encode(w))
         want[row["doc_id"]] = seq
     assert got == want
+
+
+def test_bpe_vocab_ids_matches_python_ranking(spark):
+    """bpe_vocab_ids must assign 0-based ids by (corpus count DESC,
+    token ASC) exactly — verified against a pure-Python recount and
+    re-rank over the same applied-BPE token stream, including ties
+    (equal counts order lexicographically)."""
+    from collections import Counter
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators import (
+        textops,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the rat"),
+        (3, "a mat a rat a cat"),
+        (4, None),
+        (5, "zz zz zz yy yy xx"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = textops.bpe_learn_merges(docs, n_merges=4)
+    toked = textops.apply_bpe(docs, merges, id_col="doc_id")
+
+    streams = {
+        r["doc_id"]: list(r["bpe_tokens"]) for r in toked.collect()
+    }
+    counts = Counter(t for seq in streams.values() for t in seq)
+    want = {
+        tok: i
+        for i, (tok, _) in enumerate(
+            sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+
+    got = {
+        r["token"]: (r["token_id"], r["n"])
+        for r in textops.bpe_vocab_ids(toked).collect()
+    }
+    assert {t: i for t, (i, _) in got.items()} == want
+    assert {t: n for t, (_, n) in got.items()} == dict(counts)
+    # ids are a dense 0..|vocab|-1 permutation
+    assert sorted(i for i, _ in got.values()) == list(
+        range(len(counts))
+    )

@@ -905,6 +905,16 @@ EXPECT: dict[str, dict] = {
     "doc_bpe_tokenize": {
         "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
     },
+    # token-id stream (r12): every hint is vocabulary-sized (Heaps-
+    # sublinear, the dim-like bound doc_bpe_tokenize already uses):
+    # apply's word->tokens map appears TWICE in the analyzed tree
+    # (the toked frame feeds both the posexploded stream branch and
+    # the vocab-count branch), + the ordered-prefix <=64-row carry,
+    # + the token->id table broadcast, + the apply-internal map on
+    # the id branch = 5; id ranking carries GLOBAL_WINDOW_OK
+    "doc_bpe_token_ids": {
+        "pushed": False, "no_smj": True, "hints": 5, "pure_jvm": True,
+    },
     # chain-graph WCC (r11): labels come back as a localCheckpoint
     # leaf (lineage truncated per round — the exponential-analysis
     # fix); component sizes are one hash-agg equi-joined back
@@ -1191,6 +1201,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     " k=10 ADC result",
     "customer_abc_classes": "ordered-prefix bucket carry + grand"
     " total — <=64 rows",
+    "doc_bpe_token_ids": "ordered-prefix bucket carry for the vocab-id"
+    " rank — <=64 rows",
     "customer_survival_km": "suffix-risk and product-limit folds over"
     " the per-lifetime-day rollup — calendar-bounded rows (the"
     " monthly-momentum class)",
