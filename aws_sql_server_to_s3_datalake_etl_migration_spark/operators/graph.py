@@ -31,6 +31,7 @@ __all__ = [
     "star_connected_components",
     "triangle_count",
     "k_core",
+    "coreness",
 ]
 
 
@@ -549,3 +550,154 @@ def k_core(
         if prev is not e:
             prev.unpersist()
         e.unpersist()
+
+
+def coreness(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 200,
+) -> DataFrame:
+    """FULL core decomposition — every node's core NUMBER (the largest
+    k such that the node survives the k-core peel) in one loop, via
+    the distributed h-index fixed point (Montresor, De Pellegrini,
+    Miorandi, "Distributed k-Core Decomposition", 2011): initialize
+    each node's estimate to its degree, then repeatedly lower it to
+
+        c'(v) = min(c(v), H({c(u) : u ∈ Γ(v)}))
+
+    where H is the h-index (the largest h with ≥ h neighbors whose
+    estimate is ≥ h). Estimates are non-increasing and converge
+    EXACTLY to the core number. Returns ``(node_col, coreness)`` with
+    coreness 0 for edge-less nodes. This subsumes ``k_core`` (member
+    of the k-core ⟺ coreness ≥ k) and answers every k at once — the
+    standard graph signal a curation pipeline reads next to PageRank
+    and triangle count (link farms are high-core; organic tails are
+    1-core).
+
+    SINGLE-REFERENCE rounds (the engine-wide iterative-loop law —
+    this repo bans ``localCheckpoint``, and a round that references
+    the previous frame twice re-analyzes a 2^rounds logical tree):
+    the estimate frame is referenced ONCE per round, joined onto a
+    static directed edge list that carries one SELF row per node, so
+    a node's own estimate arrives through the same join as its
+    neighbors' (ordered self-last in the ranking window and folded
+    out in the same hash-agg; no join-back). Per round: one O(m)
+    join, one window over the high-cardinality node key, one
+    hash-agg. Convergence is ONE scalar action per round — estimates
+    are non-increasing non-negative integers, so the exact bigint sum
+    is strictly decreasing until the fixed point (sum unchanged ⟺ no
+    estimate changed), and that sum doubles as the round's persist
+    materialization.
+
+    Round count: bounded by the longest chain of dependent estimate
+    drops — O(bucket width) on the registered link graph, small on
+    real web graphs (estimates start at degree and crash fast); the
+    pathological path graph needs O(n) rounds, same caveat and same
+    truss/degeneracy escape hatch as ``k_core``'s peel."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    from pyspark.sql.window import Window
+
+    directed = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+                F.struct(F.col("b").alias("x"), F.col("a").alias("y")),
+            )
+        ).alias("r")
+    ).select("r.x", "r.y")
+    # one SELF row per edged node: the round's single est join then
+    # delivers own-estimate and neighbor-estimates together
+    directed_all = directed.unionByName(
+        directed.select("x").distinct().withColumn("y", F.col("x"))
+    ).persist()
+    directed_all.count()
+    e.unpersist()
+
+    est = (
+        directed_all.where(F.col("x") != F.col("y"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(F.col("x").alias("v"), "c")
+        .persist()
+    )
+    prev_sum = est.agg(F.sum("c")).collect()[0][0]
+
+    w_rn = Window.partitionBy("x").orderBy(
+        # self row sorts LAST (False < True), so neighbor ranks are
+        # the clean 1..degree sequence; ties in cy need no break —
+        # max(least(rn, cy)) is invariant to tie order
+        F.col("_self").asc(),
+        F.col("cy").desc(),
+    )
+    try:
+        for _ in range(max_iter):
+            joined = directed_all.join(
+                est, directed_all["y"] == est["v"]
+            ).select(
+                "x",
+                (F.col("x") == F.col("y")).alias("_self"),
+                F.col("c").alias("cy"),
+            )
+            nxt = (
+                joined.withColumn("rn", F.row_number().over(w_rn))
+                .groupBy("x")
+                .agg(
+                    F.least(
+                        F.max(F.when(F.col("_self"), F.col("cy"))),
+                        F.max(
+                            F.when(
+                                ~F.col("_self"),
+                                F.least(F.col("rn").cast("bigint"),
+                                        F.col("cy")),
+                            )
+                        ),
+                    ).alias("c")
+                )
+                .select(F.col("x").alias("v"), "c")
+                .persist()
+            )
+            cur_sum = nxt.agg(F.sum("c")).collect()[0][0]
+            est.unpersist()
+            est = nxt
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            raise RuntimeError(
+                f"coreness did not stabilize in {max_iter} rounds"
+            )
+        out = (
+            nodes.select(F.col(node_col).alias("_n"))
+            .join(
+                est.select(
+                    F.col("v").alias("_n"),
+                    F.col("c").alias("coreness"),
+                ),
+                "_n",
+                "left",
+            )
+            .select(
+                F.col("_n").alias(node_col),
+                F.coalesce("coreness", F.lit(0))
+                .cast("bigint")
+                .alias("coreness"),
+            )
+        )
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        est.unpersist()
+        directed_all.unpersist()

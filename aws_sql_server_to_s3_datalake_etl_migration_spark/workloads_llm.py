@@ -4635,3 +4635,124 @@ def doc_link_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.col("doc_id").alias("node")), edges, 3
     )
     return cores.select(F.col("node").alias("doc_id"), "in_core")
+
+
+def _coreness_oracle(stages=((2, 5), (3, 12), (4, 12))) -> str:
+    """Unrolled STAGED-PEEL twin for the full core decomposition —
+    deliberately a DIFFERENT algorithm from the engine's h-index
+    fixed point (``graph.coreness``), so a shared algorithmic bug
+    cannot pass: coreness here comes straight from the definition.
+    For k = 2, 3, 4 the oracle peels the stable k-core edge set from
+    the previous stage's fixed point (each wave keeps edges whose
+    both endpoint degrees are >= k — the ``_kcore_oracle`` wave,
+    re-based per stage), then coreness(v) = how many stable incident
+    sets contain v (in the k-core ⟺ coreness >= k; the 1-core is the
+    base edge set, stage-1 peel being a no-op by definition). Wave
+    counts are fixed-margin overshoots of the graph's per-stage
+    cascade depths (pendant-pair: 2; un-chorded bucket: ~7; chorded
+    bucket: ~7 — all bucket-width-bounded, corpus-independent);
+    extra waves are no-ops, an engine needing more is wrong and
+    mismatches loudly. MATERIALIZED throughout (the 2^rounds
+    re-evaluation lesson)."""
+    parts = [
+        """
+    WITH e_s1 AS MATERIALIZED (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM documents a JOIN documents b
+        ON b.doc_id // 16 = a.doc_id // 16
+       AND (b.doc_id = a.doc_id + 1
+            OR (b.doc_id = a.doc_id + 2 AND b.doc_id % 16 <= 13)
+            OR (b.doc_id = a.doc_id + 3 AND b.doc_id % 16 <= 13
+                AND (a.doc_id // 16) % 2 = 0))
+    ),
+    i1 AS MATERIALIZED (
+      SELECT DISTINCT x FROM (
+        SELECT a AS x FROM e_s1 UNION ALL SELECT b AS x FROM e_s1)
+    )"""
+    ]
+    prev = "e_s1"
+    for k, waves in stages:
+        for w in range(1, waves + 1):
+            cur = f"e_s{k}_{w}"
+            parts.append(f""",
+    d_s{k}_{w} AS MATERIALIZED (
+      SELECT x FROM (
+        SELECT a AS x FROM {prev}
+        UNION ALL SELECT b AS x FROM {prev}
+      ) GROUP BY x HAVING COUNT(*) >= {k}
+    ),
+    {cur} AS MATERIALIZED (
+      SELECT a, b FROM {prev}
+      WHERE a IN (SELECT x FROM d_s{k}_{w})
+        AND b IN (SELECT x FROM d_s{k}_{w})
+    )""")
+            prev = cur
+        parts.append(f""",
+    i{k} AS MATERIALIZED (
+      SELECT DISTINCT x FROM (
+        SELECT a AS x FROM {prev} UNION ALL SELECT b AS x FROM {prev})
+    )""")
+    ks = [1] + [k for k, _ in stages]
+    joins = "\n    ".join(
+        f"LEFT JOIN i{k} ON i{k}.x = d.doc_id" for k in ks
+    )
+    summed = " + ".join(
+        f"(CASE WHEN i{k}.x IS NOT NULL THEN 1 ELSE 0 END)" for k in ks
+    )
+    parts.append(f"""
+    SELECT d.doc_id, ({summed})::BIGINT AS coreness
+    FROM documents d
+    {joins}
+    """)
+    return "".join(parts)
+
+
+@register("doc_link_coreness", _coreness_oracle())
+def doc_link_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL core decomposition over a link graph whose core structure
+    spans THREE levels by construction, so the answer is a mixed
+    per-node core NUMBER, not a flag: inside 16-wide id buckets,
+    positions 0..13 form a +1/+2 path-power (2-core), EVEN buckets
+    add a +3 chord over those positions (3-core), and positions
+    14..15 hang off as a pendant chain (coreness 1 — the stage-2
+    peel must cascade: 15 falls as degree-1, THEN 14). A node's value
+    depends on neighbors peeled in earlier waves of earlier stages,
+    so both the per-k cascade and the cross-k staging are exercised.
+
+    Spark side is ``graph.coreness`` — the distributed h-index fixed
+    point (Montresor et al. 2011): estimates start at degree and
+    lower to the neighbors' h-index, single-reference rounds (one
+    O(edges) join + one node-keyed window + one hash-agg each),
+    bigint-sum convergence. The ORACLE is the other classical
+    algorithm — the staged unrolled peel (coreness from its
+    definition) — so the two engines agree only if both are right.
+    Core number is the standard link-farm / hub-density signal next
+    to PageRank and triangle count; this subsumes the one-k
+    ``doc_link_kcore`` membership check."""
+    from .operators.graph import coreness
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    src = d.select(F.col("doc_id").alias("src"))
+    dst = d.select(F.col("doc_id").alias("dst"))
+    edges = None
+    for cond in [
+        F.col("dst") == F.col("src") + 1,
+        (F.col("dst") == F.col("src") + 2)
+        & (F.col("dst") % 16 <= 13),
+        (F.col("dst") == F.col("src") + 3)
+        & (F.col("dst") % 16 <= 13)
+        & (F.floor(F.col("src") / 16) % 2 == 0),
+    ]:
+        hop = src.join(
+            dst,
+            cond
+            & (
+                F.floor(F.col("dst") / 16)
+                == F.floor(F.col("src") / 16)
+            ),
+        )
+        edges = hop if edges is None else edges.unionAll(hop)
+    cores = coreness(
+        d.select(F.col("doc_id").alias("node")), edges
+    )
+    return cores.select(F.col("node").alias("doc_id"), "coreness")

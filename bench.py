@@ -279,6 +279,7 @@ EXTENDED = [
     "events_diff_in_diff",
     # round-12 additions
     "doc_bpe_token_ids",
+    "doc_link_coreness",
 ]
 
 

@@ -1,0 +1,92 @@
+"""Round-12 additions: full core decomposition (h-index fixed point)
+and the BPE token-id pipeline tail."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.graph import (
+    coreness,
+    k_core,
+)
+
+
+def _py_coreness(n_nodes: int, edges: set[tuple[int, int]]) -> dict:
+    """Exact sequential core decomposition by min-degree peeling
+    (Batagelj-Zaversnik order) — the definitional ground truth."""
+    adj = {v: set() for v in range(n_nodes)}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    core = {v: 0 for v in range(n_nodes)}
+    deg = {v: len(adj[v]) for v in range(n_nodes)}
+    alive = set(range(n_nodes))
+    k = 0
+    while alive:
+        v = min(alive, key=lambda u: deg[u])
+        k = max(k, deg[v])
+        core[v] = k
+        alive.discard(v)
+        for u in adj[v]:
+            if u in alive:
+                deg[u] -= 1
+    return core
+
+
+def test_coreness_matches_sequential_peel_random(spark):
+    rng = random.Random(12)
+    for trial in range(3):
+        n = 40
+        edges = set()
+        for _ in range(rng.randint(30, 90)):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        want = _py_coreness(n, edges)
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(n)], "node long"
+        )
+        e = spark.createDataFrame(
+            [(a, b) for a, b in edges], "src long, dst long"
+        )
+        got = {
+            r["node"]: r["coreness"]
+            for r in coreness(nodes, e).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_coreness_hand_cases(spark):
+    # triangle + pendant: triangle nodes 2, pendant 1, isolated 0
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["coreness"] for r in coreness(nodes, e).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 2, 3: 1, 4: 0}
+
+
+def test_coreness_consistent_with_k_core(spark):
+    """coreness >= k must equal k_core membership for every k that
+    occurs — the new operator subsumes the old one."""
+    rng = random.Random(7)
+    n = 30
+    edges = {(min(a, b), max(a, b))
+             for a, b in ((rng.randrange(n), rng.randrange(n))
+                          for _ in range(60)) if a != b}
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    core = {
+        r["node"]: r["coreness"] for r in coreness(nodes, e).collect()
+    }
+    for k in (1, 2, 3):
+        member = {
+            r["node"]: r["in_core"]
+            for r in k_core(nodes, e, k).collect()
+        }
+        assert all(member[v] == (core[v] >= k) for v in core), k

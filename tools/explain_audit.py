@@ -1021,6 +1021,12 @@ EXPECT: dict[str, dict] = {
     "doc_link_kcore": {
         "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
     },
+    # round-12 -----------------------------------------------------------
+    # full core decomposition: the explained frame is the persisted
+    # h-index fixed point left-joined back onto the doc roster
+    "doc_link_coreness": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
     # target encoding: un-hinted fact-dim join (AQE broadcasts at this
     # SF) + one hinted 1-row totals broadcast
     "customer_target_encoding": {
