@@ -58,8 +58,17 @@ def pagerank_fixedpoint(
 
     Scale shape: O(edges) per round — one join, one hash-agg — times
     a fixed ``iters``; no driver-side data movement (only the loop
-    counter lives on the driver). The returned frame is the final
-    round's persisted score table; the caller owns its lifetime.
+    counter lives on the driver). Because the iteration count is
+    FIXED and each round references the previous scores exactly once,
+    the rounds compose into ONE lazily-built linear plan executed as
+    a single job at the end (r12: the per-round persist+count
+    barriers added ~5 scheduling round-trips per run and ~0.5 s at
+    sf0.1 without bounding anything — a fixed-depth single-reference
+    chain needs no materialization; convergence-driven loops like
+    ``coreness`` still materialize per round because each round's
+    ACTION is the stopping test). The returned frame is the final
+    scores persisted and materialized once; the caller owns its
+    lifetime.
     """
     base = (scale * (damp_den - damp_num)) // damp_den
     e = edges.select("src", "dst").distinct()
@@ -68,8 +77,7 @@ def pagerank_fixedpoint(
     edges_deg.count()
     scores = nodes.select("node").withColumn(
         "score", F.lit(scale).cast("bigint")
-    ).persist()
-    scores.count()
+    )
     try:
         for _ in range(iters):
             contrib = (
@@ -78,7 +86,7 @@ def pagerank_fixedpoint(
                 .groupBy("dst")
                 .agg(F.sum("c").alias("s"))
             )
-            new = (
+            scores = (
                 nodes.select("node")
                 .join(contrib, F.col("node") == F.col("dst"), "left")
                 .select(
@@ -93,11 +101,9 @@ def pagerank_fixedpoint(
                     .cast("bigint")
                     .alias("score"),
                 )
-                .persist()
             )
-            new.count()
-            scores.unpersist()
-            scores = new
+        scores = scores.persist()
+        scores.count()
         return scores
     finally:
         edges_deg.unpersist()
