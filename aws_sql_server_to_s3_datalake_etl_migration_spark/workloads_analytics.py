@@ -4312,3 +4312,339 @@ def customer_survival_km(
         .over(w_asc)
         .alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: classical-statistics extensions (ANOVA, effect size,
+# decile migration)
+# ---------------------------------------------------------------------------
+
+_ANOVA_FP = 1073741824.0  # 2^30 — the chi2 quantized-term fixed point
+
+
+@register(
+    "lineitem_returnflag_anova",
+    f"""
+    WITH g AS (
+      SELECT l_returnflag AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS s,
+             -- width 19 forces DuckDB's int128 multiply path; the
+             -- exact product equals Spark's DECIMAL(37,8)
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                 * CAST(l_extendedprice AS DECIMAL(19,4))) AS ss
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(s) AS DOUBLE) AS t,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g
+    ),
+    terms AS (
+      SELECT g.grp,
+             (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)
+              - tot.t / CAST(tot.nn AS DOUBLE))
+             * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)
+                - tot.t / CAST(tot.nn AS DOUBLE))
+             * CAST(g.n AS DOUBLE) AS tb,
+             CAST(g.ss AS DOUBLE)
+             - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)
+               / CAST(g.n AS DOUBLE) AS tw
+      FROM g CROSS JOIN tot
+    ),
+    folded AS (
+      SELECT
+        list_reduce(list_prepend(0.0,
+          list_transform(list(struct_pack(grp := grp, tb := tb)
+                              ORDER BY grp), x -> x.tb)),
+          (a, b) -> a + b) AS ssb,
+        list_reduce(list_prepend(0.0,
+          list_transform(list(struct_pack(grp := grp, tw := tw)
+                              ORDER BY grp), x -> x.tw)),
+          (a, b) -> a + b) AS ssw
+      FROM terms
+    )
+    SELECT tot.nn AS n_rows, tot.k AS k_groups,
+           folded.ssb AS ss_between,
+           folded.ssw AS ss_within,
+           (folded.ssb / CAST(tot.k - 1 AS DOUBLE))
+           / (folded.ssw / CAST(tot.nn - tot.k AS DOUBLE)) AS f_stat
+    FROM folded CROSS JOIN tot
+    """,
+)
+def lineitem_returnflag_anova(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-way ANOVA of extended price across return-flag groups — the
+    parametric "do these cohorts differ in mean" gate beside the
+    rank-based drift tests: F = (SSB/(k−1)) / (SSW/(N−k)) from the
+    classic sufficient-statistic decomposition (per-group n, Σx, Σx²).
+
+    Determinism: the sufficient statistics accumulate EXACTLY in
+    DECIMAL; each group's between/within term is one identical double
+    expression on both engines, and the cross-group sums fold
+    STRICTLY LEFT-TO-RIGHT in group order (Spark ``aggregate`` over
+    ``array_sort(collect_list)``, DuckDB ``list_reduce`` over an
+    ORDER BY list — the Kaplan-Meier pinned-fold precedent). The chi2
+    queries' 2^30 quantize-and-int-sum trick does NOT work here: SS
+    terms reach ~10^13 at sf0.01, so the quantized product overflows
+    int64 — the pinned fold is the overflow-free determinism tool for
+    large-magnitude float terms.
+
+    Scale shape: ONE map-side-combined hash-agg over the fact table
+    (3 sufficient statistics per group); everything downstream runs
+    on |groups| rows (bounded category domain) with a 1-row totals
+    broadcast. At 100 TB the fact table is scanned once."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(_dec("l_extendedprice")).alias("s"),
+        F.sum(
+            _dec("l_extendedprice") * _dec("l_extendedprice")
+        ).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("double").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    gd = F.col("s").cast("double") / F.col("n").cast("double")
+    mean = F.col("t") / F.col("nn").cast("double")
+    tb = (gd - mean) * (gd - mean) * F.col("n").cast("double")
+    tw = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    )
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "nn", "k", "grp", tb.alias("tb"), tw.alias("tw")
+    )
+    folded = terms.groupBy("nn", "k").agg(
+        F.array_sort(
+            F.collect_list(F.struct("grp", "tb", "tw"))
+        ).alias("xs")
+    )
+
+    def _fold(field: str):
+        return F.aggregate(
+            F.col("xs"),
+            F.lit(0.0),
+            lambda a, x: a + x[field],
+        )
+
+    ssb, ssw = _fold("tb"), _fold("tw")
+    return folded.select(
+        F.col("nn").alias("n_rows"),
+        F.col("k").alias("k_groups"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        (
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("nn") - F.col("k")).cast("double"))
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "orders_priority_status_cramers_v",
+    f"""
+    WITH obs AS (
+      SELECT o_orderpriority AS pr, o_orderstatus AS st,
+             COUNT(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT o_orderpriority AS pr, COUNT(*) AS r
+           FROM orders GROUP BY 1),
+    ct AS (SELECT o_orderstatus AS st, COUNT(*) AS c
+           FROM orders GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM orders),
+    cells AS (
+      SELECT rt.pr, ct.st, rt.r, ct.c, nn.n, COALESCE(obs.o, 0) AS o
+      FROM rt CROSS JOIN ct CROSS JOIN nn
+      LEFT JOIN obs ON obs.pr = rt.pr AND obs.st = ct.st
+    ),
+    terms AS (
+      SELECT CAST(FLOOR(
+        ((CAST(o AS DOUBLE)
+          - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(o AS DOUBLE)
+            - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+        / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        * {_ANOVA_FP}) AS BIGINT) AS t
+      FROM cells
+    ),
+    dims AS (
+      SELECT (SELECT COUNT(*) FROM rt) AS nr,
+             (SELECT COUNT(*) FROM ct) AS nc
+    )
+    SELECT CAST(SUM(terms.t) AS DOUBLE) / {_ANOVA_FP} AS chi2,
+           CAST((dims.nr - 1) * (dims.nc - 1) AS BIGINT) AS dof,
+           (SELECT CAST(n AS BIGINT) FROM nn) AS n_orders,
+           SQRT((CAST(SUM(terms.t) AS DOUBLE) / {_ANOVA_FP})
+                / ((SELECT CAST(n AS DOUBLE) FROM nn)
+                   * CAST(LEAST(dims.nr - 1, dims.nc - 1) AS DOUBLE)))
+             AS cramers_v
+    FROM terms CROSS JOIN dims
+    GROUP BY dims.nr, dims.nc
+    """,
+)
+def orders_priority_status_cramers_v(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cramér's V between order priority and order status — the
+    NORMALIZED effect size the chi2 screen
+    (``doc_source_lang_chi2``) lacks: chi2 grows with N, so "is the
+    association big" needs V = √(χ²/(N·min(r−1, c−1))) ∈ [0, 1],
+    comparable across tables and scale factors. Same quantized-term
+    determinism (each cell's (o−e)²/e is one fixed double expression,
+    floor-quantized at 2^30, summed as int64, zero cells included via
+    the bounded marginal cross join); √ is IEEE-exactly-rounded, so
+    the final V is bit-identical across engines.
+
+    Scale shape: one (priority, status) hash-agg over orders; the
+    cell grid is |priorities| × |statuses| (bounded category
+    domains) — broadcast arithmetic, never data."""
+    o = _t(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = o.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+        F.count(F.lit(1)).alias("r")
+    )
+    ct = o.groupBy(F.col("o_orderstatus").alias("st")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nn = o.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(nn))
+        .join(obs, ["pr", "st"], "left")
+        .select(
+            "r", "c", "n", F.coalesce("o", F.lit(0)).alias("o")
+        )
+    )
+    od = F.col("o").cast("double")
+    exp = (
+        F.col("r").cast("double") * F.col("c").cast("double")
+        / F.col("n").cast("double")
+    )
+    t = F.floor((od - exp) * (od - exp) / exp * F.lit(_ANOVA_FP)).cast(
+        "bigint"
+    )
+    dims = (
+        rt.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("nc")))
+    )
+    chi2 = F.sum(t).cast("double") / F.lit(_ANOVA_FP)
+    stat = cells.agg(chi2.alias("chi2"))
+    return (
+        stat.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "chi2",
+            ((F.col("nr") - 1) * (F.col("nc") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(
+                        F.col("nr") - 1, F.col("nc") - 1
+                    ).cast("double")
+                )
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@register(
+    "customer_decile_migration",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate < DATE '1998-01-01' THEN 0
+                  ELSE 1 END AS period,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT o_custkey, period,
+             NTILE(10) OVER (PARTITION BY period
+                             ORDER BY s DESC, o_custkey) AS decile
+      FROM spend
+    ),
+    m AS (
+      SELECT a.decile AS decile_early, b.decile AS decile_late
+      FROM ranked a JOIN ranked b ON b.o_custkey = a.o_custkey
+      WHERE a.period = 0 AND b.period = 1
+    )
+    SELECT CAST(decile_early AS BIGINT) AS decile_early,
+           CAST(decile_late AS BIGINT) AS decile_late,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM m GROUP BY 1, 2
+    """,
+)
+def customer_decile_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spend-decile MIGRATION MATRIX between the early and late halves
+    of the order history (split at 1998-01-01, the midpoint of the
+    1995–2001 date range) — the customer-value movement report every
+    retention team reads: who climbed from decile 7 to 2, how sticky
+    is the top decile. Customers active in only one period drop out
+    (inner join); the matrix cells are exact counts.
+
+    Deciles come from the distributed ordered-prefix pass + the
+    closed-form NTILE (customer cardinality tracks the warehouse, so
+    no single-task NTILE window), ranked by spend DESC with the
+    unique custkey tie-break — the same semantics as SQL NTILE
+    because both engines put remainder rows in the leading buckets
+    and the tie-break makes the order total. Spend accumulates in
+    DECIMAL(18,4) (exact, so the rank order is engine-identical).
+
+    Scale shape: one (custkey, period) hash-agg over orders, two
+    ordered-prefix passes (one per period — the period is a
+    partition col, so ONE pass with partition_cols handles both),
+    and a self-join on custkey for the matrix. The matrix itself is
+    100 rows."""
+    from .operators.ranking import ntile_expr, with_ordered_prefix
+
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy(
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("date"), 0
+        ).otherwise(1).alias("period"),
+    ).agg(F.sum(_dec("o_totalprice")).alias("s"))
+    ranked = with_ordered_prefix(
+        spend.withColumn("_neg", -F.col("s")),
+        "_neg",
+        [F.col("_neg"), F.col("o_custkey").asc()],
+        {"_pos": F.lit(1)},
+        partition_cols=["period"],
+        totals={"_n": "_pos"},
+    ).select(
+        "o_custkey",
+        "period",
+        ntile_expr(F.col("_pos"), F.col("_n"), 10).alias("decile"),
+    )
+    a = ranked.where(F.col("period") == 0).select(
+        "o_custkey", F.col("decile").alias("decile_early")
+    )
+    b = ranked.where(F.col("period") == 1).select(
+        "o_custkey", F.col("decile").alias("decile_late")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("decile_early", "decile_late")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .select(
+            F.col("decile_early").cast("bigint").alias("decile_early"),
+            F.col("decile_late").cast("bigint").alias("decile_late"),
+            "n_customers",
+        )
+    )

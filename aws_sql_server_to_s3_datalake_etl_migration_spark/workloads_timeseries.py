@@ -2382,3 +2382,374 @@ def events_diff_in_diff(
             - (_cell(0, 1, "mean_v") - _cell(0, 0, "mean_v"))
         ).alias("did"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: rank / trend / control-chart statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_mannwhitney_drift",
+    """
+    WITH v AS (
+      SELECT value,
+             SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS a_c,
+             SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS b_c
+      FROM events WHERE value IS NOT NULL GROUP BY value
+    ),
+    r AS (
+      SELECT a_c, b_c, a_c + b_c AS t,
+             SUM(a_c + b_c) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+      FROM v
+    ),
+    s AS (
+      SELECT CAST(SUM(a_c) AS BIGINT) AS n_a,
+             CAST(SUM(b_c) AS BIGINT) AS n_b,
+             CAST(SUM(a_c * (2 * (ct - t) + t + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+      FROM r
+    )
+    SELECT n_a, n_b,
+           r2a - n_a * (n_a + 1) AS u2_a,
+           tie_term,
+           CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1 THEN
+             (CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             / (2.0 * SQRT(
+                 CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                 * (CAST(n_a + n_b + 1 AS DOUBLE)
+                    - CAST(tie_term AS DOUBLE)
+                      / (CAST(n_a + n_b AS DOUBLE)
+                         * CAST(n_a + n_b - 1 AS DOUBLE)))))
+           END AS z
+    FROM s WHERE n_a IS NOT NULL
+    """,
+)
+def events_mannwhitney_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney U between the two ingestion
+    shards (event_id parity) over ``value`` — the rank-based
+    location-shift drift gate beside ``events_ks_drift``'s
+    shape-shift gate (KS sees any distributional change; U is the
+    more powerful test when the worry is a median shift, the typical
+    symptom of a biased batch). Same A/A calibration framing.
+
+    Exactness: midranks are carried DOUBLED so everything stays
+    integer — per pooled distinct value, shard A's rank contribution
+    is ``a_c * (2*cum_before + t + 1)`` over exact bigint cumulative
+    counts; ``u2_a = 2*U_A = R2_A - n_a*(n_a+1)`` and the tie term
+    ``Σ(t³−t)`` are exact int64 (int64 holds to ~10^6 distinct-value
+    multiplicity cubed; a fully-tied 10^9-row column moves the cube
+    to decimal(38) — the KS products note, SCALING.md). The z score
+    is ONE fixed expression over those integers (+,−,×,÷,sqrt are
+    IEEE-exactly-rounded, so both engines agree bitwise).
+
+    Scale shape: identical to ``events_ks_drift`` — one per-value
+    hash-agg (the only corpus-sized pass), the distributed
+    ordered-prefix pass for the cumulative counts (value domain
+    tracks the fact table; no global window), one scalar agg. The
+    degenerate-input row-shape rule applies (empty/all-NULL input
+    returns 0 rows on both engines)."""
+    from .operators.ranking import with_ordered_prefix
+
+    per_val = (
+        _events(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_id") % 2 == 0, 1).otherwise(0)
+            ).alias("a_c"),
+            F.sum(
+                F.when(F.col("event_id") % 2 == 1, 1).otherwise(0)
+            ).alias("b_c"),
+        )
+        .withColumn("t", F.col("a_c") + F.col("b_c"))
+        .persist()
+    )
+    try:
+        ranked = with_ordered_prefix(
+            per_val,
+            "value",
+            [F.col("value")],
+            {"ct": F.col("t")},
+        )
+        s = ranked.agg(
+            F.sum("a_c").cast("bigint").alias("n_a"),
+            F.sum("b_c").cast("bigint").alias("n_b"),
+            F.sum(
+                F.col("a_c")
+                * (2 * (F.col("ct") - F.col("t")) + F.col("t") + 1)
+            ).cast("bigint").alias("r2a"),
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).cast("bigint").alias("tie_term"),
+        )
+        n_a, n_b = F.col("n_a"), F.col("n_b")
+        nn = n_a + n_b
+        u2 = F.col("r2a") - n_a * (n_a + 1)
+        var = (
+            n_a.cast("double") * n_b.cast("double") / F.lit(12.0)
+            * (
+                (nn + 1).cast("double")
+                - F.col("tie_term").cast("double")
+                / (nn.cast("double") * (nn - 1).cast("double"))
+            )
+        )
+        res = s.select(
+            "n_a",
+            "n_b",
+            u2.cast("bigint").alias("u2_a"),
+            "tie_term",
+            F.when(
+                (n_a > 0) & (n_b > 0) & (nn > 1),
+                (u2.cast("double") - n_a.cast("double")
+                 * n_b.cast("double"))
+                / (F.lit(2.0) * F.sqrt(var)),
+            ).alias("z"),
+        ).where(n_a.isNotNull())
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        per_val.unpersist()
+
+
+@register(
+    "events_mann_kendall",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day > a.day
+      GROUP BY 1
+    ),
+    n AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_adj
+      FROM (SELECT event_type, y, COUNT(*) AS t FROM daily
+            GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT n.event_type, n.n_days,
+           COALESCE(s.s_stat, 0) AS s_stat,
+           n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+             - COALESCE(ties.tie_adj, 0) AS var18_num,
+           CASE WHEN n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                     - COALESCE(ties.tie_adj, 0) > 0 THEN
+             CAST(COALESCE(s.s_stat, 0)
+                  - CASE WHEN COALESCE(s.s_stat, 0) > 0 THEN 1
+                         WHEN COALESCE(s.s_stat, 0) < 0 THEN -1
+                         ELSE 0 END AS DOUBLE)
+             / SQRT(CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                         - COALESCE(ties.tie_adj, 0) AS DOUBLE) / 18.0)
+           ELSE 0.0 END AS z
+    FROM n LEFT JOIN s ON s.event_type = n.event_type
+    LEFT JOIN ties ON ties.event_type = n.event_type
+    """,
+)
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test over the daily event count per
+    type — the NON-parametric twin of ``events_theilsen_trend`` (and
+    the test that usually accompanies a Theil-Sen slope estimate):
+    S = Σ_{i<j} sign(y_j − y_i) over days, with the tie-corrected
+    normal approximation z = (S ∓ 1)/√(Var S). Everything up to the
+    final z is exact int64 (S, the ×18 variance numerator, tie
+    adjustment); z is one fixed expression.
+
+    Scale shape: the pair sum runs over the DAILY ROLLUP, not events
+    — |days|² pairs per type where |days| is calendar-bounded (the
+    monthly-momentum class: grows with time, not data rate), so the
+    self-join is a per-type broadcast of a days-sized table. The only
+    corpus-sized pass is the (type, day) hash-agg. An O(n log n)
+    inversion-count formulation exists for key domains that track the
+    fact table; the calendar bound makes it unnecessary here."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+        .persist()
+    )
+    try:
+        a = daily.select(
+            "event_type",
+            F.col("day").alias("da"),
+            F.col("y").alias("ya"),
+        )
+        b = daily.select(
+            "event_type",
+            F.col("day").alias("db"),
+            F.col("y").alias("yb"),
+        )
+        s = (
+            a.join(b, ["event_type"])
+            .where(F.col("db") > F.col("da"))
+            .groupBy("event_type")
+            .agg(
+                F.sum(
+                    F.when(F.col("yb") > F.col("ya"), 1)
+                    .when(F.col("yb") < F.col("ya"), -1)
+                    .otherwise(0)
+                ).cast("bigint").alias("s_stat")
+            )
+        )
+        n = daily.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days")
+        )
+        ties = (
+            daily.groupBy("event_type", "y")
+            .agg(F.count(F.lit(1)).alias("t"))
+            .groupBy("event_type")
+            .agg(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ).cast("bigint").alias("tie_adj")
+            )
+        )
+        joined = (
+            n.join(s, "event_type", "left")
+            .join(ties, "event_type", "left")
+            .select(
+                "event_type",
+                "n_days",
+                F.coalesce("s_stat", F.lit(0)).alias("s_stat"),
+                (
+                    F.col("n_days") * (F.col("n_days") - 1)
+                    * (2 * F.col("n_days") + 5)
+                    - F.coalesce("tie_adj", F.lit(0))
+                ).cast("bigint").alias("var18_num"),
+            )
+        )
+        cont = F.col("s_stat") - F.when(F.col("s_stat") > 0, 1).when(
+            F.col("s_stat") < 0, -1
+        ).otherwise(0)
+        res = joined.select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            "var18_num",
+            F.when(
+                F.col("var18_num") > 0,
+                cont.cast("double")
+                / F.sqrt(F.col("var18_num").cast("double") / F.lit(18.0)),
+            ).otherwise(F.lit(0.0)).alias("z"),
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        daily.unpersist()
+
+
+@register(
+    "events_cusum_alarm",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS total
+      FROM daily GROUP BY 1
+    ),
+    psum AS (
+      SELECT d.event_type, d.day, t.n_days, t.total,
+             SUM(t.n_days * d.c - t.total) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM daily d JOIN tot t ON t.event_type = d.event_type
+    ),
+    pre AS (
+      SELECT event_type, n_days, total, p,
+             LEAST(CAST(0 AS BIGINT), MIN(p) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS m
+      FROM psum
+    )
+    SELECT event_type, n_days,
+           CAST(MAX(p - m) AS BIGINT) AS max_cusum,
+           CAST(SUM(CASE WHEN p - m > 2 * total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarm_days
+    FROM pre GROUP BY 1, 2
+    """,
+)
+def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM control chart over the daily event count per
+    type — the sequential change detector a monitoring pipeline runs
+    next to the retrospective ``events_change_points``: the running
+    statistic S_t = max(0, S_{t-1} + x_t) accumulates excess over the
+    per-type mean and alarms when it crosses the threshold. The
+    max-reset recurrence LOOKS like an irreducible fold, but has the
+    classic closed form S_t = P_t − min(0, min_{j≤t} P_j) over the
+    plain prefix sums P — so it is pure WINDOW arithmetic (a running
+    sum and a running min), no per-group array fold, no lambda. (A
+    first cut used a list fold; DuckDB 1.0's lambda ``struct_pack``
+    evaluates accumulator fields in place, silently corrupting any
+    fold whose later fields read earlier ones — the window form is
+    both engine-proof and cheaper.)
+
+    Exactness: deviations are pre-scaled integers
+    (``n_days*c_t − total``, so "mean" never becomes a float), the
+    prefix sums / minima / S_t are exact int64, and the alarm
+    threshold is ``2*total`` (two average days of pure excess, in
+    the same scaling).
+
+    Scale shape: the windows run over the per-type DAILY rollup —
+    calendar-bounded partitions (monthly-momentum class); the only
+    corpus-sized pass is the (type, day) hash-agg."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("total"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = (
+        daily.join(tot, "event_type")
+        .withColumn(
+            "p",
+            F.sum(
+                (F.col("n_days") * F.col("c") - F.col("total"))
+                .cast("bigint")
+            ).over(w),
+        )
+        .withColumn(
+            "m",
+            F.least(F.lit(0).cast("bigint"), F.min("p").over(w)),
+        )
+        .withColumn("s", F.col("p") - F.col("m"))
+    )
+    return pre.groupBy("event_type", "n_days").agg(
+        F.max("s").cast("bigint").alias("max_cusum"),
+        F.sum(
+            F.when(F.col("s") > 2 * F.col("total"), 1).otherwise(0)
+        ).cast("bigint").alias("n_alarm_days"),
+    )
