@@ -3282,3 +3282,102 @@ def set_table_property(
         expected_version=v + 1,
         operation="SET TBLPROPERTIES",
     )
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    table_path: str,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """In-place CONVERT TO DELTA (delta-spark's ``CONVERT TO DELTA``
+    twin, reference `utils.py:180-182` Delta surface): create the
+    transaction log OVER an existing plain-parquet table without
+    moving, rewriting, or even reading a single data page — version 0
+    is one bootstrap (protocol + metaData from the discovered schema)
+    plus one ``add`` per existing file, with footer-derived
+    ``add.stats`` so the converted table gets data skipping on day
+    one. A 100 TB conversion is a file listing plus footer reads —
+    minutes of metadata work, zero data movement; afterwards the full
+    engine (MERGE, time travel, CDF, vacuum, clone) applies.
+
+    ``partition_cols`` declares a Hive layout (``k=v`` directories);
+    when omitted they are inferred from the directory structure.
+    Every data file must agree on the partition-key set — a mixed
+    layout is a corrupt table and raises instead of converting.
+
+    The commit pins ``expected_version=0``: a concurrent writer that
+    already created a log (or two racing conversions) surfaces as
+    :class:`CommitConflict`, never a double log."""
+    base = table_path.rstrip("/")
+    if log_version(spark, base) is not None:
+        raise ValueError(
+            f"{table_path} already has a transaction log — "
+            "CONVERT TO DELTA is for plain parquet tables"
+        )
+    fs, jvm = _fs(spark, base)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    base_q = fs.makeQualified(hpath(base)).toString()
+    adds: list[dict] = []
+    dests: list[str] = []
+    key_sets: set[tuple] = set()
+    it = fs.listFiles(hpath(base), True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        pstr = p.toString()
+        if not pstr.startswith(base_q + "/"):
+            continue
+        rel = pstr[len(base_q) + 1:]
+        segs = rel.split("/")
+        # skip the log dir, hidden/stage dirs, and non-data files
+        if any(s.startswith((".", "_")) for s in segs[:-1]):
+            continue
+        if not segs[-1].endswith(".parquet"):
+            continue
+        pvals = _partition_values_from_rel(rel)
+        key_sets.add(tuple(sorted(pvals)))
+        adds.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": pvals,
+                    "size": int(st.getLen()),
+                    "modificationTime": int(st.getModificationTime()),
+                    "dataChange": True,
+                }
+            }
+        )
+        dests.append(pstr)
+    if not adds:
+        raise ValueError(f"no parquet data files under {table_path}")
+    # schema via partition discovery (after the emptiness check, so an
+    # empty dir raises OUR error, not Spark's inference failure): Hive
+    # k=v dirs become typed partition columns, exactly what the
+    # metaData must declare
+    df = spark.read.parquet(base)
+    if len(key_sets) > 1:
+        raise ValueError(
+            f"inconsistent Hive partition layouts {sorted(key_sets)} "
+            f"under {table_path} — refusing to convert a mixed table"
+        )
+    inferred = list(key_sets.pop()) if key_sets else []
+    pcols = list(partition_cols) if partition_cols else inferred
+    if sorted(pcols) != sorted(inferred):
+        raise ValueError(
+            f"declared partition_cols {pcols} != layout {inferred}"
+        )
+    # footer stats off the listing loop (the stage_data_files pool)
+    if len(dests) > 2:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(32, len(dests))) as pool:
+            stats_list = list(pool.map(_file_stats_json, dests))
+    else:
+        stats_list = [_file_stats_json(d) for d in dests]
+    for a, stats in zip(adds, stats_list):
+        if stats is not None:
+            a["add"]["stats"] = stats
+    actions = bootstrap_actions(df, pcols) + adds
+    return commit(
+        spark, base, actions, expected_version=0, operation="CONVERT"
+    )

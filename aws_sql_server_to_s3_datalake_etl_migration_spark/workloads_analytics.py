@@ -4648,3 +4648,52 @@ def customer_decile_migration(
             "n_customers",
         )
     )
+
+
+@register(
+    "orders_convert_to_delta_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 10 <> 3
+    """,
+)
+def orders_convert_to_delta_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONVERT TO DELTA under the value check
+    (sources/delta_log.convert_to_delta): orders lands as a PLAIN
+    Hive-partitioned parquet table (no log — the layout every legacy
+    lake starts from), conversion creates version 0 in place — one
+    add per existing file with footer stats, partition columns
+    inferred from the k=v directories, zero data bytes moved — and a
+    post-conversion DELETE proves the converted table is a fully
+    mutable log-backed table, not a read-only facade (copy-on-write
+    rewrites only the hit files). The oracle states orders minus the
+    deleted slice; matching hashes pin conversion completeness (every
+    pre-existing file present exactly once), the inferred partition
+    schema, and the post-conversion write path. Reruns converge via
+    version guards."""
+    import os
+
+    from .sources import delta_log
+    from .sources.readers import read_delta
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(
+        repo_root, ".lake_cache", f"delta_convert_{tag}"
+    )
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    if not os.path.isdir(path):
+        _t(spark, sf_dir, "orders").select(*cols).write.partitionBy(
+            "o_orderstatus"
+        ).parquet(path)
+    if delta_log.log_version(spark, path) is None:
+        delta_log.convert_to_delta(spark, path)
+    if delta_log.log_version(spark, path) == 0:
+        delta_log.delete_where(
+            spark, path, F.col("o_orderkey") % 10 == 3
+        )
+    return read_delta(spark, path).select(*cols)

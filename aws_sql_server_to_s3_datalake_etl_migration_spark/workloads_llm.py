@@ -4756,3 +4756,116 @@ def doc_link_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.col("doc_id").alias("node")), edges
     )
     return cores.select(F.col("node").alias("doc_id"), "coreness")
+
+
+# ---------------------------------------------------------------------------
+# Round 12: type-token-ratio curve (vocabulary richness by length)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_ttr_curve",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, w, len(w)::BIGINT AS n_tokens,
+             NTILE(10) OVER (ORDER BY len(w), doc_id) AS decile
+      FROM toks
+    ),
+    base AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM ranked GROUP BY 1
+    ),
+    dv AS (
+      SELECT decile, CAST(COUNT(DISTINCT tok) AS BIGINT)
+               AS distinct_tokens
+      FROM (SELECT decile, unnest(w) AS tok FROM ranked)
+      GROUP BY 1
+    )
+    SELECT CAST(base.decile AS BIGINT) AS decile,
+           base.n_docs, base.total_tokens,
+           COALESCE(dv.distinct_tokens, 0) AS distinct_tokens,
+           CASE WHEN base.total_tokens > 0 THEN
+             CAST(COALESCE(dv.distinct_tokens, 0) AS DOUBLE)
+             / CAST(base.total_tokens AS DOUBLE)
+           END AS ttr
+    FROM base LEFT JOIN dv ON dv.decile = base.decile
+    """,
+)
+def doc_ttr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio by document-LENGTH DECILE — the vocabulary-
+    richness curve (Heaps' law made visible): TTR falls as documents
+    lengthen, and a decile whose TTR breaks the monotone-ish decay is
+    a template/boilerplate or spam signature the per-doc repetition
+    stats can miss (the repetition is ACROSS docs in the decile, not
+    within one). Complements doc_repetition_stats (within-doc) and
+    doc_dup_rate_by_source (exact cross-doc).
+
+    Deciles come from the distributed ordered-prefix pass + the
+    closed-form NTILE over (n_tokens, doc_id) — document cardinality
+    tracks the corpus, so no single-task NTILE window; the SQL twin's
+    NTILE agrees because the unique tie-break makes the order total
+    and both engines put remainder rows in the leading buckets.
+    Counts are exact integers; TTR is one final division.
+
+    Scale shape: tokenization + the (doc, decile) map are corpus-
+    sized; the distinct-token count shuffles (decile, token) pairs —
+    Heaps-sublinear per decile after map-side partial distinct. The
+    curve itself is 10 rows."""
+    from .operators.ranking import ntile_expr, with_ordered_prefix
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        textops.tokens("text").alias("w"),
+    ).withColumn("n_tokens", F.size("w").cast("bigint"))
+    ranked = with_ordered_prefix(
+        toks,
+        "n_tokens",
+        [F.col("n_tokens"), F.col("doc_id").asc()],
+        {"_pos": F.lit(1)},
+        totals={"_n": "_pos"},
+    ).select(
+        "doc_id",
+        "w",
+        "n_tokens",
+        ntile_expr(F.col("_pos"), F.col("_n"), 10).alias("decile"),
+    ).persist()
+    try:
+        base = ranked.groupBy("decile").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        dv = (
+            ranked.select("decile", F.explode("w").alias("tok"))
+            .groupBy("decile")
+            .agg(
+                F.count_distinct("tok")
+                .cast("bigint")
+                .alias("distinct_tokens")
+            )
+        )
+        res = base.join(dv, "decile", "left").select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_docs",
+            "total_tokens",
+            F.coalesce("distinct_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("distinct_tokens"),
+            F.when(
+                F.col("total_tokens") > 0,
+                F.coalesce("distinct_tokens", F.lit(0)).cast("double")
+                / F.col("total_tokens").cast("double"),
+            ).alias("ttr"),
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        ranked.unpersist()

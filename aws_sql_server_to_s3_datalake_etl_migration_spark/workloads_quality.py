@@ -551,3 +551,81 @@ def customer_l_diversity(
     ).select(
         "l", "n_groups", "n_rows", (F.col("l") < 3).alias("violates_l3")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: Simpson diversity index (exact-rational concentration)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_simpson_diversity",
+    """
+    WITH cell AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nl
+      FROM documents GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(nl) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_langs,
+             CAST(SUM(nl * (nl - 1)) AS BIGINT) AS num
+      FROM cell GROUP BY 1
+    )
+    SELECT source, n_docs, n_langs,
+           CASE WHEN n_docs > 1 THEN
+             1.0 - CAST(num AS DOUBLE)
+                   / (CAST(n_docs AS DOUBLE)
+                      * CAST(n_docs - 1 AS DOUBLE))
+           END AS simpson_d
+    FROM agg
+    """,
+)
+def doc_simpson_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson's diversity index of the LANGUAGE mix per source —
+    the concentration gate beside the Gini (``doc_source_gini``) and
+    chi2 (``doc_source_lang_chi2``) screens: D = 1 − Σ nᵢ(nᵢ−1) /
+    (N(N−1)), the probability two documents drawn WITHOUT replacement
+    from a source differ in language. A source that collapsed to one
+    language (D → 0) needs investigation before it dominates a mix.
+
+    Exactness: the unbiased finite-sample form is a RATIO OF EXACT
+    INTEGERS — Σ nᵢ(nᵢ−1) and N(N−1) are bigint — so the only float
+    operation is the single final division, bit-identical on both
+    engines (no entropy/log in sight; this is why Simpson, not
+    Shannon, is the cross-engine-exact diversity measure — the
+    documented log-ulps blocker keeps Shannon rows-only).
+
+    Scale shape: one (source, lang) hash-agg over the corpus, then a
+    |sources × langs|-row rollup. Map-side combine does the heavy
+    lifting; nothing but the first agg touches the corpus."""
+    from .workloads_llm import _docs
+
+    cell = (
+        _docs(spark, sf_dir)
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nl"))
+    )
+    agg = cell.groupBy("source").agg(
+        F.sum("nl").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.sum(F.col("nl") * (F.col("nl") - 1))
+        .cast("bigint")
+        .alias("num"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.when(
+            F.col("n_docs") > 1,
+            F.lit(1.0)
+            - F.col("num").cast("double")
+            / (
+                F.col("n_docs").cast("double")
+                * (F.col("n_docs") - 1).cast("double")
+            ),
+        ).alias("simpson_d"),
+    )

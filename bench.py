@@ -280,6 +280,15 @@ EXTENDED = [
     # round-12 additions
     "doc_bpe_token_ids",
     "doc_link_coreness",
+    "events_mannwhitney_drift",
+    "events_mann_kendall",
+    "events_cusum_alarm",
+    "lineitem_returnflag_anova",
+    "orders_priority_status_cramers_v",
+    "customer_decile_migration",
+    "doc_simpson_diversity",
+    "doc_ttr_curve",
+    "orders_convert_to_delta_roundtrip",
 ]
 
 

@@ -90,3 +90,47 @@ def test_coreness_consistent_with_k_core(spark):
             for r in k_core(nodes, e, k).collect()
         }
         assert all(member[v] == (core[v] >= k) for v in core), k
+
+
+def test_convert_to_delta_red_paths(spark, tmp_path):
+    import pytest
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources import (
+        delta_log,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources.readers import (
+        read_delta,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "id long, part int, v double",
+    )
+    # green: partitioned conversion, inferred cols, stats present
+    p = str(tmp_path / "t1")
+    df.write.partitionBy("part").parquet(p)
+    v = delta_log.convert_to_delta(spark, p)
+    assert v == 0
+    got = {r["id"] for r in read_delta(spark, p).collect()}
+    assert got == set(range(30))
+    md = delta_log.latest_metadata(spark, p)
+    assert md["partitionColumns"] == ["part"]
+    # red: converting twice
+    with pytest.raises(ValueError, match="already has a transaction"):
+        delta_log.convert_to_delta(spark, p)
+    # red: declared cols disagree with layout
+    p2 = str(tmp_path / "t2")
+    df.write.parquet(p2)
+    with pytest.raises(ValueError, match="partition_cols"):
+        delta_log.convert_to_delta(spark, p2, partition_cols=["part"])
+    # green: unpartitioned
+    assert delta_log.convert_to_delta(spark, p2) == 0
+    assert read_delta(spark, p2).count() == 30
+    # red: empty dir
+    p3 = str(tmp_path / "t3")
+    (tmp_path / "t3").mkdir()
+    with pytest.raises(ValueError, match="no parquet data files"):
+        delta_log.convert_to_delta(spark, p3)
+    # converted table is mutable: delete rewrites only hit files
+    delta_log.delete_where(spark, p, F.col("id") < 10)
+    assert read_delta(spark, p).count() == 20

@@ -1027,6 +1027,54 @@ EXPECT: dict[str, dict] = {
     "doc_link_coreness": {
         "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
     },
+    # Mann-Whitney U: the ks_drift plan shape — per-value hash-agg +
+    # ordered-prefix (1 hinted <=64-row carry broadcast) + scalar agg
+    "events_mannwhitney_drift": {
+        "pushed": True, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
+    # Mann-Kendall: daily rollup self-join per type (calendar-bounded;
+    # AQE broadcasts at this SF) + two bounded rollup joins
+    "events_mann_kendall": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # CUSUM: (type, day) hash-agg + per-type prefix/min windows —
+    # calendar-bounded partitions, un-hinted totals join
+    "events_cusum_alarm": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # ANOVA: one fact hash-agg to 3 sufficient-stat rows + a 1-row
+    # totals broadcast cross join (SCALAR_SUBQUERY_OK)
+    "lineitem_returnflag_anova": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
+    # Cramér's V: the chi2 bounded marginal grid (hinted category /
+    # 1-row broadcasts; SCALAR_SUBQUERY_OK)
+    "orders_priority_status_cramers_v": {
+        "pushed": False, "no_smj": True, "hints": 4, "pure_jvm": True,
+    },
+    # decile migration: ONE partition-col ordered-prefix pass whose
+    # hinted <=64-row carry broadcast appears twice in the analyzed
+    # tree (the ranked frame feeds both period slices of the custkey
+    # self-join)
+    "customer_decile_migration": {
+        "pushed": False, "no_smj": True, "hints": 2, "pure_jvm": True,
+    },
+    # Simpson diversity: two shrinking hash-aggs, no join at all
+    "doc_simpson_diversity": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # TTR curve: ordered-prefix NTILE whose hinted <=64-row carry
+    # appears twice in the analyzed tree (the ranked frame feeds both
+    # the per-decile rollup and the token explode); carry windows are
+    # GLOBAL_WINDOW_OK
+    "doc_ttr_curve": {
+        "pushed": False, "no_smj": True, "hints": 2, "pure_jvm": True,
+    },
+    # CONVERT TO DELTA roundtrip: the returned frame is a plain
+    # log-backed read of the converted table
+    "orders_convert_to_delta_roundtrip": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
     # target encoding: un-hinted fact-dim join (AQE broadcasts at this
     # SF) + one hinted 1-row totals broadcast
     "customer_target_encoding": {
@@ -1177,6 +1225,12 @@ SCALAR_SUBQUERY_OK = {
     "customer_target_encoding",
     # 1-row time-bounds aggregate broadcast back over the stream
     "events_embargo_split",
+    # 1-row totals aggregate cross-joined over the 3 sufficient-stat
+    # group rows (round 12)
+    "lineitem_returnflag_anova",
+    # bounded marginal-grid cross joins: |priorities| x |statuses|
+    # category tables plus 1-row total/dof frames (round 12)
+    "orders_priority_status_cramers_v",
     # 1-row horizon / midpoint-cut aggregates broadcast back
     "customer_survival_km",
     "events_diff_in_diff",
@@ -1209,6 +1263,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     " total — <=64 rows",
     "doc_bpe_token_ids": "ordered-prefix bucket carry for the vocab-id"
     " rank — <=64 rows",
+    "doc_ttr_curve": "ordered-prefix bucket carry + grand total for"
+    " the length-decile NTILE — <=64 rows",
     "customer_survival_km": "suffix-risk and product-limit folds over"
     " the per-lifetime-day rollup — calendar-bounded rows (the"
     " monthly-momentum class)",
