@@ -624,10 +624,19 @@ def coreness(
         ).alias("r")
     ).select("r.x", "r.y")
     # one SELF row per edged node: the round's single est join then
-    # delivers own-estimate and neighbor-estimates together
-    directed_all = directed.unionByName(
-        directed.select("x").distinct().withColumn("y", F.col("x"))
-    ).persist()
+    # delivers own-estimate and neighbor-estimates together. The
+    # static frame persists HASH-PARTITIONED ON THE JOIN KEY, so
+    # every round's join reuses the cached exchange and only the
+    # (much smaller, vocabulary-sized) estimate frame shuffles.
+    directed_all = (
+        directed.unionByName(
+            directed.select("x").distinct().withColumn(
+                "y", F.col("x")
+            )
+        )
+        .repartition(F.col("y"))
+        .persist()
+    )
     directed_all.count()
     e.unpersist()
 

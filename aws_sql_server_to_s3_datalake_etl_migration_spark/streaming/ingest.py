@@ -927,3 +927,122 @@ def stream_drift_monitor(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_cusum_monitor(
+    stream: DataFrame,
+    expected_path: str,
+    state_path: str,
+    checkpoint: str,
+    key_col: str = "event_type",
+    threshold_factor: int = 2,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming one-sided CUSUM control chart — the sequential twin
+    of the batch ``events_cusum_alarm``: per key (e.g. event type),
+    the running statistic S = max(0, S + (n_batch − expected))
+    accumulates each micro-batch's excess over the expected per-batch
+    rate (read from ``expected_path``: rows of ``(key, expected)``,
+    integers), alarming when S crosses ``threshold_factor ×
+    expected``. Emits one state row per key per batch to
+    ``state_path`` partitioned by ``batch_id``.
+
+    CUSUM state is SEQUENTIAL — batch N's state is a function of
+    batch N−1's — so unlike the stateless drift monitor this folds
+    across batches: each invocation reads the PREVIOUS batch's state
+    partition (absent → zero state, including for keys first seen
+    now), combines it with the current batch's per-key counts, and
+    lands the new state via dynamic partition overwrite of its own
+    ``batch_id=N`` partition. Exactly-once under at-least-once
+    foreachBatch replay holds because the fold is DETERMINISTIC:
+    a replayed batch re-reads the same N−1 state and the same batch
+    rows, recomputes the identical state N, and overwrites the same
+    partition — never double-applies (the engine's incremental-rollup
+    replay-guard pattern). All state fields are exact int64 (counts
+    and integer expectations; no float ever enters the fold).
+
+    Scale shape: one per-key hash-agg on the micro-batch, one
+    |keys|-row state join (broadcast), one |keys|-row write — state
+    size tracks the key domain, never the stream."""
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        exp = spark.read.parquet(expected_path).select(
+            F.col(key_col), F.col("expected").cast("bigint")
+        )
+        counts = (
+            batch_df.groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_batch"))
+        )
+        try:
+            prev = (
+                spark.read.parquet(state_path)
+                .where(F.col("batch_id") == batch_id - 1)
+                .select(
+                    key_col,
+                    F.col("s").alias("_ps"),
+                    F.col("max_cusum").alias("_pmx"),
+                    F.col("n_alarms").alias("_pal"),
+                )
+            )
+        except Exception:  # first batch: no state table yet
+            prev = spark.createDataFrame(
+                [],
+                f"{key_col} string, _ps long, _pmx long, _pal long",
+            )
+        # every key in the expectation table keeps state alive even
+        # through a batch with zero rows for it (its deviation is
+        # -expected, which can only lower S — but max/alarms persist)
+        merged = (
+            exp.join(counts, key_col, "left")
+            .join(prev, key_col, "left")
+            .select(
+                key_col,
+                F.lit(batch_id).cast("bigint").alias("batch_id"),
+                F.coalesce("n_batch", F.lit(0)).alias("n_batch"),
+                "expected",
+                F.coalesce("_ps", F.lit(0)).alias("_ps"),
+                F.coalesce("_pmx", F.lit(0)).alias("_pmx"),
+                F.coalesce("_pal", F.lit(0)).alias("_pal"),
+            )
+        )
+        s_new = F.greatest(
+            F.lit(0).cast("bigint"),
+            F.col("_ps")
+            + F.coalesce("n_batch", F.lit(0))
+            - F.col("expected"),
+        )
+        out = merged.select(
+            key_col,
+            "batch_id",
+            "n_batch",
+            "expected",
+            s_new.alias("s"),
+            F.greatest(F.col("_pmx"), s_new).alias("max_cusum"),
+            (
+                F.col("_pal")
+                + F.when(
+                    s_new > F.lit(int(threshold_factor))
+                    * F.col("expected"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_alarms"),
+            (
+                s_new > F.lit(int(threshold_factor)) * F.col("expected")
+            ).alias("alarm"),
+        )
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state_path)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1433,3 +1433,74 @@ def test_stream_drift_monitor_flags_shifted_batch(spark, tmp_path):
     )
     assert (shifted.n_batch, shifted.n_ref, shifted.d_num) == (nb, nr, d)
     assert shifted.drifted is True
+
+
+def test_stream_cusum_monitor_accumulates_and_alarms(spark, tmp_path):
+    """The streaming CUSUM fold across micro-batches must equal a
+    pure-Python fold over the same batch sequence, including the
+    zero-rows-for-a-key batch and the alarm threshold."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
+        stream_cusum_monitor,
+        stream_ingest_files,
+    )
+
+    exp_path = str(tmp_path / "expected")
+    spark.createDataFrame(
+        [("a", 10), ("b", 10)], "event_type string, expected long"
+    ).write.parquet(exp_path)
+
+    src = tmp_path / "cusum_landing"
+    src.mkdir()
+    # batch 0: a=30 (S=20, alarm: 20 <= 2*10 -> no), b=10 (S=0)
+    # batch 1: a=25 (S=35 > 20 -> ALARM), b absent (S=0)
+    # batch 2: a=0 rows? a absent too: a S=25 > 20 -> ALARM persists
+    batches = [
+        [("a",)] * 30 + [("b",)] * 10,
+        [("a",)] * 25,
+        [("b",)] * 3,
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "event_type string"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    state = str(tmp_path / "cusum_state")
+    q = stream_cusum_monitor(
+        stream_ingest_files(
+            spark,
+            str(src / "*"),
+            "event_type STRING",
+            max_files_per_trigger=1,
+        ),
+        exp_path,
+        state,
+        str(tmp_path / "cusum_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    rows = {
+        (r.batch_id, r.event_type): r
+        for r in spark.read.parquet(state).collect()
+    }
+    assert len(rows) == 6  # 2 keys x 3 batches
+
+    # python fold ground truth
+    def fold(seq, expected=10, tf=2):
+        s = mx = al = 0
+        out = []
+        for n in seq:
+            s = max(0, s + n - expected)
+            mx = max(mx, s)
+            alarm = s > tf * expected
+            al += 1 if alarm else 0
+            out.append((n, s, mx, al, alarm))
+        return out
+
+    want_a = fold([30, 25, 0])
+    want_b = fold([10, 0, 3])
+    for b, want in enumerate(want_a):
+        r = rows[(b, "a")]
+        assert (r.n_batch, r.s, r.max_cusum, r.n_alarms, r.alarm) == want
+    for b, want in enumerate(want_b):
+        r = rows[(b, "b")]
+        assert (r.n_batch, r.s, r.max_cusum, r.n_alarms, r.alarm) == want
