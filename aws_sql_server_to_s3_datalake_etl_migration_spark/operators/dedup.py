@@ -1385,3 +1385,73 @@ def incremental_span_scrub(
     # still computes against the pre-batch index state
     overwrite_batch_partition(new_fps, index_path, batch_id)
     return cleaned
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram
+    with an EXPLICIT polynomial rolling hash, slide a window of ``w``
+    consecutive k-gram hashes, and select each window's MINIMUM as a
+    fingerprint. The guarantee: any match of length ≥ w+k−1 between
+    two documents shares at least one selected fingerprint, while
+    only ~2/(w+1) of all k-grams are kept — position-robust partial-
+    overlap detection at a fraction of the full k-gram index, the
+    niche between exact span dedup (``substring_leak``: exact
+    64-gram matches) and MinHash (whole-document similarity, no
+    locality).
+
+    Returns one row per (id, fingerprint): distinct selected hash
+    values per document (``fp`` int64). Every stage is whole-stage
+    codegen over arrays — no Python, no UDF. The hash is
+    ``Σ code·B^(k−1−j) mod P`` with B=257, P=1e9+7 computed by an
+    explicit integer fold (values < 2^30, products < 2^60 — int64-
+    safe), so ANY engine can restate it bit-for-bit; selecting
+    window MINIMA by value makes tie policy irrelevant for the
+    selected-value SET (robust winnowing's rightmost-tie rule only
+    affects positions, which dedup doesn't consume).
+
+    Scale shape: per-doc array arithmetic (corpus-sized, embarrassing
+    parallel) then one explode + distinct — the fingerprint index is
+    ~2/(w+1) of the k-gram stream. Pairing consumers bucket-join on
+    ``fp`` (8-byte keys), never all-pairs."""
+    if k < 2 or w < 1:
+        raise ValueError("need k >= 2 and w >= 1")
+    b, p = 257, 1_000_000_007
+    # each stage materializes as its own projected column, so the
+    # k-gram hash array is computed ONCE per row — inlining it into
+    # the window lambda would re-evaluate the whole array per window
+    # (O(n²k) per doc)
+    chars = df.select(
+        F.col(id_col),
+        F.expr(
+            f"filter(split(lower(trim(coalesce({text_col}, ''))), "
+            "''), x -> x <> '')"
+        ).alias("_ch"),
+    )
+    hashed = chars.select(
+        id_col,
+        F.expr(
+            f"transform(sequence(1, greatest(size(_ch) - {k} + 1, 0)),"
+            f" i -> aggregate(slice(_ch, i, {k}), cast(0 as bigint), "
+            f"(acc, ch) -> (acc * {b} + ascii(ch)) % {p}))"
+        ).alias("_h"),
+    )
+    fps = hashed.select(
+        id_col,
+        F.expr(
+            f"case when size(_h) >= {w} then array_distinct("
+            f"transform(sequence(1, size(_h) - {w} + 1), "
+            f"j -> array_min(slice(_h, j, {w})))) "
+            "else cast(array() as array<bigint>) end"
+        ).alias("_fps"),
+    )
+    return fps.select(
+        F.col(id_col), F.explode("_fps").alias("fp")
+    )

@@ -4325,15 +4325,24 @@ _ANOVA_FP = 1073741824.0  # 2^30 — the chi2 quantized-term fixed point
 @register(
     "lineitem_returnflag_anova",
     f"""
-    WITH g AS (
+    WITH cents AS (
+      -- scale-0 integer-cents statistics: both engines then cast an
+      -- EXACT INTEGER decimal to double in ONE rounding; a scale-8
+      -- decimal would double-round in DuckDB (int128 -> double, then
+      -- / 1e8) and drift an ulp from Spark's BigDecimal cast
       SELECT l_returnflag AS grp,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(18,0)) AS pc
+      FROM lineitem
+    ),
+    g AS (
+      SELECT grp,
              CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS s,
-             -- width 19 forces DuckDB's int128 multiply path; the
-             -- exact product equals Spark's DECIMAL(37,8)
-             SUM(CAST(l_extendedprice AS DECIMAL(19,4))
-                 * CAST(l_extendedprice AS DECIMAL(19,4))) AS ss
-      FROM lineitem GROUP BY 1
+             SUM(pc) AS s,
+             -- width 19 forces DuckDB's int128 multiply path
+             SUM(CAST(pc AS DECIMAL(19,0))
+                 * CAST(pc AS DECIMAL(19,0))) AS ss
+      FROM cents GROUP BY 1
     ),
     tot AS (
       SELECT CAST(SUM(n) AS BIGINT) AS nn,
@@ -4366,8 +4375,8 @@ _ANOVA_FP = 1073741824.0  # 2^30 — the chi2 quantized-term fixed point
       FROM terms
     )
     SELECT tot.nn AS n_rows, tot.k AS k_groups,
-           folded.ssb AS ss_between,
-           folded.ssw AS ss_within,
+           folded.ssb / 10000.0 AS ss_between,
+           folded.ssw / 10000.0 AS ss_within,
            (folded.ssb / CAST(tot.k - 1 AS DOUBLE))
            / (folded.ssw / CAST(tot.nn - tot.k AS DOUBLE)) AS f_stat
     FROM folded CROSS JOIN tot
@@ -4382,7 +4391,13 @@ def lineitem_returnflag_anova(
     classic sufficient-statistic decomposition (per-group n, Σx, Σx²).
 
     Determinism: the sufficient statistics accumulate EXACTLY in
-    DECIMAL; each group's between/within term is one identical double
+    scale-0 INTEGER-CENTS decimals — both engines then cast the same
+    exact integer to double in a single rounding (a scale-8 decimal
+    double-rounds in DuckDB: int128 → double, then /1e8 — and drifts
+    an ulp from Spark's BigDecimal cast, caught by the sf0.001
+    differential suite); the reported SS values convert back to
+    price units with one final division, and F is unit-invariant.
+    Each group's between/within term is one identical double
     expression on both engines, and the cross-group sums fold
     STRICTLY LEFT-TO-RIGHT in group order (Spark ``aggregate`` over
     ``array_sort(collect_list)``, DuckDB ``list_reduce`` over an
@@ -4397,12 +4412,20 @@ def lineitem_returnflag_anova(
     on |groups| rows (bounded category domain) with a 1-row totals
     broadcast. At 100 TB the fact table is scanned once."""
     li = _t(spark, sf_dir, "lineitem")
-    g = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(_dec("l_extendedprice")).alias("s"),
-        F.sum(
-            _dec("l_extendedprice") * _dec("l_extendedprice")
-        ).alias("ss"),
+    pc = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("decimal(18,0)")
+    g = (
+        li.select(F.col("l_returnflag").alias("grp"), pc.alias("pc"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pc").alias("s"),
+            F.sum(
+                F.col("pc").cast("decimal(19,0)")
+                * F.col("pc").cast("decimal(19,0)")
+            ).alias("ss"),
+        )
     )
     tot = g.agg(
         F.sum("n").cast("bigint").alias("nn"),
@@ -4437,8 +4460,8 @@ def lineitem_returnflag_anova(
     return folded.select(
         F.col("nn").alias("n_rows"),
         F.col("k").alias("k_groups"),
-        ssb.alias("ss_between"),
-        ssw.alias("ss_within"),
+        (ssb / F.lit(10000.0)).alias("ss_between"),
+        (ssw / F.lit(10000.0)).alias("ss_within"),
         (
             (ssb / (F.col("k") - 1).cast("double"))
             / (ssw / (F.col("nn") - F.col("k")).cast("double"))
