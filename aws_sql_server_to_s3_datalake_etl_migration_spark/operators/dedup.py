@@ -1424,34 +1424,36 @@ def winnowing_fingerprints(
     if k < 2 or w < 1:
         raise ValueError("need k >= 2 and w >= 1")
     b, p = 257, 1_000_000_007
-    # each stage materializes as its own projected column, so the
-    # k-gram hash array is computed ONCE per row — inlining it into
-    # the window lambda would re-evaluate the whole array per window
-    # (O(n²k) per doc)
-    chars = df.select(
-        F.col(id_col),
-        F.expr(
-            f"filter(split(lower(trim(coalesce({text_col}, ''))), "
-            "''), x -> x <> '')"
-        ).alias("_ch"),
+    # Intermediates bind as LAMBDA VARIABLES (`transform(array(e),
+    # v -> body)[0]`), never as projected columns: CollapseProject
+    # merges chained selects and would inline the hash-array column
+    # into the window lambda's body, re-evaluating the ENTIRE array
+    # per window — O(n²k) per document (measured: a 1-second corpus
+    # became a >10-minute hang). A lambda input evaluates exactly
+    # once no matter how the optimizer rewrites the projection.
+    chars = (
+        f"filter(split(lower(trim(coalesce({text_col}, ''))), ''), "
+        "x -> x <> '')"
     )
-    hashed = chars.select(
-        id_col,
-        F.expr(
-            f"transform(sequence(1, greatest(size(_ch) - {k} + 1, 0)),"
-            f" i -> aggregate(slice(_ch, i, {k}), cast(0 as bigint), "
-            f"(acc, ch) -> (acc * {b} + ascii(ch)) % {p}))"
-        ).alias("_h"),
+    # guard BEFORE sequence: Spark's sequence(1, 0) descends
+    # through 0 and slice() rejects start 0
+    hashes = (
+        f"case when size(cs) >= {k} then "
+        f"transform(sequence(1, size(cs) - {k} + 1), "
+        f"i -> aggregate(slice(cs, i, {k}), cast(0 as bigint), "
+        f"(acc, ch) -> (acc * {b} + ascii(ch)) % {p})) "
+        "else cast(array() as array<bigint>) end"
     )
-    fps = hashed.select(
-        id_col,
-        F.expr(
-            f"case when size(_h) >= {w} then array_distinct("
-            f"transform(sequence(1, size(_h) - {w} + 1), "
-            f"j -> array_min(slice(_h, j, {w})))) "
-            "else cast(array() as array<bigint>) end"
-        ).alias("_fps"),
+    winnow = (
+        f"case when size(hs) >= {w} then array_distinct("
+        f"transform(sequence(1, size(hs) - {w} + 1), "
+        f"j -> array_min(slice(hs, j, {w})))) "
+        "else cast(array() as array<bigint>) end"
     )
-    return fps.select(
-        F.col(id_col), F.explode("_fps").alias("fp")
+    fps = (
+        f"element_at(transform(array({chars}), cs -> "
+        f"element_at(transform(array({hashes}), hs -> {winnow}), 1)), 1)"
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.expr(fps)).alias("fp")
     )

@@ -289,6 +289,7 @@ EXTENDED = [
     "doc_simpson_diversity",
     "doc_ttr_curve",
     "orders_convert_to_delta_roundtrip",
+    "doc_winnowing_pairs",
 ]
 
 

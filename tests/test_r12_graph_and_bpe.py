@@ -134,3 +134,49 @@ def test_convert_to_delta_red_paths(spark, tmp_path):
     # converted table is mutable: delete rewrites only hit files
     delta_log.delete_where(spark, p, F.col("id") < 10)
     assert read_delta(spark, p).count() == 20
+
+
+def _py_winnow(text: str, k: int, w: int) -> set[int]:
+    s = [c for c in text.lower().strip() if True]
+    s = [c for c in "".join(s) if c != ""]
+    chars = [c for c in "".join(s)]
+    chars = [c for c in (text or "").lower().strip()]
+    if len(chars) < k + w - 1:
+        return set()
+    hs = []
+    for i in range(len(chars) - k + 1):
+        h = 0
+        for c in chars[i:i + k]:
+            h = (h * 257 + ord(c)) % 1_000_000_007
+        hs.append(h)
+    return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+
+def test_winnowing_matches_python_and_guarantee(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    shared = "this exact sentence is long enough to be guaranteed"
+    rows = [
+        (1, "prefix junk " + shared + " suffix one"),
+        (2, "totally different opening " + shared + " and ending"),
+        (3, "no overlap with anybody else at all here"),
+        (4, ""),
+        (5, None),
+        (6, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set] = {i: set() for i, _ in rows}
+    for r in winnowing_fingerprints(df, "doc_id", "text", 16, 8).collect():
+        got[r["doc_id"]].add(r["fp"])
+    for i, t in rows:
+        assert got[i] == _py_winnow(t or "", 16, 8), f"doc {i}"
+    # the winnowing guarantee: a shared run of >= k+w-1 chars shares
+    # at least one fingerprint
+    assert got[1] & got[2]
+    assert not (got[3] & got[1])
+    assert got[4] == set() and got[5] == set() and got[6] == set()
+    # density: ~2/(w+1) of k-grams selected (loose upper bound check)
+    n_grams = len((rows[0][1])) - 16 + 1
+    assert len(got[1]) <= n_grams

@@ -1075,6 +1075,11 @@ EXPECT: dict[str, dict] = {
     "orders_convert_to_delta_roundtrip": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # winnowing pairs: per-doc lambda-bound array codegen, explode to
+    # the fingerprint index, hot-fp semi-join filter, one fp equi-join
+    "doc_winnowing_pairs": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
     # target encoding: un-hinted fact-dim join (AQE broadcasts at this
     # SF) + one hinted 1-row totals broadcast
     "customer_target_encoding": {
