@@ -2753,3 +2753,84 @@ def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("s") > 2 * F.col("total"), 1).otherwise(0)
         ).cast("bigint").alias("n_alarm_days"),
     )
+
+
+@register(
+    "events_ewma_baseline",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             list_reduce(
+               list_prepend(0.0,
+                 list_transform(list(struct_pack(d := day, c := c)
+                                     ORDER BY day),
+                                x -> CAST(x.c AS DOUBLE))),
+               (a, x) -> 0.75 * a + 0.25 * x) AS ewma,
+             CAST(MAX(CASE WHEN day = md THEN c END) AS BIGINT)
+               AS last_count
+      FROM (SELECT *, MAX(day) OVER (PARTITION BY event_type) AS md
+            FROM daily)
+      GROUP BY 1
+    )
+    SELECT event_type, n_days, ewma, last_count,
+           CAST(last_count AS DOUBLE) - ewma AS last_deviation
+    FROM folded
+    """,
+)
+def events_ewma_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving-average baseline of the daily
+    event count per type (α = 1/4, seeded at 0) — the smoothing prior
+    the anomaly screens compare against: CUSUM alarms on accumulated
+    excess, the EWMA gives the level it accumulated against, and
+    ``last_deviation`` (final day vs the pre-smoothed baseline) is
+    the "how unusual was today" number an on-call dashboard shows.
+
+    Determinism: the EWMA recurrence S ← 0.75·S + 0.25·x is a SCALAR
+    left fold — both engines fold the day-ordered count list
+    strictly left-to-right (Spark ``aggregate``, DuckDB
+    ``list_reduce`` with a prepended 0.0 seed) over the same exact
+    integer counts, so every intermediate double is the same fixed
+    operation sequence (the Kaplan-Meier pinned-fold discipline;
+    DuckDB's struct_pack in-place lambda quirk does not apply to
+    scalar accumulators).
+
+    Scale shape: the fold runs over the per-type DAILY rollup —
+    calendar-bounded (monthly-momentum class), so the collect_list is
+    a bounded-group aggregate; the only corpus-sized pass is the
+    (type, day) hash-agg."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    folded = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("day", "c"))
+                ),
+                lambda st: st["c"].cast("double"),
+            ),
+            F.lit(0.0),
+            lambda a, x: F.lit(0.75) * a + F.lit(0.25) * x,
+        ).alias("ewma"),
+        F.max_by("c", "day").cast("bigint").alias("last_count"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        "ewma",
+        "last_count",
+        (F.col("last_count").cast("double") - F.col("ewma")).alias(
+            "last_deviation"
+        ),
+    )

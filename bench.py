@@ -290,6 +290,7 @@ EXTENDED = [
     "doc_ttr_curve",
     "orders_convert_to_delta_roundtrip",
     "doc_winnowing_pairs",
+    "events_ewma_baseline",
 ]
 
 

@@ -263,6 +263,21 @@ QUERIES = [
     "customer_survival_km",
     # two fact scans folded to a 4-cell agg
     "events_diff_in_diff",
+    # round-12 additions: the tokenizer tail (vocab fold + one
+    # posexplode + ordered-prefix id rank — must track corpus
+    # linearly), the h-index core decomposition (per-round O(edges)
+    # with a cascade-depth-bound round count), the ordered-prefix
+    # rank statistics (per-value agg + bucketed prefix), the
+    # NTILE-based curves, and the winnowing index (per-doc array
+    # codegen + fp equi-join whose pair count tracks true copy
+    # density, never n²)
+    "doc_bpe_token_ids",
+    "doc_link_coreness",
+    "events_mannwhitney_drift",
+    "customer_decile_migration",
+    "doc_ttr_curve",
+    "doc_winnowing_pairs",
+    "events_cusum_alarm",
 ]
 
 

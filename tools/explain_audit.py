@@ -1080,6 +1080,11 @@ EXPECT: dict[str, dict] = {
     "doc_winnowing_pairs": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # EWMA baseline: (type, day) hash-agg + calendar-bounded pinned
+    # scalar fold; no join
+    "events_ewma_baseline": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
     # target encoding: un-hinted fact-dim join (AQE broadcasts at this
     # SF) + one hinted 1-row totals broadcast
     "customer_target_encoding": {
