@@ -144,8 +144,15 @@ def oracles() -> dict[str, str]:
 # events_ks_drift, orders_block_jackknife_ci, customer_l_diversity,
 # events_ols_trend, customer_entity_resolution, orders_median_ci,
 # doc_link_kcore, customer_target_encoding, events_embargo_split,
-# customer_survival_km, events_diff_in_diff — followed by the
-# oracle-backed round-12 in-round additions in registration order.
+# customer_survival_km, events_diff_in_diff — followed by the 13
+# oracle-backed round-12 in-round additions in registration order:
+# doc_bpe_token_ids, doc_link_coreness, events_mannwhitney_drift,
+# events_mann_kendall, events_cusum_alarm, events_ewma_baseline,
+# lineitem_returnflag_anova, orders_priority_status_cramers_v,
+# customer_decile_migration, doc_simpson_diversity, doc_ttr_curve,
+# orders_convert_to_delta_roundtrip, doc_winnowing_pairs (all
+# local-check green at sf0.01, sf0.001-suite green, plan-audited,
+# bench-exercised; the seven probe-relevant ones probed at 3x).
 # Swap them for the longest-green cohort members after the round-12
 # window holds its official rows (additions-before-close keep the
 # one-round-lag contract).
