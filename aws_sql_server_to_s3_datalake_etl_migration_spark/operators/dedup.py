@@ -1397,9 +1397,12 @@ def winnowing_fingerprints(
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting",
     SIGMOD 2003 — the MOSS algorithm): hash every character k-gram
-    with an EXPLICIT polynomial rolling hash, slide a window of ``w``
-    consecutive k-gram hashes, and select each window's MINIMUM as a
-    fingerprint. The guarantee: any match of length ≥ w+k−1 between
+    with an explicit polynomial hash recomputed per position (O(n·k),
+    not the paper's O(n) rolling update — k is a small constant and
+    the recompute stays whole-stage codegen, which a
+    previous-position-dependent rolling fold would not), slide a
+    window of ``w`` consecutive k-gram hashes, and select each
+    window's MINIMUM as a fingerprint. The guarantee: any match of length ≥ w+k−1 between
     two documents shares at least one selected fingerprint, while
     only ~2/(w+1) of all k-grams are kept — position-robust partial-
     overlap detection at a fraction of the full k-gram index, the

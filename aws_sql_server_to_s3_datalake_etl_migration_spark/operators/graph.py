@@ -590,10 +590,12 @@ def coreness(
     the estimate frame is referenced ONCE per round, joined onto a
     static directed edge list that carries one SELF row per node, so
     a node's own estimate arrives through the same join as its
-    neighbors' (ordered self-last in the ranking window and folded
-    out in the same hash-agg; no join-back). Per round: one O(m)
-    join, one window over the high-cardinality node key, one
-    hash-agg. Convergence is ONE scalar action per round — estimates
+    neighbors' (separated by a ``_self`` flag inside the one
+    hash-agg; no join-back). Per round: one O(m) join and ONE
+    hash-agg — the h-index folds from a sorted degree-length array
+    per node, so no round ever sorts the m-row join output (the r12
+    window formulation did, and that exchange+sort was over half the
+    round cost). Convergence is ONE scalar action per round — estimates
     are non-increasing non-negative integers, so the exact bigint sum
     is strictly decreasing until the fixed point (sum unchanged ⟺ no
     estimate changed), and that sum doubles as the round's persist
@@ -613,8 +615,6 @@ def coreness(
         .distinct()
         .persist()
     )
-    from pyspark.sql.window import Window
-
     directed = e.select(
         F.explode(
             F.array(
@@ -649,12 +649,27 @@ def coreness(
     )
     prev_sum = est.agg(F.sum("c")).collect()[0][0]
 
-    w_rn = Window.partitionBy("x").orderBy(
-        # self row sorts LAST (False < True), so neighbor ranks are
-        # the clean 1..degree sequence; ties in cy need no break —
-        # max(least(rn, cy)) is invariant to tie order
-        F.col("_self").asc(),
-        F.col("cy").desc(),
+    # h-index per node as ONE hash aggregation (r12 shipped this as a
+    # row_number window; the window's exchange+SORT of all m rows per
+    # round was over half the round cost — a hash-agg collect_list
+    # needs the same exchange but no m-row sort, and the per-node
+    # array work stays whole-stage codegen): collect neighbor
+    # estimates, array_sort ascending, then h = max_i min(arr[i],
+    # d−i) — at ascending position i (0-based), d−i neighbors have an
+    # estimate ≥ arr[i]. Per-group memory is one degree-sized int64
+    # array; the sorted window needed the same rows resident in its
+    # sort buffer, so hub-node skew is no worse than before.
+    _arr = F.array_sort(
+        F.collect_list(F.when(~F.col("_self"), F.col("cy")))
+    )
+    _h = F.aggregate(
+        F.zip_with(
+            _arr,
+            F.sequence(F.size(_arr).cast("bigint"), F.lit(1).cast("bigint")),
+            lambda v, r: F.least(v, r),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: F.greatest(a, x),
     )
     try:
         for _ in range(max_iter):
@@ -666,18 +681,11 @@ def coreness(
                 F.col("c").alias("cy"),
             )
             nxt = (
-                joined.withColumn("rn", F.row_number().over(w_rn))
-                .groupBy("x")
+                joined.groupBy("x")
                 .agg(
                     F.least(
                         F.max(F.when(F.col("_self"), F.col("cy"))),
-                        F.max(
-                            F.when(
-                                ~F.col("_self"),
-                                F.least(F.col("rn").cast("bigint"),
-                                        F.col("cy")),
-                            )
-                        ),
+                        _h,
                     ).alias("c")
                 )
                 .select(F.col("x").alias("v"), "c")

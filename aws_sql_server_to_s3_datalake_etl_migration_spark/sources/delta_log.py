@@ -504,12 +504,22 @@ def _scan_declared(
 def _partition_values_from_rel(rel: str) -> dict[str, str | None]:
     """Parse Hive-layout ``k=v`` directory components of a relative
     file path into Delta partitionValues (string-typed; the Hive
-    null sentinel maps to JSON null, as the spec does)."""
+    null sentinel maps to JSON null, as the spec does). Key order
+    follows directory nesting order — callers rely on it for
+    ``metaData.partitionColumns``. A directory segment without ``=``
+    is not a Hive layout at all: raise rather than fabricate a bogus
+    partition key with an empty value."""
     from urllib.parse import unquote
 
     values: dict[str, str | None] = {}
     for seg in rel.split("/")[:-1]:
-        k, _, v = seg.partition("=")
+        k, eq, v = seg.partition("=")
+        if not eq or not k:
+            raise ValueError(
+                f"non-Hive path segment {seg!r} in {rel!r} — data "
+                "files must live at the table root or under k=v "
+                "partition directories"
+            )
         values[unquote(k)] = (
             None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
         )
@@ -3296,9 +3306,13 @@ def convert_to_delta(
     is one bootstrap (protocol + metaData from the discovered schema)
     plus one ``add`` per existing file, with footer-derived
     ``add.stats`` so the converted table gets data skipping on day
-    one. A 100 TB conversion is a file listing plus footer reads —
-    minutes of metadata work, zero data movement; afterwards the full
-    engine (MERGE, time travel, CDF, vacuum, clone) applies.
+    one. A 100 TB conversion is a file listing plus footer reads, and
+    the footer reads run as a Spark job — one task batch per
+    executor, only the per-file stats JSON strings returning to the
+    driver — so a ~1M-file table converts at cluster speed instead of
+    serializing a million footer reads through the driver. Zero data
+    movement; afterwards the full engine (MERGE, time travel, CDF,
+    vacuum, clone) applies.
 
     ``partition_cols`` declares a Hive layout (``k=v`` directories);
     when omitted they are inferred from the directory structure.
@@ -3335,7 +3349,12 @@ def convert_to_delta(
         if not segs[-1].endswith(".parquet"):
             continue
         pvals = _partition_values_from_rel(rel)
-        key_sets.add(tuple(sorted(pvals)))
+        # dict preserves directory nesting order — record the ORDERED
+        # key tuple, so (a) metaData.partitionColumns comes out in
+        # physical layout order, not alphabetical, and (b) two files
+        # nesting the same keys in different orders (year=/month= vs
+        # month=/year=) surface as the mixed layout they are.
+        key_sets.add(tuple(pvals))
         adds.append(
             {
                 "add": {
@@ -3360,18 +3379,49 @@ def convert_to_delta(
             f"inconsistent Hive partition layouts {sorted(key_sets)} "
             f"under {table_path} — refusing to convert a mixed table"
         )
+    # inferred carries physical nesting order (year=/month= stays
+    # [year, month]); a declared order that disagrees with the layout
+    # is a user error, not something to silently reorder.
     inferred = list(key_sets.pop()) if key_sets else []
     pcols = list(partition_cols) if partition_cols else inferred
-    if sorted(pcols) != sorted(inferred):
+    if pcols != inferred:
         raise ValueError(
-            f"declared partition_cols {pcols} != layout {inferred}"
+            f"declared partition_cols {pcols} != layout {inferred} "
+            "(order must match the directory nesting order)"
         )
-    # footer stats off the listing loop (the stage_data_files pool)
-    if len(dests) > 2:
-        from concurrent.futures import ThreadPoolExecutor
+    # Footer stats collect EXECUTOR-SIDE: the file list becomes a
+    # DataFrame, tasks read footers in parallel across the cluster,
+    # and only the per-file JSON strings come back to the driver. At
+    # ~1M files a driver-local pool would serialize every footer read
+    # through one machine; distributing them makes conversion's wall
+    # clock scale with the cluster like any other job. Tiny tables
+    # skip the job — a Spark stage costs more than a handful of local
+    # footer reads.
+    if len(dests) > 8:
+        import pandas as _pd
 
-        with ThreadPoolExecutor(min(32, len(dests))) as pool:
-            stats_list = list(pool.map(_file_stats_json, dests))
+        def _stats_part(batches):
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {
+                        "idx": pdf["idx"],
+                        "stats": [
+                            _file_stats_json(p) for p in pdf["path"]
+                        ],
+                    }
+                )
+
+        n_slices = min(len(dests), spark.sparkContext.defaultParallelism)
+        stats_by_idx = {
+            r["idx"]: r["stats"]
+            for r in spark.createDataFrame(
+                list(enumerate(dests)), "idx long, path string"
+            )
+            .repartition(n_slices)
+            .mapInPandas(_stats_part, "idx long, stats string")
+            .collect()
+        }
+        stats_list = [stats_by_idx.get(i) for i in range(len(dests))]
     else:
         stats_list = [_file_stats_json(d) for d in dests]
     for a, stats in zip(adds, stats_list):

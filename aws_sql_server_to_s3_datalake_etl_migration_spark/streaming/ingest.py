@@ -944,8 +944,12 @@ def stream_cusum_monitor(
     accumulates each micro-batch's excess over the expected per-batch
     rate (read from ``expected_path``: rows of ``(key, expected)``,
     integers), alarming when S crosses ``threshold_factor ×
-    expected``. Emits one state row per key per batch to
-    ``state_path`` partitioned by ``batch_id``.
+    expected``. The monitored key domain is the UNION of the
+    expectation table and the batch: a key with no expectation row
+    defaults to ``expected = 0`` — every event for it is excess, so a
+    brand-new event type alarms on first sighting rather than being
+    dropped. Emits one state row per key per batch to ``state_path``
+    partitioned by ``batch_id``.
 
     CUSUM state is SEQUENTIAL — batch N's state is a function of
     batch N−1's — so unlike the stateless drift monitor this folds
@@ -990,17 +994,27 @@ def stream_cusum_monitor(
                 [],
                 f"{key_col} string, _ps long, _pmx long, _pal long",
             )
-        # every key in the expectation table keeps state alive even
-        # through a batch with zero rows for it (its deviation is
-        # -expected, which can only lower S — but max/alarms persist)
+        # FULL OUTER: every key in the expectation table keeps state
+        # alive even through a batch with zero rows for it (its
+        # deviation is -expected, which can only lower S — but
+        # max/alarms persist), AND a key first seen in this batch with
+        # no expectation row enters state with expected=0 — all of its
+        # traffic is excess, so it alarms from its first sighting
+        # instead of being silently dropped.
+        # prev joins full-outer as well: an expectation-less key's
+        # accumulated S / max / alarm counters survive a batch in
+        # which it goes silent (exp-listed keys were already kept
+        # alive by the exp side).
         merged = (
-            exp.join(counts, key_col, "left")
-            .join(prev, key_col, "left")
+            exp.join(counts, key_col, "full_outer")
+            .join(prev, key_col, "full_outer")
             .select(
                 key_col,
                 F.lit(batch_id).cast("bigint").alias("batch_id"),
                 F.coalesce("n_batch", F.lit(0)).alias("n_batch"),
-                "expected",
+                F.coalesce("expected", F.lit(0))
+                .cast("bigint")
+                .alias("expected"),
                 F.coalesce("_ps", F.lit(0)).alias("_ps"),
                 F.coalesce("_pmx", F.lit(0)).alias("_pmx"),
                 F.coalesce("_pal", F.lit(0)).alias("_pal"),

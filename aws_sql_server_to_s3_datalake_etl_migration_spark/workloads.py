@@ -264,13 +264,18 @@ def outer_join_nation_order_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """LEFT OUTER join chain preserving empty nations, then grouped agg.
-    Dim side broadcast; the big side (orders) never shuffles for the
-    join — only the (tiny) post-aggregation exchange."""
+    The per-nation aggregate (≤25 rows, bounded) is broadcast; the
+    orders ⋈ customer join is un-hinted — both sides are linear in SF,
+    so AQE picks the strategy."""
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    # No hint on customer: the full roster grows linearly with scale
+    # factor, so AQE must pick the strategy (broadcast while it
+    # measures small, shuffle join at 100×). See _BROADCAST_RULE in
+    # workloads_analytics.py.
     enriched = o.join(
-        F.broadcast(c), o.o_custkey == c.c_custkey, "inner"
+        c, o.o_custkey == c.c_custkey, "inner"
     ).select("c_nationkey", "o_orderkey", "o_totalprice")
     per_nation = enriched.groupBy("c_nationkey").agg(
         F.count("o_orderkey").alias("_cnt"),
@@ -349,7 +354,9 @@ def window_top_orders_per_segment(
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # Un-hinted full customer roster: AQE decides (broadcast at
+        # small SF, shuffle join at scale). See _BROADCAST_RULE.
+        o.join(c, o.o_custkey == c.c_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)

@@ -15,7 +15,11 @@ Scale posture (applies to every query below):
   roster) grows linearly with the data and is left UN-hinted: AQE
   broadcasts it while it measures small and falls back to a shuffle
   join at 100× — a hard-coded hint would OOM the build side and
-  *prevents* AQE from saving the query.
+  *prevents* AQE from saving the query. Where deferring to AQE has a
+  real plan cost (the bucketed layouts, whose fact stream must never
+  shuffle for a join), ``operators.hints.maybe_broadcast`` applies a
+  SIZE-GATED hint: hinted while the optimizer's metadata estimate
+  fits a bound, un-hinted (AQE-owned) past it — degrade, never OOM.
 - With dims broadcast, the fact table (lineitem/orders) never shuffles
   for a join — only for its final aggregation, which is map-side
   combined first.
@@ -32,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .operators.hints import maybe_broadcast
 from .registry import register
 from .sources.readers import read_table_dir
 
@@ -77,9 +82,10 @@ _REVENUE_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join, grouped revenue, top-10.
 
-    Plan: customer is filtered then broadcast into orders; the
-    (orders ⋈ customer) side is fact-derived so it carries no hint —
-    AQE broadcasts it while small and shuffle-joins at scale. The
+    Plan: every customer/orders-derived side is un-hinted — the
+    segment-filtered customer slice is still linear in scale factor,
+    so AQE picks the strategy (broadcast while small, shuffle join at
+    100×) rather than a hard hint that would OOM the build side. The
     top-10 is TakeOrderedAndProject (per-partition k-row heaps, no
     global sort)."""
     cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
@@ -94,7 +100,11 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             # No hint on the (orders ⋈ customer) side: it grows with the
             # fact table, so AQE must pick the strategy (broadcast at
             # small SF, shuffle join at 100×). See _BROADCAST_RULE.
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            # ...and the segment-filtered customer slice is itself
+            # linear in SF (a fixed fraction of the roster), so it is
+            # un-hinted too — a hard hint would fail, not degrade, at
+            # the 100 TB design point.
+            o.join(c, o.o_custkey == c.c_custkey)
             .select("o_orderkey", "o_orderdate"),
             l.l_orderkey == F.col("o_orderkey"),
         )
@@ -128,8 +138,10 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with a same-nation co-location
     predicate between customer and supplier.
 
-    Plan: region→nation→customer collapse into one small broadcast
-    frame keyed by custkey; supplier broadcasts independently. lineitem
+    Plan: region→nation collapse broadcasts INTO customer, producing a
+    region-filtered customer frame keyed by custkey that stays
+    un-hinted (linear in SF — AQE decides); supplier broadcasts
+    independently. lineitem
     joins orders on its natural key. At 100 TB the only big-big join is
     lineitem ⋈ orders — both sides shuffle-partitioned on the order
     key once, everything else rides broadcasts."""
@@ -155,8 +167,10 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
+        # cust is region-filtered customer — still linear in SF, so
+        # un-hinted (AQE broadcasts while small). See _BROADCAST_RULE.
         l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
             F.broadcast(s),
             (F.col("l_suppkey") == s.s_suppkey)
@@ -966,7 +980,8 @@ def segment_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 20 == 0)
     c = _t(spark, sf_dir, "customer")
     spend = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # Un-hinted full customer roster per _BROADCAST_RULE.
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "o_custkey")
         .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"))
         .withColumn("_neg", -F.col("total_spend"))
@@ -1515,7 +1530,20 @@ def bucketed_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             o.select("o_orderkey", "o_custkey"),
             li.l_orderkey == o.o_orderkey,
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        # Region-filtered customer is linear in SF, so no HARD hint
+        # (_BROADCAST_RULE) — but an un-hinted side would plan as SMJ
+        # and materialize a fact-stream exchange before AQE re-plans,
+        # forfeiting the bucketed layout's zero-exchange join. The
+        # size-gated hint keeps the single-shuffle plan while the
+        # optimizer estimate fits and degrades to AQE at scale.
+        # size_of=c: cust is customer equi-joined onto a unique-key
+        # 25-row dim — row count preserved, so the customer SCAN's
+        # file-size-backed estimate gates honestly (the joined frame's
+        # own estimate is a Catalyst size-product artifact).
+        .join(
+            maybe_broadcast(cust, size_of=c),
+            F.col("o_custkey") == cust.c_custkey,
+        )
         .join(
             F.broadcast(s),
             (F.col("l_suppkey") == s.s_suppkey)
@@ -4380,6 +4408,10 @@ _ANOVA_FP = 1073741824.0  # 2^30 — the chi2 quantized-term fixed point
            (folded.ssb / CAST(tot.k - 1 AS DOUBLE))
            / (folded.ssw / CAST(tot.nn - tot.k AS DOUBLE)) AS f_stat
     FROM folded CROSS JOIN tot
+    -- degenerate-input shape parity: Spark's groupBy("nn","k") emits
+    -- zero rows on an empty fact table; without this guard the
+    -- oracle's global aggregates would emit one all-NULL row
+    WHERE tot.nn > 0
     """,
 )
 def lineitem_returnflag_anova(
@@ -4581,6 +4613,10 @@ def orders_priority_status_cramers_v(
                 )
             ).alias("cramers_v"),
         )
+        # Degenerate-input shape parity: on an empty orders table the
+        # global agg would emit one all-NULL row where the oracle's
+        # GROUP BY emits zero — same guard class as events_ks_drift.
+        .where(F.col("chi2").isNotNull())
     )
 
 
@@ -4709,7 +4745,19 @@ def orders_convert_to_delta_roundtrip(
         repo_root, ".lake_cache", f"delta_convert_{tag}"
     )
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
-    if not os.path.isdir(path):
+    # Guard on the _SUCCESS marker, not the directory: a crashed
+    # partial write (dir exists, no marker) must be rewritten, or the
+    # incomplete seed gets converted and mismatches the oracle forever.
+    # Skip the rewrite once conversion happened — a converted table has
+    # a log instead of a marker and must never be clobbered.
+    if (
+        not os.path.exists(os.path.join(path, "_SUCCESS"))
+        and delta_log.log_version(spark, path) is None
+    ):
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
         _t(spark, sf_dir, "orders").select(*cols).write.partitionBy(
             "o_orderstatus"
         ).parquet(path)

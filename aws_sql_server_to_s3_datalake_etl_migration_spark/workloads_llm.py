@@ -4823,7 +4823,10 @@ def doc_ttr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = _docs(spark, sf_dir).select(
         "doc_id",
-        textops.tokens("text").alias("w"),
+        # coalesce matches the oracle's coalesce(text,''): a NULL-text
+        # document must count 0 tokens, not propagate NULL through
+        # n_tokens into the decile assignment.
+        textops.tokens(F.coalesce(F.col("text"), F.lit(""))).alias("w"),
     ).withColumn("n_tokens", F.size("w").cast("bigint"))
     ranked = with_ordered_prefix(
         toks,

@@ -1454,9 +1454,12 @@ def test_stream_cusum_monitor_accumulates_and_alarms(spark, tmp_path):
     # batch 0: a=30 (S=20, alarm: 20 <= 2*10 -> no), b=10 (S=0)
     # batch 1: a=25 (S=35 > 20 -> ALARM), b absent (S=0)
     # batch 2: a=0 rows? a absent too: a S=25 > 20 -> ALARM persists
+    # "c" has NO expectation row: expected defaults to 0, so its
+    # traffic is pure excess — it must alarm on first sighting (batch
+    # 1) and its state must survive the silent batch 2.
     batches = [
         [("a",)] * 30 + [("b",)] * 10,
-        [("a",)] * 25,
+        [("a",)] * 25 + [("c",)] * 4,
         [("b",)] * 3,
     ]
     for i, rows in enumerate(batches):
@@ -1482,7 +1485,9 @@ def test_stream_cusum_monitor_accumulates_and_alarms(spark, tmp_path):
         (r.batch_id, r.event_type): r
         for r in spark.read.parquet(state).collect()
     }
-    assert len(rows) == 6  # 2 keys x 3 batches
+    # 2 exp-listed keys x 3 batches + the expectation-less "c" from
+    # its first sighting onward (batches 1 and 2)
+    assert len(rows) == 8
 
     # python fold ground truth
     def fold(seq, expected=10, tf=2):
@@ -1503,4 +1508,11 @@ def test_stream_cusum_monitor_accumulates_and_alarms(spark, tmp_path):
         assert (r.n_batch, r.s, r.max_cusum, r.n_alarms, r.alarm) == want
     for b, want in enumerate(want_b):
         r = rows[(b, "b")]
+        assert (r.n_batch, r.s, r.max_cusum, r.n_alarms, r.alarm) == want
+    # expectation-less key: expected=0 -> alarms immediately, state
+    # (s/max/n_alarms) carried through the batch where it is silent
+    want_c = fold([4, 0], expected=0)
+    for b, want in zip((1, 2), want_c):
+        r = rows[(b, "c")]
+        assert r.expected == 0
         assert (r.n_batch, r.s, r.max_cusum, r.n_alarms, r.alarm) == want

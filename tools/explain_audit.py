@@ -43,8 +43,10 @@ EXPECT: dict[str, dict] = {
         "pushed": True, "no_smj": True, "hints": 1, "aqe_bhj": True,
     },
     "pricing_summary": {"pushed": True, "no_smj": True},
+    # r13: the segment-filtered customer hint removed (linear in SF —
+    # _BROADCAST_RULE); AQE must still broadcast it at this SF.
     "shipping_priority": {
-        "pushed": True, "no_smj": True, "hints": 1, "aqe_bhj": True,
+        "pushed": True, "no_smj": True, "hints": 0, "aqe_bhj": True,
     },
     "returned_item_losses": {
         "pushed": True, "no_smj": True, "hints": 1, "aqe_bhj": True,
@@ -348,7 +350,10 @@ EXPECT: dict[str, dict] = {
     },
     # bucketed Q5: the lineitem-orders join consumes the bucketed
     # layout — the ONLY materialized shuffle stage left is the final
-    # n_name aggregate (write-time shuffle amortized).
+    # n_name aggregate (write-time shuffle amortized). The customer
+    # side rides a size-gated maybe_broadcast (r13): hinted at this SF
+    # so the fact stream never shuffles for it, AQE-owned past the
+    # size bound.
     "bucketed_supplier_volume": {
         "pushed": True, "no_smj": False, "pure_jvm": True,
         "shuffles": 1,
@@ -1154,12 +1159,12 @@ EXPECT: dict[str, dict] = {
     },
     # window-breadth demo (rewritten r10): per-segment windows now
     # partition by (segment, bucket), never segment alone. 7 analyzed
-    # hints = the customer-dim broadcast repeated through the four
-    # persisted-spend subtree copies (main + prefix carry + lead main
-    # + lead firsts) + the prefix carry + the lead carry + the dim
-    # itself; runtime reads the cache, not four joins.
+    # hints = the prefix carry + the lead carry + one more bounded
+    # carry broadcast; the customer roster hint was removed r13
+    # (_BROADCAST_RULE — linear in SF), so the persisted-spend subtree
+    # copies no longer multiply it. Runtime reads the cache.
     "segment_spend_quartiles": {
-        "pushed": True, "no_smj": True, "hints": 7, "pure_jvm": True,
+        "pushed": True, "no_smj": True, "hints": 3, "pure_jvm": True,
     },
     # calibration: one fixed-bin hash-agg; no window, no join
     "doc_quality_calibration": {
