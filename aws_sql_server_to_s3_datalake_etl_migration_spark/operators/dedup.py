@@ -1460,3 +1460,174 @@ def winnowing_fingerprints(
     return df.select(
         F.col(id_col), F.explode(F.expr(fps)).alias("fp")
     )
+
+
+def winnowing_fingerprint_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """ROBUST winnowing — ``winnowing_fingerprints`` plus the selected
+    k-gram's character position, using the paper's robust tie rule
+    (§"robust winnowing"): within a window, pick the MINIMUM hash,
+    ties broken RIGHTMOST. Positions are what fingerprint VALUES
+    deliberately discard: with them, a pairing consumer can
+    reconstruct matched character RANGES (the MOSS report shape — see
+    ``copy_spans``) instead of just an overlap count. The value set is
+    identical to ``winnowing_fingerprints``; only the (fp, pos) pair
+    set depends on the tie rule, which is why the rule must be pinned
+    for cross-engine exactness.
+
+    Returns one row per distinct (id, fp, pos): ``fp`` int64, ``pos``
+    int64 0-based character offset of the selected k-gram's start.
+    Same hash (Σ code·257^j mod 1e9+7), same lambda-variable binding
+    discipline (every intermediate array binds exactly once no matter
+    how CollapseProject rewrites the projection), all whole-stage
+    codegen — no Python, no UDF.
+
+    Scale shape: identical to the value-only variant — per-doc array
+    arithmetic then one explode + distinct; ~2/(w+1) of k-grams
+    selected, each now 16 bytes instead of 8."""
+    if k < 2 or w < 1:
+        raise ValueError("need k >= 2 and w >= 1")
+    b, p = 257, 1_000_000_007
+    chars = (
+        f"filter(split(lower(trim(coalesce({text_col}, ''))), ''), "
+        "x -> x <> '')"
+    )
+    hashes = (
+        f"case when size(cs) >= {k} then "
+        f"transform(sequence(1, size(cs) - {k} + 1), "
+        f"i -> aggregate(slice(cs, i, {k}), cast(0 as bigint), "
+        f"(acc, ch) -> (acc * {b} + ascii(ch)) % {p})) "
+        "else cast(array() as array<bigint>) end"
+    )
+    # per window j: bind the w-slice once (ws), bind its min once
+    # (mv), then fold positions 0..w-1 ascending keeping the LAST
+    # index whose hash equals mv — the rightmost tie. Selected hash
+    # index is j + t (1-based), so the 0-based char start is j + t - 1.
+    winnow_pos = (
+        f"case when size(hs) >= {w} then array_distinct("
+        f"transform(sequence(1, size(hs) - {w} + 1), "
+        f"j -> element_at(transform(array(slice(hs, j, {w})), "
+        "ws -> element_at(transform(array(array_min(ws)), "
+        "mv -> named_struct('fp', mv, 'pos', "
+        f"cast(j + aggregate(sequence(0, {w} - 1), -1, "
+        "(acc, t) -> if(element_at(ws, t + 1) = mv, t, acc)) - 1 "
+        "as bigint))), 1)), 1))) "
+        "else cast(array() as array<struct<fp:bigint,pos:bigint>>) end"
+    )
+    fps = (
+        f"element_at(transform(array({chars}), cs -> "
+        f"element_at(transform(array({hashes}), hs -> {winnow_pos}), "
+        "1)), 1)"
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.expr(fps)).alias("u")
+    ).select(F.col(id_col), F.col("u.fp").alias("fp"), F.col("u.pos").alias("pos"))
+
+
+def copy_spans(
+    fpos: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    hot_cap: int = 50,
+    merge_gap: int | None = None,
+    min_fps: int = 2,
+) -> DataFrame:
+    """MOSS-style matched-range report from robust-winnowing
+    positions (``winnowing_fingerprint_positions`` output): documents
+    sharing fingerprints get their matches merged into character
+    SPANS — "doc A chars [120, 260) match doc B chars [540, 680)" —
+    the report a plagiarism/contamination reviewer actually reads,
+    where ``doc_winnowing_pairs`` only counts overlap.
+
+    Span merge: two matches join the same span iff they lie on the
+    same DIAGONAL (pos2 − pos1 equal — an exact copy preserves the
+    offset; an insertion/deletion shifts it and honestly starts a new
+    span) and their pos1 gap is ≤ ``merge_gap`` (default w + k − 1,
+    the winnowing guarantee distance: a contiguous copy yields a
+    selected fingerprint at least every w k-grams). One window over
+    (left, right, diag) ordered by pos1 — the gaps-and-islands span
+    id — then one hash-agg to span bounds; ``end`` columns are
+    inclusive of the k-gram, i.e. last matched char = max(pos)+k−1.
+
+    Fingerprints in more than ``hot_cap`` documents drop before
+    pairing (MOSS's "ignore matches in too many documents" rule —
+    corpus-wide boilerplate must not pair everyone with everyone).
+
+    Scale shape: one aggregated hot filter + ONE equi-join on the
+    8-byte fp key (bucket sizes track true copy density, never
+    all-pairs), then window + agg keyed by (pair, diag) — 100 TB-safe
+    for the same reason the pairs query is."""
+    if merge_gap is None:
+        merge_gap = w + k - 1
+    cold = (
+        fpos.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("_n"))
+        .where(F.col("_n") <= hot_cap)
+        .select("fp")
+    )
+    keyed = fpos.join(cold, "fp", "left_semi")
+    left = keyed.select(
+        "fp",
+        F.col(id_col).alias("left_id"),
+        F.col("pos").alias("pos1"),
+    )
+    right = keyed.select(
+        "fp",
+        F.col(id_col).alias("right_id"),
+        F.col("pos").alias("pos2"),
+    )
+    m = (
+        left.join(right, "fp")
+        .where(F.col("right_id") > F.col("left_id"))
+        .select(
+            "left_id",
+            "right_id",
+            "pos1",
+            "pos2",
+            (F.col("pos2") - F.col("pos1")).alias("diag"),
+        )
+    )
+    wd = Window.partitionBy("left_id", "right_id", "diag").orderBy(
+        "pos1"
+    )
+    new_span = (
+        F.when(
+            F.col("pos1") - F.lag("pos1").over(wd) > merge_gap, 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+    )
+    spans = (
+        m.withColumn("_brk", new_span)
+        .withColumn(
+            "span_id",
+            F.sum("_brk").over(
+                wd.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("left_id", "right_id", "diag", "span_id")
+        .agg(
+            F.min("pos1").alias("start1"),
+            (F.max("pos1") + F.lit(k - 1)).alias("end1"),
+            F.min("pos2").alias("start2"),
+            (F.max("pos2") + F.lit(k - 1)).alias("end2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+        )
+        .where(F.col("n_fps") >= min_fps)
+        .select(
+            "left_id",
+            "right_id",
+            "start1",
+            "end1",
+            "start2",
+            "end2",
+            "n_fps",
+        )
+    )
+    return spans

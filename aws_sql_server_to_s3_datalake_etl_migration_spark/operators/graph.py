@@ -671,26 +671,37 @@ def coreness(
         F.lit(0).cast("bigint"),
         lambda a, x: F.greatest(a, x),
     )
+    def one_round(frame):
+        joined = directed_all.join(
+            frame, directed_all["y"] == frame["v"]
+        ).select(
+            "x",
+            (F.col("x") == F.col("y")).alias("_self"),
+            F.col("c").alias("cy"),
+        )
+        return (
+            joined.groupBy("x")
+            .agg(
+                F.least(
+                    F.max(F.when(F.col("_self"), F.col("cy"))),
+                    _h,
+                ).alias("c")
+            )
+            .select(F.col("x").alias("v"), "c")
+        )
+
+    # TWO h-index rounds per materialization: each round still
+    # references its input exactly once, so a 2-round chain is a
+    # depth-2 single-reference plan — analysis stays linear — while
+    # the driver pays HALF the per-step sync cost (persist + scalar
+    # action + AQE stage barriers dominate wall clock on small
+    # graphs; the arithmetic is the same either way). The sum test
+    # stays exact at step granularity: estimates are non-increasing,
+    # so "sum unchanged across a step" still ⟺ both inner rounds
+    # were no-ops ⟺ fixed point (at worst one redundant round runs).
     try:
-        for _ in range(max_iter):
-            joined = directed_all.join(
-                est, directed_all["y"] == est["v"]
-            ).select(
-                "x",
-                (F.col("x") == F.col("y")).alias("_self"),
-                F.col("c").alias("cy"),
-            )
-            nxt = (
-                joined.groupBy("x")
-                .agg(
-                    F.least(
-                        F.max(F.when(F.col("_self"), F.col("cy"))),
-                        _h,
-                    ).alias("c")
-                )
-                .select(F.col("x").alias("v"), "c")
-                .persist()
-            )
+        for _ in range(max(1, (max_iter + 1) // 2)):
+            nxt = one_round(one_round(est)).persist()
             cur_sum = nxt.agg(F.sum("c")).collect()[0][0]
             est.unpersist()
             est = nxt

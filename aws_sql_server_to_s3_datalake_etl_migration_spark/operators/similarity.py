@@ -174,6 +174,64 @@ def ivf_topk(
     )
 
 
+SEED_CELL_FP_SCALE = 1 << 20
+
+
+def seeded_cell_assign(
+    df: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse-cell assignment: the centroids are the
+    embeddings of the ``n_cells`` SMALLEST ids (the PQ codebook's
+    seed discipline — no sampling, no RNG, no engine-private
+    initialization), and every vector goes to the centroid minimizing
+    the FIXED-POINT squared L2 distance (per-dimension
+    ``floor((x−c)² · 2^20)`` summed as int64; ties break to the
+    lowest centroid id). Zero Lloyd iterations — this is the
+    value-checkable twin of the k-means cells in ``semantic_dedup``:
+    every step is a pure integer/compare expression any engine can
+    restate bit-for-bit, at the cost of centroid quality (seed cells
+    are adequate for the SemDeDup recipe because downstream pairing
+    re-checks exact cosine; cells only gate candidate generation).
+
+    Returns ``df`` plus ``_cell`` (the chosen centroid's id). One
+    bounded broadcast join (n_cells rows) + one hash-agg argmin —
+    O(n · n_cells) work, no shuffle of the corpus."""
+    cents = (
+        df.select(
+            F.col(id_col).alias("_cell"), F.col(vec_col).alias("_cv")
+        )
+        .orderBy("_cell")
+        .limit(n_cells)
+    )
+    dist_fp = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("_cv"),
+            lambda x, c: F.floor(
+                (x.cast("double") - c.cast("double"))
+                * (x.cast("double") - c.cast("double"))
+                * F.lit(float(SEED_CELL_FP_SCALE))
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    best = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            F.struct(dist_fp.alias("d"), F.col("_cell")).alias("_dc"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_dc").getField("_cell").alias("_cell"))
+    )
+    return df.join(best, id_col)
+
+
 def pairwise_cosine(a_col, b_col) -> F.Column:
     """Cosine similarity between two array columns (codegen fold)."""
     dot = F.aggregate(
@@ -195,6 +253,7 @@ def semantic_dedup(
     max_cell_size: int = 1000,
     seed: int = 11,
     max_iter: int = 20,
+    seeded_cells: bool = False,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column — the SemDeDup
     recipe (cluster, then pairwise cosine WITHIN clusters only):
@@ -226,6 +285,15 @@ def semantic_dedup(
         # one cell = all-pairs within the corpus — the value-checkable
         # small-scale verifier shape (emb_semantic_dedup_exact)
         assigned = df.withColumn("_cell", F.lit(0))
+    elif seeded_cells:
+        # deterministic multi-cell configuration: seed-id centroids +
+        # fixed-point argmin, so the ENTIRE celled pipeline (assign,
+        # cap, within-cell pairing, components) is restatable in SQL —
+        # the value-checkable twin of the k-means path
+        # (emb_semantic_dedup_cells)
+        assigned = seeded_cell_assign(
+            df, n_cells, id_col=id_col, vec_col=vec_col
+        )
     else:
         assigned, _ = build_ivf_index(
             df, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed

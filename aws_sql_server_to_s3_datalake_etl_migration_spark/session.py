@@ -35,6 +35,15 @@ _SCALE_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Without this, AQE refuses to coalesce the output partitioning of
+    # any plan that gets cached — so iterative operators (coreness,
+    # star CC) that persist a small per-round frame drag the full
+    # spark.sql.shuffle.partitions task count through every round of
+    # tiny jobs. Letting AQE re-shape cached plans turns those rounds
+    # into single-task stages at small graph sizes while leaving big
+    # shuffles untouched; downstream consumers never depend on a
+    # persisted frame's partition COUNT, only its content.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # FAIR pools let run_parallel() share one session across jobs.
     "spark.scheduler.mode": "FAIR",
     # Arrow for pandas interchange (createDataFrame(pd), toPandas, UDFs).

@@ -4993,3 +4993,239 @@ def doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_winnowing_pairs.__doc__ = doc_winnowing_pairs.__doc__.format(
     hot=_WINNOW_HOT
 )
+
+
+_SPAN_GAP = _WINNOW_K + _WINNOW_W - 1
+
+
+@register(
+    "doc_copy_spans",
+    f"""
+    WITH codes AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(regexp_split_to_array(
+                 lower(trim(coalesce(text, ''))), ''), x -> x <> ''),
+               c -> ascii(c)) AS cs
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(cs) - {_WINNOW_K}
+                                              + 2, 1)),
+               i -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_slice(cs, i, i + {_WINNOW_K} - 1)),
+                 (a, c) -> (a * 257 + c) % 1000000007)) AS h
+      FROM codes
+    ),
+    fpos AS (
+      SELECT DISTINCT doc_id, u.fp AS fp, u.pos AS pos FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(h) - {_WINNOW_W}
+                                           + 2),
+          j -> struct_pack(
+            fp := list_min(list_slice(h, j, j + {_WINNOW_W} - 1)),
+            pos := CAST(j + list_reduce(
+                list_prepend(CAST(-1 AS BIGINT),
+                  list_transform(range(0, {_WINNOW_W}),
+                    t -> CASE WHEN h[CAST(j + t AS BIGINT)]
+                              = list_min(list_slice(h, j,
+                                         j + {_WINNOW_W} - 1))
+                         THEN CAST(t AS BIGINT)
+                         ELSE CAST(-2 AS BIGINT) END)),
+                (a, x) -> CASE WHEN x >= 0 THEN x ELSE a END)
+              - 1 AS BIGINT)
+          ))) AS u
+        FROM hashed WHERE len(h) >= {_WINNOW_W}
+      )
+    ),
+    cold AS (SELECT fp FROM fpos GROUP BY fp
+             HAVING COUNT(DISTINCT doc_id) <= {_WINNOW_HOT}),
+    m AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+             a.pos AS pos1, b.pos AS pos2, b.pos - a.pos AS diag
+      FROM fpos a JOIN fpos b
+        ON b.fp = a.fp AND b.doc_id > a.doc_id
+      WHERE a.fp IN (SELECT fp FROM cold)
+    ),
+    marked AS (
+      SELECT *, CASE WHEN pos1 - lag(pos1) OVER
+          (PARTITION BY left_id, right_id, diag ORDER BY pos1)
+          > {_SPAN_GAP}
+        THEN 1 ELSE 0 END AS brk
+      FROM m
+    ),
+    sp AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY left_id, right_id, diag
+        ORDER BY pos1 ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM marked
+    )
+    SELECT left_id, right_id,
+           MIN(pos1) AS start1,
+           CAST(MAX(pos1) + {_WINNOW_K} - 1 AS BIGINT) AS end1,
+           MIN(pos2) AS start2,
+           CAST(MAX(pos2) + {_WINNOW_K} - 1 AS BIGINT) AS end2,
+           CAST(COUNT(*) AS BIGINT) AS n_fps
+    FROM sp GROUP BY left_id, right_id, diag, span_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def doc_copy_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched character RANGES between partial-copy documents — the
+    MOSS report itself, one level past ``doc_winnowing_pairs``'
+    overlap counts: robust winnowing (rightmost-tie positions,
+    ``dedup.winnowing_fingerprint_positions``) keeps each selected
+    fingerprint's 0-based char offset, and ``dedup.copy_spans``
+    merges shared-fingerprint matches into spans — same diagonal
+    (pos2−pos1; an exact copy preserves the offset, an edit honestly
+    splits the span) with pos1 gaps ≤ k+w−1 (the winnowing guarantee
+    distance), via one gaps-and-islands window over the fp equi-join.
+    Output: "left doc chars [start1, end1] match right doc chars
+    [start2, end2], witnessed by n_fps fingerprints".
+
+    Exactness: both engines restate the identical polynomial hash,
+    the identical RIGHTMOST tie fold (ascending left-fold keeping the
+    last minimal index), and the identical span window — every column
+    is int64, so the driver hash must match bit-for-bit.
+
+    Scale shape: per-doc codegen arrays → fp equi-join (hot-capped at
+    {hot} docs, MOSS's own boilerplate rule) → window + agg keyed by
+    (pair, diagonal). Never all-pairs; bucket sizes track true copy
+    density."""
+    from .operators.dedup import (
+        copy_spans,
+        winnowing_fingerprint_positions,
+    )
+
+    fpos = winnowing_fingerprint_positions(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+    ).persist()
+    try:
+        res = copy_spans(
+            fpos,
+            "doc_id",
+            k=_WINNOW_K,
+            w=_WINNOW_W,
+            hot_cap=_WINNOW_HOT,
+            merge_gap=_SPAN_GAP,
+            min_fps=2,
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        fpos.unpersist()
+
+
+doc_copy_spans.__doc__ = doc_copy_spans.__doc__.format(
+    hot=_WINNOW_HOT
+)
+
+
+_SEMCELL_N = 8
+_SEMCELL_CAP = 300
+
+
+@register(
+    "emb_semantic_dedup_cells",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {_SEMCELL_N}
+    ),
+    dists AS (
+      SELECT e.vec_id, c.cell,
+             CAST(list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> CAST(FLOOR((e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                               * {float(1 << 20)!r}) AS BIGINT)))
+               AS BIGINT) AS dfp
+      FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dfp, cell) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    kept_cells AS (
+      SELECT cell FROM assign GROUP BY cell
+      HAVING COUNT(*) <= {_SEMCELL_CAP}
+    ),
+    bounded AS (
+      SELECT a.vec_id, a.cell FROM assign a
+      JOIN kept_cells USING (cell)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bounded a JOIN bounded b ON b.cell = a.cell
+                                   AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE list_dot_product(ea.v, eb.v)
+          / (sqrt(list_dot_product(ea.v, ea.v))
+             * sqrt(list_dot_product(eb.v, eb.v))) >= 0.93
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+    ),
+    lbl AS (
+      SELECT em.vec_id,
+             LEAST(em.vec_id, COALESCE(MIN(r.dst), em.vec_id))
+               AS semantic_cluster
+      FROM embeddings em
+      LEFT JOIN reach r ON r.src = em.vec_id
+      GROUP BY em.vec_id
+    )
+    SELECT vec_id, semantic_cluster,
+           vec_id = semantic_cluster AS keep
+    FROM lbl
+    """,
+)
+def emb_semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with its CELLED candidate generation under the value
+    check — the piece ``emb_semantic_dedup_exact`` (single cell)
+    cannot pin: deterministic seed-id centroids + fixed-point argmin
+    assignment (``similarity.seeded_cell_assign``: per-dimension
+    floor((x−c)²·2^20) summed as int64, ties to the lowest centroid
+    id — zero Lloyd iterations, zero RNG), the hot-cell cap, the
+    within-cell-ONLY pairing with exact cosine ≥ 0.93, and the
+    connected-components survivor labels, all restated in DuckDB
+    (argmin window + recursive-CTE closure). The production entry
+    (``emb_semantic_dedup``) keeps MLlib k-means|| cells — better
+    centroids, unverifiable internals — with this twin proving every
+    OTHER stage of the celled pipeline value-exact, including the
+    cells' recall restriction itself (pairs straddling a cell
+    boundary are absent on BOTH engines or the hash breaks).
+
+    Scale shape: one n_cells-row broadcast + hash-agg argmin (no
+    corpus shuffle), per-cell quadratic pairing capped at
+    {cap}/cell, O(log n) star-contraction components."""
+    embs = _embs(spark, sf_dir)
+    return similarity.semantic_dedup(
+        embs,
+        threshold=0.93,
+        n_cells=_SEMCELL_N,
+        max_cell_size=_SEMCELL_CAP,
+        seeded_cells=True,
+    ).select("vec_id", "semantic_cluster", "keep")
+
+
+emb_semantic_dedup_cells.__doc__ = emb_semantic_dedup_cells.__doc__.format(
+    cap=_SEMCELL_CAP
+)

@@ -119,3 +119,93 @@ def test_maybe_broadcast_size_gate(spark):
             probe.id == big_est.k,
         )
     ) == 1
+
+
+def _py_winnow_pos(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Sequential robust winnowing (rightmost-tie) ground truth."""
+    s = list(text.lower().strip())
+    b, p = 257, 1_000_000_007
+    if len(s) < k:
+        return set()
+    hs = []
+    for i in range(len(s) - k + 1):
+        acc = 0
+        for ch in s[i : i + k]:
+            acc = (acc * b + ord(ch)) % p
+        hs.append(acc)
+    if len(hs) < w:
+        return set()
+    out = set()
+    for j in range(len(hs) - w + 1):
+        wnd = hs[j : j + w]
+        mv = min(wnd)
+        t = max(i for i, v in enumerate(wnd) if v == mv)
+        out.add((mv, j + t))
+    return out
+
+
+def test_winnowing_positions_match_sequential(spark):
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        winnowing_fingerprint_positions,
+    )
+
+    texts = [
+        ("a", "the quick brown fox jumps over the lazy dog again"),
+        ("b", "xyxy" * 9),          # forced hash ties -> rightmost rule
+        ("c", ""),                   # empty
+        ("d", "tiny"),               # below k
+        ("e", "a" * 30),             # all-equal hashes, all ties
+        ("f", None),                 # NULL text
+    ]
+    df = spark.createDataFrame(texts, "doc_id string, text string")
+    got = {
+        (r.doc_id, r.fp, r.pos)
+        for r in winnowing_fingerprint_positions(df, k=5, w=4).collect()
+    }
+    want = {
+        (i, fp, pos)
+        for i, t in texts
+        for fp, pos in _py_winnow_pos(t or "", 5, 4)
+    }
+    assert got == want
+
+
+def test_copy_spans_guarantee_and_split(spark):
+    """A planted copy of length >= w+k-1 must surface as one span
+    whose bounds bracket the copied region in BOTH documents; an
+    edit inside the copy (diagonal shift) must split the span."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        copy_spans,
+        winnowing_fingerprint_positions,
+    )
+
+    k, w = 5, 4
+    copied = "copied paragraph body one two three four five"
+    d1 = "AAAA here is a long unique prelude text " + copied + " suffix one"
+    d2 = "totally different opening words then " + copied + " closing here"
+    # d3 copies the same text but with one char inserted mid-way:
+    # offset shifts, so matches split across two diagonals
+    half = len(copied) // 2
+    d3 = "yet another framing sentence " + copied[:half] + "Q" + copied[half:]
+    df = spark.createDataFrame(
+        [("d1", d1), ("d2", d2), ("d3", d3)],
+        "doc_id string, text string",
+    )
+    spans = copy_spans(
+        winnowing_fingerprint_positions(df, k=k, w=w), k=k, w=w
+    ).collect()
+    by_pair = {}
+    for r in spans:
+        by_pair.setdefault((r.left_id, r.right_id), []).append(r)
+    # exact copy: one span bracketing the copied region on both sides
+    s12 = by_pair[("d1", "d2")]
+    assert len(s12) == 1
+    r = s12[0]
+    c1, c2 = d1.index(copied), d2.index(copied)
+    assert r.start1 <= c1 + w + k - 2 and r.end1 >= c1 + len(copied) - (w + k - 1)
+    assert r.start2 <= c2 + w + k - 2 and r.end2 >= c2 + len(copied) - (w + k - 1)
+    assert r.n_fps >= 2
+    # edited copy: the two halves land on different diagonals
+    assert len(by_pair.get(("d1", "d3"), [])) >= 2
+    diags = {r.start2 - r.start1 for r in by_pair[("d1", "d3")]}
+    assert len(diags) >= 2

@@ -56,25 +56,41 @@ def test_catalog_window_is_curated_and_oracled():
         "window_top_orders_per_segment",
     }
     assert anchors <= window
-    # round-10 rotation contract (r9 verdict item 1): all ten round-9
-    # in-round additions hold window slots, plus the kept lake trio
-    # (MERGE roundtrip + the CDF pair under perf work)
-    r10_rotation = {
-        "doc_quality_score_auc",
-        "doc_quality_calibration",
-        "customer_k_anonymity",
-        "doc_hybrid_rrf_search",
-        "doc_leakage_free_split",
-        "mm_integrity_screen",
-        "events_cumulative_reach",
-        "doc_confusable_spam_groups",
-        "orders_wap_gated_publish",
-        "events_theilsen_trend",
+    # round-13 rotation contract (r12 verdict item 1): all 25 staged
+    # candidates — the later-batch 12 round-11 additions and the 13
+    # round-12 additions — hold window slots, plus the kept lake trio
+    # (MERGE roundtrip + the CDF pair)
+    r13_rotation = {
+        "doc_link_triangles",
+        "events_ks_drift",
+        "orders_block_jackknife_ci",
+        "customer_l_diversity",
+        "events_ols_trend",
+        "customer_entity_resolution",
+        "orders_median_ci",
+        "doc_link_kcore",
+        "customer_target_encoding",
+        "events_embargo_split",
+        "customer_survival_km",
+        "events_diff_in_diff",
+        "doc_bpe_token_ids",
+        "doc_link_coreness",
+        "events_mannwhitney_drift",
+        "events_mann_kendall",
+        "events_cusum_alarm",
+        "events_ewma_baseline",
+        "lineitem_returnflag_anova",
+        "orders_priority_status_cramers_v",
+        "customer_decile_migration",
+        "doc_simpson_diversity",
+        "doc_ttr_curve",
+        "orders_convert_to_delta_roundtrip",
+        "doc_winnowing_pairs",
         "orders_delta_partitioned_merge_roundtrip",
         "orders_delta_cdf",
         "orders_cdf_view_maintenance",
     }
-    assert r10_rotation <= window
+    assert r13_rotation <= window
     # the official window carries only oracle-paired entries (rows-only
     # checks are weaker signal and live outside it)
     os_ = oracles()
