@@ -363,6 +363,29 @@ def ngram_jaccard_pairs(
     ids) must pass ``wide_ids=True`` to select it explicitly, since
     the range is only knowable at runtime and a silent wrap would
     corrupt pairs."""
+    counts = _shared_gram_counts(df, id_col, text_col, n, wide_ids)
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return (
+        counts.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shared_gram_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    wide_ids: bool,
+) -> DataFrame:
+    """Shared machinery for the exact n-gram pair family: per-pair
+    (id_a, id_b, n_common, na, nb) distinct-shingle intersection
+    counts via the fused postings formulation documented on
+    ``ngram_jaccard_pairs`` (collect-list postings, 1000-df skew cap,
+    packed-bigint pair keys for 31-bit integral ids)."""
     grams = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
     )
@@ -449,15 +472,43 @@ def ngram_jaccard_pairs(
     sb = sizes.select(
         F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb")
     )
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
-    ).cast("double")
     return (
         common.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "n_common", "na", "nb")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    wide_ids: bool = False,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs — |A∩B| / min(|A|, |B|) ≥
+    ``threshold`` over distinct word shingles. The asymmetric twin of
+    ``ngram_jaccard_pairs``: a short document quoted wholesale inside
+    a much longer one has near-1 containment but tiny Jaccard (the
+    union is dominated by the long doc), so Jaccard-thresholded dedup
+    systematically misses subset copies — the Broder resemblance-vs-
+    containment distinction, and the standard quote/inclusion signal
+    a curation pipeline wants next to the symmetric one.
+
+    Same fused-postings candidate machinery, same 1000-df hot-gram
+    cap, same packed-pair keys (``_shared_gram_counts``); scale shape
+    identical to the Jaccard query. Returns (id_a, id_b, containment)
+    with containment = n_common / min(na, nb) — one exact-integer
+    division, engine-exact."""
+    counts = _shared_gram_counts(df, id_col, text_col, n, wide_ids)
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("na"), F.col("nb")
+    ).cast("double")
+    return (
+        counts.withColumn("containment", cont)
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
     )
 
 
@@ -1631,3 +1682,154 @@ def copy_spans(
         )
     )
     return spans
+
+
+BLOOM_M_BITS = 1 << 15
+BLOOM_K = 3
+_BLOOM_B1, _BLOOM_P1 = 257, 1_000_000_007
+_BLOOM_B2, _BLOOM_P2 = 131, 998_244_353
+
+
+def _gram_hash(col, base: int, mod: int):
+    """Explicit polynomial string hash (Σ code·base^j mod mod) as a
+    codegen fold over the gram's characters — the winnowing hash
+    discipline: any engine restates it bit-for-bit."""
+    cs = F.filter(
+        F.split(col, ""), lambda x: x != F.lit("")
+    )
+    return F.aggregate(
+        cs,
+        F.lit(0).cast("bigint"),
+        lambda a, ch: (a * base + F.ascii(ch)) % mod,
+    )
+
+
+def bloom_build_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Build an EXPLICIT Bloom filter over a corpus' distinct word
+    n-grams: double hashing (Kirsch–Mitzenmacher — probe_j = (h1 +
+    j·h2) mod m from two independent polynomial hashes), 32 bits per
+    int64 word so no probe ever touches the sign bit. Returns the
+    filter as a DataFrame of (word_idx, bits) — m/32 rows regardless
+    of corpus size, the broadcastable representation.
+
+    Why: decontamination against an eval set normally broadcasts the
+    full eval n-gram SET; at a 10^9-gram eval suite that broadcast is
+    gigabytes. The Bloom words table is fixed-size (m/32 rows), the
+    probe is local map work, and only bloom-passing grams proceed to
+    the exact join — the standard two-phase prefilter, with the FP
+    rate fully visible downstream (``bloom_probe_ngrams`` reports
+    bloom hits and true hits side by side). Every bit derives from
+    explicit integer arithmetic — no engine-private hash — so the
+    filter contents are value-checkable cross-engine."""
+    grams = df.select(
+        F.explode(word_shingles(text_col, n)).alias("gram")
+    ).distinct()
+    h1 = _gram_hash(F.col("gram"), _BLOOM_B1, _BLOOM_P1)
+    h2 = _gram_hash(F.col("gram"), _BLOOM_B2, _BLOOM_P2)
+    probes = grams.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda j: (h1 + j.cast("bigint") * h2)
+                % F.lit(m_bits),
+            )
+        ).alias("p")
+    )
+    return (
+        probes.select(
+            (F.col("p") / 32).cast("bigint").alias("word_idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias("b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(b)").cast("bigint").alias("bits"))
+    )
+
+
+def bloom_probe_ngrams(
+    df: DataFrame,
+    bloom: DataFrame,
+    eval_grams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Probe ``df``'s distinct n-grams against a ``bloom_build_ngrams``
+    filter, then exact-join ONLY the bloom-passing grams against the
+    true eval gram set: per document, (n_grams, bloom_hits,
+    true_hits). bloom_hits ≥ true_hits always (no false negatives —
+    the Bloom guarantee, asserted by the pytest); the gap IS the
+    measured false-positive count, the number a tuning pass reads to
+    size m.
+
+    Scale shape: the m/32-row filter broadcasts; probing is per-gram
+    map work (k probe positions joined against the broadcast words);
+    the exact join's left side shrinks to the bloom survivors — at a
+    clean corpus that is ~FP-rate of the gram stream instead of all
+    of it."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
+    )
+    h1 = _gram_hash(F.col("gram"), _BLOOM_B1, _BLOOM_P1)
+    h2 = _gram_hash(F.col("gram"), _BLOOM_B2, _BLOOM_P2)
+    probed = grams.select(
+        F.col(id_col),
+        "gram",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda j: (h1 + j.cast("bigint") * h2)
+                % F.lit(m_bits),
+            )
+        ).alias("p"),
+    ).select(
+        F.col(id_col),
+        "gram",
+        (F.col("p") / 32).cast("bigint").alias("word_idx"),
+        F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias("b"),
+    )
+    hits = (
+        probed.join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "_set",
+            (
+                F.coalesce(F.col("bits"), F.lit(0))
+                .bitwiseAND(F.col("b"))
+                != 0
+            ).cast("int"),
+        )
+        .groupBy(id_col, "gram")
+        .agg(
+            (F.sum("_set") == F.lit(k)).alias("bloom_hit")
+        )
+    )
+    ev = eval_grams.select(
+        F.col("gram"), F.lit(True).alias("_in_eval")
+    ).distinct()
+    checked = hits.join(
+        ev, "gram", "left"
+    ).select(
+        F.col(id_col),
+        F.col("bloom_hit"),
+        (F.col("bloom_hit") & F.coalesce("_in_eval", F.lit(False))).alias(
+            "true_hit"
+        ),
+    )
+    return checked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(F.col("bloom_hit").cast("int"))
+        .cast("bigint")
+        .alias("bloom_hits"),
+        F.sum(F.col("true_hit").cast("int"))
+        .cast("bigint")
+        .alias("true_hits"),
+    )

@@ -4768,3 +4768,115 @@ def orders_convert_to_delta_roundtrip(
             spark, path, F.col("o_orderkey") % 10 == 3
         )
     return read_delta(spark, path).select(*cols)
+
+
+@register(
+    "part_rules_lift",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+           FROM baskets),
+    item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS sup
+      FROM baskets GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS sup_ab
+      FROM baskets a JOIN baskets b
+        ON b.l_orderkey = a.l_orderkey
+       AND b.l_partkey > a.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT part_a, part_b, sup_ab,
+           ia.sup AS sup_a, ib.sup AS sup_b,
+           CAST(sup_ab AS DOUBLE) / CAST(ia.sup AS DOUBLE)
+             AS conf_a_to_b,
+           CAST(sup_ab AS DOUBLE) / CAST(ib.sup AS DOUBLE)
+             AS conf_b_to_a,
+           CAST(sup_ab AS DOUBLE) * CAST(nn.n AS DOUBLE)
+           / (CAST(ia.sup AS DOUBLE) * CAST(ib.sup AS DOUBLE))
+             AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    CROSS JOIN nn
+    """,
+)
+def part_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association RULES over the co-occurrence pairs
+    ``part_pair_affinity`` stops at: per qualifying pair (support ≥
+    3 baskets), both directed confidences (P(b|a), P(a|b)) and the
+    symmetric lift (observed co-rate over independence) — the
+    support/confidence/lift triple of classical market-basket mining
+    (Agrawal–Srikant), which is what turns raw pair counts into
+    rankable recommendations. All supports are exact integers; each
+    ratio is one division of exact ints (engine-exact doubles).
+
+    Scale shape: pair generation is the self-equi-join on the order
+    key (C(basket,2) per order, bounded by basket size — never a
+    cross join); item supports are one hash-agg; the final joins key
+    on single part ids. The 1-row basket count broadcasts."""
+    li = (
+        read_table_dir(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nn = li.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    item = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sup")
+    )
+    a = li.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    pair = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_b") > F.col("part_a"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sup_ab"))
+        .where(F.col("sup_ab") >= 3)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"),
+        F.col("sup").alias("sup_a"),
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"),
+        F.col("sup").alias("sup_b"),
+    )
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "part_a",
+            "part_b",
+            "sup_ab",
+            "sup_a",
+            "sup_b",
+            (
+                F.col("sup_ab").cast("double")
+                / F.col("sup_a").cast("double")
+            ).alias("conf_a_to_b"),
+            (
+                F.col("sup_ab").cast("double")
+                / F.col("sup_b").cast("double")
+            ).alias("conf_b_to_a"),
+            (
+                F.col("sup_ab").cast("double")
+                * F.col("n").cast("double")
+                / (
+                    F.col("sup_a").cast("double")
+                    * F.col("sup_b").cast("double")
+                )
+            ).alias("lift"),
+        )
+    )

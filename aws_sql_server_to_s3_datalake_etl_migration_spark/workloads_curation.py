@@ -1783,3 +1783,152 @@ def customer_entity_resolution(
             "n_nations",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (round 13)
+# ---------------------------------------------------------------------------
+
+_MMR_SHORTLIST = 20
+_MMR_K = 8
+_MMR_FP = 1 << 30
+# λ = 0.7 as the integer pair (7, 3): score = 7·rel_fp − 3·max_sim_fp
+_MMR_LN, _MMR_LD = 7, 3
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in DuckDB (the doc_bpe_token_ids unroll
+    discipline): one CTE per greedy step, each an argmax over the
+    shortlist minus prior picks, scored 7·rel − 3·max sim-to-picks in
+    int64 fixed point."""
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    # every CTE is MATERIALIZED: the picks chain references each
+    # predecessor several times, and DuckDB's default CTE inlining
+    # re-derives the whole upstream tree per reference — exponential
+    # in the number of greedy steps (measured: the un-hinted form
+    # never finishes at 8 steps)
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id,"
+        " embedding::DOUBLE[] AS v FROM embeddings)",
+        "q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        "rel AS MATERIALIZED (SELECT e.vec_id, e.v, CAST(FLOOR("
+        + cos.format(a="e.v", b="q.qv")
+        + f" * {float(_MMR_FP)!r}) AS BIGINT) AS rel_fp"
+        " FROM e, q WHERE e.vec_id <> 0)",
+        f"short AS MATERIALIZED (SELECT vec_id, v, rel_fp FROM rel"
+        f" ORDER BY rel_fp DESC, vec_id LIMIT {_MMR_SHORTLIST})",
+        "sims AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,"
+        " CAST(FLOOR("
+        + cos.format(a="a.v", b="b.v")
+        + f" * {float(_MMR_FP)!r}) AS BIGINT) AS sim_fp"
+        " FROM short a JOIN short b ON a.vec_id <> b.vec_id)",
+        "s1 AS MATERIALIZED (SELECT vec_id, rel_fp FROM short"
+        " ORDER BY rel_fp DESC, vec_id LIMIT 1)",
+        "p1 AS MATERIALIZED (SELECT vec_id FROM s1)",
+    ]
+    for i in range(2, _MMR_K + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT c.vec_id, c.rel_fp"
+            f" FROM short c"
+            f" WHERE c.vec_id NOT IN (SELECT vec_id FROM p{i-1})"
+            f" ORDER BY {_MMR_LN} * c.rel_fp - {_MMR_LD} *"
+            f" (SELECT MAX(s.sim_fp) FROM sims s"
+            f"  JOIN p{i-1} pp ON s.ib = pp.vec_id"
+            f"  WHERE s.ia = c.vec_id) DESC, c.vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT vec_id FROM p{i-1}"
+            f" UNION ALL SELECT vec_id FROM s{i})"
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id,"
+        f" CAST(rel_fp AS DOUBLE) / {float(_MMR_FP)!r} AS relevance"
+        f" FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return ",\n    ".join(parts) + "\n    " + union
+
+
+@register("emb_mmr_rerank", _mmr_oracle())
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) of the cosine shortlist for the standard probe query
+    (vec_id 0): greedily pick k=8 of the top-20, each step maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+    diversified top-k every retrieval stack bolts onto its ANN
+    shortlist so the user doesn't get eight paraphrases of the same
+    hit. λ = 0.7 runs as the exact integer score 7·rel_fp −
+    3·max_sim_fp over 2^30 fixed-point cosines, ties to the smaller
+    id, so the greedy trajectory is engine-exact; the oracle unrolls
+    all eight argmax steps as chained CTEs (the BPE-oracle unroll
+    discipline).
+
+    Scale shape: relevance is one broadcast-query scan over the
+    corpus (the ANN family's job at 100 TB — this operator's input is
+    its output); everything past the top-20 shortlist is control
+    plane — a 20×20 fixed-point similarity matrix (400 bounded rows,
+    the documented bounded-collect class) and an 8-step integer
+    greedy. Returns (rank, vec_id, relevance)."""
+    embs = _embs(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    rel_fp = F.floor(
+        similarity.cosine_to_query(F.col("embedding"), qv)
+        * F.lit(float(_MMR_FP))
+    ).cast("bigint")
+    short = (
+        embs.where(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", rel_fp.alias("rel_fp"))
+        .orderBy(F.col("rel_fp").desc(), F.col("vec_id").asc())
+        .limit(_MMR_SHORTLIST)
+        .persist()
+    )
+    try:
+        a = short.select(
+            F.col("vec_id").alias("ia"), F.col("embedding").alias("va")
+        )
+        b = short.select(
+            F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")
+        )
+        sim_fp = F.floor(
+            similarity.pairwise_cosine(F.col("va"), F.col("vb"))
+            * F.lit(float(_MMR_FP))
+        ).cast("bigint")
+        sims = {
+            (r["ia"], r["ib"]): r["s"]
+            for r in a.crossJoin(F.broadcast(b))
+            .where(F.col("ia") != F.col("ib"))
+            .select("ia", "ib", sim_fp.alias("s"))
+            .collect()
+        }
+        rels = {
+            r["vec_id"]: r["rel_fp"]
+            for r in short.select("vec_id", "rel_fp").collect()
+        }
+        # exact-integer greedy, ties to the smaller id (mirrors the
+        # oracle's ORDER BY ... DESC, vec_id)
+        picked: list[int] = []
+        first = max(rels, key=lambda v: (rels[v], -v))
+        picked.append(first)
+        while len(picked) < min(_MMR_K, len(rels)):
+            best = None
+            for c, rc in rels.items():
+                if c in picked:
+                    continue
+                ms = max(sims[(c, s)] for s in picked)
+                score = _MMR_LN * rc - _MMR_LD * ms
+                key = (score, -c)
+                if best is None or key > best[0]:
+                    best = (key, c)
+            picked.append(best[1])
+        rows = [
+            (i + 1, int(v), rels[v] / float(_MMR_FP))
+            for i, v in enumerate(picked)
+        ]
+        return spark.createDataFrame(
+            rows, "rank bigint, vec_id bigint, relevance double"
+        )
+    finally:
+        short.unpersist()

@@ -5229,3 +5229,345 @@ def emb_semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 emb_semantic_dedup_cells.__doc__ = emb_semantic_dedup_cells.__doc__.format(
     cap=_SEMCELL_CAP
 )
+
+
+_MSTTR_SEG = 20
+
+
+@register(
+    "doc_msttr",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(
+               trim(coalesce(text, '')), '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(w) // {_MSTTR_SEG} AS BIGINT) AS n_segments,
+             CAST(list_sum(coalesce(list_transform(
+               range(0, CAST(len(w) // {_MSTTR_SEG} AS BIGINT)),
+               i -> CAST(len(list_distinct(
+                 w[CAST(i * {_MSTTR_SEG} + 1 AS BIGINT)
+                   :CAST(i * {_MSTTR_SEG} + {_MSTTR_SEG} AS BIGINT)]))
+                 AS BIGINT)), [])) AS BIGINT) AS sum_distinct
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, n_segments,
+           CAST(sum_distinct AS DOUBLE)
+           / CAST(n_segments * {_MSTTR_SEG} AS DOUBLE) AS msttr
+    FROM seg WHERE n_segments >= 1
+    """,
+)
+def doc_msttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Segmental Type-Token Ratio — the length-robust lexical-
+    diversity score (Johnson 1944; the fixed-window member of the
+    MATTR family): split each document's token stream into
+    consecutive {seg}-token segments, take each segment's
+    distinct-type count, and average. Raw TTR collapses as documents
+    grow (Heaps' law), so corpus filters that threshold on it
+    systematically mis-rank long docs; MSTTR compares diversity at a
+    FIXED window, the form quality pipelines actually gate on.
+    Differs from ``doc_ttr_curve`` (corpus-level deciles of
+    whole-doc TTR) — this is a per-document score.
+
+    Determinism: distinct counts are exact integers, summed as int64;
+    msttr is ONE final division of exact integers — bit-identical on
+    any engine. Docs shorter than one segment emit no row (shape
+    agreed by both engines).
+
+    Scale shape: pure per-document array codegen — no explode, no
+    shuffle, corpus-embarrassing-parallel; each doc does O(n_tokens)
+    slice+distinct work."""
+    toks = textops.tokens(F.coalesce(F.col("text"), F.lit("")))
+    seg = F.lit(_MSTTR_SEG)
+    n_tokens = F.size("w").cast("bigint")
+    n_segments = (F.size("w") / seg).cast("bigint")
+    sum_distinct = F.aggregate(
+        F.sequence(
+            F.lit(0).cast("bigint"),
+            (F.size("w") / seg).cast("bigint") - 1,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, i: a
+        + F.size(
+            F.array_distinct(
+                F.slice(
+                    F.col("w"),
+                    (i * seg + 1).cast("int"),
+                    _MSTTR_SEG,
+                )
+            )
+        ).cast("bigint"),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("w"))
+        .where(F.size("w") >= _MSTTR_SEG)
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            n_segments.alias("n_segments"),
+            (
+                sum_distinct.cast("double")
+                / (n_segments * seg).cast("double")
+            ).alias("msttr"),
+        )
+    )
+
+
+doc_msttr.__doc__ = doc_msttr.__doc__.format(seg=_MSTTR_SEG)
+
+
+@register(
+    "doc_hapax_stats",
+    """
+    WITH toks AS (
+      SELECT source, unnest(list_filter(regexp_split_to_array(
+               lower(trim(coalesce(text, ''))), '\\s+'),
+               x -> x <> '')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS hapax_frac,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(f) AS DOUBLE)
+             AS type_token_ratio
+    FROM tf GROUP BY source
+    """,
+)
+def doc_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-health profile: vocabulary size, token
+    count, hapax legomena (terms occurring exactly once) and their
+    share of the vocabulary, plus corpus-level type-token ratio. A
+    high hapax fraction flags OCR noise / mojibake / boilerplate-free
+    organic text; a collapsing one flags templated or deduplicated-
+    to-death sources — the corpus-card row reviewers look at next to
+    ``doc_source_gini`` and ``doc_simpson_diversity``. All counts are
+    exact integers; the two ratios are single divisions.
+
+    Scale shape: one explode + (source, term) hash-agg (map-side
+    combined; vocabulary is Heaps-sublinear in corpus size) then a
+    |sources|-row rollup."""
+    toks = textops.tokens(
+        F.lower(F.coalesce(F.col("text"), F.lit("")))
+    )
+    tf = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(toks).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    hapax = F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast(
+        "bigint"
+    )
+    vocab = F.count(F.lit(1)).cast("bigint")
+    return tf.groupBy("source").agg(
+        vocab.alias("vocab_size"),
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        hapax.alias("n_hapax"),
+        (hapax.cast("double") / vocab.cast("double")).alias(
+            "hapax_frac"
+        ),
+        (
+            vocab.cast("double")
+            / F.sum("f").cast("double")
+        ).alias("type_token_ratio"),
+    )
+
+
+_CONTAIN_N = 3
+_CONTAIN_T = 0.8
+
+
+@register(
+    "doc_ngram_containment_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < {_CONTAIN_N}
+                    THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w)
+                                              - {_CONTAIN_N} + 2),
+                           i -> array_to_string(
+                             w[i:i+{_CONTAIN_N}-1], ' '))
+               END) AS gs
+      FROM toks
+    ),
+    posts AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+    hot AS (SELECT gram FROM posts GROUP BY gram
+            HAVING COUNT(*) > 1000),
+    sizes AS (SELECT doc_id, len(gs) AS n FROM grams),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM posts a JOIN posts b USING (gram)
+      WHERE a.doc_id < b.doc_id
+        AND a.gram NOT IN (SELECT gram FROM hot)
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           n_common::DOUBLE / LEAST(sa.n, sb.n)::DOUBLE AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common::DOUBLE / LEAST(sa.n, sb.n)::DOUBLE >= {_CONTAIN_T}
+    """,
+)
+def doc_ngram_containment_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs (|A∩B| / min(|A|,|B|) ≥
+    {t}) — the asymmetric dedup signal Jaccard can't see: a short
+    document quoted wholesale inside a long one is near-1 containment
+    but low Jaccard (union dominated by the long doc), the Broder
+    resemblance-vs-containment distinction. Same fused-postings
+    machinery and hot-gram cap as ``doc_ngram_jaccard_pairs``
+    (``dedup.ngram_containment_pairs``)."""
+    return dedup.ngram_containment_pairs(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=_CONTAIN_N,
+        threshold=_CONTAIN_T,
+    )
+
+
+doc_ngram_containment_pairs.__doc__ = (
+    doc_ngram_containment_pairs.__doc__.format(t=_CONTAIN_T)
+)
+
+
+_BLOOM_EVAL_MOD = 41
+
+
+def _bloom_oracle() -> str:
+    from .operators.dedup import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        _BLOOM_B1,
+        _BLOOM_B2,
+        _BLOOM_P1,
+        _BLOOM_P2,
+    )
+
+    h = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_filter(regexp_split_to_array(gram, ''), "
+        "x -> x <> ''), c -> CAST(ascii(c) AS BIGINT))), "
+        "(a, c) -> (a * {b} + c) % {p})"
+    )
+    h1 = h.format(b=_BLOOM_B1, p=_BLOOM_P1)
+    h2 = h.format(b=_BLOOM_B2, p=_BLOOM_P2)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 1),
+                           i -> array_to_string(w[i:i+2], ' '))
+               END) AS gs
+      FROM toks
+    ),
+    eval_grams AS MATERIALIZED (
+      SELECT DISTINCT unnest(gs) AS gram FROM grams
+      WHERE doc_id % {_BLOOM_EVAL_MOD} = 0
+    ),
+    eval_probes AS (
+      SELECT (({h1}) + j * ({h2})) % {BLOOM_M_BITS} AS p
+      FROM eval_grams, unnest(range(0, {BLOOM_K})) t(j)
+    ),
+    bloom AS MATERIALIZED (
+      SELECT p // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+      FROM eval_probes GROUP BY 1
+    ),
+    train AS (
+      SELECT doc_id, unnest(gs) AS gram FROM grams
+      WHERE doc_id % {_BLOOM_EVAL_MOD} <> 0
+    ),
+    probed AS (
+      SELECT doc_id, gram,
+             (({h1}) + j * ({h2})) % {BLOOM_M_BITS} AS p
+      FROM train, unnest(range(0, {BLOOM_K})) t(j)
+    ),
+    checked AS (
+      SELECT doc_id, gram,
+             SUM(CASE WHEN (coalesce(b.bits, 0)
+                            & (CAST(1 AS BIGINT)
+                               << CAST(p.p % 32 AS INT))) <> 0
+                 THEN 1 ELSE 0 END) = {BLOOM_K} AS bloom_hit
+      FROM probed p LEFT JOIN bloom b ON b.word_idx = p.p // 32
+      GROUP BY doc_id, gram
+    ),
+    scored AS (
+      SELECT c.doc_id,
+             c.bloom_hit,
+             c.bloom_hit AND (e.gram IS NOT NULL) AS true_hit
+      FROM checked c
+      LEFT JOIN eval_grams e ON e.gram = c.gram
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS bloom_hits,
+           CAST(SUM(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS true_hits
+    FROM scored GROUP BY doc_id
+    HAVING SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) > 0
+    """
+
+
+@register("doc_bloom_prefilter", _bloom_oracle())
+def doc_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination probe — the broadcast-SET
+    killer at the 100 TB design point: ``doc_decontamination``'s
+    exact n-gram join must ship the full eval gram set to every
+    train-side task, which stops scaling when the eval suite does.
+    Here the eval set compresses into an EXPLICIT fixed-size Bloom
+    filter (``dedup.bloom_build_ngrams``: double polynomial hashing,
+    32 bits per int64 word, m/32 rows total — broadcastable forever),
+    train grams probe it locally, and only bloom survivors reach the
+    exact join. Per train doc with any bloom hit: total distinct
+    grams, bloom hits, TRUE hits — bloom_hits − true_hits is the
+    measured false-positive count, the number that sizes m (no
+    silent approximation: the report carries its own error).
+
+    Every bit is explicit integer arithmetic (no engine-private
+    hash), so filter contents, probe results, and the FP gap are all
+    value-checked cross-engine. The Bloom no-false-negative guarantee
+    (true leak ⇒ bloom hit) is pytest-asserted on planted leaks."""
+    from .operators.dedup import (
+        bloom_build_ngrams,
+        bloom_probe_ngrams,
+        word_shingles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % _BLOOM_EVAL_MOD == 0)
+    train = docs.where(F.col("doc_id") % _BLOOM_EVAL_MOD != 0)
+    bloom = bloom_build_ngrams(ev, "doc_id", "text", n=3)
+    eval_grams = ev.select(
+        F.explode(word_shingles("text", 3)).alias("gram")
+    )
+    return bloom_probe_ngrams(
+        train, bloom, eval_grams, "doc_id", "text", n=3
+    ).where(F.col("bloom_hits") > 0)

@@ -2834,3 +2834,164 @@ def events_ewma_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_deviation"
         ),
     )
+
+
+_POISSON_SPLIT = "2024-01-16"
+
+
+@register(
+    "events_poisson_rate_shift",
+    f"""
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0,
+             MAX(CAST(ts AS DATE)) AS d1
+      FROM events
+    ),
+    split AS (
+      SELECT CAST(date_diff('day', d0, DATE '{_POISSON_SPLIT}')
+                  AS BIGINT) AS t1,
+             CAST(date_diff('day', DATE '{_POISSON_SPLIT}', d1) + 1
+                  AS BIGINT) AS t2
+      FROM bounds
+    ),
+    counts AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN CAST(ts AS DATE)
+                           < DATE '{_POISSON_SPLIT}'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN CAST(ts AS DATE)
+                           >= DATE '{_POISSON_SPLIT}'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n1, n2, t1, t2,
+           (CAST(n1 AS DOUBLE)
+            - CAST(n1 + n2 AS DOUBLE)
+              * (CAST(t1 AS DOUBLE) / CAST(t1 + t2 AS DOUBLE)))
+           / sqrt(CAST(n1 + n2 AS DOUBLE)
+                  * (CAST(t1 AS DOUBLE) / CAST(t1 + t2 AS DOUBLE))
+                  * (1.0 - CAST(t1 AS DOUBLE)
+                           / CAST(t1 + t2 AS DOUBLE))) AS z,
+           abs((CAST(n1 AS DOUBLE)
+                - CAST(n1 + n2 AS DOUBLE)
+                  * (CAST(t1 AS DOUBLE) / CAST(t1 + t2 AS DOUBLE)))
+               / sqrt(CAST(n1 + n2 AS DOUBLE)
+                      * (CAST(t1 AS DOUBLE)
+                         / CAST(t1 + t2 AS DOUBLE))
+                      * (1.0 - CAST(t1 AS DOUBLE)
+                               / CAST(t1 + t2 AS DOUBLE)))) > 3.0
+             AS shifted
+    FROM counts CROSS JOIN split
+    WHERE n1 + n2 > 0
+    """,
+)
+def events_poisson_rate_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-period Poisson rate-shift test per event type — the
+    COUNT-process member of the drift family (KS/Mann-Whitney test
+    value distributions, CUSUM tracks a running excess; none answers
+    "did the arrival RATE change between period 1 and period 2").
+    Uses the conditional/binomial exact form: given N = n1 + n2
+    events and exposure split p = t1/(t1+t2) days, under H0 n1 ~
+    Binomial(N, p), so z = (n1 − Np) / √(Np(1−p)) — the standard
+    two-rate comparison (Przyborowski & Wilenski's conditional test,
+    normal approximation). |z| > 3 flags a shifted type.
+
+    Determinism: n1/n2/t1/t2 are exact integers (exposure from the
+    data's own date bounds + a literal split date); z is ONE fixed
+    double expression over those integers on both engines — single
+    rounding per arithmetic op, bit-identical (the cramers_v /
+    anova discipline).
+
+    Scale shape: one map-side-combined hash-agg over the stream +
+    a 1-row bounds broadcast; output is |event types| rows."""
+    e = _events(spark, sf_dir)
+    split = F.lit(_POISSON_SPLIT).cast("date")
+    day = F.to_date("ts")
+    bounds = e.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    ).select(
+        F.datediff(split, F.col("d0")).cast("bigint").alias("t1"),
+        (F.datediff(F.col("d1"), split) + 1)
+        .cast("bigint")
+        .alias("t2"),
+    )
+    counts = e.groupBy("event_type").agg(
+        F.sum(F.when(day < split, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(day >= split, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    p = F.col("t1").cast("double") / (
+        F.col("t1") + F.col("t2")
+    ).cast("double")
+    nn = (F.col("n1") + F.col("n2")).cast("double")
+    z = (F.col("n1").cast("double") - nn * p) / F.sqrt(
+        nn * p * (F.lit(1.0) - p)
+    )
+    return (
+        counts.crossJoin(F.broadcast(bounds))
+        .where(F.col("n1") + F.col("n2") > 0)
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            "t1",
+            "t2",
+            z.alias("z"),
+            (F.abs(z) > 3.0).alias("shifted"),
+        )
+    )
+
+
+@register(
+    "events_hourly_concentration",
+    """
+    WITH hourly AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_h
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, day,
+           CAST(SUM(n_h) AS BIGINT) AS n_events,
+           CAST(SUM(n_h * n_h) AS DOUBLE)
+           / (CAST(SUM(n_h) AS DOUBLE) * CAST(SUM(n_h) AS DOUBLE))
+             AS hour_simpson
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def events_hourly_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Within-day temporal concentration per event type: the Simpson
+    index Σ(n_h/n)² over the day's 24 hour buckets — 1/24 ≈ 0.042
+    for perfectly uniform activity, → 1.0 when a day's events pile
+    into one hour. The bot/batch-job signature detector beside the
+    value-drift monitors: a type whose hour_simpson jumps is being
+    driven by a scheduler, not users, regardless of whether its
+    VOLUME changed (which is all ``events_poisson_rate_shift`` sees).
+    Deliberately Simpson, not Shannon: Σn_h² and n are exact int64,
+    so the index is ONE division of exact integers — no logs, no
+    cross-engine ulp surface.
+
+    Scale shape: one (type, day, hour) map-side-combined hash-agg
+    over the stream, then a 24×-smaller rollup; output is
+    |types|·|days| rows."""
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").cast("bigint").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_h"))
+    n = F.sum("n_h").cast("bigint")
+    return hourly.groupBy("event_type", "day").agg(
+        n.alias("n_events"),
+        (
+            F.sum(F.col("n_h") * F.col("n_h")).cast("double")
+            / (n.cast("double") * n.cast("double"))
+        ).alias("hour_simpson"),
+    )
