@@ -1060,3 +1060,62 @@ def stream_cusum_monitor(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_bloom_decontaminate(
+    df: DataFrame,
+    bloom_path: str,
+    eval_grams_path: str,
+    lake_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    available_now: bool = True,
+):
+    """Streaming decontamination with the Bloom prefilter in front of
+    the exact check — the batch ``doc_bloom_prefilter`` shape run
+    per micro-batch: the persisted filter words
+    (``operators.dedup.bloom_build_ngrams`` output at ``bloom_path``)
+    broadcast into every batch, each incoming doc's n-grams probe the
+    filter locally, and ONLY docs with ≥1 bloom hit pay the exact
+    join against the true eval gram set (``eval_grams_path``, column
+    ``gram``). Clean docs (no true hit) land in
+    ``<lake>/ingest_batch_id=<id>``; contaminated ones are dropped.
+    The Bloom no-false-negative guarantee makes the shortcut sound:
+    a doc with zero bloom hits provably has zero true hits, so
+    skipping its exact join cannot leak contamination through.
+
+    Exactly-once under at-least-once foreachBatch replay: the filter
+    and eval set are immutable inputs, the scrub is deterministic,
+    and each batch overwrites its own deterministic partition —
+    byte-identical on replay (the ``stream_dedup_to_lake``
+    protocol).
+
+    Scale shape: the m/32-row filter is the ONLY thing broadcast —
+    constant-size however large the eval suite grows — and the
+    per-batch exact-join left side shrinks to the bloom survivors."""
+    from ..operators.dedup import bloom_probe_ngrams
+    from ..sources.writers import overwrite_batch_partition
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bloom = spark.read.parquet(bloom_path)
+        ev = spark.read.parquet(eval_grams_path).select("gram")
+        probed = bloom_probe_ngrams(
+            batch_df, bloom, ev, id_col=id_col, text_col=text_col, n=n
+        )
+        contaminated = probed.where(F.col("true_hits") > 0).select(
+            id_col
+        )
+        clean = batch_df.join(contaminated, id_col, "left_anti")
+        overwrite_batch_partition(clean, lake_path, batch_id)
+
+    writer = (
+        df.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -5571,3 +5571,126 @@ def doc_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_probe_ngrams(
         train, bloom, eval_grams, "doc_id", "text", n=3
     ).where(F.col("bloom_hits") > 0)
+
+
+_IVFS_CELLS = 8
+_IVFS_NPROBE = 2
+
+
+@register(
+    "emb_ivf_seeded_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {_IVFS_CELLS}
+    ),
+    dists AS (
+      SELECT e.vec_id, c.cell,
+             CAST(list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> CAST(FLOOR((e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                               * {float(1 << 20)!r}) AS BIGINT)))
+               AS BIGINT) AS dfp
+      FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dfp, cell) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cell FROM dists WHERE vec_id = 0
+      ORDER BY dfp, cell LIMIT {_IVFS_NPROBE}
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id,
+             list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+      FROM e JOIN assign a USING (vec_id), q
+      WHERE a.cell IN (SELECT cell FROM probe)
+        AND e.vec_id <> 0
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id)
+                AS BIGINT) AS rank,
+           vec_id, cosine
+    FROM cand
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def emb_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with the probe path under the value check — the twin
+    that does for ``emb_ivf_topk`` what ``emb_semantic_dedup_cells``
+    does for SemDeDup: deterministic seed-id cells
+    (``similarity.seeded_cell_assign``), the query probing its
+    ``nprobe`` nearest cells by the SAME fixed-point L2 metric the
+    assignment uses (ties to the lowest cell id), exact cosine
+    re-ranking inside the probed cells only. Everything — cell
+    contents, the probe restriction (vectors outside probed cells are
+    absent on BOTH engines or the hash breaks), and the final
+    ordering — is restated in DuckDB. The production entry keeps
+    MLlib k-means|| centroids as rows-only; this pins every other
+    stage of the IVF read path value-exact.
+
+    Scale shape: assignment is one n_cells-row broadcast + hash-agg
+    argmin; the probe prunes the candidate scan to nprobe cells (the
+    IN-list is partition pruning on a real lake layout); top-k is
+    TakeOrderedAndProject."""
+    embs = _embs(spark, sf_dir)
+    assigned = similarity.seeded_cell_assign(embs, _IVFS_CELLS)
+    cents = (
+        embs.select(
+            F.col("vec_id").alias("_cell"),
+            F.col("embedding").alias("_cv"),
+        )
+        .orderBy("_cell")
+        .limit(_IVFS_CELLS)
+    )
+    qf = embs.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qv")
+    )
+    dist_fp = F.aggregate(
+        F.zip_with(
+            F.col("_qv"),
+            F.col("_cv"),
+            lambda x, c: F.floor(
+                (x.cast("double") - c.cast("double"))
+                * (x.cast("double") - c.cast("double"))
+                * F.lit(float(similarity.SEED_CELL_FP_SCALE))
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(qf))
+        .select("_cell", dist_fp.alias("_d"))
+        .orderBy("_d", "_cell")
+        .limit(_IVFS_NPROBE)
+        .select("_cell")
+    )
+    qv = _query_vec(spark, sf_dir)
+    cand = (
+        assigned.join(probe, "_cell", "left_semi")
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            similarity.cosine_to_query(
+                F.col("embedding"), qv
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        cand.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select("rank", "vec_id", "cosine")
+    )

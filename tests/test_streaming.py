@@ -1516,3 +1516,56 @@ def test_stream_cusum_monitor_accumulates_and_alarms(spark, tmp_path):
         r = rows[(b, "c")]
         assert r.expected == 0
         assert (r.n_batch, r.s, r.max_cusum, r.n_alarms, r.alarm) == want
+
+
+def test_stream_bloom_decontaminate_drops_leaks(spark, tmp_path):
+    """Planted leak docs (sharing 3-grams with the eval set) must be
+    dropped; clean docs land; a doc with zero bloom hits never pays
+    the exact join (soundness comes from the no-false-negative Bloom
+    guarantee, asserted separately in test_r13_operators)."""
+    from pyspark.sql import functions as SF
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.dedup import (
+        bloom_build_ngrams,
+        word_shingles,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
+        stream_bloom_decontaminate,
+        stream_ingest_files,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "the forbidden benchmark answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    bloom_path = str(tmp_path / "bloom")
+    bloom_build_ngrams(ev, n=3).write.parquet(bloom_path)
+    grams_path = str(tmp_path / "eval_grams")
+    ev.select(
+        SF.explode(word_shingles("text", 3)).alias("gram")
+    ).distinct().write.parquet(grams_path)
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    spark.createDataFrame(
+        [
+            (1, "completely unrelated sentence about gardening tools"),
+            (2, "quiz says the forbidden benchmark answer is forty two"),
+            (3, "another clean document discussing mountain weather"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b0"))
+
+    lake = str(tmp_path / "lake")
+    q = stream_bloom_decontaminate(
+        stream_ingest_files(
+            spark, str(src / "*"), "doc_id LONG, text STRING"
+        ),
+        bloom_path,
+        grams_path,
+        lake,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.read.parquet(lake).collect()}
+    assert kept == {1, 3}
