@@ -5694,3 +5694,73 @@ def emb_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("rank", "vec_id", "cosine")
     )
+
+
+@register(
+    "doc_link_ball_sizes",
+    """
+    WITH e AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM documents a JOIN documents b
+        ON (b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2)
+       AND b.doc_id // 16 = a.doc_id // 16
+    ),
+    und AS (
+      SELECT u AS x, v AS y FROM e
+      UNION
+      SELECT v, u FROM e
+    ),
+    one AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS n1 FROM und GROUP BY x
+    ),
+    two AS (
+      SELECT DISTINCT l.x AS v, r.y AS w
+      FROM und l JOIN und r ON r.x = l.y
+      WHERE r.y <> l.x
+      UNION
+      SELECT x, y FROM und
+    ),
+    ball AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS n2 FROM two GROUP BY v
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(one.n1, 0) AS BIGINT) AS n1,
+           CAST(COALESCE(ball.n2, 0) AS BIGINT) AS n2
+    FROM documents d
+    LEFT JOIN one ON one.x = d.doc_id
+    LEFT JOIN ball ON ball.v = d.doc_id
+    """,
+)
+def doc_link_ball_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-/2-hop neighborhood ball sizes per document over the
+    deterministic +1/+2 bucket link graph — the neighborhood-growth
+    signal (``graph.neighborhood_growth``): tight spam cliques
+    expand slowly (their 2-hop ball re-enters itself: n2/n1 → 1),
+    organic hubs explode. Radius capped at 2 so the count stays
+    EXACT and value-checkable (the sketched continuation at larger
+    radii is HyperBall — hash internals, rows-only territory this
+    entry deliberately stops short of).
+
+    Scale shape: one wedge join co-partitioned on the middle vertex
+    (Σ deg² budget, the triangle-count class) + distinct + hash-agg.
+    Bucket-interior nodes see n1=4 (±1, ±2), n2=8; bucket-edge nodes
+    less — non-uniform, so the check exercises per-node attribution."""
+    from .operators.graph import neighborhood_growth
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    src = d.select(F.col("doc_id").alias("src"))
+    dst = d.select(F.col("doc_id").alias("dst"))
+    edges = None
+    for k in (1, 2):
+        hop = src.join(
+            dst,
+            (F.col("dst") == F.col("src") + k)
+            & (
+                F.floor(F.col("dst") / 16)
+                == F.floor(F.col("src") / 16)
+            ),
+        )
+        edges = hop if edges is None else edges.unionAll(hop)
+    return neighborhood_growth(
+        d.select(F.col("doc_id").alias("node")), edges
+    ).select(F.col("node").alias("doc_id"), "n1", "n2")

@@ -154,3 +154,55 @@ def test_mmr_prefers_diversity_over_redundancy(spark):
     # relevant but diverse 3 displaces it at lambda=0.7
     assert ranked[1] == 3
     assert set(ranked) == {1, 2, 3, 4}
+
+
+def test_neighborhood_growth_hand_and_random(spark):
+    """Hand case + random-graph differential against python BFS."""
+    import random as _random
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.graph import (
+        neighborhood_growth,
+    )
+
+    def py_balls(n, edges):
+        adj = {v: set() for v in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        out = {}
+        for v in range(n):
+            n1 = adj[v]
+            n2 = set(n1)
+            for u in n1:
+                n2 |= adj[u]
+            n2.discard(v)
+            out[v] = (len(n1), len(n2))
+        return out
+
+    # path 0-1-2-3 plus isolated 4
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    got = {
+        r.node: (r.n1, r.n2)
+        for r in neighborhood_growth(nodes, e).collect()
+    }
+    assert got == {0: (1, 2), 1: (2, 3), 2: (2, 3), 3: (1, 2), 4: (0, 0)}
+
+    rng = _random.Random(5)
+    n = 25
+    edges = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.randrange(n), rng.randrange(n)) for _ in range(50)
+        )
+        if a != b
+    }
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {
+        r.node: (r.n1, r.n2)
+        for r in neighborhood_growth(nodes, e).collect()
+    }
+    assert got == py_balls(n, edges)

@@ -278,6 +278,38 @@ QUERIES = [
     "doc_ttr_curve",
     "doc_winnowing_pairs",
     "events_cusum_alarm",
+    # round-13 additions: per-doc segmental TTR (token-linear array
+    # codegen, no shuffle — ratio ~K at most), per-source hapax rollup
+    # (vocab is Heaps-sublinear, ratio should sit BELOW K), the
+    # containment pair generator (same fused-postings candidate class
+    # as the Jaccard probe — pair volume tracks true duplication
+    # density, never docs²), the winnowing span reporter (fp-join pair
+    # volume + a (pair, diagonal)-keyed window over true matches), the
+    # Bloom prefilter (gram-linear probe against a CONSTANT-size
+    # filter; the exact join's left side is bloom survivors, so ratio
+    # must track the gram stream), the two stream-linear drift/
+    # concentration aggs, the basket rules rollup (same orderkey
+    # self-join class as part_pair_affinity), and the two seeded
+    # vector paths (corpus × n_cells assignment plus a probed-cell /
+    # shortlist tail — corpus-linear). emb_semantic_dedup_cells is
+    # deliberately NOT probed: it is a fixed-cell verification twin
+    # (per-cell pair work is quadratic at FIXED n_cells by design;
+    # the production entry scales n_cells with the corpus and carries
+    # the probe).
+    "doc_msttr",
+    "doc_hapax_stats",
+    "doc_ngram_containment_pairs",
+    "doc_copy_spans",
+    "doc_bloom_prefilter",
+    "events_poisson_rate_shift",
+    "events_hourly_concentration",
+    "part_rules_lift",
+    "emb_mmr_rerank",
+    "emb_ivf_seeded_topk",
+    # exact 2-hop ball sizes: wedge volume Σ deg² (triangle-count
+    # budget class); out-degrees ≤ 2 on the synthetic graph, so the
+    # ratio must track edges
+    "doc_link_ball_sizes",
 ]
 
 

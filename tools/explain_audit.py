@@ -1180,6 +1180,54 @@ EXPECT: dict[str, dict] = {
         "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
         "plan_contains": ["h1_bkt"],
     },
+    # ---- round-13 additions ----
+    # per-doc segmental TTR: pure array codegen, no join, no exchange
+    # beyond the scan
+    "doc_msttr": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # per-source vocab rollup: explode + two hash-aggs, no join
+    "doc_hapax_stats": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # containment: same fused-postings class as the Jaccard pin —
+    # equi-join SMJ sanctioned, no BNLJ, no Python
+    "doc_ngram_containment_pairs": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # span reporter: fp equi-join + (pair, diag) window — SMJ
+    # sanctioned on the big-big fp join
+    "doc_copy_spans": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # bloom prefilter: the m/32-row filter must ride a broadcast
+    # (explicit hint on the words table); gram probing stays codegen
+    "doc_bloom_prefilter": {
+        "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
+    },
+    # rate-shift test: one stream agg + a 1-row bounds broadcast
+    "events_poisson_rate_shift": {
+        "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
+    },
+    # hourly Simpson: two chained hash-aggs, nothing else
+    "events_hourly_concentration": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # basket rules: orderkey self-join is the sanctioned big-big SMJ;
+    # the 1-row basket count broadcasts
+    "part_rules_lift": {
+        "pushed": False, "no_smj": False, "hints": 1, "pure_jvm": True,
+    },
+    # seeded IVF: centroid + query frames broadcast (2 hints), probe
+    # semi-join rides AQE; in-cell cosine is codegen
+    "emb_ivf_seeded_topk": {
+        "pushed": False, "no_smj": True, "hints": 2, "pure_jvm": True,
+    },
+    # 2-hop balls: wedge join co-partitioned on the middle vertex —
+    # SMJ sanctioned (big-big on the synthetic graph's edge frame)
+    "doc_link_ball_sizes": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
@@ -1249,6 +1297,15 @@ SCALAR_SUBQUERY_OK = {
     # 1-row horizon / midpoint-cut aggregates broadcast back
     "customer_survival_km",
     "events_diff_in_diff",
+    # 1-row exposure-bounds aggregate broadcast over the |types| rows
+    # (round 13)
+    "events_poisson_rate_shift",
+    # 1-row basket-count aggregate broadcast over the rule pairs
+    # (round 13)
+    "part_rules_lift",
+    # 1-row query-vector frame cross-joined over the <= n_cells
+    # centroid rows for probe selection (round 13)
+    "emb_ivf_seeded_topk",
 }
 
 
@@ -1265,6 +1322,9 @@ SCALAR_SUBQUERY_OK = {
 GLOBAL_WINDOW_OK: dict[str, str] = {
     "monthly_order_momentum": "LAG over the per-month rollup — |months|"
     " rows, grows with calendar time, not data rate",
+    "emb_ivf_seeded_topk": "rank row_number over the ALREADY-LIMITED"
+    " top-10 rows (TakeOrderedAndProject runs first) — <= k rows by"
+    " construction",
     "doc_frequent_terms_sketch": "final top-50 rank over <=capacity"
     " (4096) merged Misra-Gries summary rows",
     "doc_temperature_mix": "stratum-rate windows over the per-source"
