@@ -507,22 +507,31 @@ def k_core(
             ).alias("r")
         ).select("r.x", "r.y")
 
-    try:
-        for _ in range(max_iter):
-            # edge survives iff BOTH endpoint degrees are >= k: min of
-            # the degree over the edge's two directed rows
-            nxt = (
-                _directed(prev)
-                .withColumn("d", F.count(F.lit(1)).over(w_x))
-                .groupBy(
-                    F.least("x", "y").alias("a"),
-                    F.greatest("x", "y").alias("b"),
-                )
-                .agg(F.min("d").alias("md"))
-                .where(F.col("md") >= k)
-                .select("a", "b")
-                .persist()
+    def one_wave(df: DataFrame) -> DataFrame:
+        # edge survives iff BOTH endpoint degrees are >= k: min of
+        # the degree over the edge's two directed rows
+        return (
+            _directed(df)
+            .withColumn("d", F.count(F.lit(1)).over(w_x))
+            .groupBy(
+                F.least("x", "y").alias("a"),
+                F.greatest("x", "y").alias("b"),
             )
+            .agg(F.min("d").alias("md"))
+            .where(F.col("md") >= k)
+            .select("a", "b")
+        )
+
+    # TWO peel waves per materialization (the coreness r13 trick):
+    # each wave references its input once, so the chained pair is a
+    # depth-2 single-reference plan — analysis stays linear — while
+    # the per-step persist + count + AQE barriers halve. The count
+    # test stays exact at step granularity: the edge list only
+    # shrinks, so an unchanged count across a double step means both
+    # inner waves removed nothing (at worst one redundant wave runs).
+    try:
+        for _ in range(max(1, (max_iter + 1) // 2)):
+            nxt = one_wave(one_wave(prev)).persist()
             n_nxt = nxt.count()
             if prev is not e:
                 prev.unpersist()
