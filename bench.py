@@ -291,6 +291,19 @@ EXTENDED = [
     "orders_convert_to_delta_roundtrip",
     "doc_winnowing_pairs",
     "events_ewma_baseline",
+    # round-13 additions
+    "doc_copy_spans",
+    "emb_semantic_dedup_cells",
+    "doc_msttr",
+    "doc_hapax_stats",
+    "doc_ngram_containment_pairs",
+    "doc_bloom_prefilter",
+    "emb_mmr_rerank",
+    "events_poisson_rate_shift",
+    "events_hourly_concentration",
+    "part_rules_lift",
+    "emb_ivf_seeded_topk",
+    "doc_link_ball_sizes",
 ]
 
 
