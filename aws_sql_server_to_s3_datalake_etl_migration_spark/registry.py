@@ -157,6 +157,19 @@ def oracles() -> dict[str, str]:
 # window holds its official rows (additions-before-close keep the
 # one-round-lag contract).
 #
+# Round-14 rotation candidates (the 12 oracle-backed round-13
+# in-round additions, in registration order — all local-check green
+# at sf0.01, sf0.001-suite green, plan-audited, bench-exercised,
+# probed): doc_copy_spans, emb_semantic_dedup_cells, doc_msttr,
+# doc_hapax_stats, doc_ngram_containment_pairs, doc_bloom_prefilter,
+# emb_mmr_rerank, events_poisson_rate_shift,
+# events_hourly_concentration, part_rules_lift, emb_ivf_seeded_topk,
+# doc_link_ball_sizes. Swap them for the longest-green cohort
+# members after the round-13 window holds its official rows (the
+# natural drops are the round-12 cohort — which will then hold two
+# official rows each — and as many lake/warehouse rows as needed to
+# keep the window at exactly 50).
+#
 # Round-13 rotation (r12 verdict item 1, executed verbatim): all 25
 # staged candidates enter the window in the staged order above — the
 # later-batch 12 round-11 additions followed by the 13 round-12
