@@ -4880,3 +4880,123 @@ def part_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_MASE_SPLIT = "2001-05-01"
+_MASE_M = 7
+
+
+@register(
+    "orders_forecast_mase",
+    f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS pr, CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT c.pr, c.day, c.n, p.n AS n_lag
+      FROM daily c JOIN daily p
+        ON p.pr = c.pr AND p.day = c.day - {_MASE_M}
+    ),
+    scored AS (
+      SELECT pr,
+             CASE WHEN day >= DATE '{_MASE_SPLIT}' THEN 1 ELSE 0 END
+               AS holdout,
+             CAST(abs(n - n_lag) AS BIGINT) AS abs_err
+      FROM lagged
+    ),
+    agg AS (
+      SELECT pr,
+             CAST(SUM(CASE WHEN holdout = 1 THEN abs_err END)
+                  AS BIGINT) AS err_h,
+             CAST(SUM(CASE WHEN holdout = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_h,
+             CAST(SUM(CASE WHEN holdout = 0 THEN abs_err END)
+                  AS BIGINT) AS err_i,
+             CAST(SUM(CASE WHEN holdout = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_i
+      FROM scored GROUP BY pr
+    )
+    SELECT pr AS o_orderpriority, n_h AS n_holdout_days,
+           n_i AS n_insample_days,
+           CAST(err_h AS DOUBLE) / CAST(n_h AS DOUBLE) AS mae_forecast,
+           CAST(err_i AS DOUBLE) / CAST(n_i AS DOUBLE) AS mae_insample,
+           (CAST(err_h AS DOUBLE) / CAST(n_h AS DOUBLE))
+           / (CAST(err_i AS DOUBLE) / CAST(n_i AS DOUBLE)) AS mase
+    FROM agg WHERE n_h > 0 AND n_i > 0 AND err_i > 0
+    """,
+)
+def orders_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy evaluation — MASE (Hyndman & Koehler 2006,
+    the scale-free standard for comparing forecasts across series)
+    for a weekly seasonal-naive forecast of daily order volume per
+    priority class: forecast(d) = actual(d − 7), holdout = days from
+    {split}; MASE = holdout MAE over in-sample MAE of the same
+    seasonal-naive step, so < 1 beats the naive baseline on unseen
+    days. This is the missing EVALUATION member of the forecasting
+    family (``forecast_revenue_change`` produces a forecast;
+    nothing previously measured one).
+
+    Determinism: daily counts and absolute errors are exact int64;
+    each MAE is one division of exact integers and MASE one further
+    IEEE division — identical expression both engines. Priorities
+    with an empty holdout/in-sample side or an identically-zero
+    in-sample error drop on both engines.
+
+    Scale shape: one (priority, day) map-side-combined hash-agg over
+    the fact table, a calendar-bounded self-equi-join on (priority,
+    day−7), and a |priorities|-row rollup."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pr"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    lag = daily.select(
+        "pr",
+        F.date_add("day", _MASE_M).alias("day"),
+        F.col("n").alias("n_lag"),
+    )
+    scored = daily.join(lag, ["pr", "day"]).select(
+        "pr",
+        (
+            F.col("day") >= F.lit(_MASE_SPLIT).cast("date")
+        ).alias("holdout"),
+        F.abs(F.col("n") - F.col("n_lag")).cast("bigint").alias(
+            "abs_err"
+        ),
+    )
+    agg = scored.groupBy("pr").agg(
+        F.sum(F.when(F.col("holdout"), F.col("abs_err")))
+        .cast("bigint")
+        .alias("err_h"),
+        F.sum(F.when(F.col("holdout"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_h"),
+        F.sum(F.when(~F.col("holdout"), F.col("abs_err")))
+        .cast("bigint")
+        .alias("err_i"),
+        F.sum(F.when(~F.col("holdout"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_i"),
+    )
+    mae_f = F.col("err_h").cast("double") / F.col("n_h").cast("double")
+    mae_i = F.col("err_i").cast("double") / F.col("n_i").cast("double")
+    return (
+        agg.where(
+            (F.col("n_h") > 0) & (F.col("n_i") > 0) & (F.col("err_i") > 0)
+        )
+        .select(
+            F.col("pr").alias("o_orderpriority"),
+            F.col("n_h").alias("n_holdout_days"),
+            F.col("n_i").alias("n_insample_days"),
+            mae_f.alias("mae_forecast"),
+            mae_i.alias("mae_insample"),
+            (mae_f / mae_i).alias("mase"),
+        )
+    )
+
+
+orders_forecast_mase.__doc__ = orders_forecast_mase.__doc__.format(
+    split=_MASE_SPLIT
+)

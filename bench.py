@@ -304,6 +304,9 @@ EXTENDED = [
     "part_rules_lift",
     "emb_ivf_seeded_topk",
     "doc_link_ball_sizes",
+    # round-13 post-close additions (no close reading this round)
+    "orders_forecast_mase",
+    "customer_blocking_quality",
 ]
 
 

@@ -310,6 +310,12 @@ QUERIES = [
     # budget class); out-degrees ≤ 2 on the synthetic graph, so the
     # ratio must track edges
     "doc_link_ball_sizes",
+    # post-close additions: MASE rollup (fact-linear agg + calendar-
+    # bounded self-join) and the blocking-quality meta-evaluation
+    # (deletion-key equi-join tracks name-collision density — the
+    # candidate volume IS the quantity the query reports)
+    "orders_forecast_mase",
+    "customer_blocking_quality",
 ]
 
 

@@ -1228,6 +1228,12 @@ EXPECT: dict[str, dict] = {
     "doc_link_ball_sizes": {
         "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
     },
+    # MASE: one fact hash-agg + a calendar-bounded (priority, day)
+    # self-equi-join of two daily rollups — AQE broadcasts the lag
+    # side at this SF
+    "orders_forecast_mase": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
