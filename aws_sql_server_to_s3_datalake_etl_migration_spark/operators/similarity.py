@@ -645,6 +645,8 @@ def label_propagation(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    seeded_cells: bool = False,
+    fp_weights: bool = False,
 ) -> DataFrame:
     """Semi-supervised label propagation over an approximate kNN graph
     — spread the labels of a small seed set to the unlabeled bulk, the
@@ -668,9 +670,20 @@ def label_propagation(
 
     if seed_filter is None:
         seed_filter = F.col(id_col) % 5 == 0
-    assigned, _ = build_ivf_index(
-        df.select(id_col, vec_col, label_col), n_cells=n_cells
-    )
+    if seeded_cells:
+        # deterministic seed-id cells (seeded_cell_assign) — the
+        # value-checkable twin configuration, same discipline as
+        # emb_semantic_dedup_cells / emb_ivf_seeded_topk
+        assigned = seeded_cell_assign(
+            df.select(id_col, vec_col, label_col),
+            n_cells,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    else:
+        assigned, _ = build_ivf_index(
+            df.select(id_col, vec_col, label_col), n_cells=n_cells
+        )
     a = assigned.select(
         F.col(id_col).alias("_src"),
         F.col(vec_col).alias("_svec"),
@@ -688,7 +701,18 @@ def label_propagation(
         a.join(b, on="_cell")
         .where(F.col("_src") != F.col("_dst"))
         .withColumn(
-            "_w", pairwise_cosine(F.col("_svec"), F.col("_dvec"))
+            "_w",
+            # fp_weights: 2^30 fixed-point edge weights, so vote
+            # masses are exact int64 sums and the per-node argmax is
+            # engine-exact (float sums are partition-order-dependent
+            # at the last ulp — fine for the production path, fatal
+            # for a value oracle)
+            F.floor(
+                pairwise_cosine(F.col("_svec"), F.col("_dvec"))
+                * F.lit(float(1 << 30))
+            ).cast("bigint")
+            if fp_weights
+            else pairwise_cosine(F.col("_svec"), F.col("_dvec")),
         )
         .withColumn("_r", F.row_number().over(w_knn))
         .where(F.col("_r") <= k)

@@ -165,8 +165,9 @@ def oracles() -> dict[str, str]:
 # emb_mmr_rerank, events_poisson_rate_shift,
 # events_hourly_concentration, part_rules_lift, emb_ivf_seeded_topk,
 # doc_link_ball_sizes — plus the two post-close additions
-# orders_forecast_mase and customer_blocking_quality (local-check
-# green at sf0.01, sf0.001-oracle-suite green, audited, probed). Swap them for the longest-green cohort
+# orders_forecast_mase, customer_blocking_quality, and
+# emb_label_prop_cells (local-check green at sf0.01,
+# sf0.001-oracle-suite green, audited, probed). Swap them for the longest-green cohort
 # members after the round-13 window holds its official rows (the
 # natural drops are the round-12 cohort — which will then hold two
 # official rows each — and as many lake/warehouse rows as needed to

@@ -5764,3 +5764,100 @@ def doc_link_ball_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_growth(
         d.select(F.col("doc_id").alias("node")), edges
     ).select(F.col("node").alias("doc_id"), "n1", "n2")
+
+
+_LP_K = 5
+_LP_CELLS = 8
+_LP_ROUNDS = 3
+_LP_FP = 1 << 30
+
+
+def _label_prop_oracle() -> str:
+    """Unrolled 3-round label propagation over the seeded-cell kNN
+    graph (the MMR-oracle unroll discipline: every CTE MATERIALIZED —
+    DuckDB's default inlining re-derives the label chain per
+    reference)."""
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id, label,"
+        " embedding::DOUBLE[] AS v FROM embeddings)",
+        f"cents AS MATERIALIZED (SELECT vec_id AS cell,"
+        f" embedding::DOUBLE[] AS cv FROM embeddings"
+        f" ORDER BY vec_id LIMIT {_LP_CELLS})",
+        "dists AS MATERIALIZED (SELECT e.vec_id, c.cell,"
+        " CAST(list_sum(list_transform(range(1, len(e.v) + 1),"
+        " i -> CAST(FLOOR((e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])"
+        f" * {float(1 << 20)!r}) AS BIGINT))) AS BIGINT) AS dfp"
+        " FROM e CROSS JOIN cents c)",
+        "assign AS MATERIALIZED (SELECT vec_id, cell FROM ("
+        " SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id"
+        " ORDER BY dfp, cell) AS rn FROM dists) WHERE rn = 1)",
+        "pairs AS MATERIALIZED (SELECT a.vec_id AS s, b.vec_id AS d,"
+        " CAST(FLOOR(" + cos.format(a="ea.v", b="eb.v")
+        + f" * {float(_LP_FP)!r}) AS BIGINT) AS w"
+        " FROM assign a JOIN assign b ON b.cell = a.cell"
+        " AND b.vec_id <> a.vec_id"
+        " JOIN e ea ON ea.vec_id = a.vec_id"
+        " JOIN e eb ON eb.vec_id = b.vec_id)",
+        f"knn AS MATERIALIZED (SELECT s, d, w FROM ("
+        f" SELECT *, ROW_NUMBER() OVER (PARTITION BY s"
+        f" ORDER BY w DESC, d) AS r FROM pairs) WHERE r <= {_LP_K})",
+        "l0 AS MATERIALIZED (SELECT vec_id AS id,"
+        " CASE WHEN vec_id % 5 = 0 THEN label END AS lbl,"
+        " vec_id % 5 = 0 AS is_seed FROM embeddings)",
+    ]
+    for i in range(1, _LP_ROUNDS + 1):
+        parts.append(
+            f"v{i} AS MATERIALIZED (SELECT k.s AS id, l.lbl,"
+            f" CAST(SUM(k.w) AS BIGINT) AS mass"
+            f" FROM knn k JOIN l{i-1} l ON l.id = k.d"
+            f" AND l.lbl IS NOT NULL GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT id, lbl FROM ("
+            f" SELECT *, ROW_NUMBER() OVER (PARTITION BY id"
+            f" ORDER BY mass DESC, lbl) AS r FROM v{i}) WHERE r = 1)"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT l.id,"
+            f" CASE WHEN l.is_seed THEN l.lbl"
+            f" ELSE coalesce(b.lbl, l.lbl) END AS lbl, l.is_seed"
+            f" FROM l{i-1} l LEFT JOIN b{i} b ON b.id = l.id)"
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT id AS vec_id, lbl AS label, is_seed"
+        f" FROM l{_LP_ROUNDS}"
+    )
+
+
+@register("emb_label_prop_cells", _label_prop_oracle())
+def emb_label_prop_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation with the ENTIRE pipeline under the value
+    check — the third seeded-cell twin (after SemDeDup and IVF):
+    deterministic seed-id cells, in-cell kNN edges ranked by 2^30
+    FIXED-POINT cosine (ties to the smaller neighbor id — float edge
+    weights would make vote masses partition-order-dependent at the
+    last ulp, which is fine for the k-means production entry and
+    fatal for an oracle), and three unrolled propagation rounds
+    (vote mass = exact int64 sum, argmax ties to the smaller label,
+    seeds never flip). The DuckDB side restates the kNN graph build
+    AND all three rounds as materialized CTEs. The production entry
+    (``emb_label_propagation``) keeps MLlib cells + float weights,
+    rows-only; between them the graph build, vote fold, seed
+    clamping, and unreached-node NULL semantics are all value-exact.
+
+    Scale shape: identical to the production entry — per-cell
+    quadratic candidate generation bounded by cell size, k-bounded
+    edge list, |labels|-ary vote agg per round."""
+    return similarity.label_propagation(
+        _embs(spark, sf_dir),
+        k=_LP_K,
+        n_cells=_LP_CELLS,
+        iterations=_LP_ROUNDS,
+        seeded_cells=True,
+        fp_weights=True,
+    )

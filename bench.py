@@ -307,6 +307,7 @@ EXTENDED = [
     # round-13 post-close additions (no close reading this round)
     "orders_forecast_mase",
     "customer_blocking_quality",
+    "emb_label_prop_cells",
 ]
 
 

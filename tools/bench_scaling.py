@@ -316,6 +316,12 @@ QUERIES = [
     # candidate volume IS the quantity the query reports)
     "orders_forecast_mase",
     "customer_blocking_quality",
+    # emb_label_prop_cells is deliberately NOT probed: like
+    # emb_semantic_dedup_cells it is a FIXED-cell verification twin
+    # (per-cell pair work is quadratic at fixed n_cells by design —
+    # measured 6.25 at 3x, exactly the 9x/3x arithmetic predicts);
+    # the production entry scales n_cells with the corpus and
+    # carries the probe (emb_label_propagation, 1.44).
 ]
 
 

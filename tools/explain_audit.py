@@ -1234,6 +1234,15 @@ EXPECT: dict[str, dict] = {
     "orders_forecast_mase": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # seeded label propagation: per-cell kNN self-join (SMJ
+    # sanctioned) + node-keyed rank/argmax windows per round. No
+    # hint-count pin: the bounded centroid broadcast inside
+    # seeded_cell_assign re-appears once per persisted-round
+    # reference in the ANALYZED tree (count varies with round
+    # structure, not with any fact-side hint).
+    "emb_label_prop_cells": {
+        "pushed": False, "no_smj": False, "pure_jvm": True,
+    },
 }
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
@@ -1312,6 +1321,9 @@ SCALAR_SUBQUERY_OK = {
     # 1-row query-vector frame cross-joined over the <= n_cells
     # centroid rows for probe selection (round 13)
     "emb_ivf_seeded_topk",
+    # bounded centroid cross join (seeded cell assignment), as in
+    # the hard-negatives cell-selection entries
+    "emb_label_prop_cells",
 }
 
 
