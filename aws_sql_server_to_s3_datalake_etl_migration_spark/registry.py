@@ -167,7 +167,8 @@ def oracles() -> dict[str, str]:
 # doc_link_ball_sizes — plus the two post-close additions
 # orders_forecast_mase, customer_blocking_quality, and
 # emb_label_prop_cells (local-check green at sf0.01,
-# sf0.001-oracle-suite green, audited, probed). Swap them for the longest-green cohort
+# sf0.001-oracle-suite green, audited; the first two probed, the
+# label-prop twin exempt as a fixed-cell verification twin). Swap them for the longest-green cohort
 # members after the round-13 window holds its official rows (the
 # natural drops are the round-12 cohort — which will then hold two
 # official rows each — and as many lake/warehouse rows as needed to
