@@ -53,16 +53,33 @@ def maybe_broadcast(
     |customer| × a small constant. Passing the pre-join base (the
     customer scan — file-size-backed, grows with SF exactly as the
     enriched frame does) restores a meaningful gate. Callers must only
-    do this when the join provably cannot expand rows (equi-join onto
-    a unique-key dim)."""
+    do this when ``size_of``'s estimate provably upper-bounds ``df``'s
+    true size; the two legal patterns are
+    (a) ``df`` is ``size_of`` equi-joined onto unique-key dims (row
+        count preserved; the base scan's file-size estimate grows with
+        SF exactly as ``df`` does), and
+    (b) ``df`` is an aggregate keyed by ``size_of``'s unique key
+        (e.g. a per-partkey average with ``size_of=`` the part scan):
+        the aggregate has at most one row per key and narrower rows
+        than the base, so the base scan's estimate is again a
+        SF-tracking upper bound — Catalyst's own Aggregate estimate
+        would instead be the (fact-table-sized) child estimate, which
+        over-drops the hint.
+    In either case a filtered base may over-state ``df`` (Catalyst
+    gives filters no selectivity credit) — over-statement only drops
+    the hint, never OOMs it, which is the safe direction."""
     try:
         probe = size_of if size_of is not None else df
         est = int(
             probe._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-    except Exception:
-        # Connect sessions / plan shapes without a JVM handle: never
-        # hint on an unknown size — AQE is the safe default.
+    except (AttributeError, TypeError, ValueError):
+        # Connect sessions (`_jdf` missing → AttributeError) or a
+        # non-numeric/overflowing stats payload: never hint on an
+        # unknown size — AQE is the safe default. Analysis errors
+        # (unresolved plans etc.) propagate: converting them to "no
+        # hint" here would just resurface them later with less
+        # context (r13 ADVICE).
         return df
     if est <= bound_bytes:
         return F.broadcast(df)

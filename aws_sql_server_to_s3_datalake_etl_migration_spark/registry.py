@@ -174,6 +174,15 @@ def oracles() -> dict[str, str]:
 # official rows each — and as many lake/warehouse rows as needed to
 # keep the window at exactly 50).
 #
+# Round-14 rotation (r13 verdict item 2, executed): all 15 staged
+# candidates entered the window in staged order. Drops (15): the
+# round-12 cohort (13 — official rows r12 + r13) plus
+# supplier_nation_hhi and referential_integrity_audit (rows
+# r8-r13, the deepest official-row history in the window; see the
+# inline note at the warehouse block). Kept: the 6 pinned anchors,
+# the round-13 rotation cohort (25 — one official row so far), the
+# lake trio, and orders_benford_dq.
+#
 # Round-13 rotation (r12 verdict item 1, executed verbatim): all 25
 # staged candidates enter the window in the staged order above — the
 # later-batch 12 round-11 additions followed by the 13 round-12
@@ -237,31 +246,35 @@ _PRIORITY: tuple[str, ...] = (
     "doc_ttr_curve",
     "orders_convert_to_delta_roundtrip",
     "doc_winnowing_pairs",
-    # ---- round-12 rotation cohort (kept for a second row) ----
-    "doc_bpe_tokenize",
-    "doc_link_components",
-    "supplier_leadtime_median",
-    "customer_revenue_gini",
-    "orders_cohort_ltv",
-    "customer_interpurchase_stats",
-    "orders_seasonality_index",
-    "doc_dup_rate_by_source",
-    "part_brand_share_shift",
-    "mm_size_profile",
-    "order_priority_check",
-    "suppliers_kept_waiting",
-    "global_sales_opportunity",
+    # ---- round-14 rotation: the 15 staged round-13 additions ----
+    # (12 in-round + 3 post-close, staged order; r13 verdict item 2)
+    "doc_copy_spans",
+    "emb_semantic_dedup_cells",
+    "doc_msttr",
+    "doc_hapax_stats",
+    "doc_ngram_containment_pairs",
+    "doc_bloom_prefilter",
+    "emb_mmr_rerank",
+    "events_poisson_rate_shift",
+    "events_hourly_concentration",
+    "part_rules_lift",
+    "emb_ivf_seeded_topk",
+    "doc_link_ball_sizes",
+    "orders_forecast_mase",
+    "customer_blocking_quality",
+    "emb_label_prop_cells",
     # lake engine: MERGE roundtrip (r9-fixed write path) + CDF pair
     # (perf floor re-measured r11); the other 10 roundtrips rotated
     # out with their r9 rows + dedicated pytests intact
     "orders_delta_partitioned_merge_roundtrip",
     "orders_delta_cdf",
     "orders_cdf_view_maintenance",
-    # warehouse analytics (round-8 additions; part_pair_affinity and
-    # orders_skyline rotated out r13 on test_ranking.py /
-    # test_skew_and_bucketing.py coverage)
-    "supplier_nation_hhi",
-    "referential_integrity_audit",
+    # warehouse analytics: orders_benford_dq kept (Benford digit-law
+    # DQ — machinery not exercised by any other window entry);
+    # supplier_nation_hhi and referential_integrity_audit rotated
+    # out r14 with rows r8-r13 intact — HHI concentration machinery
+    # now exercised in-window by events_hourly_concentration, and
+    # anti-join FK auditing by the all-catalog sf0.001 oracle suite
     "orders_benford_dq",
 )
 

@@ -9,17 +9,25 @@ they are first-class here, each paired with a DuckDB oracle.
 
 Scale posture (applies to every query below):
 - _BROADCAST_RULE: an explicit ``F.broadcast`` hint is allowed ONLY on
-  true dimension tables (region/nation/supplier/part) or selectively
-  filtered inputs whose size is bounded regardless of scale factor.
-  Any join side derived from orders/lineitem (or the full customer
-  roster) grows linearly with the data and is left UN-hinted: AQE
-  broadcasts it while it measures small and falls back to a shuffle
-  join at 100× — a hard-coded hint would OOM the build side and
-  *prevents* AQE from saving the query. Where deferring to AQE has a
-  real plan cost (the bucketed layouts, whose fact stream must never
-  shuffle for a join), ``operators.hints.maybe_broadcast`` applies a
-  SIZE-GATED hint: hinted while the optimizer's metadata estimate
+  join sides whose size is bounded regardless of scale factor: the
+  constant-cardinality dims (region: 5 rows, nation: 25 rows — fixed
+  by the schema at ANY SF) and aggregates/shortlists with a constant
+  row bound (a 1-row scalar, a LIMIT-k shortlist). EVERY per-entity
+  table grows linearly with SF — part is SF×200k rows (~3 TB of the
+  100 TB design point), supplier SF×10k (~150 GB), customer SF×150k —
+  all far past Spark's broadcast ceiling at scale, and a hard hint
+  *fails* there (build-side OOM / broadcastTimeout) rather than
+  degrading, because a hint bypasses AQE's size check. Those sides —
+  and anything derived from them by filters, dim-enrichment joins, or
+  keyed aggregates — go through ``operators.hints.maybe_broadcast``:
+  a SIZE-GATED hint, applied while the optimizer's metadata estimate
   fits a bound, un-hinted (AQE-owned) past it — degrade, never OOM.
+  Sides derived from orders/lineitem with no constant bound stay
+  fully UN-hinted: AQE broadcasts them while they measure small and
+  falls back to a shuffle join at 100×.
+  (r13 verdict: the previous version of this rule whitelisted
+  supplier/part as "true dims" — wrong, they are SF-linear; the 16
+  hard hints that relied on it are now size-gated.)
 - With dims broadcast, the fact table (lineitem/orders) never shuffles
   for a join — only for its final aggregation, which is map-side
   combined first.
@@ -172,7 +180,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == o.o_orderkey)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
-            F.broadcast(s),
+            # supplier is SF-linear (SF x 10k rows): size-gated hint,
+            # AQE-owned past the bound (_BROADCAST_RULE, r13 sweep).
+            maybe_broadcast(s),
             (F.col("l_suppkey") == s.s_suppkey)
             & (F.col("c_nationkey") == s.s_nationkey),
         )
@@ -269,7 +279,8 @@ def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     all of lineitem by partkey — worse at 100 TB than the extra
     (column-pruned) scan."""
     l = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    p_base = _t(spark, sf_dir, "part")
+    p = p_base.where(F.col("p_brand") == "Brand#23")
     avg_qty = (
         l.groupBy("l_partkey")
         .agg(
@@ -281,8 +292,16 @@ def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("l_partkey", "a_partkey")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(avg_qty), l.l_partkey == F.col("a_partkey"))
+        # part is SF-linear: size-gated hints (_BROADCAST_RULE).
+        # size_of=p_base for avg_qty: a per-partkey aggregate has at
+        # most one (narrower) row per part scan row, so the part
+        # scan's file-size estimate upper-bounds it — Catalyst's own
+        # Aggregate estimate is the lineitem-sized child estimate.
+        l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
+        .join(
+            maybe_broadcast(avg_qty, size_of=p_base),
+            l.l_partkey == F.col("a_partkey"),
+        )
         .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias(
@@ -633,7 +652,8 @@ def part_type_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     retail = _dec(F.col("l_quantity") * F.col("p_retailprice"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        # part is SF-linear: size-gated hint (_BROADCAST_RULE).
+        l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_type")
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
@@ -778,7 +798,13 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             o.select("o_orderkey", "o_orderdate"),
             l.l_orderkey == F.col("o_orderkey"),
         )
-        .join(F.broadcast(supp), l.l_suppkey == F.col("s_suppkey"))
+        # supp preserves supplier's rows (equi-joins onto unique-key
+        # nation/region dims) but is SF-linear: size-gated on the
+        # supplier scan estimate (_BROADCAST_RULE).
+        .join(
+            maybe_broadcast(supp, size_of=s),
+            l.l_suppkey == F.col("s_suppkey"),
+        )
         .select(
             F.year("o_orderdate").alias("o_year"),
             rev.alias("rev_dec"),
@@ -821,7 +847,8 @@ def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     even though the full disjunction can only be evaluated after it."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    # part is SF-linear: size-gated hint (_BROADCAST_RULE).
+    joined = l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -1106,8 +1133,9 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
+    s_base = _t(spark, sf_dir, "supplier")
     supp = (
-        _t(spark, sf_dir, "supplier")
+        s_base
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
@@ -1118,7 +1146,13 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        l.join(F.broadcast(supp), l.l_suppkey == supp.s_suppkey)
+        # supp preserves supplier's rows (unique-key nation dim join)
+        # but supplier is SF-linear: size-gated on the supplier scan
+        # estimate (_BROADCAST_RULE).
+        l.join(
+            maybe_broadcast(supp, size_of=s_base),
+            l.l_suppkey == supp.s_suppkey,
+        )
         .join(o.select("o_orderkey", "o_custkey"),
               l.l_orderkey == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == cust.c_custkey)
@@ -1162,7 +1196,8 @@ def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(18,4)")
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        # part is SF-linear: size-gated hint (_BROADCAST_RULE).
+        l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
             (
                 (F.lit(100.0) * F.sum(promo).cast("double"))
@@ -1235,7 +1270,8 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sole_blame.join(o, sole_blame.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), sole_blame.l_suppkey == s.s_suppkey)
+        # supplier is SF-linear: size-gated hint (_BROADCAST_RULE).
+        .join(maybe_broadcast(s), sole_blame.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
@@ -1545,7 +1581,9 @@ def bucketed_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") == cust.c_custkey,
         )
         .join(
-            F.broadcast(s),
+            # supplier is SF-linear: size-gated hint
+            # (_BROADCAST_RULE, r13 sweep).
+            maybe_broadcast(s),
             (F.col("l_suppkey") == s.s_suppkey)
             & (F.col("c_nationkey") == s.s_nationkey),
         )
@@ -2110,7 +2148,8 @@ def supplier_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     squares/sums in DECIMAL(38,0) (HUGEINT on the oracle side — the
     engines' widest exact integers), with ONE double expression at
     the end. A float Σ(share²) would be partition-order-dependent at
-    1000 executors. Supplier is a true broadcast dim; lineitem
+    1000 executors. Supplier broadcasts under the size gate (SF-linear
+    — AQE-owned past the bound); lineitem
     shuffles once on the supplier grouping."""
     l = _t(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_extendedprice", "l_discount"
@@ -2119,7 +2158,8 @@ def supplier_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     srev = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        # supplier is SF-linear: size-gated hint (_BROADCAST_RULE).
+        l.join(maybe_broadcast(s), l.l_suppkey == s.s_suppkey)
         .groupBy("s_suppkey", "s_nationkey")
         .agg(
             (F.sum(rev) * F.lit(10000))

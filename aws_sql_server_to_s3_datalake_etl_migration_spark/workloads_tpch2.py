@@ -9,9 +9,11 @@ vocabulary a user migrating off the reference
 (``table_jobs/nis_policies.py:21-35`` is its most complex query)
 expects from a lake engine.
 
-Scale posture follows workloads_analytics._BROADCAST_RULE: explicit
-``F.broadcast`` only on true dims (region/nation/supplier/part) or
-selectively filtered bounded inputs; fact-derived sides stay un-hinted
+Scale posture follows workloads_analytics._BROADCAST_RULE: hard
+``F.broadcast`` only on constant-cardinality sides (region/nation,
+1-row scalars, LIMIT-k shortlists); supplier/part-derived sides are
+SF-linear and go through the size-gated
+``operators.hints.maybe_broadcast``; fact-derived sides stay un-hinted
 so AQE picks the strategy. Monetary aggregates accumulate in
 DECIMAL(18,4) then cast to DOUBLE for bit-identical cross-engine and
 cross-partition-order results.
@@ -23,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .operators.hints import maybe_broadcast
 from .registry import register
 from .workloads_analytics import _REVENUE_DEC, _dec, _t
 
@@ -64,8 +67,9 @@ def cheapest_part_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelated as a window-min over the part key.
 
     Plan: one shuffle builds per-(part,supplier) offers with map-side
-    combine; supplier⋈nation⋈region and the filtered part are true-dim
-    broadcasts onto that aggregate, so the window's partkey re-shuffle
+    combine; supplier⋈nation⋈region and the filtered part take
+    size-gated broadcasts onto that aggregate (SF-linear sides —
+    AQE-owned past the bound), so the window's partkey re-shuffle
     moves only eligible offer rows (region- and part-filtered, ~1/5 ×
     selectivity of the data). Top-100 is TakeOrderedAndProject; the
     ordering carries a unique (s_name, p_partkey) tiebreak.
@@ -78,8 +82,9 @@ def cheapest_part_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    s_base = _t(spark, sf_dir, "supplier")
     s = (
-        _t(spark, sf_dir, "supplier")
+        s_base
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
@@ -88,8 +93,15 @@ def cheapest_part_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
     ).select("p_partkey", "p_name")
     eligible = (
-        offers.join(F.broadcast(s), offers.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(p), offers.l_partkey == p.p_partkey)
+        # supplier/part are SF-linear: size-gated hints
+        # (_BROADCAST_RULE). s preserves supplier's rows (unique-key
+        # nation/region dim joins), so the supplier scan estimate
+        # gates it honestly.
+        offers.join(
+            maybe_broadcast(s, size_of=s_base),
+            offers.l_suppkey == s.s_suppkey,
+        )
+        .join(maybe_broadcast(p), offers.l_partkey == p.p_partkey)
     )
     w = Window.partitionBy("l_partkey")
     return (
@@ -140,8 +152,8 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOUBLE then snapped to DECIMAL so the *accumulation* is exact.
 
     Plan: the part LIKE-filter broadcasts and cuts lineitem to the
-    matching ~1/5 before any shuffle; supplier and nation broadcast as
-    true dims. The one unavoidable big-big join (filtered lineitem ⋈
+    matching ~1/5 before any shuffle; part/supplier hints are
+    size-gated (SF-linear), nation broadcasts as a constant dim. The one unavoidable big-big join (filtered lineitem ⋈
     orders for the order year) stays un-hinted — AQE broadcasts it at
     bench SF and shuffle-joins at 100×."""
     p = _t(spark, sf_dir, "part").where(
@@ -154,8 +166,10 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     cost = _dec(F.col("l_quantity") * F.col("p_retailprice") * F.lit(0.8))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        # part/supplier are SF-linear: size-gated hints
+        # (_BROADCAST_RULE); nation is a constant 25-row dim.
+        l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .select(
@@ -204,7 +218,12 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     v = (
         _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(roster), F.col("l_suppkey") == F.col("s_suppkey"))
+        # roster preserves (a subset of) supplier's rows — SF-linear,
+        # size-gated on the supplier scan estimate (_BROADCAST_RULE).
+        .join(
+            maybe_broadcast(roster, size_of=s),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("value_dec"))
     )
@@ -350,7 +369,8 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("rev_dec") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        # supplier is SF-linear: size-gated hint (_BROADCAST_RULE).
+        .join(maybe_broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -395,8 +415,11 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        # bad (filtered supplier) and p (filtered part) are SF-linear:
+        # size-gated hints (_BROADCAST_RULE; Catalyst propagates the
+        # scan size through the filters, the conservative direction).
+        l.join(maybe_broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(maybe_broadcast(p), F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -441,7 +464,8 @@ def promotable_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying = (
         _t(spark, sf_dir, "lineitem")
         .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        # part is SF-linear: size-gated hint (_BROADCAST_RULE).
+        .join(maybe_broadcast(p), F.col("l_partkey") == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty"))
         .where(F.col("qty") > F.lit(50).cast("decimal(18,4)"))
@@ -456,7 +480,11 @@ def promotable_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(
-            F.broadcast(qualifying),
+            # qualifying is keyed by l_suppkey (distinct after the
+            # groupBy+select) — at most one row per supplier, so the
+            # supplier scan estimate upper-bounds it; SF-linear, hence
+            # size-gated (_BROADCAST_RULE).
+            maybe_broadcast(qualifying, size_of=s),
             s.s_suppkey == F.col("l_suppkey"),
             "left_semi",
         )

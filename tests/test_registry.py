@@ -56,10 +56,30 @@ def test_catalog_window_is_curated_and_oracled():
         "window_top_orders_per_segment",
     }
     assert anchors <= window
-    # round-13 rotation contract (r12 verdict item 1): all 25 staged
-    # candidates — the later-batch 12 round-11 additions and the 13
-    # round-12 additions — hold window slots, plus the kept lake trio
-    # (MERGE roundtrip + the CDF pair)
+    # round-14 rotation contract (r13 verdict item 2): all 15 staged
+    # round-13 candidates hold window slots
+    r14_rotation = {
+        "doc_copy_spans",
+        "emb_semantic_dedup_cells",
+        "doc_msttr",
+        "doc_hapax_stats",
+        "doc_ngram_containment_pairs",
+        "doc_bloom_prefilter",
+        "emb_mmr_rerank",
+        "events_poisson_rate_shift",
+        "events_hourly_concentration",
+        "part_rules_lift",
+        "emb_ivf_seeded_topk",
+        "doc_link_ball_sizes",
+        "orders_forecast_mase",
+        "customer_blocking_quality",
+        "emb_label_prop_cells",
+    }
+    assert r14_rotation <= window
+    # round-13 rotation cohort (one official row so far — kept for a
+    # second): the later-batch 12 round-11 additions and the 13
+    # round-12 additions, plus the kept lake trio (MERGE roundtrip +
+    # the CDF pair)
     r13_rotation = {
         "doc_link_triangles",
         "events_ks_drift",
