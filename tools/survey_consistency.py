@@ -167,6 +167,25 @@ def check_perquery_tokens(survey: str) -> list[str]:
         )
     )
     failures: list[str] = []
+    # Placeholder-shaped tokens (name=XX.XXs, name=N.NNs, name=?.??s
+    # — any non-numeric seconds value) are a hard failure: the r13
+    # close shipped a literal "doc_link_coreness=XX.XXs" because this
+    # checker only examined tokens the numeric regex matched.
+    for m in re.finditer(
+        r"\b([a-z][a-z0-9_]{3,})=([A-Za-z?#_.]+)s\b", survey
+    ):
+        name, text_val = m.group(1), m.group(2)
+        if name == "name":
+            # the literal form-spec "name=N.NNs" used when this file
+            # *describes* the token convention, not a measurement
+            continue
+        if name in perquery or re.fullmatch(
+            r"[A-Z?#]+\.[A-Z?#]+|[NX?#]+", text_val
+        ):
+            failures.append(
+                f"token {name}={text_val}s: non-numeric seconds "
+                "placeholder — fill in the measured figure"
+            )
     for m in re.finditer(r"\b([a-z][a-z0-9_]{3,})=([0-9]+\.[0-9]+)s\b",
                          survey):
         name, text_val = m.group(1), m.group(2)
