@@ -754,6 +754,7 @@ def neighborhood_growth(
     node_col: str = "node",
     src_col: str = "src",
     dst_col: str = "dst",
+    hot_degree_cap: int | None = None,
 ) -> DataFrame:
     """Exact 1- and 2-hop ball sizes per node over the undirected
     graph: ``n1`` = |Γ(v)|, ``n2`` = |{u : dist(v,u) ≤ 2}| (self
@@ -767,10 +768,18 @@ def neighborhood_growth(
     Scale shape: one distinct-edge canonicalization, one O(m)
     wedge join co-partitioned on the middle vertex, one distinct +
     hash-agg. Wedge volume is Σ_v deg(v)² — the same budget as
-    triangle counting's un-oriented step; on hub-heavy graphs cap
-    degrees upstream or move to sketched balls (HyperBall), the
-    documented trade. Radius > 2 multiplies another degree factor
-    per hop: that is BFS-by-joins and wants the sketch, not this."""
+    triangle counting's un-oriented step. On hub-heavy (power-law)
+    graphs pass ``hot_degree_cap``: wedges whose MIDDLE vertex has
+    degree > cap are skipped, bounding the budget to
+    Σ_v min(deg(v), cap)² — the same hot-key cap contract as the
+    LSH bucket caps and linkage hard blocks. The capped result is
+    provably a SUBSET of the truth per node: n1 is unaffected
+    (hubs still count as neighbors), and every 2-hop pair dropped
+    really did route only through a hub, so capped ``n2`` is a
+    lower bound that never invents reachability; for the exact
+    series past that, move to sketched balls (HyperBall). Radius
+    > 2 multiplies another degree factor per hop: that is
+    BFS-by-joins and wants the sketch, not this."""
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -791,8 +800,20 @@ def neighborhood_growth(
         n1 = und.groupBy("x").agg(
             F.count(F.lit(1)).cast("bigint").alias("n1")
         )
-        l = und.select(F.col("x").alias("v"), F.col("y").alias("m"))
-        r = und.select(F.col("x").alias("m"), F.col("y").alias("w"))
+        mid = und
+        if hot_degree_cap is not None:
+            # drop hub MIDDLE vertices before the wedge join: the
+            # wedge fan-out of vertex m is deg(m)², so a left-semi
+            # against the under-cap roster bounds the join budget
+            # while leaving n1 (and hub rows' own output) intact.
+            ok = n1.where(
+                F.col("n1") <= F.lit(int(hot_degree_cap))
+            ).select(F.col("x").alias("m_ok"))
+            # ok is vertex-count-sized (SF-linear): un-hinted, AQE
+            # broadcasts it while small (_BROADCAST_RULE).
+            mid = und.join(ok, und.x == F.col("m_ok"), "left_semi")
+        l = mid.select(F.col("x").alias("m"), F.col("y").alias("v"))
+        r = mid.select(F.col("x").alias("m"), F.col("y").alias("w"))
         two_hop = (
             l.join(r, "m")
             .where(F.col("w") != F.col("v"))

@@ -206,3 +206,77 @@ def test_neighborhood_growth_hand_and_random(spark):
         for r in neighborhood_growth(nodes, e).collect()
     }
     assert got == py_balls(n, edges)
+
+
+def test_neighborhood_growth_hot_degree_cap(spark):
+    """Cap contract (r13 verdict item 6): capped n2 is a per-node
+    LOWER BOUND of the truth — pairs dropped only when every route
+    runs through an over-cap middle vertex — and n1 is unaffected.
+    Differential against a python BFS that applies the same rule."""
+    import random as _random
+
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.graph import (
+        neighborhood_growth,
+    )
+
+    # star hub 0 with leaves 1..6, plus a chord 1-2: through-hub
+    # 2-hop pairs vanish at cap=3, the chord-route pair survives
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    e = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)] + [(1, 2)], "src long, dst long"
+    )
+    uncapped = {
+        r.node: (r.n1, r.n2)
+        for r in neighborhood_growth(nodes, e).collect()
+    }
+    capped = {
+        r.node: (r.n1, r.n2)
+        for r in neighborhood_growth(
+            nodes, e, hot_degree_cap=3
+        ).collect()
+    }
+    # n1 identical; capped n2 <= uncapped n2 everywhere
+    assert all(capped[v][0] == uncapped[v][0] for v in capped)
+    assert all(capped[v][1] <= uncapped[v][1] for v in capped)
+    # leaf 3 reaches {0} 1-hop; its 2-hop ball through the hub
+    # (deg 6 > 3) is dropped: n2 collapses to n1
+    assert uncapped[3] == (1, 6)
+    assert capped[3] == (1, 1)
+    # 1 and 2 still see each other's hub-free routes: direct edge in
+    # n1 and ball through the chord middle (deg(1)=deg(2)=2 <= 3)
+    assert capped[1][1] >= 2
+
+    def py_balls_capped(n, edges, cap):
+        adj = {v: set() for v in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        out = {}
+        for v in range(n):
+            n1 = adj[v]
+            n2 = set(n1)
+            for u in n1:
+                if len(adj[u]) <= cap:
+                    n2 |= adj[u]
+            n2.discard(v)
+            out[v] = (len(n1), len(n2))
+        return out
+
+    rng = _random.Random(9)
+    n = 30
+    edges = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+        )
+        if a != b
+    }
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {
+        r.node: (r.n1, r.n2)
+        for r in neighborhood_growth(
+            nodes, e, hot_degree_cap=4
+        ).collect()
+    }
+    assert got == py_balls_capped(n, edges, 4)
