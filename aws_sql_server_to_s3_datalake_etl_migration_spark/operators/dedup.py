@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..session import with_coalesced_cached_rounds
 from pyspark.sql.window import Window
 
 from .textops import tokens
@@ -629,6 +631,7 @@ def embedding_neardup_pairs(
 # ---------------------------------------------------------------------------
 
 
+@with_coalesced_cached_rounds
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,

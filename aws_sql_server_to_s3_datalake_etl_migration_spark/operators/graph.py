@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import with_coalesced_cached_rounds
+
 __all__ = [
     "neighborhood_growth",
     "pagerank_fixedpoint",
@@ -36,6 +38,7 @@ __all__ = [
 ]
 
 
+@with_coalesced_cached_rounds
 def pagerank_fixedpoint(
     nodes: DataFrame,
     edges: DataFrame,
@@ -259,6 +262,7 @@ def triangle_count(
         oriented.unpersist()
 
 
+@with_coalesced_cached_rounds
 def star_connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -434,6 +438,7 @@ def star_connected_components(
         canon.unpersist()
 
 
+@with_coalesced_cached_rounds
 def k_core(
     nodes: DataFrame,
     edges: DataFrame,
@@ -568,6 +573,7 @@ def k_core(
         e.unpersist()
 
 
+@with_coalesced_cached_rounds
 def coreness(
     nodes: DataFrame,
     edges: DataFrame,

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import with_coalesced_cached_rounds
+
 
 def _dot(vec_col, lit_vec) -> F.Column:
     return F.aggregate(
@@ -636,6 +638,7 @@ def matryoshka_recall(
     )
 
 
+@with_coalesced_cached_rounds
 def label_propagation(
     df: DataFrame,
     k: int = 5,

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import with_coalesced_cached_rounds
+
 # Tiny per-language stopword lists: enough signal for a heuristic
 # language ID over whitespace tokens, cheap enough to inline in codegen.
 STOPWORDS = {
@@ -662,6 +664,7 @@ def _merge_adjacent_impl(col: Column, a: str, b: str, m: str) -> Column:
     )
 
 
+@with_coalesced_cached_rounds
 def bpe_learn_merges(
     docs: DataFrame,
     n_merges: int = 10,
@@ -737,6 +740,7 @@ def bpe_learn_merges(
     )
 
 
+@with_coalesced_cached_rounds
 def apply_bpe(
     docs: DataFrame,
     merges,

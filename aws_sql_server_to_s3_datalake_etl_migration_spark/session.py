@@ -16,6 +16,7 @@ confs apply.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -35,15 +36,16 @@ _SCALE_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Without this, AQE refuses to coalesce the output partitioning of
-    # any plan that gets cached — so iterative operators (coreness,
-    # star CC) that persist a small per-round frame drag the full
-    # spark.sql.shuffle.partitions task count through every round of
-    # tiny jobs. Letting AQE re-shape cached plans turns those rounds
-    # into single-task stages at small graph sizes while leaving big
-    # shuffles untouched; downstream consumers never depend on a
-    # persisted frame's partition COUNT, only its content.
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # canChangeCachedPlanOutputPartitioning is deliberately NOT set
+    # session-wide: r13 set it globally for the iterative graph
+    # rounds, and the r14 same-session A/B showed it REGRESSES
+    # non-iterative queries that persist a mid-size frame and fan
+    # back out of it (events_theilsen_trend 1.86 s -> 3.44 s: AQE
+    # coalesced the cached pair-slope stream below the parallelism
+    # the three downstream passes want). The conf is now scoped to
+    # the iterative operators via ``coalesce_cached_rounds`` below —
+    # tiny per-round frames still collapse to single-task stages,
+    # everything else keeps the planner default.
     # FAIR pools let run_parallel() share one session across jobs.
     "spark.scheduler.mode": "FAIR",
     # Arrow for pandas interchange (createDataFrame(pd), toPandas, UDFs).
@@ -111,3 +113,72 @@ def apply_runtime_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a live session — keep going
+
+
+_CACHED_REPART_CONF = (
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+)
+
+
+@contextmanager
+def coalesce_cached_rounds(spark: SparkSession):
+    """Let AQE re-shape the output partitioning of CACHED plans for
+    the duration of an iterative operator's convergence loop.
+
+    Without the conf, AQE refuses to coalesce any plan that gets
+    cached, so operators that persist a small per-round frame
+    (coreness, k-core, star CC, label propagation) drag the full
+    spark.sql.shuffle.partitions task count through every tiny round.
+    With it on session-wide, mid-size persisted frames elsewhere get
+    coalesced below the parallelism their downstream passes want
+    (the r14 A/B measured events_theilsen_trend at 1.85x with the
+    global conf) — hence this scope: ON inside the loop, restored to
+    its prior value after, even on error.
+
+    The conf is read at persist/first-plan time, so it only affects
+    frames cached inside the ``with`` block. Single-threaded driver
+    assumption (the bench/driver run queries serially); concurrent
+    queries in the same session would see the toggled value."""
+    try:
+        prev = spark.conf.get(_CACHED_REPART_CONF)
+    except Exception:
+        prev = None
+    spark.conf.set(_CACHED_REPART_CONF, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            try:
+                spark.conf.unset(_CACHED_REPART_CONF)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(_CACHED_REPART_CONF, prev)
+
+
+def with_coalesced_cached_rounds(fn):
+    """Decorator form of ``coalesce_cached_rounds`` for iterative
+    operators: scopes the conf around the call using the session of
+    the first DataFrame argument. The decorated operators materialize
+    their result (persist + count) before returning, so every
+    per-round cache falls inside the scope."""
+    import functools
+
+    from pyspark.sql import DataFrame
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        df = next(
+            (
+                a
+                for a in list(args) + list(kwargs.values())
+                if isinstance(a, DataFrame)
+            ),
+            None,
+        )
+        if df is None:
+            return fn(*args, **kwargs)
+        with coalesce_cached_rounds(df.sparkSession):
+            return fn(*args, **kwargs)
+
+    return wrapper

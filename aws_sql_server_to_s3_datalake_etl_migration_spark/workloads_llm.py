@@ -5696,6 +5696,152 @@ def emb_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFSB_MOD = 37
+_IVFSB_MAX_Q = 100
+
+
+@register(
+    "emb_ivf_seeded_topk_batch",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cents AS MATERIALIZED (
+      SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {_IVFS_CELLS}
+    ),
+    dists AS MATERIALIZED (
+      SELECT e.vec_id, c.cell,
+             CAST(list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> CAST(FLOOR((e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                               * {float(1 << 20)!r}) AS BIGINT)))
+               AS BIGINT) AS dfp
+      FROM e CROSS JOIN cents c
+    ),
+    assign AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dfp, cell) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    qs AS (
+      SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id % {_IVFSB_MOD} = 0
+        AND vec_id < {_IVFSB_MAX_Q * _IVFSB_MOD}
+    ),
+    probes AS MATERIALIZED (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, d.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY d.dfp, d.cell) AS crank
+        FROM qs q JOIN dists d ON d.vec_id = q.query_id
+      ) WHERE crank <= {_IVFS_NPROBE}
+    ),
+    cand AS (
+      SELECT q.query_id, e.vec_id,
+             list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+      FROM qs q
+      JOIN probes p ON p.query_id = q.query_id
+      JOIN assign a ON a.cell = p.cell
+      JOIN e ON e.vec_id = a.vec_id
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id)
+                  AS BIGINT) AS rank
+      FROM cand
+    ) WHERE rank <= 5
+    """,
+)
+def emb_ivf_seeded_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-ANN twin under the FULL value check — does for
+    ``emb_ivf_topk_batch`` what ``emb_ivf_seeded_topk`` did for the
+    single-query path (r13 verdict item 5): deterministic seed-id
+    cells (``similarity.seeded_cell_assign``), every query in a
+    BOUNDED batch (≤{maxq} ids, the production entry's quadratic-
+    work bound) probing its ``nprobe`` nearest cells by the SAME
+    fixed-point L2 the assignment uses (ties to the lowest cell id),
+    exact cosine re-ranked per query inside probed cells only. Cell
+    contents, each query's probe restriction, and all per-query
+    orderings are restated in DuckDB — so the whole batch plan
+    skeleton (broadcast centroid scoring → per-query probe window →
+    cell-key equi-join → per-query top-k window) is value-exact; the
+    production entry keeps MLlib k-means|| centroids as rows-only.
+
+    Scale shape identical to ``similarity.ivf_topk_batch``: the
+    query×centroid cross product is |Q| × n_cells narrow rows, the
+    candidate join is cell-key equi (never all-pairs), and each
+    query scans ~nprobe/n_cells of the corpus."""
+    from pyspark.sql.window import Window
+
+    embs = _embs(spark, sf_dir)
+    assigned = similarity.seeded_cell_assign(embs, _IVFS_CELLS)
+    cents = (
+        embs.select(
+            F.col("vec_id").alias("_cell"),
+            F.col("embedding").alias("_cv"),
+        )
+        .orderBy("_cell")
+        .limit(_IVFS_CELLS)
+    )
+    qs = embs.where(
+        (F.col("vec_id") % _IVFSB_MOD == 0)
+        & (F.col("vec_id") < _IVFSB_MAX_Q * _IVFSB_MOD)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+    )
+    dist_fp = F.aggregate(
+        F.zip_with(
+            F.col("_qv"),
+            F.col("_cv"),
+            lambda x, c: F.floor(
+                (x.cast("double") - c.cast("double"))
+                * (x.cast("double") - c.cast("double"))
+                * F.lit(float(similarity.SEED_CELL_FP_SCALE))
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("_cell").asc()
+    )
+    probes = (
+        qs.crossJoin(F.broadcast(cents))
+        .select("query_id", "_qv", "_cell", dist_fp.alias("_d"))
+        .withColumn("_crank", F.row_number().over(w_cell))
+        .where(F.col("_crank") <= _IVFS_NPROBE)
+        .select("query_id", "_qv", "_cell")
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        probes.join(assigned, "_cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            similarity.pairwise_cosine(
+                F.col("_qv"), F.col("embedding")
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w_k).cast("bigint"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+emb_ivf_seeded_topk_batch.__doc__ = emb_ivf_seeded_topk_batch.__doc__.format(
+    maxq=_IVFSB_MAX_Q
+)
+
+
 @register(
     "doc_link_ball_sizes",
     """

@@ -303,6 +303,7 @@ EXTENDED = [
     "events_hourly_concentration",
     "part_rules_lift",
     "emb_ivf_seeded_topk",
+    "emb_ivf_seeded_topk_batch",
     "doc_link_ball_sizes",
     # round-13 post-close additions (no close reading this round)
     "orders_forecast_mase",

@@ -306,6 +306,7 @@ QUERIES = [
     "part_rules_lift",
     "emb_mmr_rerank",
     "emb_ivf_seeded_topk",
+    "emb_ivf_seeded_topk_batch",
     # exact 2-hop ball sizes: wedge volume Σ deg² (triangle-count
     # budget class); out-degrees ≤ 2 on the synthetic graph, so the
     # ratio must track edges

@@ -1223,6 +1223,12 @@ EXPECT: dict[str, dict] = {
     "emb_ivf_seeded_topk": {
         "pushed": False, "no_smj": True, "hints": 2, "pure_jvm": True,
     },
+    # batch seeded IVF (round 14): centroid frame broadcast twice
+    # (assignment + per-query probe scoring); candidate equi-join on
+    # the cell key rides AQE; per-query windows are partitioned
+    "emb_ivf_seeded_topk_batch": {
+        "pushed": False, "no_smj": True, "hints": 2, "pure_jvm": True,
+    },
     # 2-hop balls: wedge join co-partitioned on the middle vertex —
     # SMJ sanctioned (big-big on the synthetic graph's edge frame)
     "doc_link_ball_sizes": {
@@ -1321,6 +1327,9 @@ SCALAR_SUBQUERY_OK = {
     # 1-row query-vector frame cross-joined over the <= n_cells
     # centroid rows for probe selection (round 13)
     "emb_ivf_seeded_topk",
+    # BOUNDED query batch (<= 100 rows) cross-joined over the
+    # <= n_cells centroid rows for probe scoring (round 14)
+    "emb_ivf_seeded_topk_batch",
     # bounded centroid cross join (seeded cell assignment), as in
     # the hard-negatives cell-selection entries
     "emb_label_prop_cells",
