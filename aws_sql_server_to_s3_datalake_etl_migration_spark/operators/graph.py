@@ -527,7 +527,12 @@ def k_core(
             .select("a", "b")
         )
 
-    # TWO peel waves per materialization (the coreness r13 trick):
+    # TWO peel waves per materialization (the coreness r13 trick).
+    # max_iter contract: the loop runs ceil(max_iter/2) double
+    # steps, so an ODD max_iter admits at most one extra wave
+    # (max_iter+1 total) before raising — the bound is a safety
+    # valve, not an exact budget, and estimates only shrink, so the
+    # extra wave can only land closer to the fixed point:
     # each wave references its input once, so the chained pair is a
     # depth-2 single-reference plan — analysis stays linear — while
     # the per-step persist + count + AQE barriers halve. The count
@@ -706,7 +711,11 @@ def coreness(
             .select(F.col("x").alias("v"), "c")
         )
 
-    # TWO h-index rounds per materialization: each round still
+    # TWO h-index rounds per materialization (max_iter contract:
+    # ceil(max_iter/2) double steps, so an ODD max_iter admits at
+    # most one extra round before raising — safety valve, not an
+    # exact budget; estimates are non-increasing so the extra round
+    # only moves closer to the fixed point): each round still
     # references its input exactly once, so a 2-round chain is a
     # depth-2 single-reference plan — analysis stays linear — while
     # the driver pays HALF the per-step sync cost (persist + scalar

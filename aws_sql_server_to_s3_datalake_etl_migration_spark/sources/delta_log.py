@@ -3319,6 +3319,13 @@ def convert_to_delta(
     Every data file must agree on the partition-key set — a mixed
     layout is a corrupt table and raises instead of converting.
 
+    .. note:: behavior change (round 13): declared ``partition_cols``
+       must now match the directory NESTING order, not just the key
+       set — the previous sorted compare accepted e.g. alphabetical
+       ``["month", "year"]`` for a ``year=/month=`` layout and then
+       recorded the wrong ``metaData.partitionColumns`` order.
+       Callers that passed sorted keys must switch to layout order.
+
     The commit pins ``expected_version=0``: a concurrent writer that
     already created a log (or two racing conversions) surfaces as
     :class:`CommitConflict`, never a double log."""

@@ -1573,9 +1573,12 @@ def bucketed_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         # size-gated hint keeps the single-shuffle plan while the
         # optimizer estimate fits and degrades to AQE at scale.
         # size_of=c: cust is customer equi-joined onto a unique-key
-        # 25-row dim — row count preserved, so the customer SCAN's
-        # file-size-backed estimate gates honestly (the joined frame's
-        # own estimate is a Catalyst size-product artifact).
+        # nation slice (region-filtered, so cust holds roughly 1/5 of
+        # customers) — the full-customer SCAN estimate is therefore a
+        # conservative UPPER BOUND on the joined frame, not an exact
+        # stand-in: over-statement can only drop the hint early, the
+        # safe direction (the joined frame's own estimate is a
+        # Catalyst size-product artifact and useless either way).
         .join(
             maybe_broadcast(cust, size_of=c),
             F.col("o_custkey") == cust.c_custkey,
