@@ -5913,7 +5913,12 @@ def doc_link_ball_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LP_K = 5
-_LP_CELLS = 8
+# 32 cells (r14, was 8): the twin's candidate volume is per-cell
+# QUADRATIC — sum(|cell|^2) — so 4x more cells is ~4x fewer in-cell
+# pairs at identical value-check coverage (assignment, kNN build,
+# vote rounds, seed clamping all still pinned); the r13 verdict
+# flagged the 8-cell twin as the heaviest catalog entry (~13 s).
+_LP_CELLS = 32
 _LP_ROUNDS = 3
 _LP_FP = 1 << 30
 
