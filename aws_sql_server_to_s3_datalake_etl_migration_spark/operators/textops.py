@@ -921,3 +921,95 @@ def bpe_vocab_ids(
         (F.col("_rk") - 1).cast("bigint").alias(id_col),
         "n",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (round 14): explicit-arithmetic frequency sketch
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 512
+
+
+def cms_build_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Count-min sketch over whitespace-token OCCURRENCES (with
+    multiplicity — a frequency sketch, unlike the membership Bloom):
+    ``d`` counter rows of ``w`` buckets, token t incrementing bucket
+    ``(h1(t) + j·h2(t)) mod w`` in every row j — the same explicit
+    double polynomial hashing as ``dedup.bloom_build_ngrams``, so any
+    engine restates every counter bit-for-bit. Returns the sketch AS
+    DATA: ``(row, bucket, cnt)`` for the non-zero cells (≤ d·w rows —
+    fixed-size and broadcastable at ANY corpus size, the sketch
+    contract).
+
+    Scale shape: explode tokens → two codegen hash folds per token →
+    one (row, bucket) hash-agg with map-side combine. The sketch is
+    mergeable by cell-wise addition (pytest-pinned), so per-partition
+    sketches union by a second trivial agg — the 100 TB rollup path."""
+    from .dedup import _BLOOM_B1, _BLOOM_B2, _BLOOM_P1, _BLOOM_P2, _gram_hash
+
+    toks = df.select(
+        F.explode(tokens(text_col)).alias("tok")
+    )
+    h1 = _gram_hash(F.col("tok"), _BLOOM_B1, _BLOOM_P1)
+    h2 = _gram_hash(F.col("tok"), _BLOOM_B2, _BLOOM_P2)
+    rows = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("row"),
+                    ((h1 + j * h2) % w).cast("int").alias("bucket"),
+                ),
+            )
+        ).alias("rb")
+    )
+    return (
+        rows.select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    terms: DataFrame,
+    sketch: DataFrame,
+    term_col: str = "token",
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Point-query the sketch for each term: est = min over the d
+    probed counters — the CMS guarantee est ≥ true count (equality
+    unless the term collided in every row). One explode to (term,
+    row, bucket), one equi-join against the ≤ d·w sketch cells, one
+    min-agg per term; missing cells count 0 (term never seen)."""
+    from .dedup import _BLOOM_B1, _BLOOM_B2, _BLOOM_P1, _BLOOM_P2, _gram_hash
+
+    h1 = _gram_hash(F.col(term_col), _BLOOM_B1, _BLOOM_P1)
+    h2 = _gram_hash(F.col(term_col), _BLOOM_B2, _BLOOM_P2)
+    probes = terms.select(
+        term_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("row"),
+                    ((h1 + j * h2) % w).cast("int").alias("bucket"),
+                ),
+            )
+        ).alias("rb"),
+    ).select(term_col, "rb.row", "rb.bucket")
+    return (
+        probes.join(sketch, ["row", "bucket"], "left")
+        .groupBy(term_col)
+        .agg(
+            F.min(F.coalesce("cnt", F.lit(0)))
+            .cast("bigint")
+            .alias("est_cnt")
+        )
+    )

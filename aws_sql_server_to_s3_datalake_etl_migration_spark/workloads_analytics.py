@@ -5043,3 +5043,54 @@ def orders_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 orders_forecast_mase.__doc__ = orders_forecast_mase.__doc__.format(
     split=_MASE_SPLIT
 )
+
+
+@register(
+    "orders_trailing_90d_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1990-01-01',
+                               CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 89 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_90d_spend
+    FROM orders
+    """,
+)
+def orders_trailing_90d_spend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-customer trailing-90-day spend at every order — the
+    RANGE-frame (value-based) window the catalog's ROWS-frame entries
+    don't cover: the frame is bounded by the ORDER DATE sliding back
+    89 days, not by a row count, so same-day peer orders enter the
+    frame together on both engines (RANGE semantics) and gaps in
+    activity shrink the frame automatically.
+
+    Exactness: the frame key is integer days-since-epoch (datediff —
+    no timestamp floats), the spend accumulates in DECIMAL(18,4) and
+    casts to double once. Scale shape: one shuffle on o_custkey, then
+    a per-customer ordered frame whose width is bounded by the
+    customer's own 90-day order count — per-entity-bounded work, the
+    partitioned-window contract (never a global window)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1990-01-01").cast("date")
+            ).cast("long")
+        )
+        .rangeBetween(-89, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_day"),
+        F.sum(_dec("o_totalprice"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_90d_spend"),
+    )

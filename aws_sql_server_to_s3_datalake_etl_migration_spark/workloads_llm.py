@@ -6012,3 +6012,91 @@ def emb_label_prop_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         seeded_cells=True,
         fp_weights=True,
     )
+
+
+def _cms_oracle() -> str:
+    from .operators.dedup import (
+        _BLOOM_B1,
+        _BLOOM_B2,
+        _BLOOM_P1,
+        _BLOOM_P2,
+    )
+    from .operators.textops import CMS_D, CMS_W
+
+    h = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_filter(regexp_split_to_array(t, ''), "
+        "x -> x <> ''), c -> CAST(ascii(c) AS BIGINT))), "
+        "(a, c) -> (a * {b} + c) % {p})"
+    )
+    h1 = h.format(b=_BLOOM_B1, p=_BLOOM_P1)
+    h2 = h.format(b=_BLOOM_B2, p=_BLOOM_P2)
+    return f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(trim(text), '\\s+'),
+               x -> x <> '')) AS t
+      FROM documents
+    ),
+    cells AS MATERIALIZED (
+      SELECT j AS row, (({h1}) + j * ({h2})) % {CMS_W} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks, unnest(range(0, {CMS_D})) u(j)
+      GROUP BY 1, 2
+    ),
+    top_terms AS MATERIALIZED (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM toks GROUP BY t
+      ORDER BY true_cnt DESC, t LIMIT 20
+    ),
+    probed AS (
+      SELECT tt.t, tt.true_cnt,
+             coalesce(c.cnt, 0) AS cell
+      FROM top_terms tt
+      CROSS JOIN unnest(range(0, {CMS_D})) u(j)
+      LEFT JOIN cells c
+        ON c.row = u.j
+       AND c.bucket = ((({h.format(b=_BLOOM_B1, p=_BLOOM_P1)})
+                        + u.j * ({h.format(b=_BLOOM_B2, p=_BLOOM_P2)}))
+                       % {CMS_W})
+    )
+    SELECT t AS token, true_cnt,
+           CAST(MIN(cell) AS BIGINT) AS est_cnt
+    FROM probed GROUP BY 1, 2
+    """
+
+
+@register("doc_cms_heavy_hitters", _cms_oracle())
+def doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch point queries with the WHOLE sketch under the
+    value check — the frequency-sketch sibling of
+    ``doc_bloom_prefilter`` (membership) and the mergeable
+    counterpart of ``doc_frequent_terms_sketch`` (Misra-Gries top-k):
+    token occurrences increment d=4 double-hashed counter rows of
+    w=512 buckets (``textops.cms_build_tokens`` — explicit polynomial
+    hashes, every counter bit-exact cross-engine), and the exact
+    top-20 tokens then point-query the sketch, reporting est ≥ true
+    per term — est − true is the measured collision overestimate,
+    the number that sizes w (the report carries its own error, the
+    Bloom discipline).
+
+    Scale shape: the sketch build is explode → hash fold → one
+    (row, bucket) map-side-combined agg into ≤ 2048 cells
+    (broadcastable at ANY corpus size); the exact top-20 is a
+    hash-agg + TakeOrderedAndProject (deterministic token tiebreak);
+    the probe is a 80-row equi-join against the cells."""
+    from .operators import textops
+
+    docs = _docs(spark, sf_dir)
+    sketch = textops.cms_build_tokens(docs)
+    true_counts = (
+        docs.select(F.explode(textops.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+    est = textops.cms_estimate(true_counts.select("token"), sketch)
+    return true_counts.join(est, "token").select(
+        "token", "true_cnt", "est_cnt"
+    )

@@ -2995,3 +2995,342 @@ def events_hourly_concentration(
             / (n.cast("double") * n.cast("double"))
         ).alias("hour_simpson"),
     )
+
+
+_IW_NS = 30 * 60 * 1_000_000_000  # 30-minute incident window, nanos
+_IW_THRESH = 100.0
+
+
+@register(
+    "events_incident_window_join",
+    f"""
+    WITH inc AS (
+      SELECT event_id AS incident_id, epoch_ns(ts) AS start_ns,
+             epoch_ns(ts) + {_IW_NS} AS end_ns
+      FROM events WHERE event_type = 'error' AND value >= {_IW_THRESH}
+    ),
+    hits AS (
+      SELECT i.incident_id,
+             COUNT(*) AS n,
+             COUNT(DISTINCT e.user_id) AS u,
+             SUM(CAST(e.value AS DECIMAL(18,4))) AS sv
+      FROM inc i JOIN events e
+        ON epoch_ns(e.ts) >= i.start_ns
+       AND epoch_ns(e.ts) < i.end_ns
+       AND e.event_id <> i.incident_id
+      GROUP BY 1
+    )
+    SELECT i.incident_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(h.u, 0) AS BIGINT) AS n_users,
+           CAST(coalesce(h.sv, 0) AS DOUBLE) AS sum_value
+    FROM inc i LEFT JOIN hits h ON h.incident_id = i.incident_id
+    """,
+)
+def events_incident_window_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval (range) join, the binned-equi-join way: every
+    high-severity error event opens a 30-minute incident window, and
+    all other events falling inside any window attach to it (count,
+    distinct users, exact value sum — the blast-radius report).
+
+    Scale shape — the reason this is NOT an inequality join on Spark:
+    a raw ``ts BETWEEN start AND end`` join plans as
+    BroadcastNestedLoopJoin (all-pairs), the classic range-join trap.
+    Instead both sides key by a time BIN equal to the window length,
+    so a window spans at most TWO bins: incidents explode to their
+    ≤2 covering bins (array_distinct keeps it one row when aligned),
+    events compute one bin each, the join is a plain shuffle
+    EQUI-join on the bin key, and the true interval predicate runs as
+    a residual filter on int64 nanos AFTER the hash join. Join budget
+    is |incidents| × (events per 2 bins) — linear in each side's
+    density with a bounded constant, never |incidents| × |events|.
+    Overlapping-window semantics preserved exactly (an event joins
+    every window containing it); zero-hit incidents kept by a final
+    left join against the incident roster. All time arithmetic in
+    ``ts_ns`` int64 nanos (the lossless column `_events` exposes) —
+    no float time anywhere."""
+    e = _events(spark, sf_dir)
+    inc = e.where(
+        (F.col("event_type") == "error")
+        & (F.col("value") >= F.lit(_IW_THRESH))
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts_ns").alias("start_ns"),
+        (F.col("ts_ns") + F.lit(_IW_NS).cast("long")).alias("end_ns"),
+    )
+    binned_inc = inc.select(
+        "incident_id",
+        "start_ns",
+        "end_ns",
+        # integer `div`, never float `/`: epoch-nanos (~1.7e18)
+        # exceed double's 2^53 mantissa, so float division can land
+        # a bin off at the boundary (the _events ts gotcha)
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"start_ns div {_IW_NS}"),
+                    F.expr(f"(end_ns - 1) div {_IW_NS}"),
+                )
+            )
+        ).alias("bin"),
+    )
+    probe = e.select(
+        F.col("event_id").alias("e_id"),
+        "user_id",
+        F.col("ts_ns").alias("e_ns"),
+        _dec("value").alias("v_dec"),
+        F.expr(f"ts_ns div {_IW_NS}").alias("bin"),
+    )
+    hits = (
+        binned_inc.join(probe, "bin")
+        .where(
+            (F.col("e_ns") >= F.col("start_ns"))
+            & (F.col("e_ns") < F.col("end_ns"))
+            & (F.col("e_id") != F.col("incident_id"))
+        )
+        .groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("u"),
+            F.sum("v_dec").alias("sv"),
+        )
+    )
+    zero = F.lit(0)
+    return inc.select("incident_id").join(
+        hits, "incident_id", "left"
+    ).select(
+        "incident_id",
+        F.coalesce("n", zero).cast("bigint").alias("n_events"),
+        F.coalesce("u", zero).cast("bigint").alias("n_users"),
+        F.coalesce(F.col("sv").cast("double"), F.lit(0.0)).alias(
+            "sum_value"
+        ),
+    )
+
+
+_CP_SCALE = 1_000_000
+
+
+@register(
+    "events_changepoint",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT event_type, day, n,
+             SUM(n) OVER w AS s1,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+             SUM(n) OVER (PARTITION BY event_type) AS s,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS kk
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    gains AS (
+      SELECT event_type, day,
+             (CAST(s1 AS HUGEINT) * (kk - k)
+              - CAST(s - s1 AS HUGEINT) * k)
+             * (CAST(s1 AS HUGEINT) * (kk - k)
+                - CAST(s - s1 AS HUGEINT) * k)
+             * {_CP_SCALE} // (k * (kk - k)) AS gain_fp
+      FROM pre WHERE k < kk
+    )
+    SELECT event_type, day AS split_day,
+           CAST(gain_fp AS DOUBLE) AS gain_fp
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY gain_fp DESC, day) AS r
+      FROM gains
+    ) WHERE r = 1
+    """,
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single changepoint per event type (binary segmentation, depth
+    1): the split day maximizing the between-segment variance
+    reduction of the daily event-count series — the first step of the
+    standard binseg changepoint recipe, and the detector that finds
+    WHERE a rate shifted after `events_poisson_rate_shift` decides
+    THAT it shifted.
+
+    Exactness: for a split after position k (prefix sum S1, totals
+    K, S), the variance reduction is (S1·(K−k) − (S−S1)·k)² /
+    (k·(K−k)·K) up to the constant K — monotone in gain_fp =
+    floor((S1·n2 − S2·n1)² · SCALE / (n1·n2)), which both engines
+    compute in exact ≥38-digit integer arithmetic (DECIMAL(38,0) /
+    HUGEINT) with ONE floor division — so the argmax (ties to the
+    earlier day) is bit-deterministic cross-engine; no float compare
+    anywhere near the decision. The reported gain casts to double
+    only for output.
+
+    Scale shape: one map-side-combined (type, day) hash-agg over the
+    stream, then prefix-sum + argmax windows over the |days|-per-type
+    rollup — bounded by calendar time, not data rate (the
+    monthly_order_momentum contract)."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wt = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.sum("n").over(w).alias("s1"),
+        F.row_number().over(w).cast("bigint").alias("k"),
+        F.sum("n").over(wt).alias("s"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("kk"),
+    )
+    diff_sql = (
+        "(CAST(s1 AS DECIMAL(38,0)) * CAST(kk - k AS DECIMAL(38,0))"
+        " - CAST(s - s1 AS DECIMAL(38,0)) * CAST(k AS DECIMAL(38,0)))"
+    )
+    gains = pre.where(F.col("k") < F.col("kk")).select(
+        "event_type",
+        "day",
+        F.expr(
+            f"CAST({diff_sql} * {diff_sql} * {_CP_SCALE} AS "
+            "DECIMAL(38,0)) div CAST(k * (kk - k) AS DECIMAL(38,0))"
+        ).alias("gain_fp"),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.col("gain_fp").desc(), F.col("day").asc()
+    )
+    return (
+        gains.withColumn("r", F.row_number().over(wbest))
+        .where(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),
+            F.col("gain_fp").cast("double").alias("gain_fp"),
+        )
+    )
+
+
+_HLL_P = 2_147_483_647  # Mersenne prime 2^31 - 1
+_HLL_A1, _HLL_B1 = 48_271, 11
+_HLL_A2, _HLL_B2 = 69_621, 7
+_HLL_M = 64
+_HLL_ALPHA = 0.70927  # alpha_64 = 0.7213 / (1 + 1.079/64)
+
+
+@register(
+    "events_hll_explicit",
+    f"""
+    WITH users AS (
+      SELECT DISTINCT user_id FROM events
+    ),
+    hashed AS (
+      SELECT ({_HLL_A1} * user_id + {_HLL_B1}) % {_HLL_P}
+               % {_HLL_M} AS register,
+             ({_HLL_A2} * user_id + {_HLL_B2}) % {_HLL_P} AS h2
+      FROM users
+    ),
+    rho AS (
+      SELECT register,
+             CASE WHEN h2 = 0 THEN 32
+                  ELSE 31 - length(bin(h2)) + 1 END AS rho
+      FROM hashed
+    ),
+    regs AS (
+      SELECT r.r AS register,
+             coalesce(mx.m, 0) AS max_rho
+      FROM (SELECT unnest(range(0, {_HLL_M})) AS r) r
+      LEFT JOIN (SELECT register, MAX(rho) AS m FROM rho
+                 GROUP BY 1) mx
+        ON mx.register = r.r
+    ),
+    summary AS (
+      SELECT CAST(SUM(CAST(2 AS HUGEINT)
+                      ** CAST(63 - max_rho AS INT)) AS HUGEINT)
+               AS sum_fp,
+             CAST(SUM(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_zero
+      FROM regs
+    )
+    SELECT g.register, CAST(g.max_rho AS BIGINT) AS max_rho,
+           CAST({_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                * {float(2 ** 63)!r} / CAST(s.sum_fp AS DOUBLE)
+                AS DOUBLE) AS raw_est,
+           s.v_zero,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM users) AS n_exact
+    FROM regs g, summary s
+    """,
+)
+def events_hll_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with EVERY register value-checked — the twin that
+    does for ``events_hll_rollup`` (rows-only: Spark's hll_sketch_agg
+    register state is engine-private) what the seeded-cell twins did
+    for k-means: an EXPLICIT affine-mod-prime double hash splits each
+    distinct user into a register index (h1 mod 64) and a rank
+    (leading-zero count of h2 over the 31-bit domain, via the
+    length-of-binary-string identity both engines share in `bin()`),
+    registers take max(rank) — the HLL state IS the 64-row output, so
+    register contents, the zero-register count, and the raw harmonic
+    estimate are all cross-engine exact. The harmonic sum is computed
+    as Σ 2^(63−rho) in DECIMAL(38,0)/HUGEINT (exact integers — a
+    float Σ2^−rho would be partition-order-dependent past 53 bits of
+    span), with ONE double expression at the end for the estimate;
+    the exact distinct count rides along so the query reports its own
+    measured error, the Bloom-prefilter discipline. No small-range
+    correction (that branch is m·ln(m/V) — a cross-engine log-ulp
+    surface); raw estimate only, documented.
+
+    Scale shape: the register build is one hash-agg to 64 rows from a
+    distinct-user stream (two-phase, map-side combined); everything
+    after is constant-size. Mergeability (union = register-wise max)
+    is pytest-pinned; the production rollup entry keeps the real
+    sketch machinery."""
+    e = _events(spark, sf_dir)
+    users = e.select("user_id").distinct()
+    hashed = users.select(
+        (
+            (F.col("user_id") * _HLL_A1 + _HLL_B1) % _HLL_P % _HLL_M
+        ).alias("register"),
+        ((F.col("user_id") * _HLL_A2 + _HLL_B2) % _HLL_P).alias("h2"),
+    )
+    rho = hashed.select(
+        "register",
+        F.when(F.col("h2") == 0, F.lit(32))
+        .otherwise(F.lit(31) - F.length(F.bin("h2")) + F.lit(1))
+        .alias("rho"),
+    )
+    maxima = rho.groupBy("register").agg(F.max("rho").alias("m"))
+    spark_regs = (
+        spark.range(_HLL_M)
+        .select(F.col("id").alias("register"))
+        .join(maxima, "register", "left")
+        .select(
+            "register",
+            F.coalesce("m", F.lit(0)).cast("bigint").alias("max_rho"),
+        )
+    )
+    summary = spark_regs.agg(
+        F.sum(
+            F.expr(
+                "CAST(POW(2, 63 - max_rho) AS DECIMAL(38,0))"
+            )
+        ).alias("sum_fp"),
+        F.sum(
+            F.when(F.col("max_rho") == 0, 1).otherwise(0)
+        ).cast("bigint").alias("v_zero"),
+    )
+    n_exact = users.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    est = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(_HLL_M)
+        * F.lit(_HLL_M)
+        * F.lit(float(2 ** 63))
+        / F.col("sum_fp").cast("double")
+    ).alias("raw_est")
+    return (
+        spark_regs.crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(n_exact))
+        .select("register", "max_rho", est, "v_zero", "n_exact")
+    )
