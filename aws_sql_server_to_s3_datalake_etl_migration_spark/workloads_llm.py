@@ -6100,3 +6100,93 @@ def doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return true_counts.join(est, "token").select(
         "token", "true_cnt", "est_cnt"
     )
+
+
+_FH_DIM = 64
+
+
+def _feature_hash_oracle() -> str:
+    from .operators.dedup import (
+        _BLOOM_B1,
+        _BLOOM_B2,
+        _BLOOM_P1,
+        _BLOOM_P2,
+    )
+
+    h = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_filter(regexp_split_to_array(t, ''), "
+        "x -> x <> ''), c -> CAST(ascii(c) AS BIGINT))), "
+        "(a, c) -> (a * {b} + c) % {p})"
+    )
+    h1 = h.format(b=_BLOOM_B1, p=_BLOOM_P1)
+    h2 = h.format(b=_BLOOM_B2, p=_BLOOM_P2)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(trim(text), '\\s+'),
+               x -> x <> '')) AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             ({h1}) % {_FH_DIM} AS bucket,
+             CASE WHEN ({h2}) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(SUM(sgn) AS BIGINT) AS weight
+    FROM feats GROUP BY 1, 2
+    HAVING SUM(sgn) <> 0
+    """
+
+
+@register("doc_feature_hashing", _feature_hash_oracle())
+def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (signed feature hashing, Weinberger et al.):
+    every token maps to one of {dim} buckets by an explicit
+    polynomial hash, with a second independent hash choosing ±1 so
+    collisions cancel in expectation — the vocabulary-free
+    fixed-width featurizer a streaming training pipeline uses when a
+    fitted vocab (tf-idf's) is a bottleneck state. Output is the
+    sparse matrix as rows (doc_id, bucket, weight), zero-weight cells
+    dropped — ≤ dim per doc regardless of corpus vocabulary, the
+    fixed-width contract.
+
+    Both hashes are the engine-restatable char folds
+    (``dedup._gram_hash`` / its DuckDB twin), so every weight is
+    integer-exact cross-engine. Scale shape: explode → two codegen
+    folds → one (doc, bucket) map-side-combined hash-agg; no vocab
+    state, no join, one shuffle."""
+    from .operators.dedup import (
+        _BLOOM_B1,
+        _BLOOM_B2,
+        _BLOOM_P1,
+        _BLOOM_P2,
+        _gram_hash,
+    )
+    from .operators.textops import tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    )
+    h1 = _gram_hash(F.col("t"), _BLOOM_B1, _BLOOM_P1)
+    h2 = _gram_hash(F.col("t"), _BLOOM_B2, _BLOOM_P2)
+    feats = toks.select(
+        "doc_id",
+        (h1 % _FH_DIM).cast("bigint").alias("bucket"),
+        F.when(h2 % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias(
+            "sgn"
+        ),
+    )
+    return (
+        feats.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("bigint").alias("weight"))
+        .where(F.col("weight") != 0)
+    )
+
+
+doc_feature_hashing.__doc__ = doc_feature_hashing.__doc__.format(
+    dim=_FH_DIM
+)

@@ -3334,3 +3334,139 @@ def events_hll_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_exact))
         .select("register", "max_rho", est, "v_zero", "n_exact")
     )
+
+
+@register(
+    "events_mad_outliers",
+    """
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)
+               AS v100
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, v100 AS med100 FROM (
+        SELECT event_type, v100,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY v100, event_id) AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+      ) WHERE r = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT v.event_type, v.event_id,
+             abs(v.v100 - m.med100) AS ad
+      FROM v JOIN med m ON m.event_type = v.event_type
+    ),
+    mad AS (
+      SELECT event_type, ad AS mad100 FROM (
+        SELECT event_type, ad,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ad, event_id) AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+      ) WHERE r = (n + 1) // 2
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(m.med100 AS DOUBLE) / 100 AS median_value,
+           CAST(a.mad100 AS DOUBLE) / 100 AS mad_value,
+           CAST(SUM(CASE WHEN d.ad > 3 * a.mad100 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d
+    JOIN med m ON m.event_type = d.event_type
+    JOIN mad a ON a.event_type = d.event_type
+    GROUP BY d.event_type, m.med100, a.mad100
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier screen: median / MAD (median absolute
+    deviation) with the |dev| > 3·MAD flag — the
+    median-family sibling of the mean/stddev z-score detectors, immune
+    to the very outliers it hunts.
+
+    Both order statistics go through the round-11 DISTRIBUTED
+    bucket-locate (``ranking.group_rank_statistics``) — NEVER a
+    per-type row_number window over the raw stream (event types are
+    few but each type's partition is fact-linear; the sort behind a
+    rank window on it is the round-8 scale-killer class). The oracle's
+    per-type windows are fine for DuckDB at check SF; the Spark plan
+    is the one that must scale. Values snap to exact int64 centi-units
+    through DECIMAL(18,4)·100 (never float·100 — the double mantissa
+    rounds 6.55 to 654.999…), so medians, deviations, and the 3·MAD
+    compare are all integer-exact cross-engine; the two divisions to
+    report display units happen after every decision."""
+    from .operators.ranking import group_rank_statistics
+
+    e = _events(spark, sf_dir)
+    v = e.select(
+        "event_type",
+        "event_id",
+        (_dec("value") * 100).cast("bigint").alias("v100"),
+    ).persist()
+    try:
+        med = (
+            group_rank_statistics(
+                v,
+                "v100",
+                {"med": lambda n: (n + 1) // 2},
+                ["event_type"],
+                ["event_id"],
+            )
+            .select(
+                "event_type", F.col("value").cast("bigint").alias("med100")
+            )
+        )
+        dev = v.join(med, "event_type").select(
+            "event_type",
+            "event_id",
+            "med100",
+            F.abs(F.col("v100") - F.col("med100")).alias("ad"),
+        ).persist()
+        try:
+            mad = (
+                group_rank_statistics(
+                    dev,
+                    "ad",
+                    {"mad": lambda n: (n + 1) // 2},
+                    ["event_type"],
+                    ["event_id"],
+                )
+                .select(
+                    "event_type",
+                    F.col("value").cast("bigint").alias("mad100"),
+                )
+            )
+            out = (
+                dev.join(mad, "event_type")
+                .groupBy("event_type", "med100", "mad100")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.sum(
+                        F.when(
+                            F.col("ad") > 3 * F.col("mad100"), 1
+                        ).otherwise(0)
+                    )
+                    .cast("bigint")
+                    .alias("n_outliers"),
+                )
+                .select(
+                    "event_type",
+                    "n",
+                    (F.col("med100").cast("double") / 100).alias(
+                        "median_value"
+                    ),
+                    (F.col("mad100").cast("double") / 100).alias(
+                        "mad_value"
+                    ),
+                    "n_outliers",
+                )
+            )
+            out = out.persist()
+            out.count()
+            return out
+        finally:
+            dev.unpersist()
+    finally:
+        v.unpersist()
