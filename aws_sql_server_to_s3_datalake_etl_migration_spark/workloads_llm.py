@@ -6190,3 +6190,130 @@ def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_feature_hashing.__doc__ = doc_feature_hashing.__doc__.format(
     dim=_FH_DIM
 )
+
+
+_BL_MIN_COUNT = 5
+# threshold in tenths (12 = lift >= 1.2): integer cross-multiply
+# needs a rational bound, and the synthetic corpus is near-
+# independent so integer lifts >= 2 select almost nothing
+_BL_LIFT_X10 = 12
+
+
+@register(
+    "doc_bigram_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(trim(text), '\\s+'),
+               x -> x <> '') AS w
+      FROM documents
+    ),
+    uni AS MATERIALIZED (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t
+    ),
+    n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    bi AS MATERIALIZED (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM toks, unnest(range(1, len(w))) u(i)
+        WHERE len(w) >= 2
+      ) GROUP BY 1, 2
+    ),
+    n2 AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM bi)
+    SELECT b.w1, b.w2, b.c_ab,
+           CAST(CAST(b.c_ab AS HUGEINT) * u1n.n * u1n.n AS DOUBLE)
+           / CAST(CAST(ua.c AS HUGEINT) * ub.c * n2.n AS DOUBLE)
+             AS lift
+    FROM bi b
+    JOIN uni ua ON ua.t = b.w1
+    JOIN uni ub ON ub.t = b.w2
+    CROSS JOIN n1 u1n CROSS JOIN n2
+    WHERE b.c_ab >= {_BL_MIN_COUNT}
+      AND 10 * CAST(b.c_ab AS HUGEINT) * u1n.n * u1n.n
+          >= {_BL_LIFT_X10} * CAST(ua.c AS HUGEINT) * ub.c * n2.n
+    """,
+)
+def doc_bigram_collocations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Collocation extraction: adjacent-token bigrams whose observed
+    rate beats independence by ≥{lift} (lift = P(ab)/(P(a)·P(b)))
+    with a minimum support of {cnt} occurrences — the phrase-mining
+    signal ("new york"-style units) a tokenizer-training pipeline
+    feeds on, and the text-domain sibling of the basket-domain
+    ``part_rules_lift``.
+
+    Exactness discipline: the lift THRESHOLD decides membership by
+    pure integer cross-multiplication in DECIMAL(38,0)/HUGEINT —
+    10·c_ab·N1² ≥ {lift10}·c_a·c_b·N2 — never by comparing float ratios
+    (a log/ratio ulp is exactly what killed value oracles for the
+    PMI-style entries); the reported lift is ONE double division
+    after the decision. Scale shape: bigrams come from a zip of each
+    token array with its own tail (posexplode — per-doc linear, no
+    join), then two map-side-combined hash-aggs and two
+    unigram-roster equi-joins; the two 1-row totals broadcast."""
+    from .operators.textops import tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokens("text").alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n1 = uni.agg(F.sum("c").cast("bigint").alias("n1"))
+    bi = (
+        toks.where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                    lambda a, b: F.struct(
+                        a.alias("w1"), b.alias("w2")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    n2 = bi.agg(F.sum("c_ab").cast("bigint").alias("n2"))
+    ua = uni.select(F.col("t").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("t").alias("w2"), F.col("c").alias("c_b"))
+    d38 = "decimal(38,0)"
+    num = (
+        F.col("c_ab").cast(d38)
+        * F.col("n1").cast(d38)
+        * F.col("n1").cast(d38)
+    )
+    den = (
+        F.col("c_a").cast(d38)
+        * F.col("c_b").cast(d38)
+        * F.col("n2").cast(d38)
+    )
+    return (
+        bi.where(F.col("c_ab") >= _BL_MIN_COUNT)
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .where(
+            F.lit(10).cast(d38) * num
+            >= F.lit(_BL_LIFT_X10).cast(d38) * den
+        )
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            (num.cast("double") / den.cast("double")).alias("lift"),
+        )
+    )
+
+
+doc_bigram_collocations.__doc__ = doc_bigram_collocations.__doc__.format(
+    lift=_BL_LIFT_X10 / 10, lift10=_BL_LIFT_X10, cnt=_BL_MIN_COUNT
+)
