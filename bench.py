@@ -309,6 +309,15 @@ EXTENDED = [
     "orders_forecast_mase",
     "customer_blocking_quality",
     "emb_label_prop_cells",
+    # round-14 additions
+    "events_incident_window_join",
+    "events_changepoint",
+    "events_hll_explicit",
+    "doc_cms_heavy_hitters",
+    "orders_trailing_90d_spend",
+    "events_mad_outliers",
+    "doc_feature_hashing",
+    "doc_bigram_collocations",
 ]
 
 

@@ -323,6 +323,19 @@ QUERIES = [
     # measured 6.25 at 3x, exactly the 9x/3x arithmetic predicts);
     # the production entry scales n_cells with the corpus and
     # carries the probe (emb_label_propagation, 1.44).
+    # ---- round 14 ----
+    # NOTE incident join: both the incident count and each window's
+    # event density scale with the data rate, so pair volume is
+    # intrinsically ~x9 at x3 data — the blast-radius report's
+    # semantics, same documented class as customer_blocking_quality
+    "events_incident_window_join",
+    "events_changepoint",
+    "events_hll_explicit",
+    "doc_cms_heavy_hitters",
+    "orders_trailing_90d_spend",
+    "events_mad_outliers",
+    "doc_feature_hashing",
+    "doc_bigram_collocations",
 ]
 
 

@@ -1240,6 +1240,51 @@ EXPECT: dict[str, dict] = {
     "orders_forecast_mase": {
         "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
     },
+    # ---- round 14 ----
+    # binned interval join: bin-key equi-joins + residual range
+    # filter (never BNLJ); AQE picks strategies, no hints
+    "events_incident_window_join": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # binseg changepoint: (type, day) hash-agg then prefix/argmax
+    # windows over the calendar-bounded rollup
+    "events_changepoint": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # explicit HLL: distinct-user agg -> 64-row register table; two
+    # 1-row/64-row broadcast cross joins carry the summary columns
+    "events_hll_explicit": {
+        "pushed": False, "no_smj": True, "hints": 2, "pure_jvm": True,
+    },
+    # count-min: explode + hash folds + (row, bucket) agg; top-20
+    # TakeOrderedAndProject; 80-row probe equi-join rides AQE
+    "doc_cms_heavy_hitters": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # trailing RANGE window: one custkey shuffle + per-customer
+    # value-bounded frame
+    "orders_trailing_90d_spend": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # MAD screen: two distributed bucket-locates (rank machinery) +
+    # type-key joins of 5-row stat frames. 4 hints = 2 per
+    # group_rank_statistics call (bucket boundaries + needed-list),
+    # legal because the partition key is event_type — a BOUNDED
+    # category domain, not a fact-tracking key (the
+    # supplier_leadtime_median case passes broadcast_needed=False)
+    "events_mad_outliers": {
+        "pushed": False, "no_smj": False, "hints": 4, "pure_jvm": True,
+    },
+    # hashing trick: explode + two hash folds + one (doc, bucket)
+    # hash-agg; no join
+    "doc_feature_hashing": {
+        "pushed": False, "no_smj": True, "hints": 0, "pure_jvm": True,
+    },
+    # collocations: two token hash-aggs, unigram-roster equi-joins
+    # (AQE), two 1-row totals broadcasts
+    "doc_bigram_collocations": {
+        "pushed": False, "no_smj": False, "hints": 2, "pure_jvm": True,
+    },
     # seeded label propagation: per-cell kNN self-join (SMJ
     # sanctioned) + node-keyed rank/argmax windows per round. No
     # hint-count pin: the bounded centroid broadcast inside
@@ -1330,6 +1375,12 @@ SCALAR_SUBQUERY_OK = {
     # BOUNDED query batch (<= 100 rows) cross-joined over the
     # <= n_cells centroid rows for probe scoring (round 14)
     "emb_ivf_seeded_topk_batch",
+    # 1-row summary + 1-row exact-count frames cross-joined over the
+    # fixed 64-register table (round 14)
+    "events_hll_explicit",
+    # two 1-row corpus totals (N1, N2) broadcast over the surviving
+    # bigram rows (round 14)
+    "doc_bigram_collocations",
     # bounded centroid cross join (seeded cell assignment), as in
     # the hard-negatives cell-selection entries
     "emb_label_prop_cells",
