@@ -1119,3 +1119,94 @@ def stream_bloom_decontaminate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cms_fold_batch(
+    batch_df: DataFrame,
+    sketch_path: str,
+    batch_id: int,
+    text_col: str = "text",
+    d: int | None = None,
+    w: int | None = None,
+) -> None:
+    """One micro-batch of the streaming count-min maintenance — the
+    frequency-sketch sibling of ``cdc_fold_batch``, exposed so
+    crash/replay behavior is directly testable. The batch's own CMS
+    cells (``textops.cms_build_tokens``) fold into the persisted
+    sketch by CELL-WISE ADDITION — the CMS merge law, so the
+    maintained sketch is bit-identical to one built over the union of
+    all batches (pinned by the stream-vs-batch differential pytest).
+    The fold touches O(d·w) rows however long the stream ran — the
+    sketch never grows, the 100 TB property that motivates CMS over
+    exact counters in the first place.
+
+    Exactly-once under at-least-once foreachBatch replay: the batch
+    id rides the atomic swap as a ``_last_applied_batch`` sidecar and
+    an already-applied id is a no-op (the cdc/rollup marker protocol
+    — the checkpoint alone cannot give this)."""
+    from ..operators import textops
+    from ..sources import fs
+    from ..sources.writers import swap_overwrite, write_parquet
+
+    d = d if d is not None else textops.CMS_D
+    w = w if w is not None else textops.CMS_W
+    spark = batch_df.sparkSession
+    marker = f"{sketch_path.rstrip('/')}/_last_applied_batch"
+    last = fs.read_text_file(spark, marker)
+    if last is not None and int(last) >= batch_id:
+        return
+    batch_cells = textops.cms_build_tokens(
+        batch_df, text_col=text_col, d=d, w=w
+    )
+    if not fs.path_exists(spark, sketch_path):
+        write_parquet(
+            batch_cells.limit(0), sketch_path, mode="overwrite"
+        )
+    prior = spark.read.parquet(sketch_path)
+    merged = (
+        prior.unionByName(batch_cells)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    swap_overwrite(
+        merged,
+        sketch_path,
+        sidecar={"_last_applied_batch": str(batch_id)},
+    )
+
+
+def stream_cms_maintain(
+    df: DataFrame,
+    sketch_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    d: int | None = None,
+    w: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming count-min sketch maintenance: a document stream
+    continuously folded into a persisted ≤ d·w-cell frequency sketch
+    via ``cms_fold_batch`` (cell-wise addition + atomic swap +
+    batch-id sidecar). Point queries against the maintained sketch
+    (``textops.cms_estimate``) serve token-frequency estimates at any
+    moment without rescanning stream history. Single writer per
+    sketch path."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cms_fold_batch(
+            batch_df,
+            sketch_path,
+            batch_id,
+            text_col=text_col,
+            d=d,
+            w=w,
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

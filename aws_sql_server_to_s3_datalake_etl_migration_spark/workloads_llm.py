@@ -6317,3 +6317,120 @@ def doc_bigram_collocations(
 doc_bigram_collocations.__doc__ = doc_bigram_collocations.__doc__.format(
     lift=_BL_LIFT_X10 / 10, lift10=_BL_LIFT_X10, cnt=_BL_MIN_COUNT
 )
+
+
+@register(
+    "doc_link_clustering_coeff",
+    """
+    WITH e AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM documents a JOIN documents b
+        ON (b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2)
+       AND b.doc_id // 16 = a.doc_id // 16
+    ),
+    und AS (
+      SELECT u, v FROM e UNION SELECT v, u FROM e
+    ),
+    deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM und GROUP BY 1
+    ),
+    t AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    r AS (
+      SELECT a AS node FROM t
+      UNION ALL SELECT b AS node FROM t
+      UNION ALL SELECT c AS node FROM t
+    ),
+    tri AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(g.degree, 0) AS BIGINT) AS degree,
+           CAST(coalesce(t2.n, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN coalesce(g.degree, 0) >= 2
+                THEN CAST(2 * coalesce(t2.n, 0) AS DOUBLE)
+                     / CAST(g.degree * (g.degree - 1) AS DOUBLE)
+                ELSE 0.0 END AS clustering_coeff
+    FROM documents d
+    LEFT JOIN deg g ON g.node = d.doc_id
+    LEFT JOIN tri t2 ON t2.node = d.doc_id
+    """,
+)
+def doc_link_clustering_coeff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-node local clustering coefficient — 2·T(v)/(deg·(deg−1)),
+    the fraction of a node's neighbor pairs that are themselves
+    linked: the link-farm signal that separates tight mutual-link
+    cliques (coeff → 1) from organic hubs (coeff → 0), composing the
+    catalog's exact triangle machinery with one degree hash-agg.
+
+    Exactness: T(v) and deg(v) are exact integers
+    (``graph.triangle_count``'s degree-ordered orientation + one
+    count agg over the symmetrized edges); the coefficient is ONE
+    double division from integer operands (identical on both
+    engines), with degree < 2 pinned to 0.0 before any division.
+    Scale shape: the triangle side inherits O(m^1.5)/√m-degree
+    bounds; the degree agg and the two left joins back to the doc
+    roster are plain hash ops on the node key."""
+    from .operators.graph import triangle_count
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    src = d.select(F.col("doc_id").alias("src"))
+    dst = d.select(F.col("doc_id").alias("dst"))
+    edges = None
+    for k in (1, 2):
+        hop = src.join(
+            dst,
+            (F.col("dst") == F.col("src") + k)
+            & (
+                F.floor(F.col("dst") / 16)
+                == F.floor(F.col("src") / 16)
+            ),
+        )
+        edges = hop if edges is None else edges.unionAll(hop)
+    tri = triangle_count(
+        d.select(F.col("doc_id").alias("node")), edges
+    )
+    und = edges.select("src", "dst").unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    ).distinct()
+    deg = und.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        d.join(
+            deg.select(F.col("src").alias("doc_id"), "degree"),
+            "doc_id",
+            "left",
+        )
+        .join(
+            tri.select(
+                F.col("node").alias("doc_id"), "n_triangles"
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("degree", zero).alias("degree"),
+            F.coalesce("n_triangles", zero).alias("n_triangles"),
+            F.when(
+                F.coalesce("degree", zero) >= 2,
+                (2 * F.coalesce("n_triangles", zero)).cast("double")
+                / (
+                    F.col("degree") * (F.col("degree") - 1)
+                ).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )

@@ -3470,3 +3470,86 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dev.unpersist()
     finally:
         v.unpersist()
+
+
+@register(
+    "events_type_audience_overlap",
+    """
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tu GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM tu a JOIN tu b
+        ON b.user_id = a.user_id AND b.event_type > a.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(i.n_both AS DOUBLE)
+           / CAST(sa.n + sb.n - i.n_both AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def events_type_audience_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise audience overlap between event types: |A∩B| via a
+    user-key equi-join of the DEDUPLICATED (type, user) table and
+    exact Jaccard |A∩B|/|A∪B| per ordered type pair — the
+    segment-overlap report behind "do error-prone users also click?".
+
+    Scale shape: the distinct (type, user) projection is the only
+    pass over the stream (two-phase hash-agg); the pair join is
+    user-key equi co-partitioned — its volume is Σ_u deg(u)² with
+    deg(u) ≤ |types|, a BOUNDED category domain, so the join budget
+    is ≤ |types|²/2 rows per user, never user-quadratic. All counts
+    exact integers; Jaccard is one double division (identical
+    operand order both engines)."""
+    e = _events(spark, sf_dir)
+    tu = e.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = tu.select(
+        F.col("event_type").alias("type_a"), "user_id"
+    )
+    b = tu.select(
+        F.col("event_type").alias("type_b"), "user_id"
+    )
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_b") > F.col("type_a"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.col("n_both")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )

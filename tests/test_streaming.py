@@ -1569,3 +1569,71 @@ def test_stream_bloom_decontaminate_drops_leaks(spark, tmp_path):
     q.awaitTermination(120)
     kept = {r.doc_id for r in spark.read.parquet(lake).collect()}
     assert kept == {1, 3}
+
+
+def test_stream_cms_matches_batch_and_replay_is_noop(
+    spark, tmp_path
+):
+    """The maintained sketch must equal the batch CMS over the union
+    of all batches (cell-wise-addition merge law), and replaying an
+    already-applied batch id must be a no-op (marker protocol)."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.textops import (
+        cms_build_tokens,
+    )
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.streaming import (
+        cms_fold_batch,
+        stream_cms_maintain,
+        stream_ingest_files,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    b0 = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, "gamma beta")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(2, "alpha delta delta epsilon")],
+        "doc_id long, text string",
+    )
+    b0.coalesce(1).write.parquet(str(src / "b0"))
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+
+    sketch_path = str(tmp_path / "sketch")
+    q = stream_cms_maintain(
+        stream_ingest_files(
+            spark, str(src / "*"), "doc_id LONG, text STRING"
+        ),
+        sketch_path,
+        str(tmp_path / "ckpt"),
+        d=2,
+        w=32,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(sketch_path).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            cms_build_tokens(
+                b0.unionByName(b1), d=2, w=32
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    # replaying the last APPLIED batch id must not double-fold
+    # (the file source may pack both files into one micro-batch, so
+    # read the id from the marker instead of assuming it)
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.sources import fs
+
+    last = int(
+        fs.read_text_file(spark, sketch_path + "/_last_applied_batch")
+    )
+    cms_fold_batch(b1, sketch_path, batch_id=last, d=2, w=32)
+    again = sorted(
+        map(tuple, spark.read.parquet(sketch_path).collect())
+    )
+    assert again == want
