@@ -47,6 +47,7 @@ def pagerank_fixedpoint(
     scale: int = 1_000_000,
     damp_num: int = 85,
     damp_den: int = 100,
+    seed_nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank in int64 fixed-point.
 
@@ -73,14 +74,43 @@ def pagerank_fixedpoint(
     ACTION is the stopping test). The returned frame is the final
     scores persisted and materialized once; the caller owns its
     lifetime.
+
+    ``seed_nodes`` (one column ``node``) switches to PERSONALIZED
+    PageRank: initial mass and the per-round restart base go ONLY to
+    the seed set (non-seeds start at 0 and receive no base), so the
+    stationary mass measures proximity to the seeds — the
+    seed-expansion signal for growing a curated corpus from a
+    hand-picked nucleus. Same fixed-point arithmetic, same plan
+    shape; the seed roster joins in as a left-semi-derived indicator
+    (one extra bounded hash join per round input build).
     """
     base = (scale * (damp_den - damp_num)) // damp_den
     e = edges.select("src", "dst").distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges_deg = e.join(deg, "src").persist()
     edges_deg.count()
-    scores = nodes.select("node").withColumn(
-        "score", F.lit(scale).cast("bigint")
+    if seed_nodes is None:
+        marked = nodes.select("node").withColumn("_s", F.lit(True))
+    else:
+        seeds = seed_nodes.select("node").distinct()
+        marked = (
+            nodes.select("node")
+            .join(
+                seeds.withColumn("_s", F.lit(True)), "node", "left"
+            )
+            .select(
+                "node", F.coalesce("_s", F.lit(False)).alias("_s")
+            )
+        )
+    zero64 = F.lit(0).cast("bigint")
+    base_col = F.when(
+        F.col("_s"), F.lit(base).cast("bigint")
+    ).otherwise(zero64)
+    scores = marked.select(
+        "node",
+        F.when(F.col("_s"), F.lit(scale).cast("bigint"))
+        .otherwise(zero64)
+        .alias("score"),
     )
     try:
         for _ in range(iters):
@@ -91,12 +121,13 @@ def pagerank_fixedpoint(
                 .agg(F.sum("c").alias("s"))
             )
             scores = (
-                nodes.select("node")
+                marked
                 .join(contrib, F.col("node") == F.col("dst"), "left")
                 .select(
                     "node",
+                    "_s",
                     (
-                        F.lit(base)
+                        base_col
                         + F.expr(
                             f"{damp_num} * coalesce(s, 0)"
                             f" div {damp_den}"
@@ -106,7 +137,7 @@ def pagerank_fixedpoint(
                     .alias("score"),
                 )
             )
-        scores = scores.persist()
+        scores = scores.select("node", "score").persist()
         scores.count()
         return scores
     finally:

@@ -5094,3 +5094,52 @@ def orders_trailing_90d_spend(
         .cast("double")
         .alias("trailing_90d_spend"),
     )
+
+
+@register(
+    "customer_lateral_top2_orders",
+    """
+    SELECT c.c_custkey, t.o_orderkey,
+           CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM customer c
+    JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t ON TRUE
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def customer_lateral_top2_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated LATERAL subquery with per-row LIMIT — the SQL
+    surface feature (SQL:1999 lateral derived tables) that a user
+    migrating hand-written top-N-per-group SQL expects to keep
+    running verbatim. Registered as literal ``spark.sql`` text, not a
+    DataFrame rewrite, precisely to pin that surface: both engines
+    parse the same LATERAL shape.
+
+    Scale posture — why this is safe to ship: Catalyst DECORRELATES
+    the lateral limit into WindowGroupLimit + a partitioned
+    row_number window (verified in the plan: partial group-limit
+    before the o_custkey exchange, final after — each partition keeps
+    ≤2 rows per customer before shuffling), so execution is the same
+    distributed top-N-per-group plan as the catalog's window
+    entries, never a per-customer re-scan; the segment filter pushes
+    to the customer scan."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )

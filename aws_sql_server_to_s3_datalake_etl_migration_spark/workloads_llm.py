@@ -6434,3 +6434,107 @@ def doc_link_clustering_coeff(
             .alias("clustering_coeff"),
         )
     )
+
+
+_PPR_ITERS = 4
+_PPR_SEED_MOD = 50
+
+
+def _ppr_oracle() -> str:
+    """Unrolled personalized-PageRank oracle: seed-restricted restart
+    base, 4 iterations, same int64 floor-division arithmetic as the
+    global twin (``_pagerank_oracle``)."""
+    it = """
+    it{k} AS (
+      SELECT nd.doc_id AS node,
+             CAST(CASE WHEN nd.doc_id % {mod} = 0
+                       THEN 150000 ELSE 0 END
+                  + (85 * COALESCE(agg.s, 0)) // 100 AS BIGINT)
+               AS score
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst, SUM(p.score // d.outdeg) AS s
+        FROM edges e JOIN deg d ON e.src = d.src
+                     JOIN it{prev} p ON e.src = p.node
+        GROUP BY e.dst
+      ) agg ON nd.doc_id = agg.dst
+    )"""
+    parts = [
+        f"""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    nn AS (SELECT MAX(doc_id) AS mx FROM nodes),
+    cand AS (
+      SELECT doc_id AS src,
+             (doc_id * 31 + k * 7919) % (mx + 1) AS dst
+      FROM nodes, nn, unnest([1, 2, 3]) AS t(k)
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst
+      FROM cand JOIN nodes n2 ON cand.dst = n2.doc_id
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+    it0 AS (
+      SELECT doc_id AS node,
+             CAST(CASE WHEN doc_id % {_PPR_SEED_MOD} = 0
+                       THEN 1000000 ELSE 0 END AS BIGINT) AS score
+      FROM nodes
+    )"""
+    ]
+    for k in range(1, _PPR_ITERS + 1):
+        parts.append(
+            "," + it.format(k=k, prev=k - 1, mod=_PPR_SEED_MOD)
+        )
+    parts.append(
+        f"\n    SELECT node AS doc_id, score FROM it{_PPR_ITERS}"
+    )
+    return "".join(parts)
+
+
+@register("doc_personalized_pagerank", _ppr_oracle())
+def doc_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Personalized PageRank from a seed nucleus (every 50th doc),
+    VALUE-CHECKED via the unrolled-iteration oracle discipline of
+    ``doc_pagerank_fixedpoint``: initial mass and the per-round
+    restart base go only to seeds, so each score measures link-graph
+    proximity to the nucleus — the seed-expansion signal for growing
+    a curated corpus from a hand-picked set (the graph-curation
+    sibling of the embedding side's ``emb_label_prop_cells``). Same
+    deterministic citation graph, same int64 fixed-point floor
+    divisions — the 4-round unroll is bit-identical cross-engine.
+
+    Scale shape: identical to the global twin (one src-keyed join +
+    one dst-keyed hash-agg per round, fixed depth, lazily composed
+    into a single linear plan); the seed roster adds one bounded
+    left join building the round input."""
+    from .operators.graph import pagerank_fixedpoint
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    mx = d.agg(F.max("doc_id")).collect()[0][0] or 0
+    cand = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        (F.col("doc_id") * 31 + F.lit(k * 7919))
+                        % F.lit(mx + 1)
+                    )
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    edges = cand.join(
+        d.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
+    )
+    seeds = d.where(F.col("doc_id") % _PPR_SEED_MOD == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    scores = pagerank_fixedpoint(
+        d.select(F.col("doc_id").alias("node")),
+        edges,
+        iters=_PPR_ITERS,
+        seed_nodes=seeds,
+    )
+    return scores.select(F.col("node").alias("doc_id"), "score")

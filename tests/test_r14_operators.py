@@ -302,3 +302,34 @@ def test_feature_hashing_signs_cancel(spark):
         .collect()
     }
     assert got == want
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    """PPR sanity on a two-component graph: all mass stays in the
+    seed's component; the global variant spreads mass everywhere."""
+    from aws_sql_server_to_s3_datalake_etl_migration_spark.operators.graph import (
+        pagerank_fixedpoint,
+    )
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(6)], "node long"
+    )
+    # component A: 0-1-2 cycle; component B: 3-4-5 cycle
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    ppr = {
+        r.node: r.score
+        for r in pagerank_fixedpoint(
+            nodes, edges, iters=4, seed_nodes=seeds
+        ).collect()
+    }
+    assert all(ppr[v] > 0 for v in (0, 1, 2))
+    assert all(ppr[v] == 0 for v in (3, 4, 5))
+    glob = {
+        r.node: r.score
+        for r in pagerank_fixedpoint(nodes, edges, iters=4).collect()
+    }
+    assert all(glob[v] > 0 for v in range(6))

@@ -336,6 +336,10 @@ QUERIES = [
     "events_mad_outliers",
     "doc_feature_hashing",
     "doc_bigram_collocations",
+    "doc_link_clustering_coeff",
+    "events_type_audience_overlap",
+    "doc_personalized_pagerank",
+    "customer_lateral_top2_orders",
 ]
 
 

@@ -1285,6 +1285,26 @@ EXPECT: dict[str, dict] = {
     "doc_bigram_collocations": {
         "pushed": False, "no_smj": False, "hints": 2, "pure_jvm": True,
     },
+    # clustering coeff: triangle_count's oriented wedge plan + a
+    # degree hash-agg + roster left joins (AQE)
+    "doc_link_clustering_coeff": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # audience overlap: distinct (type, user) + user-key equi-join
+    # bounded by the category domain
+    "events_type_audience_overlap": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # personalized PageRank: the global twin's fixed-depth linear
+    # plan + one bounded seed-roster left join per round input
+    "doc_personalized_pagerank": {
+        "pushed": False, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
+    # LATERAL top-2: decorrelated to WindowGroupLimit + partitioned
+    # window; segment filter pushed to the customer scan
+    "customer_lateral_top2_orders": {
+        "pushed": True, "no_smj": False, "hints": 0, "pure_jvm": True,
+    },
     # seeded label propagation: per-cell kNN self-join (SMJ
     # sanctioned) + node-keyed rank/argmax windows per round. No
     # hint-count pin: the bounded centroid broadcast inside
