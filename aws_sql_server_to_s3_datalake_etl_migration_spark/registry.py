@@ -174,6 +174,21 @@ def oracles() -> dict[str, str]:
 # official rows each — and as many lake/warehouse rows as needed to
 # keep the window at exactly 50).
 #
+# Round-15 rotation candidates (the 13 oracle-backed round-14
+# in-round additions, in registration order — all local-check green
+# at sf0.01, sf0.001-suite green, plan-audited, bench-exercised):
+# emb_ivf_seeded_topk_batch, events_incident_window_join,
+# events_changepoint, events_hll_explicit, doc_cms_heavy_hitters,
+# orders_trailing_90d_spend, events_mad_outliers,
+# doc_feature_hashing, doc_bigram_collocations,
+# doc_link_clustering_coeff, events_type_audience_overlap,
+# doc_personalized_pagerank, customer_lateral_top2_orders — swap them
+# for the longest-green cohort members after the round-14 window
+# holds its official rows (the natural drops are the round-13
+# rotation cohort — which will then hold two official rows each —
+# and as many lake/warehouse rows as needed to keep the window at
+# exactly 50).
+#
 # Round-14 rotation (r13 verdict item 2, executed): all 15 staged
 # candidates entered the window in staged order. Drops (15): the
 # round-12 cohort (13 — official rows r12 + r13) plus
