@@ -27,6 +27,24 @@ from pyspark.sql import functions as F
 
 from ..session import with_coalesced_cached_rounds
 
+# Peel/h-index waves chained per persist+action materialization in
+# k_core and coreness (r14 optimization, guide §1.2: the per-step
+# persist + scalar action + AQE barriers dominate wall clock on small
+# per-round frames, so fewer materializations with deeper
+# single-reference chains win until codegen/analysis depth bites —
+# 3 measured best on the registered link graph; 2 was the r13 value).
+# The convergence tests stay EXACT at step granularity for ANY depth:
+# both loops' measures (edge count / estimate sum) are monotone
+# non-increasing per inner wave, so "unchanged across a step" still
+# means every inner wave was a no-op, i.e. the fixed point; at worst
+# _WAVES_PER_STEP - 1 redundant waves run after convergence.
+# max_iter contract (unchanged in kind from the r13 double-step): the
+# loop runs ceil(max_iter/_WAVES_PER_STEP) steps, so up to
+# _WAVES_PER_STEP - 1 extra waves may execute before the bound
+# raises — a safety valve, not an exact budget; estimates/edge sets
+# only shrink, so extra waves only land closer to the fixed point.
+_WAVES_PER_STEP = 3
+
 __all__ = [
     "neighborhood_growth",
     "pagerank_fixedpoint",
@@ -385,6 +403,15 @@ def star_connected_components(
             sym = _sym(prev).withColumn(
                 "m", F.least(F.min("v").over(w_u), F.col("u"))
             )
+            # large-star output is deliberately NOT distinct-ified
+            # (r14 optimization, guide §2.4): each directed row with
+            # v > u emits exactly ONE edge, so the multiset is never
+            # larger than the input edge set — no explosion is
+            # possible — and small-star is duplicate-insensitive (its
+            # window min and per-row emit are unchanged by copies;
+            # its own trailing distinct restores the set). Dropping
+            # the intermediate distinct removes one Exchange from
+            # every contraction round.
             large = (
                 sym.where(F.col("v") > F.col("u"))
                 .select(
@@ -392,7 +419,6 @@ def star_connected_components(
                     F.greatest("v", "m").alias("b"),
                 )
                 .where(F.col("a") != F.col("b"))
-                .distinct()
             )
             # small-star: one single-reference chain over large
             sm = (
@@ -571,8 +597,11 @@ def k_core(
     # shrinks, so an unchanged count across a double step means both
     # inner waves removed nothing (at worst one redundant wave runs).
     try:
-        for _ in range(max(1, (max_iter + 1) // 2)):
-            nxt = one_wave(one_wave(prev)).persist()
+        for _ in range(max(1, -(-max_iter // _WAVES_PER_STEP))):
+            chained = prev
+            for _w in range(_WAVES_PER_STEP):
+                chained = one_wave(chained)
+            nxt = chained.persist()
             n_nxt = nxt.count()
             if prev is not e:
                 prev.unpersist()
@@ -756,8 +785,11 @@ def coreness(
     # so "sum unchanged across a step" still ⟺ both inner rounds
     # were no-ops ⟺ fixed point (at worst one redundant round runs).
     try:
-        for _ in range(max(1, (max_iter + 1) // 2)):
-            nxt = one_round(one_round(est)).persist()
+        for _ in range(max(1, -(-max_iter // _WAVES_PER_STEP))):
+            chained = est
+            for _w in range(_WAVES_PER_STEP):
+                chained = one_round(chained)
+            nxt = chained.persist()
             cur_sum = nxt.agg(F.sum("c")).collect()[0][0]
             est.unpersist()
             est = nxt

@@ -698,8 +698,17 @@ def bpe_learn_merges(
         "n",
         F.expr("filter(split(w, ''), x -> x <> '')").alias("s"),
     ).persist()
-    cur.count()
     merges: list[tuple] = []
+    # Round cadence (r14 optimization, guide §1.2 "remove passes"):
+    # ONE job per round. The argmax action below is the FIRST touch of
+    # the round's persisted frame, so it doubles as the cache fill —
+    # the former explicit ``nxt.count()`` materialization job re-read
+    # the whole vocabulary once per round for nothing. Dropping it
+    # requires keeping every round's (vocabulary-sized, Heaps-small)
+    # frame cached until the loop ends: an eager mid-loop unpersist
+    # would evict a parent the still-lazy child needs, cascading a
+    # full lineage recompute. All frames release in ``finally``.
+    frames = [cur]
     try:
         for r in range(1, n_merges + 1):
             pair_struct = F.expr(
@@ -728,11 +737,11 @@ def bpe_learn_merges(
             nxt = cur.withColumn(
                 "s", _merge_adjacent_impl(F.col("s"), a, b, merged)
             ).persist()
-            nxt.count()
-            cur.unpersist()
+            frames.append(nxt)
             cur = nxt
     finally:
-        cur.unpersist()
+        for f in frames:
+            f.unpersist()
     return spark.createDataFrame(
         merges,
         "rank long, left string, right string, merged string, "
