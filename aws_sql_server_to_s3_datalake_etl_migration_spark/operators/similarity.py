@@ -687,6 +687,12 @@ def label_propagation(
         assigned, _ = build_ivf_index(
             df.select(id_col, vec_col, label_col), n_cells=n_cells
         )
+    # Both kNN join sides reference the assignment; persist it so the
+    # edge build computes the (scan + assign) lineage once, not once
+    # per side (r14 optimization, guide §5 caching rule — reused and
+    # non-trivial to recompute). Released right after the edge list
+    # materializes.
+    assigned = assigned.persist()
     a = assigned.select(
         F.col(id_col).alias("_src"),
         F.col(vec_col).alias("_svec"),
@@ -723,6 +729,7 @@ def label_propagation(
         .persist()
     )
     edges.count()
+    assigned.unpersist()
     labels = df.select(
         F.col(id_col).alias("_id"),
         F.when(seed_filter, F.col(label_col)).alias("_lbl"),

@@ -2003,60 +2003,66 @@ def customer_blocking_quality(
     c = read_table_dir(spark, sf_dir, "customer").select(
         "c_custkey", "c_name"
     )
+    # Names ride the blocking join (the edit_distance_self_join
+    # discipline — left/right carry their strings), so no join-back
+    # against the customer table is ever needed; a pair's name is
+    # functionally determined by its key, so dropDuplicates on the
+    # pair keys alone is exact.
     dels = c.select(
         "c_custkey",
+        "c_name",
         F.explode(linkage.deletion_keys("c_name", 1)).alias("v"),
     ).distinct()
-    a = dels.select(F.col("v"), F.col("c_custkey").alias("ia"))
-    b = dels.select(F.col("v"), F.col("c_custkey").alias("ib"))
-    cand = (
+    a = dels.select(
+        F.col("v"),
+        F.col("c_custkey").alias("ia"),
+        F.col("c_name").alias("na"),
+    )
+    b = dels.select(
+        F.col("v"),
+        F.col("c_custkey").alias("ib"),
+        F.col("c_name").alias("nb"),
+    )
+    # ONE pass computes both counters (r14 optimization, guide §1.2):
+    # candidates = distinct blocked pairs; true pairs = candidates
+    # passing exact Levenshtein. The r13 form persisted two frames and
+    # ran four actions (n_cand, n_true, a hit semi-join, n_records) —
+    # but its "verified" frame was DERIVED from the candidate frame by
+    # filtering, so verified ⊆ candidates holds by construction and
+    # the hit semi-join was an identity (n_hit == n_true, provably,
+    # not just at this SF). Outputs are value-identical; the oracle
+    # still recomputes true pairs from the O(n²) cross join, so the
+    # hash match continues to PROVE completeness = 1.0 cross-engine
+    # rather than assuming it.
+    flagged = (
         a.join(b, "v")
         .where(F.col("ib") > F.col("ia"))
-        .select("ia", "ib")
-        .distinct()
-        .persist()
+        .dropDuplicates(["ia", "ib"])
+        .select(
+            (F.levenshtein("na", "nb", 1) >= 0).alias("_ok")
+        )
     )
-    try:
-        # verified true pairs: exact levenshtein over the candidates —
-        # recall 1.0 is guaranteed by the deletion containment, so
-        # "true pairs" == verified candidates (the oracle recomputes
-        # them from a cross join and the hash must agree)
-        names_a = c.select(
-            F.col("c_custkey").alias("ia"), F.col("c_name").alias("na")
+    n_records = c.count()
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.sum(F.col("_ok").cast("long")).alias("nt"),
+    ).first()
+    n_cand = int(agg["nc"] or 0)
+    n_true = int(agg["nt"] or 0)
+    total = n_records * (n_records - 1) / 2.0
+    rows = [
+        (
+            n_records,
+            n_true,
+            n_cand,
+            (float(n_true) / float(n_true)) if n_true else None,
+            1.0 - float(n_cand) / total,
         )
-        names_b = c.select(
-            F.col("c_custkey").alias("ib"), F.col("c_name").alias("nb")
-        )
-        verified = (
-            cand.join(names_a, "ia")
-            .join(names_b, "ib")
-            .where(F.levenshtein("na", "nb") <= 1)
-            .select("ia", "ib")
-            .persist()
-        )
-        try:
-            n_records = c.count()
-            n_cand = cand.count()
-            n_true = verified.count()
-            n_hit = cand.join(verified, ["ia", "ib"], "left_semi").count()
-            total = n_records * (n_records - 1) / 2.0
-            rows = [
-                (
-                    n_records,
-                    n_true,
-                    n_cand,
-                    (float(n_hit) / float(n_true)) if n_true else None,
-                    1.0 - float(n_cand) / total,
-                )
-            ]
-            out = spark.createDataFrame(
-                rows,
-                "n_records bigint, n_true_pairs bigint, "
-                "n_candidate_pairs bigint, pair_completeness double, "
-                "reduction_ratio double",
-            )
-            return out.where(F.col("n_true_pairs") > 0)
-        finally:
-            verified.unpersist()
-    finally:
-        cand.unpersist()
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "n_records bigint, n_true_pairs bigint, "
+        "n_candidate_pairs bigint, pair_completeness double, "
+        "reduction_ratio double",
+    )
+    return out.where(F.col("n_true_pairs") > 0)
