@@ -2834,21 +2834,39 @@ def referential_integrity_audit(
     lineitem->orders hash-join their already-deduplicated key sides).
     Single-row count aggregates per edge are crossJoined (broadcast,
     1x1) and unioned into the seven-row report."""
+    # ONE scan of each child per edge (r14 optimization, guide §1.2):
+    # the r13 form scanned every child twice — once for the row count,
+    # once for the anti-join — and crossJoined the two 1-row
+    # aggregates. A LEFT join against the deduplicated parent keys
+    # carries a hit marker instead, so n_child (ALL child rows, the
+    # original pre-filter semantics) and n_orphans (non-null FK with
+    # no parent; NULL FKs never match a join and are not orphans —
+    # unchanged) fall out of a single aggregate. Shuffle shape per
+    # edge is identical (child FK column vs distinct parent keys);
+    # only the duplicate child scan and the 1x1 crossJoin go away.
     out = None
     for child, fk, parent, pk in _RI_EDGES:
         c = _t(spark, sf_dir, child)
         p = _t(spark, sf_dir, parent)
-        orphans = (
-            c.select(fk)
-            .where(F.col(fk).isNotNull())
-            .join(
-                p.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
-            )
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        hits = p.select(F.col(pk).alias(fk)).distinct().withColumn(
+            "_hit", F.lit(1)
         )
         row = (
-            c.agg(F.count(F.lit(1)).alias("n_child"))
-            .crossJoin(orphans)
+            c.select(fk)
+            .join(hits, fk, "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col(fk).isNotNull()
+                            & F.col("_hit").isNull(),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("n_orphans"),
+            )
             .select(
                 F.lit(f"{child}.{fk}->{parent}.{pk}").alias("fk_edge"),
                 "n_child",

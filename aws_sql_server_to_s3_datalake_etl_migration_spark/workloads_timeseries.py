@@ -3397,7 +3397,10 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds 6.55 to 654.999…), so medians, deviations, and the 3·MAD
     compare are all integer-exact cross-engine; the two divisions to
     report display units happen after every decision."""
-    from .operators.ranking import group_rank_statistics
+    from .operators.ranking import (
+        group_rank_statistics,
+        quantile_boundaries,
+    )
 
     e = _events(spark, sf_dir)
     v = e.select(
@@ -3406,6 +3409,16 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_dec("value") * 100).cast("bigint").alias("v100"),
     ).persist()
     try:
+        # ONE boundary job serves both locate passes (the
+        # events_robust_outliers r11 trick, ported here in r14):
+        # bucket boundaries only steer balance, never values, so the
+        # deviation pass legally reuses the value boundaries folded
+        # around their own midpoint — |b − c| is where |x − median|
+        # mass lands when the median sits near the middle boundary.
+        # Saves one full pass over the deviation stream.
+        v_bounds = quantile_boundaries(v, ["v100"])["v100"]
+        center = v_bounds[len(v_bounds) // 2] if v_bounds else 0.0
+        dev_bounds = sorted({abs(b - center) for b in v_bounds})
         med = (
             group_rank_statistics(
                 v,
@@ -3413,6 +3426,7 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"med": lambda n: (n + 1) // 2},
                 ["event_type"],
                 ["event_id"],
+                boundaries=v_bounds,
             )
             .select(
                 "event_type", F.col("value").cast("bigint").alias("med100")
@@ -3432,6 +3446,7 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {"mad": lambda n: (n + 1) // 2},
                     ["event_type"],
                     ["event_id"],
+                    boundaries=dev_bounds,
                 )
                 .select(
                     "event_type",
