@@ -4881,10 +4881,18 @@ def part_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (C(basket,2) per order, bounded by basket size — never a
     cross join); item supports are one hash-agg; the final joins key
     on single part ids. The 1-row basket count broadcasts."""
+    # The deduplicated basket-item base is referenced FIVE times
+    # (both pair sides, both item-support sides, the basket count);
+    # unpersisted, every reference re-scanned lineitem and re-ran the
+    # distinct shuffle (plan audit: 5 identical lineitem scans).
+    # Persist it once; the result materializes into its own cache
+    # below and the base releases before return (the doc_ccnet
+    # materialize-then-release pattern). r14 optimization, guide §5.
     li = (
         read_table_dir(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .persist()
     )
     nn = li.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n")
@@ -4913,34 +4921,40 @@ def part_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_b"),
         F.col("sup").alias("sup_b"),
     )
-    return (
-        pair.join(ia, "part_a")
-        .join(ib, "part_b")
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "part_a",
-            "part_b",
-            "sup_ab",
-            "sup_a",
-            "sup_b",
-            (
-                F.col("sup_ab").cast("double")
-                / F.col("sup_a").cast("double")
-            ).alias("conf_a_to_b"),
-            (
-                F.col("sup_ab").cast("double")
-                / F.col("sup_b").cast("double")
-            ).alias("conf_b_to_a"),
-            (
-                F.col("sup_ab").cast("double")
-                * F.col("n").cast("double")
-                / (
-                    F.col("sup_a").cast("double")
-                    * F.col("sup_b").cast("double")
-                )
-            ).alias("lift"),
+    try:
+        res = (
+            pair.join(ia, "part_a")
+            .join(ib, "part_b")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "part_a",
+                "part_b",
+                "sup_ab",
+                "sup_a",
+                "sup_b",
+                (
+                    F.col("sup_ab").cast("double")
+                    / F.col("sup_a").cast("double")
+                ).alias("conf_a_to_b"),
+                (
+                    F.col("sup_ab").cast("double")
+                    / F.col("sup_b").cast("double")
+                ).alias("conf_b_to_a"),
+                (
+                    F.col("sup_ab").cast("double")
+                    * F.col("n").cast("double")
+                    / (
+                        F.col("sup_a").cast("double")
+                        * F.col("sup_b").cast("double")
+                    )
+                ).alias("lift"),
+            )
         )
-    )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        li.unpersist()
 
 
 _MASE_SPLIT = "2001-05-01"
