@@ -1818,42 +1818,54 @@ def customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the report hash-matches."""
     from .operators.ranking import with_ordered_prefix
 
+    # Persist the per-customer aggregate across the prefix pass's
+    # three derivations (boundary job, windowed main, carry) — the
+    # plan audit showed orders scanned and re-aggregated once per
+    # side. Materialize-then-release (r14 optimization, guide §5).
     spend = (
         read_table_dir(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend"))
+        .withColumn("_neg", -F.col("spend"))
+        .persist()
     )
-    ranked = with_ordered_prefix(
-        spend.withColumn("_neg", -F.col("spend")),
-        "_neg",
-        [F.col("_neg"), F.col("o_custkey").asc()],
-        {"cum": F.col("spend")},
-        totals={"total": "cum"},
-    ).select("spend", "cum", "total")
-    classed = ranked.select(
-        "spend",
-        "total",
-        F.when(
-            F.col("cum").cast("double") * 5
-            <= F.col("total").cast("double") * 4,
-            "A",
+    try:
+        ranked = with_ordered_prefix(
+            spend,
+            "_neg",
+            [F.col("_neg"), F.col("o_custkey").asc()],
+            {"cum": F.col("spend")},
+            totals={"total": "cum"},
+        ).select("spend", "cum", "total")
+        classed = ranked.select(
+            "spend",
+            "total",
+            F.when(
+                F.col("cum").cast("double") * 5
+                <= F.col("total").cast("double") * 4,
+                "A",
+            )
+            .when(
+                F.col("cum").cast("double") * 20
+                <= F.col("total").cast("double") * 19,
+                "B",
+            )
+            .otherwise("C")
+            .alias("abc_class"),
         )
-        .when(
-            F.col("cum").cast("double") * 20
-            <= F.col("total").cast("double") * 19,
-            "B",
+        res = classed.groupBy("abc_class").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("spend").cast("double").alias("class_spend"),
+            (
+                F.sum("spend").cast("double")
+                / F.max("total").cast("double")
+            ).alias("share"),
         )
-        .otherwise("C")
-        .alias("abc_class"),
-    )
-    return classed.groupBy("abc_class").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.sum("spend").cast("double").alias("class_spend"),
-        (
-            F.sum("spend").cast("double")
-            / F.max("total").cast("double")
-        ).alias("share"),
-    )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        spend.unpersist()
 
 
 @register(
@@ -1898,6 +1910,10 @@ def supplier_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     from .operators.ranking import ntile_expr, with_ordered_prefix
 
+    # Persist the per-supplier revenue aggregate across the prefix
+    # pass's three derivations (boundary job, main, carry) — the plan
+    # audit showed lineitem scanned and re-aggregated per side.
+    # Materialize-then-release (r14 optimization, guide §5).
     rev = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_suppkey")
@@ -1906,40 +1922,48 @@ def supplier_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             ).alias("r")
         )
+        .withColumn("_neg", -F.col("r"))
+        .persist()
     )
-    ranked = with_ordered_prefix(
-        rev.withColumn("_neg", -F.col("r")),
-        "_neg",
-        [F.col("_neg"), F.col("l_suppkey").asc()],
-        {"_pos": F.lit(1)},
-        totals={"_n": "_pos"},
-    )
-    per = (
-        ranked.select(
-            ntile_expr(F.col("_pos"), F.col("_n"), 10).alias("decile"),
-            "r",
+    try:
+        ranked = with_ordered_prefix(
+            rev,
+            "_neg",
+            [F.col("_neg"), F.col("l_suppkey").asc()],
+            {"_pos": F.lit(1)},
+            totals={"_n": "_pos"},
         )
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
-            F.sum("r").alias("dr"),
+        per = (
+            ranked.select(
+                ntile_expr(F.col("_pos"), F.col("_n"), 10).alias("decile"),
+                "r",
+            )
+            .groupBy("decile")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+                F.sum("r").alias("dr"),
+            )
         )
-    )
-    w_cum = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    return per.select(
-        F.col("decile").cast("bigint").alias("decile"),
-        "n_suppliers",
-        F.col("dr").cast("double").alias("decile_revenue"),
-        (
-            F.sum("dr").over(w_cum).cast("double")
-            / F.sum("dr").over(w_all).cast("double")
-        ).alias("cum_share"),
-    )
+        w_cum = Window.orderBy("decile").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_all = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        res = per.select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_suppliers",
+            F.col("dr").cast("double").alias("decile_revenue"),
+            (
+                F.sum("dr").over(w_cum).cast("double")
+                / F.sum("dr").over(w_all).cast("double")
+            ).alias("cum_share"),
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        rev.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -2229,33 +2253,43 @@ def lineitem_weighted_median(
     from .operators.ranking import with_ordered_prefix
 
     wq = _dec("l_quantity")
+    # Persist the 5-column projection across the prefix pass's three
+    # derivations (boundary job, windowed main, carry aggregate) —
+    # the plan audit showed two full lineitem scans plus the boundary
+    # pass. Materialize-then-release (r14 optimization, guide §5).
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_extendedprice",
         "l_orderkey",
         "l_linenumber",
         wq.alias("wq"),
-    )
-    ranked = with_ordered_prefix(
-        li,
-        "l_extendedprice",
-        [
-            F.col("l_extendedprice"),
-            F.col("l_orderkey"),
-            F.col("l_linenumber"),
-        ],
-        {"cum": F.col("wq")},
-        partition_cols=["l_returnflag"],
-        totals={"total": "cum"},
-    )
-    return (
-        ranked.where(F.lit(2) * F.col("cum") >= F.col("total"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.min("l_extendedprice").alias("weighted_median"),
-            F.min("total").cast("double").alias("total_weight"),
+    ).persist()
+    try:
+        ranked = with_ordered_prefix(
+            li,
+            "l_extendedprice",
+            [
+                F.col("l_extendedprice"),
+                F.col("l_orderkey"),
+                F.col("l_linenumber"),
+            ],
+            {"cum": F.col("wq")},
+            partition_cols=["l_returnflag"],
+            totals={"total": "cum"},
         )
-    )
+        res = (
+            ranked.where(F.lit(2) * F.col("cum") >= F.col("total"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.min("l_extendedprice").alias("weighted_median"),
+                F.min("total").cast("double").alias("total_weight"),
+            )
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        li.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -3703,6 +3737,10 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     single Gini division casts them to double identically."""
     from .operators.ranking import with_ordered_prefix
 
+    # Persist the per-customer cents aggregate across the prefix
+    # pass's three derivations (boundary job, main, carry) — the plan
+    # audit showed orders scanned and re-aggregated per side.
+    # Materialize-then-release (r14 optimization, guide §5).
     x = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -3711,6 +3749,7 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
+        .persist()
     )
     ranked = with_ordered_prefix(
         x,
@@ -3720,7 +3759,7 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals={"n": "i"},
     )
     big = "decimal(38,0)"
-    return ranked.agg(
+    res = ranked.agg(
         F.max("n").cast("bigint").alias("n_customers"),
         F.sum("cents").cast("bigint").alias("total_cents"),
         (
@@ -3734,6 +3773,12 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         ).alias("gini"),
     )
+    try:
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        x.unpersist()
 
 
 @register(
@@ -4171,28 +4216,38 @@ def orders_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TypeError("needs the raw Column")
         return n + F.lit(1).cast("bigint") - _l_expr(n)
 
+    # Persist the 3-column projection across the locate pass's three
+    # derivations (boundary job, bucket counts, row selection) — the
+    # plan audit showed two orders scans plus the boundary pass.
+    # Materialize-then-release (r14 optimization, guide §5).
     o = read_table_dir(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_totalprice", "o_orderkey"
-    )
-    stats = group_rank_statistics(
-        o,
-        "o_totalprice",
-        {"ci_lo": k_lo, "median": k_med, "ci_hi": k_hi},
-        ["o_orderpriority"],
-        ["o_orderkey"],
-    )
-    return stats.groupBy("o_orderpriority").agg(
-        F.max("n").cast("bigint").alias("n_orders"),
-        F.max(
-            F.when(F.col("stat") == "ci_lo", F.col("value"))
-        ).alias("ci_lo"),
-        F.max(
-            F.when(F.col("stat") == "median", F.col("value"))
-        ).alias("median"),
-        F.max(
-            F.when(F.col("stat") == "ci_hi", F.col("value"))
-        ).alias("ci_hi"),
-    )
+    ).persist()
+    try:
+        stats = group_rank_statistics(
+            o,
+            "o_totalprice",
+            {"ci_lo": k_lo, "median": k_med, "ci_hi": k_hi},
+            ["o_orderpriority"],
+            ["o_orderkey"],
+        )
+        res = stats.groupBy("o_orderpriority").agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            F.max(
+                F.when(F.col("stat") == "ci_lo", F.col("value"))
+            ).alias("ci_lo"),
+            F.max(
+                F.when(F.col("stat") == "median", F.col("value"))
+            ).alias("median"),
+            F.max(
+                F.when(F.col("stat") == "ci_hi", F.col("value"))
+            ).alias("ci_hi"),
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        o.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -4734,40 +4789,57 @@ def customer_decile_migration(
     from .operators.ranking import ntile_expr, with_ordered_prefix
 
     o = _t(spark, sf_dir, "orders")
-    spend = o.groupBy(
-        "o_custkey",
-        F.when(
-            F.col("o_orderdate") < F.lit("1998-01-01").cast("date"), 0
-        ).otherwise(1).alias("period"),
-    ).agg(F.sum(_dec("o_totalprice")).alias("s"))
-    ranked = with_ordered_prefix(
-        spend.withColumn("_neg", -F.col("s")),
-        "_neg",
-        [F.col("_neg"), F.col("o_custkey").asc()],
-        {"_pos": F.lit(1)},
-        partition_cols=["period"],
-        totals={"_n": "_pos"},
-    ).select(
-        "o_custkey",
-        "period",
-        ntile_expr(F.col("_pos"), F.col("_n"), 10).alias("decile"),
-    )
-    a = ranked.where(F.col("period") == 0).select(
-        "o_custkey", F.col("decile").alias("decile_early")
-    )
-    b = ranked.where(F.col("period") == 1).select(
-        "o_custkey", F.col("decile").alias("decile_late")
-    )
-    return (
-        a.join(b, "o_custkey")
-        .groupBy("decile_early", "decile_late")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
-        .select(
-            F.col("decile_early").cast("bigint").alias("decile_early"),
-            F.col("decile_late").cast("bigint").alias("decile_late"),
-            "n_customers",
+    # Persist the (customer, period) spend aggregate: the prefix pass
+    # derives it three ways (boundary job, main, carry) and the
+    # migration matrix references the ranked output twice (early /
+    # late sides) — unpersisted, the plan audit showed FOUR orders
+    # scans. Materialize-then-release (r14 optimization, guide §5).
+    spend = (
+        o.groupBy(
+            "o_custkey",
+            F.when(
+                F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
+                0,
+            ).otherwise(1).alias("period"),
         )
+        .agg(F.sum(_dec("o_totalprice")).alias("s"))
+        .withColumn("_neg", -F.col("s"))
+        .persist()
     )
+    try:
+        ranked = with_ordered_prefix(
+            spend,
+            "_neg",
+            [F.col("_neg"), F.col("o_custkey").asc()],
+            {"_pos": F.lit(1)},
+            partition_cols=["period"],
+            totals={"_n": "_pos"},
+        ).select(
+            "o_custkey",
+            "period",
+            ntile_expr(F.col("_pos"), F.col("_n"), 10).alias("decile"),
+        )
+        a = ranked.where(F.col("period") == 0).select(
+            "o_custkey", F.col("decile").alias("decile_early")
+        )
+        b = ranked.where(F.col("period") == 1).select(
+            "o_custkey", F.col("decile").alias("decile_late")
+        )
+        res = (
+            a.join(b, "o_custkey")
+            .groupBy("decile_early", "decile_late")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+            .select(
+                F.col("decile_early").cast("bigint").alias("decile_early"),
+                F.col("decile_late").cast("bigint").alias("decile_late"),
+                "n_customers",
+            )
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        spend.unpersist()
 
 
 @register(

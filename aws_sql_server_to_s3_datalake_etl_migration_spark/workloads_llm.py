@@ -3072,10 +3072,16 @@ def doc_quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality_score").alias("score"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
     )
+    # Persist the distinct-score groups: the prefix pass derives them
+    # three ways (boundary job, main, carry), and each derivation
+    # re-ran the whole quality-score machinery over documents (plan
+    # audit: two document scans + the boundary pass). The frame is
+    # |distinct scores| rows — tiny. Materialize-then-release (r14
+    # optimization, guide §5).
     per = labeled.groupBy("score").agg(
         F.sum("pos").cast("bigint").alias("pos_n"),
         F.sum(1 - F.col("pos")).cast("bigint").alias("neg_n"),
-    )
+    ).persist()
     # distinct scores form a unique total order — prefix is exact
     pref = with_ordered_prefix(
         per,
@@ -3083,7 +3089,7 @@ def doc_quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("score")],
         {"_cneg_incl": F.col("neg_n")},
     ).withColumn("cneg", F.col("_cneg_incl") - F.col("neg_n"))
-    return pref.agg(
+    res = pref.agg(
         F.sum("pos_n").cast("bigint").alias("n_pos"),
         F.sum("neg_n").cast("bigint").alias("n_neg"),
         F.sum(
@@ -3104,6 +3110,12 @@ def doc_quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("auc"),
     )
+    try:
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        per.unpersist()
 
 
 # ---------------------------------------------------------------------------
