@@ -2986,25 +2986,36 @@ def events_user_behavior_outliers(
         * F.lit(60.0)
         / F.greatest(F.col("span_sec"), F.lit(60)).cast("double")
     )
-    u = u.withColumn("rate_pm", rate)
-    ranked = with_ordered_prefix(
-        u,
-        "rate_pm",
-        [F.col("rate_pm"), F.col("user_id")],
-        {"_pos": F.lit(1)},
-        totals={"_n": "_pos"},
-    )
-    return ranked.select(
-        "user_id",
-        "n_events",
-        "span_sec",
-        "n_types",
-        "rate_pm",
-        percent_rank_expr(F.col("_pos"), F.col("_n")).alias("rate_pr"),
-        (
-            percent_rank_expr(F.col("_pos"), F.col("_n")) >= 0.95
-        ).alias("suspect"),
-    )
+    # Persist the per-user aggregate across the prefix pass's three
+    # derivations (boundary job, main, carry) — unpersisted, each
+    # re-aggregated the whole event stream (plan audit: two events
+    # scans + the boundary pass). Materialize-then-release (r14
+    # optimization, guide §5).
+    u = u.withColumn("rate_pm", rate).persist()
+    try:
+        ranked = with_ordered_prefix(
+            u,
+            "rate_pm",
+            [F.col("rate_pm"), F.col("user_id")],
+            {"_pos": F.lit(1)},
+            totals={"_n": "_pos"},
+        )
+        res = ranked.select(
+            "user_id",
+            "n_events",
+            "span_sec",
+            "n_types",
+            "rate_pm",
+            percent_rank_expr(F.col("_pos"), F.col("_n")).alias("rate_pr"),
+            (
+                percent_rank_expr(F.col("_pos"), F.col("_n")) >= 0.95
+            ).alias("suspect"),
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        u.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -644,10 +644,15 @@ def session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us"))
 
     ev = _events(spark, sf_dir)
+    # Persist the hour-grain rollup: both the baseline aggregate and
+    # the incident join derive from it — unpersisted, the event
+    # stream was scanned and re-aggregated twice (plan audit: three
+    # events scans total). |days x 24| rows, tiny.
+    # Materialize-then-release (r14 optimization, guide §5).
     hourly = ev.groupBy(
         F.col("ts").cast("date").alias("d"),
         F.hour("ts").cast("bigint").alias("hod"),
-    ).agg(F.count(F.lit(1)).alias("n_events"))
+    ).agg(F.count(F.lit(1)).alias("n_events")).persist()
     baseline = hourly.groupBy(
         (F.dayofweek("d") - 1).cast("bigint").alias("dow"), "hod"
     ).agg(
@@ -671,9 +676,15 @@ def session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (start_us + F.lit(3_599_999_999)).alias("i_e_us"),
         )
     )
-    return interval_overlap_join(
-        sessions, incidents, "s_us", "e_us", "i_s_us", "i_e_us"
-    ).select("user_id", "sidx", "s_us", "e_us", "i_s_us")
+    try:
+        res = interval_overlap_join(
+            sessions, incidents, "s_us", "e_us", "i_s_us", "i_e_us"
+        ).select("user_id", "sidx", "s_us", "e_us", "i_s_us")
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        hourly.unpersist()
 
 
 @register(
@@ -922,35 +933,46 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts_us")
             - F.unix_micros(F.col("day").cast("timestamp")),
         )
+        # Persist across the lead pass's main + carry derivations
+        # (boundaries are supplied, so the carry was the second full
+        # events scan in the plan audit). Materialize-then-release
+        # (r14 optimization, guide §5).
+        .persist()
     )
-    day_end_us = F.unix_micros(
-        F.date_add(F.col("day"), 1).cast("timestamp")
-    )
-    led = with_ordered_lead(
-        e,
-        "us_in_day",
-        [F.col("us_in_day"), F.col("event_id")],
-        {"_next_us": "ts_us"},
-        partition_cols=["event_type", "day"],
-        boundaries=[_DAY_US * i / 64 for i in range(1, 64)],
-        broadcast_carry=False,
-    )
-    seg = led.withColumn(
-        "dt_us",
-        F.coalesce(F.col("_next_us"), day_end_us) - F.col("ts_us"),
-    )
-    return seg.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("dt_us").alias("total_us"),
-        (
-            F.sum(
-                F.col("v_q").cast("decimal(18,0)")
-                * F.col("dt_us").cast("decimal(18,0)")
-            ).cast("double")
-            / F.sum("dt_us").cast("double")
-            / F.lit(10000)
-        ).alias("twa"),
-    )
+    try:
+        day_end_us = F.unix_micros(
+            F.date_add(F.col("day"), 1).cast("timestamp")
+        )
+        led = with_ordered_lead(
+            e,
+            "us_in_day",
+            [F.col("us_in_day"), F.col("event_id")],
+            {"_next_us": "ts_us"},
+            partition_cols=["event_type", "day"],
+            boundaries=[_DAY_US * i / 64 for i in range(1, 64)],
+            broadcast_carry=False,
+        )
+        seg = led.withColumn(
+            "dt_us",
+            F.coalesce(F.col("_next_us"), day_end_us) - F.col("ts_us"),
+        )
+        res = seg.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("dt_us").alias("total_us"),
+            (
+                F.sum(
+                    F.col("v_q").cast("decimal(18,0)")
+                    * F.col("dt_us").cast("decimal(18,0)")
+                ).cast("double")
+                / F.sum("dt_us").cast("double")
+                / F.lit(10000)
+            ).alias("twa"),
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        e.unpersist()
 
 
 # ---------------------------------------------------------------------------
