@@ -73,7 +73,12 @@ def bm25_topk(
         F.count(F.lit(1)).alias("_n_docs"),
         F.sum("_dl").alias("_sum_dl"),
     )
-    # postings restricted to the query terms before any shuffle
+    # postings restricted to the query terms before any shuffle —
+    # persisted: they feed both the df-per-term aggregate and the
+    # scoring join, and each unpersisted derivation re-tokenized the
+    # corpus (r14 optimization, guide §5; the frame is bounded by the
+    # query terms' frequencies, not corpus tokens). Released after
+    # the bounded top-k result materializes below.
     postings = (
         toked.select(
             F.col(id_col), F.col("_dl"), F.explode("_toks").alias("term")
@@ -81,6 +86,7 @@ def bm25_topk(
         .where(F.col("term").isin(list(query_terms)))
         .groupBy(id_col, "_dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     df_per_term = postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
@@ -115,9 +121,14 @@ def bm25_topk(
         F.col("score_fp").desc(), F.col(id_col)
     ).limit(k)
     w = Window.orderBy(F.col("score_fp").desc(), F.col(id_col))
-    return ranked.withColumn(
-        "rank", F.row_number().over(w).cast("bigint")
-    )
+    try:
+        res = ranked.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        ).persist()
+        res.count()
+        return res
+    finally:
+        postings.unpersist()
 
 
 def bm25_topk_batch(
@@ -167,6 +178,12 @@ def bm25_topk_batch(
         F.count(F.lit(1)).alias("_n_docs"),
         F.sum("_dl").alias("_sum_dl"),
     )
+    # persisted for the same reason as the single-query path: the
+    # df-per-term aggregate and the scoring join both derive from it,
+    # and each unpersisted derivation re-tokenized the corpus (r14
+    # optimization, guide §5; bounded by the batch vocabulary's
+    # term frequencies). Released after the k-bounded result
+    # materializes below.
     postings = (
         toked.select(
             F.col(id_col), F.col("_dl"), F.explode("_toks").alias("term")
@@ -174,6 +191,7 @@ def bm25_topk_batch(
         .join(F.broadcast(vocab), "term", "left_semi")
         .groupBy(id_col, "_dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     df_per_term = postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
@@ -207,10 +225,18 @@ def bm25_topk_batch(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score_fp").desc(), F.col(id_col)
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
-    )
+    try:
+        res = (
+            scored.withColumn(
+                "rank", F.row_number().over(w).cast("bigint")
+            )
+            .where(F.col("rank") <= k)
+            .persist()
+        )
+        res.count()
+        return res
+    finally:
+        postings.unpersist()
 
 
 def phrase_search(

@@ -1727,22 +1727,37 @@ def doc_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank-1)/(n-1) bit-for-bit and the oracle hash is unchanged."""
     from .operators.ranking import percent_rank_expr, with_ordered_prefix
 
-    scored = textops.with_quality_score(_docs(spark, sf_dir))
-    ranked = with_ordered_prefix(
-        scored.select("doc_id", "source", "quality_score"),
-        "quality_score",
-        [F.col("quality_score").asc(), F.col("doc_id").asc()],
-        {"_pos": F.lit(1)},
-        partition_cols=["source"],
-        totals={"_n": "_pos"},
+    # Persist the scored projection across the prefix pass's three
+    # derivations (boundary job, main, carry) — unpersisted, the
+    # quality-score machinery re-tokenized the corpus per side (plan
+    # audit: two document scans + the boundary pass).
+    # Materialize-then-release (r14 optimization, guide §5).
+    scored = (
+        textops.with_quality_score(_docs(spark, sf_dir))
+        .select("doc_id", "source", "quality_score")
+        .persist()
     )
-    return (
-        ranked.withColumn(
-            "q_rank", percent_rank_expr(F.col("_pos"), F.col("_n"))
+    try:
+        ranked = with_ordered_prefix(
+            scored,
+            "quality_score",
+            [F.col("quality_score").asc(), F.col("doc_id").asc()],
+            {"_pos": F.lit(1)},
+            partition_cols=["source"],
+            totals={"_n": "_pos"},
         )
-        .where(F.col("q_rank") >= 0.2)
-        .select("doc_id", "source", "quality_score", "q_rank")
-    )
+        res = (
+            ranked.withColumn(
+                "q_rank", percent_rank_expr(F.col("_pos"), F.col("_n"))
+            )
+            .where(F.col("q_rank") >= 0.2)
+            .select("doc_id", "source", "quality_score", "q_rank")
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        scored.unpersist()
 
 
 @register("emb_semantic_dedup", None)  # k-means: no SQL oracle, rows-only
@@ -2656,27 +2671,40 @@ def doc_tfidf_topterm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = textops.tfidf_top_terms(docs, k=5, n_docs=docs.count()).select(
         "doc_id", "term"
     )
+    # Persist the capped prefix postings: both self-join sides derive
+    # from them — unpersisted, the whole tf-idf machinery (tokenize,
+    # df counts, top-k window) ran once per side (plan audit: four
+    # document scans). ≤ 5N tiny rows. Materialize-then-release (r14
+    # optimization, guide §5).
     kept = (
         top.withColumn(
             "pf", F.count(F.lit(1)).over(Window.partitionBy("term"))
         )
         .where(F.col("pf") <= 100)
         .drop("pf")
+        .persist()
     )
-    a, b = kept.alias("a"), kept.alias("b")
-    return (
-        a.join(b, "term")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+    try:
+        a, b = kept.alias("a"), kept.alias("b")
+        res = (
+            a.join(b, "term")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= 2)
+            .withColumn(
+                "overlap_coeff",
+                F.col("n_shared").cast("double") / F.lit(5),
+            )
         )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= 2)
-        .withColumn(
-            "overlap_coeff", F.col("n_shared").cast("double") / F.lit(5)
-        )
-    )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        kept.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -3791,31 +3819,42 @@ def doc_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break changes nothing."""
     from .operators.ranking import with_ordered_prefix
 
+    # Persist the per-doc token counts across the prefix pass's three
+    # derivations (boundary job, main, carry) — unpersisted, each
+    # re-tokenized the corpus (plan audit: two document scans + the
+    # boundary pass). Materialize-then-release (r14 optimization,
+    # guide §5).
     d = _docs(spark, sf_dir).select(
         "doc_id", "source", F.size(textops.tokens("text")).alias("x")
-    )
-    ranked = with_ordered_prefix(
-        d,
-        "x",
-        [F.col("x"), F.col("doc_id")],
-        {"i": F.lit(1)},
-        partition_cols=["source"],
-    )
-    return (
-        ranked.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("x").cast("bigint").alias("total_tokens"),
-            (
-                (
-                    F.lit(2) * F.sum(F.col("i") * F.col("x"))
-                    - (F.count(F.lit(1)) + F.lit(1)) * F.sum("x")
-                ).cast("double")
-                / (F.count(F.lit(1)) * F.sum("x")).cast("double")
-            ).alias("gini"),
+    ).persist()
+    try:
+        ranked = with_ordered_prefix(
+            d,
+            "x",
+            [F.col("x"), F.col("doc_id")],
+            {"i": F.lit(1)},
+            partition_cols=["source"],
         )
-        .where(F.col("total_tokens") > 0)
-    )
+        res = (
+            ranked.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("x").cast("bigint").alias("total_tokens"),
+                (
+                    (
+                        F.lit(2) * F.sum(F.col("i") * F.col("x"))
+                        - (F.count(F.lit(1)) + F.lit(1)) * F.sum("x")
+                    ).cast("double")
+                    / (F.count(F.lit(1)) * F.sum("x")).cast("double")
+                ).alias("gini"),
+            )
+            .where(F.col("total_tokens") > 0)
+        )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        d.unpersist()
 
 
 _PR_SCALE = 1_000_000
