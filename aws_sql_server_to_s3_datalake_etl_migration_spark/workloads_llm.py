@@ -2364,25 +2364,35 @@ def doc_minhash_exact_dup_pairs(
     what lets a hash-free oracle value-check the whole LSH pipeline."""
     planted = _planted_docs(spark, sf_dir)
     cands = dedup.minhash_lsh_pairs(planted, threshold=1.0)
+    # Persist the sorted shingle sets: both verify-join sides read
+    # them, and unpersisted each side re-shingled and re-sorted the
+    # corpus (plan audit: the shingle machinery appeared once per
+    # side). Materialize-then-release (r14 optimization, guide §5).
     sets_ = planted.select(
         "doc_id", F.array_sort(dedup.word_shingles("text", 3)).alias("_s")
-    )
-    return (
-        cands.join(
-            sets_.select(
-                F.col("doc_id").alias("id_a"), F.col("_s").alias("_sa")
-            ),
-            "id_a",
+    ).persist()
+    try:
+        res = (
+            cands.join(
+                sets_.select(
+                    F.col("doc_id").alias("id_a"), F.col("_s").alias("_sa")
+                ),
+                "id_a",
+            )
+            .join(
+                sets_.select(
+                    F.col("doc_id").alias("id_b"), F.col("_s").alias("_sb")
+                ),
+                "id_b",
+            )
+            .where(F.col("_sa") == F.col("_sb"))
+            .select("id_a", "id_b")
         )
-        .join(
-            sets_.select(
-                F.col("doc_id").alias("id_b"), F.col("_s").alias("_sb")
-            ),
-            "id_b",
-        )
-        .where(F.col("_sa") == F.col("_sb"))
-        .select("id_a", "id_b")
-    )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        sets_.unpersist()
 
 
 @register(
@@ -2412,25 +2422,34 @@ def doc_simhash_exact_dup_pairs(
     sides."""
     planted = _planted_docs(spark, sf_dir)
     cands = dedup.simhash_pairs(planted, max_hamming=0)
+    # Persist the sorted token multisets: both verify-join sides read
+    # them (same rationale as the MinHash twin above).
+    # Materialize-then-release (r14 optimization, guide §5).
     mult = planted.select(
         "doc_id", F.array_sort(textops.tokens("text")).alias("_m")
-    ).where(F.size("_m") > 0)
-    return (
-        cands.join(
-            mult.select(
-                F.col("doc_id").alias("id_a"), F.col("_m").alias("_ma")
-            ),
-            "id_a",
+    ).where(F.size("_m") > 0).persist()
+    try:
+        res = (
+            cands.join(
+                mult.select(
+                    F.col("doc_id").alias("id_a"), F.col("_m").alias("_ma")
+                ),
+                "id_a",
+            )
+            .join(
+                mult.select(
+                    F.col("doc_id").alias("id_b"), F.col("_m").alias("_mb")
+                ),
+                "id_b",
+            )
+            .where(F.col("_ma") == F.col("_mb"))
+            .select("id_a", "id_b")
         )
-        .join(
-            mult.select(
-                F.col("doc_id").alias("id_b"), F.col("_m").alias("_mb")
-            ),
-            "id_b",
-        )
-        .where(F.col("_ma") == F.col("_mb"))
-        .select("id_a", "id_b")
-    )
+        res = res.persist()
+        res.count()
+        return res
+    finally:
+        mult.unpersist()
 
 
 # ---------------------------------------------------------------------------
