@@ -395,8 +395,15 @@ def _shared_gram_counts(
     # size(word_shingles(...)) over the scan: the shingle expression
     # (token slice × distinct) dominates cost, and a scan-side sizes
     # would re-evaluate it once more per join branch — measured
-    # slower at sf0.1 than re-aggregating the already-exploded rows
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    # slower at sf0.1 than re-aggregating the already-exploded rows.
+    # PERSISTED (r14 optimization, guide §5): both pair-join sides
+    # (sa/sb below) read this per-doc count frame, and unpersisted
+    # each side re-ran the whole shingle explode+aggregate — the
+    # frame is one row per doc, tiny at any scale. Released by the
+    # caller-visible result's own materialization below.
+    sizes = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    ).persist()
     id_type = dict(df.dtypes)[id_col]
     packable = not wide_ids and id_type in (
         "tinyint", "smallint", "int", "bigint"
@@ -474,11 +481,17 @@ def _shared_gram_counts(
     sb = sizes.select(
         F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb")
     )
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", "n_common", "na", "nb")
-    )
+    try:
+        res = (
+            common.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select("id_a", "id_b", "n_common", "na", "nb")
+            .persist()
+        )
+        res.count()
+        return res
+    finally:
+        sizes.unpersist()
 
 
 def ngram_containment_pairs(
