@@ -1994,25 +1994,36 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     size), never a cross join; the count is one hash-agg on the pair
     key. At 100 TB the join co-locates by order key in one shuffle
     and pair volume tracks Σ C(k,2) — the algorithm's output floor."""
+    # Persist the deduplicated basket base across the two self-join
+    # sides (the part_rules_lift rationale — unpersisted, lineitem
+    # was scanned and distinct-shuffled once per side).
+    # Materialize-then-release (r14 optimization, guide §5).
     li = (
         read_table_dir(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .persist()
     )
-    a = li.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
-    )
-    b = li.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
-    )
-    pairs = a.join(b, "l_orderkey").where(
-        F.col("part_a") < F.col("part_b")
-    )
-    return (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 2)
-    )
+    try:
+        a = li.select(
+            F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+        )
+        b = li.select(
+            F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+        )
+        pairs = a.join(b, "l_orderkey").where(
+            F.col("part_a") < F.col("part_b")
+        )
+        res = (
+            pairs.groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= 2)
+            .persist()
+        )
+        res.count()
+        return res
+    finally:
+        li.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -3949,13 +3960,18 @@ def suppliers_kept_waiting(
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
+    # Persist the lateness-flagged join: both the per-order stats and
+    # the late-line counts derive from it — unpersisted, the
+    # fact-fact lineitem ⋈ orders join ran twice (plan audit: two
+    # scans of each side). Materialize-then-release (r14
+    # optimization, guide §5).
     l = li.join(o, "l_orderkey").select(
         "l_orderkey",
         "l_suppkey",
         (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60).alias(
             "late"
         ),
-    )
+    ).persist()
     per = l.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.col("late").cast("int")).alias("sup_late")
     )
@@ -3979,9 +3995,17 @@ def suppliers_kept_waiting(
     s = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_name"
     )
-    return waiting.join(s, "l_suppkey").groupBy("s_name").agg(
-        F.sum("n_late_lines").cast("bigint").alias("numwait")
-    )
+    try:
+        res = (
+            waiting.join(s, "l_suppkey")
+            .groupBy("s_name")
+            .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
+            .persist()
+        )
+        res.count()
+        return res
+    finally:
+        l.unpersist()
 
 
 @register(
