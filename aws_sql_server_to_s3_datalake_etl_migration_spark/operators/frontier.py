@@ -60,17 +60,7 @@ def skyline_2d(
             F.lit(n_buckets - 1),
             F.floor((F.col("_x") - F.lit(lo)) / F.lit(width)),
         ).cast("int")
-    # Persist the bucketed projection: it feeds the bucket-max
-    # collect below and BOTH sides of the final pass (survivor rows +
-    # the per-x max join side) — unpersisted, each derivation
-    # re-scanned the source (plan audit: two scans in the final plan
-    # alone, plus this collect). The bucket-max collect is the first
-    # touch and doubles as the cache fill; released in the caller-
-    # visible frame's lineage only after the final plan is built
-    # (r14 optimization, guide §5). MEMORY_AND_DISK default — at
-    # 100 TB this frame is the projected table and spills, which is
-    # still cheaper than three full recomputes of the scan.
-    pts = base = pts.withColumn("_b", bucket).persist()
+    pts = pts.withColumn("_b", bucket)
     # running max-y over strictly higher buckets, computed on the
     # n_buckets-row summary (driver-side: it is bounded by n_buckets,
     # independent of data scale)
@@ -103,7 +93,7 @@ def skyline_2d(
         Window.unboundedPreceding, -1
     )
     gmax = gmax.withColumn("_rm", F.max("_gy").over(w))
-    res = (
+    return (
         pts.join(gmax, on="_x")
         .where(
             (F.col("_y") == F.col("_gy"))
@@ -111,9 +101,3 @@ def skyline_2d(
         )
         .drop("_x", "_y", "_b", "_gy", "_rm")
     )
-    try:
-        res = res.persist()
-        res.count()
-        return res
-    finally:
-        base.unpersist()

@@ -631,9 +631,13 @@ EXPECT: dict[str, dict] = {
     # the cumulative share runs as a distributed ordered-prefix pass
     # (quantile buckets + one broadcast carry join — 1 hint); only the
     # <=64-row carry windows are unpartitioned (GLOBAL_WINDOW_OK).
+    # r14: the per-customer spend aggregate is persisted across the
+    # prefix pass's boundary/main/carry derivations (guide §5), so
+    # the three duplicate orders-side shuffles collapsed — 6 -> 3
+    # materialized shuffle stages.
     "customer_abc_classes": {
         "pushed": False, "no_smj": True, "hints": 1, "pure_jvm": True,
-        "shuffles": 6,
+        "shuffles": 3,
     },
     # OHLC bars (rewritten r10): zero windows — min_by/max_by fold
     # open/close into the ONE map-side-combined (type, hour) hash-agg.
