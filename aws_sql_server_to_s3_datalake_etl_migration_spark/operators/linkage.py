@@ -127,7 +127,14 @@ def edit_distance_self_join(
     if block_cols:
         for c in block_cols:
             src = src.where(F.col(c).isNotNull())
-    keyed = src.select(
+    # Persisted: both join sides below read this frame, and
+    # unpersisted each side re-ran the scan + deletion-variant
+    # explode (the variant expression — length+1 substrings per row —
+    # dominates the pre-join cost; plan audit showed it twice, with
+    # no ReusedExchange because the sides' projections differ).
+    # Released after the verified pair set materializes (r14
+    # optimization, guide §5).
+    keyed = keyed_base = src.select(
         F.col(id_col).alias("_id"),
         F.col(str_col).alias("_s"),
         F.explode(
@@ -136,7 +143,7 @@ def edit_distance_self_join(
                 lambda v: F.xxhash64(v, *block_exprs),
             )
         ).alias("_key"),
-    )
+    ).persist()
     if hot_key_cap is not None:
         cold = (
             keyed.groupBy("_key")
@@ -155,17 +162,22 @@ def edit_distance_self_join(
         F.col("_id").alias("right_id"),
         F.col("_s").alias("_rs"),
     )
-    pairs = (
-        left.join(right, "_key")
-        .where(F.col("left_id") < F.col("right_id"))
-        # verify BEFORE dedup: the threshold-form levenshtein is cheap
-        # codegen, so the dedup shuffle then carries only true pairs
-        # (a pair can share several deletion keys)
-        .withColumn(
-            "dist", F.levenshtein("_ls", "_rs", max_distance)
+    try:
+        pairs = (
+            left.join(right, "_key")
+            .where(F.col("left_id") < F.col("right_id"))
+            # verify BEFORE dedup: the threshold-form levenshtein is
+            # cheap codegen, so the dedup shuffle then carries only
+            # true pairs (a pair can share several deletion keys)
+            .withColumn(
+                "dist", F.levenshtein("_ls", "_rs", max_distance)
+            )
+            .where(F.col("dist") >= 0)  # threshold form: -1 = exceeded
+            .select("left_id", "right_id", F.col("dist").cast("bigint"))
+            .dropDuplicates(["left_id", "right_id"])
+            .persist()
         )
-        .where(F.col("dist") >= 0)  # threshold form: -1 = exceeded
-        .select("left_id", "right_id", F.col("dist").cast("bigint"))
-        .dropDuplicates(["left_id", "right_id"])
-    )
-    return pairs
+        pairs.count()
+        return pairs
+    finally:
+        keyed_base.unpersist()
