@@ -3236,10 +3236,20 @@ def doc_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Near-dup clusters compose the same way: swap the star edges for
     ``minhash_lsh_pairs`` (rows-only — covered by the incremental
     near-dup twins)."""
+    from pyspark.sql.window import Window
+
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    reps = docs.groupBy("text").agg(F.min("doc_id").alias("rep"))
+    # Star edges via ONE text-keyed window (min over the content
+    # group) instead of groupBy + join-back — the r13 form shuffled
+    # the full text column three times (the aggregate, then both join
+    # sides); the window shuffles it once and computes the same
+    # min-id rep (the oracle itself states the rep as MIN OVER
+    # (PARTITION BY text)). Group width = duplicate-cluster size,
+    # identical to the aggregate's. r14 optimization, guide §2.4.
     star = (
-        docs.join(reps, "text")
+        docs.withColumn(
+            "rep", F.min("doc_id").over(Window.partitionBy("text"))
+        )
         .where(F.col("doc_id") != F.col("rep"))
         .select(F.col("doc_id").alias("id_a"), F.col("rep").alias("id_b"))
     )
