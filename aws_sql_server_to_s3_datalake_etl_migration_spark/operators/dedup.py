@@ -365,14 +365,19 @@ def ngram_jaccard_pairs(
     ids) must pass ``wide_ids=True`` to select it explicitly, since
     the range is only knowable at runtime and a silent wrap would
     corrupt pairs."""
-    counts = _shared_gram_counts(df, id_col, text_col, n, wide_ids)
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     ).cast("double")
-    return (
-        counts.withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+
+    def finish(counts: DataFrame) -> DataFrame:
+        return (
+            counts.withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    return _shared_gram_counts(
+        df, id_col, text_col, n, wide_ids, finish
     )
 
 
@@ -382,12 +387,21 @@ def _shared_gram_counts(
     text_col: str,
     n: int,
     wide_ids: bool,
+    finish=None,
 ) -> DataFrame:
     """Shared machinery for the exact n-gram pair family: per-pair
     (id_a, id_b, n_common, na, nb) distinct-shingle intersection
     counts via the fused postings formulation documented on
     ``ngram_jaccard_pairs`` (collect-list postings, 1000-df skew cap,
-    packed-bigint pair keys for 31-bit integral ids)."""
+    packed-bigint pair keys for 31-bit integral ids).
+
+    ``finish`` (r15, per the r14 advice): the caller's score +
+    threshold-filter + projection, applied BEFORE the materialize-
+    then-release persist so the frame that stays cached is the small
+    FILTERED pair set, not the full unfiltered candidate frame (the
+    largest frame in the pipeline). The returned frame is persisted
+    and materialized; the consumption boundary (bench / checker /
+    caller) owns its release."""
     grams = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
     )
@@ -486,8 +500,10 @@ def _shared_gram_counts(
             common.join(sa, "id_a")
             .join(sb, "id_b")
             .select("id_a", "id_b", "n_common", "na", "nb")
-            .persist()
         )
+        if finish is not None:
+            res = finish(res)
+        res = res.persist()
         res.count()
         return res
     finally:
@@ -516,14 +532,19 @@ def ngram_containment_pairs(
     identical to the Jaccard query. Returns (id_a, id_b, containment)
     with containment = n_common / min(na, nb) — one exact-integer
     division, engine-exact."""
-    counts = _shared_gram_counts(df, id_col, text_col, n, wide_ids)
     cont = F.col("n_common").cast("double") / F.least(
         F.col("na"), F.col("nb")
     ).cast("double")
-    return (
-        counts.withColumn("containment", cont)
-        .where(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "containment")
+
+    def finish(counts: DataFrame) -> DataFrame:
+        return (
+            counts.withColumn("containment", cont)
+            .where(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment")
+        )
+
+    return _shared_gram_counts(
+        df, id_col, text_col, n, wide_ids, finish
     )
 
 
@@ -688,12 +709,25 @@ def connected_components(
     label changed — and that same aggregate doubles as the round's
     persist materialization (NULL-id singletons sit outside the sum
     and never change)."""
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-    )
+    # both directions from ONE reference (explode, not union — r15,
+    # guide §1.2): the union shape evaluated the caller's pair
+    # pipeline TWICE inside edges_all's materialization (for
+    # semantic_dedup that is the per-cell quadratic cosine join,
+    # measured as a full extra pass); same rows, same types
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"),
+                    F.col("id_b").alias("dst"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"),
+                    F.col("id_a").alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     node_ids = nodes.select(F.col(id_col).alias("id")).distinct()
     # output rows are keyed by src, so srcs outside the node frame
     # must not leak in (the pre-r11 shape only ever emitted node

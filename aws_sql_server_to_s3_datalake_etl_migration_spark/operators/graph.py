@@ -50,10 +50,23 @@ __all__ = [
     "pagerank_fixedpoint",
     "connected_components",
     "star_connected_components",
+    "pointer_jump_components",
     "triangle_count",
     "k_core",
     "coreness",
 ]
+
+# Pointer-jump rounds chained per persist+action materialization in
+# pointer_jump_components (r15, guide §1.2 — same cadence trick as
+# _WAVES_PER_STEP below: per-step persist + scalar action + AQE
+# barriers dominate on small per-round frames, and every round
+# references its input exactly once, so a chained pair is a depth-2
+# single-reference plan with linear Catalyst analysis). Convergence
+# stays exact at step granularity: labels are non-increasing per node,
+# so "sum unchanged across a step" still means both inner rounds were
+# no-ops, i.e. the fixed point; at worst one redundant (cheap,
+# label-sized) round runs after convergence.
+_JUMPS_PER_STEP = 2
 
 
 @with_coalesced_cached_rounds
@@ -170,24 +183,46 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 20,
+    algo: str = "star",
 ) -> DataFrame:
     """Weakly connected components: every node labeled with the
     smallest node id reachable over the (undirected) edge set.
     Returns ``(node_col, component)``; singletons keep their own id.
 
-    Implementation (upgraded round 11, second batch): delegates to
-    ``star_connected_components`` below — alternating large-star /
-    small-star contraction, O(log n) rounds — after the
+    Implementation (upgraded round 11, second batch): the default
+    delegate is ``star_connected_components`` below — alternating
+    large-star / small-star contraction, O(log n) rounds — after the
     entity-resolution edit graph at sf0.1 exposed the prior
     smallest-label-propagation delegate as a rounds-=-diameter
     latent scale-killer (diameter 50 there; unbounded on a web
-    graph). The label semantics are IDENTICAL (component = smallest
-    reachable id; every prior caller's oracle hash is unchanged);
-    only the round count changed. ``max_iter`` now bounds contraction
-    rounds (logarithmic), not diameter. The dedup module keeps its
-    own NULL-tolerant min-label loop for the shallow near-dup
-    clusters it was built for (``operators/dedup.py``).
+    graph). ``algo="pointer_jump"`` selects
+    ``pointer_jump_components`` instead (integral ids only) — the
+    FastSV-style hooking/doubling loop whose rounds shuffle
+    label-sized frames instead of the edge multiset. The r15
+    same-session A/B (min-of-5, sf0.1): on the diameter-50 ER edit
+    graph star wins (4.20 vs 5.23 s — every catalog graph is SPARSE,
+    m ≈ |V|, so pointer-jump's smaller per-round shuffle volume buys
+    nothing and its extra per-round stages cost); on the shallow
+    doc-link chain graph pointer-jump wins (2.28 vs 2.66 s — fewer,
+    cheaper rounds at diameter ≤ 7). Callers pick by measurement;
+    label SEMANTICS are identical across all delegates (component =
+    smallest reachable id; oracle hashes unchanged, equivalence
+    pinned by test_r15_optimizations). ``max_iter`` bounds
+    contraction/jump rounds (logarithmic), not diameter. The dedup
+    module keeps its own NULL-tolerant min-label loop for the shallow
+    near-dup clusters it was built for (``operators/dedup.py``).
     """
+    if algo == "pointer_jump":
+        return pointer_jump_components(
+            nodes,
+            edges,
+            node_col=node_col,
+            src_col=src_col,
+            dst_col=dst_col,
+            max_iter=max_iter,
+        )
+    if algo != "star":
+        raise ValueError(f"unknown algo {algo!r}")
     return star_connected_components(
         nodes,
         edges,
@@ -493,6 +528,222 @@ def star_connected_components(
         if prev is not canon:
             prev.unpersist()
         canon.unpersist()
+
+
+@with_coalesced_cached_rounds
+def pointer_jump_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 60,
+) -> DataFrame:
+    """Weakly connected components by HOOKING + POINTER DOUBLING — the
+    Shiloach–Vishkin family as simplified by FastSV (Zhang, Azad,
+    Buluç, "FastSV: A Distributed-Memory Connected Component
+    Algorithm with Fast Convergence", 2020): every node keeps a label
+    ``f`` (initially the minimum over its closed neighborhood) and
+    each round lowers it to
+
+        f'(x) = min( min_{y ∈ Γ(x) ∪ {x}} f(f(y)),      # hooking on
+                                                        # grandparents;
+                                                        # y = x is the
+                                                        # shortcut
+                     min_{u : f(u) = x} min_{y ∈ Γ+(u)} f(f(y)) )
+                                                        # stochastic
+                                                        # hooking onto
+                                                        # the parent
+
+    Labels are non-increasing, never leave the component, and the
+    fixed point is exactly "every node labeled with its component's
+    minimum id" (stars + label equality across every edge), i.e. the
+    same output contract as ``star_connected_components``; singletons
+    keep their own id. Requires integral non-NULL node ids (the exact
+    decimal label-sum is the convergence test); ``connected_components``
+    routes string ids to the star-contraction twin instead.
+
+    Why this replaces star contraction on the hot paths (r15, guide
+    §2.2/§2.4): star contraction re-shuffles the whole EDGE multiset
+    three times per round (two windows + a distinct). Here the edge
+    frame is canonicalized, exploded to directed rows with one SELF
+    row per node, hash-partitioned on the probe key and persisted
+    ONCE — every round then shuffles only label-sized frames (|V|
+    rows): one explode+window to evaluate f∘f with a single reference
+    to the evolving frame (ask rows keyed f(v) meet the value row
+    keyed v — the star-contraction explode trick, so the logical plan
+    grows LINEARLY per round instead of 2^rounds, the round-11
+    lineage law), one join against the static directed frame whose
+    cached exchange is reused, and two hash-aggs whose map-side
+    partial aggregation collapses the edge-sized join output to
+    label-sized exchanges. Round count is O(log n) — pointer doubling
+    covers distance ~2^r and stochastic hooking writes a newly found
+    minimum straight onto a star root (without it, an adversarial id
+    layout degrades to O(diameter) label crawling).
+
+    Convergence is ONE scalar action per step (labels non-increasing
+    ⟹ the exact DECIMAL(38,0) label sum strictly decreases until the
+    fixed point), doubling as the step's persist materialization;
+    ``_JUMPS_PER_STEP`` rounds chain per step (header note). Raises
+    after ``max_iter`` rounds rather than returning half-merged
+    components."""
+    from pyspark.sql.window import Window
+
+    n = nodes.select(F.col(node_col).alias("_n"))
+    id_type = dict(n.dtypes)["_n"]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            "pointer_jump_components needs integral node ids for the "
+            f"exact label-sum convergence test; got {id_type}. Use "
+            "star_connected_components for string ids."
+        )
+    canon = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+    ).where(F.col("a") != F.col("b")).distinct()
+    directed = canon.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+                F.struct(F.col("b").alias("x"), F.col("a").alias("y")),
+            )
+        ).alias("r")
+    ).select("r.x", "r.y")
+    # one SELF row per edged node: the round's single label join then
+    # delivers own-grandparent (the shortcut) and neighbor-grandparents
+    # together, and the self row doubles as the f(x) carrier for the
+    # stochastic-hooking emit. Persisted HASH-PARTITIONED ON THE JOIN
+    # KEY so every round's join reuses the cached exchange and only
+    # the label-sized frame moves (the coreness layout).
+    directed_all = (
+        directed.unionByName(
+            directed.select("x").distinct().withColumn("y", F.col("x"))
+        )
+        .repartition(F.col("y"))
+        .persist()
+    )
+    directed_all.count()
+
+    w_k = Window.partitionBy("_k")
+    null_id = F.lit(None).cast(id_type)
+
+    def one_jump(lbl: DataFrame) -> DataFrame:
+        # f∘f with ONE reference to lbl: each state row (v, f) emits
+        # an ASK row keyed f (asker = v) and a VALUE row keyed v
+        # (val = f); the per-key window max (exactly one non-NULL
+        # value row per key, keys are node ids with state rows)
+        # hands every asker g = f(f(v)), plus its own f for the
+        # stochastic emit below.
+        sym = lbl.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("f").alias("_k"),
+                        F.col("v").alias("_asker"),
+                        null_id.alias("_val"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("_k"),
+                        null_id.alias("_asker"),
+                        F.col("f").alias("_val"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e._k", "e._asker", "e._val")
+        g = (
+            sym.withColumn("_g", F.max("_val").over(w_k))
+            .where(F.col("_asker").isNotNull())
+            .select(
+                F.col("_asker").alias("_v"),
+                F.col("_k").alias("_f"),
+                "_g",
+            )
+        )
+        # per node x: m1 = min grandparent over the closed
+        # neighborhood (covers hooking AND the shortcut; the keep
+        # term is redundant because g(x) <= f(x)), and fx = f(x)
+        # recovered from the self row. Stochastic hooking re-emits
+        # m1 keyed at the parent fx; the second agg folds both
+        # candidate streams.
+        agg1 = (
+            directed_all.join(g, directed_all["y"] == g["_v"])
+            .groupBy("x")
+            .agg(
+                F.min("_g").alias("_m1"),
+                F.max(
+                    F.when(F.col("x") == F.col("y"), F.col("_f"))
+                ).alias("_fx"),
+            )
+        )
+        return (
+            agg1.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("x").alias("_c"),
+                            F.col("_m1").alias("_cand"),
+                        ),
+                        F.struct(
+                            F.col("_fx").alias("_c"),
+                            F.col("_m1").alias("_cand"),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e._c", "e._cand")
+            .groupBy("_c")
+            .agg(F.min("_cand").alias("f"))
+            .select(F.col("_c").alias("v"), "f")
+        )
+
+    est = (
+        directed_all.groupBy("x")
+        .agg(F.min("y").alias("f"))
+        .select(F.col("x").alias("v"), "f")
+        .persist()
+    )
+    prev_sum = est.agg(
+        F.sum(F.col("f").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    try:
+        for _ in range(max(1, -(-max_iter // _JUMPS_PER_STEP))):
+            chained = est
+            for _j in range(_JUMPS_PER_STEP):
+                chained = one_jump(chained)
+            nxt = chained.persist()
+            cur_sum = nxt.agg(
+                F.sum(F.col("f").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            est.unpersist()
+            est = nxt
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            raise RuntimeError(
+                f"pointer_jump_components did not converge in "
+                f"{max_iter} rounds"
+            )
+        out = (
+            n.join(
+                est.select(
+                    F.col("v").alias("_n"), F.col("f").alias("component")
+                ),
+                "_n",
+                "left",
+            )
+            .select(
+                F.col("_n").alias(node_col),
+                F.coalesce("component", F.col("_n")).alias("component"),
+            )
+        )
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        est.unpersist()
+        directed_all.unpersist()
 
 
 @with_coalesced_cached_rounds

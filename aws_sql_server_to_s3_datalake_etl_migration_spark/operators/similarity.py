@@ -47,6 +47,15 @@ def _norm(vec_col) -> F.Column:
     )
 
 
+def vector_norm(vec_col) -> F.Column:
+    """Public L2-norm fold — the exact expression ``pairwise_cosine``
+    uses internally, exposed so callers can HOIST per-row norms out of
+    per-pair scoring expressions (r15, guide §1.2) and pass them back
+    via ``pairwise_cosine(..., a_norm=, b_norm=)`` with bit-identical
+    results."""
+    return _norm(vec_col)
+
+
 def cosine_to_query(vec_col, query_vec) -> F.Column:
     """Cosine similarity of each row's vector to a literal query vector."""
     import math
@@ -234,8 +243,18 @@ def seeded_cell_assign(
     return df.join(best, id_col)
 
 
-def pairwise_cosine(a_col, b_col) -> F.Column:
-    """Cosine similarity between two array columns (codegen fold)."""
+def pairwise_cosine(a_col, b_col, a_norm=None, b_norm=None) -> F.Column:
+    """Cosine similarity between two array columns (codegen fold).
+
+    ``a_norm``/``b_norm``: optional PRECOMPUTED ``_norm`` columns
+    (r15, guide §1.2 per-task work). On quadratic candidate joins the
+    norms are per-ROW quantities evaluated inside a per-PAIR
+    expression — hoisting them into the join inputs cuts the fold
+    work per pair from three array aggregates to one. The result is
+    bit-identical by construction: the hoisted column is the exact
+    same ``sqrt(Σx²)`` expression over the exact same array, and the
+    ``dot / (na * nb)`` structure (including multiply order) is
+    unchanged, so every IEEE operation sees the same operands."""
     dot = F.aggregate(
         F.zip_with(
             a_col, b_col, lambda x, y: x.cast("double") * y.cast("double")
@@ -243,7 +262,9 @@ def pairwise_cosine(a_col, b_col) -> F.Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return dot / (_norm(a_col) * _norm(b_col))
+    na = a_norm if a_norm is not None else _norm(a_col)
+    nb = b_norm if b_norm is not None else _norm(b_col)
+    return dot / (na * nb)
 
 
 def semantic_dedup(
@@ -300,27 +321,57 @@ def semantic_dedup(
         assigned, _ = build_ivf_index(
             df, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
         )
-    slim = assigned.select(id_col, vec_col, "_cell")
+    # Persisted (r15, guide §5): the cell-count aggregate, both pair-
+    # join sides AND every round of the downstream components loop
+    # derive from this projection — unpersisted, the (scan + assign)
+    # lineage re-ran once per reference (the assignment argmin alone
+    # is ~1.2 s warm at sf0.1). Released after the components labels
+    # materialize inside connected_components below.
+    slim = assigned.select(id_col, vec_col, "_cell").persist()
     counts = slim.groupBy("_cell").agg(F.count(F.lit(1)).alias("_n"))
     bounded = slim.join(
         counts.where(F.col("_n") <= max_cell_size).select("_cell"), "_cell"
     )
+    # norms hoisted to the join inputs (r15, guide §1.2): one fold
+    # per row instead of two per candidate pair; value bit-identical
+    # (see pairwise_cosine)
     a = bounded.select(
-        "_cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+        "_cell",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
     )
     b = bounded.select(
-        "_cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+        "_cell",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
     )
     pairs = (
         a.join(b, "_cell")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", pairwise_cosine(F.col("_va"), F.col("_vb")))
+        .withColumn(
+            "cosine",
+            pairwise_cosine(
+                F.col("_va"),
+                F.col("_vb"),
+                a_norm=F.col("_na"),
+                b_norm=F.col("_nb"),
+            ),
+        )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b")
     )
-    labels = connected_components(
-        pairs, df.select(F.col(id_col)), id_col=id_col, max_iter=max_iter
-    )
+    try:
+        # connected_components materializes its returned labels
+        # (persist + per-round actions) before returning, so slim's
+        # cache has served every reader by the time we release it
+        labels = connected_components(
+            pairs, df.select(F.col(id_col)), id_col=id_col,
+            max_iter=max_iter,
+        )
+    finally:
+        slim.unpersist()
     lbl = labels.select(
         F.col(id_col), F.col("cluster_id").alias("semantic_cluster")
     )
@@ -365,9 +416,13 @@ def ivf_topk_batch(
     cent = spark.createDataFrame(
         cent_rows, f"_cell int, _centroid array<double>"
     )
+    # query-side norm hoisted once per query row (r15, guide §1.2);
+    # corpus-side norm hoisted once per corpus row below — one fold
+    # per scored pair instead of three, bit-identical values
     q = queries.select(
         F.col(query_id_col).alias("_qid"),
         F.col(query_vec_col).alias("_qvec"),
+        _norm(F.col(query_vec_col)).alias("_qn"),
     )
     from pyspark.sql.window import Window
 
@@ -376,18 +431,31 @@ def ivf_topk_batch(
     )
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("_ccos", pairwise_cosine(F.col("_qvec"), F.col("_centroid")))
+        .withColumn(
+            "_ccos",
+            pairwise_cosine(
+                F.col("_qvec"), F.col("_centroid"), a_norm=F.col("_qn")
+            ),
+        )
         .withColumn("_crank", F.row_number().over(w_cell))
         .where(F.col("_crank") <= nprobe)
-        .select("_qid", "_qvec", "_cell")
+        .select("_qid", "_qvec", "_qn", "_cell")
     )
     w_k = Window.partitionBy("_qid").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     return (
-        probes.join(assigned, "_cell")
+        probes.join(
+            assigned.withColumn("_cn", _norm(F.col(vec_col))), "_cell"
+        )
         .withColumn(
-            "cosine", pairwise_cosine(F.col("_qvec"), F.col(vec_col))
+            "cosine",
+            pairwise_cosine(
+                F.col("_qvec"),
+                F.col(vec_col),
+                a_norm=F.col("_qn"),
+                b_norm=F.col("_cn"),
+            ),
         )
         .withColumn("_rank", F.row_number().over(w_k))
         .where(F.col("_rank") <= k)
@@ -431,10 +499,14 @@ def hard_negative_mining(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "_cell int, _centroid array<double>",
     )
+    # norms hoisted once per query / corpus row (r15, guide §1.2):
+    # the scored candidate set is queries x probed-cell corpus rows,
+    # so per-pair folds drop 3x; values bit-identical (pairwise_cosine)
     q = queries.select(
         F.col(query_id_col).alias("_qid"),
         F.col(query_vec_col).alias("_qvec"),
         F.col(query_label_col).alias("_qlabel"),
+        _norm(F.col(query_vec_col)).alias("_qn"),
     )
     w_cell = Window.partitionBy("_qid").orderBy(
         F.col("_ccos").desc(), F.col("_cell").asc()
@@ -442,20 +514,31 @@ def hard_negative_mining(
     probes = (
         q.crossJoin(F.broadcast(cent))
         .withColumn(
-            "_ccos", pairwise_cosine(F.col("_qvec"), F.col("_centroid"))
+            "_ccos",
+            pairwise_cosine(
+                F.col("_qvec"), F.col("_centroid"), a_norm=F.col("_qn")
+            ),
         )
         .withColumn("_crank", F.row_number().over(w_cell))
         .where(F.col("_crank") <= nprobe)
-        .select("_qid", "_qvec", "_qlabel", "_cell")
+        .select("_qid", "_qvec", "_qlabel", "_qn", "_cell")
     )
     w_k = Window.partitionBy("_qid").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     return (
-        probes.join(assigned, "_cell")
+        probes.join(
+            assigned.withColumn("_cn", _norm(F.col(vec_col))), "_cell"
+        )
         .where(F.col(label_col) != F.col("_qlabel"))
         .withColumn(
-            "cosine", pairwise_cosine(F.col("_qvec"), F.col(vec_col))
+            "cosine",
+            pairwise_cosine(
+                F.col("_qvec"),
+                F.col(vec_col),
+                a_norm=F.col("_qn"),
+                b_norm=F.col("_cn"),
+            ),
         )
         .withColumn("_rank", F.row_number().over(w_k))
         .where(F.col("_rank") <= k)
@@ -495,19 +578,33 @@ def knn_classify(
     """
     from pyspark.sql.window import Window
 
+    # norms hoisted once per query / corpus row (r15, guide §1.2);
+    # bit-identical values (pairwise_cosine)
     q = queries.select(
         F.col(query_id_col).alias("_qid"),
         F.col(query_vec_col).alias("_qvec"),
+        _norm(F.col(query_vec_col)).alias("_qn"),
     )
     w_k = Window.partitionBy("_qid").orderBy(
         F.col("_cos").desc(), F.col(id_col).asc()
     )
     neigh = (
-        df.select(id_col, vec_col, label_col)
+        df.select(
+            id_col,
+            vec_col,
+            label_col,
+            _norm(F.col(vec_col)).alias("_cn"),
+        )
         .crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col("_qid"))
         .withColumn(
-            "_cos", pairwise_cosine(F.col("_qvec"), F.col(vec_col))
+            "_cos",
+            pairwise_cosine(
+                F.col("_qvec"),
+                F.col(vec_col),
+                a_norm=F.col("_qn"),
+                b_norm=F.col("_cn"),
+            ),
         )
         .withColumn("_rank", F.row_number().over(w_k))
         .where(F.col("_rank") <= k)
@@ -591,22 +688,41 @@ def matryoshka_recall(
     """
     from pyspark.sql.window import Window
 
+    # full and sliced norms hoisted once per query / corpus row (r15,
+    # guide §1.2); bit-identical values (pairwise_cosine)
     q = queries.select(
         F.col(query_id_col).alias("_qid"),
         F.col(query_vec_col).alias("_qvec"),
+        _norm(F.col(query_vec_col)).alias("_qn"),
+        _norm(F.slice(F.col(query_vec_col), 1, trunc_dim)).alias(
+            "_qnt"
+        ),
     )
     pairs = (
-        df.select(id_col, vec_col)
+        df.select(
+            id_col,
+            vec_col,
+            _norm(F.col(vec_col)).alias("_cn"),
+            _norm(F.slice(F.col(vec_col), 1, trunc_dim)).alias("_cnt"),
+        )
         .crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col("_qid"))
         .withColumn(
-            "_cos_full", pairwise_cosine(F.col("_qvec"), F.col(vec_col))
+            "_cos_full",
+            pairwise_cosine(
+                F.col("_qvec"),
+                F.col(vec_col),
+                a_norm=F.col("_qn"),
+                b_norm=F.col("_cn"),
+            ),
         )
         .withColumn(
             "_cos_trunc",
             pairwise_cosine(
                 F.slice(F.col("_qvec"), 1, trunc_dim),
                 F.slice(F.col(vec_col), 1, trunc_dim),
+                a_norm=F.col("_qnt"),
+                b_norm=F.col("_cnt"),
             ),
         )
     )
@@ -661,10 +777,21 @@ def label_propagation(
     quadratic), cosine edges to each point's k nearest IN-CELL
     neighbors. Propagation is ``iterations`` rounds of one
     edge-to-label equi-join + (node, label) weight sum + per-node
-    argmax window each; seeds never change labels. Each round's result
-    is persisted and the previous unpersisted — the lineage stays one
-    round deep instead of growing geometrically (the iterative-algo
-    pitfall at scale).
+    argmax window each; seeds never change labels.
+
+    Round plumbing (r15, guide §1.2/§2.4 — replaces the r13 per-round
+    persist+count): the keep-own-label/seed-clamp arm is folded INTO
+    the vote aggregation as one SELF-VOTE row per node on the STATIC
+    edge list (seed self-votes carry a +sentinel mass that beats any
+    real vote sum, non-seed self-votes a −sentinel that loses to any;
+    the ``_self`` grouping key keeps them from merging with a real
+    vote for the same label), so each round references the evolving
+    label frame exactly ONCE — the WCC self-loop trick. The iteration
+    count is FIXED, so the rounds compose into ONE lazily-built
+    linear plan executed as a single job (the ``pagerank_fixedpoint``
+    cadence); the static augmented edge list persists hash-partitioned
+    on the probe key so every round's join reuses the cached exchange
+    and only the label-sized frame shuffles.
 
     Returns (vec_id, label, is_seed) — label is null for nodes no
     labeled component ever reached.
@@ -691,16 +818,23 @@ def label_propagation(
     # edge build computes the (scan + assign) lineage once, not once
     # per side (r14 optimization, guide §5 caching rule — reused and
     # non-trivial to recompute). Released right after the edge list
-    # materializes.
-    assigned = assigned.persist()
+    # materializes. The vector NORM is hoisted into the persisted
+    # frame (r15, guide §1.2): the in-cell candidate join is per-cell
+    # quadratic, so a per-ROW norm cuts the per-PAIR fold work 3x;
+    # bit-identical values (pairwise_cosine).
+    assigned = assigned.withColumn(
+        "_nrm", _norm(F.col(vec_col))
+    ).persist()
     a = assigned.select(
         F.col(id_col).alias("_src"),
         F.col(vec_col).alias("_svec"),
+        F.col("_nrm").alias("_snrm"),
         "_cell",
     )
     b = assigned.select(
         F.col(id_col).alias("_dst"),
         F.col(vec_col).alias("_dvec"),
+        F.col("_nrm").alias("_dnrm"),
         "_cell",
     )
     w_knn = Window.partitionBy("_src").orderBy(
@@ -717,60 +851,96 @@ def label_propagation(
             # at the last ulp — fine for the production path, fatal
             # for a value oracle)
             F.floor(
-                pairwise_cosine(F.col("_svec"), F.col("_dvec"))
+                pairwise_cosine(
+                    F.col("_svec"),
+                    F.col("_dvec"),
+                    a_norm=F.col("_snrm"),
+                    b_norm=F.col("_dnrm"),
+                )
                 * F.lit(float(1 << 30))
             ).cast("bigint")
             if fp_weights
-            else pairwise_cosine(F.col("_svec"), F.col("_dvec")),
+            else pairwise_cosine(
+                F.col("_svec"),
+                F.col("_dvec"),
+                a_norm=F.col("_snrm"),
+                b_norm=F.col("_dnrm"),
+            ),
         )
         .withColumn("_r", F.row_number().over(w_knn))
         .where(F.col("_r") <= k)
         .select("_src", "_dst", "_w")
+    )
+    # Self-vote sentinels: vote masses are bounded (|w| <= 2^30 per
+    # edge in fixed point, finite doubles otherwise; <= k edges per
+    # node), so +/-2^62 (resp. +/-inf) can never tie a real vote sum.
+    if fp_weights:
+        seed_mass = F.lit(1 << 62).cast("bigint")
+        keep_mass = F.lit(-(1 << 62)).cast("bigint")
+    else:
+        seed_mass = F.lit(float("inf"))
+        keep_mass = F.lit(float("-inf"))
+    self_votes = df.select(
+        F.col(id_col).alias("_src"),
+        F.col(id_col).alias("_dst"),
+        F.when(seed_filter, seed_mass).otherwise(keep_mass).alias("_w"),
+        F.lit(True).alias("_self"),
+    )
+    # Static for the whole fixed-round loop; hash-partitioned on the
+    # probe key so each round's join reuses the cached exchange and
+    # only the label-sized frame shuffles.
+    edges_aug = (
+        edges.withColumn("_self", F.lit(False))
+        .unionByName(self_votes)
+        .repartition(F.col("_dst"))
         .persist()
     )
-    edges.count()
+    edges_aug.count()
     assigned.unpersist()
     labels = df.select(
         F.col(id_col).alias("_id"),
         F.when(seed_filter, F.col(label_col)).alias("_lbl"),
-        seed_filter.alias("is_seed"),
-    ).persist()
-    labels.count()
+    )
     w_arg = Window.partitionBy("_src").orderBy(
         F.col("_mass").desc(), F.col("_lbl").asc()
     )
-    for _ in range(iterations):
-        votes = (
-            edges.join(
-                labels.where(F.col("_lbl").isNotNull()).select(
-                    F.col("_id").alias("_dst"), "_lbl"
-                ),
-                on="_dst",
+    try:
+        for _ in range(iterations):
+            # one reference to the evolving frame per round: real
+            # edges deliver labeled-neighbor votes, the self row
+            # delivers the keep/seed arm (separate ``_self`` group so
+            # it never merges with a real vote for the same label).
+            # Rank 1 = seed label for seeds (+sentinel), best vote
+            # for voted non-seeds (finite beats -sentinel), old label
+            # otherwise — exactly the former join-back update rule.
+            labels = (
+                edges_aug.join(
+                    labels.select(F.col("_id").alias("_dst"), "_lbl"),
+                    on="_dst",
+                )
+                .where(F.col("_lbl").isNotNull() | F.col("_self"))
+                .groupBy("_src", "_lbl", "_self")
+                .agg(F.sum("_w").alias("_mass"))
+                .withColumn("_rank", F.row_number().over(w_arg))
+                .where(F.col("_rank") == 1)
+                .select(F.col("_src").alias("_id"), "_lbl")
             )
-            .groupBy("_src", "_lbl")
-            .agg(F.sum("_w").alias("_mass"))
-            .withColumn("_rank", F.row_number().over(w_arg))
-            .where(F.col("_rank") == 1)
-            .select(F.col("_src").alias("_id"), F.col("_lbl").alias("_new"))
-        )
-        nxt = (
-            labels.join(votes, on="_id", how="left")
+        out = (
+            labels.join(
+                df.select(
+                    F.col(id_col).alias("_id"),
+                    seed_filter.alias("is_seed"),
+                ),
+                on="_id",
+            )
             .select(
-                "_id",
-                F.when(F.col("is_seed"), F.col("_lbl"))
-                .otherwise(F.coalesce(F.col("_new"), F.col("_lbl")))
-                .alias("_lbl"),
+                F.col("_id").alias(id_col),
+                F.col("_lbl").alias(label_col),
                 "is_seed",
             )
             .persist()
         )
-        nxt.count()
-        labels.unpersist()
-        labels = nxt
-    out = labels.select(
-        F.col("_id").alias(id_col),
-        F.col("_lbl").alias(label_col),
-        "is_seed",
-    )
-    edges.unpersist()
-    return out
+        out.count()
+        return out
+    finally:
+        edges_aug.unpersist()

@@ -704,10 +704,16 @@ def bpe_learn_merges(
     # the round's persisted frame, so it doubles as the cache fill —
     # the former explicit ``nxt.count()`` materialization job re-read
     # the whole vocabulary once per round for nothing. Dropping it
-    # requires keeping every round's (vocabulary-sized, Heaps-small)
-    # frame cached until the loop ends: an eager mid-loop unpersist
-    # would evict a parent the still-lazy child needs, cascading a
-    # full lineage recompute. All frames release in ``finally``.
+    # requires keeping the PARENT of any still-lazy child cached: an
+    # eager unpersist of the direct parent would cascade a full
+    # lineage recompute. A 2-deep sliding window suffices (r15, guide
+    # §5 "unpersist when done" — the r14 version held ALL rounds'
+    # frames until the loop ended, O(n_merges × vocab) residency):
+    # once round r's argmax action has materialized frame r-1's
+    # cache, frame r-2 is no longer needed by any still-lazy plan and
+    # releases immediately (non-cascading unpersist keeps r-1's
+    # already-built cache valid). The window (at most 2 frames)
+    # releases in ``finally``.
     frames = [cur]
     try:
         for r in range(1, n_merges + 1):
@@ -729,6 +735,10 @@ def bpe_learn_merges(
                 .limit(1)
                 .collect()
             )
+            # the argmax materialized cur (= frames[-1]); its parent
+            # has no remaining lazy reader — release it
+            if len(frames) >= 2:
+                frames.pop(0).unpersist()
             if not top:
                 break
             a, b, w = top[0]["l"], top[0]["r"], int(top[0]["weight"])

@@ -3762,29 +3762,33 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    ranked = with_ordered_prefix(
-        x,
-        "cents",
-        [F.col("cents"), F.col("o_custkey")],
-        {"i": F.lit(1)},
-        totals={"n": "i"},
-    )
-    big = "decimal(38,0)"
-    res = ranked.agg(
-        F.max("n").cast("bigint").alias("n_customers"),
-        F.sum("cents").cast("bigint").alias("total_cents"),
-        (
-            (
-                F.lit(2) * F.sum(F.col("i").cast(big) * F.col("cents"))
-                - (F.max("n").cast(big) + 1)
-                * F.sum("cents").cast(big)
-            ).cast("double")
-            / (
-                F.max("n").cast(big) * F.sum("cents").cast(big)
-            ).cast("double")
-        ).alias("gini"),
-    )
+    # everything derived from the persisted frame stays inside the
+    # try (r15, per the r14 advice): an analysis error during plan
+    # construction must still release the cache entry
     try:
+        ranked = with_ordered_prefix(
+            x,
+            "cents",
+            [F.col("cents"), F.col("o_custkey")],
+            {"i": F.lit(1)},
+            totals={"n": "i"},
+        )
+        big = "decimal(38,0)"
+        res = ranked.agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            (
+                (
+                    F.lit(2)
+                    * F.sum(F.col("i").cast(big) * F.col("cents"))
+                    - (F.max("n").cast(big) + 1)
+                    * F.sum("cents").cast(big)
+                ).cast("double")
+                / (
+                    F.max("n").cast(big) * F.sum("cents").cast(big)
+                ).cast("double")
+            ).alias("gini"),
+        )
         res = res.persist()
         res.count()
         return res

@@ -3140,35 +3140,39 @@ def doc_quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("bigint").alias("pos_n"),
         F.sum(1 - F.col("pos")).cast("bigint").alias("neg_n"),
     ).persist()
-    # distinct scores form a unique total order — prefix is exact
-    pref = with_ordered_prefix(
-        per,
-        "score",
-        [F.col("score")],
-        {"_cneg_incl": F.col("neg_n")},
-    ).withColumn("cneg", F.col("_cneg_incl") - F.col("neg_n"))
-    res = pref.agg(
-        F.sum("pos_n").cast("bigint").alias("n_pos"),
-        F.sum("neg_n").cast("bigint").alias("n_neg"),
-        F.sum(
-            F.col("pos_n") * (F.lit(2) * F.col("cneg") + F.col("neg_n"))
-        )
-        .cast("bigint")
-        .alias("u2"),
-    ).select(
-        "n_pos",
-        "n_neg",
-        "u2",
-        (
-            F.col("u2").cast("double")
-            / (
-                F.lit(2.0)
-                * F.col("n_pos").cast("double")
-                * F.col("n_neg").cast("double")
-            )
-        ).alias("auc"),
-    )
+    # everything derived from the persisted frame stays inside the
+    # try (r15, per the r14 advice): an analysis error during plan
+    # construction must still release the cache entry
     try:
+        # distinct scores form a unique total order — prefix is exact
+        pref = with_ordered_prefix(
+            per,
+            "score",
+            [F.col("score")],
+            {"_cneg_incl": F.col("neg_n")},
+        ).withColumn("cneg", F.col("_cneg_incl") - F.col("neg_n"))
+        res = pref.agg(
+            F.sum("pos_n").cast("bigint").alias("n_pos"),
+            F.sum("neg_n").cast("bigint").alias("n_neg"),
+            F.sum(
+                F.col("pos_n")
+                * (F.lit(2) * F.col("cneg") + F.col("neg_n"))
+            )
+            .cast("bigint")
+            .alias("u2"),
+        ).select(
+            "n_pos",
+            "n_neg",
+            "u2",
+            (
+                F.col("u2").cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n_pos").cast("double")
+                    * F.col("n_neg").cast("double")
+                )
+            ).alias("auc"),
+        )
         res = res.persist()
         res.count()
         return res
@@ -4377,12 +4381,15 @@ def doc_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter-2 star edges.
 
     The Spark side runs the REAL iterative machinery
-    (``graph.connected_components`` — smallest-label propagation,
-    O(edges) join+min-agg per round, per-round persist hygiene); the
-    oracle's window runs over the ~|docs|-row id list on the DuckDB
-    side only. Component sizes come from one hash-agg joined back on
-    the component id (both sides fact-partitioned keys, no window on
-    the Spark side)."""
+    (``graph.connected_components`` — with ``algo="pointer_jump"``
+    since r15: hooking + pointer doubling whose rounds shuffle
+    label-sized frames; on this shallow chain graph (diameter ≤ 7,
+    few cheap rounds) the same-session A/B measured 2.28 vs the star
+    delegate's 2.66 s, labels identical); the oracle's window runs
+    over the ~|docs|-row id list on the DuckDB side only. Component
+    sizes come from one hash-agg joined back on the component id
+    (both sides fact-partitioned keys, no window on the Spark
+    side)."""
     from .operators.graph import connected_components
 
     d = _docs(spark, sf_dir).select("doc_id")
@@ -4396,7 +4403,9 @@ def doc_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     comps = connected_components(
-        d.select(F.col("doc_id").alias("node")), edges
+        d.select(F.col("doc_id").alias("node")),
+        edges,
+        algo="pointer_jump",
     )
     sizes = comps.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("component_size")
@@ -5880,12 +5889,17 @@ def emb_ivf_seeded_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("_cell")
         .limit(_IVFS_CELLS)
     )
+    # query/corpus norms hoisted once per row (r15, guide §1.2): the
+    # probed-cell candidate join scored three array folds per pair;
+    # the hoisted columns are the exact same sqrt(Σx²) expressions,
+    # so every cosine double is bit-identical (oracle unchanged)
     qs = embs.where(
         (F.col("vec_id") % _IVFSB_MOD == 0)
         & (F.col("vec_id") < _IVFSB_MAX_Q * _IVFSB_MOD)
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("_qv"),
+        similarity.vector_norm(F.col("embedding")).alias("_qn"),
     )
     dist_fp = F.aggregate(
         F.zip_with(
@@ -5905,22 +5919,30 @@ def emb_ivf_seeded_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = (
         qs.crossJoin(F.broadcast(cents))
-        .select("query_id", "_qv", "_cell", dist_fp.alias("_d"))
+        .select("query_id", "_qv", "_qn", "_cell", dist_fp.alias("_d"))
         .withColumn("_crank", F.row_number().over(w_cell))
         .where(F.col("_crank") <= _IVFS_NPROBE)
-        .select("query_id", "_qv", "_cell")
+        .select("query_id", "_qv", "_qn", "_cell")
     )
     w_k = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
     return (
-        probes.join(assigned, "_cell")
+        probes.join(
+            assigned.withColumn(
+                "_cn", similarity.vector_norm(F.col("embedding"))
+            ),
+            "_cell",
+        )
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
             similarity.pairwise_cosine(
-                F.col("_qv"), F.col("embedding")
+                F.col("_qv"),
+                F.col("embedding"),
+                a_norm=F.col("_qn"),
+                b_norm=F.col("_cn"),
             ).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w_k).cast("bigint"))

@@ -27,6 +27,24 @@ Methodology (disclosed in the JSON):
   ran under load above ``SPARK_GRAFT_LOAD_WARN`` (default 2.0) are
   listed in ``load_flagged`` so round-over-round diffs can separate
   code drift from host noise without a re-run.
+- SELF-load-aware flagging (r15, r14 verdict item 9): at 32 cores the
+  bench's own stages push the 1-min load past the 2.0 threshold, so
+  every query was flagged and the flag stopped discriminating. The
+  bench now tracks its OWN process tree's CPU rate as a 1-minute EMA
+  (same decay as /proc/loadavg) and flags on the EXTERNAL load
+  estimate ``max(0, load_1m - self_ema)``; raw loads still ship in the
+  sidecar (``query_load_1m``) next to the new ``query_ext_load_1m``.
+- Consumption-boundary cache release (r15, r14 verdict items 1/5):
+  every sweep-style query returns a persisted, materialized frame
+  (the materialize-then-release pattern), so a full catalog pass used
+  to leave one CacheManager entry per such query. After each timed
+  iteration's ``count()`` the bench now calls
+  ``spark.catalog.clearCache()`` — OUTSIDE the timed region — which
+  keeps the CacheManager flat across the run and structurally forces
+  every iteration to recompute from the parquet inputs (the
+  no-cross-run-caching contract; previously enforced only by the
+  operators' input-unpersist side effect, which is Spark-version-
+  sensitive CacheManager behavior).
 """
 
 from __future__ import annotations
@@ -58,6 +76,66 @@ def _loadavg() -> tuple[float, float]:
         return float(one), float(five)
     except (OSError, ValueError):
         return -1.0, -1.0
+
+
+def _tree_cpu_seconds() -> float:
+    """Total CPU seconds (user+sys) burned so far by this process and
+    every live descendant (the py4j JVM and its Python workers) — the
+    bench's own contribution to the host load. Exited children are not
+    counted; the long-lived JVM carries virtually all of the CPU."""
+    try:
+        clk = float(os.sysconf("SC_CLK_TCK"))
+        procs: dict[int, tuple[int, float]] = {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat", "rb") as fh:
+                    data = fh.read().decode("ascii", "replace")
+            except OSError:
+                continue
+            rp = data.rfind(")")
+            fields = data[rp + 2:].split()
+            # after comm: 0=state 1=ppid ... 11=utime 12=stime
+            procs[int(pid)] = (
+                int(fields[1]),
+                (int(fields[11]) + int(fields[12])) / clk,
+            )
+        children: dict[int, list[int]] = {}
+        for pid, (ppid, _) in procs.items():
+            children.setdefault(ppid, []).append(pid)
+        total, stack, seen = 0.0, [os.getpid()], set()
+        while stack:
+            p = stack.pop()
+            if p in seen or p not in procs:
+                continue
+            seen.add(p)
+            total += procs[p][1]
+            stack.extend(children.get(p, []))
+        return total
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
+class _SelfLoadEMA:
+    """1-minute EMA of the bench's own CPU rate, mirroring the kernel's
+    loadavg decay, so ``load_1m - ema`` estimates EXTERNAL load."""
+
+    def __init__(self) -> None:
+        self._t = time.time()
+        self._cpu = _tree_cpu_seconds()
+        self.ema = 0.0
+
+    def sample(self) -> float:
+        import math
+
+        now, cpu = time.time(), _tree_cpu_seconds()
+        dt = max(now - self._t, 1e-6)
+        rate = max(0.0, (cpu - self._cpu) / dt)
+        a = math.exp(-dt / 60.0)
+        self.ema = self.ema * a + rate * (1.0 - a)
+        self._t, self._cpu = now, cpu
+        return self.ema
 
 # Tables big enough that one-task scans dominate; everything else is
 # copied as-is. documents/embeddings are row-light but compute-heavy
@@ -379,7 +457,14 @@ def main() -> None:
 
     errors: dict[str, str] = {}
     query_load: dict[str, float] = {}  # 1-min load at best iteration
+    query_ext_load: dict[str, float] = {}  # load minus own-EMA, best it.
     load_start = _loadavg()
+    self_load = _SelfLoadEMA()
+    # the warm-up query above may have left a cache entry; start clean
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
 
     def time_set(names: list[str], iters: int = ITERATIONS) -> dict[str, float]:
         # Per-query fault isolation: one broken query records an error
@@ -389,25 +474,33 @@ def main() -> None:
         for name in names:
             if name not in qs:
                 continue
-            best, rows, best_load = None, 0, -1.0
+            best, rows, best_load, best_ext = None, 0, -1.0, -1.0
             try:
                 for _ in range(max(1, iters)):
                     load_now = _loadavg()[0]
+                    ext_now = max(0.0, load_now - self_load.sample())
                     t0 = time.time()
                     rows = qs[name](spark, bench_dir).count()
                     elapsed = time.time() - t0
+                    # consumption boundary (untimed): release the
+                    # query's persisted result + any stragglers so
+                    # the CacheManager stays flat and the next
+                    # iteration provably recomputes from parquet
+                    spark.catalog.clearCache()
                     if best is None or elapsed < best:
                         best, best_load = elapsed, load_now
+                        best_ext = round(ext_now, 2)
             except Exception as e:
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
                 continue
             out[name] = round(best, 3)
             query_load[name] = best_load
-            flag = " [LOAD]" if best_load > LOAD_WARN else ""
+            query_ext_load[name] = best_ext
+            flag = " [LOAD]" if best_ext > LOAD_WARN else ""
             print(
                 f"# {name}: {out[name]}s ({rows} rows, "
-                f"load {best_load}){flag}",
+                f"load {best_load}, ext {best_ext}){flag}",
                 file=sys.stderr,
             )
         return out
@@ -422,8 +515,11 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     load_end = _loadavg()
+    # flag on the EXTERNAL load estimate (r15): raw 1-min load at 32
+    # cores is dominated by the bench's own stages (r14 flagged all
+    # 228 queries), so subtract the bench's own-CPU EMA first
     flagged = sorted(
-        n for n, ld in query_load.items() if ld > LOAD_WARN
+        n for n, ld in query_ext_load.items() if ld > LOAD_WARN
     )
     result = {
         "metric": "headline_queries_total_wall",
@@ -439,6 +535,7 @@ def main() -> None:
         "load_5m_start": load_start[1],
         "load_1m_end": load_end[0],
         "load_flagged_n": len(flagged),
+        "load_flag_mode": "ext_rel_self_ema",
         # Round-2 additions, timed separately so "value" stays
         # comparable round-over-round on the same 19-query set.
         "extended_total": round(sum(extended.values()), 3),
@@ -455,6 +552,7 @@ def main() -> None:
     full = dict(result)
     full["extended"] = extended
     full["query_load_1m"] = query_load
+    full["query_ext_load_1m"] = query_ext_load
     full["load_flagged"] = flagged
     if errors:
         full["errors"] = errors

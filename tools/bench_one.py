@@ -64,11 +64,15 @@ def main() -> None:
             df = qs[name](spark, bench_dir)
             rows = df.count()
             samples.append(time.time() - t0)
+            # consumption boundary (untimed), mirroring bench.py:
+            # release persisted results so every iteration recomputes
+            spark.catalog.clearCache()
             if use_noop:
                 t0 = time.time()
                 df = qs[name](spark, bench_dir)
                 df.write.format("noop").mode("overwrite").save()
                 noops.append(time.time() - t0)
+                spark.catalog.clearCache()
         spark.sparkContext.setJobDescription(None)
         rec = {
             "min": round(min(samples), 3),

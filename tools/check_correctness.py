@@ -107,6 +107,14 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
             continue
+        finally:
+            # consumption boundary (r15): sweep-style queries return
+            # persisted frames; release them so a full catalog pass
+            # keeps the CacheManager flat
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
         if name not in oracles:
             print(
                 f"rows-only  {name}: {len(spark_pdf)} rows "
